@@ -1,0 +1,171 @@
+package graft.relational
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function and set-operation surface (SURVEY.md §2B): strings, dates,
+  * math, conditionals, JSON, arrays/higher-order functions, set ops, sorts
+  * with explicit null ordering. All per-row expressions are pure IEEE /
+  * integer ops that evaluate bit-identically in Spark and DuckDB.
+  */
+object FunctionQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q22_set_union", { (s, dir) =>
+        val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sp = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.unionByName(sp).groupBy("nationkey").agg(count(lit(1)).as("cnt")).orderBy("nationkey")
+      },
+      Some("""SELECT nationkey, count(*) AS cnt FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+             |GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    Q("q23_set_intersect", { (s, dir) =>
+        val c = Tables(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000).select(col("c_nationkey").as("nationkey"))
+        val sp = Tables(s, dir, "supplier")
+          .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey"))
+        c.intersect(sp).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q24_set_except", { (s, dir) =>
+        val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sp = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.except(sp).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("q25_string_fn",
+      (s, dir) => Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("up8"),
+          lower(col("c_mktsegment")).as("seg_lc"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
+          trim(concat(lit("  "), col("c_name"), lit(" "))).as("trimmed"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          size(split(col("c_name"), "#")).as("n_parts"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |upper(substr(c_name, 1, 8)) AS up8,
+             |lower(c_mktsegment) AS seg_lc,
+             |CAST(length(c_name) AS INTEGER) AS name_len,
+             |regexp_replace(c_name, 'Customer', 'Cust') AS repl,
+             |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+             |trim(concat('  ', c_name, ' ')) AS trimmed,
+             |regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             |CAST(len(string_split(c_name, '#')) AS INTEGER) AS n_parts
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("q26_date_fn",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate"))).as("days_to_y2k"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INTEGER) AS y,
+             |CAST(month(o_orderdate) AS INTEGER) AS m,
+             |CAST(day(o_orderdate) AS INTEGER) AS d,
+             |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+             |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+             |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+             |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q27_math_fn",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("cl"),
+          abs(col("l_discount") - 0.05).as("ad"),
+          sqrt(col("l_quantity")).as("sq"),
+          pmod(col("l_orderkey"), lit(7)).as("pm"),
+          signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"),
+          pow(lit(2.0), col("l_linenumber")).as("pw"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             |CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+             |abs(l_discount - 0.05) AS ad,
+             |sqrt(l_quantity) AS sq,
+             |((l_orderkey % 7) + 7) % 7 AS pm,
+             |CAST(sign(l_discount - 0.05) AS INTEGER) AS sg,
+             |power(2.0, l_linenumber) AS pw
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q28_conditional",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+          least(col("o_totalprice"), lit(150000.0)).as("capped"),
+          greatest(col("o_totalprice") / 2, lit(50000.0)).as("floored"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_totalprice > 200000 THEN 'big'
+             |     WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+             |coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+             |least(o_totalprice, 150000.0) AS capped,
+             |greatest(o_totalprice / 2, 50000.0) AS floored
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q29_json_fn",
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("q30_array_fn",
+      (s, dir) => Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
+          element_at(col("embedding"), size(col("embedding"))).cast(DoubleType).as("e_last"),
+          size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+          element_at(sort_array(col("embedding")), 1).cast(DoubleType).as("e_min"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |CAST(len(embedding) AS INTEGER) AS dim,
+             |CAST(embedding[1] AS DOUBLE) AS e1,
+             |CAST(embedding[len(embedding)] AS DOUBLE) AS e_last,
+             |CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+             |CAST(list_sort(embedding)[1] AS DOUBLE) AS e_min
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    Q("q31_sort_nulls",
+      (s, dir) => Tables(s, dir, "orders")
+        .select(nullif(col("o_orderstatus"), lit("P")).as("st"), col("o_orderkey"))
+        .orderBy(col("st").desc_nulls_first, col("o_orderkey")),
+      Some("""SELECT nullif(o_orderstatus, 'P') AS st, o_orderkey FROM orders
+             |ORDER BY st DESC NULLS FIRST, o_orderkey""".stripMargin)),
+
+    // HLL++ approximate distinct: value is approximate, so no hash oracle —
+    // the driver records a rows-only check; GraftSuite asserts 5% tolerance.
+    Q("q32_agg_approx_distinct",
+      (s, dir) => Tables(s, dir, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_dc"))
+        .orderBy("approx_dc"),
+      None)
+  )
+}

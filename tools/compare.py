@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each query parquet under <verifyOutDir>/<name>/ with an entry in
+oracle_sql.json: run the SQL in DuckDB over the sf tables, sort columns by
+name on both sides, and compare values row by row (exact; doubles must be
+bit-identical, mirroring a hash compare).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = con.sql(
+                f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()
+            duck_rel = con.sql(sql)
+            duck_cols = sorted(duck_rel.columns)
+            duck_rows = con.sql(
+                f"SELECT {', '.join(duck_cols)} FROM duck_rel").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if spark_cols != duck_cols:
+            print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
+            n_fail += 1
+            continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rowcount {len(spark_rows)} vs {len(duck_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+            if tuple(map(canon, a)) != tuple(map(canon, b)):
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}: spark={bad[1]} duck={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
