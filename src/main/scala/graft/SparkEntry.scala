@@ -12,7 +12,9 @@ object SparkEntry {
   def corpus: Seq[Q] =
     relational.Relational.qs ++
       relational.WindowQueries.qs ++
-      relational.FunctionQueries.qs
+      relational.FunctionQueries.qs ++
+      cdc.CdcQueries.qs ++
+      functions.Udx.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

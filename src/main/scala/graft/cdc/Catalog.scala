@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MySQL type-string catalog: type string → JDBC type code and Spark type.
+  *
+  * JDBC mapping mirrors the reference's `FieldMeta::get_sql_type`
+  * (`/root/reference/src/executor.rs:352-400`) including its quirks: prefix
+  * matching for most types (`mediumint` before `int` so both hit 4), exact
+  * equality for `date`/`time`, *suffix* matching for `%blob`/`%text` (so
+  * `longtext`→2005, `mediumblob`→2004), and -999 for anything unknown.
+  */
+object Catalog {
+
+  /** Pure-Scala JDBC code mapping (reference-exact). */
+  def jdbcCode(t: String): Int =
+    if (t.startsWith("tinyint")) -6
+    else if (t.startsWith("smallint")) 5
+    else if (t.startsWith("mediumint") || t.startsWith("int")) 4
+    else if (t.startsWith("bigint")) -5
+    else if (t.startsWith("float")) 7
+    else if (t.startsWith("double")) 8
+    else if (t.startsWith("decimal")) 3
+    else if (t == "date") 91
+    else if (t == "time") 92
+    else if (t.startsWith("year")) 12
+    else if (t.startsWith("datetime") || t.startsWith("timestamp")) 93
+    else if (t.startsWith("char")) 1
+    else if (t.startsWith("varchar")) 12
+    else if (t.endsWith("blob")) 2004
+    else if (t.endsWith("text")) 2005
+    else -999
+
+  /** [[jdbcCode]] as the declared Scala-UDF exemplar (SURVEY.md §2B). */
+  val jdbcCodeUdf: UserDefinedFunction = udf(jdbcCode _)
+
+  /** [[jdbcCode]] as a codegen-friendly when-chain — the production path
+    * (a native expression beats a UDF; same branch order as the reference).
+    */
+  def jdbcCodeCol(c: Column): Column =
+    when(c.startsWith("tinyint"), -6)
+      .when(c.startsWith("smallint"), 5)
+      .when(c.startsWith("mediumint") || c.startsWith("int"), 4)
+      .when(c.startsWith("bigint"), -5)
+      .when(c.startsWith("float"), 7)
+      .when(c.startsWith("double"), 8)
+      .when(c.startsWith("decimal"), 3)
+      .when(c === "date", 91)
+      .when(c === "time", 92)
+      .when(c.startsWith("year"), 12)
+      .when(c.startsWith("datetime") || c.startsWith("timestamp"), 93)
+      .when(c.startsWith("char"), 1)
+      .when(c.startsWith("varchar"), 12)
+      .when(c.endsWith("blob"), 2004)
+      .when(c.endsWith("text"), 2005)
+      .otherwise(-999)
+
+  private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\)""".r
+
+  /** MySQL type string → Spark DataType (SURVEY.md §1 mapping; BLOB kept
+    * binary, deviating from the reference's lossy UTF-16 decode,
+    * `/root/reference/src/executor.rs:231-236`).
+    */
+  def sparkType(t: String): DataType = t match {
+    case s if s.startsWith("tinyint")   => ByteType
+    case s if s.startsWith("smallint")  => ShortType
+    case s if s.startsWith("mediumint") || s.startsWith("int") => IntegerType
+    case s if s.startsWith("bigint")    => LongType
+    case s if s.startsWith("float")     => FloatType
+    case s if s.startsWith("double")    => DoubleType
+    case DecimalRe(p, sc)               => DecimalType(p.toInt, sc.toInt)
+    case s if s.startsWith("decimal")   => DecimalType(38, 18)
+    case "date"                         => DateType
+    case s if s.startsWith("time(") || s == "time" => StringType // no TimeType
+    case s if s.startsWith("datetime") || s.startsWith("timestamp") => TimestampType
+    case s if s.startsWith("year")      => IntegerType
+    case s if s.endsWith("blob")        => BinaryType
+    case _                              => StringType // char/varchar/text/unknown
+  }
+}

@@ -1,0 +1,187 @@
+package graft.cdc
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC operator surface as oracle-checked batch queries (SURVEY.md §2A/§2B).
+  *
+  * The fixtures carry no change streams, so each query derives one
+  * deterministically from the parquet tables (both the Spark program and the
+  * DuckDB oracle derive the *same* stream), then exercises the real CDC
+  * operators — envelope render/parse, wildcard routing, changed-columns
+  * diff, JDBC type catalog, latest-image merge — on it.
+  */
+object CdcQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Fixture routing table (FIXTURES.md §4 shapes): prefix, suffix, infix,
+    * exact patterns + a blacklist, over (lang, source) as (db, table).
+    */
+  val fixtureInstances: Seq[Instance] = Seq(
+    Instance("the_kafka", "t_en_src", schemas = "en", tables = "src*", blackList = Seq("src3")),
+    Instance("the_redis", "t_all_0", schemas = "*", tables = "*0"),
+    Instance("the_kafka", "t_mid", schemas = "e*", tables = "s*2"))
+
+  val qs: Seq[Q] = Seq(
+
+    // Latest-image merge over a synthesized change stream: INSERT per order,
+    // UPDATE (price+1000) for keys %3=0, DELETE for keys %7=0; highest
+    // change id wins per pk, DELETE tombstones drop the key.
+    Q("q33_cdc_latest_image", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val ins = o.select(
+          (col("o_orderkey") * 3).as("cid"), col("o_orderkey").as("pk"),
+          lit("INSERT").as("type"), col("o_totalprice").as("price"))
+        val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+          (col("o_orderkey") * 3 + 1).as("cid"), col("o_orderkey").as("pk"),
+          lit("UPDATE").as("type"), (col("o_totalprice") + 1000.0).as("price"))
+        val del = o.filter(col("o_orderkey") % 7 === 0).select(
+          (col("o_orderkey") * 3 + 2).as("cid"), col("o_orderkey").as("pk"),
+          lit("DELETE").as("type"), lit(null).cast(DoubleType).as("price"))
+        CdcMerge.latestImage(ins.union(upd).union(del), Seq("pk"), "cid")
+          .select("pk", "type", "price")
+          .orderBy("pk")
+      },
+      Some("""WITH chg AS (
+             |  SELECT o_orderkey*3 AS cid, o_orderkey AS pk, 'INSERT' AS type, o_totalprice AS price FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey*3+1, o_orderkey, 'UPDATE', o_totalprice + 1000.0 FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey*3+2, o_orderkey, 'DELETE', NULL FROM orders WHERE o_orderkey % 7 = 0
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cid DESC) AS rn FROM chg
+             |)
+             |SELECT pk, type, price FROM ranked WHERE rn = 1 AND type <> 'DELETE'
+             |ORDER BY pk""".stripMargin)),
+
+    // Envelope render → Canal-JSON → parse round-trip; the oracle computes
+    // the expected post-round-trip projection directly (round trip lossless).
+    Q("q34_cdc_envelope_roundtrip", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val raw = o.select(to_json(struct(
+          col("o_orderkey").as("id"),
+          lit("testdb").as("database"),
+          lit("orders").as("table"),
+          array(lit("o_orderkey")).as("pkNames"),
+          lit(false).as("isDdl"),
+          lit("INSERT").as("type"),
+          (unix_timestamp(col("o_orderdate")) * 1000).as("es"),
+          (unix_timestamp(col("o_orderdate")) * 1000 + 123).as("ts"),
+          lit("").as("sql"),
+          map(lit("o_orderkey"), lit(-5), lit("o_orderstatus"), lit(1)).as("sqlType"),
+          map(lit("o_orderkey"), lit("bigint"), lit("o_orderstatus"), lit("char(1)")).as("mysqlType"),
+          array(map(
+            lit("o_orderkey"), col("o_orderkey").cast(StringType),
+            lit("o_orderstatus"), col("o_orderstatus"))).as("data"),
+          array(map().cast(MapType(StringType, StringType))).as("old")
+        )).as("raw"))
+        raw.select(Envelope.parse(col("raw")).as("e"))
+          .select(
+            col("e.id").as("id"),
+            col("e.database").as("db"),
+            col("e.table").as("tbl"),
+            col("e.type").as("dml"),
+            col("e.es").as("es"),
+            element_at(element_at(col("e.data"), 1), "o_orderkey").cast(LongType).as("pk"),
+            element_at(element_at(col("e.data"), 1), "o_orderstatus").as("status"),
+            element_at(col("e.sqlType"), "o_orderkey").as("pk_jdbc"))
+          .orderBy("id")
+      },
+      Some("""SELECT o_orderkey AS id, 'testdb' AS db, 'orders' AS tbl, 'INSERT' AS dml,
+             |CAST(epoch(o_orderdate) AS BIGINT)*1000 AS es, o_orderkey AS pk,
+             |o_orderstatus AS status, -5 AS pk_jdbc
+             |FROM orders ORDER BY id""".stripMargin)),
+
+    // Wildcard instance routing + blacklist, multicast as explode of routes.
+    Q("q35_cdc_route_multicast", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            explode(Routing.routes(fixtureInstances, col("lang"), col("source"))).as("r"))
+          .select(col("doc_id"), col("r.mq").as("mq"), col("r.topic").as("topic"))
+          .orderBy("doc_id", "mq", "topic")
+      },
+      Some("""SELECT doc_id, mq, topic FROM (
+             |  SELECT doc_id, 'the_kafka' AS mq, 't_en_src' AS topic FROM documents
+             |  WHERE lang = 'en' AND source <> 'src3' AND source LIKE 'src%'
+             |  UNION ALL
+             |  SELECT doc_id, 'the_redis', 't_all_0' FROM documents WHERE source LIKE '%0'
+             |  UNION ALL
+             |  SELECT doc_id, 'the_kafka', 't_mid' FROM documents
+             |  WHERE lang LIKE 'e%' AND source LIKE 's%' AND source LIKE '%2'
+             |) ORDER BY doc_id, mq, topic""".stripMargin)),
+
+    // Changed-columns diff (UPDATE `old` semantics) via map_filter.
+    Q("q36_cdc_changed_diff", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val priceStr = col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType)
+        val oldImg = map(
+          lit("status"), col("o_orderstatus"),
+          lit("price"), priceStr,
+          lit("prio"), col("o_orderpriority"))
+        val newImg = map(
+          lit("status"), when(col("o_orderstatus") === "F", "X").otherwise(col("o_orderstatus")),
+          lit("price"), when(col("o_orderkey") % 2 === 0,
+            (col("o_totalprice") + 1).cast(DecimalType(18, 2)).cast(StringType)).otherwise(priceStr),
+          lit("prio"), col("o_orderpriority"))
+        o.select(col("o_orderkey"),
+            explode(Envelope.changedColumns(oldImg, newImg)).as(Seq("col_name", "old_val")))
+          .orderBy("o_orderkey", "col_name")
+      },
+      Some("""SELECT o_orderkey, col_name, old_val FROM (
+             |  SELECT o_orderkey, 'status' AS col_name, o_orderstatus AS old_val FROM orders
+             |  WHERE o_orderstatus = 'F'
+             |  UNION ALL
+             |  SELECT o_orderkey, 'price', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |) ORDER BY o_orderkey, col_name""".stripMargin)),
+
+    // MySQL-type-string → JDBC code catalog, expression chain + UDF exemplar.
+    Q("q37_cdc_jdbc_types", { (s, dir) =>
+        val names = Seq(
+          "tinyint(1)", "smallint", "mediumint", "int(11)", "bigint(20)",
+          "float", "double", "decimal(10,2)", "date", "time", "year",
+          "datetime(3)", "timestamp", "char(10)", "varchar(32)", "longtext",
+          "mediumblob", "geometry")
+        val types = array(names.map(lit): _*)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            element_at(types, (col("o_orderkey") % 18 + 1).cast(IntegerType)).as("mysql_type"))
+          .withColumn("jdbc_code", Catalog.jdbcCodeCol(col("mysql_type")))
+          .withColumn("jdbc_code_udf", Catalog.jdbcCodeUdf(col("mysql_type")))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH typed AS (
+             |  SELECT o_orderkey,
+             |    (['tinyint(1)','smallint','mediumint','int(11)','bigint(20)','float','double',
+             |      'decimal(10,2)','date','time','year','datetime(3)','timestamp','char(10)',
+             |      'varchar(32)','longtext','mediumblob','geometry'])[CAST(o_orderkey % 18 AS INTEGER) + 1]
+             |      AS mysql_type
+             |  FROM orders
+             |), coded AS (
+             |  SELECT o_orderkey, mysql_type,
+             |    CASE
+             |      WHEN mysql_type LIKE 'tinyint%' THEN -6
+             |      WHEN mysql_type LIKE 'smallint%' THEN 5
+             |      WHEN mysql_type LIKE 'mediumint%' OR mysql_type LIKE 'int%' THEN 4
+             |      WHEN mysql_type LIKE 'bigint%' THEN -5
+             |      WHEN mysql_type LIKE 'float%' THEN 7
+             |      WHEN mysql_type LIKE 'double%' THEN 8
+             |      WHEN mysql_type LIKE 'decimal%' THEN 3
+             |      WHEN mysql_type = 'date' THEN 91
+             |      WHEN mysql_type = 'time' THEN 92
+             |      WHEN mysql_type LIKE 'year%' THEN 12
+             |      WHEN mysql_type LIKE 'datetime%' OR mysql_type LIKE 'timestamp%' THEN 93
+             |      WHEN mysql_type LIKE 'char%' THEN 1
+             |      WHEN mysql_type LIKE 'varchar%' THEN 12
+             |      WHEN mysql_type LIKE '%blob' THEN 2004
+             |      WHEN mysql_type LIKE '%text' THEN 2005
+             |      ELSE -999 END AS jdbc_code
+             |  FROM typed
+             |)
+             |SELECT o_orderkey, mysql_type, jdbc_code, jdbc_code AS jdbc_code_udf
+             |FROM coded ORDER BY o_orderkey""".stripMargin))
+  )
+}

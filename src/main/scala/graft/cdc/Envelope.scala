@@ -1,0 +1,51 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canal-compatible CDC change envelope (FIXTURES.md §2).
+  *
+  * Mirrors the reference's `DmlMessage` output record
+  * (`/root/reference/src/executor.rs:90-105`, JSON render `:120-222`):
+  * one envelope per binlog row-event, carrying N row images in `data`
+  * (and, for UPDATE, the *changed columns only* of the before-image in
+  * `old` — diff semantics of `/root/reference/src/executor.rs:266-311`).
+  *
+  * Values are stringly typed (`Map[String,String]`); `sqlType`/`mysqlType`
+  * carry enough schema to restore types on the query side. Parse/render are
+  * plain `from_json`/`to_json` so the whole path stays inside whole-stage
+  * codegen — no UDFs.
+  */
+object Envelope {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("pkNames", ArrayType(StringType), nullable = true),
+    StructField("isDdl", BooleanType),
+    StructField("type", StringType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("sql", StringType, nullable = true),
+    StructField("sqlType", MapType(StringType, IntegerType)),
+    StructField("mysqlType", MapType(StringType, StringType)),
+    StructField("data", ArrayType(MapType(StringType, StringType))),
+    StructField("old", ArrayType(MapType(StringType, StringType)), nullable = true)
+  ))
+
+  /** Parse a Canal-JSON string column into the typed envelope struct. */
+  def parse(raw: Column): Column = from_json(raw, schema)
+
+  /** Render an envelope struct column back to Canal-JSON. */
+  def render(envelope: Column): Column = to_json(envelope)
+
+  /** Changed-columns diff: entries of `oldImg` whose value differs from the
+    * same key in `newImg` (null-safe). This is the reference's UPDATE `old`
+    * semantics (`/root/reference/src/executor.rs:266-311`) as a codegen'd
+    * higher-order `map_filter` — no shuffle, no UDF.
+    */
+  def changedColumns(oldImg: Column, newImg: Column): Column =
+    map_filter(oldImg, (k, v) => !(element_at(newImg, k) <=> v))
+}

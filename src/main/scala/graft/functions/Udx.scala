@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Declared user-defined-extension surface (SURVEY.md §2B, last row):
+  * a typed `Aggregator` UDAF and a `flatMap`-based generator (UDTF shape).
+  * (The Scala-UDF exemplar is [[graft.cdc.Catalog.jdbcCodeUdf]].)
+  *
+  * The UDAF keeps its buffer in exact decimals so the distributed
+  * partial+final merge is order-insensitive and matches a serial oracle
+  * bit-for-bit; the finish mirrors the oracle's double division.
+  */
+object Udx {
+
+  /** Weighted mean of `value` by `weight`, both 2-decimal doubles.
+    * Buffer = (Σ value·weight, Σ weight) as exact BigDecimals.
+    */
+  class WeightedMean extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+    private def d2(x: Double): BigDecimal =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+    def reduce(b: (BigDecimal, BigDecimal), in: (Double, Double)): (BigDecimal, BigDecimal) =
+      (b._1 + d2(in._1) * d2(in._2), b._2 + d2(in._2))
+    def merge(a: (BigDecimal, BigDecimal), b: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (BigDecimal, BigDecimal)): Double =
+      if (b._2.signum == 0) Double.NaN else b._1.toDouble / b._2.toDouble
+    def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
+      Encoders.product[(BigDecimal, BigDecimal)]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // UDAF: qty-weighted mean extended price per return flag.
+    Q("q38_udaf_weighted_mean", { (s, dir) =>
+        val wm = udaf(new WeightedMean)
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(wm(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Generator (UDTF shape): word 3-shingles per document via typed flatMap,
+    // then distinct-shingle counts. At scale the flatMap is map-side only.
+    Q("q39_udtf_shingles", { (s, dir) =>
+        val spark = s
+        import spark.implicits._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            text.split(" ", -1).sliding(3).collect {
+              case w if w.length == 3 => (id, w.mkString(" "))
+            }
+          }
+          .toDF("doc_id", "shingle")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("shingle")).as("n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, count(DISTINCT sh) AS n_shingles FROM (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |) GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}
