@@ -14,7 +14,9 @@ object SparkEntry {
       relational.WindowQueries.qs ++
       relational.FunctionQueries.qs ++
       cdc.CdcQueries.qs ++
-      functions.Udx.qs
+      functions.Udx.qs ++
+      llm.LlmQueries.qs ++
+      multimodal.MultimodalQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora (SURVEY.md §2B LLM rows):
+  * exact (content hash), n-gram Jaccard similarity join (exact, the oracle
+  * for the approximate paths), MinHash + banded LSH, and SimHash.
+  *
+  * Scale posture: exact dedup and MinHash/SimHash signatures are one hash
+  * aggregation each (map-side partial, single shuffle). The all-pairs
+  * Jaccard join is quadratic in the worst case and exists as the
+  * small-scale oracle; the 100 TB path is MinHash-LSH (band buckets bound
+  * the candidate set) or SimHash block buckets.
+  */
+object Dedup {
+
+  /** Exact dedup groups: sha256 of raw text → group size + canonical id. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+
+  /** Exploded distinct shingles per doc: (id, shingle). */
+  def shingleSet(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("sid"), explode(TextOps.shingles(col(textCol), k)).as("s"))
+
+  /** Exact n-gram Jaccard similarity join: pairs with J >= num/den, decided
+    * in integer arithmetic (den*inter >= num*(na+nb-inter)) so the result
+    * hash-matches a SQL oracle exactly. Candidate generation = equi-join on
+    * shared shingles (only pairs sharing >= 1 shingle are scored).
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
+    val sh = shingleSet(docs, textCol, idCol, k)
+    val cnt = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("sid", "da").withColumnRenamed("n", "na"), "da")
+      .join(cnt.withColumnRenamed("sid", "db").withColumnRenamed("n", "nb"), "db")
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select("da", "db", "inter", "na", "nb")
+  }
+
+  /** 2^31-1, the classic MinHash modulus: keeps a*x+b inside Long range. */
+  private val P = 2147483647L
+  /** Deterministic (a, b) permutation parameters, seed fixed for replay. */
+  private def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: k universal-hash minima per doc over its shingle
+    * set. One hash aggregation (k partial mins, map-side combined).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int = 32): DataFrame = {
+    val sh = shingleSet(docs, textCol, idCol)
+    val x = pmod(xxhash64(col("s")), lit(P))
+    val mins = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x * a + b, lit(P))).as(s"m$i")
+    }
+    sh.groupBy("sid").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs from MinHash signatures: docs sharing any
+    * band bucket. bands*rows must equal the signature width.
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bIdx =>
+      val rowsCols = (0 until rows).map(r => col(s"m${bIdx * rows + r}"))
+      struct(lit(bIdx).as("band"), xxhash64(rowsCols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("da"), col("b.sid").as("db"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard on the (small)
+    * candidate set. The verification join is |candidates|-bounded — this is
+    * the 100 TB dedup path.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, num: Int = 7, den: Int = 10): DataFrame = {
+    val rows = k / bands
+    val cand = lshCandidates(minhashSignatures(docs, textCol, idCol, k), bands, rows)
+    val sh = shingleSet(docs, textCol, idCol)
+    val cnt = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("da") === col("a.sid"))
+      .join(sh.as("b"), col("db") === col("b.sid") && col("a.s") === col("b.s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("sid", "da").withColumnRenamed("n", "na"), "da")
+      .join(cnt.withColumnRenamed("sid", "db").withColumnRenamed("n", "nb"), "db")
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select("da", "db", "inter", "na", "nb")
+  }
+
+  /** 64-bit SimHash over distinct unigram tokens: per bit j, sum the ±1
+    * contribution of each token hash's bit j; sign(sum) becomes bit j.
+    * Single hash aggregation with 64 partial sums.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("sid"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
+    val h = xxhash64(col("t"))
+    val sums = (0 until 64).map { j =>
+      sum(shiftright(h, j).bitwiseAND(1) * 2 - 1).as(s"b$j")
+    }
+    val agg = toks.groupBy("sid").agg(sums.head, sums.tail: _*)
+    val bits = (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+    agg.select(col("sid"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block-bucket candidates (4×16-bit blocks — any
+    * pair at Hamming distance <= 3 shares at least one block by pigeonhole),
+    * then exact Hamming verify via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, textCol, idCol)
+    val blocks = (0 until 4).map(i =>
+      struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("bv")))
+    val buckets = sig.select(col("sid"), col("simhash"), explode(array(blocks: _*)).as("bk"))
+      .select(col("sid"), col("simhash"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("da"), col("b.sid").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data operator surface (SURVEY.md §2B LLM rows) over the
+  * `documents` and `embeddings` fixtures. Exact operators carry DuckDB
+  * oracles; approximate ones (MinHash-LSH, SimHash, hyperplane ANN) are
+  * rows-only here and recall-tested against their exact counterparts in
+  * LshSpec.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Shared shingle-set SQL fragment for oracles (3-shingles, distinct). */
+  private val ShingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q40_dedup_exact",
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash"),
+      Some("""SELECT sha256(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    Q("q41_dedup_jaccard",
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("da", "db"),
+      Some(s"""WITH $ShingleCte,
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+             |)
+             |SELECT da, db, inter, na, nb FROM (
+             |  SELECT da, db, inter, ca.n AS na, cb.n AS nb FROM inter
+             |  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+             |WHERE inter * 10 >= (na + nb - inter) * 7
+             |ORDER BY da, db""".stripMargin)),
+
+    // Approximate: LSH-bounded candidates, exact-Jaccard verified. Same
+    // output shape as q41; recall asserted in LshSpec, rows-only here.
+    Q("q42_dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("da", "db"),
+      None),
+
+    Q("q43_dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("da", "db"),
+      None),
+
+    Q("q44_sim_topk_brute", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.embedding, c.embedding) AS cos
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10
+             |), ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM scored)
+             |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    Q("q45_sim_topk_lsh", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    Q("q46_text_stats", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        d.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(TextOps.tokens(col("text")))).as("total_tokens"),
+            (sum(col("n_chars")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("q47_text_quality", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val nTok = size(toks)
+        val totLen = aggregate(transform(toks, x => length(x)), lit(0), (acc, v) => acc + v)
+        val hits = TextOps.stopwordHits(toks)
+        d.select(col("doc_id"),
+            nTok.as("n_tokens"),
+            (totLen.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
+            (hits.cast(DoubleType) / nTok.cast(DoubleType)).as("stopword_ratio"),
+            (hits.cast(DoubleType) / nTok.cast(DoubleType) * 0.5
+              + least(lit(1.0), nTok.cast(DoubleType) / 100.0) * 0.5).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(toks) AS INTEGER) AS n_tokens,
+             |CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+             |  / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+             |CAST(hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             |CAST(hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.5
+             |  + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5 AS quality
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+             |  len(list_filter(string_split(text, ' '),
+             |    t -> list_contains(['the','a','of','to','in','and','is','for','on','with'], t))) AS hits
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("q48_text_langid", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        d.select(col("doc_id"), col("lang"),
+            when(TextOps.stopwordHits(toks) * 5 >= size(toks), "en_like")
+              .otherwise("other").as("predicted"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |CASE WHEN len(list_filter(string_split(text, ' '),
+             |    t -> list_contains(['the','a','of','to','in','and','is','for','on','with'], t))) * 5
+             |    >= len(string_split(text, ' '))
+             |  THEN 'en_like' ELSE 'other' END AS predicted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q49_text_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.regexTokenCount(col("text")).as("n_rtokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             |CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> '')) AS INTEGER) AS n_rtokens
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (SURVEY.md §2B):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Dot products use `zip_with`+`aggregate` higher-order functions — a
+  * sequential fold in array order, so double results are deterministic.
+  *
+  * Scale: brute force broadcasts the (small) query set and scans candidates
+  * once per partition — O(|Q|·N) work but a single pass over N with no
+  * all-to-all shuffle; the window top-k then shuffles only |Q|·N scored ids.
+  * The LSH variant cuts the scored set to same-bucket candidates; recall is
+  * tested (LshSpec), not assumed.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Exact cosine top-k: for each query vector, the k nearest other vectors.
+    * Emits (query_id, rank, neighbor_id) — ids and integer ranks only, so
+    * results are engine-portable (scores stay double-deterministic per pair
+    * but tie-ordering across engines is resolved by the id tie-break).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Deterministic random hyperplanes: `tables` signatures of `bits` planes
+    * each, components ±1 from a fixed-seed RNG.
+    */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** LSH bucket signature for one table: an int whose bit j is
+    * sign(v · plane_j). Computed with the same fold as [[dot]].
+    */
+  private def signature(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN cosine top-k via multi-table hyperplane LSH: score only candidates
+    * sharing a bucket with the query in at least one table.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 5, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(tables, bits, dim)
+    def buckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val v = asDouble(col("embedding"))
+      val sigs = hp.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("tbl"), signature(v, planes).as("sig"))
+      }
+      df.select(col("vec_id").as(idAs), v.as(vecAs), explode(array(sigs: _*)).as("bk"))
+        .select(col(idAs), col(vecAs), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    }
+    val qb = buckets(queries, "query_id", "qv")
+    val cb = buckets(candidates, "neighbor_id", "cv")
+    val cand = qb.join(cb, Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

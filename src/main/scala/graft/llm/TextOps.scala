@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines, all as codegen'd
+  * column expressions (no UDFs): tokenization, shingling, stopword/quality
+  * stats, a language-ID heuristic, and content fingerprinting.
+  *
+  * Everything here is per-row (narrow, map-side) — at 100 TB these fuse into
+  * whole-stage codegen over the scan with zero shuffle; only downstream
+  * aggregations shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens; -1 limit keeps trailing empties so Spark and SQL
+    * oracles (DuckDB string_split) agree on token counts.
+    */
+  def tokens(c: Column): Column = split(c, " ", -1)
+
+  /** Distinct word k-shingles. Guarded so short texts yield an empty set
+    * (Spark's `sequence` would otherwise run backwards for size < k).
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** English-ish stopword list used by quality scoring and lang-ID. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is", "for", "on", "with")
+
+  /** Count of tokens that are stopwords (integer-exact for oracle parity). */
+  def stopwordHits(toks: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** BPE-ish token estimate: runs of letters, digits, or single symbols. */
+  def regexTokenCount(text: Column): Column =
+    size(filter(split(text, "[^a-zA-Z0-9]+", -1), t => t =!= ""))
+
+  /** Deterministic document fingerprint over normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns as first-class pipeline citizens (SURVEY.md §2B):
+  * image/audio/video payloads are opaque `binary` columns with typed
+  * metadata; decode / feature-extract / frame-sample run as per-partition
+  * batch transforms (the Scala analogue of an Arrow-batch UDF: one iterator
+  * per partition, schema declared up front, no driver round-trips).
+  *
+  * The real codec step is STUBBED — media libraries are not available in
+  * this environment — behind [[MediaDecode.decodeReal]]; the deterministic
+  * fake in [[MediaDecode.decodeStub]] keeps every piece of Spark plumbing
+  * (schema, partitioning, batch shape, downstream joins) real and testable.
+  */
+object MediaDecode {
+
+  /** Feature row produced by the decode stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** REAL decode — requires image/audio codecs, NOT available here.
+    * Interface kept so a cluster with codec jars can drop it in.
+    */
+  def decodeReal(content: Array[Byte], modality: String): Nothing =
+    throw new NotImplementedError(
+      "media codecs unavailable in this environment; use decodeStub")
+
+  /** Deterministic fake decode: derives pseudo width/height from payload
+    * length and an additive checksum over the first 64 bytes — enough to
+    * exercise schema, batching, and joins; SQL-mirrorable for the oracle.
+    */
+  def decodeStub(mediaId: Long, modality: String, content: Array[Byte]): Row = {
+    val len = content.length
+    var checksum = 0L
+    var i = 0
+    while (i < math.min(64, len)) { checksum += content(i) & 0xff; i += 1 }
+    Row(mediaId, modality, len, len % 64 + 16, len % 48 + 16, checksum)
+  }
+
+  /** Per-partition batch decode: one iterator pass, constant memory. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "modality", "content").rdd.mapPartitions {
+      batch => batch.map(r => decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}
+
+object MultimodalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** documents.text bytes stand in for media payloads (ASCII, so the DuckDB
+    * oracle can mirror byte math with ascii()/octet_length()).
+    */
+  private def asMedia(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("modality"),
+      col("text").cast(BinaryType).as("content"))
+
+  val qs: Seq[Q] = Seq(
+
+    // Batch decode plumbing: binary payload → typed feature rows.
+    Q("q50_media_decode",
+      (s, dir) => MediaDecode.decodeFeatures(asMedia(t(s, dir, "documents")))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |(['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+             |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             |CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+             |CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS height,
+             |CAST(list_sum(list_transform(generate_series(1, least(64, len(text))),
+             |  i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Frame sampling: fixed-stride byte slices, pure codegen (no decode).
+    Q("q51_media_frame_sample", { (s, dir) =>
+        val m = asMedia(t(s, dir, "documents"))
+        val frames = transform(sequence(lit(0), lit(3)),
+          i => lower(hex(col("content").substr(i * 32 + 1, lit(1)))))
+        m.select(col("media_id"), col("modality"),
+            length(col("content")).as("byte_len"),
+            lower(hex(col("content").substr(lit(1), lit(8)))).as("header_hex"),
+            concat_ws("|", frames).as("frame_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |(['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+             |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             |lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+             |array_to_string(list_transform(generate_series(0, 3),
+             |  i -> lower(hex(encode(substring(text, i * 32 + 1, 1))))), '|') AS frame_bytes
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
+}
