@@ -16,7 +16,8 @@ object SparkEntry {
       cdc.CdcQueries.qs ++
       functions.Udx.qs ++
       llm.LlmQueries.qs ++
-      multimodal.MultimodalQueries.qs
+      multimodal.MultimodalQueries.qs ++
+      streaming.StreamQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

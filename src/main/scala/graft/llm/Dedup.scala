@@ -118,14 +118,17 @@ object Dedup {
     agg.select(col("sid"), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block-bucket candidates (4×16-bit blocks — any
-    * pair at Hamming distance <= 3 shares at least one block by pigeonhole),
-    * then exact Hamming verify via bit_count(xor).
+  /** SimHash near-dup pairs: block-bucket candidates (8×8-bit blocks — any
+    * pair at Hamming distance <= 7 shares a block by pigeonhole; beyond
+    * that, candidates are found with high probability), then exact Hamming
+    * verify via bit_count(xor). The default threshold of 12 reflects that
+    * documents of ~100 tokens differing in a word flip several low-margin
+    * bits — far more than short-text SimHash's classic <=3.
     */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 12): DataFrame = {
     val sig = simhash(docs, textCol, idCol)
-    val blocks = (0 until 4).map(i =>
-      struct(lit(i).as("blk"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("bv")))
+    val blocks = (0 until 8).map(i =>
+      struct(lit(i).as("blk"), shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL).as("bv")))
     val buckets = sig.select(col("sid"), col("simhash"), explode(array(blocks: _*)).as("bk"))
       .select(col("sid"), col("simhash"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
     buckets.as("a").join(buckets.as("b"),

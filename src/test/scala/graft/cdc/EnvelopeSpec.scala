@@ -1,0 +1,112 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Golden Canal-JSON messages (FIXTURES.md §2, mirroring the reference's
+  * output format `/root/reference/src/executor.rs:90-105,120-222`):
+  * INSERT/UPDATE/DELETE parse field-by-field, plus changed-columns diff
+  * semantics and round-trip stability.
+  */
+class EnvelopeSpec extends SparkSpec {
+
+  val insertMsg =
+    """{"data":[{"id":"1","name":"alice","bal":"10.50","created":"2026-01-02 03:04:05.000"}],
+      |"database":"testdb","es":1767322800000,"id":0,"isDdl":false,
+      |"mysqlType":{"id":"bigint","name":"varchar(32)","bal":"decimal(10,2)","created":"datetime(3)"},
+      |"old":[{}],"pkNames":["id"],"sql":"",
+      |"sqlType":{"id":-5,"name":12,"bal":3,"created":93},
+      |"table":"users","ts":1767322800123,"type":"INSERT"}""".stripMargin.replace("\n", "")
+
+  val updateMsg =
+    """{"data":[{"id":"1","name":"alice","bal":"99.90","created":"2026-01-02 03:04:05.000"}],
+      |"database":"testdb","es":1767322801000,"id":1,"isDdl":false,
+      |"mysqlType":{"id":"bigint","name":"varchar(32)","bal":"decimal(10,2)","created":"datetime(3)"},
+      |"old":[{"bal":"10.50"}],"pkNames":["id"],"sql":"",
+      |"sqlType":{"id":-5,"name":12,"bal":3,"created":93},
+      |"table":"users","ts":1767322801123,"type":"UPDATE"}""".stripMargin.replace("\n", "")
+
+  val deleteMsg =
+    """{"data":[],"database":"testdb","es":1767322802000,"id":2,"isDdl":false,
+      |"mysqlType":{"id":"bigint","name":"varchar(32)","bal":"decimal(10,2)","created":"datetime(3)"},
+      |"old":[{"id":"1","name":"alice","bal":"99.90","created":"2026-01-02 03:04:05.000"}],
+      |"pkNames":["id"],"sql":"",
+      |"sqlType":{"id":-5,"name":12,"bal":3,"created":93},
+      |"table":"users","ts":1767322802123,"type":"DELETE"}""".stripMargin.replace("\n", "")
+
+  private def parsed(msgs: String*): Seq[Row] = {
+    import spark.implicits._
+    msgs.toDF("raw").select(Envelope.parse(col("raw")).as("e"))
+      .select("e.*").collect().toSeq
+  }
+
+  test("golden INSERT parses field-by-field") {
+    val r = parsed(insertMsg).head
+    assert(r.getAs[Long]("id") == 0L)
+    assert(r.getAs[String]("database") == "testdb")
+    assert(r.getAs[String]("table") == "users")
+    assert(r.getAs[collection.Seq[String]]("pkNames") == Seq("id"))
+    assert(!r.getAs[Boolean]("isDdl"))
+    assert(r.getAs[String]("type") == "INSERT")
+    assert(r.getAs[Long]("es") == 1767322800000L)
+    val data = r.getAs[collection.Seq[Map[String, String]]]("data")
+    assert(data == Seq(Map("id" -> "1", "name" -> "alice", "bal" -> "10.50",
+      "created" -> "2026-01-02 03:04:05.000")))
+    assert(r.getAs[collection.Seq[Map[String, String]]]("old") == Seq(Map.empty[String, String]))
+    assert(r.getAs[collection.Map[String, Int]]("sqlType") ==
+      Map("id" -> -5, "name" -> 12, "bal" -> 3, "created" -> 93))
+    assert(r.getAs[collection.Map[String, String]]("mysqlType")("bal") == "decimal(10,2)")
+  }
+
+  test("golden UPDATE carries only changed columns in old") {
+    val r = parsed(updateMsg).head
+    assert(r.getAs[String]("type") == "UPDATE")
+    assert(r.getAs[collection.Seq[Map[String, String]]]("old") == Seq(Map("bal" -> "10.50")))
+    assert(r.getAs[collection.Seq[Map[String, String]]]("data").head("bal") == "99.90")
+  }
+
+  test("golden DELETE carries images in old, empty data") {
+    val r = parsed(deleteMsg).head
+    assert(r.getAs[String]("type") == "DELETE")
+    assert(r.getAs[collection.Seq[Map[String, String]]]("data").isEmpty)
+    assert(r.getAs[collection.Seq[Map[String, String]]]("old").head("name") == "alice")
+  }
+
+  test("render → parse round-trips") {
+    import spark.implicits._
+    val back = Seq(insertMsg).toDF("raw")
+      .select(Envelope.render(Envelope.parse(col("raw"))).as("again"))
+      .select(Envelope.parse(col("again")).as("e")).select("e.*")
+      .collect().head
+    assert(back.getAs[String]("type") == "INSERT")
+    assert(back.getAs[collection.Seq[Map[String, String]]]("data").head("bal") == "10.50")
+  }
+
+  test("changedColumns: diff subset + null-safety") {
+    import spark.implicits._
+    val df = Seq(
+      (Map("a" -> "1", "b" -> "2", "c" -> null.asInstanceOf[String]),
+        Map("a" -> "1", "b" -> "3", "c" -> null.asInstanceOf[String])),
+      (Map("x" -> "1"), Map("x" -> "1")),
+      (Map("n" -> null.asInstanceOf[String]), Map("n" -> "now"))
+    ).toDF("o", "n")
+    val out = df.select(Envelope.changedColumns(col("o"), col("n")).as("d"))
+      .collect().map(_.getAs[collection.Map[String, String]]("d")).toSeq
+    assert(out(0) == Map("b" -> "2"))            // only the changed key, old value
+    assert(out(1) == Map.empty)                  // identical rows → empty diff
+    assert(out(2) == Map("n" -> null))           // null → value counts as change
+  }
+
+  test("UPDATE old reconstruction: diff(data_old, data_new) matches golden") {
+    import spark.implicits._
+    val oldRow = Map("id" -> "1", "name" -> "alice", "bal" -> "10.50",
+      "created" -> "2026-01-02 03:04:05.000")
+    val newRow = Map("id" -> "1", "name" -> "alice", "bal" -> "99.90",
+      "created" -> "2026-01-02 03:04:05.000")
+    val d = Seq((oldRow, newRow)).toDF("o", "n")
+      .select(Envelope.changedColumns(col("o"), col("n")).as("d"))
+      .collect().head.getAs[collection.Map[String, String]]("d")
+    assert(d == Map("bal" -> "10.50")) // exactly the golden UPDATE's old
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Approximate operators vs their exact counterparts at sf0.001:
+  * MinHash-LSH recall against the exact Jaccard join, SimHash sanity,
+  * hyperplane-LSH ANN recall against brute-force cosine top-k.
+  */
+class LshSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH recall >= 0.9 vs exact Jaccard pairs") {
+    val docs = Tables(spark, dir, "documents")
+    val exact = pairSet(Dedup.jaccardPairs(docs, "text", "doc_id"))
+    val approx = pairSet(Dedup.minhashPairs(docs, "text", "doc_id"))
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} approx=${approx.size}")
+    // verification step guarantees precision = 1.0 (every pair re-checked)
+    assert((approx -- exact).isEmpty)
+  }
+
+  test("simhash: near-identical docs collide, pair list includes planted dups") {
+    val docs = Tables(spark, dir, "documents")
+    val exact = pairSet(Dedup.jaccardPairs(docs, "text", "doc_id", num = 9, den = 10))
+    val sim = pairSet(Dedup.simhashPairs(docs, "text", "doc_id"))
+    // SimHash over unigrams: every >=0.9-Jaccard 3-shingle pair should be
+    // within Hamming 3 of each other (they share almost all tokens).
+    val hit = exact.count(sim.contains).toDouble / math.max(1, exact.size)
+    assert(hit >= 0.8, s"simhash hit-rate=$hit on ${exact.size} strong pairs")
+  }
+
+  test("hyperplane-LSH ANN recall@5 >= 0.4 vs brute force") {
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = triples(Similarity.bruteForceTopK(queries, e, 5))
+    val ann = triples(Similarity.lshTopK(queries, e, 5))
+    val recall = (bf & ann).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("exact dedup groups: distinct texts at this sf") {
+    val docs = Tables(spark, dir, "documents")
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(g.agg(sum("n_dups")).collect().head.getLong(0) == docs.count())
+  }
+
+  test("shingles: short text yields empty set, k-window count") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c d").toDF("text")
+    val out = df.select(TextOps.shingles(col("text")).as("s"))
+      .collect().map(_.getAs[collection.Seq[String]]("s"))
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Chg(cid: Long, pk: Long, `type`: String, price: Double)
+
+/** True Structured Streaming behavior over MemoryStream: watermark closes
+  * tumbling windows and drops late data; dedup-within-watermark; the
+  * foreachBatch CDC snapshot merge converges to the batch latest-image.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling windows + watermark: append emits closed windows, drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(
+      StreamOps.watermarked(in.toDF(), "ts", "10 minutes"),
+      "ts", "event_type", "value")
+    val q = agg.writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 00:00:30"), 1, "click", 1.0),
+        Ev(t("2024-01-01 00:05:00"), 2, "click", 2.0),
+        Ev(t("2024-01-01 00:12:00"), 3, "view", 3.0),
+        Ev(t("2024-01-01 00:25:00"), 4, "click", 4.0))
+      q.processAllAvailable()
+      // watermark = 00:25 - 10m = 00:15 → only window [00:00,00:10) closed
+      val closed = spark.table("tumbling_t").collect()
+      assert(closed.map(_.getAs[Timestamp]("w_start")).distinct.toSeq ==
+        Seq(t("2024-01-01 00:00:00")))
+      assert(closed.find(_.getAs[String]("event_type") == "click")
+        .get.getAs[Long]("cnt") == 2L)
+
+      // late event (00:03 < watermark 00:15) must be dropped; advance to close the rest
+      in.addData(
+        Ev(t("2024-01-01 00:03:00"), 9, "click", 99.0),
+        Ev(t("2024-01-01 00:40:00"), 5, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t").collect()
+      val w0click = rows.filter(r => r.getAs[Timestamp]("w_start") == t("2024-01-01 00:00:00")
+        && r.getAs[String]("event_type") == "click")
+      assert(w0click.map(_.getAs[Long]("cnt")).sum == 2L) // late row did NOT arrive
+      assert(rows.exists(_.getAs[Timestamp]("w_start") == t("2024-01-01 00:10:00")))
+      assert(rows.exists(_.getAs[Timestamp]("w_start") == t("2024-01-01 00:20:00")))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val dedup = StreamOps.watermarked(in.toDF(), "ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 00:01:00"), 1, "click", 2.0), // dup key within watermark
+        Ev(t("2024-01-01 00:02:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session windows (batch parity): boundary event merges, beyond-gap splits") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(t("2024-01-01 00:00:00"), 1, "a", 0),
+      Ev(t("2024-01-01 00:04:00"), 1, "a", 0),  // within 5m gap → same session
+      Ev(t("2024-01-01 00:09:00"), 1, "a", 0),  // chains on
+      Ev(t("2024-01-01 00:14:00"), 1, "a", 0),  // exactly at prev end → still merges
+      Ev(t("2024-01-01 00:19:01"), 1, "a", 0),  // > gap after 00:14 → new session
+      Ev(t("2024-01-01 00:30:00"), 2, "a", 0)
+    ).toDF()
+    val out = StreamOps.sessions(df, "ts", "user_id")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 4)
+    assert(out(0).getAs[Timestamp]("session_end") == t("2024-01-01 00:19:00"))
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(1).getAs[Timestamp]("session_start") == t("2024-01-01 00:19:01"))
+  }
+
+  test("foreachBatch CDC snapshot merge converges to batch latest-image") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val in = MemoryStream[Chg]
+    val q = CdcSnapshot.start(in.toDF(), Seq("pk"), "cid",
+      s"$dir/snapshot", s"$dir/ckpt")
+    try {
+      in.addData(
+        Chg(1, 10, "INSERT", 100.0),
+        Chg(2, 20, "INSERT", 200.0),
+        Chg(3, 30, "INSERT", 300.0))
+      q.processAllAvailable()
+      in.addData(
+        Chg(4, 20, "UPDATE", 222.0),   // pk 20 updated
+        Chg(5, 30, "DELETE", 0.0),     // pk 30 tombstoned
+        Chg(6, 40, "INSERT", 400.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$dir/snapshot")
+        .select("pk", "price").orderBy("pk").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(snap == Seq((10L, 100.0), (20L, 222.0), (40L, 400.0)))
+    } finally q.stop()
+  }
+}
