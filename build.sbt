@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen across a 50+-query corpus overflows the default
+  // 240m JIT code cache → random interpreted-mode slowdowns mid-bench.
+  "-XX:ReservedCodeCacheSize=1g",
 )

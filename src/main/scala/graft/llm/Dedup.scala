@@ -106,26 +106,46 @@ object Dedup {
     * contribution of each token hash's bit j; sign(sum) becomes bit j.
     * Single hash aggregation with 64 partial sums.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("sid"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
-    val h = xxhash64(col("t"))
-    val sums = (0 until 64).map { j =>
-      sum(shiftright(h, j).bitwiseAND(1) * 2 - 1).as(s"b$j")
+  /** Imperative 64-bit SimHash kernel. Declarative formulations lose here:
+    * a 64-sum HashAggregate overflows codegen limits (interpreted fallback)
+    * and HOF lambdas are never codegen'd; a tight JIT'd loop per row is
+    * ~10x faster and needs NO shuffle at all (distinct tokens come from
+    * array_distinct per row). 64-bit token hash = two seeded murmur32 halves.
+    */
+  private val simhashUdf = udf { toks: Seq[String] =>
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b.toInt)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
     }
-    val agg = toks.groupBy("sid").agg(sums.head, sums.tail: _*)
-    val bits = (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-    agg.select(col("sid"), bits.reduce(_ + _).as("simhash"))
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sim |= 1L << j; j += 1 }
+    sim
   }
 
-  /** SimHash near-dup pairs: block-bucket candidates (8×8-bit blocks — any
-    * pair at Hamming distance <= 7 shares a block by pigeonhole; beyond
-    * that, candidates are found with high probability), then exact Hamming
-    * verify via bit_count(xor). The default threshold of 12 reflects that
-    * documents of ~100 tokens differing in a word flip several low-margin
-    * bits — far more than short-text SimHash's classic <=3.
+  /** SimHash over distinct word 3-shingles. Shingles, not unigrams: on a
+    * small shared vocabulary every document contains nearly every word, so
+    * unigram token *sets* (and their simhashes) collapse together; shingle
+    * sets keep unrelated documents far apart while near-dups still overlap.
     */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 12): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("sid"),
+      simhashUdf(TextOps.shingles(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs: block-bucket candidates (8×8-bit blocks — any
+    * pair at Hamming distance <= 7 shares a block by pigeonhole), then
+    * exact Hamming verify via bit_count(xor), filtered before dedup so the
+    * bucket-join blowup never reaches a shuffle. Threshold 8 matches what
+    * >=0.9-Jaccard document pairs actually measure with shingle features.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 8): DataFrame = {
     val sig = simhash(docs, textCol, idCol)
     val blocks = (0 until 8).map(i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL).as("bv")))
@@ -136,7 +156,10 @@ object Dedup {
           col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("da"), col("b.sid").as("db"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // Hamming-filter BEFORE distinct: correlated-vocabulary corpora make
+      // block buckets collide heavily (millions of candidate rows at sf0.1);
+      // bit_count is a cheap codegen'd op, so cut first, dedup the survivors.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
