@@ -58,6 +58,17 @@ object Catalog {
       .when(c.endsWith("text"), 2005)
       .otherwise(-999)
 
+  /** Metadata enrichment as a broadcast-hash lookup join (the reference's
+    * DESC side-connection + per-table cache, `/root/reference/src/executor.rs:415-443`,
+    * restated as data): the catalog DataFrame (however sourced — JDBC reads,
+    * a registry dump) broadcasts to every executor, so enrichment adds zero
+    * shuffle to the event stream at any scale.
+    */
+  def enrich(events: org.apache.spark.sql.DataFrame,
+      catalog: org.apache.spark.sql.DataFrame,
+      on: Seq[String] = Seq("database", "table")): org.apache.spark.sql.DataFrame =
+    events.join(broadcast(catalog), on, "left")
+
   private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\)""".r
 
   /** MySQL type string → Spark DataType (SURVEY.md §1 mapping; BLOB kept

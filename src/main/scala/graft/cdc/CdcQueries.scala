@@ -138,6 +138,40 @@ object CdcQueries {
              |  FROM orders WHERE o_orderkey % 2 = 0
              |) ORDER BY o_orderkey, col_name""".stripMargin)),
 
+    // Metadata enrichment: broadcast catalog join (§2A#8). The catalog rows
+    // stand in for cached DESC results; the left join keeps unknown tables
+    // (negative-cache analog) with null metadata.
+    Q("q53_cdc_catalog_enrich", { (s, dir) =>
+        import s.implicits._
+        val catalog = Seq(
+          ("testdb", "orders", "o_orderkey", "bigint"),
+          ("testdb", "lineitem", "l_orderkey,l_linenumber", "bigint")
+        ).toDF("database", "table", "pk_names", "pk_type")
+        val events = t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          lit("testdb").as("database"),
+          when(col("o_orderkey") % 3 === 0, "lineitem")
+            .when(col("o_orderkey") % 3 === 1, "orders")
+            .otherwise("dropped_tbl").as("table"))
+        Catalog.enrich(events, catalog)
+          .select(col("id"), col("database").as("db_name"),
+            col("table").as("tbl_name"), col("pk_names"), col("pk_type"))
+          .orderBy("id")
+      },
+      Some("""WITH catalog(db_name, tbl_name, pk_names, pk_type) AS (
+             |  SELECT * FROM (VALUES ('testdb', 'orders', 'o_orderkey', 'bigint'),
+             |         ('testdb', 'lineitem', 'l_orderkey,l_linenumber', 'bigint'))
+             |), events AS (
+             |  SELECT o_orderkey AS id, 'testdb' AS db_name,
+             |    CASE WHEN o_orderkey % 3 = 0 THEN 'lineitem'
+             |         WHEN o_orderkey % 3 = 1 THEN 'orders'
+             |         ELSE 'dropped_tbl' END AS tbl_name
+             |  FROM orders)
+             |SELECT id, e.db_name, e.tbl_name, pk_names, pk_type
+             |FROM events e LEFT JOIN catalog c
+             |  ON e.db_name = c.db_name AND e.tbl_name = c.tbl_name
+             |ORDER BY id""".stripMargin)),
+
     // MySQL-type-string → JDBC code catalog, expression chain + UDF exemplar.
     Q("q37_cdc_jdbc_types", { (s, dir) =>
         val names = Seq(

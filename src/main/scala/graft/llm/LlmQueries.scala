@@ -139,6 +139,22 @@ object LlmQueries {
              |  THEN 'en_like' ELSE 'other' END AS predicted
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Embedding-cosine near-dup: exact all-pairs baseline. Both engines
+    // evaluate dot/(sqrt(aa)*sqrt(bb)) in double with ascending-index sums,
+    // so the 0.45 threshold decides identically.
+    Q("q52_dedup_embedding",
+      (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45)
+        .orderBy("da", "db"),
+      Some("""SELECT a.vec_id AS da, b.vec_id AS db
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             |  / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |                             list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+             |   * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+             |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) >= 0.45
+             |ORDER BY da, db""".stripMargin)),
+
     Q("q49_text_fingerprint",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),

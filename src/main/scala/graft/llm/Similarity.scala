@@ -48,6 +48,39 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Exact embedding-cosine near-dup pairs: every (a < b) pair whose cosine
+    * meets the threshold. An imperative broadcast kernel — the whole
+    * normalized matrix rides to each partition and the O(N²/2) dot products
+    * run in a JIT'd loop (HOF folds are interpreted, ~10x slower at this
+    * shape). Exact-and-quadratic is the oracle baseline; at 100 TB use the
+    * LSH-bucketed [[lshTopK]] family instead. The cosine is evaluated as
+    * dot/(sqrt(aa)*sqrt(bb)) with ascending-index accumulation to mirror
+    * the SQL oracle's arithmetic exactly.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].map { case (id, v) => (id, v.toArray) }
+    val all = vecs.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    vecs.flatMap { case (ida, va) =>
+      val peers = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var aa = 0.0
+      var i = 0
+      while (i < va.length) { aa += va(i) * va(i); i += 1 }
+      peers.foreach { case (idb, vb) =>
+        if (idb > ida) {
+          var dot = 0.0; var bb = 0.0; var j = 0
+          while (j < vb.length) { dot += va(j) * vb(j); bb += vb(j) * vb(j); j += 1 }
+          if (dot / (math.sqrt(aa) * math.sqrt(bb)) >= threshold) out += ((ida, idb))
+        }
+      }
+      out
+    }.toDF("da", "db")
+  }
+
   /** Deterministic random hyperplanes: `tables` signatures of `bits` planes
     * each, components ±1 from a fixed-seed RNG.
     */

@@ -163,6 +163,30 @@ object Relational {
              |GROUP BY ROLLUP(n_name, o_orderstatus)
              |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST, cnt""".stripMargin)),
 
+    Q("q54_agg_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first, col("cnt")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt""".stripMargin)),
+
+    Q("q55_agg_grouping_sets", { (s, dir) =>
+        t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  count(*) AS cnt, grouping(o_orderstatus) AS g_status
+                |FROM gs_orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |count(*) AS cnt, CAST(grouping(o_orderstatus) AS TINYINT) AS g_status
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt""".stripMargin)),
+
     Q("q14_agg_having",
       (s, dir) => t(s, dir, "orders")
         .groupBy("o_custkey")

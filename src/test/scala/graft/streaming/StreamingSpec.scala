@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Timestamp]("session_start") == t("2024-01-01 00:19:01"))
   }
 
+  test("throughput meter counts input rows via query progress") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val meter = new ThroughputMeter
+    spark.streams.addListener(meter)
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream.format("memory").queryName("meter_t")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(t("2024-01-01 00:00:00"), 1, "a", 1.0),
+        Ev(t("2024-01-01 00:00:01"), 2, "b", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 00:00:02"), 3, "c", 3.0))
+      q.processAllAvailable()
+      // progress events are delivered asynchronously; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (meter.snapshot.totalInputRows < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(meter.snapshot.totalInputRows == 3)
+      assert(meter.snapshot.batches >= 2)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(meter)
+    }
+  }
+
   test("foreachBatch CDC snapshot merge converges to batch latest-image") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
