@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.cdc.Envelope
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Message-queue sinks for the Canal envelope stream (reference
+  * `/root/reference/src/message_queue.rs`): Kafka via Spark's built-in sink
+  * (exactly-once from the checkpoint — stronger than the reference's
+  * fire-and-forget), and a queue-shaped `foreachBatch` sink for RPUSH-style
+  * stores (the reference's Redis path, `message_queue.rs:137-172`) with the
+  * client injected so tests run against an in-memory queue.
+  */
+object Sinks {
+
+  /** Envelope rows → Canal-JSON → Kafka topic. Producer tuning passes
+    * through `kafka.`-prefixed options exactly like the reference's rdkafka
+    * config (`message_queue.rs:101-116`).
+    */
+  def kafkaCanal(envelopes: DataFrame, brokers: String, topic: String,
+      checkpointDir: String, producerOptions: Map[String, String] = Map.empty)
+      : DataStreamWriter[Row] = {
+    val w = envelopes
+      .select(Envelope.render(struct(envelopes.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+    producerOptions.foldLeft(w) { case (acc, (k, v)) => acc.option(s"kafka.$k", v) }
+  }
+
+  /** Generic queue sink: rows of (topic, payload) pushed per partition with
+    * a client built executor-side (`newClient` must be serializable).
+    * At-least-once; pair with idempotent consumers or keyed payloads.
+    */
+  def queueSink(df: DataFrame, topic: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column, checkpointDir: String,
+      newClient: () => (String, String) => Unit): StreamingQuery =
+    df.select(topic.as("t"), payload.as("p"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          val push = newClient()
+          rows.foreach(r => push(r.getString(0), r.getString(1)))
+        }
+      }
+      .start()
+}

@@ -1,0 +1,56 @@
+package graft
+
+/** Executable scale-posture checks: the physical plans we rely on at 100 TB
+  * are asserted, not assumed — filters reach the parquet scan, projections
+  * prune the read schema, dimension joins broadcast, aggregations are
+  * partial+final, top-k avoids a global sort.
+  */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 filter pushes predicates into the parquet scan") {
+    val p = plan("q03_filter_predicates")
+    assert(p.contains("PushedFilters: ["), p)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "pushed filter list should be non-empty\n" + p)
+  }
+
+  test("q02 projection prunes the read schema") {
+    val p = plan("q02_project_cast")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_returnflag"), "unreferenced column must not be read\n" + p)
+    assert(!p.contains("l_shipdate"), "unreferenced column must not be read\n" + p)
+  }
+
+  test("q15 flagship broadcasts all three dimension tables") {
+    val p = plan("q15_flagship_revenue")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast joins, saw $n\n" + p)
+  }
+
+  test("q11 aggregation is partial+final (map-side combine)") {
+    val p = plan("q11_agg_tpch_q1")
+    assert(p.contains("partial_"), "expected partial aggregation\n" + p)
+  }
+
+  test("q21 ordered limit plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q21_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q33 latest-image merge shuffles exactly once on the pk") {
+    val p = plan("q33_cdc_latest_image")
+    val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one pk hash exchange, saw $hashEx\n" + p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q35 routing predicates stay codegen-compatible (no UDF in plan)") {
+    val p = plan("q35_cdc_route_multicast")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}

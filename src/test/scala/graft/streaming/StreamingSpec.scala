@@ -9,6 +9,21 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Chg(cid: Long, pk: Long, `type`: String, price: Double)
 
+/** Executor-side in-memory queue standing in for an RPUSH store (single-JVM
+  * local mode makes the shared object visible to tasks).
+  */
+object TestQueue {
+  private val q = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  def push(topic: String, payload: String): Unit = q.add((topic, payload))
+  def drain(): Seq[(String, String)] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var e = q.poll()
+    while (e != null) { b += e; e = q.poll() }
+    b.toSeq
+  }
+  def clear(): Unit = q.clear()
+}
+
 /** True Structured Streaming behavior over MemoryStream: watermark closes
   * tumbling windows and drops late data; dedup-within-watermark; the
   * foreachBatch CDC snapshot merge converges to the batch latest-image.
@@ -115,6 +130,32 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       spark.streams.removeListener(meter)
     }
+  }
+
+  test("queue sink: multicast-routed envelopes land on their topics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cdc.{Instance, Routing}
+    TestQueue.clear()
+    val in = MemoryStream[Chg]
+    val instances = Seq(
+      Instance("q", "t_even", schemas = "testdb", tables = "even*"),
+      Instance("q", "t_all", schemas = "*", tables = "*"))
+    val routed = in.toDF()
+      .withColumn("database", lit("testdb"))
+      .withColumn("table", concat(when(col("pk") % 2 === 0, "even").otherwise("odd"), lit("_t")))
+      .withColumn("route", explode(Routing.routes(instances, col("database"), col("table"))))
+    val dir = Files.createTempDirectory("graft-queue").toString
+    val q = Sinks.queueSink(routed,
+      col("route.topic"), col("pk").cast("string"), s"$dir/ckpt",
+      () => TestQueue.push _)
+    try {
+      in.addData(Chg(1, 2, "INSERT", 1.0), Chg(2, 3, "INSERT", 2.0))
+      q.processAllAvailable()
+      val byTopic = TestQueue.drain().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(byTopic("t_even") == Seq("2"))      // pk 2 → even_t → both instances
+      assert(byTopic("t_all").sorted == Seq("2", "3"))
+    } finally q.stop()
   }
 
   test("foreachBatch CDC snapshot merge converges to batch latest-image") {
