@@ -26,4 +26,13 @@ class CorpusSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q32 approx distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q32_agg_approx_distinct")(spark, dir)
+      .collect().head.getLong(0).toDouble
+    val exact = Tables(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.countDistinct("o_custkey"))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
 }

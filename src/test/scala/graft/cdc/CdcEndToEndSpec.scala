@@ -1,0 +1,71 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.streaming.CdcSnapshot
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SURVEY.md §7 minimum slice (b), full pipeline: Canal-JSON lines →
+  * envelope parse → instance routing → pk extraction → streaming
+  * latest-image snapshot. The input replays the golden users-table story
+  * (insert alice → update bal → insert bob → delete alice) plus rows for a
+  * non-routed table that must be filtered out before merging.
+  */
+class CdcEndToEndSpec extends SparkSpec {
+
+  private def msg(id: Long, table: String, tpe: String,
+      data: Map[String, String], old: Map[String, String]): String = {
+    def m(kv: Map[String, String]) =
+      kv.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val dataArr = if (data.isEmpty) "[]" else s"[${m(data)}]"
+    s"""{"data":$dataArr,"database":"testdb","es":${1767322800000L + id * 1000},
+       |"id":$id,"isDdl":false,"mysqlType":{"id":"bigint","name":"varchar(32)","bal":"decimal(10,2)"},
+       |"old":[${m(old)}],"pkNames":["id"],"sql":"",
+       |"sqlType":{"id":-5,"name":12,"bal":3},
+       |"table":"$table","ts":${1767322800123L + id * 1000},"type":"$tpe"}""".stripMargin.replace("\n", "")
+  }
+
+  test("Canal-JSON stream → route → merge → snapshot equals expected state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val instances = Seq(Instance("q", "t_users", schemas = "test*", tables = "users"))
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    val in = MemoryStream[String]
+
+    val parsed = in.toDF().select(Envelope.parse(col("value")).as("e")).select("e.*")
+    val routed = parsed
+      .filter(size(Routing.routes(instances, col("database"), col("table"))) > 0)
+    // pk value: first data row for upserts, first old row for deletes
+    val keyed = routed.select(
+      col("id").as("cid"),
+      col("type"),
+      try_element_at(
+        when(col("type") === "DELETE", col("old")).otherwise(col("data")), lit(1))
+        .getItem("id").cast("long").as("pk"),
+      try_element_at(col("data"), lit(1)).getItem("name").as("name"),
+      try_element_at(col("data"), lit(1)).getItem("bal").as("bal"))
+    val q = CdcSnapshot.start(keyed, Seq("pk"), "cid", s"$dir/snap", s"$dir/ckpt")
+
+    try {
+      in.addData(
+        msg(0, "users", "INSERT", Map("id" -> "1", "name" -> "alice", "bal" -> "10.50"), Map.empty),
+        msg(1, "audit_log", "INSERT", Map("id" -> "9", "name" -> "x", "bal" -> "0"), Map.empty))
+      q.processAllAvailable()
+      in.addData(
+        msg(2, "users", "UPDATE", Map("id" -> "1", "name" -> "alice", "bal" -> "99.90"), Map("bal" -> "10.50")),
+        msg(3, "users", "INSERT", Map("id" -> "2", "name" -> "bob", "bal" -> "5.00"), Map.empty))
+      q.processAllAvailable()
+      in.addData(
+        msg(4, "users", "DELETE", Map.empty, Map("id" -> "1", "name" -> "alice", "bal" -> "99.90")))
+      q.processAllAvailable()
+
+      val snap = spark.read.parquet(s"$dir/snap")
+        .select("pk", "name", "bal").orderBy("pk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      // alice deleted, bob present, audit_log rows never routed
+      assert(snap == Seq((2L, "bob", "5.00")))
+    } finally q.stop()
+  }
+}

@@ -132,6 +132,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session windows in streaming mode: watermark closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.sessions(
+      StreamOps.watermarked(in.toDF(), "ts", "10 minutes"), "ts", "user_id")
+    val q = agg.writeStream.format("memory").queryName("session_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 00:00:00"), 1, "a", 0),
+        Ev(t("2024-01-01 00:03:00"), 1, "a", 0),
+        Ev(t("2024-01-01 00:30:00"), 2, "a", 0)) // watermark → 00:20, closes user 1's session
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 01:00:00"), 3, "a", 0)) // advance further
+      q.processAllAvailable()
+      val rows = spark.table("session_t").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("n_events") == 2)
+      assert(u1.head.getAs[Timestamp]("session_end") == t("2024-01-01 00:08:00"))
+    } finally q.stop()
+  }
+
   test("queue sink: multicast-routed envelopes land on their topics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
