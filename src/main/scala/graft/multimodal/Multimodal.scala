@@ -46,6 +46,19 @@ object MediaDecode {
     Row(mediaId, modality, len, len % 64 + 16, len % 48 + 16, checksum)
   }
 
+  /** Resize stub: deterministic payload downsample (every `factor`-th byte)
+    * with metadata scaled accordingly — the real interpolating resize slots
+    * in behind the same signature once codecs exist. Keeps batch shape:
+    * binary in, binary out, no driver round-trip.
+    */
+  def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0)
+    val out = new Array[Byte]((content.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = content(i * factor); i += 1 }
+    out
+  }
+
   /** Per-partition batch decode: one iterator pass, constant memory. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
