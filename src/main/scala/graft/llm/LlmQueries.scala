@@ -84,6 +84,14 @@ object LlmQueries {
       },
       None),
 
+    Q("q57_sim_topk_ivf", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     Q("q46_text_stats", { (s, dir) =>
         val d = t(s, dir, "documents")
         d.groupBy("lang").agg(

@@ -97,6 +97,52 @@ object Similarity {
       when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: a coarse quantizer of `nlist` fixed-seed random unit
+    * directions; every vector joins the inverted list of its argmax-dot
+    * centroid, queries probe their `nprobe` best centroids and score only
+    * those lists. Same recall/throughput dial as classic IVF-Flat — the
+    * trained-centroid upgrade (k-means over a sample) slots in by replacing
+    * `centroids` without touching the dataflow.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(4242)
+    val centroids: Array[Array[Double]] = Array.fill(nlist) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def dots(v: Seq[Double]): Array[Double] =
+      centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
+        s
+      }
+    val assignUdf = udf { v: Seq[Double] =>
+      val d = dots(v)
+      var best = 0; var i = 1
+      while (i < d.length) { if (d(i) > d(best)) best = i; i += 1 }
+      best
+    }
+    val probeUdf = udf { v: Seq[Double] =>
+      dots(v).zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toSeq
+    }
+    val c = candidates.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val scored = q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** ANN cosine top-k via multi-table hyperplane LSH: score only candidates
     * sharing a bucket with the query in at least one table.
     */

@@ -153,6 +153,28 @@ object FunctionQueries {
              |CAST(list_sort(embedding)[1] AS DOUBLE) AS e_min
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    Q("q56_map_fn", { (s, dir) =>
+        val m = map_from_arrays(
+          array(lit("status"), lit("prio")),
+          array(col("o_orderstatus"), col("o_orderpriority")))
+        val m2 = map_concat(m, map(lit("extra"), lit("x")))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            concat_ws(",", sort_array(map_keys(m))).as("ks"),
+            concat_ws(",", map_values(m)).as("vs"),
+            element_at(m, "status").as("status_v"),
+            size(m2).as("n2"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |array_to_string(list_sort(map_keys(m)), ',') AS ks,
+             |array_to_string(map_values(m), ',') AS vs,
+             |m['status'][1] AS status_v,
+             |CAST(cardinality(map_concat(m, map(['extra'], ['x']))) AS INTEGER) AS n2
+             |FROM (SELECT o_orderkey,
+             |  map(['status','prio'], [o_orderstatus, o_orderpriority]) AS m FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     Q("q31_sort_nulls",
       (s, dir) => Tables(s, dir, "orders")
         .select(nullif(col("o_orderstatus"), lit("P")).as("st"), col("o_orderkey"))

@@ -47,6 +47,18 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("IVF ANN recall@5 >= 0.4 vs brute force") {
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(queries, e, 5))
+    val ivf = pairs(Similarity.ivfTopK(queries, e, 5))
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("exact dedup groups: distinct texts at this sf") {
     val docs = Tables(spark, dir, "documents")
     val g = Dedup.exactGroups(docs, "text", "doc_id")
