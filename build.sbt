@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the sf0.1 dedup/self-join queries GC-thrash in 8g when the
+  // driver runs Bench without SPARK_DRIVER_MEM set (the box has 125 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Whole-stage codegen across a 50+-query corpus overflows the default
   // 240m JIT code cache → random interpreted-mode slowdowns mid-bench.
   "-XX:ReservedCodeCacheSize=1g",
