@@ -45,6 +45,30 @@ object FunctionQueries {
              |SELECT s_nationkey AS nationkey FROM supplier
              |ORDER BY nationkey""".stripMargin)),
 
+    // Multiset (ALL) set ops — bag semantics keep duplicate cardinalities.
+    Q("q59_set_all_ops", { (s, dir) =>
+        val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sp = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        val ex = c.exceptAll(sp).groupBy("nationkey").agg(count(lit(1)).as("n_except"))
+        val in = c.intersectAll(sp).groupBy("nationkey").agg(count(lit(1)).as("n_intersect"))
+        ex.join(in, Seq("nationkey"), "full")
+          .orderBy("nationkey")
+      },
+      Some("""WITH ex AS (
+             |  SELECT nationkey, count(*) AS n_except FROM (
+             |    SELECT c_nationkey AS nationkey FROM customer
+             |    EXCEPT ALL
+             |    SELECT s_nationkey FROM supplier) GROUP BY 1
+             |), ins AS (
+             |  SELECT nationkey, count(*) AS n_intersect FROM (
+             |    SELECT c_nationkey AS nationkey FROM customer
+             |    INTERSECT ALL
+             |    SELECT s_nationkey FROM supplier) GROUP BY 1
+             |)
+             |SELECT coalesce(ex.nationkey, ins.nationkey) AS nationkey, n_except, n_intersect
+             |FROM ex FULL JOIN ins ON ex.nationkey = ins.nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
     Q("q25_string_fn",
       (s, dir) => Tables(s, dir, "customer")
         .select(col("c_custkey"),

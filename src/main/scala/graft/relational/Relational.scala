@@ -187,6 +187,20 @@ object Relational {
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt""".stripMargin)),
 
+    // Ordered-set aggregates: discrete percentile (no interpolation, so the
+    // result is an actual data value — engine-portable) and ordered listagg.
+    Q("q58_agg_ordered_set", { (s, dir) =>
+        t(s, dir, "orders").createOrReplaceTempView("os_orders")
+        s.sql("""SELECT o_orderstatus,
+                |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med_disc,
+                |  listagg(DISTINCT o_orderpriority, '|') WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+                |FROM os_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |quantile_disc(o_totalprice, 0.5) AS med_disc,
+             |string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     Q("q14_agg_having",
       (s, dir) => t(s, dir, "orders")
         .groupBy("o_custkey")
