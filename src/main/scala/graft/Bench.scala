@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver.
@@ -39,7 +41,54 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cdcRate = try cdcThroughput(spark, sfDir) catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cdc_rows_per_sec":$cdcRate,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end CDC throughput (the reference's headline number,
+    * `/root/reference/src/statistics.rs`): Canal-JSON lines → envelope
+    * parse → route filter → pk extraction → latest-image merge, rows/sec.
+    * The message corpus is pre-materialized so only the pipeline is timed.
+    */
+  def cdcThroughput(spark: SparkSession, sfDir: String): Double = {
+    import graft.cdc.{CdcMerge, Envelope, Instance, Routing}
+    val orders = Tables(spark, sfDir, "orders")
+    val raw = orders.select(to_json(struct(
+        col("o_orderkey").as("id"),
+        lit("testdb").as("database"),
+        when(col("o_orderkey") % 10 === 0, "audit").otherwise("orders").as("table"),
+        array(lit("o_orderkey")).as("pkNames"),
+        lit(false).as("isDdl"),
+        when(col("o_orderkey") % 7 === 0, "DELETE")
+          .when(col("o_orderkey") % 3 === 0, "UPDATE").otherwise("INSERT").as("type"),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("es"),
+        (unix_timestamp(col("o_orderdate")) * 1000 + 123).as("ts"),
+        lit("").as("sql"),
+        map(lit("o_orderkey"), lit(-5)).as("sqlType"),
+        map(lit("o_orderkey"), lit("bigint")).as("mysqlType"),
+        array(map(
+          lit("o_orderkey"), col("o_orderkey").cast(StringType),
+          lit("price"), col("o_totalprice").cast(StringType))).as("data"),
+        array(map().cast(MapType(StringType, StringType))).as("old")
+      )).as("value")).cache()
+    val n = raw.count()
+    val instances = Seq(Instance("q", "t", schemas = "test*", tables = "orders"))
+    def pipeline(): Unit = {
+      val parsed = raw.select(Envelope.parse(col("value")).as("e")).select("e.*")
+      val routed = parsed.filter(
+        size(Routing.routes(instances, col("database"), col("table"))) > 0)
+      val keyed = routed.select(col("id").as("cid"), col("type"),
+        try_element_at(col("data"), lit(1)).getItem("o_orderkey").cast("long").as("pk"),
+        try_element_at(col("data"), lit(1)).getItem("price").as("price"))
+      run(CdcMerge.latestImage(keyed, Seq("pk"), "cid"))
+    }
+    pipeline() // warm
+    val t0 = System.nanoTime()
+    pipeline()
+    val secs = (System.nanoTime() - t0) / 1e9
+    raw.unpersist()
+    n / secs
   }
 }

@@ -206,6 +206,19 @@ object FunctionQueries {
       Some("""SELECT nullif(o_orderstatus, 'P') AS st, o_orderkey FROM orders
              |ORDER BY st DESC NULLS FIRST, o_orderkey""".stripMargin)),
 
+    // Collect aggregates, made deterministic by sorting the collected set.
+    Q("q64_agg_collect",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("prio_set"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prio_set,
+             |count(*) AS cnt
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // HLL++ approximate distinct: value is approximate, so no hash oracle —
     // the driver records a rows-only check; GraftSuite asserts 5% tolerance.
     Q("q32_agg_approx_distinct",
