@@ -55,24 +55,22 @@ object Bench {
   def cdcThroughput(spark: SparkSession, sfDir: String): Double = {
     import graft.cdc.{CdcMerge, Envelope, Instance, Routing}
     val orders = Tables(spark, sfDir, "orders")
-    val raw = orders.select(to_json(struct(
-        col("o_orderkey").as("id"),
-        lit("testdb").as("database"),
-        when(col("o_orderkey") % 10 === 0, "audit").otherwise("orders").as("table"),
-        array(lit("o_orderkey")).as("pkNames"),
-        lit(false).as("isDdl"),
-        when(col("o_orderkey") % 7 === 0, "DELETE")
-          .when(col("o_orderkey") % 3 === 0, "UPDATE").otherwise("INSERT").as("type"),
-        (unix_timestamp(col("o_orderdate")) * 1000).as("es"),
-        (unix_timestamp(col("o_orderdate")) * 1000 + 123).as("ts"),
-        lit("").as("sql"),
-        map(lit("o_orderkey"), lit(-5)).as("sqlType"),
-        map(lit("o_orderkey"), lit("bigint")).as("mysqlType"),
-        array(map(
+    val raw = orders.select(Envelope.build(
+        id = col("o_orderkey"),
+        database = lit("testdb"),
+        table = when(col("o_orderkey") % 10 === 0, "audit").otherwise("orders"),
+        pkNames = array(lit("o_orderkey")),
+        dmlType = when(col("o_orderkey") % 7 === 0, "DELETE")
+          .when(col("o_orderkey") % 3 === 0, "UPDATE").otherwise("INSERT"),
+        es = unix_timestamp(col("o_orderdate")) * 1000,
+        ts = unix_timestamp(col("o_orderdate")) * 1000 + 123,
+        sqlType = map(lit("o_orderkey"), lit(-5)),
+        mysqlType = map(lit("o_orderkey"), lit("bigint")),
+        data = array(map(
           lit("o_orderkey"), col("o_orderkey").cast(StringType),
-          lit("price"), col("o_totalprice").cast(StringType))).as("data"),
-        array(map().cast(MapType(StringType, StringType))).as("old")
-      )).as("value")).cache()
+          lit("price"), col("o_totalprice").cast(StringType))),
+        old = array(map().cast(MapType(StringType, StringType)))
+      ).as("value")).cache()
     val n = raw.count()
     val instances = Seq(Instance("q", "t", schemas = "test*", tables = "orders"))
     def pipeline(): Unit = {

@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 
 /** One declared engine operator: a Spark query over the fixture tables plus
   * (when SQL-expressible) an equivalent ANSI SQL string the driver replays in
-  * DuckDB. `headline = true` marks queries timed by [[Bench]].
+  * DuckDB. `headline = true` tags the flagship-representative queries for
+  * reporting; [[Bench]] times the whole corpus regardless.
   */
 final case class Q(
     name: String,

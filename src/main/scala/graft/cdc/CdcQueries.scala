@@ -61,23 +61,21 @@ object CdcQueries {
     // the expected post-round-trip projection directly (round trip lossless).
     Q("q34_cdc_envelope_roundtrip", { (s, dir) =>
         val o = t(s, dir, "orders")
-        val raw = o.select(to_json(struct(
-          col("o_orderkey").as("id"),
-          lit("testdb").as("database"),
-          lit("orders").as("table"),
-          array(lit("o_orderkey")).as("pkNames"),
-          lit(false).as("isDdl"),
-          lit("INSERT").as("type"),
-          (unix_timestamp(col("o_orderdate")) * 1000).as("es"),
-          (unix_timestamp(col("o_orderdate")) * 1000 + 123).as("ts"),
-          lit("").as("sql"),
-          map(lit("o_orderkey"), lit(-5), lit("o_orderstatus"), lit(1)).as("sqlType"),
-          map(lit("o_orderkey"), lit("bigint"), lit("o_orderstatus"), lit("char(1)")).as("mysqlType"),
-          array(map(
+        val raw = o.select(Envelope.build(
+          id = col("o_orderkey"),
+          database = lit("testdb"),
+          table = lit("orders"),
+          pkNames = array(lit("o_orderkey")),
+          dmlType = lit("INSERT"),
+          es = unix_timestamp(col("o_orderdate")) * 1000,
+          ts = unix_timestamp(col("o_orderdate")) * 1000 + 123,
+          sqlType = map(lit("o_orderkey"), lit(-5), lit("o_orderstatus"), lit(1)),
+          mysqlType = map(lit("o_orderkey"), lit("bigint"), lit("o_orderstatus"), lit("char(1)")),
+          data = array(map(
             lit("o_orderkey"), col("o_orderkey").cast(StringType),
-            lit("o_orderstatus"), col("o_orderstatus"))).as("data"),
-          array(map().cast(MapType(StringType, StringType))).as("old")
-        )).as("raw"))
+            lit("o_orderstatus"), col("o_orderstatus"))),
+          old = array(map().cast(MapType(StringType, StringType)))
+        ).as("raw"))
         raw.select(Envelope.parse(col("raw")).as("e"))
           .select(
             col("e.id").as("id"),

@@ -41,6 +41,20 @@ object Envelope {
   /** Render an envelope struct column back to Canal-JSON. */
   def render(envelope: Column): Column = to_json(envelope)
 
+  /** Render a synthetic Canal-JSON envelope from per-row columns — shared by
+    * the oracle round-trip query and the throughput bench so both exercise
+    * the exact same shape (isDdl and sql are constants in the reference,
+    * `/root/reference/src/executor.rs:148,202`).
+    */
+  def build(id: Column, database: Column, table: Column, pkNames: Column,
+      dmlType: Column, es: Column, ts: Column, sqlType: Column,
+      mysqlType: Column, data: Column, old: Column): Column =
+    to_json(struct(
+      id.as("id"), database.as("database"), table.as("table"),
+      pkNames.as("pkNames"), lit(false).as("isDdl"), dmlType.as("type"),
+      es.as("es"), ts.as("ts"), lit("").as("sql"), sqlType.as("sqlType"),
+      mysqlType.as("mysqlType"), data.as("data"), old.as("old")))
+
   /** Changed-columns diff: entries of `oldImg` whose value differs from the
     * same key in `newImg` (null-safe). This is the reference's UPDATE `old`
     * semantics (`/root/reference/src/executor.rs:266-311`) as a codegen'd

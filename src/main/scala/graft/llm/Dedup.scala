@@ -87,6 +87,8 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, num: Int = 7, den: Int = 10): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature width ($k) — a remainder would silently drop trailing hashes")
     val rows = k / bands
     val cand = lshCandidates(minhashSignatures(docs, textCol, idCol, k), bands, rows)
     val sh = shingleSet(docs, textCol, idCol)
@@ -140,12 +142,13 @@ object Dedup {
       simhashUdf(TextOps.shingles(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: block-bucket candidates (8×8-bit blocks — any
-    * pair at Hamming distance <= 7 shares a block by pigeonhole), then
-    * exact Hamming verify via bit_count(xor), filtered before dedup so the
-    * bucket-join blowup never reaches a shuffle. Threshold 8 matches what
-    * >=0.9-Jaccard document pairs actually measure with shingle features.
+    * pair at Hamming distance <= 7 shares a block by pigeonhole, so recall
+    * is exact up to the default threshold 7; beyond 7 a pair could spread
+    * one flip into every block and be missed), then exact Hamming verify
+    * via bit_count(xor), filtered before dedup so the bucket-join blowup
+    * never reaches a shuffle.
     */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 7): DataFrame = {
     val sig = simhash(docs, textCol, idCol)
     val blocks = (0 until 8).map(i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL).as("bv")))

@@ -18,6 +18,8 @@ object Skew {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     // Deterministic-enough spread: hash of the row id spreads a hot key's
     // rows uniformly; correctness never depends on which salt a row gets.
     val salted = large.withColumn("__salt",

@@ -27,15 +27,27 @@ object CdcSnapshot {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = new Path(snapshotDir)
-    val fs = snap.getFileSystem(conf)
-    val prev =
-      if (fs.exists(snap)) spark.read.parquet(snapshotDir)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    val merged = CdcMerge.latestImage(prev.unionByName(batch), pkCols, ordCol)
+    val backup = new Path(snapshotDir + "__old")
     val tmp = new Path(snapshotDir + "__tmp")
+    val fs = snap.getFileSystem(conf)
+    // Crash-safe swap: every failure window leaves either `snap` or `backup`
+    // present, and reads fall back to `backup` — a naive delete-then-rename
+    // would lose the whole snapshot if the process died between the two.
+    val source =
+      if (fs.exists(snap)) Some(snap)
+      else if (fs.exists(backup)) Some(backup)
+      else None
+    val prev = source match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    }
+    val merged = CdcMerge.latestImage(prev.unionByName(batch), pkCols, ordCol)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(snap)) fs.delete(snap, true)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(snap)) fs.rename(snap, backup)
     fs.rename(tmp, snap)
+    fs.delete(backup, true)
   }
 
   /** Start the streaming merge over a change-row stream. */

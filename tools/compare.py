@@ -56,6 +56,9 @@ def main():
             print(f"FAIL {name}: rowcount {len(spark_rows)} vs {len(duck_rows)}")
             n_fail += 1
             continue
+        key = lambda r: repr(tuple(map(canon, r)))
+        spark_rows = sorted(spark_rows, key=key)
+        duck_rows = sorted(duck_rows, key=key)
         bad = None
         for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
             if tuple(map(canon, a)) != tuple(map(canon, b)):
