@@ -35,15 +35,24 @@ object Bench {
       run(q.fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.corpus.map { q =>
-      val t = try math.min(timed(q), timed(q)) catch { case _: Throwable => -1.0 }
-      q.name -> t
+    // A failing query must be loud: it records -1 in `queries`, lands in
+    // `errors` with its message, and bumps `failures` — the headline total
+    // alone can never silently improve because a query started crashing.
+    val results: Seq[(String, Double, Option[String])] = SparkEntry.corpus.map { q =>
+      try { (q.name, math.min(timed(q), timed(q)), None) }
+      catch { case e: Throwable =>
+        (q.name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val failures = results.count(_._3.isDefined)
     val total = results.map(_._2).filter(_ >= 0).sum
     val cdcRate = try cdcThroughput(spark, sfDir) catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cdc_rows_per_sec":$cdcRate,"sf":"$sfDir"}""")
+      s""""failures":$failures,"errors":$errs,"cdc_rows_per_sec":$cdcRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -94,8 +94,8 @@ object MultimodalQueries {
              |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
              |CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
              |CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS height,
-             |CAST(list_sum(list_transform(generate_series(1, least(64, len(text))),
-             |  i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
+             |CAST(coalesce(list_sum(list_transform(generate_series(1, least(64, len(text))),
+             |  i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS checksum
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Frame sampling: fixed-stride byte slices, pure codegen (no decode).

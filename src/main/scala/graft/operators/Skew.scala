@@ -20,10 +20,14 @@ object Skew {
     require(salt > 0, "salt must be positive")
     require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
       "inputs must not already carry a __salt column")
-    // Deterministic-enough spread: hash of the row id spreads a hot key's
-    // rows uniformly; correctness never depends on which salt a row gets.
+    // Salt MUST be a pure function of row content: a nondeterministic salt
+    // (row ids, rand) re-rolls on stage retry / recompute-after-fetch-failure,
+    // so recomputed rows could land on different salts than copies already
+    // consumed — dropping or duplicating join rows exactly at the scale this
+    // operator exists for. xxhash64 over every column is deterministic and
+    // spreads a hot key's rows uniformly (distinct non-key columns vary).
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(large.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
