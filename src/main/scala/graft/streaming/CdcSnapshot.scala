@@ -1,63 +1,192 @@
 package graft.streaming
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import graft.cdc.CdcMerge
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import java.nio.charset.StandardCharsets
+
+/** Versioned-manifest view of a bucketed snapshot directory.
+  *
+  * `buckets` maps pk-hash bucket id → data directory *relative to the
+  * snapshot root*; untouched buckets keep pointing at the directory a
+  * previous merge wrote, so an incremental merge republishes them for free.
+  */
+private[streaming] final case class SnapshotManifest(
+    version: Long, numBuckets: Int, buckets: Map[String, String])
 
 /** Incremental CDC latest-image materialization: a Structured Streaming
   * sink that folds each micro-batch of change rows into a parquet snapshot
   * — the reference's end-to-end dataflow (binlog → Canal topic → consumer
-  * merge) collapsed to one streaming query with exactly-once semantics
-  * from the checkpoint + atomic snapshot swap.
+  * merge, `/root/reference/src/executor.rs:501-616`) collapsed to one
+  * streaming query.
   *
-  * At scale the union+merge re-ranks only pks present in the batch when the
-  * snapshot is stored partitioned by pk bucket; here the snapshot is
-  * re-written whole per batch (fixture-sized), with the directory swap
-  * keeping readers consistent.
+  * Scale design — the snapshot is **pk-hash-bucket partitioned** and only
+  * buckets actually present in the micro-batch are re-merged and
+  * re-written; at 100 TB a micro-batch touches a bounded set of buckets,
+  * so merge cost is O(touched-bucket bytes + batch), never a full-table
+  * rewrite. Publication is a **versioned manifest**: each merge writes its
+  * new bucket directories, then atomically creates `manifest-{v}.json`
+  * naming the data directory of *every* bucket (touched buckets → the new
+  * directories, untouched → their existing ones). Readers resolve the
+  * highest-numbered manifest, so there is no instant at which the snapshot
+  * is missing or mixed — the old manifest stays valid until the new one
+  * exists (create-and-close is atomic visibility on HDFS-like stores).
+  * The previous manifest's directories are retained one generation for
+  * in-flight readers and garbage-collected after the next publish.
+  *
+  * Crash safety: a writer dying mid-merge leaves at worst an orphan
+  * staging directory that the replayed batch overwrites; the manifest it
+  * never published keeps readers on the previous version. Replaying a
+  * micro-batch is idempotent — merging the same changes twice yields the
+  * same per-pk latest image.
   */
 object CdcSnapshot {
 
-  /** Merge `batch` into the parquet snapshot at `snapshotDir`. Batch rows
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private val ManifestRe = """manifest-(\d+)\.json""".r
+
+  /** Bucket of a pk: deterministic content hash, stable across batches. */
+  private def bucketCol(pkCols: Seq[String], n: Int) =
+    pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong)).cast("int")
+
+  private[streaming] def latestManifest(spark: SparkSession, snapshotDir: String)
+      : Option[SnapshotManifest] = {
+    val root = new Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }
+    if (versions.isEmpty) None
+    else {
+      val p = new Path(root, s"manifest-${versions.max}.json")
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
+        classOf[SnapshotManifest]))
+    }
+  }
+
+  /** Current snapshot as a DataFrame: resolve the newest manifest, read its
+    * bucket directories. The public read path — never reads staging dirs.
+    */
+  def read(spark: SparkSession, snapshotDir: String): DataFrame =
+    latestManifest(spark, snapshotDir) match {
+      case Some(m) if m.buckets.nonEmpty =>
+        val dirs = m.buckets.values.toSeq.sorted.map(rel => s"$snapshotDir/$rel")
+        spark.read.parquet(dirs: _*)
+      case _ =>
+        throw new IllegalStateException(s"no published snapshot under $snapshotDir")
+    }
+
+  /** Merge `batch` into the bucketed snapshot at `snapshotDir`. Batch rows
     * must carry the pk columns, `ordCol`, and a `type` column with
-    * INSERT/UPDATE/DELETE.
+    * INSERT/UPDATE/DELETE. `numBuckets` only applies to the first merge;
+    * later merges reuse the bucket count recorded in the manifest (a
+    * changed bucketing would silently split pks across buckets).
     */
   def mergeBatch(batch: DataFrame, pkCols: Seq[String], ordCol: String,
-      snapshotDir: String): Unit = {
+      snapshotDir: String, numBuckets: Int = 16): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val snap = new Path(snapshotDir)
-    val backup = new Path(snapshotDir + "__old")
-    val tmp = new Path(snapshotDir + "__tmp")
-    val fs = snap.getFileSystem(conf)
-    // Crash-safe swap: every failure window leaves either `snap` or `backup`
-    // present, and reads fall back to `backup` — a naive delete-then-rename
-    // would lose the whole snapshot if the process died between the two.
-    val source =
-      if (fs.exists(snap)) Some(snap)
-      else if (fs.exists(backup)) Some(backup)
-      else None
-    val prev = source match {
-      case Some(p) => spark.read.parquet(p.toString)
-      case None => spark.createDataFrame(
+    val root = new Path(snapshotDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+
+    val prev = latestManifest(spark, snapshotDir)
+    val n = prev.map(_.numBuckets).getOrElse(numBuckets)
+    val version = prev.map(_.version + 1).getOrElse(1L)
+
+    val bucketed = batch.withColumn("__bucket", bucketCol(pkCols, n))
+    // Bucket ids present in the batch: bounded by n (metadata-sized), so the
+    // collect is a per-batch driver cost of at most `n` ints — not data.
+    val touched = bucketed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+
+    val prevBuckets: Map[String, String] = prev.map(_.buckets).getOrElse(Map.empty)
+    val touchedPrevDirs = touched.flatMap(b => prevBuckets.get(b.toString))
+      .map(rel => s"$snapshotDir/$rel")
+    val prevRows = if (touchedPrevDirs.isEmpty)
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    else spark.read.parquet(touchedPrevDirs.toIndexedSeq: _*)
+
+    // Merge only the touched buckets' rows with the batch; one pk-hash
+    // shuffle, partition-pruned writes. DELETE tombstones drop the pk.
+    val merged = CdcMerge
+      .latestImage(prevRows.unionByName(batch), pkCols, ordCol)
+      .withColumn("__bucket", bucketCol(pkCols, n))
+    val stageRel = s"data-v$version"
+    merged.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$snapshotDir/$stageRel")
+
+    // A touched bucket can end up empty (every pk deleted): partitionBy
+    // writes no directory for it, and it must leave the manifest too.
+    val written = touched.filter(b =>
+      fs.exists(new Path(root, s"$stageRel/__bucket=$b"))).toSet
+    val newBuckets = (prevBuckets -- touched.map(_.toString)) ++
+      written.map(b => b.toString -> s"$stageRel/__bucket=$b")
+
+    val manifest = SnapshotManifest(version, n, newBuckets)
+    // Atomic publish: create-and-close of a brand-new file; readers list
+    // manifests and take the max version, so no rename/delete window exists.
+    val out = fs.create(new Path(root, s"manifest-$version.json"), false)
+    try out.write(mapper.writeValueAsString(manifest)
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+
+    gc(spark, snapshotDir, version)
+  }
+
+  /** Drop manifests older than `current - 1` and any data directory no
+    * longer referenced by the last two manifests (one generation is kept
+    * for readers that resolved the previous manifest just before publish).
+    */
+  private def gc(spark: SparkSession, snapshotDir: String, current: Long): Unit = {
+    val root = new Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keepManifests = Set(current, current - 1)
+    val live: Set[String] = keepManifests.flatMap { v =>
+      val p = new Path(root, s"manifest-$v.json")
+      if (!fs.exists(p)) Set.empty[String]
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
+          classOf[SnapshotManifest]).buckets.values
+          .map(_.split('/').head).toSet
+      }
     }
-    val merged = CdcMerge.latestImage(prev.unionByName(batch), pkCols, ordCol)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(snap)) fs.rename(snap, backup)
-    fs.rename(tmp, snap)
-    fs.delete(backup, true)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      name match {
+        case ManifestRe(v) if !keepManifests.contains(v.toLong) =>
+          fs.delete(st.getPath, false)
+        case _ if st.isDirectory && name.startsWith("data-v") && !live.contains(name) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
   }
 
   /** Start the streaming merge over a change-row stream. */
   def start(changes: DataFrame, pkCols: Seq[String], ordCol: String,
-      snapshotDir: String, checkpointDir: String): StreamingQuery =
+      snapshotDir: String, checkpointDir: String, numBuckets: Int = 16): StreamingQuery =
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, pkCols, ordCol, snapshotDir)
+        mergeBatch(batch, pkCols, ordCol, snapshotDir, numBuckets)
       }
       .start()
 }

@@ -61,7 +61,7 @@ class CdcEndToEndSpec extends SparkSpec {
         msg(4, "users", "DELETE", Map.empty, Map("id" -> "1", "name" -> "alice", "bal" -> "99.90")))
       q.processAllAvailable()
 
-      val snap = spark.read.parquet(s"$dir/snap")
+      val snap = CdcSnapshot.read(spark, s"$dir/snap")
         .select("pk", "name", "bal").orderBy("pk").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       // alice deleted, bob present, audit_log rows never routed

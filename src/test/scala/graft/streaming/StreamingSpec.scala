@@ -200,10 +200,77 @@ class StreamingSpec extends SparkSpec {
         Chg(5, 30, "DELETE", 0.0),     // pk 30 tombstoned
         Chg(6, 40, "INSERT", 400.0))
       q.processAllAvailable()
-      val snap = spark.read.parquet(s"$dir/snapshot")
+      val snap = CdcSnapshot.read(spark, s"$dir/snapshot")
         .select("pk", "price").orderBy("pk").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(snap == Seq((10L, 100.0), (20L, 222.0), (40L, 400.0)))
     } finally q.stop()
+  }
+
+  test("incremental snapshot merge rewrites only the buckets a batch touches") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-snap-inc").toString
+    val snapDir = s"$dir/snapshot"
+    val fs = new Path(snapDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def bucketFiles(rel: String): Map[String, Long] =
+      fs.listStatus(new Path(s"$snapDir/$rel")).collect {
+        case st if st.getPath.getName.startsWith("part-") =>
+          st.getPath.getName -> st.getLen
+      }.toMap
+    def fileBytes(rel: String, name: String): Seq[Byte] = {
+      val in = fs.open(new Path(s"$snapDir/$rel/$name"))
+      try in.readAllBytes().toSeq finally in.close()
+    }
+
+    // Seed: 40 pks spread over 8 buckets.
+    val seed = (1L to 40L).map(pk => Chg(pk, pk, "INSERT", pk * 10.0)).toDF()
+    CdcSnapshot.mergeBatch(seed, Seq("pk"), "cid", snapDir, numBuckets = 8)
+    val m1 = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(m1.buckets.size > 2, "seed should populate several buckets")
+    val before = m1.buckets.map { case (b, rel) => b -> (rel, bucketFiles(rel)) }
+    val beforeBytes = before.map { case (b, (rel, files)) =>
+      b -> files.keys.map(f => f -> fileBytes(rel, f)).toMap
+    }
+
+    // One-pk update: exactly one bucket may change.
+    val upd = Seq(Chg(1000L, 7L, "UPDATE", 777.0)).toDF()
+    CdcSnapshot.mergeBatch(upd, Seq("pk"), "cid", snapDir)
+    val m2 = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(m2.version == m1.version + 1)
+    assert(m2.numBuckets == 8)
+
+    val changed = m2.buckets.filter { case (b, rel) => m1.buckets.get(b) != Some(rel) }
+    assert(changed.keySet.size == 1, s"one touched bucket expected, got $changed")
+    // Untouched buckets: manifest entries identical AND data files byte-identical.
+    (m2.buckets -- changed.keySet).foreach { case (b, rel) =>
+      assert(before(b)._1 == rel)
+      assert(bucketFiles(rel) == before(b)._2, s"bucket $b files changed")
+      bucketFiles(rel).keys.foreach { f =>
+        assert(fileBytes(rel, f) == beforeBytes(b)(f), s"bucket $b $f bytes changed")
+      }
+    }
+    // Content converged to the batch latest-image.
+    val snap = CdcSnapshot.read(spark, snapDir)
+      .select("pk", "price").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = (1L to 40L).map(pk => (pk, if (pk == 7L) 777.0 else pk * 10.0))
+    assert(snap == expected)
+
+    // DELETE every pk in one bucket: the bucket leaves the manifest.
+    val bucketOf7 = changed.keySet.head
+    val sameBucketPks = (1L to 40L).filter { pk =>
+      // recompute engine-side: same xxhash64 % 8 the merge uses
+      seed.sparkSession.range(1).select(
+        pmod(xxhash64(lit(pk)), lit(8L)).cast("int")).head.getInt(0).toString == bucketOf7
+    }
+    val dels = sameBucketPks.zipWithIndex
+      .map { case (pk, i) => Chg(2000L + i, pk, "DELETE", 0.0) }.toDF()
+    CdcSnapshot.mergeBatch(dels, Seq("pk"), "cid", snapDir)
+    val m3 = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(!m3.buckets.contains(bucketOf7), "emptied bucket must leave the manifest")
+    val after = CdcSnapshot.read(spark, snapDir).select("pk").as[Long].collect().toSet
+    assert(after == (1L to 40L).toSet -- sameBucketPks)
   }
 }
