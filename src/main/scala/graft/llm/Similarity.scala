@@ -49,33 +49,63 @@ object Similarity {
   }
 
   /** Exact embedding-cosine near-dup pairs: every (a < b) pair whose cosine
-    * meets the threshold. An imperative broadcast kernel — the whole
-    * normalized matrix rides to each partition and the O(N²/2) dot products
-    * run in a JIT'd loop (HOF folds are interpreted, ~10x slower at this
-    * shape). Exact-and-quadratic is the oracle baseline; at 100 TB use the
-    * LSH-bucketed [[lshTopK]] family instead. The cosine is evaluated as
-    * dot/(sqrt(aa)*sqrt(bb)) with ascending-index accumulation to mirror
-    * the SQL oracle's arithmetic exactly.
+    * meets the threshold, computed as a fully distributed **block-pair
+    * (triangle) join** — the classic 1-bucket-theta layout. Each vector is
+    * assigned block p = vec_id mod B and replicated into the B tasks
+    * {(min(p,t), max(p,t)) : t < B}; every unordered vector pair then meets
+    * in exactly one of the B(B+1)/2 tasks, where a JIT'd loop runs the dot
+    * products (HOF folds are interpreted, ~10x slower at this shape).
+    *
+    * Scale: no driver collect, no full-matrix broadcast — one shuffle of
+    * N·B replicated rows into independent tasks holding ≤ 2N/B vectors
+    * each; `blocks` dials task memory vs replication (B = √(2N·dim·8 /
+    * taskMem) keeps a task in budget at any N). The O(N²) comparison cost
+    * is inherent to the *exact* operator — this is the oracle baseline; at
+    * 100 TB use the LSH-bucketed [[lshTopK]] family instead. The cosine is
+    * evaluated as dot/(sqrt(aa)*sqrt(bb)) with ascending-index accumulation
+    * to mirror the SQL oracle's arithmetic exactly.
     */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
+    require(blocks > 0, "blocks must be positive")
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")))
-      .as[(Long, Seq[Double])].map { case (id, v) => (id, v.toArray) }
-    val all = vecs.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
-    vecs.flatMap { case (ida, va) =>
-      val peers = bc.value
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      var aa = 0.0
-      var i = 0
-      while (i < va.length) { aa += va(i) * va(i); i += 1 }
-      peers.foreach { case (idb, vb) =>
-        if (idb > ida) {
-          var dot = 0.0; var bb = 0.0; var j = 0
-          while (j < vb.length) { dot += va(j) * vb(j); bb += vb(j) * vb(j); j += 1 }
-          if (dot / (math.sqrt(aa) * math.sqrt(bb)) >= threshold) out += ((ida, idb))
+    val b = blocks
+    val replicated = emb.select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        val p = java.lang.Math.floorMod(id, b.toLong).toInt
+        (0 until b).map { t =>
+          (math.min(p, t) * b + math.max(p, t), p, id, arr)
         }
+      }
+    replicated.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val blockI = key / b
+      val blockJ = key % b
+      val rows = it.map { case (_, p, id, v) =>
+        var aa = 0.0; var k = 0
+        while (k < v.length) { aa += v(k) * v(k); k += 1 }
+        (p, id, v, math.sqrt(aa))
+      }.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def score(a: (Int, Long, Array[Double], Double), c: (Int, Long, Array[Double], Double)): Unit = {
+        val (va, vc) = (a._3, c._3)
+        var dot = 0.0; var k = 0
+        while (k < va.length) { dot += va(k) * vc(k); k += 1 }
+        if (dot / (a._4 * c._4) >= threshold)
+          out += ((math.min(a._2, c._2), math.max(a._2, c._2)))
+      }
+      if (blockI == blockJ) {
+        var x = 0
+        while (x < rows.length) {
+          var y = x + 1
+          while (y < rows.length) { score(rows(x), rows(y)); y += 1 }
+          x += 1
+        }
+      } else {
+        val left = rows.filter(_._1 == blockI)
+        val right = rows.filter(_._1 == blockJ)
+        left.foreach(a => right.foreach(c => score(a, c)))
       }
       out
     }.toDF("da", "db")

@@ -53,4 +53,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("q35_cdc_route_multicast")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("q52 exact cosine pairs run distributed: no broadcast, no cartesian") {
+    val p = plan("q52_dedup_embedding")
+    assert(!p.contains("BroadcastExchange"),
+      "exact near-dup must not broadcast the data table\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "exact near-dup must not plan an all-to-all join\n" + p)
+    assert(p.contains("Exchange hashpartitioning"),
+      "block-pair tasks should come from one hash shuffle\n" + p)
+  }
 }
