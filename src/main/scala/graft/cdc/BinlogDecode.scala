@@ -1,0 +1,98 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+
+/** Custom Catalyst expressions decoding raw MySQL binlog scalar bytes
+  * (SURVEY.md §2A#12, reference decoders `/root/reference/src/binlog.rs:206-334`).
+  *
+  * Each expression is a thin codegen'd shim over a [[BinlogCodec]] static
+  * kernel: `doGenCode` emits a direct static call, so the decode runs
+  * inside whole-stage codegen with no UDF boxing, serialization, or
+  * interpreted fallback. Null inputs propagate via the standard
+  * null-safe scaffolding; only the MySQL "zero date" produces a new null.
+  */
+private[cdc] abstract class BinlogDecodeExpression
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${getClass.getSimpleName} expects BINARY input, got ${child.dataType.sql}")
+}
+
+case class MySqlPackedDecimal(child: Expression, precision: Int, scale: Int)
+    extends BinlogDecodeExpression {
+  require(precision >= 1 && scale >= 0 && scale <= precision,
+    s"invalid DECIMAL($precision,$scale)")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogCodec.decodeDecimal(input.asInstanceOf[Array[Byte]], precision, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.cdc.BinlogCodec.decodeDecimal($c, $precision, $scale)")
+  override protected def withNewChildInternal(newChild: Expression): MySqlPackedDecimal =
+    copy(child = newChild)
+}
+
+case class MySqlPackedDate(child: Expression) extends BinlogDecodeExpression {
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogCodec.decodeDate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.cdc.BinlogCodec.decodeDate($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MySqlPackedDate =
+    copy(child = newChild)
+}
+
+case class MySqlPackedTime(child: Expression, fsp: Int) extends BinlogDecodeExpression {
+  require(fsp >= 0 && fsp <= 6, s"invalid fsp $fsp")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogCodec.decodeTime(input.asInstanceOf[Array[Byte]], fsp)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogCodec.decodeTime($c, $fsp)")
+  override protected def withNewChildInternal(newChild: Expression): MySqlPackedTime =
+    copy(child = newChild)
+}
+
+case class MySqlPackedDatetime(child: Expression, fsp: Int) extends BinlogDecodeExpression {
+  require(fsp >= 0 && fsp <= 6, s"invalid fsp $fsp")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogCodec.decodeDatetime(input.asInstanceOf[Array[Byte]], fsp)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogCodec.decodeDatetime($c, $fsp)")
+  override protected def withNewChildInternal(newChild: Expression): MySqlPackedDatetime =
+    copy(child = newChild)
+}
+
+case class MySqlPackedTimestamp(child: Expression, fsp: Int) extends BinlogDecodeExpression {
+  require(fsp >= 0 && fsp <= 6, s"invalid fsp $fsp")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogCodec.decodeTimestamp(input.asInstanceOf[Array[Byte]], fsp)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogCodec.decodeTimestamp($c, $fsp)")
+  override protected def withNewChildInternal(newChild: Expression): MySqlPackedTimestamp =
+    copy(child = newChild)
+}
+
+/** Column-level API over the decode expressions. */
+object BinlogDecode {
+  private def wrap(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def packedDecimal(bytes: Column, precision: Int, scale: Int): Column =
+    wrap(MySqlPackedDecimal(expr(bytes), precision, scale))
+  def packedDate(bytes: Column): Column = wrap(MySqlPackedDate(expr(bytes)))
+  def packedTime(bytes: Column, fsp: Int = 0): Column =
+    wrap(MySqlPackedTime(expr(bytes), fsp))
+  def packedDatetime(bytes: Column, fsp: Int = 0): Column =
+    wrap(MySqlPackedDatetime(expr(bytes), fsp))
+  def packedTimestamp(bytes: Column, fsp: Int = 0): Column =
+    wrap(MySqlPackedTimestamp(expr(bytes), fsp))
+}

@@ -214,6 +214,83 @@ object CdcQueries {
              |  FROM typed
              |)
              |SELECT o_orderkey, mysql_type, jdbc_code, jdbc_code AS jdbc_code_udf
-             |FROM coded ORDER BY o_orderkey""".stripMargin))
+             |FROM coded ORDER BY o_orderkey""".stripMargin)),
+
+    // Raw-binlog packed DECIMAL decode (§2A#12): deterministic unscaled
+    // values are encoded to MySQL's wire format (test-side UDF), decoded by
+    // the custom codegen'd expression; the oracle renders the same values
+    // as strings directly.
+    Q("q65_binlog_decimal", { (s, dir) =>
+        val enc134 = udf((u: Long) => BinlogCodec.encodeDecimalUnscaled(u, 13, 4))
+        val enc100 = udf((u: Long) => BinlogCodec.encodeDecimalUnscaled(u, 10, 0))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            ((col("o_orderkey") * 7919) % 2000001 - 1000000).as("u1"),
+            ((col("o_orderkey") * 104729) % 1000000000).as("u2"))
+          .select(col("o_orderkey"),
+            BinlogDecode.packedDecimal(enc134(col("u1")), 13, 4).as("dec_13_4"),
+            BinlogDecode.packedDecimal(enc100(col("u2")), 10, 0).as("dec_10_0"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  concat(CASE WHEN u1 < 0 THEN '-' ELSE '' END,
+             |         CAST(abs(u1) // 10000 AS VARCHAR), '.',
+             |         lpad(CAST(abs(u1) % 10000 AS VARCHAR), 4, '0')) AS dec_13_4,
+             |  CAST(u2 AS VARCHAR) AS dec_10_0
+             |FROM (SELECT o_orderkey,
+             |        (o_orderkey * 7919) % 2000001 - 1000000 AS u1,
+             |        (o_orderkey * 104729) % 1000000000 AS u2
+             |      FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Raw-binlog bit-packed DATE / TIME2 / DATETIME2 / TIMESTAMP2 decode
+    // (§2A#12, reference binlog.rs:249-310) through the codegen'd
+    // expressions, round-tripped from deterministic components.
+    Q("q66_binlog_temporal", { (s, dir) =>
+        val encDate = udf((y: Int, m: Int, d: Int) => BinlogCodec.encodeDate(y, m, d))
+        val encTime = udf((neg: Boolean, h: Int, m: Int, sec: Int) =>
+          BinlogCodec.encodeTime(neg, h, m, sec, 0L, 0))
+        val encDt = udf((y: Int, mo: Int, d: Int, h: Int, mi: Int, sec: Int, f: Long) =>
+          BinlogCodec.encodeDatetime(y, mo, d, h, mi, sec, f, 3))
+        val encTs = udf((ep: Long) => BinlogCodec.encodeTimestamp(ep, 0L, 0))
+        val k = col("o_orderkey")
+        t(s, dir, "orders").select(k,
+            encDate((k % 130 + 1970).cast(IntegerType), (k % 12 + 1).cast(IntegerType),
+              (k % 28 + 1).cast(IntegerType)).as("db"),
+            encTime(k % 5 === 0, (k % 100).cast(IntegerType),
+              ((k * 3) % 60).cast(IntegerType), ((k * 11) % 60).cast(IntegerType)).as("tb"),
+            encDt((k % 130 + 1970).cast(IntegerType), (k % 12 + 1).cast(IntegerType),
+              (k % 28 + 1).cast(IntegerType), (k % 24).cast(IntegerType),
+              (k % 60).cast(IntegerType), ((k * 7) % 60).cast(IntegerType),
+              k % 1000).as("dtb"),
+            encTs(k + 1500000000L).as("tsb"))
+          .select(k,
+            BinlogDecode.packedDate(col("db")).as("date_s"),
+            BinlogDecode.packedTime(col("tb"), 0).as("time_s"),
+            BinlogDecode.packedDatetime(col("dtb"), 3).as("datetime_s"),
+            BinlogDecode.packedTimestamp(col("tsb"), 0).as("ts_s"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderkey,
+             |    1970 + o_orderkey % 130 AS y, o_orderkey % 12 + 1 AS mo, o_orderkey % 28 + 1 AS d,
+             |    o_orderkey % 24 AS h, o_orderkey % 60 AS mi, (o_orderkey * 7) % 60 AS sec,
+             |    o_orderkey % 1000 AS f3,
+             |    o_orderkey % 100 AS th, (o_orderkey * 3) % 60 AS tm, (o_orderkey * 11) % 60 AS ts2,
+             |    1500000000 + o_orderkey AS ep
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |  concat(lpad(CAST(y AS VARCHAR),4,'0'),'-',lpad(CAST(mo AS VARCHAR),2,'0'),'-',
+             |         lpad(CAST(d AS VARCHAR),2,'0')) AS date_s,
+             |  concat(CASE WHEN o_orderkey % 5 = 0 AND (th <> 0 OR tm <> 0 OR ts2 <> 0)
+             |              THEN '-' ELSE '' END,
+             |         lpad(CAST(th AS VARCHAR),2,'0'),':',lpad(CAST(tm AS VARCHAR),2,'0'),':',
+             |         lpad(CAST(ts2 AS VARCHAR),2,'0')) AS time_s,
+             |  concat(lpad(CAST(y AS VARCHAR),4,'0'),'-',lpad(CAST(mo AS VARCHAR),2,'0'),'-',
+             |         lpad(CAST(d AS VARCHAR),2,'0'),' ',lpad(CAST(h AS VARCHAR),2,'0'),':',
+             |         lpad(CAST(mi AS VARCHAR),2,'0'),':',lpad(CAST(sec AS VARCHAR),2,'0'),'.',
+             |         lpad(CAST(f3 AS VARCHAR),3,'0')) AS datetime_s,
+             |  CAST(ep AS VARCHAR) AS ts_s
+             |FROM c ORDER BY o_orderkey""".stripMargin))
   )
 }
