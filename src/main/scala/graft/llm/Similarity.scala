@@ -26,7 +26,11 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via the codegen'd [[CosineSim]] kernel — one fused
+    * JIT'd pass instead of three interpreted HOF folds, bit-identical to
+    * `dot(a,b)/(norm(a)*norm(b))` (ascending-index accumulation).
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
