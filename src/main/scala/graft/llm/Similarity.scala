@@ -131,21 +131,64 @@ object Similarity {
       when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** IVF-style ANN: a coarse quantizer of `nlist` fixed-seed random unit
-    * directions; every vector joins the inverted list of its argmax-dot
-    * centroid, queries probe their `nprobe` best centroids and score only
-    * those lists. Same recall/throughput dial as classic IVF-Flat — the
-    * trained-centroid upgrade (k-means over a sample) slots in by replacing
-    * `centroids` without touching the dataflow.
+  /** Spherical k-means over a deterministic bounded sample — the IVF coarse
+    * quantizer trainer. The sample (`sampleSize` rows picked by id hash) is
+    * collected to the driver: this is bounded *metadata*-scale work
+    * (sampleSize × dim doubles, independent of N), the standard IVF
+    * training shape — the data table itself is never collected. Assignment
+    * is argmax-dot over unit vectors; empty clusters keep their previous
+    * centroid; fixed iteration count keeps training deterministic.
+    */
+  def trainCentroids(candidates: DataFrame, nlist: Int,
+      sampleSize: Int = 2048, iters: Int = 8): Array[Array[Double]] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = candidates
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("v").as[Seq[Double]].collect()
+      .map(v => normalize(v.toArray))
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty table")
+    val step = math.max(1, sample.length / nlist)
+    var centroids = Array.tabulate(nlist)(i => sample((i * step) % sample.length).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c)))
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN: a k-means-trained coarse quantizer of `nlist` centroids
+    * ([[trainCentroids]]); every vector joins the inverted list of its
+    * argmax-dot centroid, queries probe their `nprobe` best centroids and
+    * score only those lists — the classic IVF-Flat recall/throughput dial.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
-    val rnd = new scala.util.Random(4242)
-    val centroids: Array[Array[Double]] = Array.fill(nlist) {
-      val v = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
+      nlist: Int = 16, nprobe: Int = 6, dim: Int = 64): DataFrame = {
+    val centroids: Array[Array[Double]] = trainCentroids(candidates, nlist)
     def dots(v: Seq[Double]): Array[Double] =
       centroids.map { c =>
         var s = 0.0; var i = 0
