@@ -24,24 +24,57 @@ object Dedup {
   def shingleSet(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
     docs.select(col(idCol).as("sid"), explode(TextOps.shingles(col(textCol), k)).as("s"))
 
-  /** Exact n-gram Jaccard similarity join: pairs with J >= num/den, decided
-    * in integer arithmetic (den*inter >= num*(na+nb-inter)) so the result
-    * hash-matches a SQL oracle exactly. Candidate generation = equi-join on
-    * shared shingles (only pairs sharing >= 1 shingle are scored).
+  /** Per-doc distinct shingle arrays: (sid, arr), shingle-less docs dropped. */
+  def shingleArrays(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("sid"), TextOps.shingles(col(textCol), k).as("arr"))
+      .filter(size(col("arr")) > 0)
+
+  /** Exact-Jaccard verification of (da, db) candidate pairs against per-doc
+    * shingle arrays: one |candidates|-bounded join per side, intersection
+    * via codegen'd `array_intersect`, threshold decided in integer
+    * arithmetic (den*inter >= num*(na+nb-inter)) so results hash-match a
+    * SQL oracle exactly.
+    */
+  private def verifyJaccard(cand: DataFrame, arrays: DataFrame,
+      num: Int, den: Int): DataFrame =
+    cand
+      .join(arrays.select(col("sid").as("da"), col("arr").as("arra")), "da")
+      .join(arrays.select(col("sid").as("db"), col("arr").as("arrb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("arra"), col("arrb"))).as("inter"),
+        size(col("arra")).as("na"), size(col("arrb")).as("nb"))
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select("da", "db", "inter", "na", "nb")
+
+  /** Exact n-gram Jaccard similarity join: every pair with J >= num/den.
+    *
+    * Candidate generation uses **prefix filtering** (AllPairs/PPJoin):
+    * under a global shingle order (document frequency ascending, then
+    * shingle), a doc's prefix is its first `n - ceil(t*n) + 1` shingles;
+    * any pair with J >= t shares its globally-minimum common shingle
+    * inside BOTH prefixes, so joining prefixes only is lossless. This both
+    * shrinks the candidate join ~(1-t)² and is inherently skew-resistant:
+    * high-frequency shingles order last and fall out of prefixes, so a hot
+    * shingle never feeds a quadratic reducer (the df-cap effect without a
+    * semantic cap). Exactness means the plain shared-shingle SQL oracle is
+    * unchanged.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
-    val sh = shingleSet(docs, textCol, idCol, k)
-    val cnt = sh.groupBy("sid").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val arrays = shingleArrays(docs, textCol, idCol, k)
+    val sh = arrays.select(col("sid"), size(col("arr")).as("nsh"), explode(col("arr")).as("s"))
+    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("df"), col("s"))
+    val prefix = sh.join(dfc, "s")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <=
+        col("nsh") - floor((col("nsh") * num + (den - 1)) / den) + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.sid") < col("b.sid"))
-      .groupBy(col("a.sid").as("da"), col("b.sid").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.withColumnRenamed("sid", "da").withColumnRenamed("n", "na"), "da")
-      .join(cnt.withColumnRenamed("sid", "db").withColumnRenamed("n", "nb"), "db")
-      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
-      .select("da", "db", "inter", "na", "nb")
+      .select(col("a.sid").as("da"), col("b.sid").as("db"))
+      .distinct()
+    verifyJaccard(cand, arrays, num, den)
   }
 
   /** 2^31-1, the classic MinHash modulus: keeps a*x+b inside Long range. */
@@ -91,17 +124,7 @@ object Dedup {
       s"bands ($bands) must divide the signature width ($k) — a remainder would silently drop trailing hashes")
     val rows = k / bands
     val cand = lshCandidates(minhashSignatures(docs, textCol, idCol, k), bands, rows)
-    val sh = shingleSet(docs, textCol, idCol)
-    val cnt = sh.groupBy("sid").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("a"), col("da") === col("a.sid"))
-      .join(sh.as("b"), col("db") === col("b.sid") && col("a.s") === col("b.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.withColumnRenamed("sid", "da").withColumnRenamed("n", "na"), "da")
-      .join(cnt.withColumnRenamed("sid", "db").withColumnRenamed("n", "nb"), "db")
-      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
-      .select("da", "db", "inter", "na", "nb")
+    verifyJaccard(cand, shingleArrays(docs, textCol, idCol), num, den)
   }
 
   /** 64-bit SimHash over distinct unigram tokens: per bit j, sum the ±1
