@@ -69,6 +69,22 @@ object Catalog {
       on: Seq[String] = Seq("database", "table")): org.apache.spark.sql.DataFrame =
     events.join(broadcast(catalog), on, "left")
 
+  /** Schema-change propagation: a DDL event stream (columns `database`,
+    * `sql`) invalidates the broadcast catalog's cached row for every table
+    * it touches, forcing the next enrichment cycle to re-read that table's
+    * metadata — the DDL analog of the reference's negative cache
+    * (`not_exists`, `/root/reference/src/executor.rs:430-441`; the
+    * reference decodes QUERY events, `binlog.rs:794-811`, but never feeds
+    * them back — a gap, not a behavior, so we define the obvious one).
+    * Pure anti-join: no shuffle on the catalog side beyond the DDL keys.
+    */
+  def applyDdl(catalog: org.apache.spark.sql.DataFrame,
+      ddl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val touched = ddl.select(col("database"),
+      regexp_extract(col("sql"), "(?i)table\\s+`?(\\w+)`?", 1).as("table"))
+    catalog.join(broadcast(touched), Seq("database", "table"), "left_anti")
+  }
+
   private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\)""".r
 
   /** MySQL type string → Spark DataType (SURVEY.md §1 mapping; BLOB kept

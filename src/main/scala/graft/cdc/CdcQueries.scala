@@ -291,6 +291,89 @@ object CdcQueries {
              |         lpad(CAST(mi AS VARCHAR),2,'0'),':',lpad(CAST(sec AS VARCHAR),2,'0'),'.',
              |         lpad(CAST(f3 AS VARCHAR),3,'0')) AS datetime_s,
              |  CAST(ep AS VARCHAR) AS ts_s
-             |FROM c ORDER BY o_orderkey""".stripMargin))
+             |FROM c ORDER BY o_orderkey""".stripMargin)),
+
+    // DDL envelopes (§2A QueryEvent, reference binlog.rs:794-811): build
+    // isDdl=true envelopes with statement text, round-trip, extract the
+    // verb/target with codegen'd regexes, and feed the DDL stream into the
+    // broadcast-catalog invalidation (Catalog.applyDdl) — `still_cached`
+    // proves which tables survived.
+    Q("q67_cdc_ddl", { (s, dir) =>
+        import s.implicits._
+        val n = t(s, dir, "nation")
+        val key = col("n_nationkey")
+        val isDdl = key % 3 =!= 2
+        val sqlText = when(key % 3 === 0, concat(lit("DROP TABLE t_"), key))
+          .when(key % 3 === 1, concat(lit("ALTER TABLE t_"), key, lit(" ADD COLUMN extra int")))
+          .otherwise(lit(""))
+        val raw = n.select(Envelope.build(
+          id = key, database = lit("testdb"),
+          table = concat(lit("t_"), key),
+          pkNames = array(lit("id")),
+          dmlType = when(key % 3 === 0, "DROP").when(key % 3 === 1, "ALTER").otherwise("INSERT"),
+          es = key * 1000 + 1700000000000L,
+          ts = key * 1000 + 1700000000123L,
+          sqlType = map(lit("id"), lit(-5)),
+          mysqlType = map(lit("id"), lit("bigint")),
+          data = array().cast(ArrayType(MapType(StringType, StringType))),
+          old = array().cast(ArrayType(MapType(StringType, StringType))),
+          isDdl = isDdl, sqlText = sqlText).as("raw"))
+        val parsed = raw.select(Envelope.parse(col("raw")).as("e"))
+          .select(col("e.id").as("id"), col("e.database").as("database"),
+            col("e.table").as("table"), col("e.isDdl").as("is_ddl"),
+            Envelope.ddlOp(col("e")).as("op"), Envelope.ddlTable(col("e")).as("tbl_name"))
+        val catalog = t(s, dir, "nation").select(
+          lit("testdb").as("database"), concat(lit("t_"), col("n_nationkey")).as("table"),
+          lit("bigint").as("pk_type"))
+        val applied = Catalog.applyDdl(catalog, parsed.filter(col("is_ddl"))
+          .select(col("database"), concat(col("op"), lit(" TABLE "), col("tbl_name")).as("sql")))
+        parsed
+          .join(applied.select(col("table"), lit(1).as("hit")), Seq("table"), "left")
+          .select(col("id"), col("is_ddl").cast(IntegerType).as("is_ddl"),
+            col("op"), col("tbl_name"), coalesce(col("hit"), lit(0)).as("still_cached"))
+          .orderBy("id")
+      },
+      Some("""SELECT n_nationkey AS id,
+             |  CASE WHEN n_nationkey % 3 <> 2 THEN 1 ELSE 0 END AS is_ddl,
+             |  CASE WHEN n_nationkey % 3 = 0 THEN 'DROP'
+             |       WHEN n_nationkey % 3 = 1 THEN 'ALTER' ELSE '' END AS op,
+             |  CASE WHEN n_nationkey % 3 = 2 THEN ''
+             |       ELSE 't_' || CAST(n_nationkey AS VARCHAR) END AS tbl_name,
+             |  CASE WHEN n_nationkey % 3 = 2 THEN 1 ELSE 0 END AS still_cached
+             |FROM nation ORDER BY id""".stripMargin)),
+
+    // Multi-row envelopes (reference packs many rows per binlog event,
+    // executor.rs:52-87): three consecutive orders share one envelope's
+    // `data` array; posexplode on parse recovers per-row order.
+    Q("q68_cdc_multirow", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val grouped = o
+          .groupBy((col("o_orderkey") - col("o_orderkey") % 3).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey"), col("o_orderstatus")))).as("rows"))
+        val raw = grouped.select(Envelope.build(
+          id = col("gid"), database = lit("testdb"), table = lit("orders"),
+          pkNames = array(lit("o_orderkey")), dmlType = lit("INSERT"),
+          es = col("gid") * 1000 + 1700000000000L,
+          ts = col("gid") * 1000 + 1700000000123L,
+          sqlType = map(lit("o_orderkey"), lit(-5)),
+          mysqlType = map(lit("o_orderkey"), lit("bigint")),
+          data = transform(col("rows"), r => map(
+            lit("o_orderkey"), r.getField("o_orderkey").cast(StringType),
+            lit("o_orderstatus"), r.getField("o_orderstatus"))),
+          old = array().cast(ArrayType(MapType(StringType, StringType)))).as("raw"))
+        raw.select(Envelope.parse(col("raw")).as("e"))
+          .select(col("e.id").as("gid"),
+            posexplode(col("e.data")).as(Seq("pos", "img")))
+          .select(col("gid"), col("pos"),
+            element_at(col("img"), "o_orderkey").cast(LongType).as("pk"),
+            element_at(col("img"), "o_orderstatus").as("status"))
+          .orderBy("gid", "pos")
+      },
+      Some("""SELECT o_orderkey - o_orderkey % 3 AS gid,
+             |  CAST(row_number() OVER (PARTITION BY o_orderkey - o_orderkey % 3
+             |                          ORDER BY o_orderkey) - 1 AS INTEGER) AS pos,
+             |  o_orderkey AS pk, o_orderstatus AS status
+             |FROM orders ORDER BY gid, pos""".stripMargin))
   )
 }

@@ -43,17 +43,31 @@ object Envelope {
 
   /** Render a synthetic Canal-JSON envelope from per-row columns — shared by
     * the oracle round-trip query and the throughput bench so both exercise
-    * the exact same shape (isDdl and sql are constants in the reference,
-    * `/root/reference/src/executor.rs:148,202`).
+    * the exact same shape. DML envelopes leave the defaults
+    * (`isDdl=false, sql=""`, the reference's constants for row events,
+    * `/root/reference/src/executor.rs:148,202`); DDL envelopes — the
+    * reference's QueryEvent decode (`/root/reference/src/binlog.rs:794-811`)
+    * — pass `isDdl=true` and the statement text.
     */
   def build(id: Column, database: Column, table: Column, pkNames: Column,
       dmlType: Column, es: Column, ts: Column, sqlType: Column,
-      mysqlType: Column, data: Column, old: Column): Column =
+      mysqlType: Column, data: Column, old: Column,
+      isDdl: Column = lit(false), sqlText: Column = lit("")): Column =
     to_json(struct(
       id.as("id"), database.as("database"), table.as("table"),
-      pkNames.as("pkNames"), lit(false).as("isDdl"), dmlType.as("type"),
-      es.as("es"), ts.as("ts"), lit("").as("sql"), sqlType.as("sqlType"),
+      pkNames.as("pkNames"), isDdl.as("isDdl"), dmlType.as("type"),
+      es.as("es"), ts.as("ts"), sqlText.as("sql"), sqlType.as("sqlType"),
       mysqlType.as("mysqlType"), data.as("data"), old.as("old")))
+
+  /** Parsed-DDL projection over an envelope struct: the statement verb and
+    * target table, extracted with codegen'd regexes (no UDF). Returns
+    * (op, tbl) columns; non-DDL rows yield empty strings.
+    */
+  def ddlOp(envelope: Column): Column =
+    upper(regexp_extract(envelope.getField("sql"), "^\\s*(\\w+)", 1))
+
+  def ddlTable(envelope: Column): Column =
+    regexp_extract(envelope.getField("sql"), "(?i)table\\s+`?(\\w+)`?", 1)
 
   /** Changed-columns diff: entries of `oldImg` whose value differs from the
     * same key in `newImg` (null-safe). This is the reference's UPDATE `old`

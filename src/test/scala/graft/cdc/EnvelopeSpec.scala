@@ -73,6 +73,73 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.getAs[collection.Seq[Map[String, String]]]("old").head("name") == "alice")
   }
 
+  val ddlMsg =
+    """{"data":[],"database":"testdb","es":1767322803000,"id":3,"isDdl":true,
+      |"mysqlType":{},"old":[],"pkNames":[],
+      |"sql":"ALTER TABLE users ADD COLUMN email varchar(64)",
+      |"sqlType":{},"table":"users","ts":1767322803123,"type":"ALTER"}""".stripMargin.replace("\n", "")
+
+  val multiRowMsg =
+    """{"data":[{"id":"7","name":"gail"},{"id":"8","name":"hank"},{"id":"9","name":"ivy"}],
+      |"database":"testdb","es":1767322804000,"id":4,"isDdl":false,
+      |"mysqlType":{"id":"bigint","name":"varchar(32)"},
+      |"old":[],"pkNames":["id"],"sql":"",
+      |"sqlType":{"id":-5,"name":12},
+      |"table":"users","ts":1767322804123,"type":"INSERT"}""".stripMargin.replace("\n", "")
+
+  test("golden DDL: isDdl + statement text parse; verb/table extract; routes") {
+    import spark.implicits._
+    val r = parsed(ddlMsg).head
+    assert(r.getAs[Boolean]("isDdl"))
+    assert(r.getAs[String]("sql") == "ALTER TABLE users ADD COLUMN email varchar(64)")
+    assert(r.getAs[String]("type") == "ALTER")
+    assert(r.getAs[collection.Seq[Map[String, String]]]("data").isEmpty)
+    val ext = Seq(ddlMsg).toDF("raw").select(Envelope.parse(col("raw")).as("e"))
+      .select(Envelope.ddlOp(col("e")).as("op"), Envelope.ddlTable(col("e")).as("tbl"))
+      .collect().head
+    assert(ext.getString(0) == "ALTER")
+    assert(ext.getString(1) == "users")
+    // DDL envelopes route by (database, table) exactly like DML ones
+    val inst = Seq(Instance("q", "t_users", schemas = "test*", tables = "users"))
+    val routed = Seq(ddlMsg).toDF("raw").select(Envelope.parse(col("raw")).as("e"))
+      .select(explode(Routing.routes(inst, col("e.database"), col("e.table"))).as("r"))
+      .collect()
+    assert(routed.length == 1)
+  }
+
+  test("applyDdl invalidates touched catalog rows, keeps the rest") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("testdb", "users", "bigint"),
+      ("testdb", "orders", "bigint"),
+      ("testdb", "audit", "bigint"),
+      ("otherdb", "users", "int")
+    ).toDF("database", "table", "pk_type")
+    val ddl = Seq(
+      ("testdb", "ALTER TABLE users ADD COLUMN email varchar(64)"),
+      ("testdb", "DROP TABLE audit")
+    ).toDF("database", "sql")
+    val left = Catalog.applyDdl(catalog, ddl)
+      .select("database", "table").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // testdb.users and testdb.audit invalidated; otherdb.users (same table
+    // name, different database) and testdb.orders survive
+    assert(left == Set(("testdb", "orders"), ("otherdb", "users")))
+  }
+
+  test("golden multi-row INSERT: data carries all row images in order") {
+    import spark.implicits._
+    val r = parsed(multiRowMsg).head
+    val data = r.getAs[collection.Seq[Map[String, String]]]("data")
+    assert(data.map(_("id")) == Seq("7", "8", "9"))
+    val rows = Seq(multiRowMsg).toDF("raw").select(Envelope.parse(col("raw")).as("e"))
+      .select(col("e.id").as("gid"), posexplode(col("e.data")).as(Seq("pos", "img")))
+      .select(col("gid"), col("pos"), col("img.id"), col("img.name"))
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq((4L, 0, "7", "gail"), (4L, 1, "8", "hank"), (4L, 2, "9", "ivy")))
+  }
+
   test("render → parse round-trips") {
     import spark.implicits._
     val back = Seq(insertMsg).toDF("raw")
