@@ -14,15 +14,32 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   */
 object Sinks {
 
+  /** Envelope rows → the Kafka record shape: `key` = "database.table" (so
+    * one table's changes land in one partition, preserving per-table order
+    * — the guarantee the reference loses to round-robin workers,
+    * `/root/reference/src/executor.rs:456`), `value` = Canal-JSON. Factored
+    * out of [[kafkaCanal]] so the projection is unit-testable without the
+    * kafka format being loadable.
+    */
+  def kafkaProjection(envelopes: DataFrame): DataFrame =
+    envelopes.select(
+      concat(col("database"), lit("."), col("table")).as("key"),
+      Envelope.render(struct(envelopes.columns.map(col): _*)).as("value"))
+
   /** Envelope rows → Canal-JSON → Kafka topic. Producer tuning passes
     * through `kafka.`-prefixed options exactly like the reference's rdkafka
     * config (`message_queue.rs:101-116`).
+    *
+    * NOTE: this environment ships no spark-sql-kafka jar and no broker, so
+    * `start()` on this writer cannot run here; the projection above and the
+    * sink options are the testable surface. On a cluster with the kafka
+    * connector on the classpath this writer is exactly-once from the
+    * checkpoint — stronger than the reference's fire-and-forget producer.
     */
   def kafkaCanal(envelopes: DataFrame, brokers: String, topic: String,
       checkpointDir: String, producerOptions: Map[String, String] = Map.empty)
       : DataStreamWriter[Row] = {
-    val w = envelopes
-      .select(Envelope.render(struct(envelopes.columns.map(col): _*)).as("value"))
+    val w = kafkaProjection(envelopes)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)

@@ -182,6 +182,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka projection: key is database.table, value round-trips as Canal-JSON") {
+    import spark.implicits._
+    import graft.cdc.Envelope
+    val msg =
+      """{"data":[{"id":"1","name":"alice"}],"database":"testdb","es":1767322800000,
+        |"id":0,"isDdl":false,"mysqlType":{"id":"bigint"},"old":[{}],"pkNames":["id"],
+        |"sql":"","sqlType":{"id":-5},"table":"users","ts":1767322800123,"type":"INSERT"}"""
+        .stripMargin.replace("\n", "")
+    val envelopes = Seq(msg).toDF("raw")
+      .select(Envelope.parse(col("raw")).as("e")).select("e.*")
+    val rec = Sinks.kafkaProjection(envelopes).collect().head
+    assert(rec.getString(0) == "testdb.users")
+    val back = Seq(rec.getString(1)).toDF("raw")
+      .select(Envelope.parse(col("raw")).as("e")).select("e.*").collect().head
+    assert(back.getAs[String]("table") == "users")
+    assert(back.getAs[String]("type") == "INSERT")
+    assert(back.getAs[collection.Seq[Map[String, String]]]("data").head("name") == "alice")
+  }
+
   test("foreachBatch CDC snapshot merge converges to batch latest-image") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
