@@ -236,12 +236,15 @@ object Similarity {
     }
     val qb = buckets(queries, "query_id", "qv")
     val cb = buckets(candidates, "neighbor_id", "cv")
-    val cand = qb.join(cb, Seq("tbl", "sig"))
+    // Score BEFORE deduplicating multi-table collisions: cosine is cheap
+    // (fused kernel) and deterministic per pair, so the dedup aggregates a
+    // 3-column (id, id, cos) row instead of shuffling two 64-dim vectors
+    // per candidate — the shuffle is what hurts at scale, not the recompute.
+    val scored = qb.join(cb, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))

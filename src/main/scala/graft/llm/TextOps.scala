@@ -18,17 +18,13 @@ object TextOps {
     */
   def tokens(c: Column): Column = split(c, " ", -1)
 
-  /** Distinct word k-shingles. Guarded so short texts yield an empty set
-    * (Spark's `sequence` would otherwise run backwards for size < k).
+  /** Distinct word k-shingles in first-occurrence order, via the
+    * codegen'd [[WordShingles]] kernel (short texts yield an empty set).
+    * Semantically `array_distinct(transform(sequence, i -> concat_ws(" ",
+    * slice(toks, i, k))))` — but that HOF chain is interpreted per element
+    * and measured ~10x slower at corpus scale.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int = 3): Column = WordShingles(tokens(text), k)
 
   /** English-ish stopword list used by quality scoring and lang-ID. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is", "for", "on", "with")
