@@ -163,6 +163,34 @@ object LlmQueries {
              |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) >= 0.45
              |ORDER BY da, db""".stripMargin)),
 
+    // End-to-end dedup keep-list — the pipeline a training-data run applies:
+    // exact groups keep their min-id canonical, then the higher id of every
+    // near-dup pair is dropped (greedy, deterministic; single pass, not
+    // transitive closure). Output is the surviving document ids.
+    Q("q71_dedup_keeplist", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val canon = Dedup.exactGroups(docs, "text", "doc_id")
+          .select(col("canonical_id").as("doc_id"))
+        val drops = Dedup.jaccardPairs(docs, "text", "doc_id")
+          .select(col("db").as("doc_id")).distinct()
+        canon.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
+      },
+      Some(s"""WITH canon AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+             |), $ShingleCte,
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT da, db FROM (
+             |    SELECT da, db, inter, ca.n AS na, cb.n AS nb FROM inter
+             |    JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+             |  WHERE inter * 10 >= (na + nb - inter) * 7
+             |)
+             |SELECT doc_id FROM canon WHERE doc_id NOT IN (SELECT db FROM pairs)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("q49_text_fingerprint",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),

@@ -11,6 +11,20 @@ import org.apache.spark.sql.types._
   */
 object FunctionQueries {
 
+  /** One SQL text both Spark and DuckDB execute for q69 (defined before
+    * `qs` — object init order matters for the oracle map).
+    */
+  private val SubquerySql: String =
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           / CAST(COUNT(*) AS DOUBLE) / 50.0
+      |    FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     Q("q22_set_union", { (s, dir) =>
@@ -225,6 +239,34 @@ object FunctionQueries {
       (s, dir) => Tables(s, dir, "orders")
         .agg(approx_count_distinct(col("o_custkey")).as("approx_dc"))
         .orderBy("approx_dc"),
-      None)
+      None),
+
+    // Subqueries: correlated scalar aggregate + EXISTS, as one SQL text run
+    // verbatim by both engines (Catalyst decorrelates both into joins).
+    // The inner average uses the Exact.davg decimal-sum shape so the
+    // boundary comparison is bit-identical across engines.
+    Q("q69_subqueries", { (s, dir) =>
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(SubquerySql)
+      },
+      Some(SubquerySql)),
+
+    // PIVOT + UNPIVOT round-trip: order counts per year spread across
+    // status columns, then melted back to long form (null cells dropped),
+    // which must equal the plain GROUP BY — the oracle states exactly that.
+    Q("q70_pivot_unpivot", { (s, dir) =>
+        val wide = Tables(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        wide.unpivot(Array(col("y")), Array(col("F"), col("O"), col("P")),
+            "status", "cnt")
+          .filter(col("cnt").isNotNull)
+          .orderBy("y", "status")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             |  o_orderstatus AS status, count(*) AS cnt
+             |FROM orders GROUP BY 1, 2 ORDER BY y, status""".stripMargin))
   )
 }
