@@ -56,4 +56,18 @@ object StreamOps {
   /** Event-time watermark wrapper (streaming lateness bound). */
   def watermarked(df: DataFrame, ts: String, delay: String): DataFrame =
     df.withWatermark(ts, delay)
+
+  /** Stream-stream interval join: each left row pairs with right rows of
+    * the same key whose event time lies in [leftTs - before, leftTs].
+    * Callers watermark both inputs; the time bound is what lets Spark
+    * evict join state, keeping state O(key × window) instead of unbounded.
+    * Column names must be disjoint apart from `key`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String = "10 minutes"): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs))
+      .drop(right(key))
 }

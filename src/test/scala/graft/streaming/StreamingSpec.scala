@@ -226,6 +226,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState latest-image: transitions only, stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[ChangeRow]
+    val q = Stateful.latestImage(in.toDS()).writeStream
+      .format("memory").queryName("state_t").outputMode("update").start()
+    try {
+      in.addData(
+        ChangeRow(1, 10, "INSERT", "a=1"),
+        ChangeRow(2, 11, "INSERT", "b=1"))
+      q.processAllAvailable()
+      in.addData(
+        ChangeRow(1, 12, "UPDATE", "a=2"),
+        ChangeRow(1, 5, "UPDATE", "a=STALE"),   // ordinal below state → dropped
+        ChangeRow(2, 13, "DELETE", ""),
+        ChangeRow(3, 14, "DELETE", ""))          // DELETE of unknown pk → no emit
+      q.processAllAvailable()
+      val rows = spark.table("state_t")
+        .select("pk", "cid", "payload", "change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      assert(rows == Set(
+        (1L, 10L, "a=1", "INSERT"),
+        (2L, 11L, "b=1", "INSERT"),
+        (1L, 12L, "a=2", "UPDATE"),
+        (2L, 13L, null, "DELETE")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val v = StreamOps.watermarked(views.toDF(), "ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val c = StreamOps.watermarked(clicks.toDF(), "ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val joined = StreamOps.intervalJoin(c, v, "user_id", "click_ts", "view_ts")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        Ev(t("2024-01-01 00:00:00"), 1, "view", 0),
+        Ev(t("2024-01-01 00:20:00"), 1, "view", 0),
+        Ev(t("2024-01-01 00:00:00"), 2, "view", 0))
+      clicks.addData(
+        Ev(t("2024-01-01 00:05:00"), 1, "click", 0),  // joins 00:00 view only
+        Ev(t("2024-01-01 00:25:00"), 1, "click", 0),  // joins 00:20 view only
+        Ev(t("2024-01-01 00:30:00"), 2, "click", 0))  // 00:00 view out of bound
+      views.addData(Ev(t("2024-01-01 02:00:00"), 9, "view", 0))   // advance watermark
+      clicks.addData(Ev(t("2024-01-01 02:00:00"), 9, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_t")
+        .select("user_id", "click_ts", "view_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got.contains((1L, t("2024-01-01 00:05:00"), t("2024-01-01 00:00:00"))))
+      assert(got.contains((1L, t("2024-01-01 00:25:00"), t("2024-01-01 00:20:00"))))
+      assert(!got.exists { case (u, c2, v2) =>
+        u == 2L && c2 == t("2024-01-01 00:30:00") && v2 == t("2024-01-01 00:00:00") })
+      assert(!got.contains((1L, t("2024-01-01 00:25:00"), t("2024-01-01 00:00:00"))))
+    } finally q.stop()
+  }
+
   test("incremental snapshot merge rewrites only the buckets a batch touches") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
