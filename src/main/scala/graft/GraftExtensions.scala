@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.cdc.{MySqlPackedDate, MySqlPackedDatetime, MySqlPackedDecimal, MySqlPackedTime, MySqlPackedTimestamp}
+import graft.llm.{CosineSim, SimHash64, WordShingles}
+
+/** SQL-name registration for the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT mysql_packed_decimal(b, 14, 4) ...")` works without
+  * the Column API. Two wirings share one function table:
+  * `spark.sql.extensions=graft.GraftExtensions` at session build (the
+  * cluster-config path), or [[GraftExtensions.register]] on a live
+  * session (REPL/tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, name: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be an INT literal, got $other")
+  }
+
+  /** name → builder for every SQL-exposed custom expression. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "mysql_packed_decimal" -> { args: Seq[Expression] =>
+      require(args.length == 3, "mysql_packed_decimal(bytes, precision, scale)")
+      MySqlPackedDecimal(args(0),
+        intLit(args(1), "mysql_packed_decimal", "precision"),
+        intLit(args(2), "mysql_packed_decimal", "scale"))
+    },
+    "mysql_packed_date" -> { args: Seq[Expression] =>
+      require(args.length == 1, "mysql_packed_date(bytes)")
+      MySqlPackedDate(args(0))
+    },
+    "mysql_packed_time" -> { args: Seq[Expression] =>
+      require(args.length == 2, "mysql_packed_time(bytes, fsp)")
+      MySqlPackedTime(args(0), intLit(args(1), "mysql_packed_time", "fsp"))
+    },
+    "mysql_packed_datetime" -> { args: Seq[Expression] =>
+      require(args.length == 2, "mysql_packed_datetime(bytes, fsp)")
+      MySqlPackedDatetime(args(0), intLit(args(1), "mysql_packed_datetime", "fsp"))
+    },
+    "mysql_packed_timestamp" -> { args: Seq[Expression] =>
+      require(args.length == 2, "mysql_packed_timestamp(bytes, fsp)")
+      MySqlPackedTimestamp(args(0), intLit(args(1), "mysql_packed_timestamp", "fsp"))
+    },
+    "cosine_sim" -> { args: Seq[Expression] =>
+      require(args.length == 2, "cosine_sim(a, b)")
+      CosineSim(args(0), args(1))
+    },
+    "word_shingles" -> { args: Seq[Expression] =>
+      require(args.length == 2, "word_shingles(tokens, k)")
+      WordShingles(args(0), intLit(args(1), "word_shingles", "k"))
+    },
+    "simhash64" -> { args: Seq[Expression] =>
+      require(args.length == 1, "simhash64(tokens)")
+      SimHash64(args(0))
+    })
+
+  /** Register every function into a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
+}

@@ -127,42 +127,18 @@ object Dedup {
     verifyJaccard(cand, shingleArrays(docs, textCol, idCol), num, den)
   }
 
-  /** 64-bit SimHash over distinct unigram tokens: per bit j, sum the ±1
-    * contribution of each token hash's bit j; sign(sum) becomes bit j.
-    * Single hash aggregation with 64 partial sums.
-    */
-  /** Imperative 64-bit SimHash kernel. Declarative formulations lose here:
-    * a 64-sum HashAggregate overflows codegen limits (interpreted fallback)
-    * and HOF lambdas are never codegen'd; a tight JIT'd loop per row is
-    * ~10x faster and needs NO shuffle at all (distinct tokens come from
-    * array_distinct per row). 64-bit token hash = two seeded murmur32 halves.
-    */
-  private val simhashUdf = udf { toks: Seq[String] =>
-    val counts = new Array[Int](64)
-    toks.foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b.toInt)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
-    }
-    var sim = 0L
-    var j = 0
-    while (j < 64) { if (counts(j) > 0) sim |= 1L << j; j += 1 }
-    sim
-  }
-
-  /** SimHash over distinct word 3-shingles. Shingles, not unigrams: on a
-    * small shared vocabulary every document contains nearly every word, so
-    * unigram token *sets* (and their simhashes) collapse together; shingle
-    * sets keep unrelated documents far apart while near-dups still overlap.
+  /** SimHash over distinct word 3-shingles, via the codegen'd [[SimHash64]]
+    * kernel (an imperative loop is mandatory here: a declarative 64-sum
+    * HashAggregate falls out of codegen and HOF lambdas are interpreted —
+    * measured ~10x slower; as an expression the kernel also avoids UDF
+    * boxing). Shingles, not unigrams: on a small shared vocabulary every
+    * document contains nearly every word, so unigram token *sets* (and
+    * their simhashes) collapse together; shingle sets keep unrelated
+    * documents far apart while near-dups still overlap. No shuffle at all.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("sid"),
-      simhashUdf(TextOps.shingles(col(textCol))).as("simhash"))
+      SimHash64(TextOps.shingles(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: block-bucket candidates (8×8-bit blocks — any
     * pair at Hamming distance <= 7 shares a block by pigeonhole, so recall

@@ -18,6 +18,32 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   private val Space = UTF8String.fromString(" ")
 
+  /** 64-bit SimHash over a token array: per bit j, sum the ±1 contribution
+    * of each token hash's bit j; sign(sum) becomes bit j. 64-bit token
+    * hash = two seeded murmur32 halves. One JIT'd pass, no shuffle.
+    */
+  def simhash64(toks: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b.toInt)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
   /** Distinct word k-shingles in first-occurrence order — identical output
     * to `array_distinct(transform(...))` over the same tokens.
     */
@@ -58,4 +84,31 @@ case class WordShingles(child: Expression, k: Int)
 object WordShingles {
   def apply(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
+}
+
+/** Codegen'd 64-bit SimHash over an `array<string>` token column.
+  * (Historically a Scala UDF with the same kernel — measured necessary
+  * because a 64-sum HashAggregate falls out of codegen and HOF lambdas are
+  * interpreted; as an expression the kernel additionally avoids UDF boxing
+  * and stays inside whole-stage codegen.)
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SimHash64 expects ARRAY<STRING> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 }

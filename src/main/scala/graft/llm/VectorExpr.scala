@@ -39,11 +39,12 @@ object VectorKernels {
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(DoubleType) && right.dataType == ArrayType(DoubleType))
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"CosineSim expects ARRAY<DOUBLE> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"CosineSim expects ARRAY<DOUBLE> inputs, got ${l.sql}, ${r.sql}")
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

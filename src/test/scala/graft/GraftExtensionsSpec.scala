@@ -1,0 +1,37 @@
+package graft
+
+import graft.cdc.BinlogCodec
+
+/** The custom expressions resolve and evaluate by SQL name after
+  * registration — the surface a pure-SQL user of the engine sees.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the custom expressions") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((BinlogCodec.encodeDecimalUnscaled(12345678901234L, 14, 4),
+         BinlogCodec.encodeDate(2024, 3, 7)))
+      .toDF("dec", "d").createOrReplaceTempView("bl")
+    val r = spark.sql(
+      """SELECT mysql_packed_decimal(dec, 14, 4) AS ds,
+        |       mysql_packed_date(d) AS dt,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |       word_shingles(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS sh,
+        |       simhash64(array('x', 'y')) AS sim
+        |FROM bl""".stripMargin).collect().head
+    assert(r.getString(0) == "1234567890.1234")
+    assert(r.getString(1) == "2024-03-07")
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getAs[collection.Seq[String]]("sh") == Seq("a b c", "b c a", "c a b"))
+    assert(r.getLong(4) != 0L)
+  }
+
+  test("non-literal precision argument is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT mysql_packed_decimal(cast('x' as binary), 1 + 1, 0)").collect()
+    }
+    assert(e.getMessage.contains("INT literal") || e.getMessage.contains("mysql_packed_decimal"))
+  }
+}
