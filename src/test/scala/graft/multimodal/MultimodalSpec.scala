@@ -20,6 +20,23 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[NotImplementedError](MediaDecode.decodeReal(Array(1), "image"))
   }
 
+  test("columnar decode equals the RDD-path decode, with no RDD scan in plan") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", "abcdef".getBytes("UTF-8")),
+      (2L, "audio", Array.empty[Byte]),
+      (3L, "video", Array.tabulate(200)(i => (i * 7 % 256).toByte))
+    ).toDF("media_id", "modality", "content")
+    val viaRdd = MediaDecode.decodeFeatures(media).orderBy("media_id")
+      .collect().map(_.toSeq).toSeq
+    val columnar = MediaDecode.decodeFeaturesColumnar(media).orderBy("media_id")
+      .collect().map(_.toSeq).toSeq
+    assert(columnar == viaRdd)
+    val plan = MediaDecode.decodeFeaturesColumnar(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan ExistingRDD"), plan)
+  }
+
   test("resizeStub: stride downsample, length math, determinism") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val r = MediaDecode.resizeStub(bytes, 4)

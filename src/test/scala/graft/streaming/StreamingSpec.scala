@@ -340,6 +340,16 @@ class StreamingSpec extends SparkSpec {
     val expected = (1L to 40L).map(pk => (pk, if (pk == 7L) 777.0 else pk * 10.0))
     assert(snap == expected)
 
+    // Replaying a micro-batch (crash between merge and checkpoint commit)
+    // must be idempotent: same content, one version ahead.
+    CdcSnapshot.mergeBatch(upd, Seq("pk"), "cid", snapDir)
+    val mReplay = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(mReplay.version == m2.version + 1)
+    val snapReplay = CdcSnapshot.read(spark, snapDir)
+      .select("pk", "price").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(snapReplay == expected, "replayed batch must not change the snapshot")
+
     // DELETE every pk in one bucket: the bucket leaves the manifest.
     val bucketOf7 = changed.keySet.head
     val sameBucketPks = (1L to 40L).filter { pk =>
