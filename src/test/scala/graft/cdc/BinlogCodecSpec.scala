@@ -52,6 +52,18 @@ class BinlogCodecSpec extends SparkSpec {
       BinlogCodec.encodeTimestamp(1700000000L, 250, 3), 3)) == "1700000000.250")
   }
 
+  test("null binary inputs propagate to null outputs (no throw)") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]])).toDF("id", "b")
+    val out = df.select(
+      BinlogDecode.packedDecimal(col("b"), 10, 2).as("a"),
+      BinlogDecode.packedDate(col("b")).as("c"),
+      BinlogDecode.packedTime(col("b"), 0).as("d"),
+      BinlogDecode.packedDatetime(col("b"), 0).as("e"),
+      BinlogDecode.packedTimestamp(col("b")).as("f")).collect().head
+    (0 until 5).foreach(i => assert(out.isNullAt(i), s"col $i"))
+  }
+
   test("expressions decode inside a DataFrame plan (codegen path)") {
     import spark.implicits._
     val df = Seq(

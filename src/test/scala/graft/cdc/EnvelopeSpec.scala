@@ -150,6 +150,24 @@ class EnvelopeSpec extends SparkSpec {
     assert(back.getAs[collection.Seq[Map[String, String]]]("data").head("bal") == "10.50")
   }
 
+  test("malformed lines: corrupt JSON yields null envelope, routing drops it") {
+    import spark.implicits._
+    val inst = Seq(Instance("q", "t", schemas = "*", tables = "*"))
+    val lines = Seq(
+      insertMsg,                       // valid
+      """{"database": "testdb", "ta""", // truncated JSON
+      "not json at all",               // garbage
+      """{"id":"NaN-ish","database":7}""" // type-mismatched fields
+    ).toDF("raw")
+    val parsed = lines.select(Envelope.parse(col("raw")).as("e"))
+    // corrupt rows parse to an all-null struct / null fields, never throw
+    assert(parsed.count() == 4)
+    val routed = parsed
+      .filter(size(Routing.routes(inst, col("e.database"), col("e.table"))) > 0)
+    // only the valid line survives the routing filter (null db/table match nothing)
+    assert(routed.count() == 1)
+  }
+
   test("changedColumns: diff subset + null-safety") {
     import spark.implicits._
     val df = Seq(
