@@ -74,17 +74,40 @@ object CdcSnapshot {
     }
   }
 
+  private def readManifest(spark: SparkSession, snapshotDir: String,
+      m: SnapshotManifest): DataFrame = {
+    require(m.buckets.nonEmpty, s"snapshot version ${m.version} is empty")
+    val dirs = m.buckets.values.toSeq.sorted.map(rel => s"$snapshotDir/$rel")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Current snapshot as a DataFrame: resolve the newest manifest, read its
     * bucket directories. The public read path — never reads staging dirs.
     */
   def read(spark: SparkSession, snapshotDir: String): DataFrame =
     latestManifest(spark, snapshotDir) match {
-      case Some(m) if m.buckets.nonEmpty =>
-        val dirs = m.buckets.values.toSeq.sorted.map(rel => s"$snapshotDir/$rel")
-        spark.read.parquet(dirs: _*)
-      case _ =>
+      case Some(m) => readManifest(spark, snapshotDir, m)
+      case None =>
         throw new IllegalStateException(s"no published snapshot under $snapshotDir")
     }
+
+  /** Time-travel read of a retained version (the GC keeps the current and
+    * previous generation; older versions raise). Versioned manifests make
+    * this free — the Delta-style `versionAsOf` for a Delta-less store.
+    */
+  def readVersion(spark: SparkSession, snapshotDir: String, version: Long): DataFrame = {
+    val root = new Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, s"manifest-$version.json")
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"snapshot version $version not retained under $snapshotDir")
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    readManifest(spark, snapshotDir,
+      mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
+        classOf[SnapshotManifest]))
+  }
 
   /** Merge `batch` into the bucketed snapshot at `snapshotDir`. Batch rows
     * must carry the pk columns, `ordCol`, and a `type` column with

@@ -340,6 +340,13 @@ class StreamingSpec extends SparkSpec {
     val expected = (1L to 40L).map(pk => (pk, if (pk == 7L) 777.0 else pk * 10.0))
     assert(snap == expected)
 
+    // Time travel: the previous retained version still reads consistently.
+    val prevSnap = CdcSnapshot.readVersion(spark, snapDir, m1.version)
+      .select("pk", "price").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(prevSnap == (1L to 40L).map(pk => (pk, pk * 10.0)),
+      "previous version must show pre-update content")
+
     // Replaying a micro-batch (crash between merge and checkpoint commit)
     // must be idempotent: same content, one version ahead.
     CdcSnapshot.mergeBatch(upd, Seq("pk"), "cid", snapDir)
