@@ -78,7 +78,9 @@ object CdcSnapshot {
       m: SnapshotManifest): DataFrame = {
     require(m.buckets.nonEmpty, s"snapshot version ${m.version} is empty")
     val dirs = m.buckets.values.toSeq.sorted.map(rel => s"$snapshotDir/$rel")
-    spark.read.parquet(dirs: _*)
+    // mergeSchema: buckets written before a schema-widening change are
+    // narrower than later ones; the union schema nulls the gap.
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Current snapshot as a DataFrame: resolve the newest manifest, read its
@@ -141,12 +143,18 @@ object CdcSnapshot {
     val prevRows = if (touchedPrevDirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-    else spark.read.parquet(touchedPrevDirs.toIndexedSeq: _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(touchedPrevDirs.toIndexedSeq: _*)
 
     // Merge only the touched buckets' rows with the batch; one pk-hash
     // shuffle, partition-pruned writes. DELETE tombstones drop the pk.
+    // allowMissingColumns = schema evolution: a batch that gains a column
+    // (post-DDL) widens touched buckets, with nulls for pre-DDL rows;
+    // untouched buckets widen lazily when their next change arrives
+    // (readers union by name over mixed-width buckets the same way).
     val merged = CdcMerge
-      .latestImage(prevRows.unionByName(batch), pkCols, ordCol)
+      .latestImage(prevRows.unionByName(batch, allowMissingColumns = true),
+        pkCols, ordCol)
       .withColumn("__bucket", bucketCol(pkCols, n))
     val stageRel = s"data-v$version"
     merged.repartition(col("__bucket"))

@@ -289,6 +289,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot schema evolution: a widened batch adds a column, old rows null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-evo").toString
+    val snapDir = s"$dir/snapshot"
+    val v1 = Seq((1L, 10L, "INSERT", 1.0), (2L, 20L, "INSERT", 2.0))
+      .toDF("cid", "pk", "type", "price")
+    CdcSnapshot.mergeBatch(v1, Seq("pk"), "cid", snapDir, numBuckets = 4)
+    // post-DDL batch carries a new column
+    val v2 = Seq((3L, 20L, "UPDATE", 22.0, "eur"), (4L, 30L, "INSERT", 3.0, "usd"))
+      .toDF("cid", "pk", "type", "price", "currency")
+    CdcSnapshot.mergeBatch(v2, Seq("pk"), "cid", snapDir)
+    val snap = CdcSnapshot.read(spark, snapDir)
+      .select("pk", "price", "currency").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(snap == Seq((10L, 1.0, null), (20L, 22.0, "eur"), (30L, 3.0, "usd")))
+  }
+
   test("incremental snapshot merge rewrites only the buckets a batch touches") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
