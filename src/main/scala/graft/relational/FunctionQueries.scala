@@ -267,6 +267,39 @@ object FunctionQueries {
       },
       Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
              |  o_orderstatus AS status, count(*) AS cnt
-             |FROM orders GROUP BY 1, 2 ORDER BY y, status""".stripMargin))
+             |FROM orders GROUP BY 1, 2 ORDER BY y, status""".stripMargin)),
+
+    // Distribution window functions: percent_rank / cume_dist are integer
+    // ratios evaluated in double — deterministic across engines.
+    Q("q72_window_dist", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  percent_rank() OVER (PARTITION BY o_orderstatus
+             |                       ORDER BY o_totalprice, o_orderkey) AS pr,
+             |  cume_dist() OVER (PARTITION BY o_orderstatus
+             |                    ORDER BY o_totalprice, o_orderkey) AS cd
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ANSI-safe try_* family: malformed casts, zero divisors, and
+    // out-of-bounds element access yield NULL instead of raising.
+    Q("q73_try_fn", { (s, dir) =>
+        val k = col("o_orderkey")
+        Tables(s, dir, "orders").select(k,
+            expr("try_cast(CASE WHEN o_orderkey % 2 = 0 THEN '123' ELSE 'abc' END AS INT)")
+              .as("tc"),
+            try_divide(lit(100.0), (k % 3).cast("double")).as("td"),
+            try_element_at(array(lit(1), lit(2)), (k % 5).cast("int") + 1).as("te"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN '123' ELSE 'abc' END AS INTEGER) AS tc,
+             |  100.0 / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS td,
+             |  ([1, 2])[CAST(o_orderkey % 5 AS INTEGER) + 1] AS te
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }
