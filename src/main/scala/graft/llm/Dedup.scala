@@ -99,15 +99,28 @@ object Dedup {
 
   /** Banded-LSH candidate pairs from MinHash signatures: docs sharing any
     * band bucket. bands*rows must equal the signature width.
+    *
+    * `maxBucket` caps the self-join's per-bucket fan-out: a degenerate
+    * bucket (boilerplate-heavy corpora hash thousands of docs into one
+    * band value) would contribute |bucket|² pairs on one reducer; buckets
+    * above the cap are dropped entirely — standard LSH practice, sound
+    * because a bucket that large signals non-discriminative bands, and
+    * near-dup recall comes from the *other* bands' buckets. Recall under
+    * the default cap is what LshSpec measures.
     */
-  def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map { bIdx =>
       val rowsCols = (0 until rows).map(r => col(s"m${bIdx * rows + r}"))
       struct(lit(bIdx).as("band"), xxhash64(rowsCols: _*).as("bh"))
     }
     val buckets = sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    buckets.as("a").join(buckets.as("b"),
+    val sized = buckets.join(
+      buckets.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket),
+      Seq("band", "bh"))
+    sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("da"), col("b.sid").as("db"))

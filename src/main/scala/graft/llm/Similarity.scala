@@ -38,16 +38,43 @@ object Similarity {
     * Emits (query_id, rank, neighbor_id) — ids and integer ranks only, so
     * results are engine-portable (scores stay double-deterministic per pair
     * but tie-ordering across engines is resolved by the id tie-break).
+    *
+    * Scale: scoring is one broadcast-queries pass over the candidates (no
+    * all-to-all); the scored rows are then compacted to per-partition
+    * top-k heaps before the global rank, so the only shuffle carries
+    * |Q|·k·partitions rows instead of |Q|·N — the global top-k is a subset
+    * of the union of partition top-ks, so results are exactly unchanged.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
     val c = candidates.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    // Max of this ordering = the WORST kept neighbor (lowest cos, then
+    // highest id) — the same total order the final window rank uses.
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (cos, nid) => (-cos, nid) }
+    val compacted = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (qid, nid, cos) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        if (h.size < k) h.enqueue((cos, nid))
+        else if (worstFirst.compare((cos, nid), h.head) < 0) {
+          h.dequeue(); h.enqueue((cos, nid))
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+    compacted.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
