@@ -216,27 +216,15 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 6, dim: Int = 64): DataFrame = {
     val centroids: Array[Array[Double]] = trainCentroids(candidates, nlist)
-    def dots(v: Seq[Double]): Array[Double] =
-      centroids.map { c =>
-        var s = 0.0; var i = 0
-        while (i < c.length && i < v.length) { s += c(i) * v(i); i += 1 }
-        s
-      }
-    val assignUdf = udf { v: Seq[Double] =>
-      val d = dots(v)
-      var best = 0; var i = 1
-      while (i < d.length) { if (d(i) > d(best)) best = i; i += 1 }
-      best
-    }
-    val probeUdf = udf { v: Seq[Double] =>
-      dots(v).zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2).toSeq
-    }
+    // Cell assignment and probe lists are codegen'd expressions — the
+    // candidate side runs one static argmax-dot call per row with no
+    // Seq[Double] UDF boxing (the N-row hot path at scale).
     val c = candidates.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("cv"))
-      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("cell", IvfCell(col("cv"), centroids))
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("cell", explode(IvfProbe(col("qv"), centroids, nprobe)))
     val scored = q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))

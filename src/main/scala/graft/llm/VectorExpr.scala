@@ -2,9 +2,9 @@ package graft.llm
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -33,6 +33,105 @@ object VectorKernels {
     }
     dot / (math.sqrt(aa) * math.sqrt(bb))
   }
+}
+
+/** IVF coarse-quantizer kernels: cell = argmax-dot centroid (first max
+  * wins), probe = the `nprobe` best cells ordered (dot desc, index asc) —
+  * the same tie behavior as a stable descending sort.
+  */
+object IvfKernels {
+  private def dots(v: ArrayData, centroids: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(cen.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += cen(i) * v.getDouble(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  def cell(v: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val d = dots(v, centroids)
+    var best = 0
+    var i = 1
+    while (i < d.length) { if (d(i) > d(best)) best = i; i += 1 }
+    best
+  }
+
+  def probe(v: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val d = dots(v, centroids)
+    val idx = Array.range(0, d.length)
+    // stable selection sort of the first nprobe positions by dot desc
+    val n = math.min(nprobe, d.length)
+    var i = 0
+    while (i < n) {
+      var best = i
+      var j = i + 1
+      while (j < d.length) {
+        if (d(idx(j)) > d(idx(best))) best = j
+        j += 1
+      }
+      val t = idx(i); idx(i) = idx(best); idx(best) = t
+      i += 1
+    }
+    new GenericArrayData(idx.take(n))
+  }
+}
+
+/** Codegen'd IVF cell assignment over an `array<double>` column. */
+case class IvfCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"IvfCell expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    IvfKernels.cell(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"${ev.value} = graft.llm.IvfKernels.cell($c, $ref);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): IvfCell =
+    copy(child = newChild)
+}
+
+/** Codegen'd IVF probe list (top-nprobe cells) over an `array<double>`. */
+case class IvfProbe(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"IvfProbe expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    IvfKernels.probe(input.asInstanceOf[ArrayData], centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"${ev.value} = graft.llm.IvfKernels.probe($c, $ref, $nprobe);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): IvfProbe =
+    copy(child = newChild)
+}
+
+object IvfCell {
+  def apply(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(new IvfCell(ColumnBridge.expression(v), centroids))
+}
+
+object IvfProbe {
+  def apply(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ColumnBridge.column(new IvfProbe(ColumnBridge.expression(v), centroids, nprobe))
 }
 
 /** Codegen'd cosine similarity over two `array<double>` columns. */
