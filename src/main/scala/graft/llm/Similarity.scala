@@ -151,12 +151,12 @@ object Similarity {
   }
 
   /** LSH bucket signature for one table: an int whose bit j is
-    * sign(v · plane_j). Computed with the same fold as [[dot]].
+    * sign(v · plane_j), via the codegen'd [[HyperplaneSig]] kernel (the
+    * per-bit HOF-fold formulation ran `tables × bits` interpreted lambdas
+    * per row; the kernel is one fused static call, same doubles).
     */
   private def signature(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+    HyperplaneSig(v, planes.toArray)
 
   /** Spherical k-means over a deterministic bounded sample — the IVF coarse
     * quantizer trainer. The sample (`sampleSize` rows picked by id hash) is

@@ -83,6 +83,51 @@ object IvfKernels {
   }
 }
 
+/** Hyperplane-LSH signature kernel: bit j of the result is
+  * sign(v · plane_j) — one fused pass over all planes of one table.
+  */
+object HyperplaneKernels {
+  def signature(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(p.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += p(i) * v.getDouble(i); i += 1 }
+      if (s > 0) sig |= 1 << j
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd hyperplane-LSH bucket signature over an `array<double>`. */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"HyperplaneSig expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneKernels.signature(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      s"${ev.value} = graft.llm.HyperplaneKernels.signature($c, $ref);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def apply(v: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(new HyperplaneSig(ColumnBridge.expression(v), planes))
+}
+
 /** Codegen'd IVF cell assignment over an `array<double>` column. */
 case class IvfCell(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression with Serializable {
