@@ -10,13 +10,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Formats follow the MySQL on-disk/in-binlog spec, the same one the
   * reference implements (`/root/reference/src/binlog.rs:17-106` packed
   * DECIMAL, `:249-297` DATE/TIME/DATETIME, fractional seconds
-  * `/root/reference/src/mysql.rs:379-400`). Two deliberate deviations from
-  * the reference, which has decode bugs we must not inherit:
-  * negative TIME values are proper two's-complement over the full
-  * (packed+fraction) big-endian value (the reference reinterprets the
-  * bytes little-endian before negating, garbling every negative time), and
-  * fractional seconds keep all `fsp` digits (the reference divides odd-fsp
-  * values by 10, dropping a digit).
+  * `/root/reference/src/mysql.rs:379-400`). Fractional seconds are stored
+  * padded to an even digit count (2·ceil(fsp/2) digits in ceil(fsp/2)
+  * bytes), so odd fsp divides the stored value by 10 — the reference gets
+  * this right and it is preserved here. One deliberate deviation from the
+  * reference, which has a decode bug we must not inherit: negative TIME
+  * values are proper two's-complement over the full (packed+fraction)
+  * big-endian value (the reference reinterprets the bytes little-endian
+  * before negating, garbling every negative time).
   *
   * Static methods take/return Catalyst-internal types (`UTF8String`) so the
   * wrapping [[BinlogDecode]] expressions can call them from generated code
@@ -147,6 +148,14 @@ object BinlogCodec {
     v
   }
 
+  /** Stored fraction (2·ceil(fsp/2) digits on the wire) → fsp digits. */
+  private def storedToFsp(stored: Long, fsp: Int): Long =
+    if (fsp % 2 == 1) stored / 10 else stored
+
+  /** fsp-digit fraction → the even-digit-padded value the wire stores. */
+  private def fspToStored(frac: Long, fsp: Int): Long =
+    if (fsp % 2 == 1) frac * 10 else frac
+
   private def appendFrac(sb: java.lang.StringBuilder, frac: Long, fsp: Int): Unit =
     if (fsp > 0) {
       sb.append('.')
@@ -168,7 +177,7 @@ object BinlogCodec {
     val total = readBEAt(input, 0, 3 + fb) - (0x800000L << (8 * fb))
     val negative = total < 0
     val abs = math.abs(total)
-    val frac = if (fb > 0) abs & ((1L << (8 * fb)) - 1) else 0L
+    val frac = if (fb > 0) storedToFsp(abs & ((1L << (8 * fb)) - 1), fsp) else 0L
     val packed = abs >> (8 * fb)
     val sb = new java.lang.StringBuilder
     if (negative) sb.append('-')
@@ -180,7 +189,8 @@ object BinlogCodec {
   def encodeTime(negative: Boolean, hours: Int, minutes: Int, seconds: Int,
       frac: Long, fsp: Int): Array[Byte] = {
     val fb = fracBytes(fsp)
-    val packedAll = ((((hours.toLong << 6) | minutes) << 6) | seconds) << (8 * fb) | frac
+    val packedAll = ((((hours.toLong << 6) | minutes) << 6) | seconds) << (8 * fb) |
+      fspToStored(frac, fsp)
     val offset = 0x800000L << (8 * fb)
     val store = if (negative) offset - packedAll else offset + packedAll
     val out = new Array[Byte](3 + fb)
@@ -201,7 +211,8 @@ object BinlogCodec {
     val dVal = v >> 17
     val tVal = v & 0x1ffff
     val ym = dVal >> 5
-    val frac = if (fracBytes(fsp) > 0) readBEAt(input, 5, fracBytes(fsp)) else 0L
+    val frac = if (fracBytes(fsp) > 0)
+      storedToFsp(readBEAt(input, 5, fracBytes(fsp)), fsp) else 0L
     val sb = new java.lang.StringBuilder
     sb.append(f"${ym / 13}%04d-${ym % 13}%02d-${dVal & 0x1f}%02d ")
     sb.append(f"${(tVal >> 12) & 0x1f}%02d:${(tVal >> 6) & 0x3f}%02d:${tVal & 0x3f}%02d")
@@ -215,11 +226,12 @@ object BinlogCodec {
     val tVal = (hour.toLong << 12) | (minute << 6) | second
     val store = ((dVal << 17) | tVal) + 0x8000000000L
     val fb = fracBytes(fsp)
+    val stored = fspToStored(frac, fsp)
     val out = new Array[Byte](5 + fb)
     var i = 0
     while (i < 5) { out(i) = ((store >> (8 * (4 - i))) & 0xff).toByte; i += 1 }
     while (i < out.length) {
-      out(i) = ((frac >> (8 * (out.length - 1 - i))) & 0xff).toByte
+      out(i) = ((stored >> (8 * (out.length - 1 - i))) & 0xff).toByte
       i += 1
     }
     out
@@ -228,7 +240,8 @@ object BinlogCodec {
   /** TIMESTAMP2: 4 big-endian bytes of epoch seconds, then `fsp` digits. */
   def decodeTimestamp(input: Array[Byte], fsp: Int): UTF8String = {
     val secs = readBEAt(input, 0, 4)
-    val frac = if (fracBytes(fsp) > 0) readBEAt(input, 4, fracBytes(fsp)) else 0L
+    val frac = if (fracBytes(fsp) > 0)
+      storedToFsp(readBEAt(input, 4, fracBytes(fsp)), fsp) else 0L
     val sb = new java.lang.StringBuilder
     sb.append(secs)
     appendFrac(sb, frac, fsp)
@@ -237,11 +250,12 @@ object BinlogCodec {
 
   def encodeTimestamp(epochSeconds: Long, frac: Long, fsp: Int): Array[Byte] = {
     val fb = fracBytes(fsp)
+    val stored = fspToStored(frac, fsp)
     val out = new Array[Byte](4 + fb)
     var i = 0
     while (i < 4) { out(i) = ((epochSeconds >> (8 * (3 - i))) & 0xff).toByte; i += 1 }
     while (i < out.length) {
-      out(i) = ((frac >> (8 * (out.length - 1 - i))) & 0xff).toByte
+      out(i) = ((stored >> (8 * (out.length - 1 - i))) & 0xff).toByte
       i += 1
     }
     out

@@ -80,8 +80,12 @@ object Catalog {
     */
   def applyDdl(catalog: org.apache.spark.sql.DataFrame,
       ddl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val touched = ddl.select(col("database"),
-      regexp_extract(col("sql"), "(?i)table\\s+`?(\\w+)`?", 1).as("table"))
+    // The statement's own database qualifier (ALTER TABLE db.t ...) wins
+    // over the envelope's database when present.
+    val touched = ddl.select(
+      coalesce(nullif(regexp_extract(col("sql"), Envelope.DdlTableRe, 1), lit("")),
+        col("database")).as("database"),
+      regexp_extract(col("sql"), Envelope.DdlTableRe, 2).as("table"))
     catalog.join(broadcast(touched), Seq("database", "table"), "left_anti")
   }
 

@@ -66,8 +66,15 @@ object Envelope {
   def ddlOp(envelope: Column): Column =
     upper(regexp_extract(envelope.getField("sql"), "^\\s*(\\w+)", 1))
 
+  /** Table-name pattern shared with [[Catalog.applyDdl]]: skips IF [NOT]
+    * EXISTS and an optional backticked database qualifier; the table name
+    * is capture group 2.
+    */
+  private[cdc] val DdlTableRe: String =
+    "(?i)table\\s+(?:if\\s+(?:not\\s+)?exists\\s+)?(?:`?(\\w+)`?\\.)?`?(\\w+)`?"
+
   def ddlTable(envelope: Column): Column =
-    regexp_extract(envelope.getField("sql"), "(?i)table\\s+`?(\\w+)`?", 1)
+    regexp_extract(envelope.getField("sql"), DdlTableRe, 2)
 
   /** Changed-columns diff: entries of `oldImg` whose value differs from the
     * same key in `newImg` (null-safe). This is the reference's UPDATE `old`

@@ -15,6 +15,13 @@ object Skew {
 
   /** Equi-join `large ⋈ small` on `key`, salted `salt` ways. Result is
     * row-identical to the plain join; only the shuffle distribution changes.
+    *
+    * LIMITATION: the salt is a content hash, so byte-identical duplicate
+    * rows of a hot key all land on one salt and do not spread. That is the
+    * price of retry-safety (a positional or random salt re-rolls on stage
+    * retry and corrupts the join). If your hot keys are duplicate-heavy,
+    * pre-disambiguate rows with a DETERMINISTIC discriminator column (an
+    * upstream event id / file offset) so content hashes differ.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")

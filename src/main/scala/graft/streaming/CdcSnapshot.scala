@@ -6,6 +6,7 @@ import graft.cdc.CdcMerge
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.streaming.StreamingQuery
 import java.nio.charset.StandardCharsets
 
@@ -16,7 +17,8 @@ import java.nio.charset.StandardCharsets
   * previous merge wrote, so an incremental merge republishes them for free.
   */
 private[streaming] final case class SnapshotManifest(
-    version: Long, numBuckets: Int, buckets: Map[String, String])
+    version: Long, numBuckets: Int, buckets: Map[String, String],
+    schemaJson: String = null)
 
 /** Incremental CDC latest-image materialization: a Structured Streaming
   * sink that folds each micro-batch of change rows into a parquet snapshot
@@ -53,6 +55,14 @@ object CdcSnapshot {
   private def bucketCol(pkCols: Seq[String], n: Int) =
     pmod(xxhash64(pkCols.map(col): _*), lit(n.toLong)).cast("int")
 
+  private def loadManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): SnapshotManifest = {
+    val in = fs.open(path)
+    val bytes = try in.readAllBytes() finally in.close()
+    mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
+      classOf[SnapshotManifest])
+  }
+
   private[streaming] def latestManifest(spark: SparkSession, snapshotDir: String)
       : Option[SnapshotManifest] = {
     val root = new Path(snapshotDir)
@@ -65,18 +75,19 @@ object CdcSnapshot {
       }
     }
     if (versions.isEmpty) None
-    else {
-      val p = new Path(root, s"manifest-${versions.max}.json")
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      Some(mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
-        classOf[SnapshotManifest]))
-    }
+    else Some(loadManifest(fs, new Path(root, s"manifest-${versions.max}.json")))
   }
 
   private def readManifest(spark: SparkSession, snapshotDir: String,
       m: SnapshotManifest): DataFrame = {
-    require(m.buckets.nonEmpty, s"snapshot version ${m.version} is empty")
+    if (m.buckets.isEmpty) {
+      // a fully-deleted snapshot is a valid state: empty frame, recorded schema
+      require(m.schemaJson != null, s"version ${m.version}: empty with no schema")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
     val dirs = m.buckets.values.toSeq.sorted.map(rel => s"$snapshotDir/$rel")
     // mergeSchema: buckets written before a schema-widening change are
     // narrower than later ones; the union schema nulls the gap.
@@ -104,11 +115,7 @@ object CdcSnapshot {
     if (!fs.exists(p))
       throw new IllegalStateException(
         s"snapshot version $version not retained under $snapshotDir")
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    readManifest(spark, snapshotDir,
-      mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
-        classOf[SnapshotManifest]))
+    readManifest(spark, snapshotDir, loadManifest(fs, p))
   }
 
   /** Merge `batch` into the bucketed snapshot at `snapshotDir`. Batch rows
@@ -168,7 +175,8 @@ object CdcSnapshot {
     val newBuckets = (prevBuckets -- touched.map(_.toString)) ++
       written.map(b => b.toString -> s"$stageRel/__bucket=$b")
 
-    val manifest = SnapshotManifest(version, n, newBuckets)
+    val manifest = SnapshotManifest(version, n, newBuckets,
+      StructType(merged.schema.filterNot(_.name == "__bucket")).json)
     // Atomic publish: create-and-close of a brand-new file; readers list
     // manifests and take the max version, so no rename/delete window exists.
     val out = fs.create(new Path(root, s"manifest-$version.json"), false)
@@ -179,9 +187,13 @@ object CdcSnapshot {
     gc(spark, snapshotDir, version)
   }
 
-  /** Drop manifests older than `current - 1` and any data directory no
+  /** Drop manifests older than `current - 1` and any bucket directory no
     * longer referenced by the last two manifests (one generation is kept
     * for readers that resolved the previous manifest just before publish).
+    * Liveness is per BUCKET path, not per generation directory: a
+    * generation stays on disk only for the buckets still referenced, so
+    * superseded bucket copies can never accumulate (a top-level-only GC
+    * would leak every stale sibling of a long-lived bucket).
     */
   private def gc(spark: SparkSession, snapshotDir: String, current: Long): Unit = {
     val root = new Path(snapshotDir)
@@ -190,21 +202,22 @@ object CdcSnapshot {
     val live: Set[String] = keepManifests.flatMap { v =>
       val p = new Path(root, s"manifest-$v.json")
       if (!fs.exists(p)) Set.empty[String]
-      else {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        mapper.readValue(new String(bytes, StandardCharsets.UTF_8),
-          classOf[SnapshotManifest]).buckets.values
-          .map(_.split('/').head).toSet
-      }
+      else loadManifest(fs, p).buckets.values.toSet
     }
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
         case ManifestRe(v) if !keepManifests.contains(v.toLong) =>
           fs.delete(st.getPath, false)
-        case _ if st.isDirectory && name.startsWith("data-v") && !live.contains(name) =>
-          fs.delete(st.getPath, true)
+        case _ if st.isDirectory && name.startsWith("data-v") =>
+          val buckets = fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.startsWith("__bucket="))
+          buckets.foreach { b =>
+            if (!live.contains(s"$name/${b.getPath.getName}"))
+              fs.delete(b.getPath, true)
+          }
+          val anyLive = buckets.exists(b => live.contains(s"$name/${b.getPath.getName}"))
+          if (!anyLive) fs.delete(st.getPath, true)
         case _ => ()
       }
     }

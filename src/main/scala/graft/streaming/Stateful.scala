@@ -36,23 +36,26 @@ object Stateful {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (pk: Long, rows: Iterator[ChangeRow], state: GroupState[(Long, String)]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[ImageUpdate]
+          // State keeps (ordinal, payload); a DELETE is retained as a
+          // tombstone (null payload), NOT removed — dropping it would let a
+          // late row with a smaller ordinal resurrect the deleted pk in a
+          // later batch. Tombstone GC belongs to a retention policy (state
+          // timeout), not to correctness.
           var cur: Option[(Long, String)] = state.getOption
+          def live: Boolean = cur.exists(_._2 != null)
           rows.toSeq.sortBy(_.cid).foreach { r =>
             val stale = cur.exists(_._1 >= r.cid)
             if (!stale) {
               if (r.op == "DELETE") {
-                if (cur.isDefined) out += ImageUpdate(pk, r.cid, null, "DELETE")
-                cur = None
+                if (live) out += ImageUpdate(pk, r.cid, null, "DELETE")
+                cur = Some((r.cid, null))
               } else {
                 cur = Some((r.cid, r.payload))
                 out += ImageUpdate(pk, r.cid, r.payload, r.op)
               }
             }
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => state.remove()
-          }
+          cur.foreach(state.update)
           out.iterator
       }
   }

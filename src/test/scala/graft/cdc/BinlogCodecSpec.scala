@@ -41,6 +41,17 @@ class BinlogCodecSpec extends SparkSpec {
     assert(s(BinlogCodec.decodeTime(BinlogCodec.encodeTime(true, 0, 0, 1, 5, 1), 1)) == "-00:00:01.5")
   }
 
+  test("odd fsp stores even-digit-padded fractions on the wire (.042 -> 420)") {
+    // MySQL stores 2*ceil(fsp/2) fraction digits; fsp=3 value .042 is the
+    // 4-digit 0420 in two big-endian bytes, and decode divides by 10.
+    val b = BinlogCodec.encodeDatetime(2023, 1, 2, 3, 4, 5, 42, 3)
+    assert((((b(5) & 0xff) << 8) | (b(6) & 0xff)) == 420)
+    assert(s(BinlogCodec.decodeDatetime(b, 3)) == "2023-01-02 03:04:05.042")
+    val t = BinlogCodec.encodeTime(false, 0, 0, 1, 5, 1)
+    assert((t(3) & 0xff) == 50, "fsp=1 fraction 5 stores as 50")
+    assert(s(BinlogCodec.decodeTime(t, 1)) == "00:00:01.5")
+  }
+
   test("datetime + timestamp goldens") {
     assert(s(BinlogCodec.decodeDatetime(
       BinlogCodec.encodeDatetime(2024, 12, 31, 23, 59, 58, 0, 0), 0)) == "2024-12-31 23:59:58")

@@ -117,14 +117,14 @@ class EnvelopeSpec extends SparkSpec {
     ).toDF("database", "table", "pk_type")
     val ddl = Seq(
       ("testdb", "ALTER TABLE users ADD COLUMN email varchar(64)"),
-      ("testdb", "DROP TABLE audit")
+      ("testdb", "DROP TABLE IF EXISTS audit"),          // IF EXISTS skipped
+      ("ignoredb", "ALTER TABLE `otherdb`.`users` DROP COLUMN x") // qualifier wins
     ).toDF("database", "sql")
     val left = Catalog.applyDdl(catalog, ddl)
       .select("database", "table").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    // testdb.users and testdb.audit invalidated; otherdb.users (same table
-    // name, different database) and testdb.orders survive
-    assert(left == Set(("testdb", "orders"), ("otherdb", "users")))
+    // testdb.users, testdb.audit, otherdb.users invalidated; orders survives
+    assert(left == Set(("testdb", "orders")))
   }
 
   test("golden multi-row INSERT: data carries all row images in order") {

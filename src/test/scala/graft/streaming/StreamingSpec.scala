@@ -243,6 +243,9 @@ class StreamingSpec extends SparkSpec {
         ChangeRow(2, 13, "DELETE", ""),
         ChangeRow(3, 14, "DELETE", ""))          // DELETE of unknown pk → no emit
       q.processAllAvailable()
+      // late row BELOW the tombstone ordinal must NOT resurrect pk 2
+      in.addData(ChangeRow(2, 12, "UPDATE", "b=LATE"))
+      q.processAllAvailable()
       val rows = spark.table("state_t")
         .select("pk", "cid", "payload", "change").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
@@ -389,5 +392,25 @@ class StreamingSpec extends SparkSpec {
     assert(!m3.buckets.contains(bucketOf7), "emptied bucket must leave the manifest")
     val after = CdcSnapshot.read(spark, snapDir).select("pk").as[Long].collect().toSet
     assert(after == (1L to 40L).toSet -- sameBucketPks)
+
+    // Delete everything else: a fully-empty snapshot is a VALID state that
+    // reads as an empty frame with the recorded schema, not an error.
+    val remaining = (1L to 40L).filterNot(sameBucketPks.contains)
+    val dels2 = remaining.zipWithIndex
+      .map { case (pk, i) => Chg(3000L + i, pk, "DELETE", 0.0) }.toDF()
+    CdcSnapshot.mergeBatch(dels2, Seq("pk"), "cid", snapDir)
+    val empty = CdcSnapshot.read(spark, snapDir)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("cid", "pk", "type", "price"))
+
+    // GC is per-bucket: the only bucket dirs on disk are those the two
+    // retained manifests (previous = m3, current = empty) reference.
+    val onDisk = fs.listStatus(new Path(snapDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-v"))
+      .flatMap(d => fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith("__bucket="))
+        .map(b => s"${d.getPath.getName}/${b.getPath.getName}")).toSet
+    assert(onDisk == m3.buckets.values.toSet,
+      s"stale bucket dirs leaked: ${onDisk -- m3.buckets.values.toSet}")
   }
 }
