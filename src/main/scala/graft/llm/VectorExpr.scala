@@ -16,12 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the HOF formulation `dot/(sqrt(aa)*sqrt(bb))` they replace.
   */
 object VectorKernels {
-  /** Cosine similarity of two double arrays (one fused pass). Bounded by
-    * the shorter input — SQL callers of `cosine_sim` can pass mismatched
-    * lengths, and an unguarded loop would read past the shorter array.
+  /** Cosine similarity of two equal-length double arrays (one fused pass).
+    * Mismatched lengths FAIL LOUDLY: silently scoring a common prefix
+    * would hide mixed-dimension embedding bugs behind plausible values
+    * (and an unguarded loop would read past the shorter array).
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: embedding dimensions differ ($n vs ${b.numElements()})")
     var dot = 0.0
     var aa = 0.0
     var bb = 0.0

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import graft.cdc.CdcMerge
 import org.apache.hadoop.fs.Path
@@ -48,8 +48,16 @@ private[streaming] final case class SnapshotManifest(
   */
 object CdcSnapshot {
 
-  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  // Ignore unknown manifest fields so future additions stay rolling-upgrade
+  // safe (an old reader must not choke on a newer writer's manifest).
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
   private val ManifestRe = """manifest-(\d+)\.json""".r
+
+  private def schemaOf(m: SnapshotManifest): Option[StructType] =
+    Option(m.schemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
 
   /** Bucket of a pk: deterministic content hash, stable across batches. */
   private def bucketCol(pkCols: Seq[String], n: Int) =
@@ -84,9 +92,7 @@ object CdcSnapshot {
       // a fully-deleted snapshot is a valid state: empty frame, recorded schema
       require(m.schemaJson != null, s"version ${m.version}: empty with no schema")
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(m).get)
     }
     val dirs = m.buckets.values.toSeq.sorted.map(rel => s"$snapshotDir/$rel")
     // mergeSchema: buckets written before a schema-widening change are
@@ -147,9 +153,15 @@ object CdcSnapshot {
     val prevBuckets: Map[String, String] = prev.map(_.buckets).getOrElse(Map.empty)
     val touchedPrevDirs = touched.flatMap(b => prevBuckets.get(b.toString))
       .map(rel => s"$snapshotDir/$rel")
+    // When no previous bucket files exist for the touched set, seed with
+    // the manifest's RECORDED schema (not the batch's): a batch narrower
+    // than the snapshot must not narrow the snapshot (e.g. the first merge
+    // after a full deletion).
+    val recorded: Option[StructType] = prev.flatMap(schemaOf)
     val prevRows = if (touchedPrevDirs.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        recorded.getOrElse(batch.schema))
     else spark.read.option("mergeSchema", "true")
       .parquet(touchedPrevDirs.toIndexedSeq: _*)
 
@@ -175,8 +187,17 @@ object CdcSnapshot {
     val newBuckets = (prevBuckets -- touched.map(_.toString)) ++
       written.map(b => b.toString -> s"$stageRel/__bucket=$b")
 
-    val manifest = SnapshotManifest(version, n, newBuckets,
-      StructType(merged.schema.filterNot(_.name == "__bucket")).json)
+    // The recorded schema only ever widens: union of everything recorded
+    // before with this merge's columns, so a merge over a subset of
+    // buckets (or a narrow batch) can never drop a column other buckets
+    // still carry.
+    val mergedSchema = StructType(merged.schema.filterNot(_.name == "__bucket"))
+    val fullSchema = recorded match {
+      case Some(r) => StructType(
+        r.fields ++ mergedSchema.fields.filterNot(f => r.fieldNames.contains(f.name)))
+      case None => mergedSchema
+    }
+    val manifest = SnapshotManifest(version, n, newBuckets, fullSchema.json)
     // Atomic publish: create-and-close of a brand-new file; readers list
     // manifests and take the max version, so no rename/delete window exists.
     val out = fs.create(new Path(root, s"manifest-$version.json"), false)

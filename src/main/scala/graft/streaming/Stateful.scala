@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.concurrent.duration.Duration
 
 /** A change-stream row keyed by pk with a monotone ordinal (the reference's
   * `id`/`pos` sequence) and a stringly payload.
@@ -21,42 +22,60 @@ final case class ImageUpdate(pk: Long, cid: Long, payload: String, change: Strin
   * are dropped — the merge semantics of [[graft.cdc.CdcMerge]], stated
   * incrementally).
   *
-  * Scale: state is O(live pks) in the state store (RocksDB-backed on a
-  * cluster), per-batch work is O(batch), and the only shuffle is the
-  * groupByKey hash on pk — the same single-exchange profile as the batch
-  * merge, but with per-event emission latency instead of per-batch.
+  * Scale: state is O(live pks + tombstones inside the retention window)
+  * in the state store (RocksDB-backed on a cluster), per-batch work is
+  * O(batch), and the only shuffle is the groupByKey hash on pk — the same
+  * single-exchange profile as the batch merge, but with per-event
+  * emission latency instead of per-batch.
   */
 object Stateful {
 
-  def latestImage(changes: Dataset[ChangeRow]): Dataset[ImageUpdate] = {
+  /** @param tombstoneTtl how long a DELETE tombstone is retained to fence
+    *   late smaller-ordinal rows; after it expires the pk's state entry is
+    *   dropped (a row later than the TTL could then resurrect — pick the
+    *   TTL ≥ the pipeline's max disorder). `Duration.Zero`/negative keeps
+    *   tombstones forever (correct, but state grows with all pks ever
+    *   deleted).
+    */
+  def latestImage(changes: Dataset[ChangeRow],
+      tombstoneTtl: Duration = Duration.Zero): Dataset[ImageUpdate] = {
     import changes.sparkSession.implicits._
+    val ttlMs = if (tombstoneTtl.isFinite && tombstoneTtl.toMillis > 0)
+      tombstoneTtl.toMillis else 0L
+    val conf = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes
       .groupByKey(_.pk)
-      .flatMapGroupsWithState[(Long, String), ImageUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, String), ImageUpdate](OutputMode.Update, conf) {
         (pk: Long, rows: Iterator[ChangeRow], state: GroupState[(Long, String)]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[ImageUpdate]
-          // State keeps (ordinal, payload); a DELETE is retained as a
-          // tombstone (null payload), NOT removed — dropping it would let a
-          // late row with a smaller ordinal resurrect the deleted pk in a
-          // later batch. Tombstone GC belongs to a retention policy (state
-          // timeout), not to correctness.
-          var cur: Option[(Long, String)] = state.getOption
-          def live: Boolean = cur.exists(_._2 != null)
-          rows.toSeq.sortBy(_.cid).foreach { r =>
-            val stale = cur.exists(_._1 >= r.cid)
-            if (!stale) {
-              if (r.op == "DELETE") {
-                if (live) out += ImageUpdate(pk, r.cid, null, "DELETE")
-                cur = Some((r.cid, null))
-              } else {
-                cur = Some((r.cid, r.payload))
-                out += ImageUpdate(pk, r.cid, r.payload, r.op)
+          if (state.hasTimedOut) {
+            // only tombstones arm a timeout — expiry drops the fence entry
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[ImageUpdate]
+            // State keeps (ordinal, payload); a DELETE is retained as a
+            // tombstone (null payload), NOT removed — dropping it would let
+            // a late row with a smaller ordinal resurrect the deleted pk in
+            // a later batch.
+            var cur: Option[(Long, String)] = state.getOption
+            def live: Boolean = cur.exists(_._2 != null)
+            rows.toSeq.sortBy(_.cid).foreach { r =>
+              val stale = cur.exists(_._1 >= r.cid)
+              if (!stale) {
+                if (r.op == "DELETE") {
+                  if (live) out += ImageUpdate(pk, r.cid, null, "DELETE")
+                  cur = Some((r.cid, null))
+                } else {
+                  cur = Some((r.cid, r.payload))
+                  out += ImageUpdate(pk, r.cid, r.payload, r.op)
+                }
               }
             }
+            cur.foreach(state.update)
+            if (ttlMs > 0 && !live && cur.isDefined) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

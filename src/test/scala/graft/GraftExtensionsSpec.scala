@@ -27,6 +27,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) != 0L)
   }
 
+  test("cosine_sim fails loudly on mismatched embedding dimensions") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("dimensions differ") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimensions differ")))
+  }
+
   test("non-literal precision argument is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

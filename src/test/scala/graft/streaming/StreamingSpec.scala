@@ -308,6 +308,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1),
         if (r.isNullAt(2)) null else r.getString(2))).toSeq
     assert(snap == Seq((10L, 1.0, null), (20L, 22.0, "eur"), (30L, 3.0, "usd")))
+
+    // Schema must survive full deletion + a NARROW follow-up batch: the
+    // recorded schema only widens, never snaps back to a batch's width.
+    val delAll = Seq((5L, 10L, "DELETE", 0.0, null.asInstanceOf[String]),
+        (6L, 20L, "DELETE", 0.0, null.asInstanceOf[String]),
+        (7L, 30L, "DELETE", 0.0, null.asInstanceOf[String]))
+      .toDF("cid", "pk", "type", "price", "currency")
+    CdcSnapshot.mergeBatch(delAll, Seq("pk"), "cid", snapDir)
+    assert(CdcSnapshot.read(spark, snapDir).columns.contains("currency"))
+    val narrow = Seq((8L, 40L, "INSERT", 4.0)).toDF("cid", "pk", "type", "price")
+    CdcSnapshot.mergeBatch(narrow, Seq("pk"), "cid", snapDir)
+    val after = CdcSnapshot.read(spark, snapDir)
+    assert(after.columns.contains("currency"),
+      "narrow post-deletion batch must not drop the recorded column")
+    assert(after.select("pk", "price").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((40L, 4.0)))
   }
 
   test("incremental snapshot merge rewrites only the buckets a batch touches") {
