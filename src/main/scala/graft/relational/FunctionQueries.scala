@@ -300,6 +300,27 @@ object FunctionQueries {
              |  TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN '123' ELSE 'abc' END AS INTEGER) AS tc,
              |  100.0 / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS td,
              |  ([1, 2])[CAST(o_orderkey % 5 AS INTEGER) + 1] AS te
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Bitwise operators + popcount over the key (integer-exact everywhere).
+    Q("q74_bitwise_fn", { (s, dir) =>
+        val k = col("o_orderkey")
+        Tables(s, dir, "orders").select(k,
+            k.bitwiseAND(lit(255L)).as("b_and"),
+            k.bitwiseOR(lit(4096L)).as("b_or"),
+            k.bitwiseXOR(lit(1515L)).as("b_xor"),
+            shiftleft(k, 3).as("b_shl"),
+            shiftright(k, 2).as("b_shr"),
+            bit_count(k).as("b_pop"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  o_orderkey & 255 AS b_and,
+             |  o_orderkey | 4096 AS b_or,
+             |  xor(o_orderkey, 1515) AS b_xor,
+             |  o_orderkey << 3 AS b_shl,
+             |  o_orderkey >> 2 AS b_shr,
+             |  CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
              |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }
