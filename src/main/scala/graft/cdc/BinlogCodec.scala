@@ -44,8 +44,18 @@ object BinlogCodec {
     * ("-0.0500", "0", "123.40") — integral part without leading zeros,
     * fractional part exactly `scale` digits.
     */
+  /** Fail loudly on truncated wire bytes (matches VectorKernels.cosine's
+    * policy) — zero-padding a short buffer would decode to a plausible
+    * wrong value instead of surfacing the corruption.
+    */
+  private def checkLen(input: Array[Byte], need: Int, what: String): Unit =
+    if (input.length < need)
+      throw new IllegalArgumentException(
+        s"truncated $what: need $need bytes, got ${input.length}")
+
   def decodeDecimal(input: Array[Byte], precision: Int, scale: Int): UTF8String = {
     val n = decimalBinarySize(precision, scale)
+    checkLen(input, n, s"DECIMAL($precision,$scale)")
     val bs = java.util.Arrays.copyOf(input, n)
     val negative = (bs(0) & 0x80) == 0
     bs(0) = (bs(0) ^ 0x80).toByte
@@ -129,6 +139,7 @@ object BinlogCodec {
     * The all-zero value is MySQL's "zero date" → SQL NULL.
     */
   def decodeDate(input: Array[Byte]): UTF8String = {
+    checkLen(input, 3, "DATE")
     val v = (input(0) & 0xff) | ((input(1) & 0xff) << 8) | ((input(2) & 0xff) << 16)
     if (v == 0) null
     else UTF8String.fromString(
@@ -174,6 +185,7 @@ object BinlogCodec {
     */
   def decodeTime(input: Array[Byte], fsp: Int): UTF8String = {
     val fb = fracBytes(fsp)
+    checkLen(input, 3 + fb, s"TIME2(fsp=$fsp)")
     val total = readBEAt(input, 0, 3 + fb) - (0x800000L << (8 * fb))
     val negative = total < 0
     val abs = math.abs(total)
@@ -207,6 +219,7 @@ object BinlogCodec {
     * (hour<<12 | minute<<6 | second); `fsp` digits follow.
     */
   def decodeDatetime(input: Array[Byte], fsp: Int): UTF8String = {
+    checkLen(input, 5 + fracBytes(fsp), s"DATETIME2(fsp=$fsp)")
     val v = readBEAt(input, 0, 5) - 0x8000000000L
     val dVal = v >> 17
     val tVal = v & 0x1ffff
@@ -239,6 +252,7 @@ object BinlogCodec {
 
   /** TIMESTAMP2: 4 big-endian bytes of epoch seconds, then `fsp` digits. */
   def decodeTimestamp(input: Array[Byte], fsp: Int): UTF8String = {
+    checkLen(input, 4 + fracBytes(fsp), s"TIMESTAMP2(fsp=$fsp)")
     val secs = readBEAt(input, 0, 4)
     val frac = if (fracBytes(fsp) > 0)
       storedToFsp(readBEAt(input, 4, fracBytes(fsp)), fsp) else 0L

@@ -80,13 +80,40 @@ object Catalog {
     */
   def applyDdl(catalog: org.apache.spark.sql.DataFrame,
       ddl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Every `TABLE <name>` occurrence is a touched table (RENAME TABLE a TO
+    // b, c TO d lists several); for RENAME forms the `TO <name>` targets are
+    // touched too (a stale row for the new name must not survive), and bare
+    // `TRUNCATE t` (no TABLE keyword) gets its own pattern. Statements that
+    // parse as DDL but yield no table name at all invalidate the whole
+    // envelope database — conservative over-invalidation only costs a
+    // metadata re-read, a silently stale row costs correctness.
+    val tableDbs = regexp_extract_all(col("sql"), lit(Envelope.DdlTableRe), lit(1))
+    val tableNames = regexp_extract_all(col("sql"), lit(Envelope.DdlTableRe), lit(2))
+    val toRe = "(?i)\\bto\\s+(?:`?(\\w+)`?\\.)?`?(\\w+)`?"
+    val toDbs = regexp_extract_all(col("sql"), lit(toRe), lit(1))
+    val toNames = regexp_extract_all(col("sql"), lit(toRe), lit(2))
+    val truncRe = "(?i)^\\s*truncate\\s+(?:`?(\\w+)`?\\.)?`?(\\w+)`?\\s*$"
+    def pairs(dbs: Column, names: Column): Column =
+      zip_with(dbs, names, (d, n) => struct(d.as("db"), n.as("tbl")))
+    val renamePairs = when(col("sql").rlike("(?i)\\brename\\b"),
+      pairs(toDbs, toNames)).otherwise(slice(pairs(toDbs, toNames), 1, 0))
+    val truncPair = array(struct(
+      regexp_extract(col("sql"), truncRe, 1).as("db"),
+      regexp_extract(col("sql"), truncRe, 2).as("tbl")))
+    val allPairs = filter(
+      concat(pairs(tableDbs, tableNames), renamePairs, truncPair),
+      p => p.getField("tbl") =!= "")
+    val parsed = ddl.select(col("database").as("env_db"), allPairs.as("pairs"))
     // The statement's own database qualifier (ALTER TABLE db.t ...) wins
     // over the envelope's database when present.
-    val touched = ddl.select(
-      coalesce(nullif(regexp_extract(col("sql"), Envelope.DdlTableRe, 1), lit("")),
-        col("database")).as("database"),
-      regexp_extract(col("sql"), Envelope.DdlTableRe, 2).as("table"))
+    val touched = parsed.filter(size(col("pairs")) > 0)
+      .select(col("env_db"), explode(col("pairs")).as("p"))
+      .select(coalesce(nullif(col("p.db"), lit("")), col("env_db")).as("database"),
+        col("p.tbl").as("table"))
+    val wildDbs = parsed.filter(size(col("pairs")) === 0)
+      .select(col("env_db").as("database"))
     catalog.join(broadcast(touched), Seq("database", "table"), "left_anti")
+      .join(broadcast(wildDbs), Seq("database"), "left_anti")
   }
 
   private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\)""".r

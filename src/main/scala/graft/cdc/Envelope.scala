@@ -80,7 +80,12 @@ object Envelope {
     * same key in `newImg` (null-safe). This is the reference's UPDATE `old`
     * semantics (`/root/reference/src/executor.rs:266-311`) as a codegen'd
     * higher-order `map_filter` — no shuffle, no UDF.
+    *
+    * `try_element_at` (not `element_at`): under ANSI mode a missing map key
+    * throws, and a DDL-era UPDATE can carry an old-image column that was just
+    * dropped from the new image. `try_element_at` yields null there, and the
+    * null-safe `<=>` then reports the dropped column as changed.
     */
   def changedColumns(oldImg: Column, newImg: Column): Column =
-    map_filter(oldImg, (k, v) => !(element_at(newImg, k) <=> v))
+    map_filter(oldImg, (k, v) => !(try_element_at(newImg, k) <=> v))
 }

@@ -48,11 +48,16 @@ object VectorKernels {
   */
 object IvfKernels {
   private def dots(v: ArrayData, centroids: Array[Array[Double]]): Array[Double] = {
+    // Same fail-loudly policy as VectorKernels.cosine: a truncated dot over
+    // a dimension-mismatched embedding yields a plausible wrong cell.
+    if (centroids.length > 0 && v.numElements() != centroids(0).length)
+      throw new IllegalArgumentException(
+        s"IVF: embedding dimension ${v.numElements()} != centroid dimension ${centroids(0).length}")
     val out = new Array[Double](centroids.length)
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
-      val n = math.min(cen.length, v.numElements())
+      val n = cen.length
       var s = 0.0
       var i = 0
       while (i < n) { s += cen(i) * v.getDouble(i); i += 1 }
@@ -95,11 +100,15 @@ object IvfKernels {
   */
 object HyperplaneKernels {
   def signature(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    // Fail loudly on dimension mismatch (see VectorKernels.cosine).
+    if (planes.length > 0 && v.numElements() != planes(0).length)
+      throw new IllegalArgumentException(
+        s"hyperplane LSH: embedding dimension ${v.numElements()} != plane dimension ${planes(0).length}")
     var sig = 0
     var j = 0
     while (j < planes.length) {
       val p = planes(j)
-      val n = math.min(p.length, v.numElements())
+      val n = p.length
       var s = 0.0
       var i = 0
       while (i < n) { s += p(i) * v.getDouble(i); i += 1 }

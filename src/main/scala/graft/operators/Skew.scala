@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, VariantType}
 
 /** Skew mitigation for hot join keys (SURVEY.md §2B scale notes).
   *
@@ -31,10 +32,21 @@ object Skew {
     // (row ids, rand) re-rolls on stage retry / recompute-after-fetch-failure,
     // so recomputed rows could land on different salts than copies already
     // consumed — dropping or duplicating join rows exactly at the scale this
-    // operator exists for. xxhash64 over every column is deterministic and
-    // spreads a hot key's rows uniformly (distinct non-key columns vary).
+    // operator exists for. xxhash64 over the hashable columns is deterministic
+    // and spreads a hot key's rows uniformly (distinct non-key columns vary).
+    // Maps (and variants) are not hashable in Spark — skip them rather than
+    // fail analysis; the remaining columns still discriminate rows.
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: MapType | _: VariantType => false
+      case org.apache.spark.sql.types.ArrayType(e, _) => hashable(e)
+      case org.apache.spark.sql.types.StructType(fs) => fs.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltCols = large.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedJoin needs at least one hashable (non-map) column on the large side")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(saltCols: _*), lit(salt.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

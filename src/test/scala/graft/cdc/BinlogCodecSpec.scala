@@ -75,6 +75,20 @@ class BinlogCodecSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(out.isNullAt(i), s"col $i"))
   }
 
+  test("truncated wire bytes fail loudly instead of zero-padding") {
+    val cases = Seq[(String, () => Any)](
+      ("decimal", () => BinlogCodec.decodeDecimal(Array[Byte](0x80.toByte), 14, 4)),
+      ("date", () => BinlogCodec.decodeDate(Array[Byte](1, 2))),
+      ("time", () => BinlogCodec.decodeTime(Array[Byte](0x80.toByte, 0), 0)),
+      ("time-fsp", () => BinlogCodec.decodeTime(Array[Byte](0x80.toByte, 0, 0), 2)),
+      ("datetime", () => BinlogCodec.decodeDatetime(Array[Byte](0x80.toByte, 0, 0, 0), 0)),
+      ("timestamp", () => BinlogCodec.decodeTimestamp(Array[Byte](0, 0, 0), 0)))
+    cases.foreach { case (name, f) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("truncated"), name)
+    }
+  }
+
   test("expressions decode inside a DataFrame plan (codegen path)") {
     import spark.implicits._
     val df = Seq(

@@ -183,6 +183,39 @@ class EnvelopeSpec extends SparkSpec {
     assert(out(2) == Map("n" -> null))           // null → value counts as change
   }
 
+  test("changedColumns: asymmetric images (dropped-column UPDATE) are ANSI-safe") {
+    import spark.implicits._
+    // A post-DDL UPDATE: the old image still carries `gone`, the new image
+    // no longer has the key at all. Under ANSI mode a plain element_at
+    // would throw here; try_element_at reports the dropped column as changed.
+    val df = Seq(
+      (Map("id" -> "1", "gone" -> "x"), Map("id" -> "1")),
+      (Map("id" -> "2"), Map("id" -> "2", "added" -> "y"))
+    ).toDF("o", "n")
+    val out = df.select(Envelope.changedColumns(col("o"), col("n")).as("d"))
+      .collect().map(_.getAs[collection.Map[String, String]]("d")).toSeq
+    assert(out(0) == Map("gone" -> "x")) // dropped column surfaces with old value
+    assert(out(1) == Map.empty)          // keys only in the NEW image are not "changed"
+  }
+
+  test("applyDdl: RENAME targets, bare TRUNCATE, and unparseable DDL") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("testdb", "a"), ("testdb", "b"), ("testdb", "c"), ("testdb", "d"),
+      ("testdb", "keep"), ("logdb", "x"), ("logdb", "y")
+    ).toDF("database", "table")
+    val ddl = Seq(
+      ("testdb", "RENAME TABLE a TO b"),        // both old and new invalidated
+      ("testdb", "TRUNCATE c"),                 // no TABLE keyword
+      ("testdb", "TRUNCATE TABLE d"),           // with TABLE keyword
+      ("logdb", "FLUSH PRIVILEGES")             // unparseable → whole logdb
+    ).toDF("database", "sql")
+    val left = Catalog.applyDdl(catalog, ddl)
+      .select("database", "table").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(left == Set(("testdb", "keep")))
+  }
+
   test("UPDATE old reconstruction: diff(data_old, data_new) matches golden") {
     import spark.implicits._
     val oldRow = Map("id" -> "1", "name" -> "alice", "bal" -> "10.50",

@@ -22,6 +22,18 @@ class SkewSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("map-typed columns on the large side are skipped, not fatal") {
+    // xxhash64 rejects MapType; the salt must hash only hashable columns.
+    val customer = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nkey"),
+        map(lit("k"), col("c_name")).as("attrs"))
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("nkey"), col("n_name"))
+    val plain = customer.join(nation, "nkey").count()
+    val salted = Skew.saltedJoin(customer, nation, "nkey", salt = 5).count()
+    assert(salted == plain)
+  }
+
   test("salt column does not leak into the result") {
     val customer = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("nkey"))
