@@ -95,4 +95,10 @@ object BinlogDecode {
     wrap(MySqlPackedDatetime(expr(bytes), fsp))
   def packedTimestamp(bytes: Column, fsp: Int = 0): Column =
     wrap(MySqlPackedTimestamp(expr(bytes), fsp))
+
+  /** Whole-row assembly from a raw WRITE/UPDATE/DELETE_ROWS event body —
+    * see [[BinlogRowCodec.decodeRows]].
+    */
+  def rows(body: Column, eventType: Column, cols: Array[BinlogColumn]): Column =
+    BinlogRowsDecode(body, eventType, cols)
 }

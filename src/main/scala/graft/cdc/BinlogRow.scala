@@ -1,0 +1,404 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-column decode spec for raw ROW-event bytes — the engine-side stand-in
+  * for the reference's TABLE_MAP-derived `ColMeta`
+  * (`/root/reference/src/binlog.rs:336-388,404-470`): the caller supplies it
+  * from its table catalog / config instead of pairing TABLE_MAP events
+  * (transport exclusion, SURVEY.md §2C).
+  *
+  * Field use by type: `maxLength` (CHAR/VARCHAR length-prefix width),
+  * `fsp` (TIME2/DATETIME2/TIMESTAMP2 fraction digits), `lengthSize`
+  * (TEXT/BLOB length-prefix bytes), `precision`/`scale` (DECIMAL),
+  * `unsigned` (integer types; the binlog itself carries no signedness).
+  */
+case class BinlogColumn(
+    name: String,
+    tpe: Int,
+    maxLength: Int = 0,
+    fsp: Int = 0,
+    lengthSize: Int = 1,
+    precision: Int = 0,
+    scale: Int = 0,
+    unsigned: Boolean = false) extends Serializable
+
+/** Raw MySQL binlog ROW-event decode: assembles whole typed rows from
+  * WRITE/UPDATE/DELETE_ROWS event bodies — columns-present bitmap, per-image
+  * null bitmap, value loop over the scalar codecs, row loop to the 4-byte
+  * checksum tail (reference row loops `/root/reference/src/binlog.rs:630-644,
+  * 703-722,728-740`, image decode `:831-862`).
+  *
+  * Two deliberate deviations from the reference, which has decode bugs we
+  * must not inherit:
+  *   - the 2-byte extra-data length (v2 events) INCLUDES itself, so
+  *     `extra_len - 2` further bytes are skipped (the reference skips
+  *     `extra_len`, over-consuming by 2 whenever extra data is present,
+  *     `binlog.rs:650-655`);
+  *   - the per-image null bitmap is indexed by PRESENT-column ordinal and
+  *     sized from the present count, per the row-image format (the reference
+  *     sizes and indexes it by absolute column index, `binlog.rs:837-846`,
+  *     which only works when every column is present — minimal row images
+  *     would garble it).
+  *
+  * All methods are static and Catalyst-internal-typed so [[BinlogRowsDecode]]
+  * can call them from generated code — the decode is a per-row kernel inside
+  * whole-stage codegen, embarrassingly parallel at any scale.
+  */
+object BinlogRowCodec {
+
+  // MySQL column type codes (reference binlog.rs:160-204).
+  final val TINYINT = 1
+  final val SMALLINT = 2
+  final val INT = 3
+  final val FLOAT = 4
+  final val DOUBLE = 5
+  final val BIGINT = 8
+  final val MEDIUMINT = 9
+  final val DATE = 10
+  final val YEAR = 13
+  final val VARCHAR = 15
+  final val TIMESTAMP2 = 17
+  final val DATETIME2 = 18
+  final val TIME2 = 19
+  final val TEXT = 252
+  final val DECIMAL = 246
+  final val CHAR = 254
+
+  // Row event type codes: v1 carries no extra-data area, v2 does.
+  final val WriteV1 = 23
+  final val UpdateV1 = 24
+  final val DeleteV1 = 25
+  final val WriteV2 = 30
+  final val UpdateV2 = 31
+  final val DeleteV2 = 32
+
+  /** Decoded-rows output shape: envelope-aligned (`data` = after images,
+    * `old` = before images; WRITE fills only `data`, DELETE only `old`,
+    * UPDATE both pairwise).
+    */
+  val outputType: StructType = StructType(Seq(
+    StructField("data", ArrayType(MapType(StringType, StringType)), nullable = false),
+    StructField("old", ArrayType(MapType(StringType, StringType)), nullable = false)))
+
+  private final class Reader(bs: Array[Byte]) {
+    var pos = 0
+    def remaining: Int = bs.length - pos
+    private def need(n: Int): Unit =
+      if (remaining < n)
+        throw new IllegalArgumentException(
+          s"truncated row event: need $n bytes at offset $pos, have $remaining")
+    def skip(n: Int): Unit = { need(n); pos += n }
+    def u1(): Int = { need(1); pos += 1; bs(pos - 1) & 0xff }
+    def uLE(n: Int): Long = {
+      need(n)
+      var v = 0L
+      var i = n - 1
+      while (i >= 0) { v = (v << 8) | (bs(pos + i) & 0xffL); i -= 1 }
+      pos += n
+      v
+    }
+    /** MySQL length-encoded integer (the reference's VLenInt). */
+    def lenenc(): Long = u1() match {
+      case v if v < 0xfb => v.toLong
+      case 0xfc => uLE(2)
+      case 0xfd => uLE(3)
+      case 0xfe => uLE(8)
+      case v => throw new IllegalArgumentException(s"invalid length-encoded int prefix $v")
+    }
+    def slice(n: Int): Array[Byte] = {
+      need(n)
+      val out = java.util.Arrays.copyOfRange(bs, pos, pos + n)
+      pos += n
+      out
+    }
+  }
+
+  private def bit(arr: Array[Byte], i: Int): Boolean =
+    ((arr(i / 8) >> (i % 8)) & 1) != 0
+
+  private def signExtend(v: Long, bytes: Int, unsigned: Boolean): Long =
+    if (unsigned || bytes == 8) v
+    else {
+      val shift = 64 - 8 * bytes
+      (v << shift) >> shift
+    }
+
+  private def decodeValue(r: Reader, c: BinlogColumn): UTF8String = c.tpe match {
+    case TINYINT => UTF8String.fromString(signExtend(r.uLE(1), 1, c.unsigned).toString)
+    case SMALLINT => UTF8String.fromString(signExtend(r.uLE(2), 2, c.unsigned).toString)
+    case MEDIUMINT => UTF8String.fromString(signExtend(r.uLE(3), 3, c.unsigned).toString)
+    case INT => UTF8String.fromString(signExtend(r.uLE(4), 4, c.unsigned).toString)
+    case BIGINT => UTF8String.fromString(signExtend(r.uLE(8), 8, c.unsigned).toString)
+    case FLOAT =>
+      UTF8String.fromString(java.lang.Float.intBitsToFloat(r.uLE(4).toInt).toString)
+    case DOUBLE =>
+      UTF8String.fromString(java.lang.Double.longBitsToDouble(r.uLE(8)).toString)
+    case YEAR => UTF8String.fromString((1900 + r.u1()).toString)
+    case DATE => BinlogCodec.decodeDate(r.slice(3)) // zero date → null
+    case TIME2 => BinlogCodec.decodeTime(r.slice(3 + (c.fsp + 1) / 2), c.fsp)
+    case DATETIME2 => BinlogCodec.decodeDatetime(r.slice(5 + (c.fsp + 1) / 2), c.fsp)
+    case TIMESTAMP2 => BinlogCodec.decodeTimestamp(r.slice(4 + (c.fsp + 1) / 2), c.fsp)
+    case DECIMAL =>
+      BinlogCodec.decodeDecimal(
+        r.slice(BinlogCodec.decimalBinarySize(c.precision, c.scale)), c.precision, c.scale)
+    case VARCHAR | CHAR =>
+      val len = if (c.maxLength > 255) r.uLE(2).toInt else r.u1()
+      UTF8String.fromBytes(r.slice(len))
+    case TEXT =>
+      val len = r.uLE(c.lengthSize).toInt
+      UTF8String.fromBytes(r.slice(len))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported column type code $other (${c.name})")
+  }
+
+  /** One row image: null bitmap over the present columns, then values. */
+  private def decodeImage(r: Reader, cols: Array[BinlogColumn],
+      present: Array[Boolean]): MapData = {
+    var nPresent = 0
+    var i = 0
+    while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
+    val nullMap = r.slice((nPresent + 7) / 8)
+    val keys = new Array[Any](nPresent)
+    val values = new Array[Any](nPresent)
+    var j = 0
+    i = 0
+    while (i < cols.length) {
+      if (present(i)) {
+        keys(j) = UTF8String.fromString(cols(i).name)
+        values(j) = if (bit(nullMap, j)) null else decodeValue(r, cols(i))
+        j += 1
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
+  }
+
+  /** Decode a full row-event body (starting at the post-header payload:
+    * table_id ++ flags ++ …). Rows loop until only the 4-byte checksum
+    * tail remains (reference loop condition, `binlog.rs:636-639`).
+    */
+  def decodeRows(body: Array[Byte], eventType: Int, cols: Array[BinlogColumn]): InternalRow = {
+    val isUpdate = eventType == UpdateV1 || eventType == UpdateV2
+    val isWrite = eventType == WriteV1 || eventType == WriteV2
+    val isDelete = eventType == DeleteV1 || eventType == DeleteV2
+    if (!isUpdate && !isWrite && !isDelete)
+      throw new IllegalArgumentException(s"not a row event type: $eventType")
+    val r = new Reader(body)
+    r.skip(6 + 2) // table_id ++ flags (RowEventHeader, binlog.rs:580-585)
+    if (eventType >= WriteV2) {
+      val extraLen = r.uLE(2).toInt
+      if (extraLen > 2) r.skip(extraLen - 2) // length includes itself
+    }
+    val n = r.lenenc().toInt
+    if (n != cols.length)
+      throw new IllegalArgumentException(
+        s"event declares $n columns, schema has ${cols.length}")
+    val mapLen = (n + 7) / 8
+    def bitmap(): Array[Boolean] = {
+      val bs = r.slice(mapLen)
+      Array.tabulate(n)(i => bit(bs, i))
+    }
+    val present1 = bitmap()
+    val present2 = if (isUpdate) bitmap() else null
+    val data = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val old = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (r.remaining > 4) {
+      if (isWrite) data += decodeImage(r, cols, present1)
+      else if (isDelete) old += decodeImage(r, cols, present1)
+      else {
+        old += decodeImage(r, cols, present1)
+        data += decodeImage(r, cols, present2)
+      }
+    }
+    InternalRow(new GenericArrayData(data.toArray),
+      new GenericArrayData(old.toArray))
+  }
+
+  // ---- fixture/test encoders (value synthesis; production never encodes) ----
+
+  private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private val TimeRe = """(-)?(\d+):(\d+):(\d+)(?:\.(\d+))?""".r
+  private val DatetimeRe = """(\d+)-(\d+)-(\d+) (\d+):(\d+):(\d+)(?:\.(\d+))?""".r
+
+  private def fracDigits(s: String, fsp: Int): Long =
+    if (s == null || s.isEmpty) 0L else (s + "0" * (fsp - s.length)).toLong
+
+  /** Encode one value to its wire bytes (inverse of [[decodeValue]]). */
+  def encodeValue(c: BinlogColumn, v: Any): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    c.tpe match {
+      case TINYINT => writeLE(out, v.asInstanceOf[Number].longValue, 1)
+      case SMALLINT => writeLE(out, v.asInstanceOf[Number].longValue, 2)
+      case MEDIUMINT => writeLE(out, v.asInstanceOf[Number].longValue, 3)
+      case INT => writeLE(out, v.asInstanceOf[Number].longValue, 4)
+      case BIGINT => writeLE(out, v.asInstanceOf[Number].longValue, 8)
+      case FLOAT =>
+        writeLE(out, java.lang.Float.floatToIntBits(v.asInstanceOf[Number].floatValue) & 0xffffffffL, 4)
+      case DOUBLE =>
+        writeLE(out, java.lang.Double.doubleToLongBits(v.asInstanceOf[Number].doubleValue), 8)
+      case YEAR => writeLE(out, v.asInstanceOf[Number].longValue - 1900, 1)
+      case DATE =>
+        val Array(y, m, d) = v.toString.split("-").map(_.toInt)
+        out.write(BinlogCodec.encodeDate(y, m, d))
+      case TIME2 =>
+        val TimeRe(neg, h, m, s, f) = v.toString
+        out.write(BinlogCodec.encodeTime(neg != null, h.toInt, m.toInt, s.toInt,
+          fracDigits(f, c.fsp), c.fsp))
+      case DATETIME2 =>
+        val DatetimeRe(y, mo, d, h, mi, s, f) = v.toString
+        out.write(BinlogCodec.encodeDatetime(y.toInt, mo.toInt, d.toInt, h.toInt,
+          mi.toInt, s.toInt, fracDigits(f, c.fsp), c.fsp))
+      case TIMESTAMP2 =>
+        out.write(BinlogCodec.encodeTimestamp(v.asInstanceOf[Number].longValue, 0L, c.fsp))
+      case DECIMAL =>
+        val unscaled = new java.math.BigDecimal(v.toString)
+          .setScale(c.scale).unscaledValue.longValueExact
+        out.write(BinlogCodec.encodeDecimalUnscaled(unscaled, c.precision, c.scale))
+      case VARCHAR | CHAR =>
+        val bs = v.toString.getBytes("UTF-8")
+        writeLE(out, bs.length.toLong, if (c.maxLength > 255) 2 else 1)
+        out.write(bs)
+      case TEXT =>
+        val bs = v.toString.getBytes("UTF-8")
+        writeLE(out, bs.length.toLong, c.lengthSize)
+        out.write(bs)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported column type code $other")
+    }
+    out.toByteArray
+  }
+
+  private def writeImage(out: java.io.ByteArrayOutputStream,
+      cols: Array[BinlogColumn], present: Array[Boolean], vals: Seq[Any]): Unit = {
+    val presentIdx = cols.indices.filter(present)
+    val nullMap = new Array[Byte]((presentIdx.length + 7) / 8)
+    presentIdx.zipWithIndex.foreach { case (ci, j) =>
+      if (vals(ci) == null) nullMap(j / 8) = (nullMap(j / 8) | (1 << (j % 8))).toByte
+    }
+    out.write(nullMap)
+    presentIdx.foreach { ci =>
+      if (vals(ci) != null) out.write(encodeValue(cols(ci), vals(ci)))
+    }
+  }
+
+  /** Encode a whole row-event body. For UPDATE, `images` alternates
+    * old,new,old,new…; each image's values align with `cols` (positions
+    * where `present` is false are ignored, nulls set the null bit).
+    * The checksum tail is 4 zero bytes (neither the reference nor this
+    * decoder validates it).
+    */
+  def encodeRows(eventType: Int, cols: Array[BinlogColumn], images: Seq[Seq[Any]],
+      present: Array[Boolean] = null, presentNew: Array[Boolean] = null,
+      tableId: Long = 1L): Array[Byte] = {
+    val isUpdate = eventType == UpdateV1 || eventType == UpdateV2
+    if (isUpdate) require(images.length % 2 == 0, "UPDATE images must be old/new pairs")
+    val p1 = if (present != null) present else Array.fill(cols.length)(true)
+    val p2 = if (presentNew != null) presentNew else p1
+    val out = new java.io.ByteArrayOutputStream
+    writeLE(out, tableId, 6)
+    writeLE(out, 0L, 2) // flags
+    if (eventType >= WriteV2) writeLE(out, 2L, 2) // extra area: just its own length
+    require(cols.length < 0xfb, "lenenc 1-byte form only in fixtures")
+    out.write(cols.length)
+    def writeBitmap(p: Array[Boolean]): Unit = {
+      val bs = new Array[Byte]((cols.length + 7) / 8)
+      p.zipWithIndex.foreach { case (b, i) =>
+        if (b) bs(i / 8) = (bs(i / 8) | (1 << (i % 8))).toByte
+      }
+      out.write(bs)
+    }
+    writeBitmap(p1)
+    if (isUpdate) writeBitmap(p2)
+    images.zipWithIndex.foreach { case (img, k) =>
+      writeImage(out, cols, if (isUpdate && k % 2 == 1) p2 else p1, img)
+    }
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
+    out.toByteArray
+  }
+}
+
+/** MySQL type string → [[BinlogColumn]] — ties the catalog's `mysqlType`
+  * strings (the reference's `FieldMeta`) to the raw-row decoder, replacing
+  * the excluded TABLE_MAP pairing as the schema source.
+  */
+object BinlogSchema {
+  private val Paren = """(\w+)\((\d+)(?:\s*,\s*(\d+))?\)\s*(unsigned)?""".r
+
+  def column(name: String, mysqlType: String): BinlogColumn = {
+    import BinlogRowCodec._
+    val t = mysqlType.trim.toLowerCase
+    val unsigned = t.endsWith("unsigned")
+    val (base, a, b) = t match {
+      case Paren(bs, x, y, _) => (bs, x.toInt, if (y == null) 0 else y.toInt)
+      case _ => (t.stripSuffix(" unsigned").trim, 0, 0)
+    }
+    base match {
+      case "tinyint" => BinlogColumn(name, TINYINT, unsigned = unsigned)
+      case "smallint" => BinlogColumn(name, SMALLINT, unsigned = unsigned)
+      case "mediumint" => BinlogColumn(name, MEDIUMINT, unsigned = unsigned)
+      case "int" | "integer" => BinlogColumn(name, INT, unsigned = unsigned)
+      case "bigint" => BinlogColumn(name, BIGINT, unsigned = unsigned)
+      case "float" => BinlogColumn(name, FLOAT)
+      case "double" => BinlogColumn(name, DOUBLE)
+      case "year" => BinlogColumn(name, YEAR)
+      case "date" => BinlogColumn(name, DATE)
+      case "time" => BinlogColumn(name, TIME2, fsp = a)
+      case "datetime" => BinlogColumn(name, DATETIME2, fsp = a)
+      case "timestamp" => BinlogColumn(name, TIMESTAMP2, fsp = a)
+      case "decimal" | "numeric" => BinlogColumn(name, DECIMAL, precision = a, scale = b)
+      case "char" => BinlogColumn(name, CHAR, maxLength = a)
+      case "varchar" => BinlogColumn(name, VARCHAR, maxLength = a)
+      case "tinytext" | "tinyblob" => BinlogColumn(name, TEXT, lengthSize = 1)
+      case "text" | "blob" => BinlogColumn(name, TEXT, lengthSize = 2)
+      case "mediumtext" | "mediumblob" => BinlogColumn(name, TEXT, lengthSize = 3)
+      case "longtext" | "longblob" => BinlogColumn(name, TEXT, lengthSize = 4)
+      case other => throw new IllegalArgumentException(s"unsupported mysql type: $other")
+    }
+  }
+
+  def fromMysqlTypes(cols: Seq[(String, String)]): Array[BinlogColumn] =
+    cols.map { case (n, t) => column(n, t) }.toArray
+}
+
+/** Codegen'd whole-row decode: BINARY event body + INT event type →
+  * struct(data: array&lt;map&lt;string,string&gt;&gt;, old: …). One static
+  * kernel call per row inside whole-stage codegen.
+  */
+case class BinlogRowsDecode(left: Expression, right: Expression,
+    cols: Array[BinlogColumn]) extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinlogRowCodec.outputType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"BinlogRowsDecode expects (BINARY, INT), got (${l.sql}, ${r.sql})")
+  }
+  override protected def nullSafeEval(body: Any, tpe: Any): Any =
+    BinlogRowCodec.decodeRows(body.asInstanceOf[Array[Byte]],
+      tpe.asInstanceOf[Int], cols)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cols", cols, "graft.cdc.BinlogColumn[]")
+    defineCodeGen(ctx, ev, (b, t) => s"graft.cdc.BinlogRowCodec.decodeRows($b, $t, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BinlogRowsDecode =
+    copy(left = newLeft, right = newRight)
+}
+
+object BinlogRowsDecode {
+  def apply(body: Column, eventType: Column, cols: Array[BinlogColumn]): Column =
+    ColumnBridge.column(BinlogRowsDecode(
+      ColumnBridge.expression(body), ColumnBridge.expression(eventType), cols))
+}

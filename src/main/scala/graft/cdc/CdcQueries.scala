@@ -374,6 +374,93 @@ object CdcQueries {
              |  CAST(row_number() OVER (PARTITION BY o_orderkey - o_orderkey % 3
              |                          ORDER BY o_orderkey) - 1 AS INTEGER) AS pos,
              |  o_orderkey AS pk, o_orderstatus AS status
-             |FROM orders ORDER BY gid, pos""".stripMargin))
+             |FROM orders ORDER BY gid, pos""".stripMargin)),
+
+    // Raw-binlog WRITE_ROWS decode (§2A#9-11 raw-bytes path, reference
+    // binlog.rs:624-667,831-862): 3 orders rows packed per event body
+    // (columns-present bitmap, per-row null bitmap — clerk NULL for
+    // pk%7=0 — value loop, checksum tail), assembled back into typed rows
+    // by the codegen'd whole-row expression.
+    Q("q75_binlog_rows_write", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)", "price" -> "decimal(12,2)",
+          "odate" -> "date", "prio" -> "varchar(20)", "cust" -> "int"))
+        val enc = udf((rows: Seq[Row]) => BinlogRowCodec.encodeRows(
+          BinlogRowCodec.WriteV2, schema,
+          rows.map(r => Seq[Any](r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), if (r.isNullAt(4)) null else r.getString(4), r.getInt(5)))))
+        val o = t(s, dir, "orders")
+        val grouped = o.groupBy((col("o_orderkey") - col("o_orderkey") % 3).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey").cast(LongType),
+            col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_orderpriority")),
+            col("o_custkey").cast(IntegerType)))).as("rows"))
+        grouped.select(col("gid"), enc(col("rows")).as("body"))
+          .select(col("gid"),
+            BinlogDecode.rows(col("body"), lit(BinlogRowCodec.WriteV2), schema).as("r"))
+          .select(col("gid"), posexplode(col("r.data")).as(Seq("pos", "m")))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("pos"),
+            element_at(col("m"), "status").as("status"),
+            element_at(col("m"), "price").as("price"),
+            element_at(col("m"), "odate").as("odate"),
+            element_at(col("m"), "prio").as("prio"),
+            element_at(col("m"), "cust").cast(IntegerType).as("cust"))
+          .orderBy("pk")
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  CAST(row_number() OVER (PARTITION BY o_orderkey - o_orderkey % 3
+             |                          ORDER BY o_orderkey) - 1 AS INTEGER) AS pos,
+             |  o_orderstatus AS status,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+             |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio,
+             |  CAST(o_custkey AS INTEGER) AS cust
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Raw-binlog UPDATE_ROWS decode (reference binlog.rs:669-722): 2-row
+    // events with distinct before/after images; the decoded pairs feed the
+    // canal changed-columns diff — raw bytes to canal `old` semantics in
+    // one declarative pipeline.
+    Q("q76_binlog_rows_update", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)", "price" -> "decimal(12,2)"))
+        val enc = udf((rows: Seq[Row]) => BinlogRowCodec.encodeRows(
+          BinlogRowCodec.UpdateV2, schema,
+          rows.flatMap(r => Seq(
+            Seq[Any](r.getLong(0), r.getString(1), r.getString(2)),
+            Seq[Any](r.getLong(0), r.getString(3), r.getString(4))))))
+        val o = t(s, dir, "orders")
+        val oldPrice = col("o_totalprice").cast(DecimalType(12, 2))
+        val grouped = o.groupBy((col("o_orderkey") - col("o_orderkey") % 2).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey").cast(LongType),
+            col("o_orderstatus"),
+            oldPrice.cast(StringType),
+            when(col("o_orderkey") % 2 === 0, lit("X")).otherwise(col("o_orderstatus")),
+            (oldPrice + lit("1000.00").cast(DecimalType(12, 2))).cast(StringType)))).as("rows"))
+        grouped.select(
+            BinlogDecode.rows(enc(col("rows")), lit(BinlogRowCodec.UpdateV2), schema).as("r"))
+          .select(explode(zip_with(col("r.old"), col("r.data"),
+            (o1, n1) => struct(o1.as("o"), n1.as("n")))).as("p"))
+          .select(
+            element_at(col("p.o"), "pk").cast(LongType).as("pk"),
+            element_at(col("p.o"), "price").as("old_price"),
+            element_at(col("p.n"), "price").as("new_price"),
+            array_join(array_sort(map_keys(
+              Envelope.changedColumns(col("p.o"), col("p.n")))), ",").as("changed"))
+          .orderBy("pk")
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS old_price,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1000.00' AS DECIMAL(12,2)) AS VARCHAR) AS new_price,
+             |  CASE WHEN o_orderkey % 2 = 0 THEN 'price,status' ELSE 'price' END AS changed
+             |FROM orders ORDER BY pk""".stripMargin))
   )
 }

@@ -1,0 +1,169 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Raw ROW-event decode goldens: whole-row assembly from synthetic
+  * WRITE/UPDATE/DELETE bodies (reference `/root/reference/src/binlog.rs:
+  * 624-765,831-862`), including NULL columns, multi-row events, UPDATE
+  * before/after pairs, minimal (partial-present) images, and v1 bodies.
+  */
+class BinlogRowSpec extends SparkSpec {
+  import BinlogRowCodec._
+
+  val cols: Array[BinlogColumn] = BinlogSchema.fromMysqlTypes(Seq(
+    "id" -> "bigint",
+    "name" -> "varchar(32)",
+    "bal" -> "decimal(10,2)",
+    "created" -> "datetime(3)",
+    "score" -> "double",
+    "cnt" -> "int"))
+
+  private def decode(body: Array[Byte], tpe: Int) = {
+    import spark.implicits._
+    Seq((body, tpe)).toDF("body", "tpe")
+      .select(BinlogDecode.rows(col("body"), col("tpe"), cols).as("r"))
+      .select(col("r.data").as("data"), col("r.old").as("old"))
+      .collect().head
+  }
+
+  private def maps(row: org.apache.spark.sql.Row, field: String) =
+    row.getAs[collection.Seq[collection.Map[String, String]]](field)
+
+  test("WRITE: multi-row with NULL columns decodes to ordered images") {
+    val body = encodeRows(WriteV2, cols, Seq(
+      Seq(1L, "alice", "10.50", "2026-01-02 03:04:05.123", 1.5, 7),
+      Seq(2L, null, "-0.25", "1999-12-31 23:59:59.999", -2.75, null),
+      Seq(3L, "carol", "0.00", "2026-08-12 00:00:00", 0.0, 42)))
+    val r = decode(body, WriteV2)
+    val data = maps(r, "data")
+    assert(maps(r, "old").isEmpty)
+    assert(data.length == 3)
+    assert(data(0) == Map("id" -> "1", "name" -> "alice", "bal" -> "10.50",
+      "created" -> "2026-01-02 03:04:05.123", "score" -> "1.5", "cnt" -> "7"))
+    assert(data(1)("id") == "2")
+    assert(data(1)("name") == null && data(1)("cnt") == null) // null bitmap applied
+    assert(data(1)("bal") == "-0.25")
+    assert(data(1)("created") == "1999-12-31 23:59:59.999")
+    assert(data(1)("score") == "-2.75")
+    assert(data(2)("cnt") == "42")
+  }
+
+  test("UPDATE: before/after pairs align pairwise") {
+    val body = encodeRows(UpdateV2, cols, Seq(
+      Seq(1L, "alice", "10.50", "2026-01-02 03:04:05.000", 1.0, 1), // old
+      Seq(1L, "alice", "99.90", "2026-01-02 03:04:05.000", 1.0, 2), // new
+      Seq(5L, "eve", "7.00", "2026-02-02 00:00:00.000", 0.5, 3),    // old
+      Seq(5L, "eva", "7.00", "2026-02-02 00:00:00.000", 0.5, 3)))   // new
+    val r = decode(body, UpdateV2)
+    val data = maps(r, "data")
+    val old = maps(r, "old")
+    assert(data.length == 2 && old.length == 2)
+    assert(old(0)("bal") == "10.50" && data(0)("bal") == "99.90")
+    assert(old(1)("name") == "eve" && data(1)("name") == "eva")
+    // raw decode keeps FULL old images; the canal diff composes downstream
+    assert(old(0).keySet == cols.map(_.name).toSet)
+  }
+
+  test("DELETE: images land in old, data stays empty") {
+    val body = encodeRows(DeleteV2, cols, Seq(
+      Seq(9L, "gone", "1.00", "2020-01-01 00:00:00.000", 0.0, 0)))
+    val r = decode(body, DeleteV2)
+    assert(maps(r, "data").isEmpty)
+    assert(maps(r, "old").head("name") == "gone")
+  }
+
+  test("minimal row image: absent columns are absent keys, null bitmap indexes present ordinals") {
+    // Only columns 0, 2, 5 present (pk + two fields); col 5 NULL in row 2.
+    // The null bitmap must be sized by present count (1 byte for 3 cols)
+    // and indexed by present ordinal — the spec-correct deviation from the
+    // reference's absolute-index read (binlog.rs:837-846).
+    val present = Array(true, false, true, false, false, true)
+    val body = encodeRows(WriteV2, cols, Seq(
+      Seq(1L, null, "3.33", null, null, 11),
+      Seq(2L, null, "4.44", null, null, null)),
+      present = present)
+    val r = decode(body, WriteV2)
+    val data = maps(r, "data")
+    assert(data(0) == Map("id" -> "1", "bal" -> "3.33", "cnt" -> "11"))
+    assert(data(1).keySet == Set("id", "bal", "cnt"))
+    assert(data(1)("cnt") == null)
+  }
+
+  test("UPDATE with distinct before/after present bitmaps") {
+    val pOld = Array(true, true, false, false, false, false)
+    val pNew = Array(true, false, true, false, false, false)
+    val body = encodeRows(UpdateV2, cols, Seq(
+      Seq(3L, "old-name", null, null, null, null),
+      Seq(3L, null, "8.88", null, null, null)),
+      present = pOld, presentNew = pNew)
+    val r = decode(body, UpdateV2)
+    assert(maps(r, "old").head == Map("id" -> "3", "name" -> "old-name"))
+    assert(maps(r, "data").head == Map("id" -> "3", "bal" -> "8.88"))
+  }
+
+  test("v1 body (no extra-data area) decodes") {
+    val body = encodeRows(WriteV1, cols, Seq(
+      Seq(4L, "v1", "0.01", "2021-06-15 10:20:30.500", 9.0, -5)))
+    val r = decode(body, WriteV1)
+    assert(maps(r, "data").head("name") == "v1")
+    assert(maps(r, "data").head("cnt") == "-5")
+  }
+
+  test("type coverage: ints with sign, year, date, time, timestamp, text, char") {
+    val wide = BinlogSchema.fromMysqlTypes(Seq(
+      "t" -> "tinyint", "tu" -> "tinyint unsigned", "s" -> "smallint",
+      "m" -> "mediumint", "y" -> "year", "d" -> "date", "tm" -> "time(2)",
+      "ts" -> "timestamp", "txt" -> "text", "ch" -> "char(4)", "f" -> "float"))
+    val body = encodeRows(WriteV2, wide, Seq(
+      Seq(-1L, 200L, -300L, -70000L, 2026L, "2026-08-12", "-01:02:03.45",
+        1500000000L, "hello binlog", "ab", 1.25f)))
+    import spark.implicits._
+    val r = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), wide).as("r"))
+      .select(col("r.data").getItem(0).as("m")).collect().head
+      .getAs[collection.Map[String, String]]("m")
+    assert(r("t") == "-1")       // signed tinyint
+    assert(r("tu") == "200")     // unsigned tinyint
+    assert(r("s") == "-300")
+    assert(r("m") == "-70000")   // 3-byte sign extension
+    assert(r("y") == "2026")
+    assert(r("d") == "2026-08-12")
+    assert(r("tm") == "-01:02:03.45")
+    assert(r("ts") == "1500000000")
+    assert(r("txt") == "hello binlog")
+    assert(r("ch") == "ab")
+    assert(r("f") == "1.25")
+  }
+
+  test("corrupt bodies fail loudly") {
+    intercept[IllegalArgumentException] {
+      BinlogRowCodec.decodeRows(Array[Byte](1, 2, 3), WriteV2, cols)
+    }
+    val good = encodeRows(WriteV2, cols, Seq(
+      Seq(1L, "x", "1.00", "2020-01-01 00:00:00.000", 0.0, 0)))
+    // truncating mid-row must throw, not zero-pad
+    intercept[IllegalArgumentException] {
+      BinlogRowCodec.decodeRows(good.dropRight(12), WriteV2, cols)
+    }
+    // column-count mismatch vs schema
+    intercept[IllegalArgumentException] {
+      BinlogRowCodec.decodeRows(good, WriteV2, cols.take(3))
+    }
+    // non-row event type
+    intercept[IllegalArgumentException] {
+      BinlogRowCodec.decodeRows(good, 19, cols)
+    }
+  }
+
+  test("decode runs as a codegen'd expression, not a UDF") {
+    import spark.implicits._
+    val body = encodeRows(WriteV2, cols, Seq(
+      Seq(1L, "x", "1.00", "2020-01-01 00:00:00.000", 0.0, 0)))
+    val df = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), cols).as("r"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    assert(df.schema("r").dataType == BinlogRowCodec.outputType)
+  }
+}
