@@ -159,13 +159,26 @@ object Dedup {
     * one flip into every block and be missed), then exact Hamming verify
     * via bit_count(xor), filtered before dedup so the bucket-join blowup
     * never reaches a shuffle.
+    *
+    * `maxBucket` caps per-bucket fan-out exactly like [[lshCandidates]]:
+    * a degenerate block value (boilerplate corpus where one 8-bit block is
+    * constant) would do |bucket|² comparisons on one reducer's compute.
+    * Over-cap buckets are dropped; a pair whose every shared block is
+    * over-cap can be missed, so the ≤7-Hamming recall guarantee becomes
+    * "exact unless 8 blocks are simultaneously degenerate" — in that regime
+    * the bucket carries no discriminative signal anyway.
     */
-  def simhashPairs(docs: DataFrame, textCol: String, idCol: String, maxHamming: Int = 7): DataFrame = {
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 7, maxBucket: Int = 10000): DataFrame = {
     val sig = simhash(docs, textCol, idCol)
     val blocks = (0 until 8).map(i =>
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL).as("bv")))
-    val buckets = sig.select(col("sid"), col("simhash"), explode(array(blocks: _*)).as("bk"))
+    val all = sig.select(col("sid"), col("simhash"), explode(array(blocks: _*)).as("bk"))
       .select(col("sid"), col("simhash"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    val buckets = all.join(
+      all.groupBy("blk", "bv").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket),
+      Seq("blk", "bv"))
     buckets.as("a").join(buckets.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.sid") < col("b.sid"))

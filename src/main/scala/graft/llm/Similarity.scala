@@ -237,20 +237,34 @@ object Similarity {
 
   /** ANN cosine top-k via multi-table hyperplane LSH: score only candidates
     * sharing a bucket with the query in at least one table.
+    *
+    * `multiProbe` additionally probes, per table, every bucket at Hamming
+    * distance 1 from the query's signature (flip each of the `bits` bits) —
+    * a near-miss neighbor whose signature differs by one plane is still
+    * found. Probing multiplies only the QUERY side (tables×(bits+1) rows
+    * per query); the N-row candidate side keeps one bucket per table, so
+    * the scale posture is unchanged while recall rises sharply (the
+    * standard multi-probe LSH trade: more probes ≈ more tables at zero
+    * index cost).
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 5, dim: Int = 64): DataFrame = {
+      tables: Int = 8, bits: Int = 5, dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
     val hp = hyperplanes(tables, bits, dim)
-    def buckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+    def buckets(df: DataFrame, idAs: String, vecAs: String, probe: Boolean): DataFrame = {
       val v = asDouble(col("embedding"))
-      val sigs = hp.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("tbl"), signature(v, planes).as("sig"))
+      val sigs = hp.zipWithIndex.flatMap { case (planes, t) =>
+        val s = signature(v, planes)
+        val variants =
+          if (probe) s +: (0 until bits).map(j => s.bitwiseXOR(lit(1 << j)))
+          else Seq(s)
+        variants.map(sv => struct(lit(t).as("tbl"), sv.as("sig")))
       }
       df.select(col("vec_id").as(idAs), v.as(vecAs), explode(array(sigs: _*)).as("bk"))
         .select(col(idAs), col(vecAs), col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
     }
-    val qb = buckets(queries, "query_id", "qv")
-    val cb = buckets(candidates, "neighbor_id", "cv")
+    val qb = buckets(queries, "query_id", "qv", probe = multiProbe)
+    val cb = buckets(candidates, "neighbor_id", "cv", probe = false)
     // Score BEFORE deduplicating multi-table collisions: cosine is cheap
     // (fused kernel) and deterministic per pair, so the dedup aggregates a
     // 3-column (id, id, cos) row instead of shuffling two 64-dim vectors
