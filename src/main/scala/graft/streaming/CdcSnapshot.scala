@@ -18,7 +18,28 @@ import java.nio.charset.StandardCharsets
   */
 private[streaming] final case class SnapshotManifest(
     version: Long, numBuckets: Int, buckets: Map[String, String],
-    schemaJson: String = null)
+    schemaJson: String = null, pkCols: Seq[String] = null)
+
+/** Snapshot lifecycle knobs.
+  *
+  * @param generations    how many published manifest generations stay fully
+  *                       readable (Delta-style retention; minimum 2 so a
+  *                       reader that resolved the previous manifest right
+  *                       before a publish never loses its files)
+  * @param minAgeMs       a manifest younger than this is never GC'd even
+  *                       when `generations` would drop it — protects
+  *                       long-running scans at streaming cadence
+  * @param autoCompactEvery fold a full rewrite into every Nth merge (0 =
+  *                       off): all buckets are rewritten into that merge's
+  *                       single generation directory, bounding how many
+  *                       historical directories a read must list
+  */
+final case class Retention(
+    generations: Int = 2, minAgeMs: Long = 0L, autoCompactEvery: Int = 0) {
+  require(generations >= 2,
+    "retention must keep >= 2 generations: a reader that resolved the previous " +
+      "manifest just before publish still holds references into it")
+}
 
 /** Incremental CDC latest-image materialization: a Structured Streaming
   * sink that folds each micro-batch of change rows into a parquet snapshot
@@ -102,6 +123,13 @@ object CdcSnapshot {
 
   /** Current snapshot as a DataFrame: resolve the newest manifest, read its
     * bucket directories. The public read path — never reads staging dirs.
+    *
+    * READER-LIFETIME CONTRACT: the returned DataFrame is lazy — it reads
+    * bucket files at action time, and those files stay on disk only while
+    * the resolved manifest is retained ([[Retention]]: `generations`
+    * publishes, or `minAgeMs`, whichever is longer). A scan that outlives
+    * the retention window fails with FileNotFoundException; size the
+    * retention to your slowest reader.
     */
   def read(spark: SparkSession, snapshotDir: String): DataFrame =
     latestManifest(spark, snapshotDir) match {
@@ -110,9 +138,11 @@ object CdcSnapshot {
         throw new IllegalStateException(s"no published snapshot under $snapshotDir")
     }
 
-  /** Time-travel read of a retained version (the GC keeps the current and
-    * previous generation; older versions raise). Versioned manifests make
-    * this free — the Delta-style `versionAsOf` for a Delta-less store.
+  /** Time-travel read of a retained version (the GC keeps the newest
+    * [[Retention.generations]] manifests, plus anything younger than
+    * `minAgeMs`; older versions raise). Versioned manifests make this free
+    * — the Delta-style `versionAsOf` for a Delta-less store. The
+    * reader-lifetime contract on [[read]] applies here too.
     */
   def readVersion(spark: SparkSession, snapshotDir: String, version: Long): DataFrame = {
     val root = new Path(snapshotDir)
@@ -131,7 +161,8 @@ object CdcSnapshot {
     * changed bucketing would silently split pks across buckets).
     */
   def mergeBatch(batch: DataFrame, pkCols: Seq[String], ordCol: String,
-      snapshotDir: String, numBuckets: Int = 16): Unit = {
+      snapshotDir: String, numBuckets: Int = 16,
+      retention: Retention = Retention()): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -146,9 +177,17 @@ object CdcSnapshot {
     val bucketed = batch.withColumn("__bucket", bucketCol(pkCols, n))
     // Bucket ids present in the batch: bounded by n (metadata-sized), so the
     // collect is a per-batch driver cost of at most `n` ints — not data.
-    val touched = bucketed.select("__bucket").distinct()
+    val batchTouched = bucketed.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
+    if (batchTouched.isEmpty) return
+    // Auto-compaction: every Nth version rewrites EVERY bucket into this
+    // merge's generation directory, so reads stop listing old generations.
+    val compacting = retention.autoCompactEvery > 0 &&
+      version % retention.autoCompactEvery == 0
+    val touched: Array[Int] =
+      if (compacting)
+        (batchTouched ++ prev.map(_.buckets.keys.map(_.toInt)).getOrElse(Nil)).distinct.sorted
+      else batchTouched
 
     val prevBuckets: Map[String, String] = prev.map(_.buckets).getOrElse(Map.empty)
     val touchedPrevDirs = touched.flatMap(b => prevBuckets.get(b.toString))
@@ -197,29 +236,91 @@ object CdcSnapshot {
         r.fields ++ mergedSchema.fields.filterNot(f => r.fieldNames.contains(f.name)))
       case None => mergedSchema
     }
-    val manifest = SnapshotManifest(version, n, newBuckets, fullSchema.json)
-    // Atomic publish: create-and-close of a brand-new file; readers list
-    // manifests and take the max version, so no rename/delete window exists.
-    val out = fs.create(new Path(root, s"manifest-$version.json"), false)
+    publish(fs, root,
+      SnapshotManifest(version, n, newBuckets, fullSchema.json, pkCols))
+    gc(spark, snapshotDir, version, retention)
+  }
+
+  // Atomic publish: create-and-close of a brand-new file; readers list
+  // manifests and take the max version, so no rename/delete window exists.
+  private def publish(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      manifest: SnapshotManifest): Unit = {
+    val out = fs.create(new Path(root, s"manifest-${manifest.version}.json"), false)
     try out.write(mapper.writeValueAsString(manifest)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-
-    gc(spark, snapshotDir, version)
   }
 
-  /** Drop manifests older than `current - 1` and any bucket directory no
-    * longer referenced by the last two manifests (one generation is kept
-    * for readers that resolved the previous manifest just before publish).
+  /** Guided bucket-count evolution: rewrite the whole snapshot at
+    * `newNumBuckets` as one new manifest version. The pk-hash bucketing
+    * means a count change redistributes every pk, so this is necessarily a
+    * full rewrite — an explicit, operator-initiated migration (grow buckets
+    * when per-bucket rewrite cost dominates merge latency), never something
+    * a routine merge does implicitly. Readers see the old manifest until
+    * the new one publishes; subsequent merges pick up the new count from
+    * the manifest. Returns the published version.
+    */
+  def rebucket(spark: SparkSession, snapshotDir: String, newNumBuckets: Int,
+      retention: Retention = Retention()): Long = {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    val prev = latestManifest(spark, snapshotDir).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $snapshotDir"))
+    require(prev.pkCols != null && prev.pkCols.nonEmpty,
+      "manifest records no pk columns (snapshot written by a pre-rebucket " +
+        "version); re-merge once to record them")
+    val root = new Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = prev.version + 1
+    val stageRel = s"data-v$version"
+    readManifest(spark, snapshotDir, prev)
+      .withColumn("__bucket", bucketCol(prev.pkCols, newNumBuckets))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$snapshotDir/$stageRel")
+    val written = (0 until newNumBuckets)
+      .filter(b => fs.exists(new Path(root, s"$stageRel/__bucket=$b")))
+      .map(b => b.toString -> s"$stageRel/__bucket=$b").toMap
+    publish(fs, root, SnapshotManifest(
+      version, newNumBuckets, written, prev.schemaJson, prev.pkCols))
+    gc(spark, snapshotDir, version, retention)
+    version
+  }
+
+  /** Per-bucket small-file compaction: rewrite every current bucket into a
+    * single fresh generation directory at the SAME bucket count — after
+    * many incremental merges a read lists one directory per historically
+    * touched generation; compaction collapses that to one.
+    */
+  def compact(spark: SparkSession, snapshotDir: String,
+      retention: Retention = Retention()): Long = {
+    val prev = latestManifest(spark, snapshotDir).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $snapshotDir"))
+    rebucket(spark, snapshotDir, prev.numBuckets, retention)
+  }
+
+  /** Drop manifests outside the retention window and any bucket directory
+    * no longer referenced by a retained manifest. The window is the newest
+    * `retention.generations` versions, widened by `retention.minAgeMs`
+    * (a manifest file younger than that never deletes, whatever its
+    * version) — the Delta-style guard for in-flight readers, since read()
+    * returns lazy DataFrames that resolve files at action time.
     * Liveness is per BUCKET path, not per generation directory: a
     * generation stays on disk only for the buckets still referenced, so
     * superseded bucket copies can never accumulate (a top-level-only GC
     * would leak every stale sibling of a long-lived bucket).
     */
-  private def gc(spark: SparkSession, snapshotDir: String, current: Long): Unit = {
+  private def gc(spark: SparkSession, snapshotDir: String, current: Long,
+      retention: Retention): Unit = {
     val root = new Path(snapshotDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keepManifests = Set(current, current - 1)
+    val cutoff = System.currentTimeMillis() - retention.minAgeMs
+    val keepManifests: Set[Long] = fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) if v.toLong > current - retention.generations ||
+          st.getModificationTime >= cutoff => Some(v.toLong)
+        case _ => None
+      }
+    }.toSet
     val live: Set[String] = keepManifests.flatMap { v =>
       val p = new Path(root, s"manifest-$v.json")
       if (!fs.exists(p)) Set.empty[String]
@@ -246,12 +347,13 @@ object CdcSnapshot {
 
   /** Start the streaming merge over a change-row stream. */
   def start(changes: DataFrame, pkCols: Seq[String], ordCol: String,
-      snapshotDir: String, checkpointDir: String, numBuckets: Int = 16): StreamingQuery =
+      snapshotDir: String, checkpointDir: String, numBuckets: Int = 16,
+      retention: Retention = Retention()): StreamingQuery =
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, pkCols, ordCol, snapshotDir, numBuckets)
+        mergeBatch(batch, pkCols, ordCol, snapshotDir, numBuckets, retention)
       }
       .start()
 }

@@ -326,6 +326,76 @@ class StreamingSpec extends SparkSpec {
       == Seq((40L, 4.0)))
   }
 
+  test("bucket evolution: rebucket doubles the count, content identical, retention keeps versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-rebucket").toString
+    val snapDir = s"$dir/snapshot"
+    val ret = Retention(generations = 3)
+    val seed = (1L to 60L).map(pk => Chg(pk, pk, "INSERT", pk * 10.0)).toDF()
+    CdcSnapshot.mergeBatch(seed, Seq("pk"), "cid", snapDir, numBuckets = 4, retention = ret)
+    CdcSnapshot.mergeBatch(Seq(Chg(100L, 3L, "UPDATE", 33.0)).toDF(),
+      Seq("pk"), "cid", snapDir, retention = ret)
+    def content(): Seq[(Long, Double)] = CdcSnapshot.read(spark, snapDir)
+      .select("pk", "price").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = content()
+
+    // Mid-stream doubling: full rewrite into one generation, same rows.
+    val v = CdcSnapshot.rebucket(spark, snapDir, 8, ret)
+    val m = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(m.numBuckets == 8 && m.version == v)
+    assert(content() == before, "rebucket must not change snapshot content")
+    assert(m.buckets.values.map(_.split("/").head).toSet.size == 1,
+      "rebucket consolidates every bucket into its own generation dir")
+    assert(m.buckets.keys.map(_.toInt).max >= 4, "pks should spread over new buckets")
+
+    // Later merges adopt the manifest's new count and converge.
+    CdcSnapshot.mergeBatch(Seq(Chg(101L, 3L, "UPDATE", 42.0)).toDF(),
+      Seq("pk"), "cid", snapDir, retention = ret)
+    val m2 = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(m2.numBuckets == 8)
+    assert(content().find(_._1 == 3L).map(_._2).contains(42.0))
+
+    // generations=3: the rebucket version is still time-travel-readable
+    // after two further publishes (would be GC'd under the default 2).
+    val travel = CdcSnapshot.readVersion(spark, snapDir, v)
+      .select("pk", "price").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(travel == before)
+
+    // compaction at the same count: content stable, single generation again
+    val cv = CdcSnapshot.compact(spark, snapDir, ret)
+    val mc = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(mc.version == cv && mc.numBuckets == 8)
+    assert(mc.buckets.values.map(_.split("/").head).toSet.size == 1)
+    assert(content().find(_._1 == 3L).map(_._2).contains(42.0))
+  }
+
+  test("auto-compaction folds every bucket into the Nth merge's generation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-autocompact").toString
+    val snapDir = s"$dir/snapshot"
+    val ret = Retention(autoCompactEvery = 3)
+    val seed = (1L to 30L).map(pk => Chg(pk, pk, "INSERT", pk * 1.0)).toDF()
+    CdcSnapshot.mergeBatch(seed, Seq("pk"), "cid", snapDir, numBuckets = 4, retention = ret) // v1
+    CdcSnapshot.mergeBatch(Seq(Chg(50L, 1L, "UPDATE", 11.0)).toDF(),
+      Seq("pk"), "cid", snapDir, retention = ret) // v2: incremental
+    val m2 = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(m2.buckets.values.map(_.split("/").head).toSet.size == 2,
+      "incremental merge leaves untouched buckets in older generations")
+    CdcSnapshot.mergeBatch(Seq(Chg(51L, 2L, "UPDATE", 22.0)).toDF(),
+      Seq("pk"), "cid", snapDir, retention = ret) // v3: compacting
+    val m3 = CdcSnapshot.latestManifest(spark, snapDir).get
+    assert(m3.version == 3L)
+    assert(m3.buckets.values.map(_.split("/").head).toSet == Set("data-v3"),
+      "every bucket must live in the compacting merge's generation")
+    val got = CdcSnapshot.read(spark, snapDir)
+      .select("pk", "price").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == (1L to 30L).map(pk =>
+      (pk, if (pk == 1L) 11.0 else if (pk == 2L) 22.0 else pk * 1.0)))
+  }
+
   test("incremental snapshot merge rewrites only the buckets a batch touches") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
