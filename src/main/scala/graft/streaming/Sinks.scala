@@ -26,13 +26,32 @@ object Sinks {
       concat(col("database"), lit("."), col("table")).as("key"),
       Envelope.render(struct(envelopes.columns.map(col): _*)).as("value"))
 
-  /** Envelope rows → Canal-JSON → Kafka topic. Producer tuning passes
-    * through `kafka.`-prefixed options exactly like the reference's rdkafka
-    * config (`message_queue.rs:101-116`).
+  /** The full option map [[kafkaCanal]] sets on its writer, as a pure
+    * function — the contract-testable surface for the sink's plumbing.
+    * Producer tuning passes through `kafka.`-prefixed (the Spark kafka
+    * connector strips the prefix and hands the rest to the producer, the
+    * same shape as the reference's rdkafka config,
+    * `message_queue.rs:101-116`). Reserved sink options can't be
+    * masked by a producer option.
+    */
+  def kafkaOptions(brokers: String, topic: String, checkpointDir: String,
+      producerOptions: Map[String, String] = Map.empty): Map[String, String] = {
+    val reserved = Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpointDir)
+    val passthrough = producerOptions.map { case (k, v) => s"kafka.$k" -> v }
+    val clash = passthrough.keySet & reserved.keySet
+    require(clash.isEmpty,
+      s"producer options may not override reserved sink options: ${clash.mkString(", ")}")
+    passthrough ++ reserved
+  }
+
+  /** Envelope rows → Canal-JSON → Kafka topic.
     *
     * NOTE: this environment ships no spark-sql-kafka jar and no broker, so
-    * `start()` on this writer cannot run here; the projection above and the
-    * sink options are the testable surface. On a cluster with the kafka
+    * `start()` on this writer cannot run here; the projection above and
+    * [[kafkaOptions]] are the testable surface. On a cluster with the kafka
     * connector on the classpath this writer is exactly-once from the
     * checkpoint — stronger than the reference's fire-and-forget producer.
     */
@@ -42,10 +61,8 @@ object Sinks {
     val w = kafkaProjection(envelopes)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
-    producerOptions.foldLeft(w) { case (acc, (k, v)) => acc.option(s"kafka.$k", v) }
+    kafkaOptions(brokers, topic, checkpointDir, producerOptions)
+      .foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
   }
 
   /** Generic queue sink: rows of (topic, payload) pushed per partition with

@@ -201,6 +201,31 @@ class StreamingSpec extends SparkSpec {
     assert(back.getAs[collection.Seq[Map[String, String]]]("data").head("name") == "alice")
   }
 
+  test("kafka sink options: broker/topic/checkpoint pinned, producer opts kafka.-prefixed") {
+    val opts = Sinks.kafkaOptions("b1:9092,b2:9092", "canal_topic", "/ck/dir",
+      Map("acks" -> "all", "linger.ms" -> "5", "compression.type" -> "lz4"))
+    assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(opts("topic") == "canal_topic")
+    assert(opts("checkpointLocation") == "/ck/dir")
+    assert(opts("kafka.acks") == "all")
+    assert(opts("kafka.linger.ms") == "5")
+    assert(opts("kafka.compression.type") == "lz4")
+    assert(opts.size == 6, "no extra or dropped options")
+    // a producer option must not silently mask the broker list
+    intercept[IllegalArgumentException] {
+      Sinks.kafkaOptions("b:9092", "t", "/ck", Map("bootstrap.servers" -> "rogue:1"))
+    }
+    // the writer builds without the kafka jar (start() is what needs it)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cdc.Envelope
+    val in = MemoryStream[String]
+    val envelopes = in.toDF()
+      .select(Envelope.parse(col("value")).as("e")).select("e.*")
+    val w = Sinks.kafkaCanal(envelopes, "b:9092", "t", "/ck", Map("acks" -> "1"))
+    assert(w != null)
+  }
+
   test("foreachBatch CDC snapshot merge converges to batch latest-image") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
