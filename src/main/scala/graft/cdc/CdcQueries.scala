@@ -184,11 +184,11 @@ object CdcQueries {
           "mediumblob", "geometry")
         val types = array(names.map(lit): _*)
         t(s, dir, "orders")
+          .sortWithinPartitions("o_orderkey")
           .select(col("o_orderkey"),
             element_at(types, (col("o_orderkey") % 18 + 1).cast(IntegerType)).as("mysql_type"))
           .withColumn("jdbc_code", Catalog.jdbcCodeCol(col("mysql_type")))
           .withColumn("jdbc_code_udf", Catalog.jdbcCodeUdf(col("mysql_type")))
-          .orderBy("o_orderkey")
       },
       Some("""WITH typed AS (
              |  SELECT o_orderkey,
@@ -228,14 +228,15 @@ object CdcQueries {
     Q("q65_binlog_decimal", { (s, dir) =>
         val enc134 = udf((u: Long) => BinlogCodec.encodeDecimalUnscaled(u, 13, 4))
         val enc100 = udf((u: Long) => BinlogCodec.encodeDecimalUnscaled(u, 10, 0))
+        // sort below the encode/decode chain — see q34's range-sampler note
         t(s, dir, "orders")
+          .sortWithinPartitions("o_orderkey")
           .select(col("o_orderkey"),
             ((col("o_orderkey") * 7919) % 2000001 - 1000000).as("u1"),
             ((col("o_orderkey") * 104729) % 1000000000).as("u2"))
           .select(col("o_orderkey"),
             BinlogDecode.packedDecimal(enc134(col("u1")), 13, 4).as("dec_13_4"),
             BinlogDecode.packedDecimal(enc100(col("u2")), 10, 0).as("dec_10_0"))
-          .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
              |  concat(CASE WHEN u1 < 0 THEN '-' ELSE '' END,
@@ -259,7 +260,7 @@ object CdcQueries {
           BinlogCodec.encodeDatetime(y, mo, d, h, mi, sec, f, 3))
         val encTs = udf((ep: Long) => BinlogCodec.encodeTimestamp(ep, 0L, 0))
         val k = col("o_orderkey")
-        t(s, dir, "orders").select(k,
+        t(s, dir, "orders").sortWithinPartitions("o_orderkey").select(k,
             encDate((k % 130 + 1970).cast(IntegerType), (k % 12 + 1).cast(IntegerType),
               (k % 28 + 1).cast(IntegerType)).as("db"),
             encTime(k % 5 === 0, (k % 100).cast(IntegerType),
@@ -274,7 +275,6 @@ object CdcQueries {
             BinlogDecode.packedTime(col("tb"), 0).as("time_s"),
             BinlogDecode.packedDatetime(col("dtb"), 3).as("datetime_s"),
             BinlogDecode.packedTimestamp(col("tsb"), 0).as("ts_s"))
-          .orderBy("o_orderkey")
       },
       Some("""WITH c AS (
              |  SELECT o_orderkey,
