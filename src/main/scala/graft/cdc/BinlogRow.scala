@@ -16,10 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * from its table catalog / config instead of pairing TABLE_MAP events
   * (transport exclusion, SURVEY.md §2C).
   *
-  * Field use by type: `maxLength` (CHAR/VARCHAR length-prefix width),
-  * `fsp` (TIME2/DATETIME2/TIMESTAMP2 fraction digits), `lengthSize`
-  * (TEXT/BLOB length-prefix bytes), `precision`/`scale` (DECIMAL),
-  * `unsigned` (integer types; the binlog itself carries no signedness).
+  * Field use by type: `maxLength` (CHAR/VARCHAR max length in BYTES — the
+  * TABLE_MAP metadata unit, which picks the 1- vs 2-byte length prefix;
+  * NOT the DDL character count: a utf8mb4 varchar(100) stores up to 400
+  * bytes and uses a 2-byte prefix), `fsp` (TIME2/DATETIME2/TIMESTAMP2
+  * fraction digits), `lengthSize` (TEXT/BLOB length-prefix bytes),
+  * `precision`/`scale` (DECIMAL), `unsigned` (integer types; the binlog
+  * itself carries no signedness).
   */
 case class BinlogColumn(
     name: String,
@@ -125,19 +128,22 @@ object BinlogRowCodec {
   private def bit(arr: Array[Byte], i: Int): Boolean =
     ((arr(i / 8) >> (i % 8)) & 1) != 0
 
-  private def signExtend(v: Long, bytes: Int, unsigned: Boolean): Long =
-    if (unsigned || bytes == 8) v
+  private def intString(v: Long, bytes: Int, unsigned: Boolean): String =
+    if (unsigned)
+      // 8-byte unsigned exceeds Long: render the raw bits unsigned
+      if (bytes == 8) java.lang.Long.toUnsignedString(v) else v.toString
+    else if (bytes == 8) v.toString
     else {
       val shift = 64 - 8 * bytes
-      (v << shift) >> shift
+      ((v << shift) >> shift).toString
     }
 
   private def decodeValue(r: Reader, c: BinlogColumn): UTF8String = c.tpe match {
-    case TINYINT => UTF8String.fromString(signExtend(r.uLE(1), 1, c.unsigned).toString)
-    case SMALLINT => UTF8String.fromString(signExtend(r.uLE(2), 2, c.unsigned).toString)
-    case MEDIUMINT => UTF8String.fromString(signExtend(r.uLE(3), 3, c.unsigned).toString)
-    case INT => UTF8String.fromString(signExtend(r.uLE(4), 4, c.unsigned).toString)
-    case BIGINT => UTF8String.fromString(signExtend(r.uLE(8), 8, c.unsigned).toString)
+    case TINYINT => UTF8String.fromString(intString(r.uLE(1), 1, c.unsigned))
+    case SMALLINT => UTF8String.fromString(intString(r.uLE(2), 2, c.unsigned))
+    case MEDIUMINT => UTF8String.fromString(intString(r.uLE(3), 3, c.unsigned))
+    case INT => UTF8String.fromString(intString(r.uLE(4), 4, c.unsigned))
+    case BIGINT => UTF8String.fromString(intString(r.uLE(8), 8, c.unsigned))
     case FLOAT =>
       UTF8String.fromString(java.lang.Float.intBitsToFloat(r.uLE(4).toInt).toString)
     case DOUBLE =>
@@ -212,12 +218,18 @@ object BinlogRowCodec {
     val data = scala.collection.mutable.ArrayBuffer.empty[Any]
     val old = scala.collection.mutable.ArrayBuffer.empty[Any]
     while (r.remaining > 4) {
+      val posBefore = r.pos
       if (isWrite) data += decodeImage(r, cols, present1)
       else if (isDelete) old += decodeImage(r, cols, present1)
       else {
         old += decodeImage(r, cols, present1)
         data += decodeImage(r, cols, present2)
       }
+      // A zero-byte image (all-zero present bitmap on a corrupt body) would
+      // spin this loop forever; fail loudly like every other malformed case.
+      if (r.pos == posBefore)
+        throw new IllegalArgumentException(
+          s"corrupt row event: image at offset $posBefore consumed no bytes")
     }
     InternalRow(new GenericArrayData(data.toArray),
       new GenericArrayData(old.toArray))
@@ -333,11 +345,18 @@ object BinlogRowCodec {
 /** MySQL type string → [[BinlogColumn]] — ties the catalog's `mysqlType`
   * strings (the reference's `FieldMeta`) to the raw-row decoder, replacing
   * the excluded TABLE_MAP pairing as the schema source.
+  *
+  * `bytesPerChar` converts the DDL's CHARACTER count to the BYTE
+  * `maxLength` the wire format keys its prefix width on: 1 for latin1
+  * (the default here, matching the fixtures), 3 for utf8, 4 for utf8mb4.
+  * Getting this wrong on a multi-byte-charset table mis-sizes the length
+  * prefix for columns whose byte capacity crosses 255 and garbles the
+  * rest of the row.
   */
 object BinlogSchema {
   private val Paren = """(\w+)\((\d+)(?:\s*,\s*(\d+))?\)\s*(unsigned)?""".r
 
-  def column(name: String, mysqlType: String): BinlogColumn = {
+  def column(name: String, mysqlType: String, bytesPerChar: Int = 1): BinlogColumn = {
     import BinlogRowCodec._
     val t = mysqlType.trim.toLowerCase
     val unsigned = t.endsWith("unsigned")
@@ -359,8 +378,8 @@ object BinlogSchema {
       case "datetime" => BinlogColumn(name, DATETIME2, fsp = a)
       case "timestamp" => BinlogColumn(name, TIMESTAMP2, fsp = a)
       case "decimal" | "numeric" => BinlogColumn(name, DECIMAL, precision = a, scale = b)
-      case "char" => BinlogColumn(name, CHAR, maxLength = a)
-      case "varchar" => BinlogColumn(name, VARCHAR, maxLength = a)
+      case "char" => BinlogColumn(name, CHAR, maxLength = a * bytesPerChar)
+      case "varchar" => BinlogColumn(name, VARCHAR, maxLength = a * bytesPerChar)
       case "tinytext" | "tinyblob" => BinlogColumn(name, TEXT, lengthSize = 1)
       case "text" | "blob" => BinlogColumn(name, TEXT, lengthSize = 2)
       case "mediumtext" | "mediumblob" => BinlogColumn(name, TEXT, lengthSize = 3)
@@ -369,16 +388,21 @@ object BinlogSchema {
     }
   }
 
-  def fromMysqlTypes(cols: Seq[(String, String)]): Array[BinlogColumn] =
-    cols.map { case (n, t) => column(n, t) }.toArray
+  def fromMysqlTypes(cols: Seq[(String, String)],
+      bytesPerChar: Int = 1): Array[BinlogColumn] =
+    cols.map { case (n, t) => column(n, t, bytesPerChar) }.toArray
 }
 
 /** Codegen'd whole-row decode: BINARY event body + INT event type →
   * struct(data: array&lt;map&lt;string,string&gt;&gt;, old: …). One static
-  * kernel call per row inside whole-stage codegen.
+  * kernel call per row inside whole-stage codegen. The schema is held as a
+  * Seq (not Array) so case-class equality is structural — two expressions
+  * built from equal column specs canonicalize/CSE like any other
+  * expression; the kernel-facing Array is derived lazily.
   */
 case class BinlogRowsDecode(left: Expression, right: Expression,
-    cols: Array[BinlogColumn]) extends BinaryExpression with Serializable {
+    cols: Seq[BinlogColumn]) extends BinaryExpression with Serializable {
+  @transient private lazy val colsArr: Array[BinlogColumn] = cols.toArray
   override def dataType: DataType = BinlogRowCodec.outputType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
@@ -387,9 +411,9 @@ case class BinlogRowsDecode(left: Expression, right: Expression,
   }
   override protected def nullSafeEval(body: Any, tpe: Any): Any =
     BinlogRowCodec.decodeRows(body.asInstanceOf[Array[Byte]],
-      tpe.asInstanceOf[Int], cols)
+      tpe.asInstanceOf[Int], colsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cols", cols, "graft.cdc.BinlogColumn[]")
+    val ref = ctx.addReferenceObj("cols", colsArr, "graft.cdc.BinlogColumn[]")
     defineCodeGen(ctx, ev, (b, t) => s"graft.cdc.BinlogRowCodec.decodeRows($b, $t, $ref)")
   }
   override protected def withNewChildrenInternal(
@@ -400,5 +424,6 @@ case class BinlogRowsDecode(left: Expression, right: Expression,
 object BinlogRowsDecode {
   def apply(body: Column, eventType: Column, cols: Array[BinlogColumn]): Column =
     ColumnBridge.column(BinlogRowsDecode(
-      ColumnBridge.expression(body), ColumnBridge.expression(eventType), cols))
+      ColumnBridge.expression(body), ColumnBridge.expression(eventType),
+      cols.toIndexedSeq))
 }

@@ -80,23 +80,33 @@ object Catalog {
     */
   def applyDdl(catalog: org.apache.spark.sql.DataFrame,
       ddl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // Every `TABLE <name>` occurrence is a touched table (RENAME TABLE a TO
-    // b, c TO d lists several); for RENAME forms the `TO <name>` targets are
-    // touched too (a stale row for the new name must not survive), and bare
-    // `TRUNCATE t` (no TABLE keyword) gets its own pattern. Statements that
-    // parse as DDL but yield no table name at all invalidate the whole
+    // Every `TABLE <name>` occurrence is touched; RENAME forms additionally
+    // touch BOTH sides of every `old TO|AS new` clause — `RENAME TABLE a TO
+    // b, c TO d` has one TABLE keyword but renames two tables, so the
+    // pre-TO names (a, c) and the targets (b, d) are each extracted by
+    // position around TO/AS (a stale row for either name must not survive).
+    // Bare `TRUNCATE t` (no TABLE keyword) gets its own pattern. Statements
+    // that parse as DDL but yield no table name at all invalidate the whole
     // envelope database — conservative over-invalidation only costs a
-    // metadata re-read, a silently stale row costs correctness.
+    // metadata re-read, a silently stale row costs correctness (this also
+    // over-invalidates column names in `RENAME COLUMN a TO b`, accepted on
+    // the same grounds).
     val tableDbs = regexp_extract_all(col("sql"), lit(Envelope.DdlTableRe), lit(1))
     val tableNames = regexp_extract_all(col("sql"), lit(Envelope.DdlTableRe), lit(2))
-    val toRe = "(?i)\\bto\\s+(?:`?(\\w+)`?\\.)?`?(\\w+)`?"
+    val qname = "(?:`?(\\w+)`?\\.)?`?(\\w+)`?"
+    val toRe = s"(?i)\\b(?:to|as)\\s+$qname"
+    val preToRe = s"(?i)$qname\\s+(?:to|as)\\b"
     val toDbs = regexp_extract_all(col("sql"), lit(toRe), lit(1))
     val toNames = regexp_extract_all(col("sql"), lit(toRe), lit(2))
+    val preToDbs = regexp_extract_all(col("sql"), lit(preToRe), lit(1))
+    val preToNames = regexp_extract_all(col("sql"), lit(preToRe), lit(2))
     val truncRe = "(?i)^\\s*truncate\\s+(?:`?(\\w+)`?\\.)?`?(\\w+)`?\\s*$"
     def pairs(dbs: Column, names: Column): Column =
       zip_with(dbs, names, (d, n) => struct(d.as("db"), n.as("tbl")))
-    val renamePairs = when(col("sql").rlike("(?i)\\brename\\b"),
-      pairs(toDbs, toNames)).otherwise(slice(pairs(toDbs, toNames), 1, 0))
+    val isRename = col("sql").rlike("(?i)\\brename\\b")
+    val renameAll = concat(pairs(toDbs, toNames), pairs(preToDbs, preToNames))
+    val renamePairs = when(isRename, renameAll)
+      .otherwise(slice(renameAll, 1, 0))
     val truncPair = array(struct(
       regexp_extract(col("sql"), truncRe, 1).as("db"),
       regexp_extract(col("sql"), truncRe, 2).as("tbl")))

@@ -81,11 +81,14 @@ object Envelope {
     * semantics (`/root/reference/src/executor.rs:266-311`) as a codegen'd
     * higher-order `map_filter` — no shuffle, no UDF.
     *
-    * `try_element_at` (not `element_at`): under ANSI mode a missing map key
-    * throws, and a DDL-era UPDATE can carry an old-image column that was just
-    * dropped from the new image. `try_element_at` yields null there, and the
-    * null-safe `<=>` then reports the dropped column as changed.
+    * A key ABSENT from the new image (a DDL-era UPDATE whose old image
+    * carries a just-dropped column) always counts as changed — including
+    * when its old value was NULL, which is why the guard is an explicit
+    * `map_contains_key` and not just a null-safe compare (NULL <=> NULL
+    * would hide that case). `try_element_at`, not `element_at`: under ANSI
+    * mode a missing key throws.
     */
   def changedColumns(oldImg: Column, newImg: Column): Column =
-    map_filter(oldImg, (k, v) => !(try_element_at(newImg, k) <=> v))
+    map_filter(oldImg, (k, v) =>
+      !(map_contains_key(newImg, k) && (try_element_at(newImg, k) <=> v)))
 }

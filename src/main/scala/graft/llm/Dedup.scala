@@ -116,10 +116,12 @@ object Dedup {
     }
     val buckets = sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val sized = buckets.join(
-      buckets.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket),
-      Seq("band", "bh"))
+    // Bucket-size cap via a window count, not a join against a re-aggregated
+    // copy: one pass over the bucket rows (the signature pipeline is not
+    // re-executed for a size side), same single (band,bh) shuffle.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val sized = buckets.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
     sized.as("a").join(sized.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.sid") < col("b.sid"))
@@ -175,10 +177,11 @@ object Dedup {
       struct(lit(i).as("blk"), shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL).as("bv")))
     val all = sig.select(col("sid"), col("simhash"), explode(array(blocks: _*)).as("bk"))
       .select(col("sid"), col("simhash"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
-    val buckets = all.join(
-      all.groupBy("blk", "bv").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket),
-      Seq("blk", "bv"))
+    // Window count, not join-with-agg: see lshCandidates — the simhash
+    // pipeline runs once per join side instead of twice.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("blk", "bv")
+    val buckets = all.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
     buckets.as("a").join(buckets.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.sid") < col("b.sid"))

@@ -115,10 +115,12 @@ class BinlogRowSpec extends SparkSpec {
     val wide = BinlogSchema.fromMysqlTypes(Seq(
       "t" -> "tinyint", "tu" -> "tinyint unsigned", "s" -> "smallint",
       "m" -> "mediumint", "y" -> "year", "d" -> "date", "tm" -> "time(2)",
-      "ts" -> "timestamp", "txt" -> "text", "ch" -> "char(4)", "f" -> "float"))
+      "ts" -> "timestamp", "txt" -> "text", "ch" -> "char(4)", "f" -> "float",
+      "bu" -> "bigint unsigned"))
     val body = encodeRows(WriteV2, wide, Seq(
       Seq(-1L, 200L, -300L, -70000L, 2026L, "2026-08-12", "-01:02:03.45",
-        1500000000L, "hello binlog", "ab", 1.25f)))
+        1500000000L, "hello binlog", "ab", 1.25f,
+        -1L))) // 0xFF..FF: the unsigned-bigint value 2^64-1 as raw bits
     import spark.implicits._
     val r = Seq(body).toDF("body")
       .select(BinlogDecode.rows(col("body"), lit(WriteV2), wide).as("r"))
@@ -135,6 +137,38 @@ class BinlogRowSpec extends SparkSpec {
     assert(r("txt") == "hello binlog")
     assert(r("ch") == "ab")
     assert(r("f") == "1.25")
+    assert(r("bu") == "18446744073709551615") // upper half of unsigned range
+  }
+
+  test("multi-byte charsets size the varchar length prefix by BYTES") {
+    // utf8mb4 varchar(100) can hold 400 bytes -> 2-byte prefix even though
+    // the character count is under 255.
+    val mb4 = BinlogSchema.fromMysqlTypes(Seq("v" -> "varchar(100)"), bytesPerChar = 4)
+    assert(mb4.head.maxLength == 400)
+    val s = "x" * 300 // 300 bytes: only decodable with a 2-byte prefix
+    val body = encodeRows(WriteV2, mb4, Seq(Seq(s)))
+    import spark.implicits._
+    val out = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), mb4).as("r"))
+      .select(col("r.data").getItem(0).as("m")).collect().head
+      .getAs[collection.Map[String, String]]("m")
+    assert(out("v") == s)
+    // latin1 (default) keeps the 1-byte prefix for the same DDL
+    assert(BinlogSchema.fromMysqlTypes(Seq("v" -> "varchar(100)")).head.maxLength == 100)
+  }
+
+  test("all-zero present bitmap fails loudly instead of spinning") {
+    // An empty image consumes zero bytes; with residual bytes beyond the
+    // checksum tail the row loop would spin forever without the progress
+    // guard. (With nothing after the empty image, decode legitimately
+    // yields an empty-map image and stops at the tail.)
+    val body = encodeRows(WriteV2, cols,
+      Seq(Seq(null, null, null, null, null, null)),
+      present = Array.fill(cols.length)(false)) ++ Array[Byte](9, 9, 9)
+    val e = intercept[IllegalArgumentException] {
+      BinlogRowCodec.decodeRows(body, WriteV2, cols)
+    }
+    assert(e.getMessage.contains("consumed no bytes"))
   }
 
   test("corrupt bodies fail loudly") {

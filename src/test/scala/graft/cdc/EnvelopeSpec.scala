@@ -190,12 +190,14 @@ class EnvelopeSpec extends SparkSpec {
     // would throw here; try_element_at reports the dropped column as changed.
     val df = Seq(
       (Map("id" -> "1", "gone" -> "x"), Map("id" -> "1")),
-      (Map("id" -> "2"), Map("id" -> "2", "added" -> "y"))
+      (Map("id" -> "2"), Map("id" -> "2", "added" -> "y")),
+      (Map("id" -> "3", "gone" -> null.asInstanceOf[String]), Map("id" -> "3"))
     ).toDF("o", "n")
     val out = df.select(Envelope.changedColumns(col("o"), col("n")).as("d"))
       .collect().map(_.getAs[collection.Map[String, String]]("d")).toSeq
     assert(out(0) == Map("gone" -> "x")) // dropped column surfaces with old value
     assert(out(1) == Map.empty)          // keys only in the NEW image are not "changed"
+    assert(out(2) == Map("gone" -> null)) // dropped column with NULL old value still surfaces
   }
 
   test("applyDdl: RENAME targets, bare TRUNCATE, and unparseable DDL") {
@@ -209,6 +211,22 @@ class EnvelopeSpec extends SparkSpec {
       ("testdb", "TRUNCATE c"),                 // no TABLE keyword
       ("testdb", "TRUNCATE TABLE d"),           // with TABLE keyword
       ("logdb", "FLUSH PRIVILEGES")             // unparseable → whole logdb
+    ).toDF("database", "sql")
+    val left = Catalog.applyDdl(catalog, ddl)
+      .select("database", "table").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(left == Set(("testdb", "keep")))
+  }
+
+  test("applyDdl: multi-rename invalidates every old AND new name; RENAME AS too") {
+    import spark.implicits._
+    val catalog = Seq(
+      ("testdb", "a"), ("testdb", "b"), ("testdb", "c"), ("testdb", "d"),
+      ("testdb", "t"), ("testdb", "u"), ("testdb", "keep")
+    ).toDF("database", "table")
+    val ddl = Seq(
+      ("testdb", "RENAME TABLE a TO b, c TO d"), // one TABLE keyword, two renames
+      ("testdb", "ALTER TABLE t RENAME AS u")    // AS-form target
     ).toDF("database", "sql")
     val left = Catalog.applyDdl(catalog, ddl)
       .select("database", "table").collect()
