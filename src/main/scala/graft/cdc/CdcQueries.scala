@@ -129,9 +129,11 @@ object CdcQueries {
           lit("price"), when(col("o_orderkey") % 2 === 0,
             (col("o_totalprice") + 1).cast(DecimalType(18, 2)).cast(StringType)).otherwise(priceStr),
           lit("prio"), col("o_orderpriority"))
-        o.select(col("o_orderkey"),
+        // sort below the map-build/diff/explode chain (q34 range-sampler
+        // note); explode preserves row order, map order is deterministic
+        o.sortWithinPartitions("o_orderkey")
+          .select(col("o_orderkey"),
             explode(Envelope.changedColumns(oldImg, newImg)).as(Seq("col_name", "old_val")))
-          .orderBy("o_orderkey", "col_name")
       },
       Some("""SELECT o_orderkey, col_name, old_val FROM (
              |  SELECT o_orderkey, 'status' AS col_name, o_orderstatus AS old_val FROM orders
