@@ -12,6 +12,8 @@ import java.nio.file.Files
   * (insert alice → update bal → insert bob → delete alice) plus rows for a
   * non-routed table that must be filtered out before merging.
   */
+case class RawEv(id: Long, tpe: Int, body: Array[Byte])
+
 class CdcEndToEndSpec extends SparkSpec {
 
   private def msg(id: Long, table: String, tpe: String,
@@ -66,6 +68,52 @@ class CdcEndToEndSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
       // alice deleted, bob present, audit_log rows never routed
       assert(snap == Seq((2L, "bob", "5.00")))
+    } finally q.stop()
+  }
+
+  test("raw binlog event bytes → row decode → merge → snapshot") {
+    // The full raw-bytes story (§2A#9-12): WRITE/UPDATE/DELETE_ROWS event
+    // bodies stream in as bytes, BinlogRowsDecode assembles typed row
+    // images (multi-row, UPDATE pairs), and the same streaming latest-image
+    // snapshot converges — no Canal-JSON leg at all.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+    val schema = BinlogSchema.fromMysqlTypes(Seq(
+      "id" -> "bigint", "name" -> "varchar(32)", "bal" -> "decimal(10,2)"))
+    val dir = Files.createTempDirectory("graft-e2e-raw").toString
+    val in = MemoryStream[RawEv]
+
+    val decoded = in.toDF().select(col("id"), col("tpe"),
+      BinlogDecode.rows(col("body"), col("tpe"), schema).as("r"))
+    val images = decoded.select(col("id"), col("tpe"),
+      posexplode(when(col("tpe") === DeleteV2, col("r.old"))
+        .otherwise(col("r.data"))).as(Seq("pos", "m")))
+    val keyed = images.select(
+      (col("id") * 10 + col("pos")).as("cid"),
+      when(col("tpe") === DeleteV2, "DELETE")
+        .when(col("tpe") === UpdateV2, "UPDATE")
+        .otherwise("INSERT").as("type"),
+      element_at(col("m"), "id").cast("long").as("pk"),
+      element_at(col("m"), "name").as("name"),
+      element_at(col("m"), "bal").as("bal"))
+    val q = CdcSnapshot.start(keyed, Seq("pk"), "cid", s"$dir/snap", s"$dir/ckpt")
+
+    try {
+      in.addData(RawEv(0, WriteV2, encodeRows(WriteV2, schema, Seq(
+        Seq(1L, "alice", "10.50"), Seq(2L, "bob", "5.00"))))) // multi-row WRITE
+      q.processAllAvailable()
+      in.addData(RawEv(1, UpdateV2, encodeRows(UpdateV2, schema, Seq(
+        Seq(1L, "alice", "10.50"), Seq(1L, "alice", "99.90"))))) // old,new pair
+      q.processAllAvailable()
+      in.addData(RawEv(2, DeleteV2, encodeRows(DeleteV2, schema, Seq(
+        Seq(2L, "bob", "5.00")))))
+      q.processAllAvailable()
+
+      val snap = CdcSnapshot.read(spark, s"$dir/snap")
+        .select("pk", "name", "bal").orderBy("pk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(snap == Seq((1L, "alice", "99.90")))
     } finally q.stop()
   }
 }
