@@ -70,8 +70,14 @@ object Dedup {
       .withColumn("r", row_number().over(w))
       .filter(col("r") <=
         col("nsh") - floor((col("nsh") * num + (den - 1)) / den) + 1)
+    // Length filter (AllPairs): J >= t implies den*min(na,nb) >= num*max —
+    // a size-mismatched pair can never reach the threshold, so pruning it
+    // inside the join condition is lossless and cuts candidates before the
+    // distinct + verify join.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.sid") < col("b.sid"))
+        col("a.s") === col("b.s") && col("a.sid") < col("b.sid") &&
+          col("a.nsh") * num <= col("b.nsh") * den &&
+          col("b.nsh") * num <= col("a.nsh") * den)
       .select(col("a.sid").as("da"), col("b.sid").as("db"))
       .distinct()
     verifyJaccard(cand, arrays, num, den)
