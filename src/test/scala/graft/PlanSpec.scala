@@ -54,6 +54,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("q41 jaccard candidate join keeps its equi key (length filter rides along)") {
+    // The AllPairs length filter adds inequality conditions to the prefix
+    // join; they must remain ancillary predicates on the shingle equi-join,
+    // never degrade it to a nested-loop/cartesian plan.
+    val p = plan("q41_dedup_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi join\n" + p)
+  }
+
+  test("q75 raw row decode runs codegen'd with only the declared fixture-encode UDF") {
+    val p = plan("q75_binlog_rows_write")
+    // exactly the one fixture-synthesis encode UDF; the decode itself is an
+    // expression (BinlogRowSpec asserts a UDF-free decode-only plan)
+    val udfs = "ScalaUDF".r.findAllIn(p).length
+    assert(udfs <= 1, s"decode path must not add UDFs, saw $udfs\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52 exact cosine pairs run distributed: no broadcast, no cartesian") {
     val p = plan("q52_dedup_embedding")
     assert(!p.contains("BroadcastExchange"),
