@@ -101,4 +101,27 @@ object BinlogDecode {
     */
   def rows(body: Column, eventType: Column, cols: Array[BinlogColumn]): Column =
     BinlogRowsDecode(body, eventType, cols)
+
+  /** Typed projection over one decoded row-image map: one column per
+    * `(name, mysqlType)` entry, cast through [[Catalog.sparkType]] — the
+    * last step from raw bytes to a typed DataFrame. Renders that need more
+    * than a plain cast are handled per family: TIMESTAMP2 decodes to
+    * epoch-seconds(.frac) strings → exact decimal-seconds cast; BLOBs
+    * decode to hex → `unhex`; absent keys and NULL columns become SQL
+    * NULLs (ANSI-safe `try_element_at`).
+    */
+  def typedColumns(img: Column, cols: Seq[(String, String)]): Seq[Column] = {
+    import org.apache.spark.sql.functions.{lit, try_element_at, unhex}
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    cols.map { case (n, t) =>
+      val v = try_element_at(img, lit(n))
+      val base = t.trim.toLowerCase
+      val typed =
+        if (base.startsWith("timestamp"))
+          v.cast(DecimalType(26, 6)).cast(TimestampType)
+        else if (base.endsWith("blob")) unhex(v)
+        else v.cast(Catalog.sparkType(base)) // datetime strings cast directly
+      typed.as(n)
+    }
+  }
 }

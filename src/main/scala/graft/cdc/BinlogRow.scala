@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes and uses a 2-byte prefix), `fsp` (TIME2/DATETIME2/TIMESTAMP2
   * fraction digits), `lengthSize` (TEXT/BLOB length-prefix bytes),
   * `precision`/`scale` (DECIMAL), `unsigned` (integer types; the binlog
-  * itself carries no signedness).
+  * itself carries no signedness), `binary` (TEXT wire code 252 covers both
+  * TEXT and BLOB: binary columns render as lowercase hex — lossless and
+  * reversible via `unhex`, unlike the reference's lossy UTF-16 decode,
+  * `executor.rs:231-236`; text columns render as UTF-8).
   */
 case class BinlogColumn(
     name: String,
@@ -32,7 +35,8 @@ case class BinlogColumn(
     lengthSize: Int = 1,
     precision: Int = 0,
     scale: Int = 0,
-    unsigned: Boolean = false) extends Serializable
+    unsigned: Boolean = false,
+    binary: Boolean = false) extends Serializable
 
 /** Raw MySQL binlog ROW-event decode: assembles whole typed rows from
   * WRITE/UPDATE/DELETE_ROWS event bodies — columns-present bitmap, per-image
@@ -161,7 +165,12 @@ object BinlogRowCodec {
       UTF8String.fromBytes(r.slice(len))
     case TEXT =>
       val len = r.uLE(c.lengthSize).toInt
-      UTF8String.fromBytes(r.slice(len))
+      val bs = r.slice(len)
+      if (c.binary) {
+        val sb = new java.lang.StringBuilder(bs.length * 2)
+        bs.foreach(b => sb.append(f"${b & 0xff}%02x"))
+        UTF8String.fromString(sb.toString)
+      } else UTF8String.fromBytes(bs)
     case other =>
       throw new IllegalArgumentException(s"unsupported column type code $other (${c.name})")
   }
@@ -284,7 +293,13 @@ object BinlogRowCodec {
         writeLE(out, bs.length.toLong, if (c.maxLength > 255) 2 else 1)
         out.write(bs)
       case TEXT =>
-        val bs = v.toString.getBytes("UTF-8")
+        val bs =
+          if (c.binary) v match {
+            case raw: Array[Byte] => raw
+            case hex => hex.toString.grouped(2)
+              .map(h => Integer.parseInt(h, 16).toByte).toArray
+          }
+          else v.toString.getBytes("UTF-8")
         writeLE(out, bs.length.toLong, c.lengthSize)
         out.write(bs)
       case other =>
@@ -380,10 +395,14 @@ object BinlogSchema {
       case "decimal" | "numeric" => BinlogColumn(name, DECIMAL, precision = a, scale = b)
       case "char" => BinlogColumn(name, CHAR, maxLength = a * bytesPerChar)
       case "varchar" => BinlogColumn(name, VARCHAR, maxLength = a * bytesPerChar)
-      case "tinytext" | "tinyblob" => BinlogColumn(name, TEXT, lengthSize = 1)
-      case "text" | "blob" => BinlogColumn(name, TEXT, lengthSize = 2)
-      case "mediumtext" | "mediumblob" => BinlogColumn(name, TEXT, lengthSize = 3)
-      case "longtext" | "longblob" => BinlogColumn(name, TEXT, lengthSize = 4)
+      case "tinytext" => BinlogColumn(name, TEXT, lengthSize = 1)
+      case "tinyblob" => BinlogColumn(name, TEXT, lengthSize = 1, binary = true)
+      case "text" => BinlogColumn(name, TEXT, lengthSize = 2)
+      case "blob" => BinlogColumn(name, TEXT, lengthSize = 2, binary = true)
+      case "mediumtext" => BinlogColumn(name, TEXT, lengthSize = 3)
+      case "mediumblob" => BinlogColumn(name, TEXT, lengthSize = 3, binary = true)
+      case "longtext" => BinlogColumn(name, TEXT, lengthSize = 4)
+      case "longblob" => BinlogColumn(name, TEXT, lengthSize = 4, binary = true)
       case other => throw new IllegalArgumentException(s"unsupported mysql type: $other")
     }
   }

@@ -157,6 +157,57 @@ class BinlogRowSpec extends SparkSpec {
     assert(BinlogSchema.fromMysqlTypes(Seq("v" -> "varchar(100)")).head.maxLength == 100)
   }
 
+  test("BLOB columns round-trip losslessly as hex (not lossy text decode)") {
+    val schema = BinlogSchema.fromMysqlTypes(Seq("id" -> "int", "payload" -> "blob"))
+    assert(schema(1).binary && schema(1).lengthSize == 2)
+    // bytes that are NOT valid UTF-8 — a text decode would mangle them
+    val raw = Array[Byte](0x00, 0xff.toByte, 0x80.toByte, 0x01, 0xfe.toByte)
+    val body = encodeRows(WriteV2, schema, Seq(Seq(7, raw)))
+    import spark.implicits._
+    val out = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), schema).as("r"))
+      .select(col("r.data").getItem(0).as("m")).collect().head
+      .getAs[collection.Map[String, String]]("m")
+    assert(out("payload") == "00ff8001fe")
+    // and the typed projection restores the exact original bytes
+    val typed = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(BinlogDecode.typedColumns(col("m"),
+        Seq("id" -> "int", "payload" -> "blob")): _*)
+      .collect().head
+    assert(typed.getInt(0) == 7)
+    assert(typed.getAs[Array[Byte]](1).toSeq == raw.toSeq)
+  }
+
+  test("typedColumns: decoded map -> typed DataFrame via mysql type strings") {
+    val types = Seq("id" -> "bigint", "name" -> "varchar(32)",
+      "bal" -> "decimal(10,2)", "created" -> "datetime(3)",
+      "score" -> "double", "cnt" -> "int", "ts" -> "timestamp(2)",
+      "d" -> "date")
+    val schema = BinlogSchema.fromMysqlTypes(types)
+    val body = encodeRows(WriteV2, schema, Seq(
+      Seq(5L, "eve", "12.34", "2026-01-02 03:04:05.123", 2.5, null,
+        1500000000L, "2026-08-12")))
+    import spark.implicits._
+    val df = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(BinlogDecode.typedColumns(col("m"), types): _*)
+    import org.apache.spark.sql.types._
+    assert(df.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("id", LongType), ("name", StringType), ("bal", DecimalType(10, 2)),
+      ("created", TimestampType), ("score", DoubleType), ("cnt", IntegerType),
+      ("ts", TimestampType), ("d", DateType)))
+    val r = df.collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDecimal(2).toPlainString == "12.34")
+    assert(r.getTimestamp(3).toString == "2026-01-02 03:04:05.123")
+    assert(r.isNullAt(5)) // NULL column survives the typed cast as SQL NULL
+    assert(r.getTimestamp(6).toInstant.getEpochSecond == 1500000000L)
+    assert(r.getDate(7).toString == "2026-08-12")
+  }
+
   test("all-zero present bitmap fails loudly instead of spinning") {
     // An empty image consumes zero bytes; with residual bytes beyond the
     // checksum tail the row loop would spin forever without the progress
