@@ -473,6 +473,44 @@ object CdcQueries {
              |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS old_price,
              |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST('1000.00' AS DECIMAL(12,2)) AS VARCHAR) AS new_price,
              |  CASE WHEN o_orderkey % 2 = 0 THEN 'price,status' ELSE 'price' END AS changed
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Raw bytes to a fully TYPED DataFrame: rows decode (q75) composed with
+    // the typedColumns projection — decimal, date, datetime, epoch
+    // timestamp, and a lossless BLOB all restore their Spark types, hashed
+    // against the oracle's native-typed columns.
+    Q("q77_binlog_rows_typed", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val types = Seq("pk" -> "bigint", "price" -> "decimal(12,2)",
+          "odate" -> "date", "created" -> "datetime(3)", "epoch" -> "timestamp",
+          "payload" -> "blob")
+        val schema = BinlogSchema.fromMysqlTypes(types)
+        val enc = udf((rows: Seq[Row]) => BinlogRowCodec.encodeRows(
+          BinlogRowCodec.WriteV2, schema,
+          rows.map(r => Seq[Any](r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4), r.getAs[Array[Byte]](5)))))
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType),
+            col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSS"),
+            key + 1500000000L,
+            concat(lit("blob_"), key.cast(StringType)).cast(BinaryType)))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(BinlogDecode.rows(enc(col("rows")),
+            lit(BinlogRowCodec.WriteV2), schema).as("r"))
+          .select(explode(col("r.data")).as("m"))
+          .select(BinlogDecode.typedColumns(col("m"), types): _*)
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             |  CAST(o_orderdate AS DATE) AS odate,
+             |  o_orderdate AS created,
+             |  CAST(to_timestamp(1500000000 + o_orderkey) AS TIMESTAMP) AS epoch,
+             |  CAST('blob_' || CAST(o_orderkey AS VARCHAR) AS BLOB) AS payload
              |FROM orders ORDER BY pk""".stripMargin))
   )
 }
