@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Tests render java.sql.Timestamp/Date via toString (JVM default TZ);
+  // pin it so assertions don't depend on the host zone.
+  "-Duser.timezone=UTC",
   // 16g default: the sf0.1 dedup/self-join queries GC-thrash in 8g when the
   // driver runs Bench without SPARK_DRIVER_MEM set (the box has 125 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

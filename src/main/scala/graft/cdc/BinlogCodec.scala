@@ -216,7 +216,9 @@ object BinlogCodec {
 
   /** DATETIME2: 5 big-endian bytes offset by 0x8000000000; bits 17-39 are
     * yearMonth*32+day (yearMonth = year*13+month), bits 0-16 the time
-    * (hour<<12 | minute<<6 | second); `fsp` digits follow.
+    * (hour<<12 | minute<<6 | second); `fsp` digits follow. The all-zero
+    * value is MySQL's "zero datetime" → SQL NULL (same policy as DATE —
+    * rendering "0000-00-00 00:00:00" would crash any ANSI timestamp cast).
     */
   def decodeDatetime(input: Array[Byte], fsp: Int): UTF8String = {
     checkLen(input, 5 + fracBytes(fsp), s"DATETIME2(fsp=$fsp)")
@@ -226,6 +228,7 @@ object BinlogCodec {
     val ym = dVal >> 5
     val frac = if (fracBytes(fsp) > 0)
       storedToFsp(readBEAt(input, 5, fracBytes(fsp)), fsp) else 0L
+    if (v == 0 && frac == 0) return null
     val sb = new java.lang.StringBuilder
     sb.append(f"${ym / 13}%04d-${ym % 13}%02d-${dVal & 0x1f}%02d ")
     sb.append(f"${(tVal >> 12) & 0x1f}%02d:${(tVal >> 6) & 0x3f}%02d:${tVal & 0x3f}%02d")
@@ -250,12 +253,16 @@ object BinlogCodec {
     out
   }
 
-  /** TIMESTAMP2: 4 big-endian bytes of epoch seconds, then `fsp` digits. */
+  /** TIMESTAMP2: 4 big-endian bytes of epoch seconds, then `fsp` digits.
+    * Zero is MySQL's "zero timestamp" (the valid range starts at epoch 1)
+    * → SQL NULL, not 1970-01-01.
+    */
   def decodeTimestamp(input: Array[Byte], fsp: Int): UTF8String = {
     checkLen(input, 4 + fracBytes(fsp), s"TIMESTAMP2(fsp=$fsp)")
     val secs = readBEAt(input, 0, 4)
     val frac = if (fracBytes(fsp) > 0)
       storedToFsp(readBEAt(input, 4, fracBytes(fsp)), fsp) else 0L
+    if (secs == 0 && frac == 0) return null
     val sb = new java.lang.StringBuilder
     sb.append(secs)
     appendFrac(sb, frac, fsp)

@@ -63,20 +63,28 @@ case class MySqlPackedTime(child: Expression, fsp: Int) extends BinlogDecodeExpr
 
 case class MySqlPackedDatetime(child: Expression, fsp: Int) extends BinlogDecodeExpression {
   require(fsp >= 0 && fsp <= 6, s"invalid fsp $fsp")
+  override def nullable: Boolean = true // MySQL zero-datetime → null
   override protected def nullSafeEval(input: Any): Any =
     BinlogCodec.decodeDatetime(input.asInstanceOf[Array[Byte]], fsp)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogCodec.decodeDatetime($c, $fsp)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.cdc.BinlogCodec.decodeDatetime($c, $fsp);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): MySqlPackedDatetime =
     copy(child = newChild)
 }
 
 case class MySqlPackedTimestamp(child: Expression, fsp: Int) extends BinlogDecodeExpression {
   require(fsp >= 0 && fsp <= 6, s"invalid fsp $fsp")
+  override def nullable: Boolean = true // MySQL zero-timestamp → null
   override protected def nullSafeEval(input: Any): Any =
     BinlogCodec.decodeTimestamp(input.asInstanceOf[Array[Byte]], fsp)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogCodec.decodeTimestamp($c, $fsp)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.cdc.BinlogCodec.decodeTimestamp($c, $fsp);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): MySqlPackedTimestamp =
     copy(child = newChild)
 }

@@ -132,6 +132,21 @@ object BinlogRowCodec {
   private def bit(arr: Array[Byte], i: Int): Boolean =
     ((arr(i / 8) >> (i % 8)) & 1) != 0
 
+  private val HexDigits = "0123456789abcdef".getBytes
+  /** Allocation-light lowercase hex (this sits in the per-row decode path;
+    * a per-byte format call would dominate large-BLOB decode cost).
+    */
+  private def toHex(bs: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bs.length * 2)
+    var i = 0
+    while (i < bs.length) {
+      out(2 * i) = HexDigits((bs(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bs(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
   private def intString(v: Long, bytes: Int, unsigned: Boolean): String =
     if (unsigned)
       // 8-byte unsigned exceeds Long: render the raw bits unsigned
@@ -166,11 +181,7 @@ object BinlogRowCodec {
     case TEXT =>
       val len = r.uLE(c.lengthSize).toInt
       val bs = r.slice(len)
-      if (c.binary) {
-        val sb = new java.lang.StringBuilder(bs.length * 2)
-        bs.foreach(b => sb.append(f"${b & 0xff}%02x"))
-        UTF8String.fromString(sb.toString)
-      } else UTF8String.fromBytes(bs)
+      if (c.binary) UTF8String.fromBytes(toHex(bs)) else UTF8String.fromBytes(bs)
     case other =>
       throw new IllegalArgumentException(s"unsupported column type code $other (${c.name})")
   }
@@ -296,8 +307,10 @@ object BinlogRowCodec {
         val bs =
           if (c.binary) v match {
             case raw: Array[Byte] => raw
-            case hex => hex.toString.grouped(2)
-              .map(h => Integer.parseInt(h, 16).toByte).toArray
+            case hex =>
+              val h = hex.toString
+              require(h.length % 2 == 0, s"odd-length hex fixture value: $h")
+              h.grouped(2).map(g => Integer.parseInt(g, 16).toByte).toArray
           }
           else v.toString.getBytes("UTF-8")
         writeLE(out, bs.length.toLong, c.lengthSize)

@@ -126,13 +126,24 @@ object Catalog {
       .join(broadcast(wildDbs), Seq("database"), "left_anti")
   }
 
-  private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\)""".r
+  private val DecimalRe = """(?:decimal|numeric)\((\d+)\s*,\s*(\d+)\)""".r
 
   /** MySQL type string → Spark DataType (SURVEY.md §1 mapping; BLOB kept
     * binary, deviating from the reference's lossy UTF-16 decode,
-    * `/root/reference/src/executor.rs:231-236`).
+    * `/root/reference/src/executor.rs:231-236`). An ` unsigned` suffix
+    * widens integer types one tier (tinyint u fits Short, …, bigint u only
+    * fits DECIMAL(20,0)) — casting the full unsigned range into the signed
+    * Spark type would overflow-throw under ANSI mode.
     */
-  def sparkType(t: String): DataType = t match {
+  def sparkType(t: String): DataType =
+    if (t.endsWith("unsigned")) t.stripSuffix("unsigned").trim match {
+      case s if s.startsWith("tinyint")   => ShortType
+      case s if s.startsWith("smallint")  => IntegerType
+      case s if s.startsWith("mediumint") => IntegerType // 2^24-1 fits Int
+      case s if s.startsWith("int")       => LongType
+      case s if s.startsWith("bigint")    => DecimalType(20, 0)
+      case s => sparkType(s)
+    } else t match {
     case s if s.startsWith("tinyint")   => ByteType
     case s if s.startsWith("smallint")  => ShortType
     case s if s.startsWith("mediumint") || s.startsWith("int") => IntegerType
@@ -140,7 +151,7 @@ object Catalog {
     case s if s.startsWith("float")     => FloatType
     case s if s.startsWith("double")    => DoubleType
     case DecimalRe(p, sc)               => DecimalType(p.toInt, sc.toInt)
-    case s if s.startsWith("decimal")   => DecimalType(38, 18)
+    case s if s.startsWith("decimal") || s.startsWith("numeric") => DecimalType(38, 18)
     case "date"                         => DateType
     case s if s.startsWith("time(") || s == "time" => StringType // no TimeType
     case s if s.startsWith("datetime") || s.startsWith("timestamp") => TimestampType

@@ -377,7 +377,11 @@ object CdcQueries {
           old = array().cast(ArrayType(MapType(StringType, StringType)))).as("raw"))
         raw.select(Envelope.parse(col("raw")).as("e"))
           .select(col("e.id").as("gid"),
-            posexplode(col("e.data")).as(Seq("pos", "img")))
+            // _outer: data is never empty, and the non-outer form makes the
+            // optimizer infer a size()>0 filter that re-evaluates the whole
+            // JSON codec a second time per row (InferFiltersFromGenerate
+            // skips outer generates)
+            posexplode_outer(col("e.data")).as(Seq("pos", "img")))
           .select(col("gid"), col("pos"),
             element_at(col("img"), "o_orderkey").cast(LongType).as("pk"),
             element_at(col("img"), "o_orderstatus").as("status"))
@@ -416,7 +420,8 @@ object CdcQueries {
         grouped.sortWithinPartitions("gid").select(col("gid"), enc(col("rows")).as("body"))
           .select(col("gid"),
             BinlogDecode.rows(col("body"), lit(BinlogRowCodec.WriteV2), schema).as("r"))
-          .select(col("gid"), posexplode(col("r.data")).as(Seq("pos", "m")))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("gid"), posexplode_outer(col("r.data")).as(Seq("pos", "m")))
           .select(
             element_at(col("m"), "pk").cast(LongType).as("pk"),
             col("pos"),
@@ -460,7 +465,7 @@ object CdcQueries {
             (oldPrice + lit("1000.00").cast(DecimalType(12, 2))).cast(StringType)))).as("rows"))
         grouped.sortWithinPartitions("gid").select(
             BinlogDecode.rows(enc(col("rows")), lit(BinlogRowCodec.UpdateV2), schema).as("r"))
-          .select(explode(zip_with(col("r.old"), col("r.data"),
+          .select(explode_outer(zip_with(col("r.old"), col("r.data"),
             (o1, n1) => struct(o1.as("o"), n1.as("n")))).as("p"))
           .select(
             element_at(col("p.o"), "pk").cast(LongType).as("pk"),
@@ -502,7 +507,7 @@ object CdcQueries {
         grouped.sortWithinPartitions("gid")
           .select(BinlogDecode.rows(enc(col("rows")),
             lit(BinlogRowCodec.WriteV2), schema).as("r"))
-          .select(explode(col("r.data")).as("m"))
+          .select(explode_outer(col("r.data")).as("m"))
           .select(BinlogDecode.typedColumns(col("m"), types): _*)
       },
       Some("""SELECT o_orderkey AS pk,

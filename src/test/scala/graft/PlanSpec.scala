@@ -51,7 +51,8 @@ class PlanSpec extends SparkSpec {
 
   test("q35 routing predicates stay codegen-compatible (no UDF in plan)") {
     val p = plan("q35_cdc_route_multicast")
-    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // Spark 4.1 renders ScalaUDF nodes as "UDF(" in plan strings
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF("), p)
   }
 
   test("q41 jaccard candidate join keeps its equi key (length filter rides along)") {
@@ -64,12 +65,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q75 raw row decode runs codegen'd with only the declared fixture-encode UDF") {
-    val p = plan("q75_binlog_rows_write")
-    // exactly the one fixture-synthesis encode UDF; the decode itself is an
-    // expression (BinlogRowSpec asserts a UDF-free decode-only plan)
-    val udfs = "ScalaUDF".r.findAllIn(p).length
-    assert(udfs <= 1, s"decode path must not add UDFs, saw $udfs\n" + p)
-    assert(!p.contains("CartesianProduct"), p)
+    // Count actual ScalaUDF nodes in the optimized plan (the plan STRING
+    // renders one node several times under AQE): exactly the one
+    // fixture-synthesis encode UDF; the decode itself is an expression.
+    val qe = SparkEntry.queries("q75_binlog_rows_write")(spark, dir).queryExecution
+    val udfs = qe.optimizedPlan.flatMap(n => n.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })).length
+    assert(udfs == 1, s"expected exactly the fixture encode UDF, saw $udfs")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
   }
 
   test("q52 exact cosine pairs run distributed: no broadcast, no cartesian") {

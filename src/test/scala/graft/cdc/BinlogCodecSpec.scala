@@ -75,6 +75,19 @@ class BinlogCodecSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(out.isNullAt(i), s"col $i"))
   }
 
+  test("zero datetime/timestamp decode to null like zero date (ANSI-cast safe)") {
+    // MySQL zero-datetime stores exactly the 0x8000000000 offset
+    assert(BinlogCodec.decodeDatetime(
+      Array[Byte](0x80.toByte, 0, 0, 0, 0), 0) == null)
+    assert(BinlogCodec.decodeTimestamp(Array[Byte](0, 0, 0, 0), 0) == null)
+    // nonzero fraction means NOT the zero value
+    assert(BinlogCodec.decodeTimestamp(
+      BinlogCodec.encodeTimestamp(0L, 5L, 2), 2) != null)
+    // epoch 1 is a real value, not zero
+    assert(BinlogCodec.decodeTimestamp(
+      BinlogCodec.encodeTimestamp(1L, 0L, 0), 0).toString == "1")
+  }
+
   test("truncated wire bytes fail loudly instead of zero-padding") {
     val cases = Seq[(String, () => Any)](
       ("decimal", () => BinlogCodec.decodeDecimal(Array[Byte](0x80.toByte), 14, 4)),
@@ -123,9 +136,10 @@ class BinlogCodecSpec extends SparkSpec {
     assert(out(1).isNullAt(2), "zero date must decode to null")
     assert(out(1).getString(4) == "23:00:00.99")
     assert(out(1).getString(5) == "1999-12-31 23:59:59.000")
-    // decode is an expression, not a UDF — it must not appear as ScalaUDF
+    // decode is an expression, not a UDF — Spark 4.1 renders ScalaUDF as
+    // "UDF(" in plan strings, which must be absent here
     val plan = df.select(BinlogDecode.packedDecimal(col("dec"), 12, 3))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("UDF("), plan)
   }
 }

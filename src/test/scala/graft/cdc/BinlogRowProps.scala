@@ -44,7 +44,8 @@ object BinlogRowProps extends Properties("BinlogRowCodec") {
       h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
       f <- Gen.choose(0, 999)
     } yield f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$f%03d": Any),
-    ("timestamp", Gen.choose(0L, 4000000000L).map(x => x: Any)))
+    // epoch 0 is MySQL's zero-timestamp (decodes to NULL) — start at 1
+    ("timestamp", Gen.choose(1L, 4000000000L).map(x => x: Any)))
 
   /** Expected decoded rendering of a fixture value for a given type. */
   private def rendered(mysqlType: String, v: Any): String = mysqlType match {

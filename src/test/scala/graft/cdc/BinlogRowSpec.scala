@@ -208,6 +208,25 @@ class BinlogRowSpec extends SparkSpec {
     assert(r.getDate(7).toString == "2026-08-12")
   }
 
+  test("typedColumns widens unsigned ints so full-range values cast under ANSI") {
+    val types = Seq("tu" -> "tinyint unsigned", "iu" -> "int unsigned",
+      "bu" -> "bigint unsigned")
+    val schema = BinlogSchema.fromMysqlTypes(types)
+    val body = encodeRows(WriteV2, schema, Seq(
+      Seq(255L, 4294967295L, -1L))) // each type's max (bigint as raw bits)
+    import spark.implicits._
+    val df = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(BinlogDecode.typedColumns(col("m"), types): _*)
+    import org.apache.spark.sql.types._
+    assert(df.schema.map(_.dataType) == Seq(ShortType, LongType, DecimalType(20, 0)))
+    val r = df.collect().head
+    assert(r.getShort(0) == 255)
+    assert(r.getLong(1) == 4294967295L)
+    assert(r.getDecimal(2).toPlainString == "18446744073709551615")
+  }
+
   test("all-zero present bitmap fails loudly instead of spinning") {
     // An empty image consumes zero bytes; with residual bytes beyond the
     // checksum tail the row loop would spin forever without the progress
@@ -248,7 +267,8 @@ class BinlogRowSpec extends SparkSpec {
       Seq(1L, "x", "1.00", "2020-01-01 00:00:00.000", 0.0, 0)))
     val df = Seq(body).toDF("body")
       .select(BinlogDecode.rows(col("body"), lit(WriteV2), cols).as("r"))
-    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    // Spark 4.1 renders ScalaUDF nodes as "UDF(" in plan strings
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF("))
     assert(df.schema("r").dataType == BinlogRowCodec.outputType)
   }
 }

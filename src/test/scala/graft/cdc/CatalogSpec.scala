@@ -49,4 +49,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.jdbcCode("time(3)") == -999) // reference uses eq for time
     assert(Catalog.jdbcCode("datetime") == 93)
   }
+
+  test("unsigned integers widen one tier (ANSI overflow safety); numeric = decimal") {
+    assert(Catalog.sparkType("tinyint unsigned") == ShortType)
+    assert(Catalog.sparkType("tinyint(1) unsigned") == ShortType)
+    assert(Catalog.sparkType("smallint unsigned") == IntegerType)
+    assert(Catalog.sparkType("mediumint unsigned") == IntegerType)
+    assert(Catalog.sparkType("int unsigned") == LongType)
+    assert(Catalog.sparkType("int(10) unsigned") == LongType)
+    assert(Catalog.sparkType("bigint unsigned") == DecimalType(20, 0))
+    assert(Catalog.sparkType("numeric(10,2)") == DecimalType(10, 2))
+    assert(Catalog.sparkType("numeric") == DecimalType(38, 18))
+  }
 }
