@@ -45,11 +45,14 @@ object BinlogRowProps extends Properties("BinlogRowCodec") {
       f <- Gen.choose(0, 999)
     } yield f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$f%03d": Any),
     // epoch 0 is MySQL's zero-timestamp (decodes to NULL) — start at 1
-    ("timestamp", Gen.choose(1L, 4000000000L).map(x => x: Any)))
+    ("timestamp", Gen.choose(1L, 4000000000L).map(x => x: Any)),
+    ("blob", Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(bs => bs.take(64).toArray: Any)))
 
   /** Expected decoded rendering of a fixture value for a given type. */
   private def rendered(mysqlType: String, v: Any): String = mysqlType match {
     case "double" => v.asInstanceOf[Double].toString
+    case "blob" => v.asInstanceOf[Array[Byte]].map(b => f"${b & 0xff}%02x").mkString
     case t if t.startsWith("timestamp") => v.toString
     case _ => v.toString
   }
@@ -87,6 +90,7 @@ object BinlogRowProps extends Properties("BinlogRowCodec") {
   private def schemaTypeOf(c: BinlogColumn): String = c.tpe match {
     case DOUBLE => "double"
     case TIMESTAMP2 => "timestamp"
+    case TEXT if c.binary => "blob"
     case _ => "other"
   }
 
