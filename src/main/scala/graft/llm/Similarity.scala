@@ -214,7 +214,7 @@ object Similarity {
     * score only those lists — the classic IVF-Flat recall/throughput dial.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 6, dim: Int = 64): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8, dim: Int = 64): DataFrame = {
     val centroids: Array[Array[Double]] = trainCentroids(candidates, nlist)
     // Cell assignment and probe lists are codegen'd expressions — the
     // candidate side runs one static argmax-dot call per row with no

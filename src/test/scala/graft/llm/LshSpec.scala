@@ -35,7 +35,7 @@ class LshSpec extends SparkSpec {
     assert(hit >= 0.8, s"simhash hit-rate=$hit on ${exact.size} strong pairs")
   }
 
-  test("hyperplane-LSH ANN (multi-probe) recall@5 >= 0.7 vs brute force") {
+  test("hyperplane-LSH ANN (multi-probe) recall@5 >= 0.85 vs brute force") {
     val e = Tables(spark, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
     def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -44,14 +44,15 @@ class LshSpec extends SparkSpec {
     val bf = triples(Similarity.bruteForceTopK(queries, e, 5))
     val ann = triples(Similarity.lshTopK(queries, e, 5))
     val recall = (bf & ann).size.toDouble / bf.size
-    assert(recall >= 0.7, s"recall=$recall")
+    // measured 0.92-0.96 at sf0.001/sf0.01; floor leaves noise margin
+    assert(recall >= 0.85, s"recall=$recall")
     // multi-probe must strictly dominate single-probe bucket sets
     val single = triples(Similarity.lshTopK(queries, e, 5, multiProbe = false))
     val singleRecall = (bf & single).size.toDouble / bf.size
     assert(recall >= singleRecall, s"multi-probe $recall < single $singleRecall")
   }
 
-  test("IVF ANN (k-means-trained centroids) recall@5 >= 0.7 vs brute force") {
+  test("IVF ANN (k-means-trained centroids) recall@5 >= 0.75 vs brute force") {
     val e = Tables(spark, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -60,7 +61,8 @@ class LshSpec extends SparkSpec {
     val bf = pairs(Similarity.bruteForceTopK(queries, e, 5))
     val ivf = pairs(Similarity.ivfTopK(queries, e, 5))
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall >= 0.7, s"recall=$recall")
+    // nprobe=8/nlist=16 measures 0.80 at sf0.001 and sf0.01
+    assert(recall >= 0.75, s"recall=$recall")
   }
 
   test("simhash bucket cap: degenerate corpus completes, planted dups survive") {
