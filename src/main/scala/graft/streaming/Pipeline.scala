@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.cdc.{CdcConfig, Envelope, Instance, MqDecl}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Config-driven serving topology — the reference's `--serve` main
+  * (`/root/reference/src/main.rs:56-71`: config → binlog consumer → routed
+  * dispatch threads → MQ producers) assembled as Structured Streaming
+  * queries: the envelope stream is parsed ONCE, each row fans out to the
+  * instances that match it, and every configured MQ gets its own sink
+  * query reading only its share.
+  *
+  * One streaming query per MQ (not per instance): per-MQ checkpoints fail
+  * and recover independently, like the reference's per-MQ dispatch threads
+  * (`executor.rs:445-499`), while topic fan-out inside one MQ stays a
+  * column, not a query.
+  */
+object Pipeline {
+
+  /** The assembled topology. Kafka writers are returned unstarted (starting
+    * requires the spark-sql-kafka jar on the classpath — absent here, see
+    * [[Sinks.kafkaCanal]]); queue-shaped sinks are returned running.
+    */
+  final case class Assembled(
+      kafka: Seq[(String, DataStreamWriter[Row])],
+      queues: Seq[(String, StreamingQuery)]) {
+    def stop(): Unit = queues.foreach(_._2.stop())
+  }
+
+  /** Envelope stream → routed MQ records: one row per (envelope × matching
+    * instance) with the target mq/topic and the Kafka-shaped key/value
+    * projection. Non-matching envelopes drop here — the multicast explode
+    * and the per-table-ordering key are the same semantics [[Sinks]] and
+    * the reference's dispatcher use.
+    */
+  def routedRecords(envelopes: DataFrame, instances: Seq[Instance]): DataFrame = {
+    val e = struct(envelopes.columns.map(col): _*)
+    envelopes
+      .select(e.as("e"),
+        explode(graft.cdc.Routing.routes(instances,
+          col("database"), col("table"))).as("r"))
+      .select(col("r.mq").as("mq"), col("r.topic").as("topic"),
+        concat(col("e.database"), lit("."), col("e.table")).as("key"),
+        Envelope.render(col("e")).as("value"))
+  }
+
+  /** Assemble every configured MQ's sink over a parsed envelope stream.
+    *
+    * @param newQueueClient builds the push client for queue-shaped
+    *        (REDIS-config) MQs, from the declaration — executor-side
+    *        construction, must be serializable (see [[Sinks.queueSink]])
+    */
+  def fromConfig(envelopes: DataFrame, cfg: CdcConfig, checkpointRoot: String,
+      newQueueClient: MqDecl => () => (String, String) => Unit): Assembled = {
+    val records = routedRecords(envelopes, cfg.routingInstances)
+    val declared = cfg.instances.map(_.mq).toSet
+    val (kafkaMqs, queueMqs) = cfg.mqs.filter(m => declared(m.mq_name))
+      .partition(_.mq_cfg.KAFKA.isDefined)
+    val kafka = kafkaMqs.map { m =>
+      val brokers = m.mq_cfg.KAFKA.get.brokers
+      // no `topic` option: the per-row `topic` column routes, the Spark
+      // kafka sink's documented multi-topic mode
+      val w = records.filter(col("mq") === m.mq_name)
+        .select("topic", "key", "value")
+        .writeStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("checkpointLocation", s"$checkpointRoot/${m.mq_name}")
+      m.mq_name -> w
+    }
+    val queues = queueMqs.map { m =>
+      m.mq_name -> Sinks.queueSink(
+        records.filter(col("mq") === m.mq_name),
+        col("topic"), col("value"),
+        s"$checkpointRoot/${m.mq_name}", newQueueClient(m))
+    }
+    Assembled(kafka, queues)
+  }
+}

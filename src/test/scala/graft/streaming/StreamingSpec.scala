@@ -182,6 +182,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("config-driven pipeline: mqs fan out, queue mq receives its routed share") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cdc._
+    TestQueue.clear()
+    val cfg = CdcConfig(
+      mqs = Seq(
+        MqDecl("the_kafka", MqCfg(KAFKA = Some(KafkaCfg("b:9092")))),
+        MqDecl("the_redis", MqCfg(REDIS = Some(RedisCfg("127.0.0.1")))),
+        MqDecl("unused_mq", MqCfg(REDIS = Some(RedisCfg("127.0.0.2"))))),
+      instances = Seq(
+        InstanceCfg(mq = "the_kafka", schemas = "testdb", tables = "even*", topic = "t_even"),
+        InstanceCfg(mq = "the_redis", schemas = "*", tables = "*", topic = "t_all")))
+    val in = MemoryStream[Chg]
+    val envelopes = in.toDF()
+      .withColumn("database", lit("testdb"))
+      .withColumn("table", concat(when(col("pk") % 2 === 0, "even").otherwise("odd"), lit("_t")))
+    val dir = Files.createTempDirectory("graft-pipeline").toString
+    val asm = Pipeline.fromConfig(envelopes, cfg, s"$dir/ckpt", _ => () => TestQueue.push _)
+    try {
+      // one unstarted kafka writer; one running queue query; the MQ no
+      // instance routes to is not assembled at all
+      assert(asm.kafka.map(_._1) == Seq("the_kafka"))
+      assert(asm.queues.map(_._1) == Seq("the_redis"))
+      in.addData(Chg(1, 2, "INSERT", 1.0), Chg(2, 3, "INSERT", 2.0))
+      asm.queues.foreach(_._2.processAllAvailable())
+      val byTopic = TestQueue.drain().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(byTopic.keySet == Set("t_all")) // the redis mq's instance only
+      assert(byTopic("t_all").length == 2)
+      // the payload is the Canal-JSON render of the envelope row
+      assert(byTopic("t_all").forall(_.contains("\"database\":\"testdb\"")))
+    } finally asm.stop()
+  }
+
   test("kafka projection: key is database.table, value round-trips as Canal-JSON") {
     import spark.implicits._
     import graft.cdc.Envelope
