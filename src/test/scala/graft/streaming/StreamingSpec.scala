@@ -430,6 +430,36 @@ class StreamingSpec extends SparkSpec {
     assert(content().find(_._1 == 3L).map(_._2).contains(42.0))
   }
 
+  test("GC min-age retention: young manifests survive beyond the generation window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-minage").toString
+    val snapDir = s"$dir/snapshot"
+    // minAge of an hour: every manifest this test writes is "young", so
+    // even with the minimum 2-generation window nothing may be GC'd.
+    val ret = Retention(generations = 2, minAgeMs = 3600 * 1000L)
+    val seed = (1L to 20L).map(pk => Chg(pk, pk, "INSERT", pk * 1.0)).toDF()
+    CdcSnapshot.mergeBatch(seed, Seq("pk"), "cid", snapDir, numBuckets = 4, retention = ret)
+    (2 to 4).foreach { i =>
+      CdcSnapshot.mergeBatch(Seq(Chg(100L + i, 1L, "UPDATE", i * 1.0)).toDF(),
+        Seq("pk"), "cid", snapDir, retention = ret)
+    }
+    // v1 is 3 generations old — dead under generations=2, alive under minAge
+    val v1 = CdcSnapshot.readVersion(spark, snapDir, 1L)
+      .select("pk").as[Long].collect().toSet
+    assert(v1 == (1L to 20L).toSet)
+    // same history WITHOUT the min-age guard: v1 must be gone
+    val dir2 = Files.createTempDirectory("graft-snap-noage").toString
+    val snapDir2 = s"$dir2/snapshot"
+    CdcSnapshot.mergeBatch(seed, Seq("pk"), "cid", snapDir2, numBuckets = 4)
+    (2 to 4).foreach { i =>
+      CdcSnapshot.mergeBatch(Seq(Chg(100L + i, 1L, "UPDATE", i * 1.0)).toDF(),
+        Seq("pk"), "cid", snapDir2)
+    }
+    intercept[IllegalStateException] {
+      CdcSnapshot.readVersion(spark, snapDir2, 1L)
+    }
+  }
+
   test("auto-compaction folds every bucket into the Nth merge's generation") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snap-autocompact").toString
