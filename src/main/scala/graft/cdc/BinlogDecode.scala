@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
   * kernel: `doGenCode` emits a direct static call, so the decode runs
   * inside whole-stage codegen with no UDF boxing, serialization, or
   * interpreted fallback. Null inputs propagate via the standard
-  * null-safe scaffolding; only the MySQL "zero date" produces a new null.
+  * null-safe scaffolding; the MySQL zero DATE, zero DATETIME, and zero
+  * TIMESTAMP values each produce a new SQL NULL.
   */
 private[cdc] abstract class BinlogDecodeExpression
     extends UnaryExpression with Serializable {

@@ -386,7 +386,8 @@ object BinlogSchema {
 
   def column(name: String, mysqlType: String, bytesPerChar: Int = 1): BinlogColumn = {
     import BinlogRowCodec._
-    val t = mysqlType.trim.toLowerCase
+    // zerofill is display-only; MySQL renders it after `unsigned`
+    val t = mysqlType.trim.toLowerCase.stripSuffix("zerofill").trim
     val unsigned = t.endsWith("unsigned")
     val (base, a, b) = t match {
       case Paren(bs, x, y, _) => (bs, x.toInt, if (y == null) 0 else y.toInt)

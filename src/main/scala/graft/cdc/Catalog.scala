@@ -133,9 +133,12 @@ object Catalog {
     * `/root/reference/src/executor.rs:231-236`). An ` unsigned` suffix
     * widens integer types one tier (tinyint u fits Short, …, bigint u only
     * fits DECIMAL(20,0)) — casting the full unsigned range into the signed
-    * Spark type would overflow-throw under ANSI mode.
+    * Spark type would overflow-throw under ANSI mode. MySQL renders
+    * unsigned display types as `... unsigned zerofill` too, so the
+    * zerofill marker (display-only) is stripped before matching.
     */
-  def sparkType(t: String): DataType =
+  def sparkType(raw: String): DataType = {
+    val t = raw.stripSuffix("zerofill").trim
     if (t.endsWith("unsigned")) t.stripSuffix("unsigned").trim match {
       case s if s.startsWith("tinyint")   => ShortType
       case s if s.startsWith("smallint")  => IntegerType
@@ -158,5 +161,6 @@ object Catalog {
     case s if s.startsWith("year")      => IntegerType
     case s if s.endsWith("blob")        => BinaryType
     case _                              => StringType // char/varchar/text/unknown
+  }
   }
 }

@@ -8,14 +8,18 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 /** Config-driven serving topology — the reference's `--serve` main
   * (`/root/reference/src/main.rs:56-71`: config → binlog consumer → routed
   * dispatch threads → MQ producers) assembled as Structured Streaming
-  * queries: the envelope stream is parsed ONCE, each row fans out to the
-  * instances that match it, and every configured MQ gets its own sink
-  * query reading only its share.
+  * queries: each envelope row fans out to the instances that match it, and
+  * every configured MQ gets its own sink query reading only its share.
   *
   * One streaming query per MQ (not per instance): per-MQ checkpoints fail
   * and recover independently, like the reference's per-MQ dispatch threads
   * (`executor.rs:445-499`), while topic fan-out inside one MQ stays a
-  * column, not a query.
+  * column, not a query. The price of that isolation is that each MQ's
+  * query independently re-executes the shared parse+routing prefix per
+  * micro-batch (Structured Streaming gives every query its own
+  * incremental execution) — K MQs cost K passes over the decode path;
+  * acceptable because MQ counts are small and per-MQ failure isolation is
+  * the property the reference's users rely on.
   */
 object Pipeline {
 
@@ -36,6 +40,9 @@ object Pipeline {
     * the reference's dispatcher use.
     */
   def routedRecords(envelopes: DataFrame, instances: Seq[Instance]): DataFrame = {
+    // an empty instance list would build explode(array()) of NullType and
+    // fail analysis with an unrelated-looking extraction error
+    require(instances.nonEmpty, "routedRecords needs at least one routing instance")
     val e = struct(envelopes.columns.map(col): _*)
     envelopes
       .select(e.as("e"),
@@ -54,10 +61,26 @@ object Pipeline {
     */
   def fromConfig(envelopes: DataFrame, cfg: CdcConfig, checkpointRoot: String,
       newQueueClient: MqDecl => () => (String, String) => Unit): Assembled = {
+    if (cfg.instances.isEmpty) return Assembled(Nil, Nil)
+    // Every instance must name a declared MQ: an undeclared name would
+    // otherwise route rows no sink ever reads — silent data loss from a
+    // config typo (the reference's dispatcher resolves mq by name and
+    // fails; so do we).
+    val declaredNames = cfg.mqs.map(_.mq_name).toSet
+    val undeclared = cfg.instances.map(_.mq).filterNot(declaredNames)
+    require(undeclared.isEmpty,
+      s"instances route to undeclared mqs: ${undeclared.distinct.mkString(", ")}")
     val records = routedRecords(envelopes, cfg.routingInstances)
     val declared = cfg.instances.map(_.mq).toSet
-    val (kafkaMqs, queueMqs) = cfg.mqs.filter(m => declared(m.mq_name))
-      .partition(_.mq_cfg.KAFKA.isDefined)
+    val routedMqs = cfg.mqs.filter(m => declared(m.mq_name))
+    // classify by the transport actually configured; a declaration with
+    // neither (a malformed mq_cfg block parses to two Nones) must not
+    // silently become a queue sink pointing nowhere
+    routedMqs.foreach { m =>
+      require(m.mq_cfg.KAFKA.isDefined || m.mq_cfg.REDIS.isDefined,
+        s"mq ${m.mq_name} declares neither KAFKA nor REDIS configuration")
+    }
+    val (kafkaMqs, queueMqs) = routedMqs.partition(_.mq_cfg.KAFKA.isDefined)
     val kafka = kafkaMqs.map { m =>
       val brokers = m.mq_cfg.KAFKA.get.brokers
       // no `topic` option: the per-row `topic` column routes, the Spark

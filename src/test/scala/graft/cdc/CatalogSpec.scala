@@ -60,5 +60,8 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.sparkType("bigint unsigned") == DecimalType(20, 0))
     assert(Catalog.sparkType("numeric(10,2)") == DecimalType(10, 2))
     assert(Catalog.sparkType("numeric") == DecimalType(38, 18))
+    // MySQL renders display types as `... unsigned zerofill`
+    assert(Catalog.sparkType("int(10) unsigned zerofill") == LongType)
+    assert(Catalog.sparkType("tinyint unsigned zerofill") == ShortType)
   }
 }

@@ -216,6 +216,35 @@ class StreamingSpec extends SparkSpec {
     } finally asm.stop()
   }
 
+  test("pipeline config validation: undeclared mq, transportless mq, empty instances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cdc._
+    val in = MemoryStream[Chg]
+    val envelopes = in.toDF()
+      .withColumn("database", lit("testdb")).withColumn("table", lit("t"))
+    // instance routing to an MQ no declaration names → loud failure,
+    // never silent data loss
+    val typo = CdcConfig(
+      mqs = Seq(MqDecl("the_kafka", MqCfg(KAFKA = Some(KafkaCfg("b:9092"))))),
+      instances = Seq(InstanceCfg(mq = "kafka1", schemas = "*", tables = "*", topic = "t")))
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.fromConfig(envelopes, typo, "/tmp/ck", _ => () => (_, _) => ())
+    }
+    assert(e1.getMessage.contains("kafka1"))
+    // a routed MQ whose cfg block parsed to neither transport → loud failure
+    val transportless = CdcConfig(
+      mqs = Seq(MqDecl("m", MqCfg())),
+      instances = Seq(InstanceCfg(mq = "m", schemas = "*", tables = "*", topic = "t")))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.fromConfig(envelopes, transportless, "/tmp/ck", _ => () => (_, _) => ())
+    }
+    assert(e2.getMessage.contains("neither"))
+    // an empty config assembles an empty topology instead of failing analysis
+    val asm = Pipeline.fromConfig(envelopes, CdcConfig(), "/tmp/ck", _ => () => (_, _) => ())
+    assert(asm.kafka.isEmpty && asm.queues.isEmpty)
+  }
+
   test("kafka projection: key is database.table, value round-trips as Canal-JSON") {
     import spark.implicits._
     import graft.cdc.Envelope
