@@ -111,6 +111,12 @@ object BinlogDecode {
   def rows(body: Column, eventType: Column, cols: Array[BinlogColumn]): Column =
     BinlogRowsDecode(body, eventType, cols)
 
+  /** Common-event-header split (whole event bytes → header fields +
+    * payload) — see [[BinlogRowCodec.decodeHeader]].
+    */
+  def eventSplit(event: Column, packetMarker: Boolean = false): Column =
+    BinlogEventSplit(event, packetMarker)
+
   /** Typed projection over one decoded row-image map: one column per
     * `(name, mysqlType)` entry, cast through [[Catalog.sparkType]] — the
     * last step from raw bytes to a typed DataFrame. Renders that need more

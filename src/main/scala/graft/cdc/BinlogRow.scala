@@ -96,6 +96,55 @@ object BinlogRowCodec {
     StructField("data", ArrayType(MapType(StringType, StringType)), nullable = false),
     StructField("old", ArrayType(MapType(StringType, StringType)), nullable = false)))
 
+  /** [[decodeHeader]] output: the 19-byte common event header's fields
+    * plus the remaining payload bytes.
+    */
+  val headerType: StructType = StructType(Seq(
+    StructField("timestamp", LongType, nullable = false),
+    StructField("event_type", IntegerType, nullable = false),
+    StructField("server_id", LongType, nullable = false),
+    StructField("event_size", LongType, nullable = false),
+    StructField("log_pos", LongType, nullable = false),
+    StructField("flags", IntegerType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+
+  /** Split a whole binlog event into its common 19-byte header (timestamp
+    * u4, type u1, server_id u4, event_size u4, log_pos u4, flags u2 — all
+    * little-endian; reference `/root/reference/src/binlog.rs:517-544`) and
+    * the payload bytes. `packetMarker` additionally skips the leading
+    * status byte a replication-stream packet carries before the header
+    * (the reference's `take_int1`, `binlog.rs:528`); events read from a
+    * binlog FILE have no marker.
+    */
+  def decodeHeader(event: Array[Byte], packetMarker: Boolean): InternalRow = {
+    val r = new Reader(event)
+    if (packetMarker) r.skip(1)
+    val ts = r.uLE(4)
+    val tpe = r.u1()
+    val serverId = r.uLE(4)
+    val eventSize = r.uLE(4)
+    val logPos = r.uLE(4)
+    val flags = r.uLE(2).toInt
+    val body = java.util.Arrays.copyOfRange(event, r.pos, event.length)
+    InternalRow(ts, tpe, serverId, eventSize, logPos, flags, body)
+  }
+
+  /** Encode a full event (header ++ body) for fixtures/tests. */
+  def encodeEvent(eventType: Int, body: Array[Byte], timestamp: Long = 0L,
+      serverId: Long = 1L, logPos: Long = 4L, flags: Int = 0,
+      packetMarker: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(20 + body.length)
+    if (packetMarker) out.write(0)
+    writeLE(out, timestamp, 4)
+    out.write(eventType)
+    writeLE(out, serverId, 4)
+    writeLE(out, 19L + body.length, 4) // event_size includes the header
+    writeLE(out, logPos, 4)
+    writeLE(out, flags.toLong, 2)
+    out.write(body)
+    out.toByteArray
+  }
+
   private final class Reader(bs: Array[Byte]) {
     var pos = 0
     def remaining: Int = bs.length - pos
@@ -459,4 +508,31 @@ object BinlogRowsDecode {
     ColumnBridge.column(BinlogRowsDecode(
       ColumnBridge.expression(body), ColumnBridge.expression(eventType),
       cols.toIndexedSeq))
+}
+
+/** Codegen'd event split: whole event bytes → header fields + payload
+  * (see [[BinlogRowCodec.decodeHeader]]). With this, a raw event stream
+  * needs no external metadata at all: split, dispatch on `event_type`,
+  * decode rows.
+  */
+case class BinlogEventSplit(child: Expression, packetMarker: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = BinlogRowCodec.headerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BinlogEventSplit expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogRowCodec.decodeHeader(input.asInstanceOf[Array[Byte]], packetMarker)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.cdc.BinlogRowCodec.decodeHeader($c, $packetMarker)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogEventSplit =
+    copy(child = newChild)
+}
+
+object BinlogEventSplit {
+  def apply(event: Column, packetMarker: Boolean): Column =
+    ColumnBridge.column(BinlogEventSplit(ColumnBridge.expression(event), packetMarker))
 }

@@ -516,6 +516,43 @@ object CdcQueries {
              |  o_orderdate AS created,
              |  CAST(to_timestamp(1500000000 + o_orderkey) AS TIMESTAMP) AS epoch,
              |  CAST('blob_' || CAST(o_orderkey AS VARCHAR) AS BLOB) AS payload
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Zero-metadata raw-event decode: WHOLE event bytes (19-byte common
+    // header ++ row body, reference binlog.rs:517-544) split by the
+    // codegen'd BinlogEventSplit, rows decoded by the header's OWN
+    // event_type — no external type column at all.
+    Q("q78_binlog_event_split", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)"))
+        val enc = udf((gid: Long, rows: Seq[Row]) => BinlogRowCodec.encodeEvent(
+          BinlogRowCodec.WriteV2,
+          BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+            rows.map(r => Seq[Any](r.getLong(0), r.getString(1)))),
+          timestamp = gid % 100000 + 1700000000L,
+          logPos = gid * 100 + 4))
+        val o = t(s, dir, "orders")
+        val grouped = o.groupBy((col("o_orderkey") - col("o_orderkey") % 3).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey").cast(LongType), col("o_orderstatus")))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(BinlogDecode.eventSplit(enc(col("gid"), col("rows"))).as("h"))
+          .select(col("h.timestamp").as("hdr_ts"), col("h.event_type").as("ev_type"),
+            col("h.log_pos").as("log_pos"),
+            BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+          .select(col("hdr_ts"), col("ev_type"), col("log_pos"),
+            posexplode_outer(col("r.data")).as(Seq("pos", "m")))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("hdr_ts"), col("ev_type"), col("log_pos"),
+            element_at(col("m"), "status").as("status"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  (o_orderkey - o_orderkey % 3) % 100000 + 1700000000 AS hdr_ts,
+             |  30 AS ev_type,
+             |  (o_orderkey - o_orderkey % 3) * 100 + 4 AS log_pos,
+             |  o_orderstatus AS status
              |FROM orders ORDER BY pk""".stripMargin))
   )
 }

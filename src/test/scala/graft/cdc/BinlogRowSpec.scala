@@ -227,6 +227,39 @@ class BinlogRowSpec extends SparkSpec {
     assert(r.getDecimal(2).toPlainString == "18446744073709551615")
   }
 
+  test("event split: header fields + body round-trip, marker byte, truncation") {
+    val body = encodeRows(WriteV2, cols, Seq(
+      Seq(1L, "x", "1.00", "2020-01-01 00:00:00.000", 0.0, 0)))
+    val event = encodeEvent(WriteV2, body,
+      timestamp = 1700000123L, serverId = 7L, logPos = 4096L, flags = 0x20)
+    import spark.implicits._
+    def split(bytes: Array[Byte], marker: Boolean) =
+      Seq(bytes).toDF("ev")
+        .select(BinlogDecode.eventSplit(col("ev"), packetMarker = marker).as("h"))
+        .select("h.*").collect().head
+    val h = split(event, marker = false)
+    assert(h.getAs[Long]("timestamp") == 1700000123L)
+    assert(h.getAs[Int]("event_type") == WriteV2)
+    assert(h.getAs[Long]("server_id") == 7L)
+    assert(h.getAs[Long]("event_size") == 19L + body.length)
+    assert(h.getAs[Long]("log_pos") == 4096L)
+    assert(h.getAs[Int]("flags") == 0x20)
+    assert(h.getAs[Array[Byte]]("body").toSeq == body.toSeq)
+    // replication-stream packets carry a leading marker byte
+    val packet = encodeEvent(WriteV2, body, packetMarker = true)
+    assert(split(packet, marker = true).getAs[Int]("event_type") == WriteV2)
+    // header split composes with the row decode on the header's OWN type
+    val decoded = Seq(event).toDF("ev")
+      .select(BinlogDecode.eventSplit(col("ev")).as("h"))
+      .select(BinlogDecode.rows(col("h.body"), col("h.event_type"), cols).as("r"))
+      .select(col("r.data").getItem(0).as("m")).collect().head
+      .getAs[collection.Map[String, String]]("m")
+    assert(decoded("name") == "x")
+    intercept[IllegalArgumentException] {
+      split(Array[Byte](1, 2, 3), marker = false)
+    }
+  }
+
   test("all-zero present bitmap fails loudly instead of spinning") {
     // An empty image consumes zero bytes; with residual bytes beyond the
     // checksum tail the row loop would spin forever without the progress
