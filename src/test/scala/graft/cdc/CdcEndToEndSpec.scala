@@ -12,7 +12,7 @@ import java.nio.file.Files
   * (insert alice → update bal → insert bob → delete alice) plus rows for a
   * non-routed table that must be filtered out before merging.
   */
-case class RawEv(id: Long, tpe: Int, body: Array[Byte])
+case class RawEv(id: Long, event: Array[Byte])
 
 class CdcEndToEndSpec extends SparkSpec {
 
@@ -71,11 +71,13 @@ class CdcEndToEndSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("raw binlog event bytes → row decode → merge → snapshot") {
-    // The full raw-bytes story (§2A#9-12): WRITE/UPDATE/DELETE_ROWS event
-    // bodies stream in as bytes, BinlogRowsDecode assembles typed row
-    // images (multi-row, UPDATE pairs), and the same streaming latest-image
-    // snapshot converges — no Canal-JSON leg at all.
+  test("raw binlog event bytes → header split → row decode → merge → snapshot") {
+    // The full raw-bytes story (§2A#9-12) with ZERO external metadata:
+    // whole events (19-byte common header ++ row body) stream in as bytes,
+    // BinlogEventSplit reads the type from the header itself,
+    // BinlogRowsDecode assembles typed row images (multi-row, UPDATE
+    // pairs), and the same streaming latest-image snapshot converges — no
+    // Canal-JSON leg and no out-of-band type column at all.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import BinlogRowCodec._
@@ -84,8 +86,10 @@ class CdcEndToEndSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-e2e-raw").toString
     val in = MemoryStream[RawEv]
 
-    val decoded = in.toDF().select(col("id"), col("tpe"),
-      BinlogDecode.rows(col("body"), col("tpe"), schema).as("r"))
+    val split = in.toDF().select(col("id"),
+      BinlogDecode.eventSplit(col("event")).as("h"))
+    val decoded = split.select(col("id"), col("h.event_type").as("tpe"),
+      BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
     val images = decoded.select(col("id"), col("tpe"),
       posexplode(when(col("tpe") === DeleteV2, col("r.old"))
         .otherwise(col("r.data"))).as(Seq("pos", "m")))
@@ -99,15 +103,16 @@ class CdcEndToEndSpec extends SparkSpec {
       element_at(col("m"), "bal").as("bal"))
     val q = CdcSnapshot.start(keyed, Seq("pk"), "cid", s"$dir/snap", s"$dir/ckpt")
 
+    def ev(tpe: Int, images: Seq[Seq[Any]]): Array[Byte] =
+      encodeEvent(tpe, encodeRows(tpe, schema, images))
     try {
-      in.addData(RawEv(0, WriteV2, encodeRows(WriteV2, schema, Seq(
+      in.addData(RawEv(0, ev(WriteV2, Seq(
         Seq(1L, "alice", "10.50"), Seq(2L, "bob", "5.00"))))) // multi-row WRITE
       q.processAllAvailable()
-      in.addData(RawEv(1, UpdateV2, encodeRows(UpdateV2, schema, Seq(
+      in.addData(RawEv(1, ev(UpdateV2, Seq(
         Seq(1L, "alice", "10.50"), Seq(1L, "alice", "99.90"))))) // old,new pair
       q.processAllAvailable()
-      in.addData(RawEv(2, DeleteV2, encodeRows(DeleteV2, schema, Seq(
-        Seq(2L, "bob", "5.00")))))
+      in.addData(RawEv(2, ev(DeleteV2, Seq(Seq(2L, "bob", "5.00")))))
       q.processAllAvailable()
 
       val snap = CdcSnapshot.read(spark, s"$dir/snap")
