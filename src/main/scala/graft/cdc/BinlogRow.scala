@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -125,7 +125,16 @@ object BinlogRowCodec {
     val eventSize = r.uLE(4)
     val logPos = r.uLE(4)
     val flags = r.uLE(2).toInt
-    val body = java.util.Arrays.copyOfRange(event, r.pos, event.length)
+    // The header's own event_size frames the payload: one event per input
+    // value, validated exactly. Without this, trailing bytes (a second
+    // contiguous event, record padding) would silently fold into `body`
+    // and decode as garbage rows downstream.
+    val bodyLen = eventSize - 19
+    if (bodyLen < 0 || r.pos + bodyLen != event.length)
+      throw new IllegalArgumentException(
+        s"event buffer (${event.length} bytes, marker=$packetMarker) does not " +
+          s"frame one event of header event_size $eventSize")
+    val body = java.util.Arrays.copyOfRange(event, r.pos, r.pos + bodyLen.toInt)
     InternalRow(ts, tpe, serverId, eventSize, logPos, flags, body)
   }
 
@@ -151,7 +160,7 @@ object BinlogRowCodec {
     private def need(n: Int): Unit =
       if (remaining < n)
         throw new IllegalArgumentException(
-          s"truncated row event: need $n bytes at offset $pos, have $remaining")
+          s"truncated binlog data: need $n bytes at offset $pos, have $remaining")
     def skip(n: Int): Unit = { need(n); pos += n }
     def u1(): Int = { need(1); pos += 1; bs(pos - 1) & 0xff }
     def uLE(n: Int): Long = {
@@ -516,7 +525,7 @@ object BinlogRowsDecode {
   * decode rows.
   */
 case class BinlogEventSplit(child: Expression, packetMarker: Boolean)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+    extends UnaryExpression with Serializable {
   override def dataType: DataType = BinlogRowCodec.headerType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -258,6 +258,14 @@ class BinlogRowSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       split(Array[Byte](1, 2, 3), marker = false)
     }
+    // trailing bytes beyond the header's event_size (a second contiguous
+    // event, padding) must fail framing, never fold into the body
+    val e = intercept[Exception] {
+      split(event ++ Array[Byte](1, 2, 3), marker = false)
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(e).contains("frame one event"), chain(e))
   }
 
   test("all-zero present bitmap fails loudly instead of spinning") {
