@@ -509,13 +509,18 @@ object CdcQueries {
             lit(BinlogRowCodec.WriteV2), schema).as("r"))
           .select(explode_outer(col("r.data")).as("m"))
           .select(BinlogDecode.typedColumns(col("m"), types): _*)
+          // The BLOB round-trips as a true BinaryType (typedColumns above);
+          // hex it only for the compare harness, whose pandas sort cannot
+          // hash bytearray cells (r3 q77 failure). Spark and DuckDB hex()
+          // both emit uppercase.
+          .withColumn("payload", hex(col("payload")))
       },
       Some("""SELECT o_orderkey AS pk,
              |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
              |  CAST(o_orderdate AS DATE) AS odate,
              |  o_orderdate AS created,
              |  CAST(to_timestamp(1500000000 + o_orderkey) AS TIMESTAMP) AS epoch,
-             |  CAST('blob_' || CAST(o_orderkey AS VARCHAR) AS BLOB) AS payload
+             |  hex(CAST('blob_' || CAST(o_orderkey AS VARCHAR) AS BLOB)) AS payload
              |FROM orders ORDER BY pk""".stripMargin)),
 
     // Zero-metadata raw-event decode: WHOLE event bytes (19-byte common

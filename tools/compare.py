@@ -52,6 +52,17 @@ def main():
             print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
             n_fail += 1
             continue
+        # The driver's compare loads into pandas and sort_values()s — a
+        # BLOB column arrives as bytearray cells, which pandas cannot hash
+        # (r3 q77 failure). Reject binary output columns here so the local
+        # harness catches it before the driver does.
+        bin_cols = [c for c, t in zip(spark_rel.columns, spark_rel.types)
+                    if str(t) == "BLOB"]
+        if bin_cols:
+            print(f"FAIL {name}: binary output columns {bin_cols} "
+                  "(driver pandas compare cannot hash bytearray)")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rowcount {len(spark_rows)} vs {len(duck_rows)}")
             n_fail += 1
