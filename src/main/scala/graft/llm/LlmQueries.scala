@@ -199,6 +199,82 @@ object LlmQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
              |CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> '')) AS INTEGER) AS n_rtokens
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup CLUSTERS from near-dup PAIRS: transitive closure via the
+    // distributed large-star/small-star algorithm (operators.Components).
+    // Every document gets a cluster id = the smallest doc_id reachable
+    // through the exact-Jaccard similarity graph (singletons cluster with
+    // themselves). The DuckDB oracle computes the same closure with a
+    // recursive CTE — exact, multi-hop (A~B~C clusters even when A!~C).
+    Q("q79_dedup_components", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "text", "doc_id")
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "da", "db")
+          .withColumnRenamed("node", "doc_id")
+        docs.select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShingleCte,
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT da, db FROM (
+             |    SELECT da, db, inter, ca.n AS na, cb.n AS nb FROM inter
+             |    JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+             |  WHERE inter * 10 >= (na + nb - inter) * 7
+             |), sym AS (
+             |  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+             |), reach(u, v) AS (
+             |  SELECT u, v FROM sym
+             |  UNION
+             |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+             |), comp AS (
+             |  SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u
+             |)
+             |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+             |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // GPT-style sequence packing (concat-then-chunk at cap tokens),
+    // sharded so the whole computation is per-shard parallel — no global
+    // sort. See Packing.packSequences for why NOT first-fit bin packing.
+    Q("q81_pack_sequences", { (s, dir) =>
+        Packing.packSequences(t(s, dir, "documents"), "doc_id", "text",
+            cap = 360, shards = 8)
+          .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, shard, n_tokens,
+             |  shard * 1000000 + cum_before // 360 AS pack_id,
+             |  cum_before % 360 AS pack_offset
+             |FROM (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+             |      PARTITION BY doc_id % 8 ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic hash-stratified sampling for mixture control: keep
+    // rates per language (en 50%, zh 12.5%, default 25%), decided by
+    // md5(seed:doc_id) so the DuckDB oracle draws the IDENTICAL sample.
+    Q("q82_sample_stratified", { (s, dir) =>
+        Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+            rates = Map("en" -> 0.5, "zh" -> 0.125), defaultRate = 0.25)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '2000' ELSE '4000' END
+             |ORDER BY doc_id""".stripMargin))
   )
 }

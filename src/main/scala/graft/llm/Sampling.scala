@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+/** Deterministic stratified sampling for training-data mixture control:
+  * keep a row iff a hash of its stable id falls under its stratum's
+  * rate threshold.
+  *
+  * Why hash-threshold instead of `df.sample()`: the decision is a pure
+  * function of (seed, id), so it is reproducible across runs, engines
+  * (md5 is md5 everywhere — the DuckDB oracle computes the identical
+  * sample), task retries, and data layout changes; and supersets nest —
+  * raising a stratum's rate strictly grows its sample, which matters when
+  * a mixture is re-weighted mid-project. `sample()` guarantees none of
+  * these.
+  *
+  * Scale shape: zero shuffle — the rate lookup is a broadcast join and
+  * the predicate is a per-row filter fused into the scan stage.
+  */
+object Sampling {
+
+  /** First 16 bits of md5(seed:id) as a lowercase 4-hex-char string.
+    * Uniform over [0, 2^16); string comparison on fixed-width hex is
+    * numeric comparison. */
+  def hashBucket(idCol: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + ":"), idCol.cast(StringType)).cast(BinaryType)), 1, 4)
+
+  /** Rate → the 4-hex threshold `hashBucket` is compared against. */
+  def threshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val n = math.round(rate * 65536.0).toInt
+    // rate 1.0 needs a sentinel above every bucket: "g" sorts after every
+    // hex digit, so `bucket < "g"` keeps all rows.
+    if (n >= 65536) "g" else f"$n%04x"
+  }
+
+  /** Per-stratum deterministic sample: keep each row of `df` with its
+    * stratum's rate (`defaultRate` for strata not in `rates`).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: String = "s42"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(
+      rates.toSeq.map { case (k, r) => (k, threshold(r)) }.toDF(stratumCol, "__thr"))
+    df.join(rateDf, Seq(stratumCol), "left")
+      .withColumn("__thr", coalesce(col("__thr"), lit(threshold(defaultRate))))
+      .filter(hashBucket(col(idCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -223,7 +223,28 @@ object Relational {
              |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
              |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // As-of (point-in-time) join — an operator Spark lacks natively,
+    // composed from union + running last() in graft.operators.AsofJoin
+    // (one key shuffle, no join explosion). Each click gets the value of
+    // the user's latest view AT OR BEFORE the click; DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    Q("q80_asof_join", { (s, dir) =>
+        val e = t(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value").as("view_value"))
+        graft.operators.AsofJoin
+          .asofJoin(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, l.ts, r.value AS view_value
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin))
   )
 
   /** TPC-H Q5 shape: revenue per nation for one region and one order year.

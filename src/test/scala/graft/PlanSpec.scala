@@ -85,4 +85,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"),
       "block-pair tasks should come from one hash shuffle\n" + p)
   }
+
+  test("asof join costs exactly one key shuffle, like a single window query") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    val p = operators.AsofJoin
+      .asofJoin(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+      .queryExecution.executedPlan.toString
+    val keyEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyEx <= 2, s"one exchange per union branch at most, saw $keyEx\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "asof must be a window computation, not a join explosion\n" + p)
+  }
+
+  test("q82 stratified sample: rate lookup broadcasts, fact side never shuffles") {
+    val p = plan("q82_sample_stratified")
+    // The orderBy in the query adds a range exchange for determinism; the
+    // JOIN itself must be broadcast — no hash exchange of documents.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "documents must not hash-shuffle for the rate lookup\n" + p)
+  }
 }

@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PackSampleSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("packing: offsets are the running token stream cut at cap") {
+    val cap = 100
+    val out = Packing.packSequences(Tables(spark, dir, "documents"),
+        "doc_id", "text", cap = cap, shards = 4)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // Replay each shard serially: the operator must equal the sequential
+    // concat-then-chunk definition.
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, packId, off) =>
+        assert(packId == shard * 1000000L + cum / cap, s"doc $id pack")
+        assert(off == cum % cap, s"doc $id offset")
+        cum += n
+      }
+    }
+    // Every pack id of a shard stays in its shard's stride.
+    assert(out.forall { case (_, shard, _, packId, _) =>
+      packId / 1000000L == shard })
+  }
+
+  test("packing: shards partition the corpus and offsets stay below cap") {
+    val docs = Tables(spark, dir, "documents")
+    val out = Packing.packSequences(docs, "doc_id", "text", cap = 64, shards = 8)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("pack_offset") >= 64 || col("pack_offset") < 0).isEmpty)
+  }
+
+  test("sampling: deterministic, rate-accurate, and nested across rates") {
+    val docs = Tables(spark, dir, "documents")
+    def ids(rate: Double) =
+      Sampling.stratifiedSample(docs, "doc_id", "lang",
+          rates = Map.empty, defaultRate = rate)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    assert(ids(0.5) == half, "same seed+rate must re-draw the same sample")
+    val quarter = ids(0.25)
+    assert(quarter.subsetOf(half), "lower rate must nest inside higher rate")
+    val n = docs.count().toDouble
+    assert(math.abs(half.size / n - 0.5) < 0.1, s"got ${half.size / n}")
+    assert(math.abs(quarter.size / n - 0.25) < 0.1, s"got ${quarter.size / n}")
+    assert(ids(0.0).isEmpty)
+    assert(ids(1.0).size == n.toInt)
+  }
+
+  test("sampling: per-stratum rates apply per stratum") {
+    val docs = Tables(spark, dir, "documents")
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 1.0), defaultRate = 0.0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+    assert(out.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("sampling: the filter reaches the scan stage (no shuffle of the fact side)") {
+    val docs = Tables(spark, dir, "documents")
+    val plan = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        rates = Map("en" -> 0.5), defaultRate = 0.25)
+      .queryExecution.executedPlan.toString
+    // Broadcast the rate table; never exchange the documents side.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("ShuffleExchange"), plan)
+  }
+}
