@@ -117,6 +117,23 @@ object BinlogDecode {
   def eventSplit(event: Column, packetMarker: Boolean = false): Column =
     BinlogEventSplit(event, packetMarker)
 
+  /** TABLE_MAP event decode (schema extraction from the wire) — see
+    * [[BinlogRowCodec.decodeTableMap]].
+    */
+  def tableMap(body: Column): Column =
+    ColumnBridge.column(BinlogTableMapDecode(expr(body)))
+
+  /** The table_id routing key leading every row-event body. */
+  def rowTableId(body: Column): Column =
+    ColumnBridge.column(BinlogRowTableId(expr(body)))
+
+  /** Whole-row decode with the schema supplied at runtime from a paired
+    * TABLE_MAP's `cols` — see [[BinlogRowCodec.decodeRowsDynamic]].
+    */
+  def rowsDynamic(body: Column, eventType: Column, cols: Column): Column =
+    ColumnBridge.column(BinlogRowsDecodeDynamic(
+      expr(body), expr(eventType), expr(cols)))
+
   /** Typed projection over one decoded row-image map: one column per
     * `(name, mysqlType)` entry, cast through [[Catalog.sparkType]] — the
     * last step from raw bytes to a typed DataFrame. Renders that need more

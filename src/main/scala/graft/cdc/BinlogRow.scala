@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -95,6 +95,14 @@ object BinlogRowCodec {
   val outputType: StructType = StructType(Seq(
     StructField("data", ArrayType(MapType(StringType, StringType)), nullable = false),
     StructField("old", ArrayType(MapType(StringType, StringType)), nullable = false)))
+
+  /** [[decodeRowsPositional]]/[[decodeRowsDynamic]] output shape: images
+    * as positional value arrays (index = schema ordinal), since TABLE_MAP
+    * carries no column names.
+    */
+  val positionalType: StructType = StructType(Seq(
+    StructField("data", ArrayType(ArrayType(StringType)), nullable = false),
+    StructField("old", ArrayType(ArrayType(StringType)), nullable = false)))
 
   /** [[decodeHeader]] output: the 19-byte common event header's fields
     * plus the remaining payload bytes.
@@ -244,13 +252,36 @@ object BinlogRowCodec {
       throw new IllegalArgumentException(s"unsupported column type code $other (${c.name})")
   }
 
-  /** One row image: null bitmap over the present columns, then values. */
-  private def decodeImage(r: Reader, cols: Array[BinlogColumn],
-      present: Array[Boolean]): MapData = {
+  /** One row image decoded positionally: one slot per SCHEMA column, with
+    * both wire-NULL and not-present columns as null (the map variant below
+    * keeps the absent-vs-null distinction by omitting absent keys).
+    */
+  private def decodeImageFull(r: Reader, cols: Array[BinlogColumn],
+      present: Array[Boolean]): Array[Any] = {
     var nPresent = 0
     var i = 0
     while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
     val nullMap = r.slice((nPresent + 7) / 8)
+    val out = new Array[Any](cols.length)
+    var j = 0
+    i = 0
+    while (i < cols.length) {
+      if (present(i)) {
+        out(i) = if (bit(nullMap, j)) null else decodeValue(r, cols(i))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** One row image: null bitmap over the present columns, then values. */
+  private def decodeImage(r: Reader, cols: Array[BinlogColumn],
+      present: Array[Boolean]): MapData = {
+    val full = decodeImageFull(r, cols, present)
+    var nPresent = 0
+    var i = 0
+    while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
     val keys = new Array[Any](nPresent)
     val values = new Array[Any](nPresent)
     var j = 0
@@ -258,7 +289,7 @@ object BinlogRowCodec {
     while (i < cols.length) {
       if (present(i)) {
         keys(j) = UTF8String.fromString(cols(i).name)
-        values(j) = if (bit(nullMap, j)) null else decodeValue(r, cols(i))
+        values(j) = full(i)
         j += 1
       }
       i += 1
@@ -266,11 +297,8 @@ object BinlogRowCodec {
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
   }
 
-  /** Decode a full row-event body (starting at the post-header payload:
-    * table_id ++ flags ++ …). Rows loop until only the 4-byte checksum
-    * tail remains (reference loop condition, `binlog.rs:636-639`).
-    */
-  def decodeRows(body: Array[Byte], eventType: Int, cols: Array[BinlogColumn]): InternalRow = {
+  private def decodeRowsImpl(body: Array[Byte], eventType: Int,
+      cols: Array[BinlogColumn], positional: Boolean): InternalRow = {
     val isUpdate = eventType == UpdateV1 || eventType == UpdateV2
     val isWrite = eventType == WriteV1 || eventType == WriteV2
     val isDelete = eventType == DeleteV1 || eventType == DeleteV2
@@ -293,15 +321,18 @@ object BinlogRowCodec {
     }
     val present1 = bitmap()
     val present2 = if (isUpdate) bitmap() else null
+    def image(present: Array[Boolean]): Any =
+      if (positional) new GenericArrayData(decodeImageFull(r, cols, present))
+      else decodeImage(r, cols, present)
     val data = scala.collection.mutable.ArrayBuffer.empty[Any]
     val old = scala.collection.mutable.ArrayBuffer.empty[Any]
     while (r.remaining > 4) {
       val posBefore = r.pos
-      if (isWrite) data += decodeImage(r, cols, present1)
-      else if (isDelete) old += decodeImage(r, cols, present1)
+      if (isWrite) data += image(present1)
+      else if (isDelete) old += image(present1)
       else {
-        old += decodeImage(r, cols, present1)
-        data += decodeImage(r, cols, present2)
+        old += image(present1)
+        data += image(present2)
       }
       // A zero-byte image (all-zero present bitmap on a corrupt body) would
       // spin this loop forever; fail loudly like every other malformed case.
@@ -311,6 +342,125 @@ object BinlogRowCodec {
     }
     InternalRow(new GenericArrayData(data.toArray),
       new GenericArrayData(old.toArray))
+  }
+
+  /** Decode a full row-event body (starting at the post-header payload:
+    * table_id ++ flags ++ …). Rows loop until only the 4-byte checksum
+    * tail remains (reference loop condition, `binlog.rs:636-639`).
+    */
+  def decodeRows(body: Array[Byte], eventType: Int, cols: Array[BinlogColumn]): InternalRow =
+    decodeRowsImpl(body, eventType, cols, positional = false)
+
+  /** [[decodeRows]] with positional images (`array<array<string>>`, one
+    * slot per schema column) — the shape for TABLE_MAP-driven decoding,
+    * where the wire carries NO column names: names attach later via
+    * `map_from_arrays`/catalog join.
+    */
+  def decodeRowsPositional(body: Array[Byte], eventType: Int,
+      cols: Array[BinlogColumn]): InternalRow =
+    decodeRowsImpl(body, eventType, cols, positional = true)
+
+  /** [[decodeRowsPositional]] with the schema supplied at RUNTIME as the
+    * column-spec array a [[decodeTableMap]] struct carries — the engine
+    * side of the reference's TABLE_MAP pairing (`executor.rs:33-48`):
+    * every event decodes with the schema of the TABLE_MAP that preceded
+    * it, not a build-time constant. Signedness and charset are not on the
+    * wire (MySQL puts them in optional TLV metadata the reference also
+    * ignores): columns decode as signed, TEXT as UTF-8; a catalog join
+    * refines both downstream.
+    */
+  def decodeRowsDynamic(body: Array[Byte], eventType: Int,
+      colSpecs: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow =
+    decodeRowsImpl(body, eventType, colsFromSpecs(colSpecs), positional = true)
+
+  private def colsFromSpecs(
+      specs: org.apache.spark.sql.catalyst.util.ArrayData): Array[BinlogColumn] =
+    Array.tabulate(specs.numElements()) { i =>
+      val s = specs.getStruct(i, 7)
+      BinlogColumn(name = "c" + i, tpe = s.getInt(0), maxLength = s.getInt(1),
+        fsp = s.getInt(2), lengthSize = s.getInt(3), precision = s.getInt(4),
+        scale = s.getInt(5))
+    }
+
+  /** The `table_id` (u6 LE) leading every row-event body — the routing key
+    * that pairs a row event with its TABLE_MAP (reference RowEventHeader,
+    * `binlog.rs:580-585`).
+    */
+  def rowEventTableId(body: Array[Byte]): Long = new Reader(body).uLE(6)
+
+  /** Per-column spec layout inside [[tableMapType]]: the decoded TABLE_MAP
+    * metadata (reference ColMeta, `binlog.rs:336-359`), positionally
+    * aligned with [[colsFromSpecs]].
+    */
+  val colSpecType: StructType = StructType(Seq(
+    StructField("tpe", IntegerType, nullable = false),
+    StructField("max_length", IntegerType, nullable = false),
+    StructField("fsp", IntegerType, nullable = false),
+    StructField("length_size", IntegerType, nullable = false),
+    StructField("precision", IntegerType, nullable = false),
+    StructField("scale", IntegerType, nullable = false),
+    StructField("nullable", BooleanType, nullable = false)))
+
+  /** [[decodeTableMap]] output shape. */
+  val tableMapType: StructType = StructType(Seq(
+    StructField("table_id", LongType, nullable = false),
+    StructField("database", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("cols", ArrayType(colSpecType, containsNull = false), nullable = false)))
+
+  /** Decode a TABLE_MAP event body (event type 19): table_id u6 ++ flags
+    * u2 ++ 1-byte-len + NUL-terminated schema and table names ++ lenenc
+    * column count ++ type codes ++ lenenc-length metadata block ++
+    * nullability bitmap (reference `binlog.rs:589-622`, metadata parse
+    * `:404-470`). Per-type metadata:
+    * VARCHAR u2 LE max byte length; CHAR 2 bytes big-endian with the
+    * high length bits XOR-folded into the type byte (`binlog.rs:419-426`);
+    * FLOAT/DOUBLE u1 size (implied by the type — skipped); TIME2/
+    * DATETIME2/TIMESTAMP2 u1 fsp; TEXT/BLOB u1 length-prefix width;
+    * DECIMAL u1 precision + u1 scale. Unlike the reference we also parse
+    * the trailing nullability bitmap rather than dropping it.
+    */
+  def decodeTableMap(body: Array[Byte]): InternalRow = {
+    val r = new Reader(body)
+    val tableId = r.uLE(6)
+    r.skip(2) // flags
+    def name(): UTF8String = {
+      val len = r.u1()
+      val bs = r.slice(len)
+      require(r.u1() == 0, "TABLE_MAP name missing NUL terminator")
+      UTF8String.fromBytes(bs)
+    }
+    val database = name()
+    val table = name()
+    val n = r.lenenc().toInt
+    val types = Array.tabulate(n)(_ => r.u1())
+    val metaLen = r.lenenc().toInt
+    val metaEnd = r.pos + metaLen
+    // (maxLength, fsp, lengthSize, precision, scale) per column.
+    val meta = Array.tabulate(n) { i =>
+      types(i) match {
+        case VARCHAR => (r.uLE(2).toInt, 0, 1, 0, 0)
+        case CHAR =>
+          // 2 bytes big-endian; length bits 8-9 are XOR-folded into the
+          // type byte (reference binlog.rs:419-426, MySQL string meta).
+          val metadata = (r.u1() << 8) | r.u1()
+          ((((metadata >> 4) & 0x300) ^ 0x300) + (metadata & 0xff), 0, 1, 0, 0)
+        case FLOAT | DOUBLE => r.skip(1); (0, 0, 1, 0, 0) // size implied by type
+        case TIME2 | DATETIME2 | TIMESTAMP2 => (0, r.u1(), 1, 0, 0)
+        case TEXT => (0, 0, r.u1(), 0, 0)
+        case DECIMAL => (0, 0, 1, r.u1(), r.u1())
+        case _ => (0, 0, 1, 0, 0) // fixed-width ints / DATE / YEAR: no metadata
+      }
+    }
+    require(r.pos == metaEnd,
+      s"TABLE_MAP metadata block length mismatch: consumed ${r.pos}, declared end $metaEnd")
+    val nullBits = r.slice((n + 7) / 8)
+    val specs: Array[Any] = Array.tabulate(n) { i =>
+      val (maxLength, fsp, lengthSize, precision, scale) = meta(i)
+      InternalRow(types(i), maxLength, fsp, lengthSize, precision, scale,
+        bit(nullBits, i))
+    }
+    InternalRow(tableId, database, table, new GenericArrayData(specs))
   }
 
   // ---- fixture/test encoders (value synthesis; production never encodes) ----
@@ -424,6 +574,55 @@ object BinlogRowCodec {
       writeImage(out, cols, if (isUpdate && k % 2 == 1) p2 else p1, img)
     }
     out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
+    out.toByteArray
+  }
+
+  /** Encode a TABLE_MAP event body (inverse of [[decodeTableMap]];
+    * fixture/test use only). Nullability defaults to all-nullable.
+    */
+  def encodeTableMap(tableId: Long, database: String, table: String,
+      cols: Array[BinlogColumn], nullable: Array[Boolean] = null): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    writeLE(out, tableId, 6)
+    writeLE(out, 0L, 2) // flags
+    def name(s: String): Unit = {
+      val bs = s.getBytes("UTF-8")
+      require(bs.length < 256, s"TABLE_MAP name too long: $s")
+      out.write(bs.length)
+      out.write(bs)
+      out.write(0) // NUL terminator
+    }
+    name(database)
+    name(table)
+    require(cols.length < 0xfb, "lenenc 1-byte form only in fixtures")
+    out.write(cols.length)
+    cols.foreach(c => out.write(c.tpe))
+    val meta = new java.io.ByteArrayOutputStream
+    cols.foreach { c =>
+      c.tpe match {
+        case VARCHAR => writeLE(meta, c.maxLength.toLong, 2)
+        case CHAR =>
+          require(c.maxLength <= 1023, s"CHAR maxLength ${c.maxLength} > 1023")
+          meta.write(CHAR ^ ((c.maxLength & 0x300) >> 4))
+          meta.write(c.maxLength & 0xff)
+        case FLOAT => meta.write(4)
+        case DOUBLE => meta.write(8)
+        case TIME2 | DATETIME2 | TIMESTAMP2 => meta.write(c.fsp)
+        case TEXT => meta.write(c.lengthSize)
+        case DECIMAL => meta.write(c.precision); meta.write(c.scale)
+        case _ => ()
+      }
+    }
+    val metaBytes = meta.toByteArray
+    require(metaBytes.length < 0xfb, "lenenc 1-byte form only in fixtures")
+    out.write(metaBytes.length)
+    out.write(metaBytes)
+    val nul = if (nullable != null) nullable else Array.fill(cols.length)(true)
+    val bits = new Array[Byte]((cols.length + 7) / 8)
+    nul.zipWithIndex.foreach { case (b, i) =>
+      if (b) bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
+    }
+    out.write(bits)
     out.toByteArray
   }
 }
@@ -544,4 +743,72 @@ case class BinlogEventSplit(child: Expression, packetMarker: Boolean)
 object BinlogEventSplit {
   def apply(event: Column, packetMarker: Boolean): Column =
     ColumnBridge.column(BinlogEventSplit(ColumnBridge.expression(event), packetMarker))
+}
+
+/** Codegen'd TABLE_MAP decode: event body bytes → (table_id, database,
+  * table, per-column decode specs) — the wire-side schema source that
+  * replaces build-time column specs (see [[BinlogRowCodec.decodeTableMap]]).
+  */
+case class BinlogTableMapDecode(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinlogRowCodec.tableMapType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BinlogTableMapDecode expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogRowCodec.decodeTableMap(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogRowCodec.decodeTableMap($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogTableMapDecode =
+    copy(child = newChild)
+}
+
+/** Codegen'd row-event table_id extraction (u6 LE body prefix) — the
+  * pairing key between a row event and its TABLE_MAP.
+  */
+case class BinlogRowTableId(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BinlogRowTableId expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogRowCodec.rowEventTableId(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogRowCodec.rowEventTableId($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogRowTableId =
+    copy(child = newChild)
+}
+
+/** Codegen'd whole-row decode with a RUNTIME schema: (body, event type,
+  * column-spec array from a paired TABLE_MAP) → positional images. The
+  * dynamic sibling of [[BinlogRowsDecode]] — see
+  * [[BinlogRowCodec.decodeRowsDynamic]].
+  */
+case class BinlogRowsDecodeDynamic(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with Serializable {
+  override def dataType: DataType = BinlogRowCodec.positionalType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, ArrayType(s: StructType, _))
+          if s.length == BinlogRowCodec.colSpecType.length =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"BinlogRowsDecodeDynamic expects (BINARY, INT, ARRAY<STRUCT(colspec)>), " +
+          s"got (${f.sql}, ${s.sql}, ${t.sql})")
+    }
+  override protected def nullSafeEval(body: Any, tpe: Any, specs: Any): Any =
+    BinlogRowCodec.decodeRowsDynamic(body.asInstanceOf[Array[Byte]],
+      tpe.asInstanceOf[Int],
+      specs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t, c) =>
+      s"graft.cdc.BinlogRowCodec.decodeRowsDynamic($b, $t, $c)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BinlogRowsDecodeDynamic =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

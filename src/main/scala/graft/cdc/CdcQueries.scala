@@ -558,6 +558,78 @@ object CdcQueries {
              |  30 AS ev_type,
              |  (o_orderkey - o_orderkey % 3) * 100 + 4 AS log_pos,
              |  o_orderstatus AS status
-             |FROM orders ORDER BY pk""".stripMargin))
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // The full zero-external-metadata CDC read path (SURVEY.md §2A#4/#6,
+    // reference main.rs:101-124 pairing + binlog.rs:589-622 TABLE_MAP):
+    // ONE interleaved stream of whole events from TWO tables with
+    // different schemas; the engine splits each event by its header,
+    // decodes TABLE_MAP events into schemas ON THE WIRE, pairs every row
+    // event with the latest preceding TABLE_MAP of ITS table_id (the
+    // reference's stateful pairing, expressed as an as-of join — one key
+    // shuffle), and row-decodes each event with the runtime schema it was
+    // paired to. No column spec, type, or name appears outside the bytes:
+    // TABLE_MAPs arrive only every 4th table-event-group, so pairing is
+    // genuinely keyed + ordered, not adjacent.
+    Q("q83_binlog_tablemap_pair", { (s, dir) =>
+        import graft.operators.AsofJoin
+        val schemaA = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "price" -> "decimal(12,2)"))
+        val schemaB = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)", "cust" -> "int"))
+        val tmA = lit(BinlogRowCodec.encodeEvent(19,
+          BinlogRowCodec.encodeTableMap(1L, "db1", "ta", schemaA)))
+        val tmB = lit(BinlogRowCodec.encodeEvent(19,
+          BinlogRowCodec.encodeTableMap(2L, "db1", "tb", schemaB)))
+        val encA = udf((pk: Long, price: String) =>
+          BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+            BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schemaA,
+              Seq(Seq[Any](pk, price)), tableId = 1L)))
+        val encB = udf((pk: Long, status: String, cust: Int) =>
+          BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+            BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schemaB,
+              Seq(Seq[Any](pk, status, cust)), tableId = 2L)))
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType).as("price"),
+            col("o_orderstatus").as("status"),
+            col("o_custkey").cast(IntegerType).as("cust"))
+          .sortWithinPartitions("k")
+        val isA = col("k") % 2 === 0
+        val writes = o.select((col("k") * 2 + 1).as("seq"),
+          when(isA, encA(col("k"), col("price")))
+            .otherwise(encB(col("k"), col("status"), col("cust"))).as("ev"))
+        val tableMaps = o.filter(col("k") % 8 < 2)
+          .select((col("k") * 2).as("seq"), when(isA, tmA).otherwise(tmB).as("ev"))
+        val events = writes.unionByName(tableMaps)
+
+        // ---- engine side: bytes in, typed change rows out ----
+        val split = events.select(col("seq"),
+          BinlogDecode.eventSplit(col("ev")).as("h"))
+        val tms = split.filter(col("h.event_type") === 19)
+          .select(col("seq"), BinlogDecode.tableMap(col("h.body")).as("tm"))
+          .select(col("tm.table_id").as("table_id"), col("seq"), col("tm"))
+        val rows = split
+          .filter(col("h.event_type").isin(23, 24, 25, 30, 31, 32))
+          .select(BinlogDecode.rowTableId(col("h.body")).as("table_id"),
+            col("seq"), col("h.event_type").as("et"), col("h.body").as("body"))
+        AsofJoin.asofJoin(rows, tms, Seq("table_id"), "seq", "seq", Seq("tm"))
+          .select(col("tm.database").as("db"), col("tm.table").as("tbl"),
+            BinlogDecode.rowsDynamic(col("body"), col("et"), col("tm.cols")).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("db"), col("tbl"), explode_outer(col("r.data")).as("vals"))
+          .select(col("db"), col("tbl"),
+            element_at(col("vals"), 1).as("pk"),
+            element_at(col("vals"), 2).as("c1"),
+            try_element_at(col("vals"), lit(3)).as("c2"))
+      },
+      Some("""SELECT 'db1' AS db, 'ta' AS tbl, CAST(o_orderkey AS VARCHAR) AS pk,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS c1,
+             |  CAST(NULL AS VARCHAR) AS c2
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 'db1', 'tb', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+             |  CAST(CAST(o_custkey AS INTEGER) AS VARCHAR)
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY tbl, pk""".stripMargin))
   )
 }

@@ -1,0 +1,104 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** TABLE_MAP decode (reference binlog.rs:589-622, metadata parse :404-470)
+  * and the dynamic (runtime-schema) row decode it feeds. Wire bytes are
+  * PINNED in goldens — symmetric encode/decode round-trips alone cannot
+  * catch a wire-format unit error.
+  */
+class TableMapSpec extends SparkSpec {
+
+  import BinlogRowCodec._
+
+  private val colsA = BinlogSchema.fromMysqlTypes(Seq(
+    "pk" -> "bigint", "price" -> "decimal(12,2)", "name" -> "varchar(300)",
+    "code" -> "char(4)", "created" -> "datetime(3)", "note" -> "text"))
+
+  test("golden: TABLE_MAP wire bytes, field by field") {
+    val body = encodeTableMap(5L, "db1", "ta", colsA,
+      nullable = Array(false, true, true, true, true, true))
+    // table_id u6 LE + flags u2
+    assert(body.take(8).toSeq == Seq[Byte](5, 0, 0, 0, 0, 0, 0, 0))
+    // schema name: len 3, "db1", NUL; table name: len 2, "ta", NUL
+    assert(body.slice(8, 13).toSeq == Seq[Byte](3, 'd', 'b', '1', 0))
+    assert(body.slice(13, 17).toSeq == Seq[Byte](2, 't', 'a', 0))
+    // column count, then type codes: BIGINT DECIMAL VARCHAR CHAR DATETIME2 TEXT
+    assert(body(17) == 6)
+    assert(body.slice(18, 24).map(_ & 0xff).toSeq == Seq(8, 246, 15, 254, 18, 252))
+    // meta block: len 8 = decimal(2) + varchar(2) + char(2) + dt fsp(1) + text(1)
+    assert(body(24) == 8)
+    assert(body.slice(25, 33).map(_ & 0xff).toSeq == Seq(
+      12, 2, // DECIMAL precision, scale
+      44, 1, // VARCHAR max_length 300, little-endian (0x012C)
+      254, 4, // CHAR(4): len<256 leaves the type byte unfolded, then len
+      3, // DATETIME2 fsp
+      2)) // TEXT length_size
+    // nullability bitmap: col 0 NOT NULL, cols 1-5 nullable -> 0b00111110
+    assert((body(33) & 0xff) == 0x3e)
+    assert(body.length == 34)
+  }
+
+  test("TABLE_MAP round-trips through the decoder with exact metadata") {
+    val body = encodeTableMap(77L, "shop", "orders", colsA,
+      nullable = Array(false, true, false, true, true, true))
+    val spark2 = spark
+    import spark2.implicits._
+    val row = Seq(body).toDF("b")
+      .select(BinlogDecode.tableMap(col("b")).as("tm"))
+      .select("tm.table_id", "tm.database", "tm.table", "tm.cols")
+      .collect().head
+    assert(row.getLong(0) == 77L)
+    assert(row.getString(1) == "shop")
+    assert(row.getString(2) == "orders")
+    val specs = row.getSeq[Row](3)
+    assert(specs.map(_.getInt(0)) == Seq(8, 246, 15, 254, 18, 252))
+    assert(specs(1).getInt(4) == 12 && specs(1).getInt(5) == 2, "decimal p/s")
+    assert(specs(2).getInt(1) == 300, "varchar max_length")
+    assert(specs(3).getInt(1) == 4, "char max_length")
+    assert(specs(4).getInt(2) == 3, "datetime fsp")
+    assert(specs(5).getInt(3) == 2, "text length_size")
+    assert(specs.map(_.getBoolean(6)) == Seq(false, true, false, true, true, true))
+  }
+
+  test("CHAR metadata survives the >255 XOR-fold (lengths 4, 255, 256, 1023)") {
+    for (len <- Seq(4, 255, 256, 1023)) {
+      val cols = Array(BinlogSchema.column("c", s"char(1)").copy(maxLength = len))
+      val body = encodeTableMap(1L, "d", "t", cols)
+      val got = decodeTableMap(body).getArray(3).getStruct(0, 7).getInt(1)
+      assert(got == len, s"char($len) decoded as $got")
+    }
+  }
+
+  test("dynamic row decode: TABLE_MAP schema drives the value decode") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmBody = encodeTableMap(9L, "db1", "ta", colsA)
+    val rowsBody = encodeRows(WriteV2, colsA, Seq(
+      Seq[Any](42L, "123.45", "x" * 300, "ab", "2024-02-29 12:30:45.123", "note-1"),
+      Seq[Any](7L, null, "y", null, null, "note-2")), tableId = 9L)
+    val df = Seq((tmBody, rowsBody)).toDF("tm", "rows")
+      .select(BinlogDecode.tableMap(col("tm")).as("m"), col("rows"))
+      .select(BinlogDecode.rowsDynamic(col("rows"), lit(WriteV2), col("m.cols")).as("r"))
+      .select(explode(col("r.data")).as("vals"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got.length == 2)
+    assert(got(0) == Seq("42", "123.45", "x" * 300, "ab", "2024-02-29 12:30:45.123", "note-1"))
+    assert(got(1) == Seq("7", null, "y", null, null, "note-2"))
+    // The decode consumed the TABLE_MAP's table_id too.
+    assert(rowEventTableId(rowsBody) == 9L)
+  }
+
+  test("truncated TABLE_MAP and name-terminator corruption fail loudly") {
+    val body = encodeTableMap(1L, "db1", "ta", colsA)
+    intercept[IllegalArgumentException] {
+      decodeTableMap(body.take(body.length - 2))
+    }
+    val corrupt = body.clone()
+    assert(corrupt(12) == 0)
+    corrupt(12) = 1 // overwrite db1's NUL terminator
+    intercept[IllegalArgumentException] { decodeTableMap(corrupt) }
+  }
+}
