@@ -512,11 +512,16 @@ object CdcQueries {
           // The BLOB round-trips as a true BinaryType (typedColumns above);
           // hex it only for the compare harness, whose pandas sort cannot
           // hash bytearray cells (r3 q77 failure). Spark and DuckDB hex()
-          // both emit uppercase.
+          // both emit uppercase. Likewise the DECIMAL(12,2) round-trips
+          // natively (CdcQueriesSpec asserts the type) but is compared as
+          // its exact canonical string: DECIMAL is the one output type the
+          // driver's pandas hash represents differently per reader (r4 q77
+          // hash mismatch); decimal→string is lossless so nothing weakens.
           .withColumn("payload", hex(col("payload")))
+          .withColumn("price", col("price").cast(StringType))
       },
       Some("""SELECT o_orderkey AS pk,
-             |  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
              |  CAST(o_orderdate AS DATE) AS odate,
              |  o_orderdate AS created,
              |  CAST(to_timestamp(1500000000 + o_orderkey) AS TIMESTAMP) AS epoch,

@@ -251,9 +251,12 @@ object LlmQueries {
           .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
           .orderBy("doc_id")
       },
+      // CASTs: the window sum is HUGEINT in DuckDB, which the driver's
+      // pandas compare lands as float64 (r4 q81 hash mismatch vs Spark's
+      // int64) — pin both derived columns back to BIGINT.
       Some("""SELECT doc_id, shard, n_tokens,
-             |  shard * 1000000 + cum_before // 360 AS pack_id,
-             |  cum_before % 360 AS pack_offset
+             |  CAST(shard * 1000000 + cum_before // 360 AS BIGINT) AS pack_id,
+             |  CAST(cum_before % 360 AS BIGINT) AS pack_offset
              |FROM (
              |  SELECT doc_id, doc_id % 8 AS shard,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -78,6 +78,29 @@ def main():
         if bad:
             print(f"FAIL {name}: row {bad[0]}: spark={bad[1]} duck={bad[2]}")
             n_fail += 1
+            continue
+        # Pandas-representation check, mirroring the driver's hash compare:
+        # int32-vs-int64 width differences hash equal (values are equal
+        # ints), but int-vs-float (r4 q81: DuckDB HUGEINT window sum →
+        # float64) and exotic value classes like DECIMAL (r4 q77) hash
+        # differently per reader. Flag any column where one side lands
+        # float/object and the other doesn't.
+        import pandas as pd  # noqa: F401 (driver env always has it)
+        sdf = spark_rel.df()
+        ddf = duck_rel.df()
+        kinds = lambda df: {c: df[c].dtype.kind for c in df.columns}
+        sk, dk = kinds(sdf), kinds(ddf)
+        mixed = [c for c in sk
+                 if (sk[c] in "fO") != (dk.get(c) in "fO")
+                 or (sk[c] == "O") != (dk.get(c) == "O")]
+        deci = [c for c in sdf.columns
+                if sdf[c].dtype == object and any(
+                    type(v).__name__ == "Decimal"
+                    for v in sdf[c].dropna().head(3))]
+        if mixed or deci:
+            print(f"FAIL {name}: pandas dtype hazard mixed={mixed} "
+                  f"decimal_obj={deci} spark={sk} duck={dk}")
+            n_fail += 1
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")
             n_pass += 1
