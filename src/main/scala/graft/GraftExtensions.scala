@@ -65,6 +65,10 @@ object GraftExtensions {
     "simhash64" -> { args: Seq[Expression] =>
       require(args.length == 1, "simhash64(tokens)")
       SimHash64(args(0))
+    },
+    "zorder2" -> { args: Seq[Expression] =>
+      require(args.length == 2, "zorder2(x, y)")
+      graft.sources.ZOrder2(args(0), args(1))
     })
 
   /** Register every function into a live session. */

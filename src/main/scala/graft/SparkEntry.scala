@@ -17,7 +17,8 @@ object SparkEntry {
       functions.Udx.qs ++
       llm.LlmQueries.qs ++
       multimodal.MultimodalQueries.qs ++
-      streaming.StreamQueries.qs
+      streaming.StreamQueries.qs ++
+      sources.LayoutQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

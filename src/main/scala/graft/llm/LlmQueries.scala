@@ -278,6 +278,22 @@ object LlmQueries {
       Some("""SELECT doc_id, lang, source FROM documents
              |WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) <
              |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '2000' ELSE '4000' END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The other half of mixture control: an exact per-source COUNT cap,
+    // keeping the 12 docs whose id-hash orders first in each source —
+    // a uniform reproducible draw (DuckDB draws the identical one), and
+    // raising the cap strictly grows the kept set.
+    Q("q86_sample_cap_per_source", { (s, dir) =>
+        Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source", n = 12)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 12 ORDER BY doc_id""".stripMargin))
   )
 }

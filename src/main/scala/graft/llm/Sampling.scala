@@ -36,6 +36,36 @@ object Sampling {
     if (n >= 65536) "g" else f"$n%04x"
   }
 
+  /** Per-group COUNT cap (the other half of mixture control: "at most n
+    * docs per source"): keep the n rows of each group whose id-hash orders
+    * first. Hash order, not insertion/file order, so the kept set is a
+    * uniform, reproducible draw with the same nesting property as
+    * [[stratifiedSample]] — raising n strictly grows the sample.
+    *
+    * One hash shuffle on the group key. A pathologically hot group is
+    * bounded by the window's per-partition sort, not by memory (Spark's
+    * window sort spills); if one group dominates a 100 TB corpus, cut it
+    * first with a rate via [[stratifiedSample]], then cap exactly.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      n: Int,
+      seed: String = "s42"): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      // full md5, not hashBucket's 16-bit prefix: the tie-break id makes
+      // either exact, but 128 bits keeps the draw order collision-free
+      .orderBy(
+        md5(concat(lit(seed + ":"), col(idCol).cast(StringType)).cast(BinaryType)),
+        col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Per-stratum deterministic sample: keep each row of `df` with its
     * stratum's rate (`defaultRate` for strata not in `rates`).
     */
