@@ -46,34 +46,45 @@ object Dedup {
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select("da", "db", "inter", "na", "nb")
 
-  /** Exact n-gram Jaccard similarity join: every pair with J >= num/den.
-    *
-    * Candidate generation uses **prefix filtering** (AllPairs/PPJoin):
-    * under a global shingle order (document frequency ascending, then
-    * shingle), a doc's prefix is its first `n - ceil(t*n) + 1` shingles;
-    * any pair with J >= t shares its globally-minimum common shingle
-    * inside BOTH prefixes, so joining prefixes only is lossless. This both
-    * shrinks the candidate join ~(1-t)² and is inherently skew-resistant:
-    * high-frequency shingles order last and fall out of prefixes, so a hot
-    * shingle never feeds a quadratic reducer (the df-cap effect without a
-    * semantic cap). Exactness means the plain shared-shingle SQL oracle is
-    * unchanged.
+  /** Prefix rows (sid, nsh, s [, passthrough...]) — the shared candidate
+    * generator for [[jaccardPairs]] (self-join) and
+    * [[jaccardPairsAgainst]] (new-vs-corpus join), via **prefix
+    * filtering** (AllPairs/PPJoin): under a global shingle order
+    * (document frequency ascending, then shingle), a doc's prefix is its
+    * first `n - ceil(t*n) + 1` shingles; any pair with J >= t shares its
+    * globally-minimum common shingle inside BOTH prefixes, so joining
+    * prefixes only is lossless. This both shrinks the candidate join
+    * ~(1-t)² and is inherently skew-resistant: high-frequency shingles
+    * order last and fall out of prefixes, so a hot shingle never feeds a
+    * quadratic reducer (the df-cap effect without a semantic cap).
+    * Exactness means the plain shared-shingle SQL oracle is unchanged.
+    * The theorem is side-agnostic — it only needs both endpoints'
+    * prefixes taken under the SAME global order, which is why the cross
+    * variant computes document frequency over the union.
+    */
+  private def prefixRows(arrays: DataFrame, num: Int, den: Int,
+      passthrough: Seq[String]): DataFrame = {
+    val keep = (Seq("sid") ++ passthrough).map(col) :+
+      size(col("arr")).as("nsh") :+ explode(col("arr")).as("s")
+    val sh = arrays.select(keep: _*)
+    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("df"), col("s"))
+    sh.join(dfc, "s")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <=
+        col("nsh") - floor((col("nsh") * num + (den - 1)) / den) + 1)
+  }
+
+  /** Exact n-gram Jaccard self-join via the shared prefix filter, with the
+    * AllPairs length filter in the join condition: J >= t implies
+    * den*min(na,nb) >= num*max, so a size-mismatched pair can never reach
+    * the threshold and pruning it is lossless.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
     val arrays = shingleArrays(docs, textCol, idCol, k)
-    val sh = arrays.select(col("sid"), size(col("arr")).as("nsh"), explode(col("arr")).as("s"))
-    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("sid").orderBy(col("df"), col("s"))
-    val prefix = sh.join(dfc, "s")
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <=
-        col("nsh") - floor((col("nsh") * num + (den - 1)) / den) + 1)
-    // Length filter (AllPairs): J >= t implies den*min(na,nb) >= num*max —
-    // a size-mismatched pair can never reach the threshold, so pruning it
-    // inside the join condition is lossless and cuts candidates before the
-    // distinct + verify join.
+    val prefix = prefixRows(arrays, num, den, Nil)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.sid") < col("b.sid") &&
           col("a.nsh") * num <= col("b.nsh") * den &&
@@ -81,6 +92,39 @@ object Dedup {
       .select(col("a.sid").as("da"), col("b.sid").as("db"))
       .distinct()
     verifyJaccard(cand, arrays, num, den)
+  }
+
+  /** Incremental dedup join: exact Jaccard pairs BETWEEN a new batch and
+    * an existing corpus (never corpus-vs-corpus — that work was already
+    * done when the corpus was built). This is the production dedup mode at
+    * 100 TB: each ingest batch joins against the standing corpus, and only
+    * batch-sized work is added. Ids must be globally unique across both
+    * sides (standard for a document store).
+    *
+    * Same lossless prefix filter as [[jaccardPairs]], with document
+    * frequency computed over the union so both sides share one global
+    * shingle order; candidates only pair new×corpus, so a batch B against
+    * corpus C costs the prefix join's |B|-bounded candidates, not
+    * |B ∪ C|². Returns (new_id, corpus_id, inter, na, nb).
+    */
+  def jaccardPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      k: Int = 3, num: Int = 7, den: Int = 10): DataFrame = {
+    val arrays = shingleArrays(newDocs, textCol, idCol, k)
+      .withColumn("side", lit("n"))
+      .unionByName(shingleArrays(corpus, textCol, idCol, k)
+        .withColumn("side", lit("c")))
+    val prefix = prefixRows(arrays, num, den, Seq("side"))
+    val cand = prefix.filter(col("side") === "n").as("a")
+      .join(prefix.filter(col("side") === "c").as("b"),
+        col("a.s") === col("b.s") &&
+          col("a.nsh") * num <= col("b.nsh") * den &&
+          col("b.nsh") * num <= col("a.nsh") * den)
+      .select(col("a.sid").as("da"), col("b.sid").as("db"))
+      .distinct()
+    verifyJaccard(cand, arrays.drop("side"), num, den)
+      .withColumnRenamed("da", "new_id")
+      .withColumnRenamed("db", "corpus_id")
   }
 
   /** 2^31-1, the classic MinHash modulus: keeps a*x+b inside Long range. */

@@ -294,6 +294,53 @@ object LlmQueries {
              |    PARTITION BY source
              |    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 12 ORDER BY doc_id""".stripMargin))
+             |WHERE rn <= 12 ORDER BY doc_id""".stripMargin)),
+
+    // Incremental dedup: the new batch (doc_id % 5 = 0 here) joins ONLY
+    // against the standing corpus — per-ingest cost is batch-bounded, the
+    // 100 TB dedup mode. Exact (prefix-filtered) so the shared-shingle
+    // oracle gates it fully.
+    Q("q88_dedup_incremental", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        Dedup.jaccardPairsAgainst(
+            d.filter(col("doc_id") % 5 === 0),
+            d.filter(col("doc_id") % 5 =!= 0),
+            "text", "doc_id")
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(s"""WITH $ShingleCte,
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s
+             |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+             |  GROUP BY 1, 2
+             |)
+             |SELECT new_id, corpus_id, inter, na, nb FROM (
+             |  SELECT new_id, corpus_id, inter, ca.n AS na, cb.n AS nb FROM inter
+             |  JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = corpus_id)
+             |WHERE inter * 10 >= (na + nb - inter) * 7
+             |ORDER BY new_id, corpus_id""".stripMargin)),
+
+    // One-pass dataset profiling (null / distinct / min / max per column)
+    // — the pre-training quality sweep, as a single aggregation.
+    Q("q87_profile_documents", { (s, dir) =>
+        graft.operators.Profile.profile(t(s, dir, "documents"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS n_nulls,
+             |    count(DISTINCT doc_id) AS n_distinct,
+             |    CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+             |  FROM documents
+             |  UNION ALL SELECT 'text', count(*) - count(text), count(DISTINCT text),
+             |    min(text), max(text) FROM documents
+             |  UNION ALL SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+             |    min(lang), max(lang) FROM documents
+             |  UNION ALL SELECT 'source', count(*) - count(source), count(DISTINCT source),
+             |    min(source), max(source) FROM documents
+             |  UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+             |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+             |ORDER BY col_name""".stripMargin))
   )
 }

@@ -85,7 +85,8 @@ object Components {
     }
 
     var cur = init.localCheckpoint(true)
-    var converged = cur.isEmpty
+    var curCount = cur.count()
+    var converged = curCount == 0
     var it = 0
     while (!converged) {
       it += 1
@@ -94,10 +95,15 @@ object Components {
           "pathological graph or a bug; raise maxIter only with evidence")
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       // Exact fixpoint test: small-star emits canonical (big, small) pairs,
-      // so set equality is count-equality + empty difference. Two metadata
-      // aggregates per round, same cost class as the algorithm's shuffles.
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      // so set equality is count-equality + empty anti-join. The count is
+      // carried across rounds and the anti-join short-circuits at the
+      // first novel edge (limit 1), so the test costs one job + one
+      // early-out probe per round instead of re-scanning both sides.
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("u", "v"), "left_anti").limit(1).isEmpty
       cur = next
+      curCount = nextCount
     }
     // Converged edges are stars (x, m): every member points at the
     // component minimum. Centers appear only on the v side — close them.
