@@ -341,6 +341,109 @@ object LlmQueries {
              |    min(source), max(source) FROM documents
              |  UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
              |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // Benchmark decontamination: training docs (doc_id % 10 <> 7) sharing
+    // any distinct 5-gram with the held-out eval set (doc_id % 10 = 7).
+    // The bench side collapses to its distinct shingle set pre-join, so no
+    // hot shingle can fan out; at 100 TB that set broadcasts.
+    Q("q90_decontaminate", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        Decontaminate.overlap(
+            d.filter(col("doc_id") % 10 =!= 7),
+            d.filter(col("doc_id") % 10 === 7),
+            "text", "doc_id", k = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh5 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |), bench AS (
+             |  SELECT DISTINCT s FROM sh5 WHERE doc_id % 10 = 7
+             |), cnt AS (
+             |  SELECT doc_id, count(*) AS n_shingles FROM sh5 WHERE doc_id % 10 <> 7 GROUP BY 1
+             |), hits AS (
+             |  SELECT t.doc_id, count(*) AS n_overlap
+             |  FROM sh5 t JOIN bench b ON t.s = b.s
+             |  WHERE t.doc_id % 10 <> 7 GROUP BY 1
+             |)
+             |SELECT h.doc_id, h.n_overlap, c.n_shingles
+             |FROM hits h JOIN cnt c ON h.doc_id = c.doc_id
+             |ORDER BY h.doc_id""".stripMargin)),
+
+    // Gopher-style repetition quality filters, per-row and shuffle-free:
+    // duplicate-2-gram fraction (1 - distinct/total bigrams) and top-token
+    // fraction (codegen'd TokenTopCount kernel / token count). Thresholds
+    // sit at the corpus p60-ish so the verdict actually splits the data.
+    // Both fractions derive from integer counts, so the doubles (and the
+    // threshold comparison) are engine-identical.
+    Q("q91_quality_repetition", { (s, dir) =>
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks)
+        val d2 = size(TextOps.shingles(col("text"), 2))
+        val dupFrac = when(n > 1,
+          lit(1.0) - d2.cast(DoubleType) / (n - 1).cast(DoubleType)).otherwise(0.0)
+        val topFrac = TokenTopCount(toks).cast(DoubleType) / n.cast(DoubleType)
+        t(s, dir, "documents").select(col("doc_id"), n.as("n_tokens"),
+            dupFrac.as("dup_2gram_frac"), topFrac.as("top_tok_frac"),
+            when(dupFrac <= 0.04 && topFrac <= 0.1, "keep")
+              .otherwise("drop").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+             |  CASE WHEN len(toks) > 1 THEN 1.0 - CAST(len(list_distinct(list_transform(
+             |      generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+             |    / CAST(len(toks) - 1 AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+             |  CAST(list_max(list_transform(list_distinct(toks),
+             |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+             |    / CAST(len(toks) AS DOUBLE) AS top_tok_frac,
+             |  CASE WHEN (CASE WHEN len(toks) > 1 THEN 1.0 - CAST(len(list_distinct(list_transform(
+             |      generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+             |    / CAST(len(toks) - 1 AS DOUBLE) ELSE 0.0 END) <= 0.04
+             |    AND CAST(list_max(list_transform(list_distinct(toks),
+             |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+             |    / CAST(len(toks) AS DOUBLE) <= 0.1
+             |  THEN 'keep' ELSE 'drop' END AS verdict
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Symmetric int8 embedding quantization (the ANN storage format):
+    // per-vector scale = max|x|/127, quantized ints serialized as CSV so
+    // the hash compare sees scalar columns. Narrow, codegen'd, no shuffle.
+    Q("q92_embed_quantize",
+      (s, dir) => Embeddings.quantized(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, scale,
+             |  array_to_string(list_transform(embedding,
+             |    x -> CASE WHEN scale = 0.0 THEN 0
+             |              ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) END), ',') AS q_str
+             |FROM (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |  FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Temperature-scaled source mixture (GPT-3-style sampling weights,
+    // T = 2 i.e. p^0.5): weight_l = sqrt(n_l/N) / Σ sqrt(n_m/N). sqrt is
+    // correctly-rounded IEEE in both engines; the normalizing sum runs in
+    // DECIMAL so it is order-insensitive — the same pattern that makes a
+    // 1000-executor Spark sum match a serial oracle.
+    Q("q93_source_mix", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        t(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("pd",
+            sqrt(col("n_docs").cast(DoubleType) / sum("n_docs").over(w).cast(DoubleType))
+              .cast(DecimalType(28, 12)))
+          .select(col("lang"), col("n_docs"),
+            (col("pd").cast(DoubleType) / sum("pd").over(w).cast(DoubleType)).as("weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n_docs,
+             |  CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) AS DECIMAL(28,12)) AS pd
+             |  FROM c)
+             |SELECT lang, n_docs, CAST(pd AS DOUBLE) / CAST(sum(pd) OVER () AS DOUBLE) AS weight
+             |FROM w ORDER BY lang""".stripMargin))
   )
 }

@@ -44,6 +44,25 @@ object TextKernels {
     sim
   }
 
+  /** Highest single-token occurrence count in one JIT'd hash-count pass —
+    * the Gopher-style "top word fraction" numerator. The HOF equivalent
+    * (`array_max(transform(array_distinct(toks), t -> size(filter(...))))`)
+    * is O(n·distinct) AND interpreted per element.
+    */
+  def topTokenCount(toks: ArrayData): Int = {
+    val n = toks.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(toks.getUTF8String(i), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** Distinct word k-shingles in first-occurrence order — identical output
     * to `array_distinct(transform(...))` over the same tokens.
     */
@@ -111,4 +130,26 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+/** Codegen'd max single-token frequency over an `array<string>` column. */
+case class TokenTopCount(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"TokenTopCount expects ARRAY<STRING> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.topTokenCount(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.topTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTopCount =
+    copy(child = newChild)
+}
+
+object TokenTopCount {
+  def apply(tokens: Column): Column =
+    ColumnBridge.column(TokenTopCount(ColumnBridge.expression(tokens)))
 }

@@ -321,6 +321,49 @@ object FunctionQueries {
              |  o_orderkey << 3 AS b_shl,
              |  o_orderkey >> 2 AS b_shr,
              |  CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Statistical moment aggregates (variance / stddev / correlation),
+    // computed from exact decimal power sums instead of Spark's native
+    // float co-moment aggregates: the 2-decimal inputs make Σx, Σx², Σxy
+    // exact in DecimalType, so the distributed partial+final merge is
+    // order-insensitive and the double-space derivation (identical IEEE
+    // expression both engines) hash-matches a serial oracle — the same
+    // trick would make var/corr deterministic across 1000 executors.
+    Q("q89_stats_moments", { (s, dir) =>
+        val dq = col("l_quantity").cast(DecimalType(18, 2))
+        val dp = col("l_extendedprice").cast(DecimalType(18, 2))
+        val m = Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          count(lit(1)).cast(DoubleType).as("nd"),
+          sum(dq).cast(DoubleType).as("s1"),
+          sum(dq * dq).cast(DoubleType).as("s2"),
+          sum(dp).cast(DoubleType).as("p1"),
+          sum(dp * dp).cast(DoubleType).as("p2"),
+          sum(dq * dp).cast(DoubleType).as("c11"))
+        val varQty = (col("s2") - col("s1") * col("s1") / col("nd")) / (col("nd") - 1.0)
+        m.select(col("l_returnflag"), col("n"),
+            (col("s1") / col("nd")).as("mean_qty"),
+            varQty.as("var_qty"),
+            sqrt(varQty).as("stddev_qty"),
+            ((col("c11") - col("s1") * col("p1") / col("nd"))
+              / sqrt((col("s2") - col("s1") * col("s1") / col("nd"))
+                * (col("p2") - col("p1") * col("p1") / col("nd")))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p1,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p2,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS c11
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  s1 / nd AS mean_qty,
+             |  (s2 - s1 * s1 / nd) / (nd - 1.0) AS var_qty,
+             |  sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) AS stddev_qty,
+             |  (c11 - s1 * p1 / nd) / sqrt((s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd)) AS corr_qty_price
+             |FROM m ORDER BY l_returnflag""".stripMargin))
   )
 }

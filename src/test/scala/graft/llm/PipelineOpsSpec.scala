@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Round-5 training-pipeline operators: decontamination overlap,
+  * repetition-quality kernels, int8 embedding quantization.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TokenTopCount: max single-token frequency; empty array -> 0") {
+    val df = Seq(
+      (1L, "a b a c a"), // 'a' x3
+      (2L, "x y"), // all distinct -> 1
+      (3L, "") // split("") = [""], one empty token -> 1
+    ).toDF("id", "text")
+    val got = df.select($"id", TokenTopCount(TextOps.tokens($"text")).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT token_top_count(CAST(array() AS ARRAY<STRING>)) AS c")
+      .as[Int].head() == 0)
+  }
+
+  test("Decontaminate.overlap counts shared distinct 5-grams, train side only") {
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val train = Seq(
+      // 3 shingles, one of them ("one two three four five") in the bench set
+      (1L, "zzz one two three four five yyy"),
+      (2L, "totally different words here now ok"), // no overlap -> absent
+      (3L, "one two three four five") // exactly 1 shingle, hit
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlap(train, bench, "text", "doc_id")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 3), (3L, 1L, 1)))
+  }
+
+  test("int8 quantization: values bounded, max|x| maps to ±127, zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.withColumn("scale", Embeddings.int8Scale($"embedding"))
+      .withColumn("q", Embeddings.int8Quantize($"embedding", $"scale"))
+    val r1 = q.filter($"vec_id" === 1).select($"scale", $"q").head()
+    assert(math.abs(r1.getDouble(0) - 1.0 / 127.0) < 1e-15)
+    assert(r1.getSeq[Int](1) == Seq(64, -127, 32))
+    val r2 = q.filter($"vec_id" === 2).select($"scale", $"q").head()
+    assert(r2.getDouble(0) == 0.0 && r2.getSeq[Int](1) == Seq(0, 0, 0))
+    // dequantization error is bounded by scale/2 per element
+    val err = q.filter($"vec_id" === 1).select(
+      array_max(zip_with($"embedding", $"q",
+        (x, qq) => abs(x.cast(DoubleType) - qq * $"scale")))).as[Double].head()
+    assert(err <= (1.0 / 127.0) / 2 + 1e-12, s"err=$err")
+  }
+
+  test("quality repetition fractions: duplicated text scores high") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps high")
+    ).toDF("doc_id", "text")
+    val toks = TextOps.tokens($"text")
+    val stats = df.select($"doc_id",
+        (lit(1.0) - size(TextOps.shingles($"text", 2)).cast(DoubleType)
+          / (size(toks) - 1).cast(DoubleType)).as("dup2"),
+        (TokenTopCount(toks).cast(DoubleType) / size(toks).cast(DoubleType)).as("topf"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, d, tp) => id -> ((d, tp)) }.toMap
+    val (dup1, top1) = stats(1L)
+    val (dup2, top2) = stats(2L)
+    assert(dup1 == 0.8 && top1 == 1.0) // one distinct bigram of 5, all tokens same
+    assert(dup2 == 0.0 && top2 == 1.0 / 6.0)
+  }
+}
