@@ -13,6 +13,7 @@ object SparkEntry {
     relational.Relational.qs ++
       relational.WindowQueries.qs ++
       relational.FunctionQueries.qs ++
+      relational.EventQueries.qs ++
       cdc.CdcQueries.qs ++
       functions.Udx.qs ++
       llm.LlmQueries.qs ++

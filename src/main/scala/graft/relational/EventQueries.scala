@@ -1,0 +1,85 @@
+package graft.relational
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-analytics surface over the `events` fixture: ordered funnel
+  * conversion and cohort retention — the batch queries an engine fed by the
+  * CDC/event stream answers daily. Both are plain shuffled aggregations +
+  * equi-joins on `user_id`; at 100 TB they hash-partition by user and the
+  * per-stage joins reuse that partitioning (no broadcast needed on the
+  * fact side, no windows over unbounded partitions).
+  */
+object EventQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // Ordered 3-stage funnel with a 24h conversion window: first view →
+    // first click within 24h → first purchase within 24h of that click.
+    // Each stage is a conditional-min aggregation joined back on user —
+    // the standard distributed funnel shape (no per-user event-array
+    // collect, which would OOM on a power user at scale).
+    Q("q94_funnel_conversion", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val win = expr("INTERVAL 24 HOURS")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+            col("e.ts") > col("t1") && col("e.ts") <= col("t1") + win)
+          .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+            col("e.ts") > col("t2") && col("e.ts") <= col("t2") + win)
+          .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+        v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+          .unionAll(c.agg(lit("2_click_24h").as("stage"), count(lit(1)).as("n_users")))
+          .unionAll(p.agg(lit("3_purchase_24h").as("stage"), count(lit(1)).as("n_users")))
+          .select("stage", "n_users")
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+             |), c AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+             |    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id
+             |), p AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+             |    AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT * FROM (
+             |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+             |  UNION ALL SELECT '2_click_24h', count(*) FROM c
+             |  UNION ALL SELECT '3_purchase_24h', count(*) FROM p)
+             |ORDER BY stage""".stripMargin)),
+
+    // Day-granularity cohort retention: users grouped by first-seen day,
+    // counted once per (cohort, active day) — two shuffles (first-seen agg,
+    // distinct active days) and one user-keyed join.
+    Q("q95_retention_cohort", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val firstSeen = ev.groupBy("user_id")
+          .agg(date_trunc("DAY", min("ts")).as("cohort_day"))
+        val active = ev.select(col("user_id"),
+          date_trunc("DAY", col("ts")).as("active_day")).distinct()
+        firstSeen.join(active, "user_id")
+          .groupBy(col("cohort_day").cast(DateType).as("cohort_day"),
+            datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH first_seen AS (
+             |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY user_id
+             |), active AS (
+             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+             |)
+             |SELECT CAST(f.cohort_day AS DATE) AS cohort_day,
+             |  CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+             |  count(*) AS n_active
+             |FROM first_seen f JOIN active a ON f.user_id = a.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

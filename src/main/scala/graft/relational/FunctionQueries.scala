@@ -364,6 +364,18 @@ object FunctionQueries {
              |  (s2 - s1 * s1 / nd) / (nd - 1.0) AS var_qty,
              |  sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) AS stddev_qty,
              |  (c11 - s1 * p1 / nd) / sqrt((s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd)) AS corr_qty_price
-             |FROM m ORDER BY l_returnflag""".stripMargin))
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Approximate percentiles via Spark's mergeable quantile sketch
+    // (Greenwald-Khanna) — the 100 TB quantile path: partial sketches merge
+    // across executors instead of a global sort. Approximate by design, so
+    // rows-only here; CorpusSpec bounds it against the exact percentile.
+    Q("q97_agg_approx_percentile", { (s, dir) =>
+        Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+          .orderBy("l_returnflag")
+      },
+      None)
   )
 }

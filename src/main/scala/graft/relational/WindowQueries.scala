@@ -94,6 +94,27 @@ object WindowQueries {
         .select("o_orderkey", "o_totalprice")
         .limit(10),
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Top-k PER GROUP via rank-filter: Catalyst's InferWindowGroupLimit
+    // rewrites the row_number <= k filter into a WindowGroupLimit that
+    // keeps a k-row heap per group BEFORE the full sort — at scale the
+    // shuffle carries k rows per customer instead of every order
+    // (PlanSpec asserts the WindowGroupLimit node is present).
+    Q("q96_topk_per_group", { (s, dir) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
   )
 }

@@ -35,4 +35,19 @@ class CorpusSpec extends SparkSpec {
       .collect().head.getLong(0).toDouble
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("q97 approx percentiles within 2% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q97_agg_approx_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = Tables(spark, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (flag, (e50, e95)) =>
+      val (a50, a95) = approx(flag)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$flag p50 approx=$a50 exact=$e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.02, s"$flag p95 approx=$a95 exact=$e95")
+    }
+  }
 }

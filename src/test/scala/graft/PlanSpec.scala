@@ -42,6 +42,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q96 rank filter plans WindowGroupLimit (per-group heap, not full sort)") {
+    val p = plan("q96_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q33 latest-image merge shuffles exactly once on the pk") {
     val p = plan("q33_cdc_latest_image")
     val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length
