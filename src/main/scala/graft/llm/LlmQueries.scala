@@ -444,6 +444,25 @@ object LlmQueries {
              |  CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) AS DECIMAL(28,12)) AS pd
              |  FROM c)
              |SELECT lang, n_docs, CAST(pd AS DOUBLE) / CAST(sum(pd) OVER () AS DOUBLE) AS weight
-             |FROM w ORDER BY lang""".stripMargin))
+             |FROM w ORDER BY lang""".stripMargin)),
+
+    // Tokenizer vocabulary build: top-50 corpus tokens by total frequency
+    // (ties broken by token) with a document-frequency floor — one
+    // explode + hash agg + TakeOrderedAndProject; the classic vocab/BPE
+    // prep pass, integer-exact for the oracle.
+    Q("q99_vocab_topn", { (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3)
+          .orderBy(col("tf").desc, col("token"))
+          .limit(50)
+      },
+      Some("""SELECT token, tf, df FROM (
+             |  SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok)
+             |WHERE df >= 3 ORDER BY tf DESC, token LIMIT 50""".stripMargin))
   )
 }

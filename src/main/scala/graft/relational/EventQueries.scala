@@ -80,6 +80,27 @@ object EventQueries {
              |  CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
              |  count(*) AS n_active
              |FROM first_seen f JOIN active a ON f.user_id = a.user_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Temporal range join: errors within 5 minutes after each signup,
+    // via the binned rewrite (operators.RangeJoin) — a hash join on time
+    // buckets instead of the BroadcastNestedLoop Spark would plan for the
+    // raw BETWEEN predicate (PlanSpec asserts no nested-loop/cartesian).
+    Q("q98_range_join", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val fiveMinUs = 5L * 60 * 1000000
+        graft.operators.RangeJoin.timestampRangeJoin(
+            ev.filter(col("event_type") === "signup").select("event_id", "ts"),
+            ev.filter(col("event_type") === "error").select("event_id", "ts"),
+            "ts", "ts", lowerUs = 0L, upperUs = fiveMinUs, binWidthUs = fiveMinUs)
+          .groupBy(col("l_event_id").as("signup_id"))
+          .agg(count(lit(1)).as("n_errors"))
+          .orderBy("signup_id")
+      },
+      Some("""SELECT s.event_id AS signup_id, count(*) AS n_errors
+             |FROM events s JOIN events e
+             |  ON e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
+             |WHERE s.event_type = 'signup' AND e.event_type = 'error'
+             |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
   )
 }

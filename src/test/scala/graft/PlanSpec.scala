@@ -47,6 +47,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q98 binned range join avoids nested-loop and cartesian plans") {
+    val p = plan("q98_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q33 latest-image merge shuffles exactly once on the pk") {
     val p = plan("q33_cdc_latest_image")
     val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length

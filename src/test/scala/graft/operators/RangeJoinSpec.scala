@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Binned range join equals the naive theta join on every bin width. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("timestampRangeJoin matches naive BETWEEN join across bin widths") {
+    val left = Seq((1L, ts(100)), (2L, ts(250)), (3L, ts(1000)))
+      .toDF("lid", "ts")
+    val right = Seq((10L, ts(99)), (11L, ts(100)), (12L, ts(160)),
+      (13L, ts(161)), (14L, ts(260)), (15L, ts(999)))
+      .toDF("rid", "ts")
+    val winUs = 60L * 1000000 // [ts, ts+60s]
+    val naive = left.as("l").join(right.as("r"),
+        col("r.ts") >= col("l.ts") &&
+          unix_micros(col("r.ts")) <= unix_micros(col("l.ts")) + winUs)
+      .select(col("l.lid"), col("r.rid"))
+      .as[(Long, Long)].collect().toSet
+    assert(naive == Set((1L, 11L), (1L, 12L), (2L, 14L)))
+    for (binUs <- Seq(7L * 1000000, 60L * 1000000, 3600L * 1000000)) {
+      val binned = RangeJoin
+        .timestampRangeJoin(left, right, "ts", "ts", 0L, winUs, binUs)
+        .select(col("l_lid"), col("r_rid"))
+        .as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"binWidthUs=$binUs")
+    }
+  }
+
+  test("rejects empty windows and non-positive bins") {
+    val df = Seq((1L, ts(0))).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      RangeJoin.timestampRangeJoin(df, df, "ts", "ts", 10L, 5L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.timestampRangeJoin(df, df, "ts", "ts", 0L, 5L, 0L)
+    }
+  }
+}
