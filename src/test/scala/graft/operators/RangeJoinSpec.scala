@@ -31,6 +31,25 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence: binned == naive over random data/windows/bins") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val left = (1 to 40).map(i => (i.toLong, ts(rnd.nextInt(5000).toLong))).toDF("lid", "ts")
+      val right = (1 to 60).map(i => (i.toLong, ts(rnd.nextInt(5000).toLong))).toDF("rid", "ts")
+      val lo = (rnd.nextInt(120) - 60).toLong * 1000000
+      val hi = lo + rnd.nextInt(300).toLong * 1000000
+      val binUs = (rnd.nextInt(200) + 1).toLong * 1000000
+      val naive = left.as("l").join(right.as("r"),
+          unix_micros(col("r.ts")) >= unix_micros(col("l.ts")) + lo &&
+            unix_micros(col("r.ts")) <= unix_micros(col("l.ts")) + hi)
+        .select(col("l.lid"), col("r.rid")).as[(Long, Long)].collect().toSet
+      val binned = RangeJoin.timestampRangeJoin(left, right, "ts", "ts", lo, hi, binUs)
+        .select(col("l_lid"), col("r_rid")).as[(Long, Long)].collect().toSet
+      assert(binned == naive,
+        s"trial=$trial lo=$lo hi=$hi binUs=$binUs naive=${naive.size} binned=${binned.size}")
+    }
+  }
+
   test("rejects empty windows and non-positive bins") {
     val df = Seq((1L, ts(0))).toDF("id", "ts")
     intercept[IllegalArgumentException] {
