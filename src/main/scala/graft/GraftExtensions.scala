@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 import graft.cdc.{MySqlPackedDate, MySqlPackedDatetime, MySqlPackedDecimal, MySqlPackedTime, MySqlPackedTimestamp}
-import graft.llm.{CosineSim, SimHash64, TokenTopCount, WordShingles}
+import graft.llm.{CosineSim, SimHash64, TokenTopCount, WordShingles, WordSpans}
 
 /** SQL-name registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT mysql_packed_decimal(b, 14, 4) ...")` works without
@@ -69,6 +69,10 @@ object GraftExtensions {
     "token_top_count" -> { args: Seq[Expression] =>
       require(args.length == 1, "token_top_count(tokens)")
       TokenTopCount(args(0))
+    },
+    "word_spans" -> { args: Seq[Expression] =>
+      require(args.length == 2, "word_spans(tokens, k)")
+      WordSpans(args(0), intLit(args(1), "word_spans", "k"))
     },
     "zorder2" -> { args: Seq[Expression] =>
       require(args.length == 2, "zorder2(x, y)")

@@ -31,4 +31,26 @@ object CdcMerge {
       .filter(col("__rn") === 1 && col(typeCol) =!= "DELETE")
       .drop("__rn")
   }
+
+  /** SCD2 (type-2 slowly-changing-dimension) history: one row per surviving
+    * version of each pk, valid over the half-open ordinal interval
+    * `[valid_from, valid_to)` — `valid_from` is the change's own ordinal,
+    * `valid_to` the NEXT change's ordinal on that pk (any type; a DELETE
+    * closes the last version without opening one), null while current.
+    *
+    * Same scale shape as [[latestImage]]: one pk hash shuffle, one window
+    * pass (lead), no per-key state beyond the sort.
+    */
+  def scd2(
+      changes: DataFrame,
+      pkCols: Seq[String],
+      ordCol: String,
+      typeCol: String = "type"): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(col(ordCol))
+    changes
+      .withColumn("valid_from", col(ordCol))
+      .withColumn("valid_to", lead(col(ordCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .filter(col(typeCol) =!= "DELETE")
+  }
 }

@@ -57,6 +57,42 @@ object CdcQueries {
              |SELECT pk, type, price FROM ranked WHERE rn = 1 AND type <> 'DELETE'
              |ORDER BY pk""".stripMargin)),
 
+    // SCD2 history over the same synthesized change stream: every
+    // surviving version with its [valid_from, valid_to) ordinal interval
+    // (DELETE closes the last version without opening one). Open intervals
+    // are pinned to -1 so both engines emit null-free BIGINTs (a nullable
+    // int column lands as float64 in the driver's pandas compare).
+    Q("q100_cdc_scd2_history", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val ins = o.select(
+          (col("o_orderkey") * 3).as("cid"), col("o_orderkey").as("pk"),
+          lit("INSERT").as("type"), col("o_totalprice").as("price"))
+        val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+          (col("o_orderkey") * 3 + 1).as("cid"), col("o_orderkey").as("pk"),
+          lit("UPDATE").as("type"), (col("o_totalprice") + 1000.0).as("price"))
+        val del = o.filter(col("o_orderkey") % 7 === 0).select(
+          (col("o_orderkey") * 3 + 2).as("cid"), col("o_orderkey").as("pk"),
+          lit("DELETE").as("type"), lit(null).cast(DoubleType).as("price"))
+        CdcMerge.scd2(ins.union(upd).union(del), Seq("pk"), "cid")
+          .select(col("pk"), col("valid_from"),
+            coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+            col("is_current").cast(IntegerType).as("is_current"),
+            col("price"))
+          .orderBy("pk", "valid_from")
+      },
+      Some("""WITH chg AS (
+             |  SELECT o_orderkey*3 AS cid, o_orderkey AS pk, 'INSERT' AS type, o_totalprice AS price FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey*3+1, o_orderkey, 'UPDATE', o_totalprice + 1000.0 FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey*3+2, o_orderkey, 'DELETE', NULL FROM orders WHERE o_orderkey % 7 = 0
+             |), v AS (
+             |  SELECT pk, type, price, cid AS valid_from,
+             |    coalesce(lead(cid) OVER (PARTITION BY pk ORDER BY cid), -1) AS valid_to
+             |  FROM chg)
+             |SELECT pk, valid_from, valid_to, CAST(valid_to = -1 AS INTEGER) AS is_current, price
+             |FROM v WHERE type <> 'DELETE' ORDER BY pk, valid_from""".stripMargin)),
+
     // Envelope render → Canal-JSON → parse round-trip; the oracle computes
     // the expected post-round-trip projection directly (round trip lossless).
     // The deterministic sort runs BELOW the codec projection (id IS

@@ -243,4 +243,31 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Span-level duplication coverage (the substring-dedup signal, à la
+    * exact-substring dedup at token granularity): per doc, how many of its
+    * k-gram spans — ALL positions, not distinct — also occur in at least
+    * one OTHER document. High `shared_frac` with a non-duplicate hash
+    * means boilerplate-heavy content: the case doc-level dedup misses.
+    *
+    * Scale shape: one agg over the span stream finds shared spans (a
+    * distinct-doc count per span; partial aggregation absorbs hot spans),
+    * then one hash join back — the probe side is the span stream, the
+    * build side one row per shared span, so no hot span fans out.
+    */
+  def spanSharedStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val spans = docs.select(col(idCol).as("sid"),
+        explode(WordSpans(TextOps.tokens(col(textCol)), k)).as("span"))
+    val shared = spans.groupBy("span")
+      .agg(countDistinct(col("sid")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("span"), lit(1).as("hit"))
+    spans.join(shared, Seq("span"), "left")
+      .groupBy(col("sid").as(idCol))
+      .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_spans").cast(org.apache.spark.sql.types.DoubleType))
+  }
 }

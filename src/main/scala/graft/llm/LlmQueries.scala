@@ -463,6 +463,25 @@ object LlmQueries {
              |  SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
              |  GROUP BY tok)
-             |WHERE df >= 3 ORDER BY tf DESC, token LIMIT 50""".stripMargin))
+             |WHERE df >= 3 ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
+
+    // Span-level duplication coverage: per doc, the fraction of its 8-gram
+    // spans (all positions) also present in another document — the
+    // substring-dedup signal that doc-level hashing misses on
+    // boilerplate-heavy corpora.
+    Q("q101_dedup_span_coverage",
+      (s, dir) => Dedup.spanSharedStats(t(s, dir, "documents"), "text", "doc_id", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH sp AS (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+             |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) AS span
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |), shared AS (
+             |  SELECT span, 1 AS hit FROM sp GROUP BY span HAVING count(DISTINCT doc_id) > 1
+             |)
+             |SELECT s.doc_id, count(*) AS n_spans, count(sh.hit) AS n_shared,
+             |  CAST(count(sh.hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS shared_frac
+             |FROM sp s LEFT JOIN shared sh ON s.span = sh.span
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
   )
 }

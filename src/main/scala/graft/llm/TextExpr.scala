@@ -63,6 +63,25 @@ object TextKernels {
     best
   }
 
+  /** ALL word k-gram spans in position order (NOT distinct — position
+    * multiplicity matters for span-level dedup coverage). Same JIT'd
+    * byte-concat loop as [[shingles]] minus the dedup set.
+    */
+  def spansAll(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i + k <= n) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word k-shingles in first-occurrence order — identical output
     * to `array_distinct(transform(...))` over the same tokens.
     */
@@ -130,6 +149,31 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+/** Codegen'd ALL-k-gram spans (position order, non-distinct) over an
+  * `array<string>` column.
+  */
+case class WordSpans(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1, s"span width must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"WordSpans expects ARRAY<STRING> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.spansAll(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.spansAll($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordSpans =
+    copy(child = newChild)
+}
+
+object WordSpans {
+  def apply(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WordSpans(ColumnBridge.expression(tokens), k))
 }
 
 /** Codegen'd max single-token frequency over an `array<string>` column. */

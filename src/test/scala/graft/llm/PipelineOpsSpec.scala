@@ -56,6 +56,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(err <= (1.0 / 127.0) / 2 + 1e-12, s"err=$err")
   }
 
+  test("WordSpans keeps every position; spanSharedStats counts cross-doc spans") {
+    val df = Seq((1L, "a b c a b c"), (2L, "x a b y")).toDF("doc_id", "text")
+    val spans = df.select($"doc_id",
+        WordSpans(TextOps.tokens($"text"), 2).as("sp"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(spans(1L) == Seq("a b", "b c", "c a", "a b", "b c")) // duplicates kept
+    assert(spans(2L) == Seq("x a", "a b", "b y"))
+    val stats = Dedup.spanSharedStats(df, "text", "doc_id", k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // "a b" is the only cross-doc span: doc 1 has it at 2 of 5 positions,
+    // doc 2 at 1 of 3.
+    assert(stats == Seq((1L, 5L, 2L, 0.4), (2L, 3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("scd2 versions: half-open intervals, DELETE closes without opening") {
+    val chg = Seq(
+      (1L, 10L, "INSERT", "v1"), (1L, 20L, "UPDATE", "v2"), (1L, 30L, "DELETE", null),
+      (2L, 15L, "INSERT", "w1")
+    ).toDF("pk", "cid", "type", "payload")
+    val got = graft.cdc.CdcMerge.scd2(chg, Seq("pk"), "cid")
+      .select($"pk", $"valid_from", $"valid_to", $"is_current", $"payload")
+      .as[(Long, Long, Option[Long], Boolean, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(20L), false, "v1"),
+      (1L, 20L, Some(30L), false, "v2"), // closed by the DELETE, no v3 row
+      (2L, 15L, None, true, "w1")))
+  }
+
   test("quality repetition fractions: duplicated text scores high") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),
