@@ -77,6 +77,10 @@ object GraftExtensions {
     "zorder2" -> { args: Seq[Expression] =>
       require(args.length == 2, "zorder2(x, y)")
       graft.sources.ZOrder2(args(0), args(1))
+    },
+    "sniff_media" -> { args: Seq[Expression] =>
+      require(args.length == 1, "sniff_media(content)")
+      graft.multimodal.SniffMedia(args(0))
     })
 
   /** Register every function into a live session. */

@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL media-header parsing — format sniffing + pixel dimensions from the
+  * container's magic bytes, the metadata step a multimodal pipeline runs
+  * over billions of binary payloads WITHOUT full decode (what lazy image
+  * readers do before deciding to decode at all). Pure byte math over the
+  * leading bytes, no codec libraries: PNG (IHDR, big-endian), GIF
+  * (logical screen, little-endian), BMP (BITMAPINFOHEADER, little-endian,
+  * height may be negative for top-down rows), JPEG (walk the marker
+  * segments to the first SOF frame header, big-endian). Unknown or
+  * truncated payloads yield null — malformed bytes at position 10^12 of a
+  * corpus must not kill the job.
+  */
+object MediaKernels {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+
+  /** (format, width, height) as an InternalRow, or null if unrecognized. */
+  def sniff(bytes: Array[Byte]): InternalRow = {
+    val r = sniffTuple(bytes)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
+  }
+
+  def sniffTuple(b: Array[Byte]): (String, Int, Int) = {
+    if (b == null) return null
+    // PNG: 8-byte signature, IHDR chunk data starts at 16.
+    if (b.length >= 24 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a)
+      return ("png", be32(b, 16).toInt, be32(b, 20).toInt)
+    // GIF87a / GIF89a: logical screen descriptor at 6, little-endian.
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return ("gif", le16(b, 6), le16(b, 8))
+    // BMP: BITMAPINFOHEADER width at 18, height at 22 (negative = top-down).
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return ("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt))
+    // JPEG: walk FF-marker segments to the first SOF (C0-CF minus C4/C8/CC).
+    if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return null // desync — not a marker stream
+        val m = u8(b, i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i += 2 // standalone marker, no length field
+        } else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2)
+          if (i + 8 >= b.length) return null
+          return ("jpeg", be16(b, i + 7), be16(b, i + 5))
+        } else {
+          val len = be16(b, i + 2)
+          if (len < 2) return null
+          i += 2 + len
+        }
+      }
+      return null
+    }
+    null
+  }
+}
+
+/** Codegen'd media-header sniff over a `binary` column:
+  * struct<format string, width int, height int>, null when unrecognized.
+  */
+case class SniffMedia(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SniffMedia expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.sniff(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.MediaKernels.sniff($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+    f
+  }
+  override protected def withNewChildInternal(newChild: Expression): SniffMedia =
+    copy(child = newChild)
+}
+
+object SniffMedia {
+  def apply(content: Column): Column =
+    ColumnBridge.column(SniffMedia(ColumnBridge.expression(content)))
+}

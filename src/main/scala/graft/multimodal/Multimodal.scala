@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -138,6 +138,51 @@ object MultimodalQueries {
              |lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
              |array_to_string(list_transform(generate_series(0, 3),
              |  i -> lower(hex(encode(substring(text, i * 32 + 1, 1))))), '|') AS frame_bytes
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // REAL header parsing (MediaExpr.SniffMedia): the query synthesizes
+    // genuine PNG/GIF/BMP/JPEG container headers (correct magic bytes,
+    // endianness, and offsets) with formula-known dimensions, and the
+    // codegen'd sniffer must recover format/width/height exactly — any
+    // offset or endianness bug breaks the oracle match. This is the
+    // no-codec metadata pass a multimodal pipeline runs before deciding
+    // what to decode.
+    Q("q102_media_sniff", { (s, dir) =>
+        def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
+        def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+        def le16(c: Column) = {
+          val h = lpad(hex(c), 4, "0")
+          unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+        }
+        def le32(c: Column) = {
+          val h = lpad(hex(c), 8, "0")
+          unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+            substring(h, 3, 2), substring(h, 1, 2)))
+        }
+        val d = t(s, dir, "documents")
+        val w = (col("doc_id") % 300 + 1).cast(IntegerType)
+        val h = (col("doc_id") % 200 + 1).cast(IntegerType)
+        val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+          be32(w), be32(h), unhex(lit("0806000000")))
+        val gif = concat(lit("GIF89a").cast(BinaryType), le16(w), le16(h),
+          unhex(lit("F70000")))
+        val bmp = concat(lit("BM").cast(BinaryType),
+          unhex(lit("00" * 16)), le32(w), le32(h), unhex(lit("0100")))
+        val jpeg = concat(unhex(lit("FFD8FFE000040000FFC0000B08")),
+          be16(h), be16(w), unhex(lit("01011100")))
+        val content = when(col("doc_id") % 4 === 0, png)
+          .when(col("doc_id") % 4 === 1, gif)
+          .when(col("doc_id") % 4 === 2, bmp)
+          .otherwise(jpeg)
+        d.select(col("doc_id").as("media_id"), SniffMedia(content).as("m"))
+          .select(col("media_id"), col("m.format").as("format"),
+            col("m.width").as("width"), col("m.height").as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |(['png','gif','bmp','jpeg'])[CAST(doc_id % 4 AS INTEGER) + 1] AS format,
+             |CAST(doc_id % 300 + 1 AS INTEGER) AS width,
+             |CAST(doc_id % 200 + 1 AS INTEGER) AS height
              |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

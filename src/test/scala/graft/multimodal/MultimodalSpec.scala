@@ -46,6 +46,40 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaDecode.resizeStub(Array.empty[Byte], 3).isEmpty)
   }
 
+  test("SniffMedia goldens: real container headers parse to exact dims") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Genuine headers per format spec: 1x1 PNG IHDR, 3x2 GIF89a (LE),
+    // 4x6 BMP BITMAPINFOHEADER (LE, and a negative-height top-down one),
+    // 5x7 JPEG (APP0 then SOF0; height precedes width, BE).
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 00 00 00")
+    val gif = "GIF89a".getBytes("US-ASCII") ++ hx("0300 0200 F7 00 00")
+    val bmp = "BM".getBytes("US-ASCII") ++ hx("00" * 16) ++ hx("04000000 06000000 0100")
+    val bmpTopDown = "BM".getBytes("US-ASCII") ++ hx("00" * 16) ++
+      hx("04000000 FAFFFFFF 0100") // height -6 -> abs
+    val jpeg = hx("FFD8 FFE0 0010 4A46494600 0101 00 0048 0048 00 00") ++
+      hx("FFC0 000B 08 0007 0005 01 011100")
+    val junk = "not an image at all......".getBytes("US-ASCII")
+    val pngTrunc = png.take(20)
+    val rows = Seq(1L -> png, 2L -> gif, 3L -> bmp, 4L -> bmpTopDown,
+      5L -> jpeg, 6L -> junk, 7L -> pngTrunc)
+    val got = rows.map { case (id, b) => id -> MediaKernels.sniffTuple(b) }.toMap
+    assert(got(1L) == ("png", 1, 1))
+    assert(got(2L) == ("gif", 3, 2))
+    assert(got(3L) == ("bmp", 4, 6))
+    assert(got(4L) == ("bmp", 4, 6))
+    assert(got(5L) == ("jpeg", 5, 7))
+    assert(got(6L) == null && got(7L) == null)
+    // Same answers through the codegen'd expression path.
+    import spark.implicits._
+    val df = rows.toDF("id", "content")
+      .select($"id", SniffMedia($"content").as("m"))
+      .select($"id", $"m.format", $"m.width", $"m.height")
+    val viaExpr = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(viaExpr == got)
+  }
+
   test("q50/q51 run over fixture-backed media at sf0.001") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     assert(docs.count() > 0)
