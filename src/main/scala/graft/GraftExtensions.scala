@@ -81,6 +81,10 @@ object GraftExtensions {
     "sniff_media" -> { args: Seq[Expression] =>
       require(args.length == 1, "sniff_media(content)")
       graft.multimodal.SniffMedia(args(0))
+    },
+    "sniff_wav" -> { args: Seq[Expression] =>
+      require(args.length == 1, "sniff_wav(content)")
+      graft.multimodal.SniffWav(args(0))
     })
 
   /** Register every function into a live session. */

@@ -41,6 +41,13 @@ object MediaKernels {
 
   def sniffTuple(b: Array[Byte]): (String, Int, Int) = {
     if (b == null) return null
+    // AVI (RIFF container): LIST/hdrl/avih at fixed offsets; dwWidth and
+    // dwHeight sit at 64/68 in the MainAVIHeader (little-endian).
+    if (b.length >= 72 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ' &&
+        b(12) == 'L' && b(13) == 'I' && b(14) == 'S' && b(15) == 'T' &&
+        b(24) == 'a' && b(25) == 'v' && b(26) == 'i' && b(27) == 'h')
+      return ("avi", le32(b, 64).toInt, le32(b, 68).toInt)
     // PNG: 8-byte signature, IHDR chunk data starts at 16.
     if (b.length >= 24 &&
         u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
@@ -77,6 +84,40 @@ object MediaKernels {
   }
 }
 
+object AudioKernels {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+
+  /** WAV "fmt " chunk: (channels, sample_rate, bits_per_sample), walking
+    * the RIFF chunk list (the fmt chunk is USUALLY at offset 12 but the
+    * spec allows e.g. LIST/INFO before it). Null if not a WAVE or no fmt.
+    */
+  def sniffWavTuple(b: Array[Byte]): (Int, Int, Int) = {
+    if (b == null || b.length < 36) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length || size < 16) return null
+        return (le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22))
+      }
+      if (size < 0 || size > Int.MaxValue - 9) return null
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  def sniffWav(bytes: Array[Byte]): InternalRow = {
+    val r = sniffWavTuple(bytes)
+    if (r == null) null else new GenericInternalRow(Array[Any](r._1, r._2, r._3))
+  }
+}
+
 /** Codegen'd media-header sniff over a `binary` column:
   * struct<format string, width int, height int>, null when unrecognized.
   */
@@ -107,4 +148,34 @@ case class SniffMedia(child: Expression)
 object SniffMedia {
   def apply(content: Column): Column =
     ColumnBridge.column(SniffMedia(ColumnBridge.expression(content)))
+}
+
+/** Codegen'd WAV audio-header sniff over a `binary` column:
+  * struct<channels int, sample_rate int, bits int>, null when not a WAVE.
+  */
+case class SniffWav(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SniffWav expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    AudioKernels.sniffWav(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.AudioKernels.sniffWav($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): SniffWav =
+    copy(child = newChild)
+}
+
+object SniffWav {
+  def apply(content: Column): Column =
+    ColumnBridge.column(SniffWav(ColumnBridge.expression(content)))
 }

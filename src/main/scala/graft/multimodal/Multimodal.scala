@@ -183,6 +183,52 @@ object MultimodalQueries {
              |(['png','gif','bmp','jpeg'])[CAST(doc_id % 4 AS INTEGER) + 1] AS format,
              |CAST(doc_id % 300 + 1 AS INTEGER) AS width,
              |CAST(doc_id % 200 + 1 AS INTEGER) AS height
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Audio/video container sniff (SniffWav + SniffMedia's AVI branch):
+    // synthesized RIFF containers with formula-known parameters; -1 fills
+    // the fields the other modality doesn't have (compare-safe, no nulls).
+    Q("q103_av_sniff", { (s, dir) =>
+        def le16(c: Column) = {
+          val h = lpad(hex(c), 4, "0")
+          unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+        }
+        def le32(c: Column) = {
+          val h = lpad(hex(c), 8, "0")
+          unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+            substring(h, 3, 2), substring(h, 1, 2)))
+        }
+        val d = t(s, dir, "documents")
+        val channels = (col("doc_id") % 3 + 1).cast(IntegerType)
+        val rate = (lit(8000) + (col("doc_id") % 8) * 1000).cast(IntegerType)
+        val w = (col("doc_id") % 300 + 1).cast(IntegerType)
+        val h = (col("doc_id") % 200 + 1).cast(IntegerType)
+        val wav = concat(lit("RIFF").cast(BinaryType), unhex(lit("24000000")),
+          lit("WAVEfmt ").cast(BinaryType), unhex(lit("10000000")),
+          unhex(lit("0100")), le16(channels), le32(rate),
+          unhex(lit("00000000")), unhex(lit("0400")), le16(lit(16)))
+        val avi = concat(lit("RIFF").cast(BinaryType), unhex(lit("44000000")),
+          lit("AVI LIST").cast(BinaryType), unhex(lit("38000000")),
+          lit("hdrlavih").cast(BinaryType), unhex(lit("38000000")),
+          unhex(lit("00" * 32)), le32(w), le32(h))
+        val audio = col("doc_id") % 2 === 0
+        val content = when(audio, wav).otherwise(avi)
+        d.select(col("doc_id").as("media_id"),
+            when(audio, "audio").otherwise("video").as("kind"),
+            SniffWav(content).as("a"), SniffMedia(content).as("v"))
+          .select(col("media_id"), col("kind"),
+            coalesce(col("a.channels"), lit(-1)).as("channels"),
+            coalesce(col("a.sample_rate"), lit(-1)).as("sample_rate"),
+            coalesce(col("v.width"), lit(-1)).as("width"),
+            coalesce(col("v.height"), lit(-1)).as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 1 ELSE -1 END AS INTEGER) AS channels,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000 ELSE -1 END AS INTEGER) AS sample_rate,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE doc_id % 300 + 1 END AS INTEGER) AS width,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE doc_id % 200 + 1 END AS INTEGER) AS height
              |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

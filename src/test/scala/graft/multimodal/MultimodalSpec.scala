@@ -80,6 +80,30 @@ class MultimodalSpec extends SparkSpec {
     assert(viaExpr == got)
   }
 
+  test("SniffWav/AVI goldens: fmt-chunk walk, non-canonical layouts") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // Canonical 44.1kHz stereo 16-bit WAV header.
+    val wav = ascii("RIFF") ++ hx("24000000") ++ ascii("WAVEfmt ") ++
+      hx("10000000 0100 0200 44AC0000 10B10200 0400 1000")
+    assert(AudioKernels.sniffWavTuple(wav) == (2, 44100, 16))
+    // fmt preceded by a LIST chunk (odd size — word-alignment skip).
+    val wavList = ascii("RIFF") ++ hx("30000000") ++ ascii("WAVE") ++
+      ascii("LIST") ++ hx("03000000") ++ hx("414243 00") ++ // 3 bytes + pad
+      ascii("fmt ") ++ hx("10000000 0100 0100 803E0000 00000000 0200 0800")
+    assert(AudioKernels.sniffWavTuple(wavList) == (1, 16000, 8))
+    // AVI with 320x240 in the MainAVIHeader.
+    val avi = ascii("RIFF") ++ hx("44000000") ++ ascii("AVI LIST") ++
+      hx("38000000") ++ ascii("hdrlavih") ++ hx("38000000") ++
+      hx("00" * 32) ++ hx("40010000 F0000000")
+    assert(MediaKernels.sniffTuple(avi) == ("avi", 320, 240))
+    // RIFF but neither WAVE nor AVI; truncated WAV.
+    assert(AudioKernels.sniffWavTuple(ascii("RIFF") ++ hx("04000000") ++ ascii("JUNK")) == null)
+    assert(AudioKernels.sniffWavTuple(wav.take(20)) == null)
+    assert(MediaKernels.sniffTuple(avi.take(40)) == null)
+  }
+
   test("q50/q51 run over fixture-backed media at sf0.001") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     assert(docs.count() > 0)
