@@ -93,6 +93,40 @@ object CdcQueries {
              |SELECT pk, valid_from, valid_to, CAST(valid_to = -1 AS INTEGER) AS is_current, price
              |FROM v WHERE type <> 'DELETE' ORDER BY pk, valid_from""".stripMargin)),
 
+    // Dead-letter split: corrupt envelope lines (truncated JSON here) must
+    // route to a DLQ, not kill the job — the reference panics on malformed
+    // input (`binlog.rs` unwraps); at 100 TB one bad record in a trillion
+    // cannot take down the stream. PERMISSIVE `from_json` yields a null
+    // struct for unparseable text; the verdict column proves BOTH
+    // directions: every valid line parses, every truncated line lands in
+    // the DLQ.
+    Q("q104_cdc_dlq_split", { (s, dir) =>
+        val o = t(s, dir, "orders").sortWithinPartitions("o_orderkey")
+        val raw = o.select(col("o_orderkey").as("line_id"), Envelope.build(
+          id = col("o_orderkey"),
+          database = lit("testdb"),
+          table = lit("orders"),
+          pkNames = array(lit("o_orderkey")),
+          dmlType = lit("INSERT"),
+          es = unix_timestamp(col("o_orderdate")) * 1000,
+          ts = unix_timestamp(col("o_orderdate")) * 1000 + 123,
+          sqlType = map(lit("o_orderkey"), lit(-5)),
+          mysqlType = map(lit("o_orderkey"), lit("bigint")),
+          data = array(map(lit("o_orderkey"), col("o_orderkey").cast(StringType))),
+          old = array(map().cast(MapType(StringType, StringType)))
+        ).as("line"))
+        val corrupted = raw.select(col("line_id"),
+          when(col("line_id") % 13 === 0, substring(col("line"), 1, 25))
+            .otherwise(col("line")).as("line"))
+        corrupted.select(col("line_id"),
+            when(Envelope.parse(col("line")).getField("id").isNull, "dlq")
+              .otherwise("ok").as("verdict"))
+          .orderBy("line_id")
+      },
+      Some("""SELECT o_orderkey AS line_id,
+             |CASE WHEN o_orderkey % 13 = 0 THEN 'dlq' ELSE 'ok' END AS verdict
+             |FROM orders ORDER BY line_id""".stripMargin)),
+
     // Envelope render → Canal-JSON → parse round-trip; the oracle computes
     // the expected post-round-trip projection directly (round trip lossless).
     // The deterministic sort runs BELOW the codec projection (id IS
