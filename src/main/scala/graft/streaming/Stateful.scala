@@ -14,6 +14,11 @@ final case class ChangeRow(pk: Long, cid: Long, op: String, payload: String)
   */
 final case class ImageUpdate(pk: Long, cid: Long, payload: String, change: String)
 
+/** A CLOSED SCD2 version: the pk's payload was current over the half-open
+  * ordinal interval [validFrom, validTo).
+  */
+final case class VersionRow(pk: Long, validFrom: Long, validTo: Long, payload: String)
+
 /** Custom keyed state via `flatMapGroupsWithState` — the CDC latest-image
   * fold as *explicit* state rather than a re-rank per batch: per pk the
   * state store holds only (ordinal, payload) of the current image, each
@@ -76,6 +81,42 @@ object Stateful {
             if (ttlMs > 0 && !live && cur.isDefined) state.setTimeoutDuration(ttlMs)
             out.iterator
           }
+      }
+  }
+
+  /** Incremental SCD2: the streaming face of [[graft.cdc.CdcMerge.scd2]].
+    * Per pk the state store holds only the OPEN version (valid_from,
+    * payload); each arriving change closes it — emitting the finished
+    * [[VersionRow]] exactly once — and opens the next (DELETE closes
+    * without opening). Emitted rows ∪ state's open versions equal the
+    * batch scd2 of the full stream at every point, so the history table
+    * is append-only downstream (no rewrites, unlike re-running batch
+    * scd2 per micro-batch over all history).
+    *
+    * Contract: per-pk ordinal order within and across batches (what a
+    * pk-hash-partitioned binlog stream delivers); state is O(live pks),
+    * the only shuffle is the pk groupByKey.
+    */
+  def scd2Stream(changes: Dataset[ChangeRow]): Dataset[VersionRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[(Long, String), VersionRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (pk: Long, rows: Iterator[ChangeRow], state: GroupState[(Long, String)]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[VersionRow]
+          var open: Option[(Long, String)] = state.getOption
+          rows.toSeq.sortBy(_.cid).foreach { r =>
+            open.foreach { case (from, payload) =>
+              out += VersionRow(pk, from, r.cid, payload)
+            }
+            open = if (r.op == "DELETE") None else Some((r.cid, r.payload))
+          }
+          open match {
+            case Some(o) => state.update(o)
+            case None => state.remove()
+          }
+          out.iterator
       }
   }
 }

@@ -314,6 +314,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream: emitted closed versions match batch scd2 across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Seq(
+      ChangeRow(1, 10, "INSERT", "a=1"), ChangeRow(2, 11, "INSERT", "b=1"),
+      ChangeRow(1, 12, "UPDATE", "a=2"), ChangeRow(2, 13, "DELETE", null),
+      ChangeRow(1, 14, "UPDATE", "a=3"), ChangeRow(2, 15, "INSERT", "b=2"),
+      ChangeRow(3, 16, "INSERT", "c=1"))
+    val in = MemoryStream[ChangeRow]
+    val q = Stateful.scd2Stream(in.toDS()).writeStream
+      .format("memory").queryName("scd2_t").outputMode("update").start()
+    try {
+      // split mid-history: version closures must span the batch boundary
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      in.addData(all.drop(3): _*); q.processAllAvailable()
+      val streamed = spark.table("scd2_t")
+        .select("pk", "validFrom", "validTo", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batchClosed = graft.cdc.CdcMerge.scd2(
+          all.toDF().withColumnRenamed("op", "type"), Seq("pk"), "cid")
+        .filter(col("valid_to").isNotNull)
+        .select("pk", "valid_from", "valid_to", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(streamed == batchClosed, s"streamed=$streamed batch=$batchClosed")
+      // pk 1's open version (a=3 from 14) and pk 3's (c=1 from 16) stay in
+      // state — nothing emitted for them yet.
+      assert(!streamed.exists(v => v._2 == 14L || v._2 == 16L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState latest-image: transitions only, stale dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
