@@ -482,6 +482,132 @@ object LlmQueries {
              |SELECT s.doc_id, count(*) AS n_spans, count(sh.hit) AS n_shared,
              |  CAST(count(sh.hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS shared_frac
              |FROM sp s LEFT JOIN shared sh ON s.span = sh.span
-             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // Numericalize: apply the q99 vocabulary to every document, producing
+    // the id sequence (rank ids, 0 = unknown) a packing stage consumes.
+    // The vocab (bounded by construction) broadcasts; the token stream
+    // never shuffles for the lookup — only the per-doc reassembly
+    // aggregates, with order restored from the exploded position.
+    Q("q105_vocab_apply", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("token")) // ≤50 rows post-limit
+        val vocab = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3)
+          .orderBy(col("tf").desc, col("token"))
+          .limit(50)
+          .select(col("token"), row_number().over(w).as("tid"))
+        val pos = docs.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+        pos.join(broadcast(vocab), Seq("token"), "left")
+          .withColumn("tid", coalesce(col("tid"), lit(0)))
+          .groupBy("doc_id")
+          .agg(
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("pos"), col("tid")))),
+              x => x.getField("tid").cast(StringType))).as("ids"),
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("tid") === 0, 1).otherwise(0)).as("n_unk"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH vocab AS (
+             |  SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS tid FROM (
+             |    SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |    GROUP BY tok) WHERE df >= 3
+             |  ORDER BY tf DESC, token LIMIT 50
+             |), pos AS (
+             |  SELECT doc_id, i AS pos, toks[i] AS token
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |    unnest(generate_series(1, len(toks))) AS u(i)
+             |)
+             |SELECT p.doc_id, string_agg(coalesce(v.tid, 0), ',' ORDER BY p.pos) AS ids,
+             |  count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+             |FROM pos p LEFT JOIN vocab v ON p.token = v.token
+             |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
+
+    // Capstone composition — the curation pipeline a training-data run
+    // actually executes, end to end under ONE oracle: hold out the eval
+    // split, apply the repetition quality gate, keep exact-dup canonicals,
+    // drop the higher id of every near-dup pair, then drop anything
+    // sharing a 5-gram with the eval split. Each stage is the
+    // already-gated operator; this proves they COMPOSE (the stage order
+    // and survivor sets match a serial oracle exactly).
+    Q("q106_pipeline_curation", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 10 === 7)
+        val train = docs.filter(col("doc_id") % 10 =!= 7)
+        // stage 1: repetition quality gate (q91's thresholds)
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks)
+        val dupFrac = when(n > 1,
+          lit(1.0) - size(TextOps.shingles(col("text"), 2)).cast(DoubleType)
+            / (n - 1).cast(DoubleType)).otherwise(0.0)
+        val topFrac = TokenTopCount(toks).cast(DoubleType) / n.cast(DoubleType)
+        val quality = train.filter(dupFrac <= 0.04 && topFrac <= 0.1)
+        // stage 2: exact-dup canonicals
+        val canon = Dedup.exactGroups(quality, "text", "doc_id")
+          .select(col("canonical_id").as("doc_id"))
+          .join(quality, "doc_id")
+        // stage 3: near-dup drop (higher id of each pair)
+        val drops = Dedup.jaccardPairs(canon, "text", "doc_id")
+          .select(col("db").as("doc_id")).distinct()
+        val deduped = canon.join(drops, Seq("doc_id"), "left_anti")
+        // stage 4: decontamination vs the eval split
+        val contaminated = Decontaminate.overlap(deduped, bench, "text", "doc_id", k = 5)
+          .select("doc_id")
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+             |  WHERE doc_id % 10 <> 7
+             |), quality AS (
+             |  SELECT doc_id, text, toks FROM train
+             |  WHERE (CASE WHEN len(toks) > 1 THEN 1.0 - CAST(len(list_distinct(list_transform(
+             |      generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+             |    / CAST(len(toks) - 1 AS DOUBLE) ELSE 0.0 END) <= 0.04
+             |   AND CAST(list_max(list_transform(list_distinct(toks),
+             |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+             |    / CAST(len(toks) AS DOUBLE) <= 0.1
+             |), canon AS (
+             |  SELECT q.doc_id, q.text, q.toks FROM quality q
+             |  JOIN (SELECT min(doc_id) AS doc_id FROM quality GROUP BY sha256(text)) c
+             |    ON q.doc_id = c.doc_id
+             |), sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+             |  FROM canon
+             |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT da, db FROM (
+             |    SELECT da, db, inter, ca.n AS na, cb.n AS nb FROM inter
+             |    JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+             |  WHERE inter * 10 >= (na + nb - inter) * 7
+             |), deduped AS (
+             |  SELECT doc_id, text, toks FROM canon WHERE doc_id NOT IN (SELECT db FROM pairs)
+             |), sh5 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+             |  FROM deduped
+             |), bench5 AS (
+             |  SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+             |  FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 7)
+             |), dirty AS (
+             |  SELECT DISTINCT t.doc_id FROM sh5 t JOIN bench5 b ON t.s = b.s
+             |)
+             |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens
+             |FROM deduped d WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }
