@@ -52,6 +52,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q100 scd2 history shuffles exactly once on the pk") {
+    val p = plan("q100_cdc_scd2_history")
+    val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one pk hash exchange, saw $hashEx\n" + p)
+  }
+
+  test("q105 vocab lookup broadcasts; the token stream never sort-merge joins") {
+    val p = plan("q105_vocab_apply")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q33 latest-image merge shuffles exactly once on the pk") {
     val p = plan("q33_cdc_latest_image")
     val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length
