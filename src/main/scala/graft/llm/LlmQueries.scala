@@ -608,6 +608,41 @@ object LlmQueries {
              |)
              |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens
              |FROM deduped d WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Context-window chunking with overlap (20-token chunks, stride 15):
+    // the embedding/RAG prep step. Pure per-row explode — no shuffle until
+    // the caller aggregates; trailing chunks under 5 tokens are dropped.
+    Q("q107_chunk_documents", { (s, dir) =>
+        val cap = 20
+        val stride = 15
+        val toks = TextOps.tokens(col("text"))
+        val nChunks = greatest(lit(0),
+          ceil((size(toks) - cap).cast(DoubleType) / stride)).cast(IntegerType)
+        t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), col("nc"))).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * stride + 1).as("start_tok"),
+            slice(col("toks"), col("chunk_id") * stride + 1, lit(cap)).as("chunk"))
+          .filter(size(col("chunk")) >= 5)
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            size(col("chunk")).as("chunk_len"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, i AS chunk_id, (i * 15 + 1) AS start_tok,
+             |    list_slice(toks, i * 15 + 1, least(i * 15 + 20, len(toks))) AS chunk
+             |  FROM t, unnest(generate_series(0,
+             |    CAST(greatest(0, ceil((len(toks) - 20.0) / 15.0)) AS INTEGER))) AS u(i)
+             |)
+             |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             |  CAST(start_tok AS INTEGER) AS start_tok,
+             |  CAST(len(chunk) AS INTEGER) AS chunk_len,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+             |FROM c WHERE len(chunk) >= 5 ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }
