@@ -101,8 +101,10 @@ object Stateful {
     import changes.sparkSession.implicits._
     changes
       .groupByKey(_.pk)
+      // Append, not Update: a closed version is final and emitted exactly
+      // once, which is what lets the sink be an append-only file/table.
       .flatMapGroupsWithState[(Long, String), VersionRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (pk: Long, rows: Iterator[ChangeRow], state: GroupState[(Long, String)]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[VersionRow]
           var open: Option[(Long, String)] = state.getOption

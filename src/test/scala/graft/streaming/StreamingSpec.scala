@@ -324,7 +324,7 @@ class StreamingSpec extends SparkSpec {
       ChangeRow(3, 16, "INSERT", "c=1"))
     val in = MemoryStream[ChangeRow]
     val q = Stateful.scd2Stream(in.toDS()).writeStream
-      .format("memory").queryName("scd2_t").outputMode("update").start()
+      .format("memory").queryName("scd2_t").outputMode("append").start()
     try {
       // split mid-history: version closures must span the batch boundary
       in.addData(all.take(3): _*); q.processAllAvailable()
@@ -341,6 +341,33 @@ class StreamingSpec extends SparkSpec {
       // pk 1's open version (a=3 from 14) and pk 3's (c=1 from 16) stay in
       // state — nothing emitted for them yet.
       assert(!streamed.exists(v => v._2 == 14L || v._2 == 16L))
+    } finally q.stop()
+  }
+
+  test("scd2Stream -> append parquet: durable history equals batch scd2") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-scd2").toString
+    val all = Seq(
+      ChangeRow(1, 10, "INSERT", "p=1"), ChangeRow(1, 12, "UPDATE", "p=2"),
+      ChangeRow(2, 11, "INSERT", "q=1"), ChangeRow(2, 14, "DELETE", null),
+      ChangeRow(1, 15, "UPDATE", "p=3"), ChangeRow(3, 16, "INSERT", "r=1"),
+      ChangeRow(2, 17, "INSERT", "q=2"), ChangeRow(2, 18, "UPDATE", "q=3"))
+    val in = MemoryStream[ChangeRow]
+    val q = Stateful.scd2Stream(in.toDS()).writeStream
+      .format("parquet").option("path", s"$dir/history")
+      .option("checkpointLocation", s"$dir/ck").outputMode("append").start()
+    try {
+      all.grouped(3).foreach { batch => in.addData(batch: _*); q.processAllAvailable() }
+      val durable = spark.read.parquet(s"$dir/history")
+        .select("pk", "validFrom", "validTo", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batchClosed = graft.cdc.CdcMerge.scd2(
+          all.toDF().withColumnRenamed("op", "type"), Seq("pk"), "cid")
+        .filter(col("valid_to").isNotNull)
+        .select("pk", "valid_from", "valid_to", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(durable == batchClosed, s"durable=$durable batch=$batchClosed")
     } finally q.stop()
   }
 
