@@ -25,6 +25,20 @@ object FunctionQueries {
       |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
+  /** One SQL text both engines execute for q109: a correlated LATERAL
+    * subquery with ORDER BY + LIMIT — per-customer top-2 orders. Catalyst
+    * decorrelates this into a ranked window join (DecorrelateInnerQuery),
+    * not a per-row re-execution.
+    */
+  private val LateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_nationkey = 3
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     Q("q22_set_union", { (s, dir) =>
@@ -365,6 +379,48 @@ object FunctionQueries {
              |  sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) AS stddev_qty,
              |  (c11 - s1 * p1 / nd) / sqrt((s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd)) AS corr_qty_price
              |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // PII redaction: synthesize deterministic email/phone contamination,
+    // then scrub with regexes whose semantics agree between Java regex
+    // (Spark, codegen'd) and RE2 (DuckDB) — no backrefs/lookarounds. The
+    // scrub is per-row and shuffle-free; counts + a fingerprint of the
+    // redacted text gate that both engines redacted identically.
+    Q("q108_pii_redact", { (s, dir) =>
+        val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\\.[a-z]+"
+        val phoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        val dirty = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail"), (col("doc_id") % 7).cast(StringType), lit(".com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+        Tables(s, dir, "documents").select(col("doc_id"), dirty.as("text"))
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+             |      || CAST(doc_id % 7 AS VARCHAR) || '.com or +1-555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]+')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(text,
+             |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+             |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+             |FROM dirty ORDER BY doc_id""".stripMargin)),
+
+    // Correlated LATERAL subquery with per-group ORDER BY + LIMIT.
+    Q("q109_lateral_topk", { (s, dir) =>
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(LateralSql)
+      },
+      Some(LateralSql)),
 
     // Approximate percentiles via Spark's mergeable quantile sketch
     // (Greenwald-Khanna) — the 100 TB quantile path: partial sketches merge
