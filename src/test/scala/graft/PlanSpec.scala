@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q109 lateral LIMIT decorrelates to WindowGroupLimit, not a nested loop") {
+    val p = plan("q109_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q33 latest-image merge shuffles exactly once on the pk") {
     val p = plan("q33_cdc_latest_image")
     val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length
