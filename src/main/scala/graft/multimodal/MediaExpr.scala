@@ -66,7 +66,9 @@ object MediaKernels {
       while (i + 3 < b.length) {
         if (u8(b, i) != 0xff) return null // desync — not a marker stream
         val m = u8(b, i + 1)
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        if (m == 0xff) {
+          i += 1 // spec-allowed fill byte before a marker
+        } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
           i += 2 // standalone marker, no length field
         } else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           // SOFn: len(2) precision(1) height(2) width(2)

@@ -41,10 +41,12 @@ object MediaSniffProps extends Properties("MediaSniff") {
     }
 
   property("jpeg round-trip through APPn segments of random length") =
-    forAll(dim16, dim16, Gen.choose(0, 40)) { (w, h, pad) =>
+    forAll(dim16, dim16, Gen.choose(0, 40), Gen.choose(0, 3)) { (w, h, pad, fill) =>
       val app = hx("FFE0") ++ be16(pad + 2) ++ Array.fill(pad)(0x41.toByte)
       val sof = hx("FFC0 000B 08") ++ be16(h) ++ be16(w) ++ hx("01 011100")
-      MediaKernels.sniffTuple(hx("FFD8") ++ app ++ sof) == ("jpeg", w, h)
+      // spec-allowed 0xFF fill bytes before the SOF marker
+      val fills = Array.fill(fill)(0xff.toByte)
+      MediaKernels.sniffTuple(hx("FFD8") ++ app ++ fills ++ sof) == ("jpeg", w, h)
     }
 
   property("wav round-trip, fmt after a random-size LIST chunk") =
