@@ -15,11 +15,13 @@ import graft.llm.{CosineSim, SimHash64, TokenTopCount, WordShingles, WordSpans}
   * session (REPL/tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -87,9 +89,13 @@ object GraftExtensions {
       graft.multimodal.SniffWav(args(0))
     })
 
-  /** Register every function into a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every function + optimizer rule into a live session. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       ColumnBridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+  }
 }

@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** Optimizer rule: rewrite a naive temporal range join — an inner join
+  * whose only cross-side predicates bound one side's timestamp between two
+  * expressions of the other side — into the binned equi-join plan of
+  * [[graft.operators.RangeJoin]]. Users write the natural
+  * `r.ts BETWEEN l.ts AND l.ts + INTERVAL ...` join; without this rule
+  * Spark plans BroadcastNestedLoop (O(|L|·|R|), one task once the small
+  * side stops fitting), with it the join becomes a hash join on time
+  * buckets plus an exact residual filter — same rows, shuffle-parallel.
+  *
+  * Scope guards (all must hold, otherwise the plan is left untouched):
+  * inner join; no equi conjunct already present (those hash-join fine —
+  * and this also makes the rule a no-op on its own output, so it is safe
+  * in a fixed-point batch); exactly one timestamp attribute of one side
+  * bounded below and above by deterministic expressions of the other
+  * side. Extra cross-side conjuncts ride along in the residual filter.
+  *
+  * Bin width comes from `spark.graft.rangejoin.binwidth.us` (default 1h);
+  * `spark.graft.rangejoin.enabled=false` disables the rewrite.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  private val EnabledKey = "spark.graft.rangejoin.enabled"
+  private val BinWidthKey = "spark.graft.rangejoin.binwidth.us"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(EnabledKey, "true").toBoolean
+  private def binWidthUs: Long =
+    SQLConf.get.getConfString(BinWidthKey, "3600000000").toLong
+
+  /** floor(unix_micros(ts) / binWidth) as a long bin id. */
+  private def binOf(us: Expression): Expression =
+    Floor(Divide(Cast(us, DoubleType), Literal(binWidthUs.toDouble, DoubleType)))
+
+  /** (tsAttr side, bound expr other side) if `cmp` bounds a timestamp
+    * attribute of `attrSide` by an expression over `exprSide`;
+    * isLower says whether it is a lower bound on the attribute.
+    */
+  private def asBound(e: Expression, attrSide: LogicalPlan, exprSide: LogicalPlan)
+      : Option[(AttributeReference, Expression, Boolean)] = {
+    def ok(a: Expression, b: Expression): Option[(AttributeReference, Expression)] =
+      a match {
+        case ar: AttributeReference
+            if ar.dataType == TimestampType && attrSide.outputSet.contains(ar) &&
+              b.deterministic && b.dataType == TimestampType &&
+              b.references.subsetOf(exprSide.outputSet) && b.references.nonEmpty =>
+          Some((ar, b))
+        case _ => None
+      }
+    e match {
+      case GreaterThanOrEqual(a, b) => ok(a, b).map { case (ar, ex) => (ar, ex, true) }
+        .orElse(ok(b, a).map { case (ar, ex) => (ar, ex, false) })
+      case GreaterThan(a, b) => ok(a, b).map { case (ar, ex) => (ar, ex, true) }
+        .orElse(ok(b, a).map { case (ar, ex) => (ar, ex, false) })
+      case LessThanOrEqual(a, b) => ok(a, b).map { case (ar, ex) => (ar, ex, false) }
+        .orElse(ok(b, a).map { case (ar, ex) => (ar, ex, true) })
+      case LessThan(a, b) => ok(a, b).map { case (ar, ex) => (ar, ex, false) }
+        .orElse(ok(b, a).map { case (ar, ex) => (ar, ex, true) })
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && rewritable(left, right, cond) =>
+        rewrite(j, left, right, cond, hint).getOrElse(j)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def crossSide(e: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
+    e.references.intersect(l.outputSet).nonEmpty &&
+      e.references.intersect(r.outputSet).nonEmpty
+
+  private def rewritable(l: LogicalPlan, r: LogicalPlan, cond: Expression): Boolean = {
+    val cs = splitConjuncts(cond)
+    // an existing cross-side equi conjunct hash-joins already — skip (and
+    // never re-match our own output, whose join condition is bin = bin)
+    !cs.exists {
+      case EqualTo(a, b) => crossSide(EqualTo(a, b), l, r)
+      case EqualNullSafe(a, b) => crossSide(EqualNullSafe(a, b), l, r)
+      case _ => false
+    }
+  }
+
+  /** Try to pick one (tsAttr, lower, upper) orientation and rewrite. */
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
+    val cs = splitConjuncts(cond)
+    // orientation A: right-side ts bounded by left-side expressions
+    orient(cs, attrSide = right, exprSide = left).map {
+      case (ts, lo, hi) => build(j, explodeSide = left, binSide = right, ts, lo, hi, cond)
+    }.orElse {
+      // orientation B: left-side ts bounded by right-side expressions
+      orient(cs, attrSide = left, exprSide = right).map {
+        case (ts, lo, hi) => build(j, explodeSide = right, binSide = left, ts, lo, hi, cond)
+      }
+    }
+  }
+
+  /** Find exactly one ts attribute with one lower and one upper bound. */
+  private def orient(cs: Seq[Expression], attrSide: LogicalPlan, exprSide: LogicalPlan)
+      : Option[(AttributeReference, Expression, Expression)] = {
+    val bounds = cs.flatMap(c => asBound(c, attrSide, exprSide))
+    val byAttr = bounds.groupBy(_._1)
+    byAttr.collectFirst {
+      case (ts, bs) if bs.exists(_._3) && bs.exists(!_._3) =>
+        (ts, bs.find(_._3).get._2, bs.find(!_._3).get._2)
+    }
+  }
+
+  /** Assemble: explodeSide gains (bin per overlapped bucket), binSide gains
+    * its single bin; equi-join on bin; original condition as residual
+    * filter; project back to the original output.
+    */
+  private def build(j: Join, explodeSide: LogicalPlan, binSide: LogicalPlan,
+      ts: AttributeReference, lo: Expression, hi: Expression,
+      cond: Expression): LogicalPlan = {
+    val loUs = Alias(UnixMicros(lo), "__w_lo")()
+    val hiUs = Alias(UnixMicros(hi), "__w_hi")()
+    val exProj = Project(explodeSide.output ++ Seq(loUs, hiUs), explodeSide)
+    val binAttr = AttributeReference("__bin", LongType, nullable = true)()
+    val gen = Generate(
+      Explode(Sequence(binOf(loUs.toAttribute), binOf(hiUs.toAttribute),
+        None, Some(SQLConf.get.sessionLocalTimeZone))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(binAttr), child = exProj)
+    val rBin = Alias(binOf(UnixMicros(ts)), "__r_bin")()
+    val binProj = Project(binSide.output :+ rBin, binSide)
+    val joined = Join(gen, binProj,
+      Inner, Some(EqualTo(binAttr, rBin.toAttribute)), JoinHint.NONE)
+    val filtered = Filter(cond, joined)
+    Project(j.output, filtered)
+  }
+}

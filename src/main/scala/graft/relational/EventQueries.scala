@@ -101,6 +101,30 @@ object EventQueries {
              |FROM events s JOIN events e
              |  ON e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
              |WHERE s.event_type = 'signup' AND e.event_type = 'error'
-             |GROUP BY s.event_id ORDER BY signup_id""".stripMargin))
+             |GROUP BY s.event_id ORDER BY signup_id""".stripMargin)),
+
+    // The SAME range-join semantics written the NAIVE way — a bare BETWEEN
+    // join — relying on the RangeJoinRule optimizer rewrite to plan it as
+    // the bin hash join (purchases within 10 minutes of each click).
+    // PlanSpec asserts the rewrite fired; this row gates its results.
+    Q("q110_range_join_auto", { (s, dir) =>
+        graft.GraftExtensions.register(s)
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("cts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("ts").as("bts"))
+        clicks.join(buys,
+            col("bts") >= col("cts") &&
+              col("bts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+          .groupBy("click_id")
+          .agg(count(lit(1)).as("n_buys"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT c.event_id AS click_id, count(*) AS n_buys
+             |FROM events c JOIN events b
+             |  ON b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+             |WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+             |GROUP BY c.event_id ORDER BY click_id""".stripMargin))
   )
 }

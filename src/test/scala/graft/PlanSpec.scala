@@ -70,6 +70,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q110 naive BETWEEN join is rewritten by RangeJoinRule (no nested loop)") {
+    val p = plan("q110_range_join_auto")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q33 latest-image merge shuffles exactly once on the pk") {
     val p = plan("q33_cdc_latest_image")
     val hashEx = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule must turn a naive BETWEEN range join into the binned
+  * equi-join (no nested loop) without changing its rows.
+  */
+class RangeJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private lazy val left =
+    (1 to 50).map(i => (i.toLong, ts(i * 37 % 5000))).toDF("lid", "lts")
+  private lazy val right =
+    (1 to 80).map(i => (100L + i, ts(i * 59 % 5000))).toDF("rid", "rts")
+
+  private def naive: DataFrame = left.join(right,
+    $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 3 MINUTES"))
+
+  private def rows(df: DataFrame): Set[(Long, Long)] =
+    df.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+
+  test("naive BETWEEN join rewrites to a bin hash join with identical rows") {
+    val expected = try {
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      rows(naive) // rule disabled -> Spark's own nested-loop plan
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(expected.nonEmpty)
+
+    graft.GraftExtensions.register(spark)
+    val df = naive
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert(rows(df) == expected)
+
+    // manual operator agrees too
+    val manual = graft.operators.RangeJoin.timestampRangeJoin(
+        left, right, "lts", "rts", 0L, 180L * 1000000, 3600L * 1000000)
+      .select(col("l_lid").as("lid"), col("r_rid").as("rid"))
+    assert(rows(manual.toDF("lid", "rid").select($"lid", $"rid")) == expected)
+  }
+
+  test("joins with an equi key are left alone") {
+    graft.GraftExtensions.register(spark)
+    val l = Seq((1L, 1L, ts(10))).toDF("k", "lid", "lts")
+    val r = Seq((1L, 2L, ts(15))).toDF("k", "rid", "rts")
+    val j = l.join(r, l("k") === r("k") &&
+      $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 1 MINUTE"))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__bin"), opt) // no rewrite marker attributes
+    assert(j.count() == 1)
+  }
+
+  test("disabled flag leaves the naive plan untouched") {
+    graft.GraftExtensions.register(spark)
+    try {
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      val opt = naive.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("__bin"), opt)
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+  }
+}
