@@ -225,6 +225,33 @@ object Relational {
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
       headline = true),
 
+    // TPC-H Q3 shape: selective filters on BOTH fact tables (pushed to the
+    // scans), a two-hop join, grouped revenue, and an ordered top-10 that
+    // plans TakeOrderedAndProject — the second classic ad-hoc analytics
+    // shape next to the Q5-style flagship.
+    Q("q111_tpch_q3_shape", { (s, dir) =>
+        val cutoff = to_timestamp(lit("1998-06-01"))
+        t(s, dir, "customer").filter(col("c_nationkey") === 1)
+          .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(Exact.dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  ${Exact.sqlSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_nationkey = 1
+             |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // As-of (point-in-time) join — an operator Spark lacks natively,
     // composed from union + running last() in graft.operators.AsofJoin
     // (one key shuffle, no join explosion). Each click gets the value of
