@@ -125,6 +125,47 @@ object EventQueries {
              |FROM events c JOIN events b
              |  ON b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
              |WHERE c.event_type = 'click' AND b.event_type = 'purchase'
-             |GROUP BY c.event_id ORDER BY click_id""".stripMargin))
+             |GROUP BY c.event_id ORDER BY click_id""".stripMargin)),
+
+    // Time-series resample + forward fill: per user, an hourly grid over
+    // the user's observed span (sequence + explode — no driver loop), the
+    // sparse hourly aggregate left-joined on, gaps carried forward with
+    // last(ignoreNulls) over a running frame. Decimal-exact hourly mean,
+    // so both engines fill the same doubles.
+    Q("q112_resample_ffill", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val hourly = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("h"))
+          .agg(graft.Exact.davg(col("value")).as("v"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("h")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            col("v").isNotNull.cast(IntegerType).as("observed"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+          .orderBy("user_id", "h")
+      },
+      Some(s"""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    ${graft.Exact.sqlAvg("value")} AS v
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+             |), span AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+             |), grid AS (
+             |  SELECT s.user_id, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+             |  FROM span s
+             |)
+             |SELECT g.user_id, g.h,
+             |  CAST(hy.v IS NOT NULL AS INTEGER) AS observed,
+             |  last_value(hy.v IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+             |FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+             |ORDER BY g.user_id, g.h""".stripMargin))
   )
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import scala.concurrent.duration.Duration
 
 /** A change-stream row keyed by pk with a monotone ordinal (the reference's
@@ -120,5 +121,52 @@ object Stateful {
           }
           out.iterator
       }
+  }
+
+  /** The latest-image fold on the CURRENT-generation arbitrary-state API
+    * (`transformWithState`, Spark 4): same semantics as [[latestImage]]
+    * (transition-only emission, stale ordinals dropped, DELETE tombstones
+    * retained), state in a named `ValueState` on the RocksDB-backed store
+    * the API requires. Kept alongside the `flatMapGroupsWithState`
+    * version deliberately — StreamingSpec asserts the two agree — since
+    * clusters pin different state-store stacks.
+    */
+  class LatestImageProcessor
+      extends StatefulProcessor[Long, ChangeRow, ImageUpdate] {
+    @transient private var cur: ValueState[(Long, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, String)]("img",
+        Encoders.product[(Long, String)], TTLConfig.NONE)
+    override def handleInputRows(pk: Long, rows: Iterator[ChangeRow],
+        tv: TimerValues): Iterator[ImageUpdate] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ImageUpdate]
+      var state: Option[(Long, String)] = if (cur.exists()) Some(cur.get()) else None
+      def live: Boolean = state.exists(_._2 != null)
+      rows.toSeq.sortBy(_.cid).foreach { r =>
+        val stale = state.exists(_._1 >= r.cid)
+        if (!stale) {
+          if (r.op == "DELETE") {
+            if (live) out += ImageUpdate(pk, r.cid, null, "DELETE")
+            state = Some((r.cid, null))
+          } else {
+            state = Some((r.cid, r.payload))
+            out += ImageUpdate(pk, r.cid, r.payload, r.op)
+          }
+        }
+      }
+      state.foreach(cur.update)
+      out.iterator
+    }
+  }
+
+  /** [[latestImage]] via `transformWithState`. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def latestImageTws(changes: Dataset[ChangeRow]): Dataset[ImageUpdate] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.pk)
+      .transformWithState(new LatestImageProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -371,6 +371,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState latest-image agrees with the fMGWS version") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batches = Seq(
+      Seq(ChangeRow(1, 10, "INSERT", "a=1"), ChangeRow(2, 11, "INSERT", "b=1")),
+      Seq(ChangeRow(1, 12, "UPDATE", "a=2"), ChangeRow(1, 5, "UPDATE", "a=STALE"),
+        ChangeRow(2, 13, "DELETE", ""), ChangeRow(3, 14, "DELETE", "")),
+      Seq(ChangeRow(2, 12, "UPDATE", "b=LATE")))
+    val in = MemoryStream[ChangeRow]
+    val q = Stateful.latestImageTws(in.toDS()).writeStream
+      .format("memory").queryName("tws_t").outputMode("update").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val rows = spark.table("tws_t")
+        .select("pk", "cid", "payload", "change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      // identical transition set to the fMGWS test below
+      assert(rows == Set(
+        (1L, 10L, "a=1", "INSERT"),
+        (2L, 11L, "b=1", "INSERT"),
+        (1L, 12L, "a=2", "UPDATE"),
+        (2L, 13L, null, "DELETE")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState latest-image: transitions only, stale dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
