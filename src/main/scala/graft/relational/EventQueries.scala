@@ -166,6 +166,48 @@ object EventQueries {
              |    PARTITION BY g.user_id ORDER BY g.h
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
              |FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
-             |ORDER BY g.user_id, g.h""".stripMargin))
+             |ORDER BY g.user_id, g.h""".stripMargin)),
+
+    // Z-score outlier detection per event type, deterministic at any
+    // partitioning: mean/stddev come from exact decimal power sums (the
+    // q89 trick) so the z expression — identical IEEE math both engines —
+    // flags the exact same rows. The per-type moments broadcast back.
+    Q("q113_outlier_zscore", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val dv = col("value").cast(DecimalType(18, 2))
+        val m = ev.groupBy("event_type").agg(
+          count(lit(1)).cast(DoubleType).as("nd"),
+          sum(dv).cast(DoubleType).as("s1"),
+          sum(dv * dv).cast(DoubleType).as("s2"))
+        val z = (col("value") - col("s1") / col("nd")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("nd")) / (col("nd") - 1.0))
+        ev.join(broadcast(m), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+          .filter(abs(col("z")) > 2.5)
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, CAST(count(*) AS DOUBLE) AS nd,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+             |  FROM events GROUP BY event_type)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  (e.value - m.s1 / m.nd) / sqrt((m.s2 - m.s1 * m.s1 / m.nd) / (m.nd - 1.0)) AS z
+             |FROM events e JOIN m ON e.event_type = m.event_type
+             |WHERE abs((e.value - m.s1 / m.nd)
+             |  / sqrt((m.s2 - m.s1 * m.s1 / m.nd) / (m.nd - 1.0))) > 2.5
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Fixed-width value histogram per event type — one hash agg; the
+    // bucket floor is identical double math in both engines.
+    Q("q114_value_histogram", { (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(col("value") / 2.0).cast(IntegerType).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type, CAST(floor(value / 2.0) AS INTEGER) AS bucket, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
