@@ -71,8 +71,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // Guards beyond `rewritable`: never touch streaming joins (the
+      // binned shape would change stream-stream watermark requirements)
+      // and respect an explicit user join hint (e.g. a broadcast hint
+      // means the user already chose a strategy for the nested loop).
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && rewritable(left, right, cond) =>
+          if j.resolved && !j.isStreaming && hint == JoinHint.NONE &&
+            rewritable(left, right, cond) =>
         rewrite(j, left, right, cond, hint).getOrElse(j)
     }
   }

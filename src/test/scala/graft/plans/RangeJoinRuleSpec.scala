@@ -54,6 +54,14 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(j.count() == 1)
   }
 
+  test("broadcast-hinted joins are left alone (user chose a strategy)") {
+    graft.GraftExtensions.register(spark)
+    val j = left.join(broadcast(right),
+      $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 3 MINUTES"))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__bin"), opt)
+  }
+
   test("disabled flag leaves the naive plan untouched") {
     graft.GraftExtensions.register(spark)
     try {
