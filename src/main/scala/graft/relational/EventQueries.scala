@@ -208,6 +208,32 @@ object EventQueries {
           .orderBy("event_type", "bucket")
       },
       Some("""SELECT event_type, CAST(floor(value / 2.0) AS INTEGER) AS bucket, count(*) AS n
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Path analysis: the within-session event-type transition matrix
+    // (lag per user, 30-minute session gap) — one user-keyed window pass
+    // plus a hash agg; the "what happens after X" counterpart to the
+    // funnel's fixed stages.
+    Q("q115_event_transitions", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            lag("event_type", 1).over(w).as("prev_type"),
+            (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))).as("gap_s"))
+          .filter(col("prev_type").isNotNull && col("gap_s") <= 1800)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |    CAST(date_diff('second',
+             |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+             |  FROM events)
+             |SELECT prev_type, event_type AS next_type, count(*) AS n
+             |FROM seq WHERE prev_type IS NOT NULL AND gap_s <= 1800
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
