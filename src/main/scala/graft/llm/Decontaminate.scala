@@ -25,15 +25,16 @@ object Decontaminate {
     */
   def overlap(train: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, k: Int = 5): DataFrame = {
-    val trainSh = Dedup.shingleSet(train, textCol, idCol, k)
+    // One shingle pass over the corpus: the per-doc size rides the
+    // exploded rows as a grouping column instead of a second scan.
+    val trainSh = Dedup.shingleArrays(train, textCol, idCol, k)
+      .select(col("sid"), size(col("arr")).as("n_shingles"),
+        explode(col("arr")).as("s"))
     val benchSh = Dedup.shingleSet(benchmark, textCol, idCol, k)
       .select("s").distinct()
-    val sizes = Dedup.shingleArrays(train, textCol, idCol, k)
-      .select(col("sid"), size(col("arr")).as("n_shingles"))
     trainSh.join(benchSh, "s")
-      .groupBy("sid")
-      .agg(count(lit(1)).as("n_overlap")) // shingleSet is distinct per doc
-      .join(sizes, "sid")
+      .groupBy("sid", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap")) // shingle arrays are distinct per doc
       .select(col("sid").as(idCol), col("n_overlap"), col("n_shingles"))
   }
 }

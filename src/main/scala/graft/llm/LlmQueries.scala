@@ -379,15 +379,11 @@ object LlmQueries {
     // Both fractions derive from integer counts, so the doubles (and the
     // threshold comparison) are engine-identical.
     Q("q91_quality_repetition", { (s, dir) =>
-        val toks = TextOps.tokens(col("text"))
-        val n = size(toks)
-        val d2 = size(TextOps.shingles(col("text"), 2))
-        val dupFrac = when(n > 1,
-          lit(1.0) - d2.cast(DoubleType) / (n - 1).cast(DoubleType)).otherwise(0.0)
-        val topFrac = TokenTopCount(toks).cast(DoubleType) / n.cast(DoubleType)
-        t(s, dir, "documents").select(col("doc_id"), n.as("n_tokens"),
-            dupFrac.as("dup_2gram_frac"), topFrac.as("top_tok_frac"),
-            when(dupFrac <= 0.04 && topFrac <= 0.1, "keep")
+        t(s, dir, "documents").select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).as("n_tokens"),
+            TextOps.dupBigramFrac(col("text")).as("dup_2gram_frac"),
+            TextOps.topTokenFrac(col("text")).as("top_tok_frac"),
+            when(TextOps.repetitionGate(col("text")), "keep")
               .otherwise("drop").as("verdict"))
           .orderBy("doc_id")
       },
@@ -542,14 +538,8 @@ object LlmQueries {
         val docs = t(s, dir, "documents")
         val bench = docs.filter(col("doc_id") % 10 === 7)
         val train = docs.filter(col("doc_id") % 10 =!= 7)
-        // stage 1: repetition quality gate (q91's thresholds)
-        val toks = TextOps.tokens(col("text"))
-        val n = size(toks)
-        val dupFrac = when(n > 1,
-          lit(1.0) - size(TextOps.shingles(col("text"), 2)).cast(DoubleType)
-            / (n - 1).cast(DoubleType)).otherwise(0.0)
-        val topFrac = TokenTopCount(toks).cast(DoubleType) / n.cast(DoubleType)
-        val quality = train.filter(dupFrac <= 0.04 && topFrac <= 0.1)
+        // stage 1: repetition quality gate (the SAME expression as q91)
+        val quality = train.filter(TextOps.repetitionGate(col("text")))
         // stage 2: exact-dup canonicals
         val canon = Dedup.exactGroups(quality, "text", "doc_id")
           .select(col("canonical_id").as("doc_id"))

@@ -42,4 +42,29 @@ object TextOps {
   /** Deterministic document fingerprint over normalized text. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Duplicate-bigram fraction: 1 - distinct/total bigrams (0 for <2
+    * tokens). Integer-derived, so the double is engine-identical.
+    */
+  def dupBigramFrac(text: Column): Column = {
+    val n = org.apache.spark.sql.functions.size(tokens(text))
+    when(n > 1, lit(1.0) - org.apache.spark.sql.functions.size(shingles(text, 2))
+      .cast(org.apache.spark.sql.types.DoubleType)
+      / (n - 1).cast(org.apache.spark.sql.types.DoubleType)).otherwise(0.0)
+  }
+
+  /** Top-token fraction: max single-token count / token count. */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    TokenTopCount(toks).cast(org.apache.spark.sql.types.DoubleType) /
+      org.apache.spark.sql.functions.size(toks)
+        .cast(org.apache.spark.sql.types.DoubleType)
+  }
+
+  /** The Gopher-style repetition gate shared by q91 and the q106 curation
+    * capstone — ONE definition so the thresholds cannot drift apart.
+    */
+  def repetitionGate(text: Column, maxDup2: Double = 0.04,
+      maxTopFrac: Double = 0.1): Column =
+    dupBigramFrac(text) <= maxDup2 && topTokenFrac(text) <= maxTopFrac
 }

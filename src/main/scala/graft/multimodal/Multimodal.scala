@@ -98,6 +98,21 @@ object MultimodalQueries {
   /** documents.text bytes stand in for media payloads (ASCII, so the DuckDB
     * oracle can mirror byte math with ascii()/octet_length()).
     */
+  /** Column helpers building big/little-endian integer bytes for the
+    * synthesized container headers (shared by q102/q103).
+    */
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
   private def asMedia(d: DataFrame): DataFrame =
     d.select(
       col("doc_id").as("media_id"),
@@ -148,17 +163,6 @@ object MultimodalQueries {
     // no-codec metadata pass a multimodal pipeline runs before deciding
     // what to decode.
     Q("q102_media_sniff", { (s, dir) =>
-        def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
-        def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
-        def le16(c: Column) = {
-          val h = lpad(hex(c), 4, "0")
-          unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
-        }
-        def le32(c: Column) = {
-          val h = lpad(hex(c), 8, "0")
-          unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
-            substring(h, 3, 2), substring(h, 1, 2)))
-        }
         val d = t(s, dir, "documents")
         val w = (col("doc_id") % 300 + 1).cast(IntegerType)
         val h = (col("doc_id") % 200 + 1).cast(IntegerType)
@@ -189,15 +193,6 @@ object MultimodalQueries {
     // synthesized RIFF containers with formula-known parameters; -1 fills
     // the fields the other modality doesn't have (compare-safe, no nulls).
     Q("q103_av_sniff", { (s, dir) =>
-        def le16(c: Column) = {
-          val h = lpad(hex(c), 4, "0")
-          unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
-        }
-        def le32(c: Column) = {
-          val h = lpad(hex(c), 8, "0")
-          unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
-            substring(h, 3, 2), substring(h, 1, 2)))
-        }
         val d = t(s, dir, "documents")
         val channels = (col("doc_id") % 3 + 1).cast(IntegerType)
         val rate = (lit(8000) + (col("doc_id") % 8) * 1000).cast(IntegerType)

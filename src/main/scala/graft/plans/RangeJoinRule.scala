@@ -31,10 +31,25 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   private val EnabledKey = "spark.graft.rangejoin.enabled"
   private val BinWidthKey = "spark.graft.rangejoin.binwidth.us"
 
-  private def enabled: Boolean =
-    SQLConf.get.getConfString(EnabledKey, "true").toBoolean
-  private def binWidthUs: Long =
-    SQLConf.get.getConfString(BinWidthKey, "3600000000").toLong
+  // Conf parse failures must name the key, not surface as a bare
+  // NumberFormatException from inside the optimizer (which would fail
+  // every query in the session with an opaque trace).
+  private def enabled: Boolean = {
+    val v = SQLConf.get.getConfString(EnabledKey, "true")
+    try v.toBoolean catch {
+      case _: IllegalArgumentException => throw new IllegalArgumentException(
+        s"$EnabledKey must be true/false, got '$v'")
+    }
+  }
+  private def binWidthUs: Long = {
+    val v = SQLConf.get.getConfString(BinWidthKey, "3600000000")
+    val w = try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$BinWidthKey must be a positive long (microseconds), got '$v'")
+    }
+    require(w > 0, s"$BinWidthKey must be positive, got $w")
+    w
+  }
 
   /** floor(unix_micros(ts) / binWidth) as a long bin id. */
   private def binOf(us: Expression): Expression =
@@ -78,7 +93,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && !j.isStreaming && hint == JoinHint.NONE &&
             rewritable(left, right, cond) =>
-        rewrite(j, left, right, cond, hint).getOrElse(j)
+        rewrite(j, left, right, cond).getOrElse(j)
     }
   }
 
@@ -102,9 +117,11 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Try to pick one (tsAttr, lower, upper) orientation and rewrite. */
+  /** Try to pick one (tsAttr, lower, upper) orientation and rewrite.
+    * (No hint parameter: hinted joins never reach here — see apply().)
+    */
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      cond: Expression, hint: JoinHint): Option[LogicalPlan] = {
+      cond: Expression): Option[LogicalPlan] = {
     val cs = splitConjuncts(cond)
     // orientation A: right-side ts bounded by left-side expressions
     orient(cs, attrSide = right, exprSide = left).map {

@@ -179,9 +179,13 @@ object EventQueries {
           count(lit(1)).cast(DoubleType).as("nd"),
           sum(dv).cast(DoubleType).as("s1"),
           sum(dv * dv).cast(DoubleType).as("s2"))
-        val z = (col("value") - col("s1") / col("nd")) /
-          sqrt((col("s2") - col("s1") * col("s1") / col("nd")) / (col("nd") - 1.0))
+        // Degenerate groups (single row / zero variance) are excluded
+        // EXPLICITLY: Spark's 0/0 is NULL while DuckDB's is NaN (> any
+        // threshold there), so leaving them in diverges the engines.
+        val varE = (col("s2") - col("s1") * col("s1") / col("nd")) / (col("nd") - 1.0)
+        val z = (col("value") - col("s1") / col("nd")) / sqrt(varE)
         ev.join(broadcast(m), "event_type")
+          .filter(col("nd") > 1.0 && varE > 0.0)
           .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
           .filter(abs(col("z")) > 2.5)
           .orderBy("event_id")
@@ -194,7 +198,8 @@ object EventQueries {
              |SELECT e.event_id, e.event_type, e.value,
              |  (e.value - m.s1 / m.nd) / sqrt((m.s2 - m.s1 * m.s1 / m.nd) / (m.nd - 1.0)) AS z
              |FROM events e JOIN m ON e.event_type = m.event_type
-             |WHERE abs((e.value - m.s1 / m.nd)
+             |WHERE m.nd > 1.0 AND (m.s2 - m.s1 * m.s1 / m.nd) / (m.nd - 1.0) > 0.0
+             |  AND abs((e.value - m.s1 / m.nd)
              |  / sqrt((m.s2 - m.s1 * m.s1 / m.nd) / (m.nd - 1.0))) > 2.5
              |ORDER BY e.event_id""".stripMargin)),
 

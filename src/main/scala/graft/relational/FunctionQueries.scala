@@ -356,13 +356,17 @@ object FunctionQueries {
           sum(dp * dp).cast(DoubleType).as("p2"),
           sum(dq * dp).cast(DoubleType).as("c11"))
         val varQty = (col("s2") - col("s1") * col("s1") / col("nd")) / (col("nd") - 1.0)
+        // Degenerate groups guarded EXPLICITLY (both engines emit the same
+        // NULL): Spark's 0/0 is NULL but DuckDB's is NaN, so an unguarded
+        // zero-variance group would hash-differ.
+        val corrDen = (col("s2") - col("s1") * col("s1") / col("nd")) *
+          (col("p2") - col("p1") * col("p1") / col("nd"))
         m.select(col("l_returnflag"), col("n"),
             (col("s1") / col("nd")).as("mean_qty"),
-            varQty.as("var_qty"),
-            sqrt(varQty).as("stddev_qty"),
-            ((col("c11") - col("s1") * col("p1") / col("nd"))
-              / sqrt((col("s2") - col("s1") * col("s1") / col("nd"))
-                * (col("p2") - col("p1") * col("p1") / col("nd")))).as("corr_qty_price"))
+            when(col("nd") > 1.0, varQty).as("var_qty"),
+            when(col("nd") > 1.0, sqrt(varQty)).as("stddev_qty"),
+            when(corrDen > 0.0, (col("c11") - col("s1") * col("p1") / col("nd"))
+              / sqrt(corrDen)).as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (
@@ -375,9 +379,11 @@ object FunctionQueries {
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
              |  s1 / nd AS mean_qty,
-             |  (s2 - s1 * s1 / nd) / (nd - 1.0) AS var_qty,
-             |  sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) AS stddev_qty,
-             |  (c11 - s1 * p1 / nd) / sqrt((s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd)) AS corr_qty_price
+             |  CASE WHEN nd > 1.0 THEN (s2 - s1 * s1 / nd) / (nd - 1.0) END AS var_qty,
+             |  CASE WHEN nd > 1.0 THEN sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) END AS stddev_qty,
+             |  CASE WHEN (s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd) > 0.0
+             |    THEN (c11 - s1 * p1 / nd) / sqrt((s2 - s1 * s1 / nd) * (p2 - p1 * p1 / nd))
+             |  END AS corr_qty_price
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // PII redaction: synthesize deterministic email/phone contamination,
