@@ -428,6 +428,26 @@ object FunctionQueries {
       },
       Some(LateralSql)),
 
+    // Modern aggregate family: count_if / bool_and / bool_or / max_by /
+    // min_by. The *_by selectors key on the UNIQUE o_orderkey so the pick
+    // is deterministic under any partitioning.
+    Q("q116_modern_agg", { (s, dir) =>
+        Tables(s, dir, "orders").groupBy("o_orderstatus").agg(
+            count_if(col("o_totalprice") > 200000.0).as("n_big"),
+            bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+            bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+            max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_prio"),
+            min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+             |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             |  max_by(o_orderpriority, o_orderkey) AS latest_prio,
+             |  min_by(o_orderpriority, o_orderkey) AS first_prio
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Approximate percentiles via Spark's mergeable quantile sketch
     // (Greenwald-Khanna) — the 100 TB quantile path: partial sketches merge
     // across executors instead of a global sort. Approximate by design, so
