@@ -33,10 +33,12 @@ object Udx {
     def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
       val v = math.round(in._1 * 100.0) // unscaled, scale 2
       val w = math.round(in._2 * 100.0)
-      (b._1 + v * w, b._2 + w) // product unscaled at scale 4
+      // addExact/multiplyExact: past the documented ~9.2e14 scale-4 bound
+      // the aggregate must throw, not silently wrap to a wrong mean.
+      (Math.addExact(b._1, Math.multiplyExact(v, w)), Math.addExact(b._2, w))
     }
     def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-      (a._1 + b._1, a._2 + b._2)
+      (Math.addExact(a._1, b._1), Math.addExact(a._2, b._2))
     def finish(b: (Long, Long)): Double =
       if (b._2 == 0L) Double.NaN
       else java.math.BigDecimal.valueOf(b._1, 4).doubleValue() /

@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 /** Binned temporal range join: pair each left row with every right row
   * whose timestamp falls in `[l.ts + lower, l.ts + upper]`.
@@ -35,20 +39,35 @@ object RangeJoin {
       binWidthUs: Long): DataFrame = {
     require(upperUs >= lowerUs, s"empty window [$lowerUs, $upperUs]")
     require(binWidthUs > 0, "binWidth must be positive")
+    // Static fan-out bound: the window is a constant offset of the left ts,
+    // so bins-per-row is known here. Refuse an explode blow-up up front.
+    val fanout = (upperUs - lowerUs) / binWidthUs + 2
+    require(fanout <= 65536,
+      s"window [$lowerUs, $upperUs] spans ~$fanout bins of $binWidthUs us; " +
+        "choose a binWidth near the window size (fan-out should stay small)")
     def usOf(c: Column): Column = unix_micros(c)
-    def binOf(us: Column): Column = floor(us / binWidthUs)
+    // Integer floor division: floor(us / w) through a double misbins
+    // |us| > 2^53 (year-9999 sentinels), silently losing boundary rows.
+    def binOf(us: Column): Column = ColumnBridge.column(
+      StaticInvoke(classOf[java.lang.Math], LongType, "floorDiv",
+        Seq(ColumnBridge.expression(us), Literal(binWidthUs)),
+        Seq(LongType, LongType)))
+    // Scratch columns use a collision-proof prefix: a user column named
+    // e.g. `us` becomes r_us after prefixing and must not be clobbered.
+    val wLo = "__graft_w_lo"; val wHi = "__graft_w_hi"
+    val bin = "__graft_bin"; val rUs = "__graft_r_us"
 
     val l = left.select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
-      .withColumn("w_lo", usOf(col(s"l_$leftTs")) + lowerUs)
-      .withColumn("w_hi", usOf(col(s"l_$leftTs")) + upperUs)
-      .withColumn("bin",
-        explode(sequence(binOf(col("w_lo")), binOf(col("w_hi")))))
+      .withColumn(wLo, usOf(col(s"l_$leftTs")) + lowerUs)
+      .withColumn(wHi, usOf(col(s"l_$leftTs")) + upperUs)
+      .withColumn(bin,
+        explode(sequence(binOf(col(wLo)), binOf(col(wHi)))))
     val r = right.select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
-      .withColumn("r_us", usOf(col(s"r_$rightTs")))
-      .withColumn("bin", binOf(col("r_us")))
+      .withColumn(rUs, usOf(col(s"r_$rightTs")))
+      .withColumn(bin, binOf(col(rUs)))
 
-    l.join(r, Seq("bin"))
-      .filter(col("r_us") >= col("w_lo") && col("r_us") <= col("w_hi"))
-      .drop("bin", "w_lo", "w_hi", "r_us")
+    l.join(r, Seq(bin))
+      .filter(col(rUs) >= col(wLo) && col(rUs) <= col(wHi))
+      .drop(bin, wLo, wHi, rUs)
   }
 }

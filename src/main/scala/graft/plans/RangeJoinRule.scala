@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Optimizer rule: rewrite a naive temporal range join — an inner join
   * whose only cross-side predicates bound one side's timestamp between two
@@ -30,6 +31,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
 
   private val EnabledKey = "spark.graft.rangejoin.enabled"
   private val BinWidthKey = "spark.graft.rangejoin.binwidth.us"
+  private val MaxBinsKey = "spark.graft.rangejoin.maxbins"
 
   // Conf parse failures must name the key, not surface as a bare
   // NumberFormatException from inside the optimizer (which would fail
@@ -50,10 +52,25 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     require(w > 0, s"$BinWidthKey must be positive, got $w")
     w
   }
+  private def maxBins: Long = {
+    val v = SQLConf.get.getConfString(MaxBinsKey, "65536")
+    val m = try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$MaxBinsKey must be a positive long, got '$v'")
+    }
+    require(m > 0, s"$MaxBinsKey must be positive, got $m")
+    m
+  }
 
-  /** floor(unix_micros(ts) / binWidth) as a long bin id. */
+  /** floor(unix_micros(ts) / binWidth) as a long bin id. Integer floor
+    * division (Math.floorDiv, codegen'd via StaticInvoke): a double-based
+    * floor(us/w) misbins |us| > 2^53 (e.g. the year-9999 sentinel at
+    * ~2.5e17us loses up to ~32us to the cast), silently dropping rows
+    * whose true bin differs from the rounded one.
+    */
   private def binOf(us: Expression): Expression =
-    Floor(Divide(Cast(us, DoubleType), Literal(binWidthUs.toDouble, DoubleType)))
+    StaticInvoke(classOf[java.lang.Math], LongType, "floorDiv",
+      Seq(us, Literal(binWidthUs)), Seq(LongType, LongType))
 
   /** (tsAttr side, bound expr other side) if `cmp` bounds a timestamp
     * attribute of `attrSide` by an expression over `exprSide`;
@@ -156,9 +173,23 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     val hiUs = Alias(UnixMicros(hi), "__w_hi")()
     val exProj = Project(explodeSide.output ++ Seq(loUs, hiUs), explodeSide)
     val binAttr = AttributeReference("__bin", LongType, nullable = true)()
+    // Per-row fan-out guard: the window bounds are arbitrary expressions of
+    // the explode side, so the bins-per-row count is only known at runtime.
+    // A window spanning millions of bins would turn a working (slow)
+    // nested-loop plan into an explode blow-up; fail loudly with the knob
+    // to turn instead of silently regressing.
+    val binLo = binOf(loUs.toAttribute)
+    val binHi = binOf(hiUs.toAttribute)
+    val nBins = Add(Subtract(binHi, binLo), Literal(1L))
+    val seq = Sequence(binLo, binHi, None, Some(SQLConf.get.sessionLocalTimeZone))
+    val guarded = If(
+      LessThanOrEqual(nBins, Literal(maxBins)),
+      seq,
+      Cast(new RaiseError(Literal(
+        s"graft range join: window spans more than $maxBins bins of " +
+          s"$binWidthUs us; raise $BinWidthKey or $MaxBinsKey")), seq.dataType))
     val gen = Generate(
-      Explode(Sequence(binOf(loUs.toAttribute), binOf(hiUs.toAttribute),
-        None, Some(SQLConf.get.sessionLocalTimeZone))),
+      Explode(guarded),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(binAttr), child = exProj)
     val rBin = Alias(binOf(UnixMicros(ts)), "__r_bin")()

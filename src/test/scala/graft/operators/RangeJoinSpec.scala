@@ -59,4 +59,43 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.timestampRangeJoin(df, df, "ts", "ts", 0L, 5L, 0L)
     }
   }
+
+  test("rejects unbounded fan-out (window >> bin width)") {
+    val df = Seq((1L, ts(0))).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      // 1-year window on 1us bins: ~3.15e13 bins per row
+      RangeJoin.timestampRangeJoin(df, df, "ts", "ts",
+        0L, 365L * 86400L * 1000000L, 1L)
+    }
+  }
+
+  test("year-9999 timestamps bin exactly (integer floorDiv, not double)") {
+    // |us| ~2.5e17 > 2^53: a double-based floor(us/w) rounds us to a
+    // multiple of 32us, misbinning rows near bin boundaries. ms-grain
+    // timestamps with 1ms bins make any such rounding visible.
+    val base = java.sql.Timestamp.valueOf("9999-12-31 12:00:00").getTime
+    def tms(ms: Long) = new java.sql.Timestamp(base + ms)
+    val left = (0 until 40).map(i => (i.toLong, tms(i * 7L))).toDF("lid", "ts")
+    val right = (0 until 60).map(i => (100L + i, tms(i * 5L))).toDF("rid", "ts")
+    val winUs = 20L * 1000 // [ts, ts+20ms]
+    val naive = left.as("l").join(right.as("r"),
+        unix_micros(col("r.ts")) >= unix_micros(col("l.ts")) &&
+          unix_micros(col("r.ts")) <= unix_micros(col("l.ts")) + winUs)
+      .select(col("l.lid"), col("r.rid")).as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    for (binUs <- Seq(1000L, 3000L, 20000L)) {
+      val binned = RangeJoin.timestampRangeJoin(left, right, "ts", "ts", 0L, winUs, binUs)
+        .select(col("l_lid"), col("r_rid")).as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"binWidthUs=$binUs")
+    }
+  }
+
+  test("right-side column named `us` survives (collision-proof scratch names)") {
+    val left = Seq((1L, ts(100))).toDF("lid", "ts")
+    val right = Seq((10L, ts(100), 42L)).toDF("rid", "ts", "us")
+    val out = RangeJoin.timestampRangeJoin(left, right, "ts", "ts",
+      0L, 60L * 1000000, 3600L * 1000000)
+    assert(out.columns.contains("r_us"))
+    assert(out.select("r_us").as[Long].collect().toSeq == Seq(42L))
+  }
 }

@@ -62,6 +62,42 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(!opt.contains("__bin"), opt)
   }
 
+  test("year-9999 timestamps keep identical rows under small bins") {
+    graft.GraftExtensions.register(spark)
+    val base = java.sql.Timestamp.valueOf("9999-12-31 12:00:00").getTime
+    def tms(ms: Long) = new java.sql.Timestamp(base + ms)
+    val l9 = (0 until 30).map(i => (i.toLong, tms(i * 7L))).toDF("lid", "lts")
+    val r9 = (0 until 50).map(i => (100L + i, tms(i * 5L))).toDF("rid", "rts")
+    def j = l9.join(r9, $"rts" >= $"lts" &&
+      $"rts" <= $"lts" + expr("INTERVAL 0.02 SECONDS"))
+    val expected = try {
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      rows(j)
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(expected.nonEmpty)
+    try {
+      spark.conf.set("spark.graft.rangejoin.binwidth.us", "1000")
+      assert(rows(j) == expected)
+    } finally spark.conf.unset("spark.graft.rangejoin.binwidth.us")
+  }
+
+  test("a window spanning more than maxbins bins fails loudly, not silently") {
+    graft.GraftExtensions.register(spark)
+    try {
+      spark.conf.set("spark.graft.rangejoin.binwidth.us", "1000") // 1ms bins
+      spark.conf.set("spark.graft.rangejoin.maxbins", "100")
+      val wide = left.join(right, $"rts" >= $"lts" &&
+        $"rts" <= $"lts" + expr("INTERVAL 10 MINUTES")) // 600k bins
+      val e = intercept[Exception] { wide.count() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("graft range join")), e.toString)
+    } finally {
+      spark.conf.unset("spark.graft.rangejoin.binwidth.us")
+      spark.conf.unset("spark.graft.rangejoin.maxbins")
+    }
+  }
+
   test("disabled flag leaves the naive plan untouched") {
     graft.GraftExtensions.register(spark)
     try {
