@@ -705,6 +705,48 @@ object CdcQueries {
              |SELECT 'db1', 'tb', CAST(o_orderkey AS VARCHAR), o_orderstatus,
              |  CAST(CAST(o_custkey AS INTEGER) AS VARCHAR)
              |FROM orders WHERE o_orderkey % 2 = 1
-             |ORDER BY tbl, pk""".stripMargin))
+             |ORDER BY tbl, pk""".stripMargin)),
+
+    // Binlog FILE replay (reference binlog.rs:768-828 ROTATE dispatch,
+    // main.rs:115-124): orders bucketed into file-sized groups; each group
+    // becomes a WHOLE binlog file — 0xfe'bin' magic, CRC32-declaring
+    // FORMAT_DESCRIPTION, TABLE_MAP, one WRITE_ROWS per order, ROTATE
+    // naming the next file in the chain. The engine replays it from bytes
+    // alone: frame events by each header's event_size, verify+strip CRC32
+    // per the file's own FDE, surface the rotate chain, decode typed rows.
+    Q("q117_binlog_file_replay", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)"))
+        val tm = BinlogRowCodec.encodeTableMap(7L, "db1", "orders", schema)
+        val enc = udf((gid: Long, rows: Seq[Row]) => BinlogFileCodec.encodeFile(
+          (19, tm) +: rows.map(r => (BinlogRowCodec.WriteV2,
+            BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+              Seq(Seq[Any](r.getLong(0), r.getString(1))), tableId = 7L))),
+          checksum = true, nextFile = Some(s"bin.${gid + 64}")))
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 64).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType), col("o_orderstatus")))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(col("gid"), BinlogFileSplit(enc(col("gid"), col("rows"))).as("evs"))
+          .select(col("gid"),
+            BinlogRotateName(element_at(
+              expr("filter(evs, e -> e.event_type = 4)"), 1).getField("body"))
+              .as("next_file"),
+            // _outer: see q68 — avoids the inferred filter double-decoding
+            explode_outer(expr("filter(evs, e -> e.event_type = 30)")).as("h"))
+          .select(col("gid"), col("next_file"),
+            BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+          .select(col("gid"), col("next_file"), explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("gid"), col("next_file"),
+            element_at(col("m"), "status").as("status"))
+      },
+      Some("""SELECT o_orderkey AS pk, (o_orderkey - o_orderkey % 64) AS gid,
+             |  'bin.' || CAST(o_orderkey - o_orderkey % 64 + 64 AS VARCHAR) AS next_file,
+             |  o_orderstatus AS status
+             |FROM orders ORDER BY pk""".stripMargin))
   )
 }

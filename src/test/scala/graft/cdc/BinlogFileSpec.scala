@@ -1,0 +1,98 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Binlog FILE replay: magic + FORMAT_DESCRIPTION + CRC framing + ROTATE
+  * chaining over synthesized files, composed with the existing row decode.
+  */
+class BinlogFileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = BinlogSchema.fromMysqlTypes(Seq(
+    "pk" -> "bigint", "name" -> "varchar(8)"))
+
+  private def rowsEvent(pk: Long, name: String): (Int, Array[Byte]) =
+    (BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+      BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](pk, name)), tableId = 9L))
+
+  private def file1(checksum: Boolean) = BinlogFileCodec.encodeFile(
+    Seq((19, BinlogRowCodec.encodeTableMap(9L, "db", "t", schema)),
+      rowsEvent(1L, "one"), rowsEvent(2L, "two")),
+    checksum = checksum, nextFile = Some("bin.000002"))
+
+  test("golden: FDE declares CRC32, events verify+strip, rotate names next file") {
+    val f = file1(checksum = true)
+    assert((f(0) & 0xff) == 0xfe && f(1) == 'b' && f(2) == 'i' && f(3) == 'n')
+    val evs = spark.createDataset(Seq(f)).toDF("bytes")
+      .select(explode(BinlogFileSplit(col("bytes"))).as("h"))
+      .select(col("h.event_type").as("t"), col("h.body").as("body"),
+        col("h.event_size").as("sz"), col("h.log_pos").as("lp"))
+      .collect()
+    assert(evs.map(_.getInt(0)).toSeq == Seq(15, 19, 30, 30, 4))
+    // log_pos chains: each event's log_pos is the next event's start
+    val sizes = evs.map(_.getLong(2))
+    val lps = evs.map(_.getLong(3))
+    assert(lps.toSeq == sizes.scanLeft(4L)(_ + _).tail.toSeq)
+    // decoded rows come back intact through the CRC strip
+    val rows = spark.createDataset(Seq(f)).toDF("bytes")
+      .select(explode(BinlogFileSplit(col("bytes"))).as("h"))
+      .filter(col("h.event_type") === BinlogRowCodec.WriteV2)
+      .select(BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(element_at(col("m"), "pk"), element_at(col("m"), "name"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("1", "one"), ("2", "two")))
+    // rotate event names the next file in the chain
+    val next = spark.createDataset(Seq(f)).toDF("bytes")
+      .select(explode(BinlogFileSplit(col("bytes"))).as("h"))
+      .filter(col("h.event_type") === 4)
+      .select(BinlogRotateName(col("h.body"))).as[String].head()
+    assert(next == "bin.000002")
+  }
+
+  test("a file whose FDE declares no checksum decodes without CRC bytes") {
+    val f = file1(checksum = false)
+    val rows = spark.createDataset(Seq(f)).toDF("bytes")
+      .select(explode(BinlogFileSplit(col("bytes"))).as("h"))
+      .filter(col("h.event_type") === BinlogRowCodec.WriteV2)
+      .select(BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(element_at(col("m"), "pk")).as[String].collect().toSet
+    assert(rows == Set("1", "2"))
+  }
+
+  test("two-file chain replays in rotate order") {
+    val f1 = file1(checksum = true)
+    val f2 = BinlogFileCodec.encodeFile(
+      Seq((19, BinlogRowCodec.encodeTableMap(9L, "db", "t", schema)),
+        rowsEvent(3L, "three")),
+      checksum = true, nextFile = Some("bin.000003"))
+    val df = spark.createDataset(Seq(("bin.000001", f1), ("bin.000002", f2)))
+      .toDF("name", "bytes")
+    val chain = df
+      .select(col("name"), explode(BinlogFileSplit(col("bytes"))).as("h"))
+      .filter(col("h.event_type") === 4)
+      .select(col("name"), BinlogRotateName(col("h.body")).as("next"))
+      .as[(String, String)].collect().toMap
+    assert(chain == Map("bin.000001" -> "bin.000002", "bin.000002" -> "bin.000003"))
+    val pks = df.orderBy("name")
+      .select(explode(BinlogFileSplit(col("bytes"))).as("h"))
+      .filter(col("h.event_type") === BinlogRowCodec.WriteV2)
+      .select(BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(element_at(col("m"), "pk")).as[String].collect().toSeq
+    assert(pks == Seq("1", "2", "3"))
+  }
+
+  test("corruption fails loudly: bad magic, flipped byte, truncation") {
+    val f = file1(checksum = true)
+    intercept[Exception] { BinlogFileCodec.decodeFile(f.drop(1)) }
+    val flipped = f.clone()
+    flipped(f.length - 10) = (flipped(f.length - 10) ^ 0x55).toByte
+    val e = intercept[Exception] { BinlogFileCodec.decodeFile(flipped) }
+    assert(e.getMessage.toLowerCase.contains("crc") ||
+      e.getMessage.contains("claims"), e.getMessage)
+    intercept[Exception] { BinlogFileCodec.decodeFile(f.dropRight(3)) }
+  }
+}
