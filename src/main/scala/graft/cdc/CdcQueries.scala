@@ -747,6 +747,47 @@ object CdcQueries {
       Some("""SELECT o_orderkey AS pk, (o_orderkey - o_orderkey % 64) AS gid,
              |  'bin.' || CAST(o_orderkey - o_orderkey % 64 + 64 AS VARCHAR) AS next_file,
              |  o_orderstatus AS status
-             |FROM orders ORDER BY pk""".stripMargin))
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Merge fast path, correctness-locked: the exact route→pk→latest-image
+    // pipeline Bench.cdcThroughput times. Envelopes are built FULL-width
+    // (13 Canal fields); the engine side parses PARTIALLY
+    // (Envelope.parsePartial: id/database/table/type + only the named data
+    // keys as a struct) — proving the pruned parse loses nothing the merge
+    // needs while skipping sqlType/mysqlType/old entirely.
+    Q("q118_cdc_merge_fastpath", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val raw = o.select(Envelope.build(
+          id = col("o_orderkey"),
+          database = lit("testdb"),
+          table = when(col("o_orderkey") % 10 === 0, "audit").otherwise("orders"),
+          pkNames = array(lit("o_orderkey")),
+          dmlType = when(col("o_orderkey") % 7 === 0, "DELETE")
+            .when(col("o_orderkey") % 3 === 0, "UPDATE").otherwise("INSERT"),
+          es = unix_timestamp(col("o_orderdate")) * 1000,
+          ts = unix_timestamp(col("o_orderdate")) * 1000 + 123,
+          sqlType = map(lit("o_orderkey"), lit(-5)),
+          mysqlType = map(lit("o_orderkey"), lit("bigint")),
+          data = array(map(
+            lit("o_orderkey"), col("o_orderkey").cast(StringType),
+            lit("price"), col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType))),
+          old = array(map().cast(MapType(StringType, StringType)))).as("value"))
+        val instances = Seq(Instance("q", "t", schemas = "test*", tables = "orders"))
+        val parsed = raw.select(Envelope.parsePartial(
+          col("value"), Seq("o_orderkey", "price")).as("e")).select("e.*")
+        val routed = parsed.filter(
+          size(Routing.routes(instances, col("database"), col("table"))) > 0)
+        val keyed = routed.select(col("id").as("cid"), col("type"),
+          try_element_at(col("data"), lit(1)).getField("o_orderkey")
+            .cast(LongType).as("pk"),
+          try_element_at(col("data"), lit(1)).getField("price").as("price"))
+        CdcMerge.latestImage(keyed, Seq("pk"), "cid").sortWithinPartitions("pk")
+      },
+      Some("""SELECT o_orderkey AS cid,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN 'UPDATE' ELSE 'INSERT' END AS type,
+             |  o_orderkey AS pk,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price
+             |FROM orders WHERE o_orderkey % 10 != 0 AND o_orderkey % 7 != 0
+             |ORDER BY pk""".stripMargin))
   )
 }

@@ -38,6 +38,27 @@ object Envelope {
   /** Parse a Canal-JSON string column into the typed envelope struct. */
   def parse(raw: Column): Column = from_json(raw, schema)
 
+  /** Merge-path partial parse: only the fields the route→pk→latest-image
+    * pipeline reads — (id, database, table, type) plus the NAMED keys of
+    * each data image as a struct. One Jackson pass like [[parse]], but
+    * sqlType/mysqlType/old and every unreferenced data key are skipped
+    * instead of materialized (map columns defeat Catalyst's own json
+    * schema pruning: a `data` MapType must parse every key; a struct of
+    * the pk/payload columns parses only those). Measured on 1.5M 13-field
+    * fixture envelopes (PERFORMANCE.md r6): parse stage 1.3× faster,
+    * parse+route+key 1.33×; the end-to-end merge is shuffle/window-bound,
+    * so the whole-pipeline win is ~5% — worth keeping (strictly less work,
+    * bigger envelopes save more) but not the merge bottleneck.
+    */
+  def parsePartial(raw: Column, dataFields: Seq[String]): Column =
+    from_json(raw, StructType(Seq(
+      StructField("id", LongType),
+      StructField("database", StringType),
+      StructField("table", StringType),
+      StructField("type", StringType),
+      StructField("data", ArrayType(
+        StructType(dataFields.map(f => StructField(f, StringType))))))))
+
   /** Render an envelope struct column back to Canal-JSON. */
   def render(envelope: Column): Column = to_json(envelope)
 

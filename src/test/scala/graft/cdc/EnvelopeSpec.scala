@@ -234,6 +234,31 @@ class EnvelopeSpec extends SparkSpec {
     assert(left == Set(("testdb", "keep")))
   }
 
+  test("parsePartial agrees with the full parse on every merge-path field") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"id":7,"database":"db","table":"t","pkNames":["pk"],"isDdl":false,
+        |"type":"UPDATE","es":1,"ts":2,"sql":"","sqlType":{"pk":-5},
+        |"mysqlType":{"pk":"bigint"},
+        |"data":[{"pk":"7","price":"1.50","noise":"x"}],
+        |"old":[{"price":"1.00"}]}""".stripMargin.replaceAll("\n", ""),
+      """{"id":8,"database":"db","table":"t","type":"INSERT",
+        |"data":[{"pk":"8","price":"2.25"}]}""".stripMargin.replaceAll("\n", ""),
+      "not json at all")
+    val df = lines.toDF("raw")
+    val full = df.select(Envelope.parse(col("raw")).as("e"))
+      .select(col("e.id"), col("e.database"), col("e.table"), col("e.type"),
+        try_element_at(col("e.data"), lit(1)).getItem("pk").as("pk"),
+        try_element_at(col("e.data"), lit(1)).getItem("price").as("price"))
+      .collect().toSeq
+    val partial = df.select(Envelope.parsePartial(col("raw"), Seq("pk", "price")).as("e"))
+      .select(col("e.id"), col("e.database"), col("e.table"), col("e.type"),
+        try_element_at(col("e.data"), lit(1)).getField("pk").as("pk"),
+        try_element_at(col("e.data"), lit(1)).getField("price").as("price"))
+      .collect().toSeq
+    assert(partial == full)
+  }
+
   test("UPDATE old reconstruction: diff(data_old, data_new) matches golden") {
     import spark.implicits._
     val oldRow = Map("id" -> "1", "name" -> "alice", "bal" -> "10.50",
