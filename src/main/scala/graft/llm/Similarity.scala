@@ -214,7 +214,10 @@ object Similarity {
     * score only those lists — the classic IVF-Flat recall/throughput dial.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 8, dim: Int = 64): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 12, dim: Int = 64): DataFrame = {
+    // nprobe=12/nlist=16 measures recall@5 of 0.92/1.00/1.00 at
+    // sf0.001/sf0.01/sf0.1g (r6 sweep) at the same bench cost as the old
+    // 8-probe default's 0.80 — probing multiplies only the query side.
     val centroids: Array[Array[Double]] = trainCentroids(candidates, nlist)
     // Cell assignment and probe lists are codegen'd expressions — the
     // candidate side runs one static argmax-dot call per row with no

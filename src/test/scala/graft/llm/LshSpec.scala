@@ -52,7 +52,7 @@ class LshSpec extends SparkSpec {
     assert(recall >= singleRecall, s"multi-probe $recall < single $singleRecall")
   }
 
-  test("IVF ANN (k-means-trained centroids) recall@5 >= 0.75 vs brute force") {
+  test("IVF ANN (k-means-trained centroids) recall@5 >= 0.85 vs brute force") {
     val e = Tables(spark, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -61,8 +61,8 @@ class LshSpec extends SparkSpec {
     val bf = pairs(Similarity.bruteForceTopK(queries, e, 5))
     val ivf = pairs(Similarity.ivfTopK(queries, e, 5))
     val recall = (bf & ivf).size.toDouble / bf.size
-    // nprobe=8/nlist=16 measures 0.80 at sf0.001 and sf0.01
-    assert(recall >= 0.75, s"recall=$recall")
+    // nprobe=12/nlist=16 measures 0.92-1.00 across sf0.001/sf0.01/sf0.1g
+    assert(recall >= 0.85, s"recall=$recall")
   }
 
   test("simhash bucket cap: degenerate corpus completes, planted dups survive") {
