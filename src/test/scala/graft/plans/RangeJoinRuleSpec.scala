@@ -43,14 +43,34 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(rows(manual.toDF("lid", "rid").select($"lid", $"rid")) == expected)
   }
 
-  test("joins with an equi key are left alone") {
+  test("equi + range joins compose into a (key, bin) hash join, rows identical") {
+    graft.GraftExtensions.register(spark)
+    val l9 = (1 to 60).map(i => ((i % 4).toLong, i.toLong, ts(i * 37 % 5000)))
+      .toDF("k", "lid", "lts")
+    val r9 = (1 to 90).map(i => ((i % 4).toLong, 100L + i, ts(i * 59 % 5000)))
+      .toDF("k", "rid", "rts")
+    def j = l9.join(r9, l9("k") === r9("k") &&
+      $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 5 MINUTES"))
+    val expected = try {
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      rows(j)
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(expected.nonEmpty)
+    val df = j
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__bin"), opt) // rewrite fired despite the equi key
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert(rows(df) == expected)
+  }
+
+  test("pure equi joins (no range bounds) are left alone") {
     graft.GraftExtensions.register(spark)
     val l = Seq((1L, 1L, ts(10))).toDF("k", "lid", "lts")
     val r = Seq((1L, 2L, ts(15))).toDF("k", "rid", "rts")
-    val j = l.join(r, l("k") === r("k") &&
-      $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 1 MINUTE"))
+    val j = l.join(r, l("k") === r("k"))
     val opt = j.queryExecution.optimizedPlan.toString
-    assert(!opt.contains("__bin"), opt) // no rewrite marker attributes
+    assert(!opt.contains("__bin"), opt)
     assert(j.count() == 1)
   }
 
