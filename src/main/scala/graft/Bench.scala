@@ -51,8 +51,16 @@ object Bench {
     val failures = results.count(_._3.isDefined)
     val total = results.map(_._2).filter(_ >= 0).sum
     val cdcRate = try cdcThroughput(spark, sfDir) catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failures":$failures,"errors":$errs,"cdc_rows_per_sec":$cdcRate,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failures":$failures,"errors":$errs,"cdc_rows_per_sec":$cdcRate,"sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only a tail of stdout; persist the complete
+    // per-query map so every number survives for the next reader.
+    try {
+      val full = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(full),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; never fail the bench
     spark.stop()
   }
 
