@@ -87,6 +87,18 @@ object GraftExtensions {
     "sniff_wav" -> { args: Seq[Expression] =>
       require(args.length == 1, "sniff_wav(content)")
       graft.multimodal.SniffWav(args(0))
+    },
+    "mysql_packet_split" -> { args: Seq[Expression] =>
+      require(args.length == 1, "mysql_packet_split(stream)")
+      graft.cdc.MysqlPacketSplit(args(0))
+    },
+    "mysql_handshake" -> { args: Seq[Expression] =>
+      require(args.length == 1, "mysql_handshake(payload)")
+      graft.cdc.MysqlHandshakeDecode(args(0))
+    },
+    "mysql_scramble" -> { args: Seq[Expression] =>
+      require(args.length == 2, "mysql_scramble(password, seed)")
+      graft.cdc.MysqlScramble(args(0), args(1))
     })
 
   /** Register every function + optimizer rule into a live session. */

@@ -788,6 +788,31 @@ object CdcQueries {
              |  o_orderkey AS pk,
              |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price
              |FROM orders WHERE o_orderkey % 10 != 0 AND o_orderkey % 7 != 0
-             |ORDER BY pk""".stripMargin))
+             |ORDER BY pk""".stripMargin)),
+
+    // MySQL wire packet layer (reference mysql.rs:96-145 framing,
+    // protocal.rs:177-183 COM_QUERY): per order, a client-session byte
+    // stream of two framed packets (a COM_QUERY carrying the key, then a
+    // raw status payload); the engine unframes with the codegen'd
+    // MysqlPacketSplit and recovers sequence ids and payload text exactly.
+    Q("q119_mysql_packet_roundtrip", { (s, dir) =>
+        val enc = udf((k: Long, status: String) =>
+          MysqlProtocolCodec.writePacket(0, MysqlProtocolCodec.encodeComQuery(s"k=$k")) ++
+            MysqlProtocolCodec.writePacket(1, status.getBytes("UTF-8")))
+        val o = t(s, dir, "orders").sortWithinPartitions("o_orderkey")
+        o.select(col("o_orderkey").as("pk"),
+            MysqlPacketSplit(enc(col("o_orderkey"), col("o_orderstatus"))).as("ps"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("pk"), explode_outer(col("ps")).as("p"))
+          .select(col("pk"), col("p.seq").as("seq"),
+            when(col("p.seq") === 0,
+              expr("substring(cast(p.payload as string), 2)"))
+              .otherwise(col("p.payload").cast(StringType)).as("txt"))
+      },
+      Some("""SELECT o_orderkey AS pk, 0 AS seq,
+             |  'k=' || CAST(o_orderkey AS VARCHAR) AS txt FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 1, o_orderstatus FROM orders
+             |ORDER BY pk, seq""".stripMargin))
   )
 }

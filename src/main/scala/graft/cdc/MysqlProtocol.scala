@@ -1,0 +1,350 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MySQL client/server wire-protocol codecs — the byte layer under the
+  * reference's replica registration (`/root/reference/src/protocal.rs:10-170`
+  * handshake/auth, `:277-293` COM_BINLOG_DUMP, `:305-360` OK/ERR;
+  * `/root/reference/src/mysql.rs:480-494` native-password scramble,
+  * `:96-145` packet framing). The reference drives these over a live
+  * socket; the socket loop itself is the declared transport exclusion
+  * (SURVEY §2C), but every byte transform is pure and lives here:
+  * frame/unframe packets, decode HandshakeV10, build HandshakeResponse41
+  * with the SHA1 scramble, build COM_QUERY/COM_PING/COM_BINLOG_DUMP,
+  * classify OK/EOF/ERR. A user pointing any transport (socket, proxy
+  * capture, pcap export) at these codecs gets the reference's exact
+  * session bytes — golden-tested against independently computed vectors.
+  */
+object MysqlProtocolCodec {
+
+  // ---- packet framing (3-byte LE length + 1-byte sequence + payload) ---
+
+  val packetType: StructType = StructType(Seq(
+    StructField("seq", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Split a contiguous packet stream into (seq, payload) frames; the
+    * framing is validated exactly — a short tail throws rather than
+    * yielding a garbage frame.
+    */
+  def splitPackets(stream: Array[Byte]): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var pos = 0
+    while (pos < stream.length) {
+      if (pos + 4 > stream.length)
+        throw new IllegalArgumentException(s"truncated packet header at $pos")
+      val len = (stream(pos) & 0xff) | ((stream(pos + 1) & 0xff) << 8) |
+        ((stream(pos + 2) & 0xff) << 16)
+      val seq = stream(pos + 3) & 0xff
+      if (pos + 4 + len > stream.length)
+        throw new IllegalArgumentException(
+          s"packet at $pos claims $len bytes; ${stream.length - pos - 4} left")
+      out += InternalRow(seq,
+        java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len))
+      pos += 4 + len
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Frame one payload as a wire packet. */
+  def writePacket(seq: Int, payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < (1 << 24), s"payload too large: ${payload.length}")
+    val out = new Array[Byte](4 + payload.length)
+    out(0) = (payload.length & 0xff).toByte
+    out(1) = ((payload.length >> 8) & 0xff).toByte
+    out(2) = ((payload.length >> 16) & 0xff).toByte
+    out(3) = (seq & 0xff).toByte
+    System.arraycopy(payload, 0, out, 4, payload.length)
+    out
+  }
+
+  // ---- HandshakeV10 ----------------------------------------------------
+
+  val handshakeType: StructType = StructType(Seq(
+    StructField("protocol_version", IntegerType, nullable = false),
+    StructField("server_version", StringType, nullable = false),
+    StructField("thread_id", LongType, nullable = false),
+    StructField("capabilities", LongType, nullable = false),
+    StructField("charset", IntegerType, nullable = false),
+    StructField("status", IntegerType, nullable = false),
+    StructField("auth_plugin_name", StringType, nullable = false),
+    StructField("auth_plugin_data", BinaryType, nullable = false)))
+
+  final val ClientPluginAuth = 0x00080000L
+  final val ClientConnectWithDb = 0x00000008L
+  final val ClientConnectAttrs = 0x00100000L
+  final val ClientPluginAuthLenencData = 0x00200000L
+
+  private final class Reader(bs: Array[Byte]) {
+    var pos = 0
+    private def need(n: Int): Unit =
+      if (bs.length - pos < n) throw new IllegalArgumentException(
+        s"truncated at $pos: need $n of ${bs.length - pos}")
+    def u1(): Int = { need(1); pos += 1; bs(pos - 1) & 0xff }
+    def uLE(n: Int): Long = {
+      need(n); var v = 0L; var i = 0
+      while (i < n) { v |= (bs(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += n; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      need(n); pos += n
+      java.util.Arrays.copyOfRange(bs, pos - n, pos)
+    }
+    def nulStr(): Array[Byte] = {
+      val start = pos
+      while (pos < bs.length && bs(pos) != 0) pos += 1
+      if (pos >= bs.length) throw new IllegalArgumentException(
+        s"unterminated string at $start")
+      pos += 1
+      java.util.Arrays.copyOfRange(bs, start, pos - 1)
+    }
+    def lenenc(): Long = u1() match {
+      case v if v < 0xfb => v.toLong
+      case 0xfc => uLE(2)
+      case 0xfd => uLE(3)
+      case 0xfe => uLE(8)
+      case other => throw new IllegalArgumentException(s"bad lenenc tag $other")
+    }
+    def remaining: Int = bs.length - pos
+  }
+
+  /** Decode a HandshakeV10 payload (reference `protocal.rs:21-77`): the
+    * auth seed arrives split as 8 bytes + max(13, len-8) bytes whose last
+    * byte is a NUL terminator — the usable 20-byte scramble is the
+    * concatenation without it.
+    */
+  def decodeHandshake(payload: Array[Byte]): InternalRow = {
+    val r = new Reader(payload)
+    val proto = r.u1()
+    if (proto != 10)
+      throw new IllegalArgumentException(s"unsupported handshake protocol $proto")
+    val serverVersion = r.nulStr()
+    val threadId = r.uLE(4)
+    val seed1 = r.bytes(8)
+    r.u1() // filler
+    val capsLow = r.uLE(2)
+    val charset = r.u1()
+    val status = r.uLE(2).toInt
+    val capsHigh = r.uLE(2)
+    val caps = capsLow | (capsHigh << 16)
+    val authLen = r.u1()
+    r.bytes(10) // reserved
+    val seed2 =
+      if (authLen > 0) r.bytes(math.max(13, authLen - 8)) else Array.emptyByteArray
+    val plugin =
+      if ((caps & ClientPluginAuth) != 0) r.nulStr() else Array.emptyByteArray
+    // drop the NUL terminator inside the second seed chunk
+    val seed = seed1 ++ (if (seed2.nonEmpty && seed2.last == 0) seed2.dropRight(1) else seed2)
+    InternalRow(proto, UTF8String.fromBytes(serverVersion), threadId, caps,
+      charset, status, UTF8String.fromBytes(plugin), seed)
+  }
+
+  // ---- mysql_native_password scramble ----------------------------------
+
+  /** SHA1(pass) XOR SHA1(seed[0..20] ++ SHA1(SHA1(pass))) — the
+    * mysql_native_password proof (reference `mysql.rs:480-494`).
+    */
+  def nativePasswordAuth(password: Array[Byte], seed: Array[Byte]): Array[Byte] = {
+    require(seed.length >= 20, s"auth seed must carry 20 bytes, got ${seed.length}")
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val h1 = sha1.digest(password)
+    sha1.reset()
+    val h2 = sha1.digest(h1)
+    sha1.reset()
+    sha1.update(seed, 0, 20)
+    val multi = sha1.digest(h2)
+    val out = new Array[Byte](20)
+    var i = 0
+    while (i < 20) { out(i) = (h1(i) ^ multi(i)).toByte; i += 1 }
+    out
+  }
+
+  // ---- client-side packet builders ------------------------------------
+
+  private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  /** HandshakeResponse41 (reference `protocal.rs:95-131`). */
+  def encodeHandshakeResponse(caps: Long, maxPacket: Long, charset: Int,
+      user: String, authResp: Array[Byte], database: Option[String],
+      pluginName: Option[String], attrs: Seq[(String, String)],
+      zstdLevel: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeLE(out, caps, 4)
+    writeLE(out, maxPacket, 4)
+    out.write(charset)
+    for (_ <- 0 until 23) out.write(0)
+    out.write(user.getBytes("UTF-8")); out.write(0)
+    if ((caps & ClientPluginAuthLenencData) != 0) writeLenenc(out, authResp)
+    else { out.write(authResp.length); out.write(authResp, 0, authResp.length) }
+    if ((caps & ClientConnectWithDb) != 0) {
+      out.write(database.getOrElse("default").getBytes("UTF-8")); out.write(0)
+    }
+    if ((caps & ClientPluginAuth) != 0) {
+      out.write(pluginName.getOrElse("").getBytes("UTF-8")); out.write(0)
+    }
+    if ((caps & ClientConnectAttrs) != 0) {
+      val body = new java.io.ByteArrayOutputStream()
+      attrs.foreach { case (k, v) =>
+        writeLenenc(body, k.getBytes("UTF-8")); writeLenenc(body, v.getBytes("UTF-8"))
+      }
+      writeLenencInt(out, attrs.length.toLong)
+      val b = body.toByteArray; out.write(b, 0, b.length)
+    }
+    out.write(zstdLevel)
+    out.toByteArray
+  }
+
+  private def writeLenencInt(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    if (v < 0xfb) out.write(v.toInt)
+    else if (v < (1L << 16)) { out.write(0xfc); writeLE(out, v, 2) }
+    else if (v < (1L << 24)) { out.write(0xfd); writeLE(out, v, 3) }
+    else { out.write(0xfe); writeLE(out, v, 8) }
+
+  private def writeLenenc(out: java.io.ByteArrayOutputStream, bs: Array[Byte]): Unit = {
+    writeLenencInt(out, bs.length.toLong)
+    out.write(bs, 0, bs.length)
+  }
+
+  /** COM_BINLOG_DUMP (0x12): pos u4, flags u2, server_id u4, filename
+    * (reference `protocal.rs:277-293`).
+    */
+  def encodeComBinlogDump(pos: Long, flags: Int, serverId: Long,
+      filename: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x12)
+    writeLE(out, pos, 4)
+    writeLE(out, flags.toLong, 2)
+    writeLE(out, serverId, 4)
+    out.write(filename.getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  /** COM_QUERY (0x03) — reference `protocal.rs:177-183`. */
+  def encodeComQuery(query: String): Array[Byte] =
+    0x03.toByte +: query.getBytes("UTF-8")
+
+  /** COM_PING (0x0e) — reference `protocal.rs:296-303`. */
+  def encodeComPing(): Array[Byte] = Array(0x0e.toByte)
+
+  // ---- OK / EOF / ERR classification ----------------------------------
+
+  val okType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false), // OK | EOF | ERR
+    StructField("affected_rows", LongType, nullable = false),
+    StructField("last_insert_id", LongType, nullable = false),
+    StructField("status_flags", IntegerType, nullable = false),
+    StructField("warnings", IntegerType, nullable = false),
+    StructField("error_code", IntegerType, nullable = false),
+    StructField("sql_state", StringType, nullable = false),
+    StructField("message", StringType, nullable = false)))
+
+  /** Classify a server response payload (reference `protocal.rs:305-360`,
+    * EOF heuristic `mysql.rs:160`): 0x00 → OK, 0xfe under 9 bytes → EOF,
+    * 0xff → ERR (code u2, '#'+sqlstate 5, message).
+    */
+  def decodeOk(payload: Array[Byte]): InternalRow = {
+    require(payload.nonEmpty, "empty server response")
+    val r = new Reader(payload)
+    (r.u1(): @annotation.switch) match {
+      case 0xff =>
+        val code = r.uLE(2).toInt
+        val state =
+          if (r.remaining > 0 && payload(r.pos) == '#') { r.u1(); r.bytes(5) }
+          else Array.emptyByteArray
+        val msg = r.bytes(r.remaining)
+        InternalRow(UTF8String.fromString("ERR"), 0L, 0L, 0, 0, code,
+          UTF8String.fromBytes(state), UTF8String.fromBytes(msg))
+      case first =>
+        val kind = if (first == 0xfe && payload.length < 9) "EOF" else "OK"
+        val affected = r.lenenc()
+        val lastId = r.lenenc()
+        val status = r.uLE(2).toInt
+        val warnings = r.uLE(2).toInt
+        InternalRow(UTF8String.fromString(kind), affected, lastId, status,
+          warnings, 0, UTF8String.fromString(""), UTF8String.fromString(""))
+    }
+  }
+}
+
+/** Codegen'd packet-stream split: bytes → array<struct<seq, payload>>. */
+case class MysqlPacketSplit(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(MysqlProtocolCodec.packetType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MysqlPacketSplit expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MysqlProtocolCodec.splitPackets(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.MysqlProtocolCodec.splitPackets($c)")
+  override protected def withNewChildInternal(newChild: Expression): MysqlPacketSplit =
+    copy(child = newChild)
+}
+
+object MysqlPacketSplit {
+  def apply(stream: Column): Column =
+    ColumnBridge.column(MysqlPacketSplit(ColumnBridge.expression(stream)))
+}
+
+/** Codegen'd HandshakeV10 decode: payload bytes → handshake struct. */
+case class MysqlHandshakeDecode(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = MysqlProtocolCodec.handshakeType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MysqlHandshakeDecode expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MysqlProtocolCodec.decodeHandshake(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.MysqlProtocolCodec.decodeHandshake($c)")
+  override protected def withNewChildInternal(newChild: Expression): MysqlHandshakeDecode =
+    copy(child = newChild)
+}
+
+object MysqlHandshakeDecode {
+  def apply(payload: Column): Column =
+    ColumnBridge.column(MysqlHandshakeDecode(ColumnBridge.expression(payload)))
+}
+
+/** Codegen'd mysql_native_password scramble: (password, seed) → 20 bytes. */
+case class MysqlScramble(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"MysqlScramble expects (BINARY password, BINARY seed), got (${l.sql}, ${r.sql})")
+    }
+  override protected def nullSafeEval(pass: Any, seed: Any): Any =
+    MysqlProtocolCodec.nativePasswordAuth(
+      pass.asInstanceOf[Array[Byte]], seed.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, s) =>
+      s"graft.cdc.MysqlProtocolCodec.nativePasswordAuth($p, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MysqlScramble =
+    copy(left = newLeft, right = newRight)
+}
+
+object MysqlScramble {
+  def apply(password: Column, seed: Column): Column =
+    ColumnBridge.column(MysqlScramble(
+      ColumnBridge.expression(password), ColumnBridge.expression(seed)))
+}

@@ -1,0 +1,159 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MySQL wire-protocol codecs: framing, HandshakeV10, native-password
+  * scramble (goldens computed independently with Python hashlib),
+  * client command builders, OK/EOF/ERR classification.
+  */
+class MysqlProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ---- scramble: independent goldens (python hashlib, 2026-08-13) ------
+
+  test("native_password scramble matches hashlib-computed vectors") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    assert(MysqlProtocolCodec.nativePasswordAuth("secret".getBytes, seed).toSeq ==
+      hx("b32bb3a583e1340c0a1108d58b1be49781ad8c2f").toSeq)
+    assert(MysqlProtocolCodec.nativePasswordAuth(Array.emptyByteArray, seed).toSeq ==
+      hx("60252de9f0fbe9f1526ec3ec3968223e50a072f8").toSeq)
+    val seed2 = (100 until 120).map(_.toByte).toArray
+    assert(MysqlProtocolCodec.nativePasswordAuth("p4ssw0rd!".getBytes, seed2).toSeq ==
+      hx("36b0f4ce72fe8283a077bcec5fef2235614267b5").toSeq)
+    // the expression form agrees
+    val got = Seq(("secret".getBytes, seed)).toDF("p", "s")
+      .select(hex(MysqlScramble(col("p"), col("s"))).as("h"))
+      .as[String].head()
+    assert(got.equalsIgnoreCase("b32bb3a583e1340c0a1108d58b1be49781ad8c2f"))
+  }
+
+  // ---- HandshakeV10 ----------------------------------------------------
+
+  /** Build a HandshakeV10 payload byte-exactly per the wire layout the
+    * reference decodes (protocal.rs:21-77).
+    */
+  private def handshakePayload(caps: Long, authLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(10) // protocol version
+    out.write("8.0.42-log".getBytes); out.write(0)
+    out.write(Array[Byte](0x39, 0x30, 0, 0)) // thread id 12345 LE
+    out.write((1 to 8).map(_.toByte).toArray) // seed part 1
+    out.write(0) // filler
+    out.write(((caps & 0xff)).toInt); out.write(((caps >> 8) & 0xff).toInt)
+    out.write(0xff) // charset
+    out.write(Array[Byte](2, 0)) // status = 2
+    out.write(((caps >> 16) & 0xff).toInt); out.write(((caps >> 24) & 0xff).toInt)
+    out.write(authLen)
+    for (_ <- 0 until 10) out.write(0) // reserved
+    if (authLen > 0) {
+      out.write((9 to 20).map(_.toByte).toArray) // seed part 2 (12 bytes)
+      out.write(0) // NUL inside the 13-byte chunk
+    }
+    if ((caps & MysqlProtocolCodec.ClientPluginAuth) != 0) {
+      out.write("mysql_native_password".getBytes); out.write(0)
+    }
+    out.toByteArray
+  }
+
+  test("HandshakeV10 decode: split auth seed reassembles to 20 bytes") {
+    val caps = MysqlProtocolCodec.ClientPluginAuth | 0x0000f7ffL
+    val row = MysqlProtocolCodec.decodeHandshake(handshakePayload(caps, 21))
+    assert(row.getInt(0) == 10)
+    assert(row.getUTF8String(1).toString == "8.0.42-log")
+    assert(row.getLong(2) == 12345L)
+    assert((row.getLong(3) & MysqlProtocolCodec.ClientPluginAuth) != 0)
+    assert(row.getInt(4) == 0xff)
+    assert(row.getInt(5) == 2)
+    assert(row.getUTF8String(6).toString == "mysql_native_password")
+    assert(row.getBinary(7).toSeq == (1 to 20).map(_.toByte).toSeq)
+    // handshake → scramble → response round-trip composes
+    val proof = MysqlProtocolCodec.nativePasswordAuth("secret".getBytes, row.getBinary(7))
+    assert(proof.toSeq == hx("b32bb3a583e1340c0a1108d58b1be49781ad8c2f").toSeq)
+  }
+
+  test("HandshakeV10 decode rejects wrong protocol version") {
+    intercept[IllegalArgumentException] {
+      MysqlProtocolCodec.decodeHandshake(Array(9.toByte, 0))
+    }
+  }
+
+  // ---- HandshakeResponse41 / COM_* builders ----------------------------
+
+  test("HandshakeResponse41 layout: caps gates each optional section") {
+    val caps = MysqlProtocolCodec.ClientPluginAuth |
+      MysqlProtocolCodec.ClientConnectWithDb
+    val bs = MysqlProtocolCodec.encodeHandshakeResponse(
+      caps, 1 << 24, 0xff, "repl", hx("aabbcc"), Some("db1"),
+      Some("mysql_native_password"), Nil, 0)
+    // caps u4 LE
+    assert((bs(0) & 0xffL | ((bs(1) & 0xffL) << 8) | ((bs(2) & 0xffL) << 16) |
+      ((bs(3) & 0xffL) << 24)) == caps)
+    // 23 zero filler after caps+maxpacket+charset
+    assert(bs.slice(9, 32).forall(_ == 0))
+    assert(bs.slice(32, 37).toSeq == ("repl".getBytes.toSeq :+ 0.toByte))
+    val afterUser = bs.drop(32 + 5)
+    assert(afterUser(0) == 3 && afterUser.slice(1, 4).toSeq == hx("aabbcc").toSeq)
+    assert(afterUser.drop(4).toSeq ==
+      (("db1".getBytes.toSeq :+ 0.toByte) ++
+        ("mysql_native_password".getBytes.toSeq :+ 0.toByte)) :+ 0.toByte)
+  }
+
+  test("COM builders match the reference byte layouts") {
+    assert(MysqlProtocolCodec.encodeComPing().toSeq == Seq(0x0e.toByte))
+    assert(MysqlProtocolCodec.encodeComQuery("show master status").toSeq ==
+      (0x03.toByte +: "show master status".getBytes.toSeq))
+    val dump = MysqlProtocolCodec.encodeComBinlogDump(4L, 0, 1001L, "bin.000007")
+    assert(dump(0) == 0x12)
+    assert(dump.slice(1, 5).toSeq == Seq[Byte](4, 0, 0, 0))
+    assert(dump.slice(5, 7).toSeq == Seq[Byte](0, 0))
+    assert(dump.slice(7, 11).toSeq == Seq[Byte](0xe9.toByte, 3, 0, 0))
+    assert(new String(dump.drop(11)) == "bin.000007")
+  }
+
+  // ---- packet framing --------------------------------------------------
+
+  test("packet framing round-trips and validates exactly") {
+    val p1 = MysqlProtocolCodec.writePacket(0, hx("010203"))
+    val p2 = MysqlProtocolCodec.writePacket(1, Array.emptyByteArray)
+    val p3 = MysqlProtocolCodec.writePacket(2, "hello".getBytes)
+    val arr = MysqlProtocolCodec.splitPackets(p1 ++ p2 ++ p3)
+    assert(arr.numElements() == 3)
+    val r3 = arr.getStruct(2, 2)
+    assert(r3.getInt(0) == 2 && new String(r3.getBinary(1)) == "hello")
+    intercept[IllegalArgumentException] {
+      MysqlProtocolCodec.splitPackets((p1 ++ p2 ++ p3).dropRight(2))
+    }
+  }
+
+  // ---- OK / EOF / ERR --------------------------------------------------
+
+  test("OK/EOF/ERR classification with lenenc fields") {
+    val ok = MysqlProtocolCodec.decodeOk(hx("00" + "fc1027" + "05" + "0200" + "0100"))
+    assert(ok.getUTF8String(0).toString == "OK")
+    assert(ok.getLong(1) == 10000L && ok.getLong(2) == 5L)
+    assert(ok.getInt(3) == 2 && ok.getInt(4) == 1)
+    val eof = MysqlProtocolCodec.decodeOk(hx("fe" + "00" + "00" + "0200" + "0000"))
+    assert(eof.getUTF8String(0).toString == "EOF")
+    val err = MysqlProtocolCodec.decodeOk(
+      0xff.toByte +: (Array[Byte](0x48, 0x04) ++ "#HY000".getBytes ++
+        "no such table".getBytes))
+    assert(err.getUTF8String(0).toString == "ERR")
+    assert(err.getInt(5) == 0x0448)
+    assert(err.getUTF8String(6).toString == "HY000")
+    assert(err.getUTF8String(7).toString == "no such table")
+  }
+
+  // ---- SQL registration ------------------------------------------------
+
+  test("functions are SQL-registered via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT size(mysql_packet_split(unhex('03000000AABBCC'))) AS n")
+      .as[Int].head()
+    assert(n == 1)
+  }
+}
