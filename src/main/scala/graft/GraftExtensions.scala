@@ -99,6 +99,10 @@ object GraftExtensions {
     "mysql_scramble" -> { args: Seq[Expression] =>
       require(args.length == 2, "mysql_scramble(password, seed)")
       graft.cdc.MysqlScramble(args(0), args(1))
+    },
+    "mysql_ok_decode" -> { args: Seq[Expression] =>
+      require(args.length == 1, "mysql_ok_decode(payload)")
+      graft.cdc.MysqlOkDecode(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */

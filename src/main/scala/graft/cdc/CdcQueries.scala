@@ -813,6 +813,70 @@ object CdcQueries {
              |  'k=' || CAST(o_orderkey AS VARCHAR) AS txt FROM orders
              |UNION ALL
              |SELECT o_orderkey, 1, o_orderstatus FROM orders
-             |ORDER BY pk, seq""".stripMargin))
+             |ORDER BY pk, seq""".stripMargin)),
+
+    // Full COM_BINLOG_DUMP response replay (reference main.rs:74-130 hot
+    // loop): each order bucket becomes one replication-session byte
+    // stream — framed packets whose payloads are the 0x00 network marker
+    // + a whole WRITE_ROWS event, terminated by a classic 5-byte EOF
+    // packet (mysql.rs:160 heuristic). The engine unframes with
+    // MysqlPacketSplit, routes by the marker byte exactly as the
+    // reference's loop does, decodes event packets through the shared
+    // binlog path (header split with packetMarker=true → typed row
+    // decode), and classifies the terminator with MysqlOkDecode — the
+    // reference's entire socket-to-rows path minus only the socket read.
+    Q("q120_mysql_dump_session", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)"))
+        val enc = udf((rows: Seq[Row]) => {
+          val out = new java.io.ByteArrayOutputStream()
+          rows.foreach { r =>
+            val k = r.getLong(0)
+            val ev = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+              BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+                Seq(Seq[Any](k, r.getString(1)))),
+              timestamp = k % 100000 + 1700000000L, packetMarker = true)
+            val p = MysqlProtocolCodec.writePacket((k % 3 + 1).toInt, ev)
+            out.write(p, 0, p.length)
+          }
+          val eof = MysqlProtocolCodec.writePacket(4,
+            Array[Byte](0xfe.toByte, 0, 0, 2, 0))
+          out.write(eof, 0, eof.length)
+          out.toByteArray
+        })
+        val o = t(s, dir, "orders")
+        val grouped = o
+          .groupBy((col("o_orderkey") - col("o_orderkey") % 3).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey").cast(LongType), col("o_orderstatus")))).as("rows"))
+        val ps = grouped.sortWithinPartitions("gid")
+          .select(col("gid"),
+            explode_outer(MysqlPacketSplit(enc(col("rows")))).as("p"))
+          .select(col("gid"), col("p.seq").as("seq"), col("p.payload").as("payload"))
+        val events = ps.filter(expr("substring(payload, 1, 1) = X'00'"))
+          .select(col("gid"), col("seq"),
+            BinlogDecode.eventSplit(col("payload"), packetMarker = true).as("h"))
+          .select(col("gid"), col("seq"),
+            BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("gid"), col("seq"), explode_outer(col("r.data")).as("m"))
+          .select(col("gid"), col("seq"),
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            lit("EVENT").as("kind"), element_at(col("m"), "status").as("status"))
+        val eofs = ps.filter(expr("substring(payload, 1, 1) = X'FE'"))
+          .select(col("gid"), col("seq"), lit(-1L).as("pk"),
+            MysqlOkDecode(col("payload")).getField("kind").as("kind"),
+            lit(null).cast(StringType).as("status"))
+        events.unionByName(eofs)
+      },
+      Some("""SELECT (o_orderkey - o_orderkey % 3) AS gid,
+             |  o_orderkey % 3 + 1 AS seq, o_orderkey AS pk,
+             |  'EVENT' AS kind, o_orderstatus AS status
+             |FROM orders
+             |UNION ALL
+             |SELECT gid, 4, -1, 'EOF', CAST(NULL AS VARCHAR) FROM
+             |  (SELECT DISTINCT (o_orderkey - o_orderkey % 3) AS gid FROM orders)
+             |ORDER BY gid, seq""".stripMargin))
   )
 }

@@ -250,7 +250,10 @@ object MysqlProtocolCodec {
     StructField("message", StringType, nullable = false)))
 
   /** Classify a server response payload (reference `protocal.rs:305-360`,
-    * EOF heuristic `mysql.rs:160`): 0x00 → OK, 0xfe under 9 bytes → EOF,
+    * EOF heuristic `mysql.rs:160`): 0x00 → OK, 0xfe under 9 bytes → the
+    * classic EOF layout (warnings u2, status u2 — the reference's hot loop
+    * detects these by the heuristic alone because it negotiates
+    * CLIENT_DEPRECATE_EOF), 0xfe at 9+ → deprecated-EOF OK layout,
     * 0xff → ERR (code u2, '#'+sqlstate 5, message).
     */
   def decodeOk(payload: Array[Byte]): InternalRow = {
@@ -265,8 +268,13 @@ object MysqlProtocolCodec {
         val msg = r.bytes(r.remaining)
         InternalRow(UTF8String.fromString("ERR"), 0L, 0L, 0, 0, code,
           UTF8String.fromBytes(state), UTF8String.fromBytes(msg))
+      case 0xfe if payload.length < 9 =>
+        val warnings = r.uLE(2).toInt
+        val status = r.uLE(2).toInt
+        InternalRow(UTF8String.fromString("EOF"), 0L, 0L, status, warnings,
+          0, UTF8String.fromString(""), UTF8String.fromString(""))
       case first =>
-        val kind = if (first == 0xfe && payload.length < 9) "EOF" else "OK"
+        val kind = if (first == 0xfe) "EOF" else "OK"
         val affected = r.lenenc()
         val lastId = r.lenenc()
         val status = r.uLE(2).toInt
@@ -347,4 +355,26 @@ object MysqlScramble {
   def apply(password: Column, seed: Column): Column =
     ColumnBridge.column(MysqlScramble(
       ColumnBridge.expression(password), ColumnBridge.expression(seed)))
+}
+
+/** Codegen'd OK/EOF/ERR classification: payload bytes → response struct. */
+case class MysqlOkDecode(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = MysqlProtocolCodec.okType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MysqlOkDecode expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MysqlProtocolCodec.decodeOk(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.MysqlProtocolCodec.decodeOk($c)")
+  override protected def withNewChildInternal(newChild: Expression): MysqlOkDecode =
+    copy(child = newChild)
+}
+
+object MysqlOkDecode {
+  def apply(payload: Column): Column =
+    ColumnBridge.column(MysqlOkDecode(ColumnBridge.expression(payload)))
 }

@@ -136,8 +136,17 @@ class MysqlProtocolSpec extends SparkSpec {
     assert(ok.getUTF8String(0).toString == "OK")
     assert(ok.getLong(1) == 10000L && ok.getLong(2) == 5L)
     assert(ok.getInt(3) == 2 && ok.getInt(4) == 1)
-    val eof = MysqlProtocolCodec.decodeOk(hx("fe" + "00" + "00" + "0200" + "0000"))
+    // deprecated-EOF (CLIENT_DEPRECATE_EOF, reference mysql.rs:59): an
+    // OK-layout packet with the 0xfe header at 9+ bytes
+    val dep = MysqlProtocolCodec.decodeOk(
+      hx("fe" + "00" + "00" + "0200" + "0000" + "0000"))
+    assert(dep.getUTF8String(0).toString == "EOF")
+    assert(dep.getInt(3) == 2)
+    // classic 5-byte EOF (the mysql.rs:160 terminator heuristic):
+    // warnings u2 then status u2 — NOT the lenenc OK layout
+    val eof = MysqlProtocolCodec.decodeOk(hx("fe" + "0100" + "0200"))
     assert(eof.getUTF8String(0).toString == "EOF")
+    assert(eof.getInt(3) == 2 && eof.getInt(4) == 1)
     val err = MysqlProtocolCodec.decodeOk(
       0xff.toByte +: (Array[Byte](0x48, 0x04) ++ "#HY000".getBytes ++
         "no such table".getBytes))
@@ -155,5 +164,33 @@ class MysqlProtocolSpec extends SparkSpec {
       "SELECT size(mysql_packet_split(unhex('03000000AABBCC'))) AS n")
       .as[Int].head()
     assert(n == 1)
+    val kind = spark.sql(
+      "SELECT mysql_ok_decode(unhex('FE01000200')).kind AS k").as[String].head()
+    assert(kind == "EOF")
+  }
+
+  // ---- dump-session composition (the q120 shape, minimal) --------------
+
+  test("COM_BINLOG_DUMP response stream replays to typed rows") {
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+        Seq(Seq[Any](42L))), packetMarker = true)
+    val stream = MysqlProtocolCodec.writePacket(1, ev) ++
+      MysqlProtocolCodec.writePacket(2, Array[Byte](0xfe.toByte, 0, 0, 2, 0))
+    val ps = Seq(Tuple1(stream)).toDF("s")
+      .select(explode(MysqlPacketSplit(col("s"))).as("p"))
+      .select(col("p.seq").as("seq"), col("p.payload").as("payload"))
+    val pk = ps.filter(expr("substring(payload, 1, 1) = X'00'"))
+      .select(BinlogDecode.eventSplit(col("payload"), packetMarker = true).as("h"))
+      .select(BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .select(element_at(col("m"), "pk").cast("long").as("pk"))
+      .as[Long].head()
+    assert(pk == 42L)
+    val eofKind = ps.filter(expr("substring(payload, 1, 1) = X'FE'"))
+      .select(MysqlOkDecode(col("payload")).getField("kind").as("k"))
+      .as[String].head()
+    assert(eofKind == "EOF")
   }
 }
