@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.MysqlProtocolCodec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming wire-packet reassembly vs the batch splitter: whatever chunk
+  * boundaries and arrival disorder the transport produces, the packets
+  * downstream must equal `splitPackets` of the concatenated session bytes.
+  */
+class PacketReassemblySpec extends SparkSpec {
+
+  private def packets(session: Long, n: Int): Array[Byte] =
+    (0 until n).toArray.flatMap { i =>
+      MysqlProtocolCodec.writePacket(i % 256,
+        s"s$session-p$i-${"x" * (i % 37)}".getBytes("UTF-8"))
+    }
+
+  /** Cut `bytes` at pseudo-random boundaries (including mid-header cuts:
+    * sizes 1..7 force splits inside the 4-byte length prefix).
+    */
+  private def chop(session: Long, bytes: Array[Byte]): Seq[ByteChunk] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    var step = 1
+    while (pos < bytes.length) {
+      val n = math.min(1 + (session + step * 13).toInt % 29, bytes.length - pos)
+      out += java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+      step += 1
+    }
+    out.toSeq.zipWithIndex.map { case (bs, i) => ByteChunk(session, i.toLong, bs) }
+  }
+
+  test("reassembled packets equal the batch split, across triggers and disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val streams = (0L until 5L).map(s => s -> packets(s, 40)).toMap
+    val chunks = streams.toSeq.flatMap { case (s, bs) => chop(s, bs) }
+    // deterministic shuffle: reverse within each of three trigger slices —
+    // chunk idx order is violated both within and across triggers
+    val slices = chunks.grouped(math.max(1, chunks.size / 3 + 1)).map(_.reverse).toSeq
+
+    val in = MemoryStream[ByteChunk]
+    val q = PacketReassembly.reassemble(in.toDS())
+      .writeStream.format("memory").queryName("reasm_t").outputMode("append").start()
+    try {
+      slices.foreach { sl => in.addData(sl); q.processAllAvailable() }
+      val got = spark.table("reasm_t").as[WirePacket].collect()
+        .groupBy(_.session).view.mapValues(_.sortBy(_.ordinal)).toMap
+      streams.foreach { case (s, bs) =>
+        val expected = MysqlProtocolCodec.splitPackets(bs)
+        val mine = got(s)
+        assert(mine.length == expected.numElements(), s"session $s count")
+        mine.zipWithIndex.foreach { case (p, i) =>
+          val e = expected.getStruct(i, 2)
+          assert(p.seq == e.getInt(0), s"session $s packet $i seq")
+          assert(p.payload.toSeq == e.getBinary(1).toSeq, s"session $s packet $i payload")
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("a gap that never fills buffers; overflow past maxPending fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[ByteChunk]
+    val q = PacketReassembly.reassemble(in.toDS(), maxPending = 4)
+      .writeStream.format("memory").queryName("reasm_gap").outputMode("append").start()
+    try {
+      // idx 0 missing: nothing may be emitted no matter how much arrives after
+      in.addData((1L to 4L).map(i =>
+        ByteChunk(7L, i, MysqlProtocolCodec.writePacket(i.toInt, Array(i.toByte)))))
+      q.processAllAvailable()
+      assert(spark.table("reasm_gap").isEmpty)
+      // the 5th parked chunk exceeds maxPending=4 → the query must fail
+      in.addData(ByteChunk(7L, 5L, MysqlProtocolCodec.writePacket(5, Array(5.toByte))))
+      val failed = intercept[Exception] { q.processAllAvailable() }
+      assert(Option(failed.getMessage).exists(_.contains("maxPending")) ||
+        failed.getCause != null)
+    } finally q.stop()
+  }
+}
