@@ -31,13 +31,24 @@ object MysqlProtocolCodec {
     StructField("seq", IntegerType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Split a contiguous packet stream into (seq, payload) frames; the
-    * framing is validated exactly — a short tail throws rather than
-    * yielding a garbage frame.
+  /** Largest single-frame payload; a logical payload of this size or more
+    * continues in the next frame and terminates at the first frame
+    * shorter than it (the 16 MB continuation rule — an exactly-16MB-1
+    * payload is followed by an empty terminating frame).
+    */
+  final val MaxFrame = 0xffffff
+
+  /** Split a contiguous packet stream into (seq, payload) logical packets:
+    * frames of exactly [[MaxFrame]] bytes concatenate with their
+    * continuation frames (seq = the first frame's). The framing is
+    * validated exactly — a short tail throws rather than yielding a
+    * garbage frame.
     */
   def splitPackets(stream: Array[Byte]): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var pos = 0
+    var cont: java.io.ByteArrayOutputStream = null // continuation in progress
+    var contSeq = 0
     while (pos < stream.length) {
       if (pos + 4 > stream.length)
         throw new IllegalArgumentException(s"truncated packet header at $pos")
@@ -47,23 +58,52 @@ object MysqlProtocolCodec {
       if (pos + 4 + len > stream.length)
         throw new IllegalArgumentException(
           s"packet at $pos claims $len bytes; ${stream.length - pos - 4} left")
-      out += InternalRow(seq,
-        java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len))
+      if (len == MaxFrame) {
+        if (cont == null) { cont = new java.io.ByteArrayOutputStream(); contSeq = seq }
+        cont.write(stream, pos + 4, len)
+      } else if (cont != null) {
+        cont.write(stream, pos + 4, len)
+        out += InternalRow(contSeq, cont.toByteArray)
+        cont = null
+      } else {
+        out += InternalRow(seq,
+          java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len))
+      }
       pos += 4 + len
     }
+    if (cont != null) throw new IllegalArgumentException(
+      s"stream ends inside a continued packet (seq $contSeq)")
     new GenericArrayData(out.toArray[Any])
   }
 
-  /** Frame one payload as a wire packet. */
+  /** Frame one logical payload as wire packets, splitting into
+    * [[MaxFrame]]-sized continuation frames (consecutive seq) past 16 MB.
+    */
   def writePacket(seq: Int, payload: Array[Byte]): Array[Byte] = {
-    require(payload.length < (1 << 24), s"payload too large: ${payload.length}")
-    val out = new Array[Byte](4 + payload.length)
-    out(0) = (payload.length & 0xff).toByte
-    out(1) = ((payload.length >> 8) & 0xff).toByte
-    out(2) = ((payload.length >> 16) & 0xff).toByte
-    out(3) = (seq & 0xff).toByte
-    System.arraycopy(payload, 0, out, 4, payload.length)
-    out
+    if (payload.length < MaxFrame) {
+      val out = new Array[Byte](4 + payload.length)
+      out(0) = (payload.length & 0xff).toByte
+      out(1) = ((payload.length >> 8) & 0xff).toByte
+      out(2) = ((payload.length >> 16) & 0xff).toByte
+      out(3) = (seq & 0xff).toByte
+      System.arraycopy(payload, 0, out, 4, payload.length)
+      out
+    } else {
+      val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+      var pos = 0
+      var s = seq
+      while (payload.length - pos >= MaxFrame) {
+        out.write(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, (s & 0xff).toByte))
+        out.write(payload, pos, MaxFrame)
+        pos += MaxFrame; s += 1
+      }
+      // terminating frame — empty when the payload is a MaxFrame multiple
+      val rest = payload.length - pos
+      out.write(Array[Byte]((rest & 0xff).toByte, ((rest >> 8) & 0xff).toByte,
+        ((rest >> 16) & 0xff).toByte, (s & 0xff).toByte))
+      out.write(payload, pos, rest)
+      out.toByteArray
+    }
   }
 
   // ---- HandshakeV10 ----------------------------------------------------

@@ -33,11 +33,13 @@ final case class WirePacket(session: Long, ordinal: Long, seq: Int,
 object PacketReassembly {
 
   /** Reassembly state: next chunk idx expected, chunks that arrived ahead
-    * of it, bytes of the incomplete packet at the stream head, and the
-    * ordinal of the next packet to emit.
+    * of it, bytes of the incomplete packet at the stream head, the
+    * ordinal of the next packet to emit, and the 16 MB-continuation
+    * accumulator (null when no continued packet is in flight).
     */
   final case class ReState(nextIdx: Long, pending: Map[Long, Array[Byte]],
-      partial: Array[Byte], nextOrdinal: Long)
+      partial: Array[Byte], nextOrdinal: Long,
+      contSeq: Int, contBytes: Array[Byte])
 
   /** @param maxPending refuse-loudly bound on the per-session reorder
     *   buffer: a gap that never fills (lost chunk) would otherwise grow
@@ -52,7 +54,7 @@ object PacketReassembly {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (session: Long, rows: Iterator[ByteChunk], state: GroupState[ReState]) =>
           var st = state.getOption.getOrElse(
-            ReState(0L, Map.empty, Array.emptyByteArray, 0L))
+            ReState(0L, Map.empty, Array.emptyByteArray, 0L, 0, null))
           val out = scala.collection.mutable.ArrayBuffer.empty[WirePacket]
           // Park everything, then drain the contiguous prefix: order within
           // a trigger is not guaranteed either, so arrival order is ignored
@@ -68,11 +70,16 @@ object PacketReassembly {
           var buf = st.partial
           var nextIdx = st.nextIdx
           var ordinal = st.nextOrdinal
+          var contSeq = st.contSeq
+          var contBytes = st.contBytes
+          val MaxFrame = graft.cdc.MysqlProtocolCodec.MaxFrame
           while (pending.contains(nextIdx)) {
             buf = buf ++ pending(nextIdx)
             pending -= nextIdx
             nextIdx += 1
-            // drain whole packets from the buffer front
+            // drain whole frames from the buffer front; frames of exactly
+            // MaxFrame bytes accumulate until their terminating short frame
+            // (the 16 MB continuation rule, as in splitPackets)
             var pos = 0
             while (buf.length - pos >= 4 && {
               val len = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
@@ -81,14 +88,23 @@ object PacketReassembly {
             }) {
               val len = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
                 ((buf(pos + 2) & 0xff) << 16)
-              out += WirePacket(session, ordinal, buf(pos + 3) & 0xff,
-                java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len))
-              ordinal += 1
+              val frame = java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len)
+              if (len == MaxFrame) {
+                if (contBytes == null) { contBytes = frame; contSeq = buf(pos + 3) & 0xff }
+                else contBytes = contBytes ++ frame
+              } else if (contBytes != null) {
+                out += WirePacket(session, ordinal, contSeq, contBytes ++ frame)
+                ordinal += 1
+                contBytes = null
+              } else {
+                out += WirePacket(session, ordinal, buf(pos + 3) & 0xff, frame)
+                ordinal += 1
+              }
               pos += 4 + len
             }
             if (pos > 0) buf = java.util.Arrays.copyOfRange(buf, pos, buf.length)
           }
-          st = ReState(nextIdx, pending, buf, ordinal)
+          st = ReState(nextIdx, pending, buf, ordinal, contSeq, contBytes)
           state.update(st)
           out.iterator
       }

@@ -129,6 +129,35 @@ class MysqlProtocolSpec extends SparkSpec {
     }
   }
 
+  test("16MB continuation rule: large payloads split and reassemble exactly") {
+    val M = MysqlProtocolCodec.MaxFrame
+    // MaxFrame+5: one full frame + 5-byte terminator; exactly MaxFrame:
+    // one full frame + EMPTY terminator (the corner that loses a packet
+    // if the terminating-frame rule is skipped)
+    for (n <- Seq(M + 5, M)) {
+      val payload = new Array[Byte](n)
+      var i = 0
+      while (i < n) { payload(i) = (i * 31 + n).toByte; i += 97 }
+      val framed = MysqlProtocolCodec.writePacket(3, payload)
+      // wire shape: first frame claims MaxFrame, seq increments per frame
+      assert((framed(0) & 0xff) == 0xff && (framed(1) & 0xff) == 0xff &&
+        (framed(2) & 0xff) == 0xff)
+      assert((framed(3) & 0xff) == 3)
+      assert((framed(4 + M + 3) & 0xff) == 4)
+      val tail = MysqlProtocolCodec.writePacket(5, "after".getBytes)
+      val arr = MysqlProtocolCodec.splitPackets(framed ++ tail)
+      assert(arr.numElements() == 2)
+      val big = arr.getStruct(0, 2)
+      assert(big.getInt(0) == 3)
+      assert(java.util.Arrays.equals(big.getBinary(1), payload))
+      assert(new String(arr.getStruct(1, 2).getBinary(1)) == "after")
+    }
+    intercept[IllegalArgumentException] { // ends inside a continued packet
+      MysqlProtocolCodec.splitPackets(
+        MysqlProtocolCodec.writePacket(0, new Array[Byte](M + 5)).dropRight(9))
+    }
+  }
+
   // ---- OK / EOF / ERR --------------------------------------------------
 
   test("OK/EOF/ERR classification with lenenc fields") {

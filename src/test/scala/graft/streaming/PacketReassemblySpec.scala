@@ -61,6 +61,33 @@ class PacketReassemblySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("16MB-continued packet across chunk AND trigger boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val M = MysqlProtocolCodec.MaxFrame
+    val payload = new Array[Byte](M + 1234)
+    var i = 0
+    while (i < payload.length) { payload(i) = (i * 7).toByte; i += 131 }
+    val bytes = MysqlProtocolCodec.writePacket(0, "pre".getBytes) ++
+      MysqlProtocolCodec.writePacket(1, payload) ++
+      MysqlProtocolCodec.writePacket(3, "post".getBytes)
+    val chunkSz = 1 << 20
+    val chunks = bytes.grouped(chunkSz).toSeq.zipWithIndex
+      .map { case (bs, idx) => ByteChunk(11L, idx.toLong, bs) }
+    val in = MemoryStream[ByteChunk]
+    val q = PacketReassembly.reassemble(in.toDS())
+      .writeStream.format("memory").queryName("reasm_cont").outputMode("append").start()
+    try {
+      val (a, b) = chunks.splitAt(chunks.size / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val got = spark.table("reasm_cont").as[WirePacket].collect().sortBy(_.ordinal)
+      assert(got.map(p => (p.ordinal, p.seq, p.payload.length)).toSeq ==
+        Seq((0L, 0, 3), (1L, 1, M + 1234), (2L, 3, 4)))
+      assert(java.util.Arrays.equals(got(1).payload, payload))
+    } finally q.stop()
+  }
+
   test("a gap that never fills buffers; overflow past maxPending fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
