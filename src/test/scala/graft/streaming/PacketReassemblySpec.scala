@@ -88,6 +88,45 @@ class PacketReassemblySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capture to typed rows: chunks → reassembly → dump replay, streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.cdc.{BinlogDecode, BinlogRowCodec, BinlogSchema}
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint", "v" -> "varchar(8)"))
+    // one session's COM_BINLOG_DUMP response: 3 OK-marked WRITE events + EOF
+    val bytes = (1L to 3L).toArray.flatMap { k =>
+      MysqlProtocolCodec.writePacket(k.toInt,
+        BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+          BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+            Seq(Seq[Any](k, s"v$k"))), packetMarker = true))
+    } ++ MysqlProtocolCodec.writePacket(4, Array[Byte](0xfe.toByte, 0, 0, 2, 0))
+    // 7-byte chunks guarantee splits inside headers and bodies
+    val chunks = bytes.grouped(7).toSeq.zipWithIndex
+      .map { case (bs, i) => ByteChunk(1L, i.toLong, bs) }
+    val in = MemoryStream[ByteChunk]
+    val typed = PacketReassembly.reassemble(in.toDS()).toDF()
+      .filter(expr("substring(payload, 1, 1) = X'00'"))
+      .select(col("session"), col("ordinal"),
+        BinlogDecode.eventSplit(col("payload"), packetMarker = true).as("h"))
+      .select(col("session"), col("ordinal"),
+        BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      .select(col("session"), col("ordinal"), explode(col("r.data")).as("m"))
+      .select(col("session"),
+        element_at(col("m"), "pk").cast("long").as("pk"),
+        element_at(col("m"), "v").as("v"))
+    val q = typed.writeStream.format("memory").queryName("reasm_e2e")
+      .outputMode("append").start()
+    try {
+      val (a, b) = chunks.splitAt(chunks.size / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val got = spark.table("reasm_e2e").collect()
+        .map(r => (r.getAs[Long]("pk"), r.getAs[String]("v"))).sorted.toSeq
+      assert(got == Seq((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    } finally q.stop()
+  }
+
   test("a gap that never fills buffers; overflow past maxPending fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
