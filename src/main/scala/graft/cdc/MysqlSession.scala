@@ -1,0 +1,185 @@
+package graft.cdc
+
+/** The reference's replica bring-up as a PURE state machine
+  * (`/root/reference/src/mysql.rs:47-94` login + auth switch,
+  * `main.rs:80-101` checksum ack, `show master status`, COM_BINLOG_DUMP,
+  * `main.rs:110-130` the event loop). The reference interleaves this
+  * orchestration with blocking socket reads; here every transition is
+  * `onPayload(state, packetPayload) => (state', packetsToSend, event?)`,
+  * so ANY transport — a live socket a user owns, a proxy capture, a pcap
+  * replay — can drive the session by folding received payloads through it
+  * and writing back `send`. Combined with [[MysqlProtocolCodec]] (framing)
+  * and [[graft.streaming.PacketReassembly]] (chunk reassembly), this
+  * completes the socket-free replication client: the engine's declared
+  * transport exclusion is now exactly the `TcpStream` calls, nothing else.
+  */
+object MysqlReplicaSession {
+
+  sealed trait Phase
+  /** Server speaks first: HandshakeV10 expected. */
+  case object AwaitHandshake extends Phase
+  /** HandshakeResponse41 sent; AuthSwitchRequest expected (the reference
+    * always takes the switch path — it sends an empty auth response).
+    */
+  case object AwaitAuthSwitch extends Phase
+  /** Scramble proof sent; OK expected. */
+  case object AwaitAuthResult extends Phase
+  /** Checksum-session ack expected (OK). */
+  case object AwaitChecksumAck extends Phase
+  /** `show master status` sent; text-result-set column count expected. */
+  case object AwaitStatusColCount extends Phase
+  /** Column-definition packets expected, then rows. */
+  final case class AwaitStatusCols(remaining: Int) extends Phase
+  /** Row packets expected until the 0xfe terminator. */
+  case object AwaitStatusRows extends Phase
+  /** COM_BINLOG_DUMP sent; every further packet is an event or EOF/ERR. */
+  case object Streaming extends Phase
+  /** Server said ERR (or protocol violation); terminal. */
+  final case class Failed(reason: String) extends Phase
+
+  /** @param resumeAt overrides the master's (file, pos) — the reference's
+    *   saved-position path (`check_valid_pos`); None = from `show master
+    *   status` (its from-scratch path).
+    */
+  final case class Config(user: String, password: String, serverId: Long,
+      resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24)
+
+  final case class State(phase: Phase, config: Config,
+      seed: Array[Byte] = Array.emptyByteArray,
+      masterFile: String = "", masterPos: Long = 0L)
+
+  /** One transition: packets to send (seq, payload) and, in the streaming
+    * phase, the whole binlog event carried by this packet (marker
+    * stripped), ready for `BinlogDecode.eventSplit`.
+    */
+  final case class Step(state: State, send: Seq[(Int, Array[Byte])] = Nil,
+      event: Option[Array[Byte]] = None)
+
+  // the reference's capability set (mysql.rs:53-60), minus LENENC client
+  // data since the first response carries an empty auth blob
+  final val Caps: Long = 0x00000001L | 0x00000200L | 0x00004000L |
+    0x00008000L | (1L << 24) | MysqlProtocolCodec.ClientPluginAuth |
+    MysqlProtocolCodec.ClientPluginAuthLenencData
+
+  def initial(config: Config): State = State(AwaitHandshake, config)
+
+  private def fail(st: State, reason: String): Step =
+    Step(st.copy(phase = Failed(reason)))
+
+  def onPayload(st: State, payload: Array[Byte]): Step = {
+    if (payload.isEmpty) return fail(st, "empty packet payload")
+    val first = payload(0) & 0xff
+    st.phase match {
+      case _ if first == 0xff =>
+        val err = MysqlProtocolCodec.decodeOk(payload)
+        fail(st, s"server ERR ${err.getInt(5)}: ${err.getUTF8String(7)}")
+
+      case AwaitHandshake =>
+        val hs = MysqlProtocolCodec.decodeHandshake(payload)
+        val seed = hs.getBinary(7)
+        val resp = MysqlProtocolCodec.encodeHandshakeResponse(
+          Caps, st.config.maxPacket, 0xff, st.config.user,
+          Array.emptyByteArray, None, Some("mysql_native_password"), Nil, 0)
+        Step(st.copy(phase = AwaitAuthSwitch, seed = seed),
+          send = Seq(1 -> resp))
+
+      case AwaitAuthSwitch if first == 0xfe =>
+        // AuthSwitchRequest: 0xfe, plugin name NUL, fresh seed
+        var pos = 1
+        while (pos < payload.length && payload(pos) != 0) pos += 1
+        val plugin = new String(payload, 1, pos - 1, "UTF-8")
+        if (plugin != "mysql_native_password")
+          fail(st, s"unsupported auth plugin $plugin")
+        else {
+          val rest = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
+          val seed = if (rest.nonEmpty && rest.last == 0) rest.dropRight(1) else rest
+          val useSeed = if (seed.length >= 20) seed else st.seed
+          val proof = MysqlProtocolCodec.nativePasswordAuth(
+            st.config.password.getBytes("UTF-8"), useSeed)
+          Step(st.copy(phase = AwaitAuthResult, seed = useSeed),
+            send = Seq(3 -> proof))
+        }
+      case AwaitAuthSwitch =>
+        fail(st, f"expected AuthSwitchRequest, got first byte 0x$first%02x")
+
+      case AwaitAuthResult =>
+        // OK → ack binlog checksums, then ask for the master position
+        Step(st.copy(phase = AwaitChecksumAck), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery(
+            "set @master_binlog_checksum= @@global.binlog_checksum")))
+
+      case AwaitChecksumAck =>
+        Step(st.copy(phase = AwaitStatusColCount), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
+
+      case AwaitStatusColCount =>
+        Step(st.copy(phase = AwaitStatusCols(first)))
+
+      case AwaitStatusCols(n) =>
+        if (n > 1) Step(st.copy(phase = AwaitStatusCols(n - 1)))
+        else Step(st.copy(phase = AwaitStatusRows))
+
+      case AwaitStatusRows if first == 0xfe && payload.length < 9 =>
+        // result set done → dump from the chosen position
+        val (file, pos) = st.config.resumeAt.getOrElse((st.masterFile, st.masterPos))
+        if (file.isEmpty) fail(st, "master status returned no binlog file")
+        else Step(st.copy(phase = Streaming),
+          send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
+            pos, 0, st.config.serverId, file)))
+
+      case AwaitStatusRows =>
+        // text-protocol row: lenenc cells File, Position, ... — keep the
+        // FIRST row like the reference's TextResultSet walk
+        val cells = decodeTextRow(payload)
+        if (st.masterFile.nonEmpty) Step(st) // ignore further rows
+        else if (cells.length < 2 || cells(0) == null || cells(1) == null)
+          fail(st, s"malformed master status row (${cells.length} cells)")
+        else try Step(st.copy(masterFile = cells(0), masterPos = cells(1).toLong))
+        catch { case _: NumberFormatException =>
+          fail(st, s"bad master position '${cells(1)}'") }
+
+      case Streaming if first == 0xfe && payload.length < 9 =>
+        fail(st, "server closed the dump stream (EOF)")
+      case Streaming if first == 0x00 =>
+        Step(st, event = Some(
+          java.util.Arrays.copyOfRange(payload, 1, payload.length)))
+      case Streaming =>
+        fail(st, f"unexpected marker 0x$first%02x in dump stream")
+
+      case f: Failed => Step(st) // sink state: ignore further input
+    }
+  }
+
+  /** Text-protocol result row: lenenc-string cells, 0xfb = NULL. */
+  def decodeTextRow(payload: Array[Byte]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < payload.length) {
+      val tag = payload(pos) & 0xff
+      if (tag == 0xfb) { out += null; pos += 1 }
+      else {
+        val (len, used) = tag match {
+          case v if v < 0xfb => (v.toLong, 1)
+          case 0xfc => (le(payload, pos + 1, 2), 3)
+          case 0xfd => (le(payload, pos + 1, 3), 4)
+          case 0xfe => (le(payload, pos + 1, 8), 9)
+          case other => throw new IllegalArgumentException(s"bad lenenc tag $other")
+        }
+        val start = pos + used
+        if (start + len > payload.length)
+          throw new IllegalArgumentException(
+            s"cell at $pos claims $len bytes; ${payload.length - start} left")
+        out += new String(payload, start, len.toInt, "UTF-8")
+        pos = start + len.toInt
+      }
+    }
+    out.toArray
+  }
+
+  private def le(bs: Array[Byte], at: Int, n: Int): Long = {
+    require(at + n <= bs.length, s"truncated lenenc at $at")
+    var v = 0L; var i = 0
+    while (i < n) { v |= (bs(at + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+}

@@ -1,0 +1,147 @@
+package graft.cdc
+
+import graft.SparkSpec
+import MysqlReplicaSession._
+
+/** Drives the pure replica state machine through the reference's exact
+  * bring-up conversation (mysql.rs:47-94, main.rs:80-101) with
+  * synthesized server payloads, asserting every client byte.
+  */
+class MysqlSessionSpec extends SparkSpec {
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val ok = hx("00" + "00" + "00" + "0200" + "0000")
+  private val eof = hx("fe" + "0000" + "0200")
+
+  private def lenencStr(s: String): Array[Byte] = {
+    require(s.length < 0xfb)
+    s.length.toByte +: s.getBytes("UTF-8")
+  }
+
+  private def handshake(seed: Array[Byte]): Array[Byte] = {
+    require(seed.length == 20)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(10); out.write("8.0.42-log".getBytes); out.write(0)
+    out.write(Array[Byte](0x39, 0x30, 0, 0))
+    out.write(seed, 0, 8)
+    out.write(0)
+    out.write(0xff); out.write(0xf7) // caps low
+    out.write(0xff)
+    out.write(Array[Byte](2, 0))
+    out.write(0x08); out.write(0x00) // caps high: PLUGIN_AUTH
+    out.write(21)
+    for (_ <- 0 until 10) out.write(0)
+    out.write(seed, 8, 12); out.write(0)
+    out.write("mysql_native_password".getBytes); out.write(0)
+    out.toByteArray
+  }
+
+  private def authSwitch(seed: Array[Byte]): Array[Byte] =
+    (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte
+
+  test("full bring-up conversation: every client packet byte-asserted") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", serverId = 100L))
+
+    val s1 = onPayload(st, handshake(seed1))
+    st = s1.state
+    assert(st.phase == AwaitAuthSwitch)
+    assert(java.util.Arrays.equals(st.seed, seed1))
+    val Seq((1, resp)) = s1.send
+    assert(java.util.Arrays.equals(resp, MysqlProtocolCodec.encodeHandshakeResponse(
+      Caps, 1L << 24, 0xff, "repl", Array.emptyByteArray, None,
+      Some("mysql_native_password"), Nil, 0)))
+
+    val s2 = onPayload(st, authSwitch(seed2))
+    st = s2.state
+    assert(st.phase == AwaitAuthResult)
+    val Seq((3, proof)) = s2.send
+    assert(java.util.Arrays.equals(proof,
+      MysqlProtocolCodec.nativePasswordAuth("secret".getBytes, seed2)))
+
+    val s3 = onPayload(st, ok)
+    st = s3.state
+    assert(st.phase == AwaitChecksumAck)
+    val Seq((0, q1)) = s3.send
+    assert(java.util.Arrays.equals(q1, MysqlProtocolCodec.encodeComQuery(
+      "set @master_binlog_checksum= @@global.binlog_checksum")))
+
+    val s4 = onPayload(st, ok)
+    st = s4.state
+    assert(st.phase == AwaitStatusColCount)
+    val Seq((0, q2)) = s4.send
+    assert(java.util.Arrays.equals(q2,
+      MysqlProtocolCodec.encodeComQuery("show master status")))
+
+    st = onPayload(st, Array(5.toByte)).state // 5 columns
+    assert(st.phase == AwaitStatusCols(5))
+    for (_ <- 0 until 5) st = onPayload(st, hx("deadbeef")).state // opaque col defs
+    assert(st.phase == AwaitStatusRows)
+
+    st = onPayload(st, lenencStr("bin.000042") ++ lenencStr("1337") ++
+      lenencStr("") ++ lenencStr("") ++ lenencStr("")).state
+    assert(st.masterFile == "bin.000042" && st.masterPos == 1337L)
+
+    val s5 = onPayload(st, eof)
+    st = s5.state
+    assert(st.phase == Streaming)
+    val Seq((0, dump)) = s5.send
+    assert(java.util.Arrays.equals(dump, MysqlProtocolCodec.encodeComBinlogDump(
+      1337L, 0, 100L, "bin.000042")))
+
+    // dump phase: 0x00-marked packets yield whole events for the shared decoder
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))))
+    val s6 = onPayload(st, 0.toByte +: ev)
+    assert(s6.send.isEmpty)
+    assert(java.util.Arrays.equals(s6.event.get, ev))
+    val hdr = BinlogRowCodec.decodeHeader(s6.event.get, packetMarker = false)
+    assert(hdr.getInt(1) == BinlogRowCodec.WriteV2)
+
+    // server EOF ends the stream loudly
+    val s7 = onPayload(s6.state, eof)
+    assert(s7.state.phase.isInstanceOf[Failed])
+  }
+
+  test("saved position overrides show-master-status (the resume path)") {
+    var st = initial(Config("repl", "pw", 7L, resumeAt = Some(("bin.000007", 4L))))
+      .copy(phase = AwaitStatusRows, masterFile = "bin.000042", masterPos = 999L)
+    val s = onPayload(st, eof)
+    assert(s.state.phase == Streaming)
+    val Seq((0, dump)) = s.send
+    assert(java.util.Arrays.equals(dump,
+      MysqlProtocolCodec.encodeComBinlogDump(4L, 0, 7L, "bin.000007")))
+  }
+
+  test("ERR anywhere is terminal; unexpected plugin/marker fail loudly") {
+    val err = 0xff.toByte +: (Array[Byte](0x48, 0x04) ++ "#HY000".getBytes ++
+      "denied".getBytes)
+    val f1 = onPayload(initial(Config("u", "p", 1L)), err)
+    assert(f1.state.phase.asInstanceOf[Failed].reason.contains("1096") ||
+      f1.state.phase.asInstanceOf[Failed].reason.contains("denied"))
+    // sink state: further input is ignored
+    assert(onPayload(f1.state, ok).send.isEmpty)
+
+    val badPlugin = onPayload(
+      initial(Config("u", "p", 1L)).copy(phase = AwaitAuthSwitch, seed = new Array[Byte](20)),
+      (0xfe.toByte +: ("caching_sha2_password".getBytes :+ 0.toByte)) ++ new Array[Byte](21))
+    assert(badPlugin.state.phase.isInstanceOf[Failed])
+
+    val badMarker = onPayload(
+      initial(Config("u", "p", 1L)).copy(phase = Streaming), Array(0x01.toByte))
+    assert(badMarker.state.phase.isInstanceOf[Failed])
+  }
+
+  test("text-protocol row decode: lenenc tags and NULL cells") {
+    val row = lenencStr("abc") ++ Array(0xfb.toByte) ++
+      (0xfc.toByte +: Array[Byte](3, 0)) ++ "xyz".getBytes
+    assert(decodeTextRow(row).toSeq == Seq("abc", null, "xyz"))
+    intercept[IllegalArgumentException] {
+      decodeTextRow(Array(0x05.toByte, 'a'.toByte)) // claims 5, has 1
+    }
+  }
+}
