@@ -67,44 +67,60 @@ object PacketReassembly {
           require(pending.size <= maxPending,
             s"session $session: ${pending.size} buffered chunks exceed " +
               s"maxPending=$maxPending (lost chunk before idx ${st.nextIdx}?)")
-          var buf = st.partial
           var nextIdx = st.nextIdx
           var ordinal = st.nextOrdinal
           var contSeq = st.contSeq
           var contBytes = st.contBytes
+          var partial = st.partial
           val MaxFrame = graft.cdc.MysqlProtocolCodec.MaxFrame
+          // Gather the whole contiguous run, then parse ONCE: per-chunk
+          // re-concat + re-slice would be O(chunks · bytes) per trigger.
+          val run = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           while (pending.contains(nextIdx)) {
-            buf = buf ++ pending(nextIdx)
+            run += pending(nextIdx)
             pending -= nextIdx
             nextIdx += 1
-            // drain whole frames from the buffer front; frames of exactly
-            // MaxFrame bytes accumulate until their terminating short frame
-            // (the 16 MB continuation rule, as in splitPackets)
-            var pos = 0
-            while (buf.length - pos >= 4 && {
-              val len = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
-                ((buf(pos + 2) & 0xff) << 16)
-              buf.length - pos >= 4 + len
-            }) {
-              val len = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
-                ((buf(pos + 2) & 0xff) << 16)
-              val frame = java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len)
-              if (len == MaxFrame) {
-                if (contBytes == null) { contBytes = frame; contSeq = buf(pos + 3) & 0xff }
-                else contBytes = contBytes ++ frame
-              } else if (contBytes != null) {
-                out += WirePacket(session, ordinal, contSeq, contBytes ++ frame)
-                ordinal += 1
-                contBytes = null
-              } else {
-                out += WirePacket(session, ordinal, buf(pos + 3) & 0xff, frame)
-                ordinal += 1
-              }
-              pos += 4 + len
-            }
-            if (pos > 0) buf = java.util.Arrays.copyOfRange(buf, pos, buf.length)
           }
-          st = ReState(nextIdx, pending, buf, ordinal, contSeq, contBytes)
+          if (run.nonEmpty) {
+            val buf = new Array[Byte](partial.length + run.iterator.map(_.length).sum)
+            var off = partial.length
+            System.arraycopy(partial, 0, buf, 0, off)
+            run.foreach { c => System.arraycopy(c, 0, buf, off, c.length); off += c.length }
+            // drain whole frames from the front; frames of exactly MaxFrame
+            // bytes accumulate until their terminating short frame (the
+            // 16 MB continuation rule, as in splitPackets) — linear via a
+            // growing stream accumulator, not per-frame array concat
+            var cont: java.io.ByteArrayOutputStream =
+              if (contBytes == null) null
+              else { val b = new java.io.ByteArrayOutputStream(contBytes.length + 64)
+                b.write(contBytes, 0, contBytes.length); b }
+            var pos = 0
+            var fits = true
+            while (fits && buf.length - pos >= 4) {
+              val len = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
+                ((buf(pos + 2) & 0xff) << 16)
+              if (buf.length - pos < 4 + len) fits = false
+              else {
+                if (len == MaxFrame) {
+                  if (cont == null) { cont = new java.io.ByteArrayOutputStream(); contSeq = buf(pos + 3) & 0xff }
+                  cont.write(buf, pos + 4, len)
+                } else if (cont != null) {
+                  cont.write(buf, pos + 4, len)
+                  out += WirePacket(session, ordinal, contSeq, cont.toByteArray)
+                  ordinal += 1
+                  cont = null
+                } else {
+                  out += WirePacket(session, ordinal, buf(pos + 3) & 0xff,
+                    java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len))
+                  ordinal += 1
+                }
+                pos += 4 + len
+              }
+            }
+            contBytes = if (cont == null) null else cont.toByteArray
+            partial = java.util.Arrays.copyOfRange(buf, pos, buf.length)
+          }
+          st = ReState(nextIdx, pending, partial, ordinal, contSeq, contBytes)
           state.update(st)
           out.iterator
       }
