@@ -38,6 +38,53 @@ object MysqlProtocolCodec {
     */
   final val MaxFrame = 0xffffff
 
+  /** Incremental frame drain — the ONE implementation of the framing +
+    * 16 MB-continuation rules, shared by [[splitPackets]] (batch, must
+    * consume everything) and [[graft.streaming.PacketReassembly]]
+    * (streaming, keeps the undrained tail). Parses as many whole frames
+    * from `bs(from..)` as available, merging [[MaxFrame]] continuations.
+    *
+    * @return (logical packets as (seq, payload), bytes consumed,
+    *   continuation seq, continuation bytes accumulated but not yet
+    *   terminated — null when no continuation is in flight)
+    */
+  def drainFrames(bs: Array[Byte], from: Int, contSeq0: Int,
+      contBytes0: Array[Byte])
+      : (Seq[(Int, Array[Byte])], Int, Int, Array[Byte]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var cont: java.io.ByteArrayOutputStream =
+      if (contBytes0 == null) null
+      else {
+        val b = new java.io.ByteArrayOutputStream(contBytes0.length + 64)
+        b.write(contBytes0, 0, contBytes0.length); b
+      }
+    var contSeq = contSeq0
+    var pos = from
+    var fits = true
+    while (fits && bs.length - pos >= 4) {
+      val len = (bs(pos) & 0xff) | ((bs(pos + 1) & 0xff) << 8) |
+        ((bs(pos + 2) & 0xff) << 16)
+      if (bs.length - pos < 4 + len) fits = false
+      else {
+        if (len == MaxFrame) {
+          if (cont == null) {
+            cont = new java.io.ByteArrayOutputStream(); contSeq = bs(pos + 3) & 0xff
+          }
+          cont.write(bs, pos + 4, len)
+        } else if (cont != null) {
+          cont.write(bs, pos + 4, len)
+          out += ((contSeq, cont.toByteArray))
+          cont = null
+        } else {
+          out += ((bs(pos + 3) & 0xff,
+            java.util.Arrays.copyOfRange(bs, pos + 4, pos + 4 + len)))
+        }
+        pos += 4 + len
+      }
+    }
+    (out.toSeq, pos - from, contSeq, if (cont == null) null else cont.toByteArray)
+  }
+
   /** Split a contiguous packet stream into (seq, payload) logical packets:
     * frames of exactly [[MaxFrame]] bytes concatenate with their
     * continuation frames (seq = the first frame's). The framing is
@@ -45,35 +92,19 @@ object MysqlProtocolCodec {
     * garbage frame.
     */
   def splitPackets(stream: Array[Byte]): GenericArrayData = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var pos = 0
-    var cont: java.io.ByteArrayOutputStream = null // continuation in progress
-    var contSeq = 0
-    while (pos < stream.length) {
-      if (pos + 4 > stream.length)
-        throw new IllegalArgumentException(s"truncated packet header at $pos")
-      val len = (stream(pos) & 0xff) | ((stream(pos + 1) & 0xff) << 8) |
-        ((stream(pos + 2) & 0xff) << 16)
-      val seq = stream(pos + 3) & 0xff
-      if (pos + 4 + len > stream.length)
-        throw new IllegalArgumentException(
-          s"packet at $pos claims $len bytes; ${stream.length - pos - 4} left")
-      if (len == MaxFrame) {
-        if (cont == null) { cont = new java.io.ByteArrayOutputStream(); contSeq = seq }
-        cont.write(stream, pos + 4, len)
-      } else if (cont != null) {
-        cont.write(stream, pos + 4, len)
-        out += InternalRow(contSeq, cont.toByteArray)
-        cont = null
-      } else {
-        out += InternalRow(seq,
-          java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len))
-      }
-      pos += 4 + len
-    }
+    val (pkts, consumed, contSeq, cont) = drainFrames(stream, 0, 0, null)
     if (cont != null) throw new IllegalArgumentException(
       s"stream ends inside a continued packet (seq $contSeq)")
-    new GenericArrayData(out.toArray[Any])
+    if (consumed < stream.length) {
+      val left = stream.length - consumed
+      if (left < 4) throw new IllegalArgumentException(
+        s"truncated packet header at $consumed")
+      val len = (stream(consumed) & 0xff) | ((stream(consumed + 1) & 0xff) << 8) |
+        ((stream(consumed + 2) & 0xff) << 16)
+      throw new IllegalArgumentException(
+        s"packet at $consumed claims $len bytes; ${left - 4} left")
+    }
+    new GenericArrayData(pkts.map { case (s, p) => InternalRow(s, p) }.toArray[Any])
   }
 
   /** Frame one logical payload as wire packets, splitting into
@@ -226,7 +257,13 @@ object MysqlProtocolCodec {
     for (_ <- 0 until 23) out.write(0)
     out.write(user.getBytes("UTF-8")); out.write(0)
     if ((caps & ClientPluginAuthLenencData) != 0) writeLenenc(out, authResp)
-    else { out.write(authResp.length); out.write(authResp, 0, authResp.length) }
+    else {
+      // one length byte on the wire in this branch — a longer blob would
+      // silently truncate the length and desynchronize the packet
+      require(authResp.length <= 255,
+        s"auth response is ${authResp.length} bytes; needs ClientPluginAuthLenencData")
+      out.write(authResp.length); out.write(authResp, 0, authResp.length)
+    }
     if ((caps & ClientConnectWithDb) != 0) {
       out.write(database.getOrElse("default").getBytes("UTF-8")); out.write(0)
     }
@@ -238,9 +275,16 @@ object MysqlProtocolCodec {
       attrs.foreach { case (k, v) =>
         writeLenenc(body, k.getBytes("UTF-8")); writeLenenc(body, v.getBytes("UTF-8"))
       }
-      writeLenencInt(out, attrs.length.toLong)
+      // the lenenc prefix is the BYTE length of the kv block, not the
+      // pair count (the reference only ever sends empty attrs, where the
+      // two coincide as lenenc(0))
+      writeLenencInt(out, body.size.toLong)
       val b = body.toByteArray; out.write(b, 0, b.length)
     }
+    // trailing zstd level unconditionally, matching the reference byte
+    // stream (protocal.rs:125) — per the documented protocol the byte is
+    // only present under CLIENT_ZSTD_COMPRESSION_ALGORITHM; real servers
+    // tolerate the tail
     out.write(zstdLevel)
     out.toByteArray
   }

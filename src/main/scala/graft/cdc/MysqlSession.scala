@@ -30,8 +30,12 @@ object MysqlReplicaSession {
   case object AwaitStatusColCount extends Phase
   /** Column-definition packets expected, then rows. */
   final case class AwaitStatusCols(remaining: Int) extends Phase
-  /** Row packets expected until the 0xfe terminator. */
-  case object AwaitStatusRows extends Phase
+  /** Row packets expected until the 0xfe terminator. Under the classic
+    * (non-DEPRECATE_EOF) protocol an EOF also separates the column
+    * definitions from the rows; `colEofSeen` tracks whether that one has
+    * been consumed.
+    */
+  final case class AwaitStatusRows(colEofSeen: Boolean) extends Phase
   /** COM_BINLOG_DUMP sent; every further packet is an event or EOF/ERR. */
   case object Streaming extends Phase
   /** Server said ERR (or protocol violation); terminal. */
@@ -46,7 +50,8 @@ object MysqlReplicaSession {
 
   final case class State(phase: Phase, config: Config,
       seed: Array[Byte] = Array.emptyByteArray,
-      masterFile: String = "", masterPos: Long = 0L)
+      masterFile: String = "", masterPos: Long = 0L,
+      serverCaps: Long = 0L)
 
   /** One transition: packets to send (seq, payload) and, in the streaming
     * phase, the whole binlog event carried by this packet (marker
@@ -55,11 +60,18 @@ object MysqlReplicaSession {
   final case class Step(state: State, send: Seq[(Int, Array[Byte])] = Nil,
       event: Option[Array[Byte]] = None)
 
-  // the reference's capability set (mysql.rs:53-60), minus LENENC client
-  // data since the first response carries an empty auth blob
+  // the reference's exact capability set (mysql.rs:53-60) — including
+  // CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA even though the first response
+  // carries an empty auth blob (lenenc(0) and a 0 length byte coincide)
   final val Caps: Long = 0x00000001L | 0x00000200L | 0x00004000L |
     0x00008000L | (1L << 24) | MysqlProtocolCodec.ClientPluginAuth |
     MysqlProtocolCodec.ClientPluginAuthLenencData
+
+  final val ClientDeprecateEof: Long = 1L << 24
+
+  /** DEPRECATE_EOF is in effect only when both sides advertised it. */
+  private def deprecateEof(st: State): Boolean =
+    (st.serverCaps & ClientDeprecateEof) != 0
 
   def initial(config: Config): State = State(AwaitHandshake, config)
 
@@ -80,24 +92,33 @@ object MysqlReplicaSession {
         val resp = MysqlProtocolCodec.encodeHandshakeResponse(
           Caps, st.config.maxPacket, 0xff, st.config.user,
           Array.emptyByteArray, None, Some("mysql_native_password"), Nil, 0)
-        Step(st.copy(phase = AwaitAuthSwitch, seed = seed),
-          send = Seq(1 -> resp))
+        Step(st.copy(phase = AwaitAuthSwitch, seed = seed,
+          serverCaps = hs.getLong(3)), send = Seq(1 -> resp))
 
+      case AwaitAuthSwitch if first == 0x00 =>
+        // fast path: empty-password accounts get OK directly, no switch
+        Step(st.copy(phase = AwaitChecksumAck), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery(
+            "set @master_binlog_checksum= @@global.binlog_checksum")))
       case AwaitAuthSwitch if first == 0xfe =>
         // AuthSwitchRequest: 0xfe, plugin name NUL, fresh seed
         var pos = 1
         while (pos < payload.length && payload(pos) != 0) pos += 1
-        val plugin = new String(payload, 1, pos - 1, "UTF-8")
-        if (plugin != "mysql_native_password")
-          fail(st, s"unsupported auth plugin $plugin")
+        if (pos >= payload.length)
+          fail(st, "malformed AuthSwitchRequest: unterminated plugin name")
         else {
-          val rest = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
-          val seed = if (rest.nonEmpty && rest.last == 0) rest.dropRight(1) else rest
-          val useSeed = if (seed.length >= 20) seed else st.seed
-          val proof = MysqlProtocolCodec.nativePasswordAuth(
-            st.config.password.getBytes("UTF-8"), useSeed)
-          Step(st.copy(phase = AwaitAuthResult, seed = useSeed),
-            send = Seq(3 -> proof))
+          val plugin = new String(payload, 1, pos - 1, "UTF-8")
+          if (plugin != "mysql_native_password")
+            fail(st, s"unsupported auth plugin $plugin")
+          else {
+            val rest = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
+            val seed = if (rest.nonEmpty && rest.last == 0) rest.dropRight(1) else rest
+            val useSeed = if (seed.length >= 20) seed else st.seed
+            val proof = MysqlProtocolCodec.nativePasswordAuth(
+              st.config.password.getBytes("UTF-8"), useSeed)
+            Step(st.copy(phase = AwaitAuthResult, seed = useSeed),
+              send = Seq(3 -> proof))
+          }
         }
       case AwaitAuthSwitch =>
         fail(st, f"expected AuthSwitchRequest, got first byte 0x$first%02x")
@@ -113,30 +134,50 @@ object MysqlReplicaSession {
           0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
 
       case AwaitStatusColCount =>
-        Step(st.copy(phase = AwaitStatusCols(first)))
+        // lenenc column count (one raw byte only below 0xfb)
+        val n = first match {
+          case v if v < 0xfb => v.toLong
+          case 0xfc if payload.length >= 3 => le(payload, 1, 2)
+          case 0xfd if payload.length >= 4 => le(payload, 1, 3)
+          case 0xfe if payload.length >= 9 => le(payload, 1, 8)
+          case _ => -1L
+        }
+        if (n <= 0 || n > 4096) fail(st, s"bad result-set column count $n")
+        else Step(st.copy(phase = AwaitStatusCols(n.toInt)))
 
       case AwaitStatusCols(n) =>
         if (n > 1) Step(st.copy(phase = AwaitStatusCols(n - 1)))
-        else Step(st.copy(phase = AwaitStatusRows))
+        // under DEPRECATE_EOF there is no col-def terminator to consume
+        else Step(st.copy(phase = AwaitStatusRows(colEofSeen = deprecateEof(st))))
 
-      case AwaitStatusRows if first == 0xfe && payload.length < 9 =>
-        // result set done → dump from the chosen position
-        val (file, pos) = st.config.resumeAt.getOrElse((st.masterFile, st.masterPos))
-        if (file.isEmpty) fail(st, "master status returned no binlog file")
-        else Step(st.copy(phase = Streaming),
-          send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
-            pos, 0, st.config.serverId, file)))
+      case AwaitStatusRows(colEofSeen) if first == 0xfe && payload.length < 9 =>
+        if (!colEofSeen) // classic protocol: this EOF just ends the col defs
+          Step(st.copy(phase = AwaitStatusRows(colEofSeen = true)))
+        else {
+          // result set done → dump from the chosen position
+          val (file, pos) = st.config.resumeAt.getOrElse((st.masterFile, st.masterPos))
+          if (file.isEmpty) fail(st, "master status returned no binlog file")
+          else Step(st.copy(phase = Streaming),
+            send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
+              pos, 0, st.config.serverId, file)))
+        }
 
-      case AwaitStatusRows =>
+      case AwaitStatusRows(_) =>
         // text-protocol row: lenenc cells File, Position, ... — keep the
-        // FIRST row like the reference's TextResultSet walk
-        val cells = decodeTextRow(payload)
-        if (st.masterFile.nonEmpty) Step(st) // ignore further rows
-        else if (cells.length < 2 || cells(0) == null || cells(1) == null)
-          fail(st, s"malformed master status row (${cells.length} cells)")
-        else try Step(st.copy(masterFile = cells(0), masterPos = cells(1).toLong))
-        catch { case _: NumberFormatException =>
-          fail(st, s"bad master position '${cells(1)}'") }
+        // FIRST row like the reference's TextResultSet walk; decode
+        // failures land in Failed, never escape onPayload
+        try {
+          val cells = decodeTextRow(payload)
+          if (st.masterFile.nonEmpty) Step(st) // ignore further rows
+          else if (cells.length < 2 || cells(0) == null || cells(1) == null)
+            fail(st, s"malformed master status row (${cells.length} cells)")
+          else Step(st.copy(masterFile = cells(0), masterPos = cells(1).toLong))
+        } catch {
+          case e: IllegalArgumentException =>
+            fail(st, s"malformed master status row: ${e.getMessage}")
+          case _: NumberFormatException =>
+            fail(st, "bad master position (not a number)")
+        }
 
       case Streaming if first == 0xfe && payload.length < 9 =>
         fail(st, "server closed the dump stream (EOF)")

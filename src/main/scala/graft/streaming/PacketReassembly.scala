@@ -64,15 +64,11 @@ object PacketReassembly {
             if (c.idx >= st.nextIdx && !pending.contains(c.idx))
               pending += (c.idx -> c.bytes)
           }
-          require(pending.size <= maxPending,
-            s"session $session: ${pending.size} buffered chunks exceed " +
-              s"maxPending=$maxPending (lost chunk before idx ${st.nextIdx}?)")
           var nextIdx = st.nextIdx
           var ordinal = st.nextOrdinal
           var contSeq = st.contSeq
           var contBytes = st.contBytes
           var partial = st.partial
-          val MaxFrame = graft.cdc.MysqlProtocolCodec.MaxFrame
           // Gather the whole contiguous run, then parse ONCE: per-chunk
           // re-concat + re-slice would be O(chunks · bytes) per trigger.
           val run = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -86,40 +82,23 @@ object PacketReassembly {
             var off = partial.length
             System.arraycopy(partial, 0, buf, 0, off)
             run.foreach { c => System.arraycopy(c, 0, buf, off, c.length); off += c.length }
-            // drain whole frames from the front; frames of exactly MaxFrame
-            // bytes accumulate until their terminating short frame (the
-            // 16 MB continuation rule, as in splitPackets) — linear via a
-            // growing stream accumulator, not per-frame array concat
-            var cont: java.io.ByteArrayOutputStream =
-              if (contBytes == null) null
-              else { val b = new java.io.ByteArrayOutputStream(contBytes.length + 64)
-                b.write(contBytes, 0, contBytes.length); b }
-            var pos = 0
-            var fits = true
-            while (fits && buf.length - pos >= 4) {
-              val len = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
-                ((buf(pos + 2) & 0xff) << 16)
-              if (buf.length - pos < 4 + len) fits = false
-              else {
-                if (len == MaxFrame) {
-                  if (cont == null) { cont = new java.io.ByteArrayOutputStream(); contSeq = buf(pos + 3) & 0xff }
-                  cont.write(buf, pos + 4, len)
-                } else if (cont != null) {
-                  cont.write(buf, pos + 4, len)
-                  out += WirePacket(session, ordinal, contSeq, cont.toByteArray)
-                  ordinal += 1
-                  cont = null
-                } else {
-                  out += WirePacket(session, ordinal, buf(pos + 3) & 0xff,
-                    java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len))
-                  ordinal += 1
-                }
-                pos += 4 + len
-              }
+            // single shared implementation of the framing + 16 MB
+            // continuation rules — see MysqlProtocolCodec.drainFrames
+            val (pkts, consumed, cs, cb) =
+              graft.cdc.MysqlProtocolCodec.drainFrames(buf, 0, contSeq, contBytes)
+            pkts.foreach { case (seq, payload) =>
+              out += WirePacket(session, ordinal, seq, payload)
+              ordinal += 1
             }
-            contBytes = if (cont == null) null else cont.toByteArray
-            partial = java.util.Arrays.copyOfRange(buf, pos, buf.length)
+            contSeq = cs
+            contBytes = cb
+            partial = java.util.Arrays.copyOfRange(buf, consumed, buf.length)
           }
+          // Bound AFTER the drain: only chunks still stuck behind a gap
+          // count — a large fully-contiguous delivery must never trip it.
+          require(pending.size <= maxPending,
+            s"session $session: ${pending.size} buffered chunks exceed " +
+              s"maxPending=$maxPending (lost chunk before idx $nextIdx?)")
           st = ReState(nextIdx, pending, partial, ordinal, contSeq, contBytes)
           state.update(st)
           out.iterator

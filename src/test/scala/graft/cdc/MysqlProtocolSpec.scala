@@ -102,6 +102,30 @@ class MysqlProtocolSpec extends SparkSpec {
         ("mysql_native_password".getBytes.toSeq :+ 0.toByte)) :+ 0.toByte)
   }
 
+  test("connect-attrs block is prefixed by its BYTE length, not pair count") {
+    val caps = MysqlProtocolCodec.ClientConnectAttrs
+    val bs = MysqlProtocolCodec.encodeHandshakeResponse(
+      caps, 1 << 24, 0xff, "u", Array.emptyByteArray, None, None,
+      Seq("_client_name" -> "graft"), 0)
+    // after user "u"+NUL at 32..34 and the 1-byte empty auth blob:
+    val at = 32 + 2 + 1
+    val kv = lenenc("_client_name") ++ lenenc("graft")
+    assert((bs(at) & 0xff) == kv.length) // byte length (19), not 1
+    assert(bs.slice(at + 1, at + 1 + kv.length).toSeq == kv.toSeq)
+    assert(bs.length == at + 1 + kv.length + 1) // + zstd byte
+  }
+
+  private def lenenc(s: String): Array[Byte] =
+    s.length.toByte +: s.getBytes("UTF-8")
+
+  test("non-lenenc auth blob over 255 bytes is refused, not truncated") {
+    intercept[IllegalArgumentException] {
+      MysqlProtocolCodec.encodeHandshakeResponse(
+        MysqlProtocolCodec.ClientPluginAuth, 1 << 24, 0xff, "u",
+        new Array[Byte](256), None, Some("x"), Nil, 0)
+    }
+  }
+
   test("COM builders match the reference byte layouts") {
     assert(MysqlProtocolCodec.encodeComPing().toSeq == Seq(0x0e.toByte))
     assert(MysqlProtocolCodec.encodeComQuery("show master status").toSeq ==

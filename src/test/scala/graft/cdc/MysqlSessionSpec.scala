@@ -20,7 +20,7 @@ class MysqlSessionSpec extends SparkSpec {
     s.length.toByte +: s.getBytes("UTF-8")
   }
 
-  private def handshake(seed: Array[Byte]): Array[Byte] = {
+  private def handshake(seed: Array[Byte], deprecateEof: Boolean = false): Array[Byte] = {
     require(seed.length == 20)
     val out = new java.io.ByteArrayOutputStream()
     out.write(10); out.write("8.0.42-log".getBytes); out.write(0)
@@ -30,7 +30,8 @@ class MysqlSessionSpec extends SparkSpec {
     out.write(0xff); out.write(0xf7) // caps low
     out.write(0xff)
     out.write(Array[Byte](2, 0))
-    out.write(0x08); out.write(0x00) // caps high: PLUGIN_AUTH
+    // caps high: PLUGIN_AUTH (bit 19); optionally DEPRECATE_EOF (bit 24)
+    out.write(0x08); out.write(if (deprecateEof) 0x01 else 0x00)
     out.write(21)
     for (_ <- 0 until 10) out.write(0)
     out.write(seed, 8, 12); out.write(0)
@@ -79,7 +80,11 @@ class MysqlSessionSpec extends SparkSpec {
     st = onPayload(st, Array(5.toByte)).state // 5 columns
     assert(st.phase == AwaitStatusCols(5))
     for (_ <- 0 until 5) st = onPayload(st, hx("deadbeef")).state // opaque col defs
-    assert(st.phase == AwaitStatusRows)
+    // this server did NOT advertise DEPRECATE_EOF → classic protocol: an
+    // EOF terminates the column definitions before the rows
+    assert(st.phase == AwaitStatusRows(colEofSeen = false))
+    st = onPayload(st, eof).state
+    assert(st.phase == AwaitStatusRows(colEofSeen = true))
 
     st = onPayload(st, lenencStr("bin.000042") ++ lenencStr("1337") ++
       lenencStr("") ++ lenencStr("") ++ lenencStr("")).state
@@ -109,12 +114,43 @@ class MysqlSessionSpec extends SparkSpec {
 
   test("saved position overrides show-master-status (the resume path)") {
     var st = initial(Config("repl", "pw", 7L, resumeAt = Some(("bin.000007", 4L))))
-      .copy(phase = AwaitStatusRows, masterFile = "bin.000042", masterPos = 999L)
+      .copy(phase = AwaitStatusRows(colEofSeen = true),
+        masterFile = "bin.000042", masterPos = 999L)
     val s = onPayload(st, eof)
     assert(s.state.phase == Streaming)
     val Seq((0, dump)) = s.send
     assert(java.util.Arrays.equals(dump,
       MysqlProtocolCodec.encodeComBinlogDump(4L, 0, 7L, "bin.000007")))
+  }
+
+  test("DEPRECATE_EOF server: no col-def EOF, one terminator ends the rows") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", 100L))
+    st = onPayload(st, handshake(seed, deprecateEof = true)).state
+    st = onPayload(st, authSwitch(seed)).state
+    st = onPayload(st, ok).state // auth OK → checksum query sent
+    st = onPayload(st, ok).state // checksum OK → show master status sent
+    st = onPayload(st, Array(2.toByte)).state
+    for (_ <- 0 until 2) st = onPayload(st, hx("deadbeef")).state
+    // colEofSeen pre-set: the next row packet arrives directly
+    assert(st.phase == AwaitStatusRows(colEofSeen = true))
+    st = onPayload(st, lenencStr("bin.000099") ++ lenencStr("42")).state
+    val s = onPayload(st, eof)
+    assert(s.state.phase == Streaming)
+    val Seq((0, dump)) = s.send
+    assert(java.util.Arrays.equals(dump,
+      MysqlProtocolCodec.encodeComBinlogDump(42L, 0, 100L, "bin.000099")))
+  }
+
+  test("empty-password fast path: OK instead of AuthSwitchRequest proceeds") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    var st = initial(Config("repl", "", 100L))
+    st = onPayload(st, handshake(seed)).state
+    val s = onPayload(st, ok)
+    assert(s.state.phase == AwaitChecksumAck)
+    val Seq((0, q)) = s.send
+    assert(java.util.Arrays.equals(q, MysqlProtocolCodec.encodeComQuery(
+      "set @master_binlog_checksum= @@global.binlog_checksum")))
   }
 
   test("ERR anywhere is terminal; unexpected plugin/marker fail loudly") {
@@ -134,6 +170,12 @@ class MysqlSessionSpec extends SparkSpec {
     val badMarker = onPayload(
       initial(Config("u", "p", 1L)).copy(phase = Streaming), Array(0x01.toByte))
     assert(badMarker.state.phase.isInstanceOf[Failed])
+
+    // malformed AuthSwitchRequest (no NUL) must land in Failed, not throw
+    val noNul = onPayload(
+      initial(Config("u", "p", 1L)).copy(phase = AwaitAuthSwitch, seed = new Array[Byte](20)),
+      0xfe.toByte +: "mysql_native_password".getBytes)
+    assert(noNul.state.phase.asInstanceOf[Failed].reason.contains("unterminated"))
   }
 
   test("text-protocol row decode: lenenc tags and NULL cells") {

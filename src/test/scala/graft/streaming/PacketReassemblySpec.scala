@@ -146,4 +146,20 @@ class PacketReassemblySpec extends SparkSpec {
         failed.getCause != null)
     } finally q.stop()
   }
+
+  test("a contiguous burst larger than maxPending drains fine (bound is gap-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[ByteChunk]
+    val q = PacketReassembly.reassemble(in.toDS(), maxPending = 4)
+      .writeStream.format("memory").queryName("reasm_burst").outputMode("append").start()
+    try {
+      // 10 in-order chunks in one trigger: parked count transiently exceeds
+      // 4 but every chunk drains — the bound must not fire
+      in.addData((0L until 10L).map(i =>
+        ByteChunk(9L, i, MysqlProtocolCodec.writePacket(i.toInt, Array(i.toByte)))))
+      q.processAllAvailable()
+      assert(spark.table("reasm_burst").count() == 10L)
+    } finally q.stop()
+  }
 }
