@@ -633,6 +633,53 @@ object LlmQueries {
              |  CAST(start_tok AS INTEGER) AS start_tok,
              |  CAST(len(chunk) AS INTEGER) AS chunk_len,
              |  md5(array_to_string(chunk, ' ')) AS chunk_fp
-             |FROM c WHERE len(chunk) >= 5 ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM c WHERE len(chunk) >= 5 ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Per-document keyword extraction: top-3 terms by term frequency,
+    // rare-first tie-break, with a document-frequency stopword gate
+    // (drop tokens in ≥90% of docs: df*10 < N*9 — integer math end to
+    // end, so the ranking is exactly reproducible across engines;
+    // ln-based tf-idf would hinge on libm ulps). Plan: ONE fact shuffle — the explode inherits the doc_id
+    // repartition, so the (doc,term) tf aggregation, the per-doc window,
+    // and the rank filter (WindowGroupLimit pushes k=3 below the sort)
+    // all reuse it; the df side collapses to a vocab-sized table that
+    // broadcasts back. At 100 TB the fact stream shuffles once on doc_id
+    // and the only global structure is the bounded vocabulary.
+    Q("q121_keywords_tf_df", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        val tf = toks.repartition(col("doc_id"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        // df straight off the scan: partial (token, doc) dedup collapses
+        // before its token exchange — repartitioning this branch by doc
+        // first would add a second full fact shuffle for nothing
+        val dfs = toks.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val keep = dfs.crossJoin(nDocs)
+          .filter(col("df") * 10 < col("n_docs") * 9)
+          .select("token", "df")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+        tf.join(broadcast(keep), "token")
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "token", "tf", "df")
+          .sortWithinPartitions("doc_id", "rnk")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok AS token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY doc_id, tok
+             |), df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, rnk, token, tf, df FROM (
+             |  SELECT t.doc_id, t.token, t.tf, d.df,
+             |    row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rnk
+             |  FROM tf t JOIN df d USING (token), n
+             |  WHERE d.df * 10 < n.n_docs * 9)
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
   )
 }

@@ -135,6 +135,22 @@ class PlanSpec extends SparkSpec {
       "asof must be a window computation, not a join explosion\n" + p)
   }
 
+  test("q121 keywords: one fact shuffle reused by tf agg + window, df broadcasts") {
+    val p = plan("q121_keywords_tf_df")
+    // the explicit doc_id repartition must be the ONLY hash exchange on
+    // the fact path: groupBy(doc_id, token) and the per-doc window both
+    // reuse it (subset-clustering satisfaction); df flows back broadcast
+    val factEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(factEx == 1, s"expected exactly one doc_id exchange, saw $factEx\n" + p)
+    // (the df branch's token exchange carries partial-agg vocab-sized
+    // rows — that one is expected and cheap)
+    assert(p.contains("BroadcastHashJoin"), "df lookup should broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the fact stream must not sort-merge for the df join\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 should push below the window sort\n" + p)
+  }
+
   test("q82 stratified sample: rate lookup broadcasts, fact side never shuffles") {
     val p = plan("q82_sample_stratified")
     // The orderBy in the query adds a range exchange for determinism; the
