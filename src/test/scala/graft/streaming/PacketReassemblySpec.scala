@@ -127,6 +127,54 @@ class PacketReassemblySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full stack: capture chunks → packets → events → latest-image snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.cdc.{BinlogDecode, BinlogRowCodec, BinlogSchema, CdcMerge}
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint", "v" -> "varchar(8)"))
+    // scripted history: insert 1→a, insert 2→b, update 1→c, delete 2
+    // (reference event types: 30 = WRITE_ROWS_v2, 32 = DELETE_ROWS_v2)
+    val script = Seq((30, 1L, "a"), (30, 2L, "b"), (30, 1L, "c"), (32, 2L, "b"))
+    val bytes = script.zipWithIndex.toArray.flatMap { case ((tpe, pk, v), i) =>
+      MysqlProtocolCodec.writePacket(i + 1,
+        BinlogRowCodec.encodeEvent(tpe,
+          BinlogRowCodec.encodeRows(tpe, schema, Seq(Seq[Any](pk, v))),
+          packetMarker = true))
+    } ++ MysqlProtocolCodec.writePacket(5, Array[Byte](0xfe.toByte, 0, 0, 2, 0))
+    val chunks = bytes.grouped(11).toSeq.zipWithIndex
+      .map { case (bs, i) => ByteChunk(1L, i.toLong, bs) }
+
+    val in = MemoryStream[ByteChunk]
+    val changes = PacketReassembly.reassemble(in.toDS()).toDF()
+      .filter(expr("substring(payload, 1, 1) = X'00'"))
+      .select(col("ordinal"),
+        BinlogDecode.eventSplit(col("payload"), packetMarker = true).as("h"))
+      .select(col("ordinal"), col("h.event_type").as("et"),
+        BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      // WRITE fills data, DELETE fills old — exactly one is non-empty
+      .select(col("ordinal"), col("et"),
+        explode(concat(col("r.data"), col("r.old"))).as("m"))
+      .select(element_at(col("m"), "pk").cast("long").as("pk"),
+        col("ordinal").as("cid"),
+        when(col("et") === 32, lit("DELETE")).otherwise(lit("INSERT")).as("type"),
+        element_at(col("m"), "v").as("v"))
+    val q = changes.writeStream.format("memory").queryName("capture_changes")
+      .outputMode("append").start()
+    try {
+      val (a, b) = chunks.splitAt(chunks.size / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      // the change feed is complete and ordered → the batch merge face
+      // produces the snapshot (the CdcSnapshot pattern does this per
+      // micro-batch over foreachBatch; semantics are identical)
+      val img = CdcMerge.latestImage(
+        spark.table("capture_changes"), Seq("pk"), "cid")
+        .select("pk", "v").as[(Long, String)].collect().toMap
+      assert(img == Map(1L -> "c"))
+    } finally q.stop()
+  }
+
   test("a gap that never fills buffers; overflow past maxPending fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
