@@ -680,6 +680,44 @@ object LlmQueries {
              |      ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rnk
              |  FROM tf t JOIN df d USING (token), n
              |  WHERE d.df * 10 < n.n_docs * 9)
-             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Corpus-familiarity quality score: mean corpus frequency of a doc's
+    // positional bigrams — the self-trained-LM typicality signal (a
+    // too-low score flags gibberish/OCR noise, a too-high one boilerplate).
+    // Integer sums end to end, one final double division (bit-identical
+    // across engines). Plan shape: the bigram vocabulary of a real corpus
+    // does NOT broadcast, so the count lookup is a key-shuffle join — the
+    // deliberate contrast to q121's broadcast df. Three shuffles (bigram
+    // count, count join, per-doc sum), each on a key whose cardinality
+    // grows with data, none all-to-all — the generic 100 TB shape.
+    Q("q122_quality_familiarity", { (s, dir) =>
+        val toks = TextOps.tokens(col("text"))
+        val n1 = greatest(size(toks) - 1, lit(0))
+        val bigrams = zip_with(
+          slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => concat(a, lit(" "), b))
+        val bg = t(s, dir, "documents")
+          .select(col("doc_id"), explode(bigrams).as("bg"))
+        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        bg.join(counts, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fam_sum"))
+          .select(col("doc_id"), col("n_bigrams"), col("fam_sum"),
+            (col("fam_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+              .as("familiarity"))
+          .sortWithinPartitions("doc_id")
+      },
+      Some("""WITH bg AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |), c AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(cnt) AS BIGINT) AS fam_sum,
+             |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS familiarity
+             |FROM bg JOIN c USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
