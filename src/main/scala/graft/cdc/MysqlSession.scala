@@ -78,7 +78,18 @@ object MysqlReplicaSession {
   private def fail(st: State, reason: String): Step =
     Step(st.copy(phase = Failed(reason)))
 
-  def onPayload(st: State, payload: Array[Byte]): Step = {
+  /** Pure-fold contract: NEVER throws — any decode failure (truncated or
+    * adversarial capture bytes) lands in [[Failed]] like every protocol
+    * violation does.
+    */
+  def onPayload(st: State, payload: Array[Byte]): Step =
+    try step(st, payload) catch {
+      case e: IllegalArgumentException =>
+        fail(st, s"malformed packet in ${st.phase}: ${e.getMessage}")
+    }
+
+  private def step(st: State, payload: Array[Byte]): Step = {
+    if (st.phase.isInstanceOf[Failed]) return Step(st) // sink: keep the root cause
     if (payload.isEmpty) return fail(st, "empty packet payload")
     val first = payload(0) & 0xff
     st.phase match {
@@ -150,13 +161,22 @@ object MysqlReplicaSession {
         // under DEPRECATE_EOF there is no col-def terminator to consume
         else Step(st.copy(phase = AwaitStatusRows(colEofSeen = deprecateEof(st))))
 
-      case AwaitStatusRows(colEofSeen) if first == 0xfe && payload.length < 9 =>
+      // terminator: a classic <9-byte EOF always; under negotiated
+      // DEPRECATE_EOF the terminator is an OK packet with the 0xfe header
+      // at ANY length (it may carry status info past 9 bytes) — a row
+      // cell never starts with lenenc tag 0xfe at these sizes
+      case AwaitStatusRows(colEofSeen)
+          if first == 0xfe && (payload.length < 9 || deprecateEof(st)) =>
         if (!colEofSeen) // classic protocol: this EOF just ends the col defs
           Step(st.copy(phase = AwaitStatusRows(colEofSeen = true)))
         else {
           // result set done → dump from the chosen position
           val (file, pos) = st.config.resumeAt.getOrElse((st.masterFile, st.masterPos))
           if (file.isEmpty) fail(st, "master status returned no binlog file")
+          else if (pos < 0 || pos > 0xffffffffL)
+            // COM_BINLOG_DUMP carries a u4 position — truncating would
+            // silently dump from a wrong mid-event offset
+            fail(st, s"binlog position $pos does not fit COM_BINLOG_DUMP's u4 field")
           else Step(st.copy(phase = Streaming),
             send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
               pos, 0, st.config.serverId, file)))
@@ -164,17 +184,15 @@ object MysqlReplicaSession {
 
       case AwaitStatusRows(_) =>
         // text-protocol row: lenenc cells File, Position, ... — keep the
-        // FIRST row like the reference's TextResultSet walk; decode
-        // failures land in Failed, never escape onPayload
-        try {
+        // FIRST row like the reference's TextResultSet walk (later rows
+        // are ignored WITHOUT decoding; their contents are irrelevant)
+        if (st.masterFile.nonEmpty) Step(st)
+        else try {
           val cells = decodeTextRow(payload)
-          if (st.masterFile.nonEmpty) Step(st) // ignore further rows
-          else if (cells.length < 2 || cells(0) == null || cells(1) == null)
+          if (cells.length < 2 || cells(0) == null || cells(1) == null)
             fail(st, s"malformed master status row (${cells.length} cells)")
           else Step(st.copy(masterFile = cells(0), masterPos = cells(1).toLong))
         } catch {
-          case e: IllegalArgumentException =>
-            fail(st, s"malformed master status row: ${e.getMessage}")
           case _: NumberFormatException =>
             fail(st, "bad master position (not a number)")
         }
@@ -187,7 +205,7 @@ object MysqlReplicaSession {
       case Streaming =>
         fail(st, f"unexpected marker 0x$first%02x in dump stream")
 
-      case f: Failed => Step(st) // sink state: ignore further input
+      case _: Failed => Step(st) // unreachable: step() returns early on Failed
     }
   }
 

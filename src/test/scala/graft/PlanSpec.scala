@@ -151,6 +151,14 @@ class PlanSpec extends SparkSpec {
       "rank<=3 should push below the window sort\n" + p)
   }
 
+  test("q122 familiarity: count lookup is a key-shuffle join, never all-to-all") {
+    val p = plan("q122_quality_familiarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bigram count join must stay keyed\n" + p)
+    assert(p.contains("Exchange hashpartitioning(bg"),
+      "the count join shuffles on the bigram key (the non-broadcastable-vocab shape)\n" + p)
+  }
+
   test("q82 stratified sample: rate lookup broadcasts, fact side never shuffles") {
     val p = plan("q82_sample_stratified")
     // The orderBy in the query adds a range exchange for determinism; the

@@ -178,6 +178,43 @@ class MysqlSessionSpec extends SparkSpec {
     assert(noNul.state.phase.asInstanceOf[Failed].reason.contains("unterminated"))
   }
 
+  test("pure-fold contract: truncated/adversarial bytes never throw") {
+    // truncated ERR (just the 0xff header), truncated handshake, short
+    // seed on both sides of the auth switch — every one must land in
+    // Failed with the phase named, not escape onPayload
+    val s0 = initial(Config("u", "p", 1L))
+    assert(onPayload(s0, Array(0xff.toByte)).state.phase.isInstanceOf[Failed])
+    assert(onPayload(s0, Array(10.toByte, 65)).state.phase.isInstanceOf[Failed])
+    val shortSeed = s0.copy(phase = AwaitAuthSwitch, seed = Array[Byte](1, 2, 3))
+    val r = onPayload(shortSeed,
+      (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ Array[Byte](9))
+    assert(r.state.phase.isInstanceOf[Failed])
+    // Failed keeps its ROOT CAUSE: later ERR packets don't overwrite it
+    val kept = onPayload(r.state,
+      0xff.toByte +: (Array[Byte](1, 0) ++ "#HY000x".getBytes))
+    assert(kept.state.phase == r.state.phase && kept.send.isEmpty)
+  }
+
+  test("positions beyond u4 are refused, not silently truncated") {
+    val st = initial(Config("repl", "pw", 7L,
+      resumeAt = Some(("bin.000007", 5000000000L))))
+      .copy(phase = AwaitStatusRows(colEofSeen = true), masterFile = "x", masterPos = 4L)
+    val s = onPayload(st, eof)
+    assert(s.state.phase.asInstanceOf[Failed].reason.contains("u4"))
+  }
+
+  test("DEPRECATE_EOF terminator at 9+ bytes still ends the result set") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", 100L))
+    st = onPayload(st, handshake(seed, deprecateEof = true)).state
+    st = st.copy(phase = AwaitStatusRows(colEofSeen = true),
+      masterFile = "bin.000001", masterPos = 4L)
+    // OK-with-0xfe-header, 9 bytes (deprecated-EOF layout)
+    val s = onPayload(st, hx("fe" + "00" + "00" + "0200" + "0000" + "0000"))
+    assert(s.state.phase == Streaming)
+    assert(s.send.nonEmpty)
+  }
+
   test("text-protocol row decode: lenenc tags and NULL cells") {
     val row = lenencStr("abc") ++ Array(0xfb.toByte) ++
       (0xfc.toByte +: Array[Byte](3, 0)) ++ "xyz".getBytes
