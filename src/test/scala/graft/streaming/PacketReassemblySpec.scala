@@ -133,13 +133,18 @@ class PacketReassemblySpec extends SparkSpec {
     import spark.implicits._
     import graft.cdc.{BinlogDecode, BinlogRowCodec, BinlogSchema, CdcMerge}
     val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint", "v" -> "varchar(8)"))
-    // scripted history: insert 1→a, insert 2→b, update 1→c, delete 2
-    // (reference event types: 30 = WRITE_ROWS_v2, 32 = DELETE_ROWS_v2)
-    val script = Seq((30, 1L, "a"), (30, 2L, "b"), (30, 1L, "c"), (32, 2L, "b"))
-    val bytes = script.zipWithIndex.toArray.flatMap { case ((tpe, pk, v), i) =>
+    // scripted history: insert 1→a, insert 2→b, UPDATE 1: a→c (true
+    // before/after pair event), delete 2 (types: 30 WRITE, 31 UPDATE,
+    // 32 DELETE, all _v2)
+    val script = Seq(
+      (30, Seq(Seq[Any](1L, "a"))),
+      (30, Seq(Seq[Any](2L, "b"))),
+      (31, Seq(Seq[Any](1L, "a"), Seq[Any](1L, "c"))), // old, new
+      (32, Seq(Seq[Any](2L, "b"))))
+    val bytes = script.zipWithIndex.toArray.flatMap { case ((tpe, images), i) =>
       MysqlProtocolCodec.writePacket(i + 1,
         BinlogRowCodec.encodeEvent(tpe,
-          BinlogRowCodec.encodeRows(tpe, schema, Seq(Seq[Any](pk, v))),
+          BinlogRowCodec.encodeRows(tpe, schema, images),
           packetMarker = true))
     } ++ MysqlProtocolCodec.writePacket(5, Array[Byte](0xfe.toByte, 0, 0, 2, 0))
     val chunks = bytes.grouped(11).toSeq.zipWithIndex
@@ -152,9 +157,11 @@ class PacketReassemblySpec extends SparkSpec {
         BinlogDecode.eventSplit(col("payload"), packetMarker = true).as("h"))
       .select(col("ordinal"), col("h.event_type").as("et"),
         BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
-      // WRITE fills data, DELETE fills old — exactly one is non-empty
+      // the surviving image: WRITE/UPDATE carry it in data (for UPDATE
+      // that's the after side of each pair), DELETE in old
       .select(col("ordinal"), col("et"),
-        explode(concat(col("r.data"), col("r.old"))).as("m"))
+        explode(when(col("et") === 32, col("r.old"))
+          .otherwise(col("r.data"))).as("m"))
       .select(element_at(col("m"), "pk").cast("long").as("pk"),
         col("ordinal").as("cid"),
         when(col("et") === 32, lit("DELETE")).otherwise(lit("INSERT")).as("type"),
