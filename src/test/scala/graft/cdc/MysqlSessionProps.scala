@@ -1,0 +1,75 @@
+package graft.cdc
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import MysqlReplicaSession._
+
+/** Fuzz properties for the replica state machine and the binlog file
+  * codec — the pure-fold ("never throws") and round-trip contracts under
+  * arbitrary bytes.
+  */
+object MysqlSessionProps extends Properties("MysqlSession") {
+
+  private val bytesGen = for {
+    n <- Gen.choose(0, 120)
+    bs <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield bs
+
+  private val phaseGen: Gen[State => State] = Gen.oneOf(
+    (s: State) => s,
+    (s: State) => s.copy(phase = AwaitAuthSwitch, seed = new Array[Byte](20)),
+    (s: State) => s.copy(phase = AwaitAuthResult),
+    (s: State) => s.copy(phase = AwaitChecksumAck),
+    (s: State) => s.copy(phase = AwaitStatusColCount),
+    (s: State) => s.copy(phase = AwaitStatusCols(2)),
+    (s: State) => s.copy(phase = AwaitStatusRows(colEofSeen = false)),
+    (s: State) => s.copy(phase = AwaitStatusRows(colEofSeen = true),
+      masterFile = "bin.000001", masterPos = 4L),
+    (s: State) => s.copy(phase = Streaming))
+
+  property("pure fold: arbitrary payloads in any phase never throw") =
+    forAll(phaseGen, Gen.listOfN(6, bytesGen)) { (mk, payloads) =>
+      var st = mk(initial(Config("u", "p", 1L)))
+      payloads.foreach { p => st = onPayload(st, p).state }
+      true // reaching here (no exception) IS the property
+    }
+
+  property("fold from Failed is a fixpoint with the original reason") =
+    forAll(bytesGen) { p =>
+      val failed = initial(Config("u", "p", 1L))
+        .copy(phase = Failed("root cause"))
+      val s = onPayload(failed, p)
+      s.state.phase == Failed("root cause") && s.send.isEmpty && s.event.isEmpty
+    }
+
+  private val eventGen = for {
+    tpe <- Gen.oneOf(30, 31, 32, 19, 2)
+    n <- Gen.choose(0, 64)
+    body <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield (tpe, body)
+
+  property("binlog file encode/decode round-trips events, both checksum modes") =
+    forAll(Gen.listOfN(5, eventGen).flatMap(l => Gen.choose(0, 5).map(l.take)),
+      Gen.oneOf(true, false)) { (events, checksum) =>
+      val file = BinlogFileCodec.encodeFile(events, checksum)
+      val arr = BinlogFileCodec.decodeFile(file)
+      // element 0 is the FDE itself
+      arr.numElements() == events.length + 1 &&
+        events.indices.forall { i =>
+          val r = arr.getStruct(i + 1, 7)
+          r.getInt(1) == events(i)._1 &&
+            java.util.Arrays.equals(r.getBinary(6), events(i)._2)
+        }
+    }
+
+  property("any single-byte corruption of a checksummed file fails loudly") =
+    forAll(Gen.listOfN(2, eventGen), Gen.choose(0, 1 << 20), Gen.choose(1, 255)) {
+      (events, posSeed, delta) =>
+        val file = BinlogFileCodec.encodeFile(events, checksum = true)
+        val pos = 4 + posSeed % (file.length - 4) // never the magic itself
+        val bad = file.clone()
+        bad(pos) = (bad(pos) + delta).toByte
+        try { BinlogFileCodec.decodeFile(bad); false }
+        catch { case _: IllegalArgumentException => true }
+    }
+}
