@@ -255,6 +255,22 @@ object FunctionQueries {
         .orderBy("approx_dc"),
       None),
 
+    // Heavy-hitter sketch: approx_top_k (Apache DataSketches frequent-items
+    // under the hood) — the mergeable frequency sketch that completes the
+    // sketch family beside HLL (q32) and GK percentiles (q97). One partial
+    // +final aggregation, sketch size O(k), never a full token shuffle.
+    // Approximate → no SQL oracle; CorpusSpec gates the top set and counts
+    // against the exact aggregation.
+    Q("q123_sketch_heavyhitters", { (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(explode(graft.llm.TextOps.tokens(col("text"))).as("token"))
+          .agg(expr("approx_top_k(token, 20)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("token"), col("e.count").as("est_cnt"))
+          .orderBy(col("est_cnt").desc, col("token"))
+      },
+      None),
+
     // Subqueries: correlated scalar aggregate + EXISTS, as one SQL text run
     // verbatim by both engines (Catalyst decorrelates both into joins).
     // The inner average uses the Exact.davg decimal-sum shape so the

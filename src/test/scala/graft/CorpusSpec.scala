@@ -36,6 +36,26 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("q123 heavy-hitter sketch: top set and counts match the exact agg") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q123_sketch_heavyhitters")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, dir, "documents")
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the sketch's top-20 must contain at least 18 of the exact top-20,
+    // each with an estimate within 5% of the true count
+    val hits = exact.keys.count(est.contains)
+    assert(hits >= 18, s"only $hits of exact top-20 in sketch top-20")
+    exact.foreach { case (tok, cnt) =>
+      est.get(tok).foreach { e =>
+        assert(math.abs(e - cnt).toDouble / cnt <= 0.05, s"$tok: est $e vs exact $cnt")
+      }
+    }
+  }
+
   test("q97 approx percentiles within 2% of exact") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q97_agg_approx_percentile")(spark, dir)
