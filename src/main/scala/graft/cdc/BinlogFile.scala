@@ -81,9 +81,16 @@ object BinlogFileCodec {
           if (algAt < pos + HeaderLen)
             throw new IllegalArgumentException(s"FORMAT_DESCRIPTION too short at $pos")
           val alg = file(algAt) & 0xff
-          checksummed = alg == ChecksumCrc32
-          if (checksummed && crc32(file, pos, eventSize.toInt - 4) != u4le(file, end - 4))
+          // The server writes the FDE's own CRC regardless of the declared
+          // algorithm, so verify it UNCONDITIONALLY — otherwise corrupting
+          // the (unauthenticated) alg byte would silently disable all CRC
+          // verification for the rest of the file.
+          if (crc32(file, pos, eventSize.toInt - 4) != u4le(file, end - 4))
             throw new IllegalArgumentException(s"FORMAT_DESCRIPTION CRC mismatch at $pos")
+          if (alg != 0 && alg != ChecksumCrc32)
+            throw new IllegalArgumentException(
+              s"unknown binlog checksum algorithm $alg in FORMAT_DESCRIPTION at $pos")
+          checksummed = alg == ChecksumCrc32
           algAt
         } else if (checksummed) {
           if (crc32(file, pos, eventSize.toInt - 4) != u4le(file, end - 4))

@@ -31,8 +31,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * minimal pruning): 0.67 → 0.56 s. No measured regression regime — the
   * explode ~2× on the probe side is repaid by per-bin residual pruning.
   * Fixed-point safety: the rewritten join's own condition has equi
-  * conjuncts only (bin/equi keys), no range bounds, so `orient` finds
-  * nothing and the rule no-ops on its own output.
+  * conjuncts only (bin/equi keys), no range bounds — AND `rewritable`
+  * refuses any condition referencing the rule's generated attributes
+  * (__bin/__r_bin/__w_lo/__w_hi). The second guard matters on the
+  * injectOptimizerRule wiring, where the rule shares a fixed-point batch
+  * with PushPredicateThroughJoin: that rule pushes the residual range
+  * bounds back into the rewritten join's condition each iteration, so
+  * without the refusal the rule would re-rewrite forever.
   *
   * Bin width comes from `spark.graft.rangejoin.binwidth.us` (default 1h);
   * `spark.graft.rangejoin.enabled=false` disables the rewrite.
@@ -133,9 +138,20 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     e.references.intersect(l.outputSet).nonEmpty &&
       e.references.intersect(r.outputSet).nonEmpty
 
+  // Attribute names this rule itself generates in build(). A join whose
+  // condition references any of them is our own output — possibly with the
+  // residual range bounds pushed BACK into the join condition by
+  // PushPredicateThroughJoin when the rule runs inside the main operator-
+  // optimization fixed-point batch (the injectOptimizerRule wiring).
+  // Without this refusal the rule re-rewrites its own output each
+  // iteration: 'Max iterations (100) reached' then StackOverflowError.
+  private val generatedNames = Set("__bin", "__r_bin", "__w_lo", "__w_hi")
+
   private def rewritable(l: LogicalPlan, r: LogicalPlan, cond: Expression): Boolean = {
+    // never rewrite our own (pushed-back) output — see generatedNames
+    if (cond.references.exists(a => generatedNames.contains(a.name))) return false
     // cheap pre-check: at least one conjunct bounds a timestamp attribute
-    // cross-side (also false on our own output, whose condition is equi-only)
+    // cross-side
     val cs = splitConjuncts(cond)
     cs.exists(c => asBound(c, l, r).isDefined || asBound(c, r, l).isDefined)
   }

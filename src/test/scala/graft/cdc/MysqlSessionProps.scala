@@ -1,7 +1,7 @@
 package graft.cdc
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, forAllNoShrink}
 import MysqlReplicaSession._
 
 /** Fuzz properties for the replica state machine and the binlog file
@@ -62,8 +62,11 @@ object MysqlSessionProps extends Properties("MysqlSession") {
         }
     }
 
+  // forAllNoShrink: the default shrinker walks posSeed/delta OUTSIDE the
+  // generator ranges (delta=0 = no corruption), producing misleading
+  // "minimal" counterexamples that aren't valid inputs.
   property("any single-byte corruption of a checksummed file fails loudly") =
-    forAll(Gen.listOfN(2, eventGen), Gen.choose(0, 1 << 20), Gen.choose(1, 255)) {
+    forAllNoShrink(Gen.listOfN(2, eventGen), Gen.choose(0, 1 << 20), Gen.choose(1, 255)) {
       (events, posSeed, delta) =>
         val file = BinlogFileCodec.encodeFile(events, checksum = true)
         val pos = 4 + posSeed % (file.length - 4) // never the magic itself
@@ -71,5 +74,21 @@ object MysqlSessionProps extends Properties("MysqlSession") {
         bad(pos) = (bad(pos) + delta).toByte
         try { BinlogFileCodec.decodeFile(bad); false }
         catch { case _: IllegalArgumentException => true }
+    }
+
+  // Deterministic regression for the round-6 hole: the FDE checksum-alg
+  // byte is unauthenticated only if the FDE's own CRC is conditionally
+  // checked. Corrupt EXACTLY that byte (and each other alg value) so the
+  // contract is exercised every run, not only when the fuzzer lands there.
+  property("corrupting exactly the FDE checksum-alg byte fails loudly") =
+    forAllNoShrink(Gen.listOfN(2, eventGen), Gen.choose(1, 255)) { (events, delta) =>
+      val file = BinlogFileCodec.encodeFile(events, checksum = true)
+      val fdeSize = ((file(4 + 9) & 0xff) | ((file(4 + 10) & 0xff) << 8) |
+        ((file(4 + 11) & 0xff) << 16) | ((file(4 + 12) & 0xff) << 24))
+      val algAt = 4 + fdeSize - 5
+      val bad = file.clone()
+      bad(algAt) = (bad(algAt) + delta).toByte
+      try { BinlogFileCodec.decodeFile(bad); false }
+      catch { case _: IllegalArgumentException => true }
     }
 }

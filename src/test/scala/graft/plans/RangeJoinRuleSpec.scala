@@ -118,6 +118,71 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  // Regression for the injectOptimizerRule wiring: there the rule shares a
+  // fixed-point batch with PushPredicateThroughJoin, which pushes the
+  // residual range bounds back into the rewritten join each iteration.
+  // Before the generated-attribute refusal in rewritable(), any range join
+  // on such a session died with 'Max iterations (100) reached' and a
+  // StackOverflowError. experimental.extraOptimizations (the other tests
+  // above) runs in its own single-rule batch and never reproduced this.
+  test("withExtensions session: pure and equi+range joins converge and match") {
+    import org.apache.spark.sql.SparkSession
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // Reuses the live SparkContext; extensions apply because the builder
+    // creates a NEW SparkSession object. Never .stop() it — shared context.
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val sqlCtx = s2.sqlContext
+      import sqlCtx.implicits._
+      val l2 = (1 to 50).map(i => (i.toLong, ts(i * 37 % 5000))).toDF("lid", "lts")
+      val r2 = (1 to 80).map(i => (100L + i, ts(i * 59 % 5000))).toDF("rid", "rts")
+
+      // pure range join
+      val pure = l2.join(r2,
+        $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 3 MINUTES"))
+      val pureOpt = pure.queryExecution.optimizedPlan.toString
+      assert(pureOpt.contains("__bin"), pureOpt)
+      val purePlan = pure.queryExecution.executedPlan.toString
+      assert(!purePlan.contains("NestedLoop") && !purePlan.contains("CartesianProduct"),
+        purePlan)
+      val expectedPure = try {
+        s2.conf.set("spark.graft.rangejoin.enabled", "false")
+        pure.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      } finally s2.conf.set("spark.graft.rangejoin.enabled", "true")
+      assert(expectedPure.nonEmpty)
+      assert(pure.select($"lid", $"rid").as[(Long, Long)].collect().toSet == expectedPure)
+
+      // equi + range join
+      val lk = (1 to 60).map(i => ((i % 4).toLong, i.toLong, ts(i * 37 % 5000)))
+        .toDF("k", "lid", "lts")
+      val rk = (1 to 90).map(i => ((i % 4).toLong, 100L + i, ts(i * 59 % 5000)))
+        .toDF("k", "rid", "rts")
+      val both = lk.join(rk, lk("k") === rk("k") &&
+        $"rts" >= $"lts" && $"rts" <= $"lts" + expr("INTERVAL 5 MINUTES"))
+      val bothOpt = both.queryExecution.optimizedPlan.toString
+      assert(bothOpt.contains("__bin"), bothOpt)
+      val expectedBoth = try {
+        s2.conf.set("spark.graft.rangejoin.enabled", "false")
+        both.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      } finally s2.conf.set("spark.graft.rangejoin.enabled", "true")
+      assert(expectedBoth.nonEmpty)
+      assert(both.select($"lid", $"rid").as[(Long, Long)].collect().toSet == expectedBoth)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("disabled flag leaves the naive plan untouched") {
     graft.GraftExtensions.register(spark)
     try {
