@@ -345,12 +345,20 @@ object CdcSnapshot {
     }
   }
 
-  /** Start the streaming merge over a change-row stream. */
+  /** Start the streaming merge over a change-row stream.
+    *
+    * `outputMode` only drives Spark's stateful-operator compatibility check
+    * (foreachBatch receives each micro-batch as-is either way): the default
+    * "update" suits plain change feeds; pass "append" when the change
+    * stream itself contains append-mode stateful stages (e.g. the
+    * [[ReplicaStream]] chain — flatMapGroupsWithState stages require an
+    * append-mode query).
+    */
   def start(changes: DataFrame, pkCols: Seq[String], ordCol: String,
       snapshotDir: String, checkpointDir: String, numBuckets: Int = 16,
-      retention: Retention = Retention()): StreamingQuery =
+      retention: Retention = Retention(), outputMode: String = "update"): StreamingQuery =
     changes.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeBatch(batch, pkCols, ordCol, snapshotDir, numBuckets, retention)
