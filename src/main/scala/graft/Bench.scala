@@ -51,8 +51,17 @@ object Bench {
     val failures = results.count(_._3.isDefined)
     val total = results.map(_._2).filter(_ >= 0).sum
     val cdcRate = try cdcThroughput(spark, sfDir) catch { case _: Throwable => -1.0 }
+    // Stamp the git SHA so every bench artifact names the code it measured
+    // (stale-artifact guard for cross-round comparisons).
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .directory(new java.io.File(".")).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failures":$failures,"errors":$errs,"cdc_rows_per_sec":$cdcRate,"sf":"$sfDir"}"""
+      s""""failures":$failures,"errors":$errs,"cdc_rows_per_sec":$cdcRate,""" +
+      s""""commit":"$sha","sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a tail of stdout; persist the complete
     // per-query map so every number survives for the next reader.
