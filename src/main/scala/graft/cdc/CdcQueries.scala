@@ -877,6 +877,74 @@ object CdcQueries {
              |UNION ALL
              |SELECT gid, 4, -1, 'EOF', CAST(NULL AS VARCHAR) FROM
              |  (SELECT DISTINCT (o_orderkey - o_orderkey % 3) AS gid FROM orders)
-             |ORDER BY gid, seq""".stripMargin))
+             |ORDER BY gid, seq""".stripMargin)),
+
+    // Multi-file ROTATE-chain replay (reference binlog.rs:768-828 rotate
+    // dispatch, main.rs:115-124 file switching): each order bucket becomes
+    // TWO chained binlog files — the head file's ROTATE names the tail
+    // file. The engine starts from head files only and discovers the tail
+    // by JOINING the rotate-extracted name against the file table (the
+    // name travels through the bytes, not the fixture), then replays the
+    // whole chain as one ordered typed-row stream. q117 is the single-file
+    // shape; this is the cross-file handoff a real binlog directory needs.
+    Q("q124_binlog_rotate_chain", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)"))
+        val tm = BinlogRowCodec.encodeTableMap(7L, "db1", "orders", schema)
+        def fileOf(rows: Seq[Row], next: Option[String]): Array[Byte] =
+          BinlogFileCodec.encodeFile(
+            (19, tm) +: rows.map(r => (BinlogRowCodec.WriteV2,
+              BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+                Seq(Seq[Any](r.getLong(0), r.getString(1))), tableId = 7L))),
+            checksum = true, nextFile = next)
+        // first ceil(n/2) sorted rows → head file (ROTATE → tail), rest →
+        // tail file; every fixture bucket has ≥2 rows so both are non-empty
+        val enc = udf((gid: Long, rows: Seq[Row]) => {
+          val k = (rows.size + 1) / 2
+          Seq(fileOf(rows.take(k), Some(s"bin.$gid.1")), fileOf(rows.drop(k), None))
+        })
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 64).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType), col("o_orderstatus")))).as("rows"))
+        val files = grouped.sortWithinPartitions("gid")
+          .select(col("gid"), posexplode(enc(col("gid"), col("rows")))
+            .as(Seq("ford", "bytes")))
+          .select(col("gid"), col("ford"),
+            concat(lit("bin."), col("gid"), lit("."), col("ford")).as("fname"),
+            col("bytes"))
+        val heads = files.filter(col("ford") === 0)
+          .select(col("gid"), BinlogFileSplit(col("bytes")).as("evs"))
+          .select(col("gid"), col("evs"),
+            BinlogRotateName(element_at(
+              expr("filter(evs, e -> e.event_type = 4)"), 1).getField("body"))
+              .as("next_file"))
+        // tail files keyed by NAME: the engine only learns which file is
+        // next from the decoded ROTATE body
+        val tails = files.filter(col("ford") =!= 0)
+          .select(col("fname").as("tname"), BinlogFileSplit(col("bytes")).as("tevs"))
+        val chained = heads.join(tails, col("next_file") === col("tname"))
+        chained.select(col("gid"),
+            explode(array(
+              struct(lit(0).as("ford"), col("evs").as("fevs")),
+              struct(lit(1).as("ford"), col("tevs").as("fevs")))).as("f"))
+          .select(col("gid"), col("f.ford").as("ford"),
+            // _outer: see q68 — avoids the inferred filter double-decoding
+            explode_outer(expr("filter(f.fevs, e -> e.event_type = 30)")).as("h"))
+          .select(col("gid"), col("ford"),
+            BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+          .select(col("gid"), col("ford"), explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("gid"), col("ford"), element_at(col("m"), "status").as("status"))
+      },
+      Some("""SELECT o_orderkey AS pk, (o_orderkey - o_orderkey % 64) AS gid,
+             |  CASE WHEN ROW_NUMBER() OVER (
+             |      PARTITION BY (o_orderkey - o_orderkey % 64) ORDER BY o_orderkey)
+             |    <= (COUNT(*) OVER (PARTITION BY (o_orderkey - o_orderkey % 64)) + 1) // 2
+             |  THEN 0 ELSE 1 END AS ford,
+             |  o_orderstatus AS status
+             |FROM orders ORDER BY pk""".stripMargin))
   )
 }
