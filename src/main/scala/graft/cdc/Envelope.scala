@@ -50,14 +50,23 @@ object Envelope {
     * so the whole-pipeline win is ~5% — worth keeping (strictly less work,
     * bigger envelopes save more) but not the merge bottleneck.
     */
-  def parsePartial(raw: Column, dataFields: Seq[String]): Column =
-    from_json(raw, StructType(Seq(
+  def parsePartial(raw: Column, dataFields: Seq[String],
+      oldFields: Seq[String] = Nil): Column = {
+    val base = Seq(
       StructField("id", LongType),
       StructField("database", StringType),
       StructField("table", StringType),
       StructField("type", StringType),
       StructField("data", ArrayType(
-        StructType(dataFields.map(f => StructField(f, StringType))))))))
+        StructType(dataFields.map(f => StructField(f, StringType))))))
+    // DELETE envelopes built from before-images may carry the pk only in
+    // `old` — callers that key deletes ask for those fields; everyone else
+    // keeps the old-free schema (and its unchanged output shape).
+    val fields = if (oldFields.isEmpty) base else base :+
+      StructField("old", ArrayType(
+        StructType(oldFields.map(f => StructField(f, StringType)))))
+    from_json(raw, StructType(fields))
+  }
 
   /** Render an envelope struct column back to Canal-JSON. */
   def render(envelope: Column): Column = to_json(envelope)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import graft.cdc.CdcMerge
+import graft.cdc.{CdcMerge, Envelope, Instance, Routing}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -344,6 +344,43 @@ object CdcSnapshot {
       }
     }
   }
+
+  /** Canal-JSON lines → keyed change rows ready for [[start]]/[[mergeBatch]]:
+    * the DEFAULT snapshot ingest, riding the q118-locked PARTIAL parse
+    * (id/database/table/type + only the named data/old keys as structs —
+    * sqlType/mysqlType and unreferenced keys never materialize; measured
+    * 1.3× on the parse stage, PERFORMANCE.md r6) instead of the full
+    * 13-field [[Envelope.parse]]. Route filter, then per-row: `cid` = the
+    * envelope id, `type`, `pk` = the pk field from the first data image
+    * with the old-image fallback (DELETE envelopes built from
+    * before-images), plus each requested data field as a string column.
+    */
+  def canalChanges(lines: DataFrame, valueCol: String, instances: Seq[Instance],
+      pkField: String, dataFields: Seq[String]): DataFrame = {
+    require(instances.nonEmpty, "canalChanges needs at least one routing instance")
+    val fields = (pkField +: dataFields).distinct
+    val parsed = lines.select(
+      Envelope.parsePartial(col(valueCol), fields, oldFields = Seq(pkField)).as("e"))
+      .select("e.*")
+    val routed = parsed.filter(
+      size(Routing.routes(instances, col("database"), col("table"))) > 0)
+    val img = try_element_at(col("data"), lit(1))
+    val oldImg = try_element_at(col("old"), lit(1))
+    routed.select(Seq(
+      col("id").as("cid"), col("type"),
+      coalesce(img.getField(pkField), oldImg.getField(pkField)).as("pk")) ++
+      dataFields.filterNot(_ == pkField).map(f => img.getField(f).as(f)): _*)
+  }
+
+  /** Start the DEFAULT Canal-JSON snapshot pipeline: [[canalChanges]]
+    * (partial-parse ingest) → [[start]] (bucketed latest-image merge).
+    */
+  def startFromCanalJson(lines: DataFrame, valueCol: String,
+      instances: Seq[Instance], pkField: String, dataFields: Seq[String],
+      snapshotDir: String, checkpointDir: String, numBuckets: Int = 16,
+      retention: Retention = Retention()): StreamingQuery =
+    start(canalChanges(lines, valueCol, instances, pkField, dataFields),
+      Seq("pk"), "cid", snapshotDir, checkpointDir, numBuckets, retention)
 
   /** Start the streaming merge over a change-row stream.
     *

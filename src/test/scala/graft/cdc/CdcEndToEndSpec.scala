@@ -36,19 +36,12 @@ class CdcEndToEndSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-e2e").toString
     val in = MemoryStream[String]
 
-    val parsed = in.toDF().select(Envelope.parse(col("value")).as("e")).select("e.*")
-    val routed = parsed
-      .filter(size(Routing.routes(instances, col("database"), col("table"))) > 0)
-    // pk value: first data row for upserts, first old row for deletes
-    val keyed = routed.select(
-      col("id").as("cid"),
-      col("type"),
-      try_element_at(
-        when(col("type") === "DELETE", col("old")).otherwise(col("data")), lit(1))
-        .getItem("id").cast("long").as("pk"),
-      try_element_at(col("data"), lit(1)).getItem("name").as("name"),
-      try_element_at(col("data"), lit(1)).getItem("bal").as("bal"))
-    val q = CdcSnapshot.start(keyed, Seq("pk"), "cid", s"$dir/snap", s"$dir/ckpt")
+    // the DEFAULT ingest: q118-locked partial parse (only id/db/table/type
+    // + the named data/old keys materialize), route filter, pk with the
+    // DELETE old-image fallback — all inside CdcSnapshot.canalChanges
+    val q = CdcSnapshot.startFromCanalJson(in.toDF(), "value", instances,
+      pkField = "id", dataFields = Seq("name", "bal"),
+      s"$dir/snap", s"$dir/ckpt")
 
     try {
       in.addData(
@@ -65,9 +58,9 @@ class CdcEndToEndSpec extends SparkSpec {
 
       val snap = CdcSnapshot.read(spark, s"$dir/snap")
         .select("pk", "name", "bal").orderBy("pk").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
       // alice deleted, bob present, audit_log rows never routed
-      assert(snap == Seq((2L, "bob", "5.00")))
+      assert(snap == Seq(("2", "bob", "5.00")))
     } finally q.stop()
   }
 
