@@ -699,10 +699,29 @@ object LlmQueries {
           (a, b) => concat(a, lit(" "), b))
         val bg = t(s, dir, "documents")
           .select(col("doc_id"), explode(bigrams).as("bg"))
-        val counts = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
-        bg.join(counts, "bg")
+        // Skew hardening (r7), two layers. (1) Join at the (doc, bigram)
+        // PAIR level, not the occurrence level: "of the" is Zipfian — a
+        // constant fraction of all occurrences — so an occurrence-keyed
+        // join hands one reducer that whole fraction at 100 TB;
+        // pre-aggregating to pairs (a well-spread composite key) caps the
+        // hot bigram's join rows at #docs-containing-it, and the partial
+        // agg bounds its shuffle traffic to one row per map task.
+        // Identical integer math: cnt = Σ_pairs m; fam_sum = Σ m·cnt;
+        // n = Σ m. (2) SALT the residual per-bigram skew: AQE's
+        // OptimizeSkewedJoin is structurally BLIND to this join — it
+        // pattern-matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)), and
+        // the counts side here is Sort(HashAgg(ShuffleRead)) (an agg-fed
+        // join side), so no runtime split ever fires (measured: an 11×
+        // hot partition stays unsplit even under forceOptimizeSkewedJoin;
+        // SkewSpec documents it). Skew.saltedJoin spreads the hot bigram's
+        // pairs over 16 sub-keys (doc_id discriminates rows) at the cost
+        // of 16× the vocab-sized counts side — cheap next to the pairs
+        // side. Spread evidence: SkewSpec "bigram pair join" case.
+        val pairs = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+        val counts = pairs.groupBy("bg").agg(sum("m").as("cnt"))
+        graft.operators.Skew.saltedJoin(pairs, counts, "bg", salt = 16)
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fam_sum"))
+          .agg(sum("m").as("n_bigrams"), sum(col("m") * col("cnt")).as("fam_sum"))
           .select(col("doc_id"), col("n_bigrams"), col("fam_sum"),
             (col("fam_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
               .as("familiarity"))
