@@ -1,7 +1,7 @@
 package graft.cdc
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, forAllNoShrink}
 
 /** Encode→decode round-trip properties for whole ROW-event bodies: random
   * schemas, random multi-row images with random NULLs and present bitmaps
@@ -121,5 +121,101 @@ object BinlogRowProps extends Properties("BinlogRowCodec") {
       val vals = (0 until nRows).map(i => Seq[Any](i, s"r$i"))
       val decoded = decodeRows(encodeRows(DeleteV2, schema, vals), DeleteV2, schema)
       images(decoded, 0).isEmpty && images(decoded, 1).map(_("pk")) == vals.map(_.head.toString)
+    }
+
+  // ---- composed raw path: encodeRows → BinlogRowsDecode (the Catalyst
+  // expression) → typedColumns, at random (p,s)/fsp — VERDICT r6 #7. The
+  // scalar codecs round-trip above; this drives the SAME bytes through the
+  // full Spark expression pipeline and compares the TYPED values (Decimal /
+  // Timestamp / String) against ones computed independently from the
+  // generated components.
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]").appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** One generated column: mysql type string, fixture value for encodeRows,
+    * and the TYPED value typedColumns must produce.
+    */
+  private final case class TypedCol(mysqlType: String, value: Any, expected: Any)
+
+  private val decimalGen: Gen[TypedCol] = for {
+    p <- Gen.choose(1, 18) // fixture encoder packs the unscaled via long
+    s <- Gen.choose(0, p)
+    bound = math.BigInt(10).pow(p) - 1
+    u <- Gen.choose(-bound.toLong, bound.toLong)
+  } yield {
+    val bd = new java.math.BigDecimal(java.math.BigInteger.valueOf(u), s)
+    TypedCol(s"decimal($p,$s)", bd.toPlainString, bd)
+  }
+
+  private val datetimeGen: Gen[TypedCol] = for {
+    fsp <- Gen.choose(0, 6)
+    // 1900+: pre-1582 dates collect through Spark's Gregorian→Julian
+    // rebase of java.sql.Timestamp, which shifts the Instant — a JVM
+    // representation detail, not a codec property (BinlogCodecProps
+    // covers the full 1..9999 range on the string side)
+    y <- Gen.choose(1900, 9999); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+    f <- Gen.choose(0L, math.BigInt(10).pow(fsp).toLong - 1 max 0L)
+  } yield {
+    val frac = if (fsp == 0) "" else "." + s"%0${fsp}d".format(f)
+    val micros = f * math.BigInt(10).pow(6 - fsp).toLong
+    val inst = java.time.LocalDateTime.of(y, mo, d, h, mi, s, (micros * 1000).toInt)
+      .toInstant(java.time.ZoneOffset.UTC)
+    TypedCol(s"datetime($fsp)", f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d$frac",
+      java.sql.Timestamp.from(inst))
+  }
+
+  private val timestampGen: Gen[TypedCol] = for {
+    fsp <- Gen.choose(0, 6)
+    sec <- Gen.choose(1L, 4000000000L) // 0 is MySQL's zero-timestamp → NULL
+  } yield TypedCol(s"timestamp($fsp)", sec,
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+
+  private val timeGen: Gen[TypedCol] = for {
+    fsp <- Gen.choose(0, 6)
+    neg <- Gen.oneOf(true, false)
+    h <- Gen.choose(1, 800) // MySQL TIME spans ±838h — deliberately > 24h
+    mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+    f <- Gen.choose(0L, math.BigInt(10).pow(fsp).toLong - 1 max 0L)
+  } yield {
+    val frac = if (fsp == 0) "" else "." + s"%0${fsp}d".format(f)
+    val str = (if (neg) "-" else "") + f"$h%02d:$mi%02d:$s%02d" + frac
+    TypedCol(s"time($fsp)", str, str) // Catalog.sparkType(time) = StringType
+  }
+
+  private val typedEventGen: Gen[List[TypedCol]] = for {
+    nCols <- Gen.choose(1, 6)
+    cols <- Gen.listOfN(nCols, Gen.oneOf(decimalGen, datetimeGen, timestampGen, timeGen))
+  } yield cols
+
+  property("composed path: (p,s) decimals + fsp temporals through " +
+    "encodeRows → BinlogRowsDecode → typedColumns") =
+    forAllNoShrink(typedEventGen, Gen.choose(1, 3)) { (cols, nRows) =>
+      import org.apache.spark.sql.functions.{col, explode, lit}
+      val types = cols.zipWithIndex.map { case (c, i) => s"c$i" -> c.mysqlType }
+      val schema = BinlogSchema.fromMysqlTypes(types)
+      val body = encodeRows(WriteV2, schema,
+        (0 until nRows).map(_ => cols.map(_.value)))
+      val got = spark.range(1)
+        .select(BinlogRowsDecode(lit(body), lit(WriteV2), schema).as("r"))
+        .select(explode(col("r.data")).as("m"))
+        .select(graft.cdc.BinlogDecode.typedColumns(col("m"), types): _*)
+        .collect()
+      got.length == nRows && got.forall { row =>
+        cols.zipWithIndex.forall { case (c, i) =>
+          (c.expected, row.get(i)) match {
+            case (e: java.math.BigDecimal, g: java.math.BigDecimal) =>
+              e.compareTo(g) == 0
+            case (e: java.sql.Timestamp, g: java.sql.Timestamp) =>
+              e.toInstant == g.toInstant
+            case (e, g) => e == g
+          }
+        }
+      }
     }
 }
