@@ -73,6 +73,19 @@ object BinlogFileCodec {
         throw new IllegalArgumentException(
           s"event at offset $pos claims $eventSize bytes; file has ${file.length - pos} left")
       val end = pos + eventSize.toInt
+      // The format writes exactly one FORMAT_DESCRIPTION, always first.
+      // Enforcing both directions closes the two type-byte corruption
+      // holes: a corrupted FDE type byte would otherwise leave
+      // `checksummed` false (silently skipping ALL CRC verification),
+      // and a mid-file event type corrupted INTO FdeType would pass the
+      // FDE-CRC check (same trailing-CRC layout as a checksummed event)
+      // and let its arbitrary alg byte flip verification off.
+      if (pos == 4 && tpe != FdeType)
+        throw new IllegalArgumentException(
+          s"binlog file must start with a FORMAT_DESCRIPTION (type $FdeType) event; got type $tpe")
+      if (pos != 4 && tpe == FdeType)
+        throw new IllegalArgumentException(
+          s"unexpected FORMAT_DESCRIPTION at mid-file offset $pos")
       val bodyEnd =
         if (tpe == FdeType) {
           // FDE tail: checksum_alg byte sits 5 bytes from the event end

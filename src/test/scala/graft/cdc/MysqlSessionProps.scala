@@ -91,4 +91,48 @@ object MysqlSessionProps extends Properties("MysqlSession") {
       try { BinlogFileCodec.decodeFile(bad); false }
       catch { case _: IllegalArgumentException => true }
     }
+
+  // Deterministic regression for the round-7 hole (found by this suite's
+  // own fuzz property at offset 8): corrupting the FDE's TYPE byte used to
+  // leave `checksummed` false, silently skipping all CRC verification.
+  property("corrupting exactly the FDE type byte fails loudly") =
+    forAllNoShrink(Gen.listOfN(2, eventGen), Gen.choose(1, 255)) { (events, delta) =>
+      val file = BinlogFileCodec.encodeFile(events, checksum = true)
+      val bad = file.clone()
+      bad(8) = (bad(8) + delta).toByte // offset 8 = first event's type byte
+      try { BinlogFileCodec.decodeFile(bad); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+
+  // Exhaustive sweep: EVERY post-magic byte position, one fixed delta per
+  // run. The sampled property above found both type-byte holes only when
+  // the random draw landed on the weak byte (1-in-~300 per case — a flaky
+  // red); this one visits every byte every run, so a new unauthenticated
+  // byte fails deterministically on the first run that introduces it.
+  property("exhaustive: corruption at every byte position fails loudly") =
+    forAllNoShrink(Gen.listOfN(2, eventGen), Gen.choose(1, 255)) { (events, delta) =>
+      val file = BinlogFileCodec.encodeFile(events, checksum = true)
+      (4 until file.length).forall { pos =>
+        val bad = file.clone()
+        bad(pos) = (bad(pos) + delta).toByte
+        try { BinlogFileCodec.decodeFile(bad); false }
+        catch { case _: IllegalArgumentException => true }
+      }
+    }
+
+  // The dual hole: a mid-file event type corrupted INTO FdeType(15) passes
+  // the FDE's own-CRC check (identical trailing-CRC layout) and its
+  // arbitrary "alg" byte could flip verification off for the rest of the
+  // file. FDE is only legal as the first event.
+  property("corrupting a mid-file event type INTO FORMAT_DESCRIPTION fails loudly") =
+    forAllNoShrink(Gen.listOfN(2, eventGen)) { events =>
+      val file = BinlogFileCodec.encodeFile(events, checksum = true)
+      val fdeSize = ((file(4 + 9) & 0xff) | ((file(4 + 10) & 0xff) << 8) |
+        ((file(4 + 11) & 0xff) << 16) | ((file(4 + 12) & 0xff) << 24))
+      val typeAt = 4 + fdeSize + 4 // first post-FDE event's type byte
+      val bad = file.clone()
+      bad(typeAt) = BinlogFileCodec.FdeType.toByte
+      try { BinlogFileCodec.decodeFile(bad); false }
+      catch { case _: IllegalArgumentException => true }
+    }
 }
