@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * TEXT and BLOB: binary columns render as lowercase hex — lossless and
   * reversible via `unhex`, unlike the reference's lossy UTF-16 decode,
   * `executor.rs:231-236`; text columns render as UTF-8).
+  *
+  * ENUM/SET reuse `maxLength` as the wire pack length (ENUM: 1 or 2 bytes;
+  * SET: 1-8 bytes) and carry the DDL member list in `members` — with
+  * members known, ENUM renders the member name and SET the comma-joined
+  * selected names (MySQL's textual forms); with `members` empty (the
+  * TABLE_MAP path, which does not carry them) they render the raw 1-based
+  * index / bitmask as digits. BIT reuses `precision` as the bit count and
+  * renders the unsigned integer value. JSON reuses `lengthSize` like
+  * TEXT/BLOB and renders the decoded [[JsonBinary]] document text.
   */
 case class BinlogColumn(
     name: String,
@@ -36,7 +45,8 @@ case class BinlogColumn(
     precision: Int = 0,
     scale: Int = 0,
     unsigned: Boolean = false,
-    binary: Boolean = false) extends Serializable
+    binary: Boolean = false,
+    members: Seq[String] = Nil) extends Serializable
 
 /** Raw MySQL binlog ROW-event decode: assembles whole typed rows from
   * WRITE/UPDATE/DELETE_ROWS event bodies — columns-present bitmap, per-image
@@ -73,11 +83,15 @@ object BinlogRowCodec {
   final val DATE = 10
   final val YEAR = 13
   final val VARCHAR = 15
+  final val BIT = 16
   final val TIMESTAMP2 = 17
   final val DATETIME2 = 18
   final val TIME2 = 19
-  final val TEXT = 252
+  final val JSON = 245
   final val DECIMAL = 246
+  final val ENUM = 247
+  final val SET = 248
+  final val TEXT = 252
   final val CHAR = 254
 
   // Row event type codes: v1 carries no extra-data area, v2 does.
@@ -248,6 +262,43 @@ object BinlogRowCodec {
       val len = r.uLE(c.lengthSize).toInt
       val bs = r.slice(len)
       if (c.binary) UTF8String.fromBytes(toHex(bs)) else UTF8String.fromBytes(bs)
+    case ENUM =>
+      val idx = r.uLE(c.maxLength).toInt
+      if (c.members.isEmpty) UTF8String.fromString(idx.toString)
+      else if (idx == 0) UTF8String.EMPTY_UTF8 // MySQL's '' for the invalid 0
+      else if (idx <= c.members.length) UTF8String.fromString(c.members(idx - 1))
+      else throw new IllegalArgumentException(
+        s"ENUM index $idx exceeds ${c.members.length} members (${c.name})")
+    case SET =>
+      val mask = r.uLE(c.maxLength)
+      if (c.members.isEmpty) UTF8String.fromString(java.lang.Long.toUnsignedString(mask))
+      else {
+        if (c.members.length < 64 && (mask >>> c.members.length) != 0)
+          throw new IllegalArgumentException(
+            s"SET mask $mask has bits beyond ${c.members.length} members (${c.name})")
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < c.members.length) {
+          if (((mask >>> i) & 1L) != 0) {
+            if (sb.length > 0) sb.append(',')
+            sb.append(c.members(i))
+          }
+          i += 1
+        }
+        UTF8String.fromString(sb.toString)
+      }
+    case BIT =>
+      // Stored big-endian in (bits+7)/8 bytes; BIT(64) is MySQL's max.
+      val bs = r.slice((c.precision + 7) / 8)
+      var v = 0L
+      var i = 0
+      while (i < bs.length) { v = (v << 8) | (bs(i) & 0xffL); i += 1 }
+      UTF8String.fromString(java.lang.Long.toUnsignedString(v))
+    case JSON =>
+      val len = r.uLE(c.lengthSize).toInt
+      // A zero-length value is how MySQL logs a JSON `null` document.
+      if (len == 0) UTF8String.fromString("null")
+      else UTF8String.fromString(JsonBinary.decodeToString(r.slice(len)))
     case other =>
       throw new IllegalArgumentException(s"unsupported column type code $other (${c.name})")
   }
@@ -441,14 +492,29 @@ object BinlogRowCodec {
       types(i) match {
         case VARCHAR => (r.uLE(2).toInt, 0, 1, 0, 0)
         case CHAR =>
-          // 2 bytes big-endian; length bits 8-9 are XOR-folded into the
-          // type byte (reference binlog.rs:419-426, MySQL string meta).
-          val metadata = (r.u1() << 8) | r.u1()
-          ((((metadata >> 4) & 0x300) ^ 0x300) + (metadata & 0xff), 0, 1, 0, 0)
+          // ENUM and SET hide behind the STRING type byte on the wire:
+          // metadata byte 0 carries the REAL type, byte 1 the pack length
+          // (MySQL string meta). A genuine CHAR packs its high length bits
+          // 8-9 XOR-folded into the type byte (reference binlog.rs:419-426).
+          val b0 = r.u1()
+          val b1 = r.u1()
+          if (b0 == ENUM || b0 == SET) {
+            types(i) = b0
+            (b1, 0, 1, 0, 0)
+          } else {
+            val metadata = (b0 << 8) | b1
+            ((((metadata >> 4) & 0x300) ^ 0x300) + (metadata & 0xff), 0, 1, 0, 0)
+          }
         case FLOAT | DOUBLE => r.skip(1); (0, 0, 1, 0, 0) // size implied by type
         case TIME2 | DATETIME2 | TIMESTAMP2 => (0, r.u1(), 1, 0, 0)
-        case TEXT => (0, 0, r.u1(), 0, 0)
+        case TEXT | JSON => (0, 0, r.u1(), 0, 0)
         case DECIMAL => (0, 0, 1, r.u1(), r.u1())
+        case BIT =>
+          // byte 0 = bits % 8, byte 1 = whole bytes (field.cc
+          // do_save_field_metadata); total bit count restores as b1*8+b0.
+          val b0 = r.u1()
+          val b1 = r.u1()
+          (0, 0, 1, b1 * 8 + b0, 0)
         case _ => (0, 0, 1, 0, 0) // fixed-width ints / DATE / YEAR: no metadata
       }
     }
@@ -523,6 +589,34 @@ object BinlogRowCodec {
           else v.toString.getBytes("UTF-8")
         writeLE(out, bs.length.toLong, c.lengthSize)
         out.write(bs)
+      case ENUM =>
+        val idx = v match {
+          case n: Number => n.intValue
+          case s =>
+            val i = c.members.indexOf(s.toString)
+            require(i >= 0, s"'$s' is not an ENUM member of ${c.name}")
+            i + 1
+        }
+        writeLE(out, idx.toLong, c.maxLength)
+      case SET =>
+        val mask = v match {
+          case n: Number => n.longValue
+          case s =>
+            s.toString.split(",").iterator.filter(_.nonEmpty).foldLeft(0L) { (m, nm) =>
+              val i = c.members.indexOf(nm)
+              require(i >= 0, s"'$nm' is not a SET member of ${c.name}")
+              m | (1L << i)
+            }
+        }
+        writeLE(out, mask, c.maxLength)
+      case BIT =>
+        val bits = v.asInstanceOf[Number].longValue
+        var i = (c.precision + 7) / 8 - 1
+        while (i >= 0) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i -= 1 }
+      case JSON =>
+        val doc = JsonBinary.encode(v.toString)
+        writeLE(out, doc.length.toLong, c.lengthSize)
+        out.write(doc)
       case other =>
         throw new IllegalArgumentException(s"unsupported column type code $other")
     }
@@ -596,11 +690,16 @@ object BinlogRowCodec {
     name(table)
     require(cols.length < 0xfb, "lenenc 1-byte form only in fixtures")
     out.write(cols.length)
-    cols.foreach(c => out.write(c.tpe))
+    // ENUM/SET go on the wire as the STRING type byte; the real type
+    // travels in metadata byte 0 (mirrors decodeTableMap's CHAR branch).
+    cols.foreach(c => out.write(if (c.tpe == ENUM || c.tpe == SET) CHAR else c.tpe))
     val meta = new java.io.ByteArrayOutputStream
     cols.foreach { c =>
       c.tpe match {
         case VARCHAR => writeLE(meta, c.maxLength.toLong, 2)
+        case ENUM | SET =>
+          meta.write(c.tpe)
+          meta.write(c.maxLength) // pack length
         case CHAR =>
           require(c.maxLength <= 1023, s"CHAR maxLength ${c.maxLength} > 1023")
           meta.write(CHAR ^ ((c.maxLength & 0x300) >> 4))
@@ -608,8 +707,9 @@ object BinlogRowCodec {
         case FLOAT => meta.write(4)
         case DOUBLE => meta.write(8)
         case TIME2 | DATETIME2 | TIMESTAMP2 => meta.write(c.fsp)
-        case TEXT => meta.write(c.lengthSize)
+        case TEXT | JSON => meta.write(c.lengthSize)
         case DECIMAL => meta.write(c.precision); meta.write(c.scale)
+        case BIT => meta.write(c.precision % 8); meta.write(c.precision / 8)
         case _ => ()
       }
     }
@@ -640,11 +740,29 @@ object BinlogRowCodec {
   */
 object BinlogSchema {
   private val Paren = """(\w+)\((\d+)(?:\s*,\s*(\d+))?\)\s*(unsigned)?""".r
+  // '...' member literals; MySQL escapes an embedded quote by doubling it.
+  private val Member = """'((?:[^']|'')*)'""".r
 
   def column(name: String, mysqlType: String, bytesPerChar: Int = 1): BinlogColumn = {
     import BinlogRowCodec._
     // zerofill is display-only; MySQL renders it after `unsigned`
     val t = mysqlType.trim.toLowerCase.stripSuffix("zerofill").trim
+    if (t.startsWith("enum(") || t.startsWith("set(")) {
+      // member literals are case-SENSITIVE data — parse them from the
+      // original string, not the lowercased copy used for type matching
+      val members = Member.findAllMatchIn(mysqlType.trim)
+        .map(_.group(1).replace("''", "'")).toSeq
+      require(members.nonEmpty, s"no members in: $mysqlType")
+      return if (t.startsWith("enum(")) {
+        require(members.size <= 0xffff, s"ENUM with ${members.size} members")
+        BinlogColumn(name, ENUM,
+          maxLength = if (members.size > 255) 2 else 1, members = members)
+      } else {
+        require(members.size <= 64, s"SET with ${members.size} members")
+        BinlogColumn(name, SET,
+          maxLength = (members.size + 7) / 8, members = members)
+      }
+    }
     val unsigned = t.endsWith("unsigned")
     val (base, a, b) = t match {
       case Paren(bs, x, y, _) => (bs, x.toInt, if (y == null) 0 else y.toInt)
@@ -674,6 +792,11 @@ object BinlogSchema {
       case "mediumblob" => BinlogColumn(name, TEXT, lengthSize = 3, binary = true)
       case "longtext" => BinlogColumn(name, TEXT, lengthSize = 4)
       case "longblob" => BinlogColumn(name, TEXT, lengthSize = 4, binary = true)
+      case "bit" =>
+        val bits = if (a == 0) 1 else a // DDL `bit` means bit(1)
+        require(bits <= 64, s"bit($bits) exceeds MySQL's 64-bit max")
+        BinlogColumn(name, BIT, precision = bits)
+      case "json" => BinlogColumn(name, JSON, lengthSize = 4)
       case other => throw new IllegalArgumentException(s"unsupported mysql type: $other")
     }
   }

@@ -160,7 +160,8 @@ object Catalog {
     case s if s.startsWith("datetime") || s.startsWith("timestamp") => TimestampType
     case s if s.startsWith("year")      => IntegerType
     case s if s.endsWith("blob")        => BinaryType
-    case _                              => StringType // char/varchar/text/unknown
+    case s if s.startsWith("bit")       => LongType // bit(n) decodes as unsigned int
+    case _                              => StringType // char/varchar/text/enum/set/json
   }
   }
 }

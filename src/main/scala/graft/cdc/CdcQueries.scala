@@ -945,6 +945,93 @@ object CdcQueries {
              |    <= (COUNT(*) OVER (PARTITION BY (o_orderkey - o_orderkey % 64)) + 1) // 2
              |  THEN 0 ELSE 1 END AS ford,
              |  o_orderstatus AS status
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // ENUM/SET/BIT raw-row decode — types the reference errors on
+    // (`/root/reference/src/binlog.rs:330` "unsupported column type"):
+    // ENUM renders its member name, SET the comma-joined selected members
+    // (MySQL's textual forms), BIT the unsigned integer. Same 3-rows-per-
+    // event fixture shape as q75; decode is the codegen'd whole-row kernel.
+    Q("q125_binlog_enum_set_bit", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint",
+          "prio" -> "enum('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')",
+          "flags" -> "set('red','green','blue')",
+          "bits" -> "bit(12)"))
+        val enc = udf((rows: Seq[Row]) => BinlogRowCodec.encodeRows(
+          BinlogRowCodec.WriteV2, schema,
+          rows.map(r => Seq[Any](r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))))
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 3).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType),
+            col("o_orderpriority"),
+            (key % 8).cast(LongType),     // SET mask over 3 members
+            (key % 4096).cast(LongType)   // bit(12) value
+          ))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(BinlogDecode.rows(enc(col("rows")),
+            lit(BinlogRowCodec.WriteV2), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(explode_outer(col("r.data")).as("m"))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            element_at(col("m"), "prio").as("prio"),
+            element_at(col("m"), "flags").as("flags"),
+            element_at(col("m"), "bits").cast(LongType).as("bits"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  o_orderpriority AS prio,
+             |  concat_ws(',',
+             |    CASE WHEN ((o_orderkey % 8) & 1) != 0 THEN 'red' END,
+             |    CASE WHEN ((o_orderkey % 8) & 2) != 0 THEN 'green' END,
+             |    CASE WHEN ((o_orderkey % 8) & 4) != 0 THEN 'blue' END) AS flags,
+             |  CAST(o_orderkey % 4096 AS BIGINT) AS bits
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // MySQL binary JSON (JSONB) column decode — beyond-reference coverage
+    // (the reference errors on JSON columns too, binlog.rs:330). The wire
+    // value is a length-prefixed [[JsonBinary]] document; decode renders
+    // compact JSON text in MySQL's canonical (length, bytes) key order, so
+    // the fixture builds its keys already in that order and the DuckDB
+    // oracle reconstructs the identical text. Covers nested objects,
+    // arrays, strings, ints, booleans, and the literal-null document.
+    Q("q126_binlog_json", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "doc" -> "json"))
+        val enc = udf((rows: Seq[Row]) => BinlogRowCodec.encodeRows(
+          BinlogRowCodec.WriteV2, schema,
+          rows.map(r => Seq[Any](r.getLong(0), r.getString(1)))))
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val jsonText = when(key % 11 === 0, lit("null")).otherwise(concat(
+          lit("{\"k\":"), key.cast(StringType),
+          lit(",\"st\":\""), col("o_orderstatus"),
+          lit("\",\"pri\":\""), col("o_orderpriority"),
+          lit("\",\"meta\":{\"x\":true},\"tags\":["),
+          col("o_custkey").cast(StringType), lit(",2]}")))
+        val grouped = o.groupBy((key - key % 3).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType), jsonText))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(BinlogDecode.rows(enc(col("rows")),
+            lit(BinlogRowCodec.WriteV2), schema).as("r"))
+          .select(explode_outer(col("r.data")).as("m"))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            element_at(col("m"), "doc").as("doc"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  CASE WHEN o_orderkey % 11 = 0 THEN 'null'
+             |  ELSE '{"k":' || CAST(o_orderkey AS VARCHAR) ||
+             |    ',"st":"' || o_orderstatus ||
+             |    '","pri":"' || o_orderpriority ||
+             |    '","meta":{"x":true},"tags":[' ||
+             |    CAST(o_custkey AS VARCHAR) || ',2]}'
+             |  END AS doc
              |FROM orders ORDER BY pk""".stripMargin))
   )
 }

@@ -47,7 +47,25 @@ object BinlogRowProps extends Properties("BinlogRowCodec") {
     // epoch 0 is MySQL's zero-timestamp (decodes to NULL) — start at 1
     ("timestamp", Gen.choose(1L, 4000000000L).map(x => x: Any)),
     ("blob", Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
-      .map(bs => bs.take(64).toArray: Any)))
+      .map(bs => bs.take(64).toArray: Any)),
+    ("enum('red','green','blue','yellow','pink')",
+      Gen.oneOf("red", "green", "blue", "yellow", "pink").map(x => x: Any)),
+    // member-order comma join = exactly what SET decode renders
+    ("set('a','b','c','d')", Gen.choose(0, 15).map(mask =>
+      Seq("a", "b", "c", "d").zipWithIndex
+        .collect { case (m, i) if ((mask >> i) & 1) != 0 => m }
+        .mkString(","): Any)),
+    ("bit(13)", Gen.choose(0L, 8191L).map(x => x: Any)),
+    ("bit(40)", Gen.choose(0L, (1L << 40) - 1).map(x => x: Any)),
+    // canonical compact texts (ints/bools/null/arrays) render byte-identically
+    ("json", {
+      val leaf = Gen.oneOf(
+        Gen.choose(-1000000, 1000000).map(_.toString),
+        Gen.oneOf("true", "false", "null"))
+      val arr = Gen.listOf(leaf).map(_.take(4).mkString("[", ",", "]"))
+      Gen.oneOf(leaf, arr,
+        Gen.listOfN(2, arr).map(_.mkString("[", ",", "]"))).map(x => x: Any)
+    }))
 
   /** Expected decoded rendering of a fixture value for a given type. */
   private def rendered(mysqlType: String, v: Any): String = mysqlType match {

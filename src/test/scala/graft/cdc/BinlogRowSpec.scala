@@ -140,6 +140,56 @@ class BinlogRowSpec extends SparkSpec {
     assert(r("bu") == "18446744073709551615") // upper half of unsigned range
   }
 
+  test("ENUM/SET/BIT/JSON decode: textual forms, edge indices, unsigned bits") {
+    val schema = BinlogSchema.fromMysqlTypes(Seq(
+      "e" -> "enum('red','green','blue')",
+      "s" -> "set('a','b','c','d','e','f','g','h','i')", // 9 members: 2-byte mask
+      "b" -> "bit(64)",
+      "j" -> "json"))
+    assert(schema(0).maxLength == 1 && schema(0).members == Seq("red", "green", "blue"))
+    assert(schema(1).maxLength == 2) // (9+7)/8
+    assert(schema(2).precision == 64)
+    assert(schema(3).lengthSize == 4)
+    val body = encodeRows(WriteV2, schema, Seq(
+      Seq("green", "a,c,i", -1L, """{"k":1,"arr":[true,null]}"""),
+      Seq(0, 0, 0L, "[]"), // ENUM invalid-0, empty SET
+      Seq("blue", "i", 1L, "\"txt\"")))
+    import spark.implicits._
+    val out = Seq(body).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), schema).as("r"))
+      .select(col("r.data").as("data")).collect().head
+      .getAs[collection.Seq[collection.Map[String, String]]]("data")
+    assert(out(0)("e") == "green")
+    assert(out(0)("s") == "a,c,i")
+    assert(out(0)("b") == "18446744073709551615") // bit(64) is unsigned
+    assert(out(0)("j") == """{"k":1,"arr":[true,null]}""")
+    assert(out(1)("e") == "") // MySQL renders the invalid 0 index as ''
+    assert(out(1)("s") == "")
+    assert(out(1)("b") == "0")
+    assert(out(1)("j") == "[]")
+    assert(out(2)("e") == "blue" && out(2)("s") == "i" && out(2)("j") == "\"txt\"")
+    // 2-byte ENUM pack for >255 members
+    val wide = BinlogSchema.column("w",
+      (1 to 300).map(i => s"'m$i'").mkString("enum(", ",", ")"))
+    assert(wide.maxLength == 2 && wide.members.length == 300)
+    val body2 = encodeRows(WriteV2, Array(wide), Seq(Seq("m300")))
+    val out2 = Seq(body2).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), Array(wide)).as("r"))
+      .select(col("r.data").getItem(0).as("m")).collect().head
+      .getAs[collection.Map[String, String]]("m")
+    assert(out2("w") == "m300")
+    // without members (the TABLE_MAP path) ENUM/SET render raw index/mask
+    val bare = Array(
+      BinlogColumn("e", BinlogRowCodec.ENUM, maxLength = 1),
+      BinlogColumn("s", BinlogRowCodec.SET, maxLength = 1))
+    val body3 = encodeRows(WriteV2, bare, Seq(Seq(2, 5)))
+    val out3 = Seq(body3).toDF("body")
+      .select(BinlogDecode.rows(col("body"), lit(WriteV2), bare).as("r"))
+      .select(col("r.data").getItem(0).as("m")).collect().head
+      .getAs[collection.Map[String, String]]("m")
+    assert(out3("e") == "2" && out3("s") == "5")
+  }
+
   test("multi-byte charsets size the varchar length prefix by BYTES") {
     // utf8mb4 varchar(100) can hold 400 bytes -> 2-byte prefix even though
     // the character count is under 255.

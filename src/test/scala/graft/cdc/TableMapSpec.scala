@@ -72,6 +72,43 @@ class TableMapSpec extends SparkSpec {
     }
   }
 
+  test("ENUM/SET hide behind the STRING type byte; BIT/JSON carry their meta") {
+    val cols = Array(
+      BinlogSchema.column("e", "enum('x','y','z')"),
+      BinlogSchema.column("s", "set('a','b','c','d','e','f','g','h','i')"),
+      BinlogSchema.column("b", "bit(13)"),
+      BinlogSchema.column("j", "json"))
+    val body = encodeTableMap(3L, "d", "t", cols)
+    // header(8) + "d"(3) + "t"(3) + count(1) = wire types start at 15
+    // wire type codes: ENUM/SET as STRING(254), BIT 16, JSON 245
+    assert(body(14) == 4)
+    assert(body.slice(15, 19).map(_ & 0xff).toSeq == Seq(254, 254, 16, 245))
+    // meta: (real_type, pack) ×2, (bits%8, bytes), (length_size)
+    assert(body(19) == 7) // meta block length
+    assert(body.slice(20, 27).map(_ & 0xff).toSeq == Seq(
+      247, 1, // ENUM, 1-byte pack (3 members)
+      248, 2, // SET, 2-byte pack (9 members)
+      5, 1,   // bit(13): 13%8=5, 13/8=1
+      4))     // JSON length-prefix width
+    val specs = decodeTableMap(body).getArray(3)
+    def spec(i: Int) = specs.getStruct(i, 7)
+    assert(spec(0).getInt(0) == ENUM && spec(0).getInt(1) == 1)
+    assert(spec(1).getInt(0) == SET && spec(1).getInt(1) == 2)
+    assert(spec(2).getInt(0) == BIT && spec(2).getInt(4) == 13)
+    assert(spec(3).getInt(0) == JSON && spec(3).getInt(3) == 4)
+    // and the dynamic row decode renders index/mask/uint/json-text
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = encodeRows(WriteV2, cols, Seq(Seq("y", "a,i", 8191L, "[1,2]")))
+    val got = Seq((body, rows)).toDF("tm", "rows")
+      .select(BinlogDecode.tableMap(col("tm")).as("m"), col("rows"))
+      .select(BinlogDecode.rowsDynamic(col("rows"), lit(WriteV2), col("m.cols")).as("r"))
+      .select(explode(col("r.data")).as("vals"))
+      .collect().head.getSeq[String](0)
+    // members aren't on the wire: dynamic decode renders raw index/mask
+    assert(got == Seq("2", "257", "8191", "[1,2]"))
+  }
+
   test("dynamic row decode: TABLE_MAP schema drives the value decode") {
     val spark2 = spark
     import spark2.implicits._
