@@ -1032,6 +1032,66 @@ object CdcQueries {
              |    '","meta":{"x":true},"tags":[' ||
              |    CAST(o_custkey AS VARCHAR) || ',2]}'
              |  END AS doc
-             |FROM orders ORDER BY pk""".stripMargin))
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Transaction assembly (beyond-reference: the reference skips XID
+    // events entirely): each gid group becomes one binlog "file" holding
+    // two BEGIN..XID transactions (first ceil(n/2) rows, then the rest;
+    // one WRITE event per row), and [[Transactions.assemble]] stamps every
+    // row with its commit XID and commit timestamp via the per-file
+    // running-BEGIN-count window + (file, txn_seq) join.
+    Q("q127_binlog_txn_assembly", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        import BinlogTxnCodec.{QueryType, XidType}
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)"))
+        val enc = udf((gid: Long, rows: Seq[Row]) => {
+          def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
+            BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+              BinlogRowCodec.WriteV2, schema,
+              Seq(Seq[Any](r.getLong(0), r.getString(1)))))
+          def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
+            if (part.isEmpty) Nil
+            else (BinlogRowCodec.encodeEvent(QueryType,
+                BinlogTxnCodec.encodeQuery("db", "BEGIN")) +:
+              part.map(writeEv)) :+
+              BinlogRowCodec.encodeEvent(XidType,
+                BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
+          val h = (rows.length + 1) / 2
+          txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
+        })
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType), col("o_orderstatus")))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(col("gid"), posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
+          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+          .select(col("gid"), col("ord"), col("h.timestamp").as("timestamp"),
+            col("h.event_type").as("event_type"), col("h.body").as("body"))
+          .transform(Transactions.assemble(_, "gid", "ord"))
+          .filter(col("event_type") === BinlogRowCodec.WriteV2)
+          .select(col("xid"), col("commit_ts"),
+            BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("xid"), col("commit_ts"), explode_outer(col("r.data")).as("m"))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            element_at(col("m"), "status").as("status"),
+            col("xid"), col("commit_ts").as("cts"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderkey AS pk, o_orderstatus AS status,
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
+             |  FROM orders)
+             |SELECT pk, status,
+             |  gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid,
+             |  1700000000 + gid * 2 +
+             |    (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS cts
+             |FROM g ORDER BY pk""".stripMargin))
   )
 }

@@ -1,0 +1,171 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** QUERY / XID event codec — the transaction boundary markers of a binlog
+  * stream. A transactional unit is `QUERY("BEGIN") … row events … XID(n)`;
+  * the XID event's 8-byte LE payload is the InnoDB transaction id and its
+  * header timestamp is the commit time. The reference decodes QUERY events
+  * for DDL only (`/root/reference/src/binlog.rs:794-811`) and skips XID
+  * entirely — it has no transaction grouping; this is beyond-reference
+  * coverage a consistent-snapshot consumer needs.
+  *
+  * QUERY body layout (post-header): thread_id u4, exec_time u4,
+  * schema_length u1, error_code u2, status_vars_length u2, status vars,
+  * schema, 0x00, statement text to the body tail. Bodies follow the
+  * engine-wide convention that the last 4 bytes are the checksum/zero
+  * tail ([[BinlogRowCodec.encodeRows]] and the reference's row loop,
+  * `binlog.rs:636-639`, treat row bodies the same way).
+  */
+object BinlogTxnCodec {
+
+  final val QueryType = 2
+  final val XidType = 16
+
+  val queryOutputType: StructType = StructType(Seq(
+    StructField("db", StringType, nullable = false),
+    StructField("sql", StringType, nullable = false)))
+
+  def decodeQuery(body: Array[Byte]): InternalRow = {
+    if (body.length < 13 + 4)
+      throw new IllegalArgumentException(
+        s"QUERY body too short: ${body.length} bytes")
+    val dbLen = body(8) & 0xff
+    val statusLen = (body(11) & 0xff) | ((body(12) & 0xff) << 8)
+    val dbStart = 13 + statusLen
+    val sqlStart = dbStart + dbLen + 1 // NUL after the schema name
+    if (sqlStart > body.length - 4)
+      throw new IllegalArgumentException(
+        s"QUERY body truncated: schema/status overrun ${body.length} bytes")
+    if (body(dbStart + dbLen) != 0)
+      throw new IllegalArgumentException("QUERY schema name missing NUL terminator")
+    InternalRow(
+      UTF8String.fromBytes(body, dbStart, dbLen),
+      UTF8String.fromBytes(body, sqlStart, body.length - 4 - sqlStart))
+  }
+
+  def decodeXid(body: Array[Byte]): Long = {
+    if (body.length < 8)
+      throw new IllegalArgumentException(s"XID body too short: ${body.length} bytes")
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (body(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  // ---- fixture/test encoders ----
+
+  def encodeQuery(db: String, sql: String, threadId: Long = 7L): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def le(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    val dbBytes = db.getBytes("UTF-8")
+    require(dbBytes.length < 256, s"schema name too long: $db")
+    le(threadId, 4) // thread_id
+    le(0L, 4) // exec_time
+    out.write(dbBytes.length)
+    le(0L, 2) // error_code
+    le(0L, 2) // status_vars_length (none in fixtures)
+    out.write(dbBytes)
+    out.write(0)
+    out.write(sql.getBytes("UTF-8"))
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
+    out.toByteArray
+  }
+
+  def encodeXid(xid: Long): Array[Byte] = {
+    val out = new Array[Byte](12) // 8-byte LE xid + zero tail
+    var i = 0
+    while (i < 8) { out(i) = ((xid >> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+}
+
+/** Codegen'd QUERY-body decode: BINARY → struct(db, sql). */
+case class BinlogQueryDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinlogTxnCodec.queryOutputType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BinlogQueryDecode expects BINARY input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogTxnCodec.decodeQuery(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogTxnCodec.decodeQuery($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogQueryDecode =
+    copy(child = newChild)
+}
+
+/** Codegen'd XID-body decode: BINARY → the 8-byte LE transaction id. */
+case class BinlogXidDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BinlogXidDecode expects BINARY input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogTxnCodec.decodeXid(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogTxnCodec.decodeXid($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogXidDecode =
+    copy(child = newChild)
+}
+
+/** Transaction assembly over a split event stream: group every event
+  * between a `QUERY("BEGIN")` and the next XID into one transaction and
+  * stamp it with that XID's id and commit timestamp.
+  *
+  * Spark-first shape: a running count of BEGIN markers per file
+  * (`sum over (partition by file order by ord)`) gives each event its
+  * transaction ordinal, and a forward-looking `first(…, ignoreNulls)`
+  * over the SAME partitioning/sort finds the next XID event — stamped
+  * only when its ordinal matches, so pre-BEGIN preludes and uncommitted
+  * tails stay null instead of stealing a neighbor's commit. One shuffle,
+  * one sort, no join, no recompute of the (possibly expensive) upstream
+  * — the join formulation would re-evaluate it on both sides. Binlog
+  * transactions never span files, so at cluster scale this parallelizes
+  * per file (the natural ~1 GB unit a 100 TB binlog archive splits into)
+  * with no global ordering anywhere.
+  */
+object Transactions {
+
+  /** `events` must carry `fileCol`, `ordCol` (any per-file total order —
+    * log_pos or a split ordinal), `typeCol`, `bodyCol`, `tsCol`. Returns
+    * the events with `txn_seq` (0 = before any BEGIN), plus `xid` and
+    * `commit_ts` (null = outside any committed transaction — pre-BEGIN
+    * events and uncommitted tails stay unstamped rather than guessed).
+    */
+  def assemble(events: DataFrame, fileCol: String, ordCol: String,
+      typeCol: String = "event_type", bodyCol: String = "body",
+      tsCol: String = "timestamp"): DataFrame = {
+    val wRun = Window.partitionBy(col(fileCol)).orderBy(col(ordCol))
+    val wFwd = wRun.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isBegin = col(typeCol) === BinlogTxnCodec.QueryType &&
+      upper(trim(ColumnBridge.column(BinlogQueryDecode(
+        ColumnBridge.expression(col(bodyCol)))).getField("sql"))) === "BEGIN"
+    val xidStruct = when(col(typeCol) === BinlogTxnCodec.XidType, struct(
+      col("txn_seq").as("seq"),
+      ColumnBridge.column(BinlogXidDecode(
+        ColumnBridge.expression(col(bodyCol)))).as("xid"),
+      col(tsCol).as("cts")))
+    events
+      .withColumn("txn_seq", sum(when(isBegin, 1L).otherwise(0L)).over(wRun))
+      .withColumn("__x", first(xidStruct, ignoreNulls = true).over(wFwd))
+      .withColumn("xid",
+        when(col("__x.seq") === col("txn_seq"), col("__x.xid")))
+      .withColumn("commit_ts",
+        when(col("__x.seq") === col("txn_seq"), col("__x.cts")))
+      .drop("__x")
+  }
+}

@@ -167,4 +167,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "documents must not hash-shuffle for the rate lookup\n" + p)
   }
+
+  test("q127 txn assembly: windows reuse the fixture agg's gid shuffle, no join") {
+    val p = plan("q127_binlog_txn_assembly")
+    assert(!p.contains("Join"),
+      "XID stamping must be the forward window, not a self-join (which " +
+        "would recompute the upstream on both sides)\n" + p)
+    // the agg exchanges on the grouping expression; both windows then
+    // reuse that partitioning (gid is its alias) — one shuffle total
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1,
+      s"expected exactly one hash exchange (agg + both windows share it), " +
+        s"saw $n\n" + p)
+  }
 }

@@ -1,0 +1,96 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Transaction assembly: QUERY("BEGIN") … XID grouping, commit stamping,
+  * pre-BEGIN events, uncommitted tails, multi-file independence, and the
+  * QUERY/XID body codecs (including a status-vars block the fixture
+  * encoder never writes).
+  */
+class TransactionsSpec extends SparkSpec {
+  import BinlogTxnCodec._
+
+  test("QUERY body codec round-trips db and statement") {
+    val body = encodeQuery("shop", "BEGIN")
+    val r = decodeQuery(body)
+    assert(r.getUTF8String(0).toString == "shop")
+    assert(r.getUTF8String(1).toString == "BEGIN")
+    val ddl = decodeQuery(encodeQuery("", "CREATE TABLE t (id INT)"))
+    assert(ddl.getUTF8String(0).toString == "")
+    assert(ddl.getUTF8String(1).toString == "CREATE TABLE t (id INT)")
+  }
+
+  test("QUERY decode skips status vars and rejects corrupt layouts") {
+    // hand-build a body WITH status vars (3 bytes), which the fixture
+    // encoder never emits: thread_id(4) exec_time(4) db_len(1) err(2)
+    // status_len(2) status(3) db(2) NUL sql tail(4)
+    val sql = "COMMIT".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array[Byte](7, 0, 0, 0, 0, 0, 0, 0)) // thread_id, exec_time
+    out.write(2) // db_len
+    out.write(Array[Byte](0, 0)) // error_code
+    out.write(Array[Byte](3, 0)) // status_vars_length = 3
+    out.write(Array[Byte](1, 2, 3)) // status vars (opaque)
+    out.write("db".getBytes("UTF-8"))
+    out.write(0)
+    out.write(sql)
+    out.write(Array[Byte](0, 0, 0, 0))
+    val r = decodeQuery(out.toByteArray)
+    assert(r.getUTF8String(0).toString == "db")
+    assert(r.getUTF8String(1).toString == "COMMIT")
+    intercept[IllegalArgumentException](decodeQuery(Array[Byte](1, 2, 3)))
+    val noNul = encodeQuery("db", "BEGIN")
+    noNul(15) = 1 // overwrite the schema NUL ("db" ends at offset 14)
+    intercept[IllegalArgumentException](decodeQuery(noNul))
+  }
+
+  test("XID codec: 8-byte LE id, full unsigned range") {
+    assert(decodeXid(encodeXid(1L)) == 1L)
+    assert(decodeXid(encodeXid(-1L)) == -1L) // 2^64-1 as raw bits
+    assert(decodeXid(encodeXid(0x0102030405060708L)) == 0x0102030405060708L)
+    intercept[IllegalArgumentException](decodeXid(Array[Byte](1, 2, 3)))
+  }
+
+  test("assemble: BEGIN..XID grouping, commit stamps, tails and preludes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    def row(pk: Long) = BinlogRowCodec.encodeRows(
+      BinlogRowCodec.WriteV2, schema, Seq(Seq(pk)))
+    // file A: prelude event, then txn(xid=11) 2 rows, txn(xid=12) 1 row,
+    //         then an UNCOMMITTED begin + row (no XID)
+    // file B: txn(xid=21) 1 row — independent numbering per file
+    val events = Seq(
+      ("A", 0, 4, Array[Byte](0, 0, 0, 0), 0L), // ROTATE-ish prelude
+      ("A", 1, QueryType, encodeQuery("d", "BEGIN"), 0L),
+      ("A", 2, BinlogRowCodec.WriteV2, row(1), 0L),
+      ("A", 3, BinlogRowCodec.WriteV2, row(2), 0L),
+      ("A", 4, XidType, encodeXid(11L), 1000L),
+      ("A", 5, QueryType, encodeQuery("d", "begin "), 0L), // case/space robust
+      ("A", 6, BinlogRowCodec.WriteV2, row(3), 0L),
+      ("A", 7, XidType, encodeXid(12L), 2000L),
+      ("A", 8, QueryType, encodeQuery("d", "BEGIN"), 0L),
+      ("A", 9, BinlogRowCodec.WriteV2, row(4), 0L), // uncommitted tail
+      ("B", 0, QueryType, encodeQuery("d", "BEGIN"), 0L),
+      ("B", 1, BinlogRowCodec.WriteV2, row(5), 0L),
+      ("B", 2, XidType, encodeXid(21L), 3000L)
+    ).toDF("file", "ord", "event_type", "body", "timestamp")
+    val out = Transactions.assemble(events, "file", "ord")
+      .filter(col("event_type") === BinlogRowCodec.WriteV2)
+      .select(col("file"), col("ord"), col("txn_seq"), col("xid"), col("commit_ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(out == Set(
+      ("A", 2, 1L, Some(11L), Some(1000L)),
+      ("A", 3, 1L, Some(11L), Some(1000L)),
+      ("A", 6, 2L, Some(12L), Some(2000L)),
+      ("A", 9, 3L, None, None), // uncommitted: unstamped, not guessed
+      ("B", 1, 1L, Some(21L), Some(3000L))))
+    // the prelude event (before any BEGIN) is txn_seq 0, unstamped
+    val prelude = Transactions.assemble(events, "file", "ord")
+      .filter(col("ord") === 0 && col("file") === "A")
+      .select(col("txn_seq"), col("xid")).collect().head
+    assert(prelude.getLong(0) == 0L && prelude.isNullAt(1))
+  }
+}
