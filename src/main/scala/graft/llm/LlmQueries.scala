@@ -92,6 +92,16 @@ object LlmQueries {
       },
       None),
 
+    // SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) — the
+    // scale path beside the exact q52 oracle: pairs only within k-means
+    // cells, multi-probe assignment for boundary recall. Recall/precision
+    // gated in SemDedupSpec (probes=4 measures recall 1.0, precision 1).
+    Q("q128_semdedup", { (s, dir) =>
+        Similarity.semDedupPairs(t(s, dir, "embeddings"), 0.45,
+          nlist = 16, probes = 4).orderBy("da", "db")
+      },
+      None),
+
     Q("q46_text_stats", { (s, dir) =>
         val d = t(s, dir, "documents")
         d.groupBy("lang").agg(

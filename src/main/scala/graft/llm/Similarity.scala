@@ -238,6 +238,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** SemDeDup-style cluster-scoped semantic near-dup pairs (the public
+    * SemDeDup recipe: k-means the embedding space, then deduplicate only
+    * within clusters — Abbas et al. 2023, arXiv:2303.09540): vectors are
+    * assigned to their argmax-dot centroid ([[trainCentroids]] +
+    * [[IvfCell]], the same coarse quantizer as [[ivfTopK]]) and every
+    * within-cluster (da < db) pair with cosine ≥ threshold is emitted.
+    *
+    * This is the SCALE path beside the exact [[cosineNearDupPairs]]
+    * oracle: pair work drops from O(N²) to Σ n_c² over cluster sizes —
+    * at corpus scale `nlist` is sized so clusters stay task-sized (the
+    * paper runs 100k clusters at web scale), and the join is a plain
+    * cell-key shuffle, never all-to-all. `probes > 1` assigns each vector
+    * to its `probes` nearest cells (replication ×probes), recovering
+    * pairs that straddle a Voronoi boundary — the recall/cost dial,
+    * measured in SemDedupSpec. Precision is 1 by construction: the
+    * within-cluster cosine is exact, so every emitted pair is a true
+    * near-dup pair.
+    */
+  def semDedupPairs(emb: DataFrame, threshold: Double, nlist: Int = 16,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nlist, s"probes $probes out of [1, $nlist]")
+    val centroids = trainCentroids(emb, nlist)
+    val assigned = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell",
+        if (probes <= 1) IvfCell(col("v"), centroids)
+        else explode(IvfProbe(col("v"), centroids, probes)))
+    val a = assigned.select(col("cell"), col("vec_id").as("da"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("db"), col("v").as("vb"))
+    val pairs = a.join(b, "cell")
+      .filter(col("da") < col("db"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select("da", "db")
+    // multi-assignment can meet the same pair in more than one cell
+    if (probes > 1) pairs.distinct() else pairs
+  }
+
+  /** The greedy SemDeDup keep decision over [[semDedupPairs]]: drop the
+    * higher id of every near-dup pair (deterministic one-pass, matching
+    * the exact-path keep-list q71 semantics).
+    */
+  def semDedupDrops(emb: DataFrame, threshold: Double, nlist: Int = 16,
+      probes: Int = 1): DataFrame =
+    semDedupPairs(emb, threshold, nlist, probes)
+      .select(col("db").as("vec_id")).distinct()
+
   /** ANN cosine top-k via multi-table hyperplane LSH: score only candidates
     * sharing a bucket with the query in at least one table.
     *

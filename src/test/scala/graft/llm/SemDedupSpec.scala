@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+
+/** SemDeDup cluster-scoped semantic dedup vs the exact all-pairs oracle at
+  * sf0.001: precision 1 by construction, recall floor for single
+  * assignment, multi-probe assignment dominating it, and the nlist=1
+  * degenerate case collapsing to the exact operator.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  val threshold = 0.45
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val emb = Tables(spark, dir, "embeddings")
+  private lazy val exact = pairSet(Similarity.cosineNearDupPairs(emb, threshold))
+
+  // The fixture's strongest pair is cosine 0.48 (no planted high-cosine
+  // dups at any SF), so these gates run in SemDeDup's HARD regime: weakly
+  // similar pairs genuinely straddle k-means cells. At the recipe's usual
+  // near-dup thresholds (≥0.95) co-clustering is far tighter; here the
+  // multi-probe dial carries recall (measured sweep: nlist=16 probes
+  // 1/2/4 → 0.29/0.57/1.0; nlist=8 probes 2 → 1.0).
+
+  test("single-assignment finds pairs with precision 1 (weak-pair regime)") {
+    assert(exact.nonEmpty, "fixture should contain near-dup embeddings")
+    val approx = pairSet(Similarity.semDedupPairs(emb, threshold, nlist = 16))
+    assert(approx.nonEmpty, "single assignment should still co-cluster some pairs")
+    // within-cluster cosine is exact → nothing above threshold is spurious
+    assert((approx -- exact).isEmpty)
+  }
+
+  test("multi-probe assignment dominates single and clears recall 0.85") {
+    val single = pairSet(Similarity.semDedupPairs(emb, threshold, nlist = 16))
+    val double = pairSet(Similarity.semDedupPairs(emb, threshold, nlist = 16, probes = 2))
+    val quad = pairSet(Similarity.semDedupPairs(emb, threshold, nlist = 16, probes = 4))
+    assert(single.subsetOf(double) && double.subsetOf(quad),
+      "wider probing only adds shared cells: pairs can only be added")
+    val rQuad = (exact & quad).size.toDouble / exact.size
+    assert(rQuad >= 0.85, s"probes=4 recall=$rQuad (measured 1.0)")
+    assert((quad -- exact).isEmpty)
+  }
+
+  test("nlist=1 degenerates to the exact operator") {
+    val one = pairSet(Similarity.semDedupPairs(emb, threshold, nlist = 1))
+    assert(one == exact)
+  }
+
+  test("drop list is the higher id of each pair, deduplicated") {
+    val pairs = Similarity.semDedupPairs(emb, threshold, nlist = 16)
+    val drops = Similarity.semDedupDrops(emb, threshold, nlist = 16)
+      .collect().map(_.getLong(0)).toSet
+    val expected = pairSet(pairs).map(_._2)
+    assert(drops == expected)
+  }
+}
