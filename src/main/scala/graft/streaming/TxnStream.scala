@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.cdc.{BinlogRowCodec, BinlogTxnCodec}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One binlog event stamped with its transaction: `xid`/`commitTs` are
+  * `None` only for events outside any transaction (file preludes —
+  * FORMAT_DESCRIPTION, ROTATE); everything inside a BEGIN..XID span is
+  * withheld until its commit and emitted stamped.
+  */
+final case class TxnEvent(session: Long, ordinal: Long, txnSeq: Long,
+    xid: Option[Long], commitTs: Option[Long], event: Array[Byte])
+
+/** Streaming transaction assembly: the [[graft.cdc.Transactions]] batch
+  * semantics as a per-session stateful fold, with the one guarantee batch
+  * cannot give — **committed-transactions-only delivery**. Events between
+  * a `QUERY("BEGIN")` and its XID buffer in state and emit atomically
+  * when the XID arrives, stamped with the transaction id and commit
+  * timestamp; an uncommitted span stays in state across triggers (it may
+  * commit in a later chunk) instead of leaking half a transaction
+  * downstream — the batch operator can only stamp it null after the fact.
+  *
+  * Scale: state per session is the one OPEN transaction's events —
+  * bounded by the largest single transaction in the binlog, not by
+  * stream length. Keyed by session like [[ReplicaStream]], so chaining
+  * keeps the same shuffle key end-to-end.
+  */
+object TxnStream {
+
+  /** Public (not private) because the product-encoder codegen constructs
+    * it from generated Java, which cannot see a private constructor.
+    */
+  final case class TxnState(txnSeq: Long, open: Boolean,
+      buffered: List[TxnEvent])
+
+  /** Whole binlog events (as from [[ReplicaStream.events]]) → events
+    * stamped with their commit, committed transactions and preludes only.
+    */
+  def assembleCommitted(events: Dataset[SessionEvent]): Dataset[TxnEvent] = {
+    import events.sparkSession.implicits._
+    implicit val stateEnc: Encoder[TxnState] = Encoders.product[TxnState]
+    events
+      .groupByKey(_.session)
+      .flatMapGroupsWithState[TxnState, TxnEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (session: Long, rows: Iterator[SessionEvent], state: GroupState[TxnState]) =>
+          var st = state.getOption.getOrElse(TxnState(0L, open = false, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TxnEvent]
+          // group iterators after a shuffle have no order guarantee; the
+          // per-trigger run is bounded, so an in-memory sort is fine
+          rows.toArray.sortBy(_.ordinal).foreach { se =>
+            val h = BinlogRowCodec.decodeHeader(se.event, packetMarker = false)
+            val tpe = h.getInt(1)
+            val body = h.getBinary(6)
+            val isBegin = tpe == BinlogTxnCodec.QueryType &&
+              BinlogTxnCodec.decodeQuery(body).getUTF8String(1)
+                .toString.trim.equalsIgnoreCase("BEGIN")
+            if (isBegin) {
+              require(!st.open,
+                s"session $session: BEGIN inside an open transaction at " +
+                  s"ordinal ${se.ordinal} — corrupt capture")
+              st = TxnState(st.txnSeq + 1, open = true,
+                List(TxnEvent(session, se.ordinal, st.txnSeq + 1, None, None, se.event)))
+            } else if (tpe == BinlogTxnCodec.XidType && st.open) {
+              val xid = BinlogTxnCodec.decodeXid(body)
+              val cts = h.getLong(0)
+              (TxnEvent(session, se.ordinal, st.txnSeq, None, None, se.event) ::
+                st.buffered).reverse.foreach { e =>
+                out += e.copy(xid = Some(xid), commitTs = Some(cts))
+              }
+              st = TxnState(st.txnSeq, open = false, Nil)
+            } else if (st.open) {
+              st = st.copy(buffered =
+                TxnEvent(session, se.ordinal, st.txnSeq, None, None, se.event) ::
+                  st.buffered)
+            } else {
+              // prelude / out-of-transaction event: emit immediately, unstamped
+              out += TxnEvent(session, se.ordinal, st.txnSeq, None, None, se.event)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

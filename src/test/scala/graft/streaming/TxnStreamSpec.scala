@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.{BinlogRowCodec, BinlogSchema, BinlogTxnCodec, Transactions}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming transaction assembly: committed-transactions-only delivery,
+  * atomicity across trigger boundaries, session independence, and
+  * equivalence with the batch [[Transactions.assemble]] stamping on the
+  * committed+prelude subset.
+  */
+class TxnStreamSpec extends SparkSpec {
+  import BinlogRowCodec.{encodeEvent, encodeRows, WriteV2}
+  import BinlogTxnCodec.{QueryType, XidType}
+
+  private val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+
+  private def begin = encodeEvent(QueryType, BinlogTxnCodec.encodeQuery("d", "BEGIN"))
+  private def write(pk: Long) =
+    encodeEvent(WriteV2, encodeRows(WriteV2, schema, Seq(Seq(pk))))
+  private def xid(id: Long) =
+    encodeEvent(XidType, BinlogTxnCodec.encodeXid(id), timestamp = 9000L + id)
+  private def rotate = encodeEvent(4, Array[Byte](1, 2, 3, 4, 0, 0, 0, 0))
+
+  test("commits emit atomically; uncommitted spans are withheld across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[SessionEvent]
+    val q = TxnStream.assembleCommitted(in.toDS())
+      .writeStream.format("memory").queryName("txn_out")
+      .outputMode("append").start()
+    try {
+      // trigger 1: prelude + BEGIN + first row — only the prelude may emit
+      in.addData(
+        SessionEvent(1L, 0L, rotate),
+        SessionEvent(1L, 1L, begin),
+        SessionEvent(1L, 2L, write(10L)),
+        SessionEvent(2L, 0L, begin), // session 2: opens, never commits
+        SessionEvent(2L, 1L, write(99L)))
+      q.processAllAvailable()
+      val afterT1 = spark.table("txn_out").collect()
+      assert(afterT1.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 0L)),
+        "only the prelude emits before the commit")
+      // trigger 2: rest of session 1's txn commits; session 2 stays open
+      in.addData(
+        SessionEvent(1L, 3L, write(11L)),
+        SessionEvent(1L, 4L, xid(77L)))
+      q.processAllAvailable()
+      val rows = spark.table("txn_out")
+        .select("session", "ordinal", "txnSeq", "xid", "commitTs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+      assert(rows == Set(
+        (1L, 0L, 0L, None, None), // prelude, unstamped
+        (1L, 1L, 1L, Some(77L), Some(9077L)), // BEGIN itself is in the txn
+        (1L, 2L, 1L, Some(77L), Some(9077L)),
+        (1L, 3L, 1L, Some(77L), Some(9077L)),
+        (1L, 4L, 1L, Some(77L), Some(9077L)))) // the XID event too
+      // session 2's open span never leaked
+      assert(!rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming stamps equal batch assemble on the committed+prelude subset") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two sessions, two committed txns + a prelude + an uncommitted tail
+    val events = Seq(
+      SessionEvent(1L, 0L, rotate),
+      SessionEvent(1L, 1L, begin), SessionEvent(1L, 2L, write(1L)),
+      SessionEvent(1L, 3L, xid(11L)),
+      SessionEvent(1L, 4L, begin), SessionEvent(1L, 5L, write(2L)),
+      SessionEvent(1L, 6L, write(3L)), SessionEvent(1L, 7L, xid(12L)),
+      SessionEvent(1L, 8L, begin), SessionEvent(1L, 9L, write(4L)), // tail
+      SessionEvent(2L, 0L, begin), SessionEvent(2L, 1L, write(5L)),
+      SessionEvent(2L, 2L, xid(21L)))
+    val in = MemoryStream[SessionEvent]
+    val q = TxnStream.assembleCommitted(in.toDS())
+      .writeStream.format("memory").queryName("txn_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("txn_eq")
+      .select("session", "ordinal", "txnSeq", "xid", "commitTs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    val batch = events.toDF()
+      .select(col("session"), col("ordinal"),
+        graft.cdc.BinlogDecode.eventSplit(col("event")).as("h"))
+      .select(col("session"), col("ordinal"),
+        col("h.timestamp").as("timestamp"), col("h.event_type").as("event_type"),
+        col("h.body").as("body"))
+      .transform(Transactions.assemble(_, "session", "ordinal"))
+    val expected = batch
+      .filter(col("xid").isNotNull || col("txn_seq") === 0L)
+      .select("session", "ordinal", "txn_seq", "xid", "commit_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(streamed == expected)
+    assert(expected.count(_._4.isDefined) == 10, "three committed txns, 10 stamped events")
+  }
+}
