@@ -1092,6 +1092,70 @@ object CdcQueries {
              |  gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid,
              |  1700000000 + gid * 2 +
              |    (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS cts
-             |FROM g ORDER BY pk""".stripMargin))
+             |FROM g ORDER BY pk""".stripMargin)),
+
+    // GTID-framed transaction assembly (beyond-reference: the reference
+    // resumes by file+pos only): q127's two-transactions-per-file fixture
+    // with each BEGIN preceded by a GTID event whose sid is the file id
+    // rendered as a uuid and whose gno is the transaction's xid; the
+    // assemble() gtid column stamps every committed row with `uuid:gno`
+    // — the replica-failover-safe position file+pos cannot express.
+    Q("q129_binlog_gtid_txn", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        import BinlogTxnCodec.{QueryType, XidType}
+        val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+        val enc = udf((gid: Long, rows: Seq[Row]) => {
+          val hex = f"$gid%032x"
+          val sid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+            s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}"
+          def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
+            BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+              BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](r.getLong(0)))))
+          def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
+            if (part.isEmpty) Nil
+            else Seq(
+              BinlogRowCodec.encodeEvent(BinlogGtidCodec.GtidType,
+                BinlogGtidCodec.encodeGtid(sid, xid)),
+              BinlogRowCodec.encodeEvent(QueryType,
+                BinlogTxnCodec.encodeQuery("db", "BEGIN"))) ++
+              part.map(writeEv) :+
+              BinlogRowCodec.encodeEvent(XidType,
+                BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
+          val h = (rows.length + 1) / 2
+          txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
+        })
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(sort_array(collect_list(struct(key.cast(LongType)))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(col("gid"), posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
+          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+          .select(col("gid"), col("ord"), col("h.timestamp").as("timestamp"),
+            col("h.event_type").as("event_type"), col("h.body").as("body"))
+          .transform(Transactions.assemble(_, "gid", "ord"))
+          .filter(col("event_type") === BinlogRowCodec.WriteV2)
+          .select(col("xid"), col("gtid"),
+            BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("xid"), col("gtid"), explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("xid"), col("gtid"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderkey AS pk,
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
+             |  FROM orders),
+             |x AS (SELECT pk, gid, printf('%032x', gid) AS hex,
+             |  gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid
+             |  FROM g)
+             |SELECT pk, xid,
+             |  substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
+             |  substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
+             |  substr(hex, 21, 12) || ':' || CAST(xid AS VARCHAR) AS gtid
+             |FROM x ORDER BY pk""".stripMargin))
   )
 }

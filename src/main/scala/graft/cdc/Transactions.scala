@@ -144,7 +144,12 @@ object Transactions {
     * log_pos or a split ordinal), `typeCol`, `bodyCol`, `tsCol`. Returns
     * the events with `txn_seq` (0 = before any BEGIN), plus `xid` and
     * `commit_ts` (null = outside any committed transaction — pre-BEGIN
-    * events and uncommitted tails stay unstamped rather than guessed).
+    * events and uncommitted tails stay unstamped rather than guessed),
+    * plus `gtid` — the `uuid:gno` named by the GTID event framing the
+    * transaction (a GTID event precedes its BEGIN, so the stamp is the
+    * last GTID at-or-before each event, gated to committed spans; null
+    * when the server logs no GTIDs or outside a committed span). All
+    * three windows share one (file, ord) shuffle+sort.
     */
   def assemble(events: DataFrame, fileCol: String, ordCol: String,
       typeCol: String = "event_type", bodyCol: String = "body",
@@ -159,13 +164,18 @@ object Transactions {
       ColumnBridge.column(BinlogXidDecode(
         ColumnBridge.expression(col(bodyCol)))).as("xid"),
       col(tsCol).as("cts")))
+    val gtidText = when(col(typeCol) === BinlogGtidCodec.GtidType,
+      ColumnBridge.column(BinlogGtidDecode(
+        ColumnBridge.expression(col(bodyCol)))).getField("gtid"))
     events
       .withColumn("txn_seq", sum(when(isBegin, 1L).otherwise(0L)).over(wRun))
       .withColumn("__x", first(xidStruct, ignoreNulls = true).over(wFwd))
+      .withColumn("__g", last(gtidText, ignoreNulls = true).over(wRun))
       .withColumn("xid",
         when(col("__x.seq") === col("txn_seq"), col("__x.xid")))
       .withColumn("commit_ts",
         when(col("__x.seq") === col("txn_seq"), col("__x.cts")))
-      .drop("__x")
+      .withColumn("gtid", when(col("xid").isNotNull, col("__g")))
+      .drop("__x", "__g")
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{BinlogRowCodec, BinlogTxnCodec}
+import graft.cdc.{BinlogGtidCodec, BinlogRowCodec, BinlogTxnCodec}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * withheld until its commit and emitted stamped.
   */
 final case class TxnEvent(session: Long, ordinal: Long, txnSeq: Long,
-    xid: Option[Long], commitTs: Option[Long], event: Array[Byte])
+    xid: Option[Long], commitTs: Option[Long], gtid: Option[String],
+    event: Array[Byte])
 
 /** Streaming transaction assembly: the [[graft.cdc.Transactions]] batch
   * semantics as a per-session stateful fold, with the one guarantee batch
@@ -30,9 +31,11 @@ object TxnStream {
 
   /** Public (not private) because the product-encoder codegen constructs
     * it from generated Java, which cannot see a private constructor.
+    * `pendingGtid` is the last GTID event's `uuid:gno` — it precedes its
+    * BEGIN on the wire, so it waits here for the span it names.
     */
   final case class TxnState(txnSeq: Long, open: Boolean,
-      buffered: List[TxnEvent])
+      buffered: List[TxnEvent], pendingGtid: Option[String])
 
   /** Whole binlog events (as from [[ReplicaStream.events]]) → events
     * stamped with their commit, committed transactions and preludes only.
@@ -45,7 +48,7 @@ object TxnStream {
       .flatMapGroupsWithState[TxnState, TxnEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (session: Long, rows: Iterator[SessionEvent], state: GroupState[TxnState]) =>
-          var st = state.getOption.getOrElse(TxnState(0L, open = false, Nil))
+          var st = state.getOption.getOrElse(TxnState(0L, open = false, Nil, None))
           val out = scala.collection.mutable.ArrayBuffer.empty[TxnEvent]
           // group iterators after a shuffle have no order guarantee; the
           // per-trigger run is bounded, so an in-memory sort is fine
@@ -56,27 +59,33 @@ object TxnStream {
             val isBegin = tpe == BinlogTxnCodec.QueryType &&
               BinlogTxnCodec.decodeQuery(body).getUTF8String(1)
                 .toString.trim.equalsIgnoreCase("BEGIN")
+            def raw(txnSeq: Long) =
+              TxnEvent(session, se.ordinal, txnSeq, None, None, None, se.event)
             if (isBegin) {
               require(!st.open,
                 s"session $session: BEGIN inside an open transaction at " +
                   s"ordinal ${se.ordinal} — corrupt capture")
               st = TxnState(st.txnSeq + 1, open = true,
-                List(TxnEvent(session, se.ordinal, st.txnSeq + 1, None, None, se.event)))
+                List(raw(st.txnSeq + 1)), st.pendingGtid)
+            } else if (tpe == BinlogGtidCodec.GtidType && !st.open) {
+              // GTID frames the NEXT transaction: emit the event itself
+              // unstamped, remember the name for the span it announces
+              val g = BinlogGtidCodec.decodeGtid(body).getUTF8String(3).toString
+              out += raw(st.txnSeq)
+              st = st.copy(pendingGtid = Some(g))
             } else if (tpe == BinlogTxnCodec.XidType && st.open) {
               val xid = BinlogTxnCodec.decodeXid(body)
               val cts = h.getLong(0)
-              (TxnEvent(session, se.ordinal, st.txnSeq, None, None, se.event) ::
-                st.buffered).reverse.foreach { e =>
-                out += e.copy(xid = Some(xid), commitTs = Some(cts))
+              (raw(st.txnSeq) :: st.buffered).reverse.foreach { e =>
+                out += e.copy(xid = Some(xid), commitTs = Some(cts),
+                  gtid = st.pendingGtid)
               }
-              st = TxnState(st.txnSeq, open = false, Nil)
+              st = TxnState(st.txnSeq, open = false, Nil, None)
             } else if (st.open) {
-              st = st.copy(buffered =
-                TxnEvent(session, se.ordinal, st.txnSeq, None, None, se.event) ::
-                  st.buffered)
+              st = st.copy(buffered = raw(st.txnSeq) :: st.buffered)
             } else {
               // prelude / out-of-transaction event: emit immediately, unstamped
-              out += TxnEvent(session, se.ordinal, st.txnSeq, None, None, se.event)
+              out += raw(st.txnSeq)
             }
           }
           state.update(st)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.cdc.{BinlogRowCodec, BinlogSchema, BinlogTxnCodec, Transactions}
+import graft.cdc.{BinlogGtidCodec, BinlogRowCodec, BinlogSchema, BinlogTxnCodec, Transactions}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -66,14 +66,19 @@ class TxnStreamSpec extends SparkSpec {
   test("streaming stamps equal batch assemble on the committed+prelude subset") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    // two sessions, two committed txns + a prelude + an uncommitted tail
+    val sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    def gtid(gno: Long) =
+      encodeEvent(BinlogGtidCodec.GtidType, BinlogGtidCodec.encodeGtid(sid, gno))
+    // two sessions; session 1's second txn is GTID-framed; one prelude,
+    // one uncommitted tail
     val events = Seq(
       SessionEvent(1L, 0L, rotate),
       SessionEvent(1L, 1L, begin), SessionEvent(1L, 2L, write(1L)),
       SessionEvent(1L, 3L, xid(11L)),
-      SessionEvent(1L, 4L, begin), SessionEvent(1L, 5L, write(2L)),
-      SessionEvent(1L, 6L, write(3L)), SessionEvent(1L, 7L, xid(12L)),
-      SessionEvent(1L, 8L, begin), SessionEvent(1L, 9L, write(4L)), // tail
+      SessionEvent(1L, 4L, gtid(42L)),
+      SessionEvent(1L, 5L, begin), SessionEvent(1L, 6L, write(2L)),
+      SessionEvent(1L, 7L, write(3L)), SessionEvent(1L, 8L, xid(12L)),
+      SessionEvent(1L, 9L, begin), SessionEvent(1L, 10L, write(4L)), // tail
       SessionEvent(2L, 0L, begin), SessionEvent(2L, 1L, write(5L)),
       SessionEvent(2L, 2L, xid(21L)))
     val in = MemoryStream[SessionEvent]
@@ -84,11 +89,14 @@ class TxnStreamSpec extends SparkSpec {
       in.addData(events: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.table("txn_eq")
-      .select("session", "ordinal", "txnSeq", "xid", "commitTs").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getString(5)))
+    val streamed = spark.table("txn_eq")
+      .select("session", "ordinal", "txnSeq", "xid", "commitTs", "gtid")
+      .collect().map(tup).toSet
     val batch = events.toDF()
       .select(col("session"), col("ordinal"),
         graft.cdc.BinlogDecode.eventSplit(col("event")).as("h"))
@@ -96,13 +104,16 @@ class TxnStreamSpec extends SparkSpec {
         col("h.timestamp").as("timestamp"), col("h.event_type").as("event_type"),
         col("h.body").as("body"))
       .transform(Transactions.assemble(_, "session", "ordinal"))
+    // streaming withholds exactly the uncommitted span (session 1,
+    // ordinals 9-10 here); everything else — committed spans, preludes,
+    // and between-txn framing events like the GTID — is delivered
     val expected = batch
-      .filter(col("xid").isNotNull || col("txn_seq") === 0L)
-      .select("session", "ordinal", "txn_seq", "xid", "commit_ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getLong(3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+      .filter(!(col("session") === 1L && col("ordinal") >= 9L))
+      .select("session", "ordinal", "txn_seq", "xid", "commit_ts", "gtid")
+      .collect().map(tup).toSet
     assert(streamed == expected)
     assert(expected.count(_._4.isDefined) == 10, "three committed txns, 10 stamped events")
+    assert(expected.count(_._6 == Some(s"$sid:42")) == 4,
+      "the GTID-framed txn (BEGIN, 2 rows, XID) carries its uuid:gno")
   }
 }
