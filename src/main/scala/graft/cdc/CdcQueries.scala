@@ -1156,6 +1156,161 @@ object CdcQueries {
              |  substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
              |  substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
              |  substr(hex, 21, 12) || ':' || CAST(xid AS VARCHAR) AS gtid
-             |FROM x ORDER BY pk""".stripMargin))
+             |FROM x ORDER BY pk""".stripMargin)),
+
+    // Executed-GTID-set aggregation: the committed transactions of the
+    // 8-server-identity fixture collapsed into canonical per-sid interval
+    // text (`uuid:a[-b][:c[-d]]`) — the gtid_executed resume position a
+    // failing-over consumer publishes, which the reference's file+pos
+    // tracking cannot express. Two-level islands-and-gaps ([[GtidSet]]):
+    // bucketed local collapse keeps one sid's billions of gnos off a
+    // single reducer at corpus scale.
+    Q("q130_gtid_executed_set", { (s, dir) =>
+        val txns = gtidAssembled(s, dir)
+          .filter(col("gtid").isNotNull &&
+            col("event_type") === BinlogTxnCodec.XidType)
+          .select(substring_index(col("gtid"), ":", 1).as("sid"),
+            element_at(split(col("gtid"), ":"), 2).cast(LongType).as("gno"))
+        GtidSet.setText(GtidSet.intervals(txns, bucketBits = 10))
+      },
+      Some("""WITH g AS (
+             |  SELECT
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
+             |  FROM orders),
+             |x AS (SELECT DISTINCT gid,
+             |    gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS gno
+             |  FROM g),
+             |v AS (SELECT printf('%032x', (gid // 4) % 8) AS hex, gno FROM x),
+             |u AS (SELECT substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
+             |    substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
+             |    substr(hex, 21, 12) AS sid, gno FROM v),
+             |r AS (SELECT sid, gno,
+             |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY gno) AS rn2 FROM u),
+             |i AS (SELECT sid, MIN(gno) AS lo, MAX(gno) AS hi
+             |  FROM r GROUP BY sid, gno - rn2),
+             |t AS (SELECT sid, string_agg(
+             |    CASE WHEN hi > lo THEN CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+             |         ELSE CAST(lo AS VARCHAR) END, ':' ORDER BY lo) AS ivs
+             |  FROM i GROUP BY sid)
+             |SELECT sid, sid || ':' || ivs AS gtid_set FROM t""".stripMargin)),
+
+    // GTID-set resume/failover skip: the applied position arrives as a
+    // PREVIOUS_GTIDS body (built from the even 8-group blocks, round-
+    // tripped through the real binary codec → canonical text →
+    // [[GtidSet.parse]]), and the replayed stream drops every transaction
+    // whose uuid:gno the set already covers — a broadcast anti range-join
+    // (the applied set is interval metadata, never row-scale), leaving
+    // exactly the odd-block transactions.
+    Q("q131_gtid_resume_skip", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+        // applied side: committed (sid, gno) pairs of even blocks, derived
+        // from the same deterministic assignment the fixture encodes
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val applied = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(count(lit(1)).as("n"))
+          .filter(shiftright(col("gid"), 5) % 2 === 0)
+          .select(col("gid"), explode(when(col("n") >= 2,
+              array(col("gid") * 2 + 1, col("gid") * 2 + 2))
+            .otherwise(array(col("gid") * 2 + 1))).as("gno"))
+          .withColumn("__hex",
+            format_string("%032x", shiftright(col("gid"), 2) % 8))
+          .select(concat_ws("-",
+              substring(col("__hex"), 1, 8), substring(col("__hex"), 9, 4),
+              substring(col("__hex"), 13, 4), substring(col("__hex"), 17, 4),
+              substring(col("__hex"), 21, 12)).as("sid"),
+            col("gno").cast(LongType).as("gno"))
+        val encSet = udf((sid: String, ivs: Seq[Row]) =>
+          BinlogGtidCodec.encodePreviousGtids(
+            Seq(sid -> ivs.map(r => (r.getLong(0), r.getLong(1))))))
+        val position = GtidSet.intervals(applied, bucketBits = 10)
+          .groupBy("sid")
+          .agg(array_sort(collect_list(struct(col("lo"), col("hi")))).as("ivs"))
+          .select(encSet(col("sid"), col("ivs")).as("body"))
+          .select(org.apache.spark.sql.graft.ColumnBridge.column(BinlogPreviousGtidsDecode(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("body")))).as("txt"))
+        val ivs = GtidSet.parse(position, "txt")
+        val writes = gtidAssembled(s, dir)
+          .filter(col("gtid").isNotNull &&
+            col("event_type") === BinlogRowCodec.WriteV2)
+          .select(col("xid"), col("gtid"),
+            BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("xid"), col("gtid"), explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("xid"), col("gtid"),
+            substring_index(col("gtid"), ":", 1).as("sid"),
+            element_at(split(col("gtid"), ":"), 2).cast(LongType).as("gno"))
+        writes.join(broadcast(ivs),
+            writes("sid") === ivs("sid") &&
+              writes("gno") >= ivs("lo") && writes("gno") <= ivs("hi"),
+            "left_anti")
+          .select("pk", "xid", "gtid")
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderkey AS pk,
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
+             |  FROM orders),
+             |x AS (SELECT pk, gid,
+             |    gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid
+             |  FROM g WHERE (gid // 32) % 2 = 1),
+             |h AS (SELECT pk, xid, printf('%032x', (gid // 4) % 8) AS hex FROM x)
+             |SELECT pk, xid,
+             |  substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
+             |  substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
+             |  substr(hex, 21, 12) || ':' || CAST(xid AS VARCHAR) AS gtid
+             |FROM h ORDER BY pk""".stripMargin))
   )
+
+  /** Shared fixture for q130/q131: the q129 stream with 8 server
+    * identities — sid = uuid((gid/4) % 8), gno = xid — so every sid
+    * accumulates two-wide gno islands ({2·gid+1, 2·gid+2} per group)
+    * separated by gaps, and single-width islands where a group holds one
+    * key. Returns the [[Transactions.assemble]]-stamped event stream.
+    */
+  private def gtidAssembled(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import BinlogTxnCodec.{QueryType, XidType}
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val enc = udf((sid: String, gid: Long, rows: Seq[Row]) => {
+      def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
+        BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+          BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](r.getLong(0)))))
+      def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
+        if (part.isEmpty) Nil
+        else Seq(
+          BinlogRowCodec.encodeEvent(BinlogGtidCodec.GtidType,
+            BinlogGtidCodec.encodeGtid(sid, xid)),
+          BinlogRowCodec.encodeEvent(QueryType,
+            BinlogTxnCodec.encodeQuery("db", "BEGIN"))) ++
+          part.map(writeEv) :+
+          BinlogRowCodec.encodeEvent(XidType,
+            BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
+      val h = (rows.length + 1) / 2
+      txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
+    })
+    val o = t(s, dir, "orders")
+    val key = col("o_orderkey")
+    val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+      .agg(sort_array(collect_list(struct(key.cast(LongType)))).as("rows"))
+      .withColumn("__hex", format_string("%032x", shiftright(col("gid"), 2) % 8))
+      .withColumn("sid", concat_ws("-",
+        substring(col("__hex"), 1, 8), substring(col("__hex"), 9, 4),
+        substring(col("__hex"), 13, 4), substring(col("__hex"), 17, 4),
+        substring(col("__hex"), 21, 12)))
+    grouped.sortWithinPartitions("gid")
+      .select(col("gid"),
+        posexplode(enc(col("sid"), col("gid"), col("rows"))).as(Seq("ord", "ev")))
+      .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+      .select(col("gid"), col("ord"), col("h.timestamp").as("timestamp"),
+        col("h.event_type").as("event_type"), col("h.body").as("body"))
+      .transform(Transactions.assemble(_, "gid", "ord"))
+  }
 }

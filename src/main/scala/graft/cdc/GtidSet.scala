@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Executed-GTID-set computation: collapse the (sid, gno) pairs of applied
+  * transactions into the canonical inclusive interval text
+  * (`uuid:a[-b][:c[-d]]`) that [[BinlogGtidCodec.decodePreviousGtids]]
+  * renders and a failing-over consumer publishes as its resume position —
+  * the capability file+pos positions (all the reference tracks,
+  * `/root/reference/src/main.rs:84-99`) cannot express.
+  *
+  * Scale shape: a server has FEW sids (one per primary) but billions of
+  * gnos at corpus scale, so the textbook single-window islands-and-gaps
+  * (partition by sid, order by gno) would sort every gno of a sid on ONE
+  * reducer. Instead the collapse is two-level: level 1 detects islands
+  * inside fixed-width gno buckets — `(sid, bucket)` keys, parallel across
+  * the gno range; level 2 merges adjacent intervals across bucket
+  * boundaries, operating only on the collapsed intervals (metadata-scale:
+  * at most two boundary intervals per bucket survive level 1 unmerged).
+  */
+object GtidSet {
+
+  /** Distinct (sid, gno) pairs → one row per maximal inclusive interval
+    * `(sid, lo, hi)`. `bucketBits` fixes the level-1 bucket width
+    * (2^bits gnos per bucket); any value is correct, it only moves the
+    * parallelism/merge-work trade-off.
+    */
+  def intervals(gtids: DataFrame, sidCol: String = "sid",
+      gnoCol: String = "gno", bucketBits: Int = 20): DataFrame = {
+    val sid = col(sidCol)
+    val gno = col(gnoCol).cast(LongType)
+    // level 1: islands within (sid, bucket) — the bucket key keeps one
+    // sid's gnos spread across reducers; the follow-up groupBy reuses the
+    // window's (sid, bucket) hash partitioning (subset-key clustering)
+    val w1 = Window.partitionBy(sid, col("__bucket")).orderBy(col(gnoCol))
+    val local = gtids
+      .select(sid, gno.as(gnoCol)).distinct()
+      .withColumn("__bucket", shiftrightunsigned(col(gnoCol), bucketBits))
+      .withColumn("__island", col(gnoCol) - row_number().over(w1))
+      .groupBy(sid, col("__bucket"), col("__island"))
+      .agg(min(gnoCol).as("lo"), max(gnoCol).as("hi"))
+    // level 2: merge intervals that touch across bucket edges; input here
+    // is already collapsed, so the per-sid window sorts interval rows, not
+    // gno rows
+    val w2 = Window.partitionBy(sid).orderBy(col("lo"))
+    local
+      .withColumn("__new",
+        when(col("lo") > lag(col("hi"), 1).over(w2) + 1, 1L).otherwise(0L))
+      .withColumn("__grp",
+        sum(col("__new")).over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(sid, col("__grp"))
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+      .drop("__grp")
+  }
+
+  /** Intervals → one row per sid with the canonical set text
+    * (`gtid_set` column), interval order ascending — byte-identical to
+    * [[BinlogGtidCodec.decodePreviousGtids]]'s rendering of the same set.
+    */
+  def setText(ivs: DataFrame, sidCol: String = "sid"): DataFrame = {
+    val iv = col("__ivs")
+    ivs.groupBy(col(sidCol))
+      .agg(array_sort(collect_list(struct(col("lo"), col("hi")))).as("__ivs"))
+      .select(col(sidCol),
+        concat(col(sidCol), lit(":"),
+          array_join(transform(iv, x =>
+            concat(x.getField("lo").cast(StringType),
+              when(x.getField("hi") > x.getField("lo"),
+                concat(lit("-"), x.getField("hi").cast(StringType)))
+                .otherwise(lit("")))), ":")).as("gtid_set"))
+  }
+
+  /** Parse canonical set text back into interval rows: the inverse of
+    * [[setText]], for consuming a PREVIOUS_GTIDS position decoded by
+    * [[BinlogPreviousGtidsDecode]]. `sets` must carry `textCol` with
+    * canonical set text (one sid per row); returns (sid, lo, hi) rows.
+    */
+  def parse(sets: DataFrame, textCol: String): DataFrame = {
+    val parts = split(col(textCol), ":")
+    sets
+      .select(element_at(parts, 1).as("sid"),
+        explode(slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))).as("__iv"))
+      .select(col("sid"),
+        element_at(split(col("__iv"), "-"), 1).cast(LongType).as("lo"),
+        // try_: a single-gno interval has no '-'-split second element, and
+        // ANSI element_at throws instead of returning null
+        coalesce(try_element_at(split(col("__iv"), "-"), lit(2)).cast(LongType),
+          element_at(split(col("__iv"), "-"), 1).cast(LongType)).as("hi"))
+  }
+}

@@ -180,4 +180,22 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash exchange (agg + both windows share it), " +
         s"saw $n\n" + p)
   }
+
+  test("q130 executed-set: islands window is bucketed, never sid-only over gnos") {
+    val p = plan("q130_gtid_executed_set")
+    // level 1 must partition by (sid, bucket) — a sid-only sort of the gno
+    // stream would put one server identity's entire history on one reducer
+    assert(p.contains("hashpartitioning(sid") && p.contains("__bucket"),
+      "level-1 islands must key on (sid, __bucket)\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "no stage of the set collapse may serialize to one partition\n" + p)
+  }
+
+  test("q131 resume skip: applied set broadcasts, replay side never shuffles for it") {
+    val p = plan("q131_gtid_resume_skip")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "interval skip must be a broadcast anti join\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the replayed stream must not shuffle against interval metadata\n" + p)
+  }
 }
