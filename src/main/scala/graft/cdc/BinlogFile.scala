@@ -48,9 +48,15 @@ object BinlogFileCodec {
     c.getValue
   }
 
-  /** Whole file → array of headerType rows (CRC-verified, CRC-stripped
-    * bodies). Malformed input throws with the file offset — silent
-    * misframing would decode garbage rows downstream.
+  /** Whole file → array of headerType rows. Bodies are NORMALIZED to the
+    * engine-wide convention every stream-path decoder assumes — a 4-byte
+    * trailing tail ([[BinlogRowCodec.encodeRows]]): the verified CRC (or
+    * the FDE's alg+CRC tail) is stripped and four zero bytes take its
+    * place, so QUERY statements don't lose their last 4 bytes and a ≤4-byte
+    * final row image isn't silently dropped when file-replay events flow
+    * into [[Transactions]] / [[BinlogRowsDecode]]. Malformed input throws
+    * with the file offset — silent misframing would decode garbage rows
+    * downstream.
     */
   def decodeFile(file: Array[Byte]): GenericArrayData = {
     require(file.length >= 4 && file(0) == Magic(0) && file(1) == Magic(1) &&
@@ -111,17 +117,24 @@ object BinlogFileCodec {
               s"CRC32 mismatch in event type $tpe at offset $pos")
           end - 4
         } else end
-      val body = java.util.Arrays.copyOfRange(file, pos + HeaderLen, bodyEnd)
+      // +4 zero bytes: normalize to the tailed-body convention (see doc)
+      val bodyLen = bodyEnd - (pos + HeaderLen)
+      val body = new Array[Byte](bodyLen + 4)
+      System.arraycopy(file, pos + HeaderLen, body, 0, bodyLen)
       out += InternalRow(ts, tpe, serverId, eventSize, logPos, flags, body)
       pos = end
     }
     new GenericArrayData(out.toArray[Any])
   }
 
-  /** ROTATE body (8-byte next position + file name) → next file name. */
+  /** ROTATE body (8-byte next position + file name + 4-byte tail, per the
+    * tailed-body convention) → next file name. The tail is dropped — a
+    * stream-path ROTATE carries its CRC there, a file-path one the
+    * normalization zeros; either way those bytes are not name text.
+    */
   def rotateNextName(body: Array[Byte]): UTF8String = {
-    require(body.length >= 8, s"ROTATE body too short: ${body.length}")
-    UTF8String.fromBytes(java.util.Arrays.copyOfRange(body, 8, body.length))
+    require(body.length >= 12, s"ROTATE body too short: ${body.length}")
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(body, 8, body.length - 4))
   }
 
   // ---- fixture/test encode side ---------------------------------------
@@ -151,12 +164,20 @@ object BinlogFileCodec {
     writeLE(out, position, 8)
     val nm = nextName.getBytes("UTF-8")
     out.write(nm, 0, nm.length)
+    out.write(Array[Byte](0, 0, 0, 0), 0, 4) // zero tail (engine convention)
     out.toByteArray
   }
 
   /** Assemble a whole binlog file: magic, FDE (declaring `checksum`), the
     * given (event_type, body) events, then a ROTATE to `nextFile` if set.
     * log_pos chains cumulatively exactly as the server writes it.
+    *
+    * Bodies must follow the engine-wide tailed convention (every fixture
+    * encoder appends a 4-byte zero tail); on disk that tail is REPLACED by
+    * the event's CRC32 when `checksum` is set and dropped when it is not —
+    * header + payload [+ CRC], byte-for-byte the server's layout, never a
+    * zero tail AND a CRC. [[decodeFile]] restores the zero tail on read,
+    * so encode→decode round-trips to the exact fixture bodies.
     */
   def encodeFile(events: Seq[(Int, Array[Byte])], checksum: Boolean,
       nextFile: Option[String] = None, serverId: Long = 1L,
@@ -165,8 +186,17 @@ object BinlogFileCodec {
     out.write(Magic, 0, 4)
     var logPos = 4L
 
-    def emit(tpe: Int, body: Array[Byte], fdeTail: Boolean): Unit = {
-      val crcLen = if (fdeTail || (checksum && !fdeTail)) 4 else 0
+    def emit(tpe: Int, tailedBody: Array[Byte], fdeTail: Boolean): Unit = {
+      // The FDE body is built locally sans tail; every other body arrives
+      // tailed and the tail is not part of the on-disk payload.
+      val body =
+        if (fdeTail) tailedBody
+        else {
+          require(tailedBody.length >= 4,
+            s"tailed body shorter than its 4-byte tail: ${tailedBody.length}")
+          java.util.Arrays.copyOfRange(tailedBody, 0, tailedBody.length - 4)
+        }
+      val crcLen = if (fdeTail || checksum) 4 else 0
       val tailLen = (if (fdeTail) 1 else 0) + crcLen
       val eventSize = HeaderLen + body.length + tailLen
       logPos += eventSize

@@ -723,6 +723,7 @@ object BinlogRowCodec {
       if (b) bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
     }
     out.write(bits)
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail (engine convention)
     out.toByteArray
   }
 }

@@ -85,6 +85,33 @@ class BinlogFileSpec extends SparkSpec {
     assert(pks == Seq("1", "2", "3"))
   }
 
+  test("file-path bodies carry the normalized 4-byte tail end-anchored decoders assume") {
+    // Regression (round-7 review): decodeFile used to emit tail-LESS bodies
+    // while decodeQuery/the row loop measure from the end, so a file-replay
+    // 'BEGIN' decoded as 'B' (killing txn assembly) and a <=4-byte final
+    // row image was silently dropped. Both decode through encodeFile →
+    // decodeFile here, in both checksum modes.
+    for (checksum <- Seq(true, false)) {
+      val tiny = BinlogSchema.fromMysqlTypes(Seq("flag" -> "tinyint"))
+      val f = BinlogFileCodec.encodeFile(
+        Seq((BinlogTxnCodec.QueryType, BinlogTxnCodec.encodeQuery("db", "BEGIN")),
+          // 1 null-bitmap byte + 1 value byte = 2-byte row image, < tail size
+          (BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+            BinlogRowCodec.WriteV2, tiny, Seq(Seq[Any](7)), tableId = 9L)),
+          (BinlogTxnCodec.XidType, BinlogTxnCodec.encodeXid(42L))),
+        checksum = checksum)
+      val evs = BinlogFileCodec.decodeFile(f)
+      val query = evs.getStruct(1, 7)
+      assert(query.getInt(1) == BinlogTxnCodec.QueryType)
+      val q = BinlogTxnCodec.decodeQuery(query.getBinary(6))
+      assert(q.getUTF8String(1).toString == "BEGIN", "file-path QUERY lost its tail bytes")
+      val rows = BinlogRowCodec.decodeRows(
+        evs.getStruct(2, 7).getBinary(6), BinlogRowCodec.WriteV2, tiny)
+      assert(rows.getArray(0).numElements() == 1, "<=4-byte final row image dropped")
+      assert(BinlogTxnCodec.decodeXid(evs.getStruct(3, 7).getBinary(6)) == 42L)
+    }
+  }
+
   test("corruption fails loudly: bad magic, flipped byte, truncation") {
     val f = file1(checksum = true)
     intercept[Exception] { BinlogFileCodec.decodeFile(f.drop(1)) }

@@ -42,11 +42,13 @@ object MysqlSessionProps extends Properties("MysqlSession") {
       s.state.phase == Failed("root cause") && s.send.isEmpty && s.event.isEmpty
     }
 
+  // Bodies follow the engine-wide tailed convention encodeFile expects:
+  // random payload + 4-byte zero tail (which decodeFile restores on read).
   private val eventGen = for {
     tpe <- Gen.oneOf(30, 31, 32, 19, 2)
     n <- Gen.choose(0, 64)
     body <- Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue))
-  } yield (tpe, body)
+  } yield (tpe, body ++ Array[Byte](0, 0, 0, 0))
 
   property("binlog file encode/decode round-trips events, both checksum modes") =
     forAll(Gen.listOfN(5, eventGen).flatMap(l => Gen.choose(0, 5).map(l.take)),

@@ -38,7 +38,9 @@ class TableMapSpec extends SparkSpec {
       2)) // TEXT length_size
     // nullability bitmap: col 0 NOT NULL, cols 1-5 nullable -> 0b00111110
     assert((body(33) & 0xff) == 0x3e)
-    assert(body.length == 34)
+    // 4-byte zero tail (engine-wide tailed-body convention)
+    assert(body.slice(34, 38).toSeq == Seq[Byte](0, 0, 0, 0))
+    assert(body.length == 38)
   }
 
   test("TABLE_MAP round-trips through the decoder with exact metadata") {
@@ -131,7 +133,8 @@ class TableMapSpec extends SparkSpec {
   test("truncated TABLE_MAP and name-terminator corruption fail loudly") {
     val body = encodeTableMap(1L, "db1", "ta", colsA)
     intercept[IllegalArgumentException] {
-      decodeTableMap(body.take(body.length - 2))
+      // -6: past the 4-byte tail and into the nullability bitmap
+      decodeTableMap(body.take(body.length - 6))
     }
     val corrupt = body.clone()
     assert(corrupt(12) == 0)
