@@ -531,9 +531,24 @@ object BinlogRowCodec {
 
   // ---- fixture/test encoders (value synthesis; production never encodes) ----
 
-  private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
+  /** Shared little-endian write — the one implementation every cdc codec
+    * ([[BinlogFileCodec]], [[BinlogGtidCodec]], [[BinlogTxnCodec]]) calls
+    * instead of hand-rolling its own copy.
+    */
+  def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
     var i = 0
     while (i < n) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  /** Shared little-endian read at an absolute offset, bounds-checked. */
+  def uLE(bs: Array[Byte], off: Int, n: Int): Long = {
+    if (off < 0 || off + n > bs.length)
+      throw new IllegalArgumentException(
+        s"truncated binlog data: need $n bytes at offset $off, have ${bs.length - off}")
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (bs(off + i) & 0xffL); i -= 1 }
+    v
   }
 
   private val TimeRe = """(-)?(\d+):(\d+):(\d+)(?:\.(\d+))?""".r
@@ -760,8 +775,13 @@ object BinlogSchema {
           maxLength = if (members.size > 255) 2 else 1, members = members)
       } else {
         require(members.size <= 64, s"SET with ${members.size} members")
+        // MySQL packs a SET into 1, 2, 3, 4 or 8 bytes — never 5-7
+        // (sql/field.h get_set_pack_length: (elements+7)/8, jumping to 8
+        // past 4). Using the raw byte count for 33-56 members would
+        // misalign every column after a real server's SET value.
+        val packed = (members.size + 7) / 8
         BinlogColumn(name, SET,
-          maxLength = (members.size + 7) / 8, members = members)
+          maxLength = if (packed > 4) 8 else packed, members = members)
       }
     }
     val unsigned = t.endsWith("unsigned")

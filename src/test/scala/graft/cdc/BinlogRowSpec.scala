@@ -148,6 +148,19 @@ class BinlogRowSpec extends SparkSpec {
       "j" -> "json"))
     assert(schema(0).maxLength == 1 && schema(0).members == Seq("red", "green", "blue"))
     assert(schema(1).maxLength == 2) // (9+7)/8
+    // MySQL never packs a SET into 5-7 bytes: 33+ members jump to 8
+    // (get_set_pack_length), so a 40-member SET must round-trip at width 8
+    val wideSet = BinlogSchema.column("w",
+      "set(" + (1 to 40).map(i => s"'m$i'").mkString(",") + ")")
+    assert(wideSet.maxLength == 8)
+    // per row: 1 null-bitmap byte + 8 mask bytes; +4-byte tail
+    val wideBody = encodeRows(WriteV2, Array(wideSet), Seq(Seq("m1,m40"), Seq("m33")))
+    assert(wideBody.length == 10 + 1 + 1 + 2 * 9 + 4) // preamble+count+bitmap+rows+tail
+    val wideOut = BinlogRowCodec.decodeRows(wideBody, WriteV2, Array(wideSet))
+    assert(wideOut.getArray(0).numElements() == 2)
+    val wm0 = wideOut.getArray(0).getMap(0)
+    assert(wm0.valueArray.getUTF8String(0).toString == "m1,m40")
+    assert(wideOut.getArray(0).getMap(1).valueArray.getUTF8String(0).toString == "m33")
     assert(schema(2).precision == 64)
     assert(schema(3).lengthSize == 4)
     val body = encodeRows(WriteV2, schema, Seq(
