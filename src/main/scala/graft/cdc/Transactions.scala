@@ -56,20 +56,14 @@ object BinlogTxnCodec {
   def decodeXid(body: Array[Byte]): Long = {
     if (body.length < 8)
       throw new IllegalArgumentException(s"XID body too short: ${body.length} bytes")
-    var v = 0L
-    var i = 7
-    while (i >= 0) { v = (v << 8) | (body(i) & 0xffL); i -= 1 }
-    v
+    BinlogRowCodec.uLE(body, 0, 8)
   }
 
   // ---- fixture/test encoders ----
 
   def encodeQuery(db: String, sql: String, threadId: Long = 7L): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
-    def le(v: Long, n: Int): Unit = {
-      var i = 0
-      while (i < n) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-    }
+    def le(v: Long, n: Int): Unit = BinlogRowCodec.writeLE(out, v, n)
     val dbBytes = db.getBytes("UTF-8")
     require(dbBytes.length < 256, s"schema name too long: $db")
     le(threadId, 4) // thread_id
@@ -146,10 +140,14 @@ object Transactions {
     * `commit_ts` (null = outside any committed transaction — pre-BEGIN
     * events and uncommitted tails stay unstamped rather than guessed),
     * plus `gtid` — the `uuid:gno` named by the GTID event framing the
-    * transaction (a GTID event precedes its BEGIN, so the stamp is the
-    * last GTID at-or-before each event, gated to committed spans; null
-    * when the server logs no GTIDs or outside a committed span). All
-    * three windows share one (file, ord) shuffle+sort.
+    * transaction. A GTID names ONLY the transaction unit that immediately
+    * follows it: the stamp requires the last GTID to sit one transaction
+    * ordinal behind the event's span (an anonymous transaction after a
+    * GTID'd one — mixed gtid_mode — stays null instead of inheriting its
+    * predecessor's id) and to not have been consumed by an intervening
+    * implicitly-committing statement (a GTID'd DDL between transactions
+    * spends its GTID on the DDL, not on the next anonymous span). All
+    * windows share one (file, ord) shuffle+sort.
     */
   def assemble(events: DataFrame, fileCol: String, ordCol: String,
       typeCol: String = "event_type", bodyCol: String = "body",
@@ -164,18 +162,29 @@ object Transactions {
       ColumnBridge.column(BinlogXidDecode(
         ColumnBridge.expression(col(bodyCol)))).as("xid"),
       col(tsCol).as("cts")))
-    val gtidText = when(col(typeCol) === BinlogGtidCodec.GtidType,
+    val gtidStruct = when(col(typeCol) === BinlogGtidCodec.GtidType, struct(
+      col("txn_seq").as("seq"),
+      col(ordCol).cast(LongType).as("ord"),
       ColumnBridge.column(BinlogGtidDecode(
-        ColumnBridge.expression(col(bodyCol)))).getField("gtid"))
+        ColumnBridge.expression(col(bodyCol)))).getField("gtid").as("g")))
+    // A non-BEGIN QUERY outside any committed span commits implicitly
+    // (DDL) and consumes the pending GTID; inside a committed span it is a
+    // statement-format row change and consumes nothing.
+    val consumerOrd = when(col(typeCol) === BinlogTxnCodec.QueryType &&
+      !isBegin && col("xid").isNull, col(ordCol).cast(LongType))
+    val wPrev = wRun.rowsBetween(Window.unboundedPreceding, -1)
     events
       .withColumn("txn_seq", sum(when(isBegin, 1L).otherwise(0L)).over(wRun))
       .withColumn("__x", first(xidStruct, ignoreNulls = true).over(wFwd))
-      .withColumn("__g", last(gtidText, ignoreNulls = true).over(wRun))
+      .withColumn("__g", last(gtidStruct, ignoreNulls = true).over(wRun))
       .withColumn("xid",
         when(col("__x.seq") === col("txn_seq"), col("__x.xid")))
       .withColumn("commit_ts",
         when(col("__x.seq") === col("txn_seq"), col("__x.cts")))
-      .withColumn("gtid", when(col("xid").isNotNull, col("__g")))
-      .drop("__x", "__g")
+      .withColumn("__c", last(consumerOrd, ignoreNulls = true).over(wPrev))
+      .withColumn("gtid", when(col("xid").isNotNull &&
+        col("__g.seq") + 1 === col("txn_seq") &&
+        (col("__c").isNull || col("__g.ord") > col("__c")), col("__g.g")))
+      .drop("__x", "__g", "__c")
   }
 }

@@ -84,8 +84,13 @@ object TxnStream {
             } else if (st.open) {
               st = st.copy(buffered = raw(st.txnSeq) :: st.buffered)
             } else {
-              // prelude / out-of-transaction event: emit immediately, unstamped
+              // prelude / out-of-transaction event: emit immediately, unstamped.
+              // A non-BEGIN QUERY here is an implicitly-committing statement
+              // (DDL): it spends any pending GTID — the GTID named the DDL's
+              // own transaction, so letting it survive would stamp it onto
+              // the next anonymous BEGIN..XID span (mixed gtid_mode).
               out += raw(st.txnSeq)
+              if (tpe == BinlogTxnCodec.QueryType) st = st.copy(pendingGtid = None)
             }
           }
           state.update(st)

@@ -75,4 +75,50 @@ class GtidSpec extends SparkSpec {
     assert(out(0) == (None, None) && out(1) == (None, None))
     assert(out(5) == (None, None) && out(6) == (None, None) && out(7) == (None, None))
   }
+
+  test("a GTID names only its own transaction, not later anonymous spans") {
+    val spark2 = spark
+    import spark2.implicits._
+    import BinlogTxnCodec.{QueryType, XidType}
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    def row(pk: Long) = BinlogRowCodec.encodeRows(
+      BinlogRowCodec.WriteV2, schema, Seq(Seq(pk)))
+    def begin = BinlogTxnCodec.encodeQuery("d", "BEGIN")
+    val events = Seq(
+      // GTID'd transaction …
+      ("A", 0, GtidType, encodeGtid(sid, 5L), 0L),
+      ("A", 1, QueryType, begin, 0L),
+      ("A", 2, BinlogRowCodec.WriteV2, row(1), 0L),
+      ("A", 3, XidType, BinlogTxnCodec.encodeXid(1L), 1000L),
+      // … then an ANONYMOUS transaction (gtid_mode=ON_PERMISSIVE): must
+      // not inherit sid:5 even though it is the last GTID at-or-before
+      ("A", 4, QueryType, begin, 0L),
+      ("A", 5, BinlogRowCodec.WriteV2, row(2), 0L),
+      ("A", 6, XidType, BinlogTxnCodec.encodeXid(2L), 2000L),
+      // a GTID'd DDL (implicit commit, no BEGIN/XID) …
+      ("A", 7, GtidType, encodeGtid(sid, 6L), 0L),
+      ("A", 8, QueryType, BinlogTxnCodec.encodeQuery("d", "CREATE TABLE t (id INT)"), 0L),
+      // … then another anonymous transaction: the DDL spent sid:6
+      ("A", 9, QueryType, begin, 0L),
+      ("A", 10, BinlogRowCodec.WriteV2, row(3), 0L),
+      ("A", 11, XidType, BinlogTxnCodec.encodeXid(3L), 3000L),
+      // a fresh GTID after all that still stamps ITS transaction
+      ("A", 12, GtidType, encodeGtid(sid, 7L), 0L),
+      ("A", 13, QueryType, begin, 0L),
+      ("A", 14, BinlogRowCodec.WriteV2, row(4), 0L),
+      ("A", 15, XidType, BinlogTxnCodec.encodeXid(4L), 4000L)
+    ).toDF("file", "ord", "event_type", "body", "timestamp")
+    val out = Transactions.assemble(events, "file", "ord")
+      .select(col("ord"), col("xid"), col("gtid")).collect()
+      .map(r => r.getInt(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+    assert(out(2) == (Some(1L), Some(s"$sid:5")))
+    // anonymous span: committed, but NO inherited gtid
+    assert(out(5) == (Some(2L), None))
+    // DDL and the anonymous span after it: sid:6 was spent on the DDL
+    assert(out(8) == (None, None))
+    assert(out(10) == (Some(3L), None))
+    assert(out(14) == (Some(4L), Some(s"$sid:7")))
+  }
 }

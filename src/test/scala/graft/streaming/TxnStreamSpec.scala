@@ -69,8 +69,13 @@ class TxnStreamSpec extends SparkSpec {
     val sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
     def gtid(gno: Long) =
       encodeEvent(BinlogGtidCodec.GtidType, BinlogGtidCodec.encodeGtid(sid, gno))
+    def ddl = encodeEvent(QueryType,
+      BinlogTxnCodec.encodeQuery("d", "CREATE TABLE t (id INT)"))
     // two sessions; session 1's second txn is GTID-framed; one prelude,
-    // one uncommitted tail
+    // one uncommitted tail. Session 2 walks the mixed-gtid_mode minefield:
+    // a GTID'd DDL (implicit commit — spends its GTID), an anonymous txn
+    // right after it, a GTID'd txn, then another anonymous txn — none of
+    // the anonymous spans may inherit a neighbor's uuid:gno.
     val events = Seq(
       SessionEvent(1L, 0L, rotate),
       SessionEvent(1L, 1L, begin), SessionEvent(1L, 2L, write(1L)),
@@ -79,8 +84,14 @@ class TxnStreamSpec extends SparkSpec {
       SessionEvent(1L, 5L, begin), SessionEvent(1L, 6L, write(2L)),
       SessionEvent(1L, 7L, write(3L)), SessionEvent(1L, 8L, xid(12L)),
       SessionEvent(1L, 9L, begin), SessionEvent(1L, 10L, write(4L)), // tail
-      SessionEvent(2L, 0L, begin), SessionEvent(2L, 1L, write(5L)),
-      SessionEvent(2L, 2L, xid(21L)))
+      SessionEvent(2L, 0L, gtid(43L)), SessionEvent(2L, 1L, ddl),
+      SessionEvent(2L, 2L, begin), SessionEvent(2L, 3L, write(5L)),
+      SessionEvent(2L, 4L, xid(21L)),
+      SessionEvent(2L, 5L, gtid(44L)),
+      SessionEvent(2L, 6L, begin), SessionEvent(2L, 7L, write(6L)),
+      SessionEvent(2L, 8L, xid(22L)),
+      SessionEvent(2L, 9L, begin), SessionEvent(2L, 10L, write(7L)),
+      SessionEvent(2L, 11L, xid(23L)))
     val in = MemoryStream[SessionEvent]
     val q = TxnStream.assembleCommitted(in.toDS())
       .writeStream.format("memory").queryName("txn_eq")
@@ -112,8 +123,13 @@ class TxnStreamSpec extends SparkSpec {
       .select("session", "ordinal", "txn_seq", "xid", "commit_ts", "gtid")
       .collect().map(tup).toSet
     assert(streamed == expected)
-    assert(expected.count(_._4.isDefined) == 10, "three committed txns, 10 stamped events")
+    assert(expected.count(_._4.isDefined) == 16, "five committed txns, 16 stamped events")
     assert(expected.count(_._6 == Some(s"$sid:42")) == 4,
       "the GTID-framed txn (BEGIN, 2 rows, XID) carries its uuid:gno")
+    assert(expected.count(_._6 == Some(s"$sid:44")) == 3)
+    // sid:43 was spent on the DDL (implicit commit, outside any BEGIN..XID
+    // span) and sid:42/44 belong to their own spans — the two anonymous
+    // txns and the DDL itself carry no gtid at all
+    assert(expected.count(_._6.isDefined) == 7, "no anonymous span inherits a gtid")
   }
 }
