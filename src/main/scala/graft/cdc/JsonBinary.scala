@@ -168,6 +168,15 @@ object JsonBinary {
     val count = off(base)
     val size = off(base + w)
     need(bs, base, size)
+    // The entry headers must FIT in the declared size before anything is
+    // preallocated: an adversarial count (e.g. 0x7fffffff in a 13-byte
+    // doc) would otherwise OOM on arrayNode(count) — a crash, not the
+    // promised IllegalArgumentException — and count*(w+2) would overflow
+    // Int, silently miscomputing every valueEntries offset. Long math.
+    val perEntry = (if (isObject) (w + 2) + (1 + w) else 1 + w).toLong
+    if (2L * w + perEntry * count > size)
+      throw new IllegalArgumentException(
+        s"JSONB container claims $count entries; size $size cannot hold them")
     val keyEntries = base + 2 * w
     val valueEntries = keyEntries + (if (isObject) count * (w + 2) else 0)
     def member(i: Int): JsonNode = {
@@ -189,6 +198,12 @@ object JsonBinary {
         val kp = keyEntries + i * (w + 2)
         val ko = off(kp)
         val kl = u16(bs, kp + w)
+        // keys get the same container-bound rejection as value offsets —
+        // a key entry pointing past the declared size would otherwise read
+        // its text from unrelated sibling bytes, silently
+        if (ko >= size || ko.toLong + kl > size)
+          throw new IllegalArgumentException(
+            s"JSONB key at offset $ko+$kl outside container of size $size")
         need(bs, base + ko, kl)
         obj.set[JsonNode](new String(bs, base + ko, kl, "UTF-8"), member(i))
         i += 1

@@ -106,6 +106,29 @@ class JsonBinarySpec extends AnyFunSuite {
       decodeToString(Array[Byte](SmallArray.toByte, 1, 0, 60, 0, Int16.toByte, 1, 0)))
   }
 
+  test("adversarial container headers throw, never crash or read astray") {
+    // LARGE array, count=0x7fffffff, size=12: need() passes on the
+    // 13-byte buffer, so an unchecked count preallocates an
+    // Int.MaxValue-capacity list → OutOfMemoryError instead of the
+    // decode-totality contract's IllegalArgumentException
+    val hugeCount = Array[Byte](LargeArray.toByte,
+      -1, -1, -1, 0x7f, // count u32 = 0x7fffffff
+      12, 0, 0, 0,      // size u32 = 12
+      0, 0, 0, 0)
+    intercept[IllegalArgumentException](decodeToString(hugeCount))
+    // SMALL object whose count*(entry widths) exceeds its declared size
+    val overCount = Array[Byte](SmallObject.toByte, 9, 0, 8, 0, 0, 0, 0, 0, 0)
+    intercept[IllegalArgumentException](decodeToString(overCount))
+    // object KEY offset pointing past the container size but inside the
+    // buffer: must get the same rejection value offsets get, not read a
+    // key from unrelated bytes
+    val ok = encode("""{"k":"spilled string value"}""")
+    val bad = ok.clone()
+    bad(5) = 0x7f // key entry's offset low byte → beyond size
+    val e = intercept[IllegalArgumentException](decodeToString(bad))
+    assert(e.getMessage.contains("outside container"), e.getMessage)
+  }
+
   test("duplicate keys are rejected by MySQL upstream; last-write-wins here") {
     // Jackson's readTree keeps the last duplicate — document the behavior.
     assert(roundTrip("""{"a":1,"a":2}""") == """{"a":2}""")
