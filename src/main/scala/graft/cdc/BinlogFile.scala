@@ -38,9 +38,7 @@ object BinlogFileCodec {
   private final val HeaderLen = 19
   private final val FdeTailLen = 5 // alg byte + FDE's own CRC32
 
-  private def u4le(bs: Array[Byte], at: Int): Long =
-    (bs(at) & 0xffL) | ((bs(at + 1) & 0xffL) << 8) |
-      ((bs(at + 2) & 0xffL) << 16) | ((bs(at + 3) & 0xffL) << 24)
+  private def u4le(bs: Array[Byte], at: Int): Long = BinlogRowCodec.uLE(bs, at, 4)
 
   private def crc32(bs: Array[Byte], from: Int, len: Int): Long = {
     val c = new java.util.zip.CRC32()
@@ -139,10 +137,8 @@ object BinlogFileCodec {
 
   // ---- fixture/test encode side ---------------------------------------
 
-  private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
-    var i = 0
-    while (i < n) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-  }
+  private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit =
+    BinlogRowCodec.writeLE(out, v, n)
 
   /** FORMAT_DESCRIPTION body sans tail: binlog_version 4, padded server
     * version, create_ts, common header length, post-header-length table.

@@ -17,6 +17,46 @@ object CdcQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** A Long rendered as MySQL's dashed server-uuid text (fixture side of
+    * the q129-q131 family; the oracle SQL mirrors it with printf/substr).
+    */
+  private def uuidOfLong(v: Long): String = {
+    val hex = f"$v%032x"
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+  }
+
+  /** Shared transaction-fixture encoder for q127/q129 and
+    * [[gtidAssembled]] (q130/q131): `rows` split into two BEGIN..XID
+    * transactions (first ceil(n/2) rows then the rest, xids 2·gid+1 and
+    * 2·gid+2, commit ts 1700000000+xid), one WRITE event per row encoded
+    * by `writeVals`, each transaction GTID-framed with `sid:xid` when
+    * `sid` is set. One encoder, one wire shape — the queries diverge only
+    * in schema and sid derivation, not in framing.
+    */
+  private def txnFixtureEvents(schema: Array[BinlogColumn], sid: Option[String],
+      gid: Long, rows: Seq[org.apache.spark.sql.Row],
+      writeVals: org.apache.spark.sql.Row => Seq[Any]): Seq[Array[Byte]] = {
+    import BinlogTxnCodec.{QueryType, XidType}
+    def writeEv(r: org.apache.spark.sql.Row) = BinlogRowCodec.encodeEvent(
+      BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+        BinlogRowCodec.WriteV2, schema, Seq(writeVals(r))))
+    def txn(part: Seq[org.apache.spark.sql.Row], xid: Long): Seq[Array[Byte]] =
+      if (part.isEmpty) Nil
+      else {
+        val framing = sid.toSeq.map(u =>
+          BinlogRowCodec.encodeEvent(BinlogGtidCodec.GtidType,
+            BinlogGtidCodec.encodeGtid(u, xid))) :+
+          BinlogRowCodec.encodeEvent(QueryType,
+            BinlogTxnCodec.encodeQuery("db", "BEGIN"))
+        (framing ++ part.map(writeEv)) :+
+          BinlogRowCodec.encodeEvent(XidType,
+            BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
+      }
+    val h = (rows.length + 1) / 2
+    txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
+  }
+
   /** Fixture routing table (FIXTURES.md §4 shapes): prefix, suffix, infix,
     * exact patterns + a blacklist, over (lang, source) as (db, table).
     */
@@ -1042,24 +1082,10 @@ object CdcQueries {
     // running-BEGIN-count window + (file, txn_seq) join.
     Q("q127_binlog_txn_assembly", { (s, dir) =>
         import org.apache.spark.sql.Row
-        import BinlogTxnCodec.{QueryType, XidType}
         val schema = BinlogSchema.fromMysqlTypes(Seq(
           "pk" -> "bigint", "status" -> "varchar(4)"))
-        val enc = udf((gid: Long, rows: Seq[Row]) => {
-          def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
-            BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
-              BinlogRowCodec.WriteV2, schema,
-              Seq(Seq[Any](r.getLong(0), r.getString(1)))))
-          def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
-            if (part.isEmpty) Nil
-            else (BinlogRowCodec.encodeEvent(QueryType,
-                BinlogTxnCodec.encodeQuery("db", "BEGIN")) +:
-              part.map(writeEv)) :+
-              BinlogRowCodec.encodeEvent(XidType,
-                BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
-          val h = (rows.length + 1) / 2
-          txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
-        })
+        val enc = udf((gid: Long, rows: Seq[Row]) => txnFixtureEvents(
+          schema, sid = None, gid, rows, r => Seq[Any](r.getLong(0), r.getString(1))))
         val o = t(s, dir, "orders")
         val key = col("o_orderkey")
         val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
@@ -1102,28 +1128,9 @@ object CdcQueries {
     // — the replica-failover-safe position file+pos cannot express.
     Q("q129_binlog_gtid_txn", { (s, dir) =>
         import org.apache.spark.sql.Row
-        import BinlogTxnCodec.{QueryType, XidType}
         val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
-        val enc = udf((gid: Long, rows: Seq[Row]) => {
-          val hex = f"$gid%032x"
-          val sid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
-            s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}"
-          def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
-            BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
-              BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](r.getLong(0)))))
-          def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
-            if (part.isEmpty) Nil
-            else Seq(
-              BinlogRowCodec.encodeEvent(BinlogGtidCodec.GtidType,
-                BinlogGtidCodec.encodeGtid(sid, xid)),
-              BinlogRowCodec.encodeEvent(QueryType,
-                BinlogTxnCodec.encodeQuery("db", "BEGIN"))) ++
-              part.map(writeEv) :+
-              BinlogRowCodec.encodeEvent(XidType,
-                BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
-          val h = (rows.length + 1) / 2
-          txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
-        })
+        val enc = udf((gid: Long, rows: Seq[Row]) => txnFixtureEvents(
+          schema, sid = Some(uuidOfLong(gid)), gid, rows, r => Seq[Any](r.getLong(0))))
         val o = t(s, dir, "orders")
         val key = col("o_orderkey")
         val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
@@ -1217,12 +1224,8 @@ object CdcQueries {
           .select(col("gid"), explode(when(col("n") >= 2,
               array(col("gid") * 2 + 1, col("gid") * 2 + 2))
             .otherwise(array(col("gid") * 2 + 1))).as("gno"))
-          .withColumn("__hex",
-            format_string("%032x", shiftright(col("gid"), 2) % 8))
-          .select(concat_ws("-",
-              substring(col("__hex"), 1, 8), substring(col("__hex"), 9, 4),
-              substring(col("__hex"), 13, 4), substring(col("__hex"), 17, 4),
-              substring(col("__hex"), 21, 12)).as("sid"),
+          .select(udf((gid: Long) => uuidOfLong((gid >> 2) % 8))
+              .apply(col("gid")).as("sid"),
             col("gno").cast(LongType).as("gno"))
         val encSet = udf((sid: String, ivs: Seq[Row]) =>
           BinlogGtidCodec.encodePreviousGtids(
@@ -1277,37 +1280,18 @@ object CdcQueries {
     */
   private def gtidAssembled(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
-    import BinlogTxnCodec.{QueryType, XidType}
     val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
-    val enc = udf((sid: String, gid: Long, rows: Seq[Row]) => {
-      def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
-        BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
-          BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](r.getLong(0)))))
-      def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
-        if (part.isEmpty) Nil
-        else Seq(
-          BinlogRowCodec.encodeEvent(BinlogGtidCodec.GtidType,
-            BinlogGtidCodec.encodeGtid(sid, xid)),
-          BinlogRowCodec.encodeEvent(QueryType,
-            BinlogTxnCodec.encodeQuery("db", "BEGIN"))) ++
-          part.map(writeEv) :+
-          BinlogRowCodec.encodeEvent(XidType,
-            BinlogTxnCodec.encodeXid(xid), timestamp = 1700000000L + xid)
-      val h = (rows.length + 1) / 2
-      txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
-    })
+    // sid = uuid((gid/4) % 8): 8 server identities across the groups
+    val enc = udf((gid: Long, rows: Seq[Row]) => txnFixtureEvents(
+      schema, sid = Some(uuidOfLong((gid >> 2) % 8)), gid, rows,
+      r => Seq[Any](r.getLong(0))))
     val o = t(s, dir, "orders")
     val key = col("o_orderkey")
     val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
       .agg(sort_array(collect_list(struct(key.cast(LongType)))).as("rows"))
-      .withColumn("__hex", format_string("%032x", shiftright(col("gid"), 2) % 8))
-      .withColumn("sid", concat_ws("-",
-        substring(col("__hex"), 1, 8), substring(col("__hex"), 9, 4),
-        substring(col("__hex"), 13, 4), substring(col("__hex"), 17, 4),
-        substring(col("__hex"), 21, 12)))
     grouped.sortWithinPartitions("gid")
       .select(col("gid"),
-        posexplode(enc(col("sid"), col("gid"), col("rows"))).as(Seq("ord", "ev")))
+        posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
       .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
       .select(col("gid"), col("ord"), col("h.timestamp").as("timestamp"),
         col("h.event_type").as("event_type"), col("h.body").as("body"))

@@ -51,12 +51,7 @@ object BinlogGtidCodec {
     sb.toString
   }
 
-  private def s8le(bs: Array[Byte], off: Int): Long = {
-    var v = 0L
-    var i = 7
-    while (i >= 0) { v = (v << 8) | (bs(off + i) & 0xffL); i -= 1 }
-    v
-  }
+  private def s8le(bs: Array[Byte], off: Int): Long = BinlogRowCodec.uLE(bs, off, 8)
 
   def decodeGtid(body: Array[Byte]): InternalRow = {
     if (body.length < 1 + 16 + 8)
@@ -130,10 +125,7 @@ object BinlogGtidCodec {
       lastCommitted: Long = -1L, sequenceNumber: Long = -1L): Array[Byte] = {
     require(gno > 0, s"gno must be positive: $gno")
     val out = new java.io.ByteArrayOutputStream
-    def le(v: Long): Unit = {
-      var i = 0
-      while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-    }
+    def le(v: Long): Unit = BinlogRowCodec.writeLE(out, v, 8)
     out.write(flags)
     out.write(uuidBytes(sid))
     le(gno)
@@ -149,10 +141,7 @@ object BinlogGtidCodec {
   /** `sets`: (uuid, inclusive intervals). */
   def encodePreviousGtids(sets: Seq[(String, Seq[(Long, Long)])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
-    def le(v: Long): Unit = {
-      var i = 0
-      while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
-    }
+    def le(v: Long): Unit = BinlogRowCodec.writeLE(out, v, 8)
     le(sets.length.toLong)
     sets.foreach { case (uuid, ivs) =>
       require(ivs.nonEmpty, s"empty interval list for $uuid")
