@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object BinlogGtidCodec {
 
   final val GtidType = 33
+  // Same body layout as GTID_LOG_EVENT but names no uuid:gno — it marks
+  // the NEXT transaction as explicitly anonymous (gtid_mode OFF/
+  // *_PERMISSIVE). Never body-decoded (its gno may be 0, which decodeGtid
+  // rightly rejects for real GTIDs); the type byte alone carries the fact.
+  final val AnonymousGtidType = 34
   final val PreviousGtidsType = 35
 
   val gtidOutputType: StructType = StructType(Seq(

@@ -162,11 +162,16 @@ object Transactions {
       ColumnBridge.column(BinlogXidDecode(
         ColumnBridge.expression(col(bodyCol)))).as("xid"),
       col(tsCol).as("cts")))
-    val gtidStruct = when(col(typeCol) === BinlogGtidCodec.GtidType, struct(
+    // ANONYMOUS_GTID participates as a marker with a null name: it takes
+    // the "latest GTID marker" slot, so the span it announces stamps null
+    // even in a malformed GTID-then-ANONYMOUS mix.
+    val gtidStruct = when(col(typeCol) === BinlogGtidCodec.GtidType ||
+      col(typeCol) === BinlogGtidCodec.AnonymousGtidType, struct(
       col("txn_seq").as("seq"),
       col(ordCol).cast(LongType).as("ord"),
-      ColumnBridge.column(BinlogGtidDecode(
-        ColumnBridge.expression(col(bodyCol)))).getField("gtid").as("g")))
+      when(col(typeCol) === BinlogGtidCodec.GtidType,
+        ColumnBridge.column(BinlogGtidDecode(
+          ColumnBridge.expression(col(bodyCol)))).getField("gtid")).as("g")))
     // A non-BEGIN QUERY outside any committed span commits implicitly
     // (DDL) and consumes the pending GTID; inside a committed span it is a
     // statement-format row change and consumes nothing.

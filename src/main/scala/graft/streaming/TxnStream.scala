@@ -73,6 +73,11 @@ object TxnStream {
               val g = BinlogGtidCodec.decodeGtid(body).getUTF8String(3).toString
               out += raw(st.txnSeq)
               st = st.copy(pendingGtid = Some(g))
+            } else if (tpe == BinlogGtidCodec.AnonymousGtidType && !st.open) {
+              // the next transaction is EXPLICITLY anonymous — displace any
+              // (malformed-stream) pending name rather than letting it leak
+              out += raw(st.txnSeq)
+              st = st.copy(pendingGtid = None)
             } else if (tpe == BinlogTxnCodec.XidType && st.open) {
               val xid = BinlogTxnCodec.decodeXid(body)
               val cts = h.getLong(0)

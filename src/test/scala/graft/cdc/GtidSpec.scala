@@ -106,7 +106,13 @@ class GtidSpec extends SparkSpec {
       ("A", 12, GtidType, encodeGtid(sid, 7L), 0L),
       ("A", 13, QueryType, begin, 0L),
       ("A", 14, BinlogRowCodec.WriteV2, row(4), 0L),
-      ("A", 15, XidType, BinlogTxnCodec.encodeXid(4L), 4000L)
+      ("A", 15, XidType, BinlogTxnCodec.encodeXid(4L), 4000L),
+      // an ANONYMOUS_GTID marker displaces even a (malformed) pending GTID
+      ("A", 16, GtidType, encodeGtid(sid, 8L), 0L),
+      ("A", 17, AnonymousGtidType, encodeGtid(sid, 1L), 0L),
+      ("A", 18, QueryType, begin, 0L),
+      ("A", 19, BinlogRowCodec.WriteV2, row(5), 0L),
+      ("A", 20, XidType, BinlogTxnCodec.encodeXid(5L), 5000L)
     ).toDF("file", "ord", "event_type", "body", "timestamp")
     val out = Transactions.assemble(events, "file", "ord")
       .select(col("ord"), col("xid"), col("gtid")).collect()
@@ -120,5 +126,7 @@ class GtidSpec extends SparkSpec {
     assert(out(8) == (None, None))
     assert(out(10) == (Some(3L), None))
     assert(out(14) == (Some(4L), Some(s"$sid:7")))
+    // ANONYMOUS-marked span commits with gtid null, displacing sid:8
+    assert(out(19) == (Some(5L), None))
   }
 }

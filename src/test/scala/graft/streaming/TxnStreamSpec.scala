@@ -91,7 +91,13 @@ class TxnStreamSpec extends SparkSpec {
       SessionEvent(2L, 6L, begin), SessionEvent(2L, 7L, write(6L)),
       SessionEvent(2L, 8L, xid(22L)),
       SessionEvent(2L, 9L, begin), SessionEvent(2L, 10L, write(7L)),
-      SessionEvent(2L, 11L, xid(23L)))
+      SessionEvent(2L, 11L, xid(23L)),
+      // ANONYMOUS_GTID marker displaces the (malformed) pending gtid(45)
+      SessionEvent(2L, 12L, gtid(45L)),
+      SessionEvent(2L, 13L, encodeEvent(BinlogGtidCodec.AnonymousGtidType,
+        BinlogGtidCodec.encodeGtid(sid, 1L))),
+      SessionEvent(2L, 14L, begin), SessionEvent(2L, 15L, write(8L)),
+      SessionEvent(2L, 16L, xid(24L)))
     val in = MemoryStream[SessionEvent]
     val q = TxnStream.assembleCommitted(in.toDS())
       .writeStream.format("memory").queryName("txn_eq")
@@ -123,7 +129,7 @@ class TxnStreamSpec extends SparkSpec {
       .select("session", "ordinal", "txn_seq", "xid", "commit_ts", "gtid")
       .collect().map(tup).toSet
     assert(streamed == expected)
-    assert(expected.count(_._4.isDefined) == 16, "five committed txns, 16 stamped events")
+    assert(expected.count(_._4.isDefined) == 19, "six committed txns, 19 stamped events")
     assert(expected.count(_._6 == Some(s"$sid:42")) == 4,
       "the GTID-framed txn (BEGIN, 2 rows, XID) carries its uuid:gno")
     assert(expected.count(_._6 == Some(s"$sid:44")) == 3)
