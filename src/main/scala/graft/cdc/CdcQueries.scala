@@ -1248,23 +1248,9 @@ object CdcQueries {
             col("xid"), col("gtid"),
             substring_index(col("gtid"), ":", 1).as("sid"),
             element_at(split(col("gtid"), ":"), 2).cast(LongType).as("gno"))
-        // Bin both sides before the anti join: joining on sid alone (a
-        // handful of server identities) makes the BroadcastHashJoin probe
-        // scan EVERY interval of the row's sid as a residual range check —
-        // O(rows × intervals/sid), the hidden quadratic once the applied
-        // history holds millions of intervals. A 64-gno bin as a second
-        // equi key keeps each probe's build group O(1); an interval joins
-        // every bin it overlaps (coverage semantics preserved — a covering
-        // interval always overlaps its gno's bin).
-        val binBits = 6
-        val ivsBinned = ivs.withColumn("__bin", explode(sequence(
-          shiftright(col("lo"), binBits), shiftright(col("hi"), binBits))))
-        val probe = writes.withColumn("__bin", shiftright(col("gno"), binBits))
-        probe.join(broadcast(ivsBinned),
-            probe("sid") === ivsBinned("sid") &&
-              probe("__bin") === ivsBinned("__bin") &&
-              probe("gno") >= ivsBinned("lo") && probe("gno") <= ivsBinned("hi"),
-            "left_anti")
+        // bin-keyed narrow intervals + sid-keyed wide residual; see
+        // [[GtidSet.skipCovered]] for the scale argument
+        GtidSet.skipCovered(writes, ivs)
           .select("pk", "xid", "gtid")
       },
       Some("""WITH g AS (

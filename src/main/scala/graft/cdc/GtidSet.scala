@@ -90,4 +90,43 @@ object GtidSet {
         coalesce(try_element_at(split(col("__iv"), "-"), lit(2)).cast(LongType),
           element_at(split(col("__iv"), "-"), 1).cast(LongType)).as("hi"))
   }
+
+  /** Drop every row whose (sid, gno) an applied interval set covers — the
+    * resume/failover skip. `ivs` is (sid, lo, hi) interval metadata (from
+    * [[parse]] or [[intervals]]), never row-scale, so both joins
+    * broadcast; `rows` is the replayed stream at any scale.
+    *
+    * Join shape: joining on sid alone (a server has a handful of sids)
+    * would make the BroadcastHashJoin probe scan EVERY interval of the
+    * row's sid as a residual range check — O(rows × intervals/sid), the
+    * hidden quadratic once the applied history holds millions of
+    * intervals. So intervals spanning < `maxBins` bins of 2^`binBits`
+    * gnos explode into one build row per overlapped bin and join with the
+    * bin as a second equi key (each probe's build group is O(1); a
+    * covering interval always overlaps its gno's bin). Intervals spanning
+    * ≥ maxBins bins are NOT exploded — a long-lived server's executed set
+    * is a few VERY wide intervals (`uuid:1-10⁹` would materialize
+    * millions of bin rows) — and stay on a sid-keyed residual join:
+    * O(wide intervals/sid) per probe, bounded because wideness is exactly
+    * what keeps their count small. A row survives iff neither join covers
+    * its gno, so the two anti joins compose.
+    */
+  def skipCovered(rows: DataFrame, ivs: DataFrame, sidCol: String = "sid",
+      gnoCol: String = "gno", binBits: Int = 6, maxBins: Long = 64L): DataFrame = {
+    val binSpan = shiftright(col("hi"), binBits) - shiftright(col("lo"), binBits)
+    val narrow = ivs.filter(binSpan < maxBins).withColumn("__bin",
+      explode(sequence(shiftright(col("lo"), binBits), shiftright(col("hi"), binBits))))
+    val wide = ivs.filter(binSpan >= maxBins)
+    val probe = rows.withColumn("__bin", shiftright(col(gnoCol), binBits))
+    val afterNarrow = probe.join(broadcast(narrow),
+      probe(sidCol) === narrow("sid") &&
+        probe("__bin") === narrow("__bin") &&
+        probe(gnoCol) >= narrow("lo") && probe(gnoCol) <= narrow("hi"),
+      "left_anti")
+    afterNarrow.join(broadcast(wide),
+        afterNarrow(sidCol) === wide("sid") &&
+          afterNarrow(gnoCol) >= wide("lo") && afterNarrow(gnoCol) <= wide("hi"),
+        "left_anti")
+      .drop("__bin")
+  }
 }

@@ -200,8 +200,10 @@ object JsonBinary {
         val kl = u16(bs, kp + w)
         // keys get the same container-bound rejection as value offsets —
         // a key entry pointing past the declared size would otherwise read
-        // its text from unrelated sibling bytes, silently
-        if (ko >= size || ko.toLong + kl > size)
+        // its text from unrelated sibling bytes, silently. End-exclusive
+        // on purpose: an EMPTY key (kl=0) may legitimately sit exactly at
+        // the container end ({"":1} with no spilled values → ko == size).
+        if (ko.toLong + kl > size)
           throw new IllegalArgumentException(
             s"JSONB key at offset $ko+$kl outside container of size $size")
         need(bs, base + ko, kl)

@@ -197,9 +197,11 @@ class PlanSpec extends SparkSpec {
       "interval skip must be a broadcast anti join\n" + p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "the replayed stream must not shuffle against interval metadata\n" + p)
-    // the gno bin must be a hash key of the anti join, not a residual:
-    // keying on sid alone scans every interval of that sid per probe row
-    assert(p.contains("__bin"),
+    // the gno bin must be a HASH KEY of the (narrow-interval) anti join,
+    // not merely a residual in its condition: keying on sid alone scans
+    // every interval of that sid per probe row. Checked inside the join's
+    // key bracket, so a regression to residual-only still fails.
+    assert("""BroadcastHashJoin \[[^\]]*__bin""".r.findFirstIn(p).isDefined,
       "anti join must equi-key on (sid, __bin), not sid alone\n" + p)
   }
 }

@@ -56,4 +56,31 @@ class GtidSetSpec extends SparkSpec {
       (sidA, 1L, 5L), (sidA, 7L, 7L), (sidA, 64L, 66L), (sidA, 1000L, 1000L),
       (sidB, 3L, 4L)))
   }
+
+  test("skipCovered drops covered gnos via both the binned and the wide path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // narrow (width-3) interval + a VERY wide one (10⁹ gnos — would be
+    // ~15.6M bin rows if exploded; must take the residual path) + another
+    // sid whose identical gnos must NOT be skipped
+    val ivs = Seq(
+      (sidA, 10L, 12L),
+      (sidA, 1000000L, 1001000000L),
+      (sidB, 5L, 5L)).toDF("sid", "lo", "hi")
+    val rows = Seq(
+      (sidA, 9L), (sidA, 10L), (sidA, 12L), (sidA, 13L),        // narrow edges
+      (sidA, 999999L), (sidA, 1000000L),                        // wide lo edge
+      (sidA, 500000000L),                                       // wide middle
+      (sidA, 1001000000L), (sidA, 1001000001L),                 // wide hi edge
+      (sidB, 10L), (sidB, 5L)).toDF("sid", "gno")               // per-sid scoping
+    val kept = GtidSet.skipCovered(rows, ivs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(
+      (sidA, 9L), (sidA, 13L), (sidA, 999999L), (sidA, 1001000001L),
+      (sidB, 10L)))
+    // binned semantics must be bin-width independent around the edges
+    val kept2 = GtidSet.skipCovered(rows, ivs, binBits = 3, maxBins = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept2 == kept)
+  }
 }

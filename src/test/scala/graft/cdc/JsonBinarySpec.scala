@@ -49,6 +49,10 @@ class JsonBinarySpec extends AnyFunSuite {
     // insertion order deliberately scrambled; "z" sorts before "ab"
     assert(roundTrip("""{"ab":2,"z":1}""") == """{"z":1,"ab":2}""")
     assert(roundTrip("""{"bb":2,"ba":1,"c":3}""") == """{"c":3,"ba":1,"bb":2}""")
+    // an EMPTY key with an inlined value sits exactly at the container
+    // end (ko == size, kl == 0) — legal in MySQL (JSON_OBJECT('',1)) and
+    // must not trip the key-bound check
+    assert(roundTrip("""{"":1}""") == """{"":1}""")
   }
 
   test("nested containers and inlined literals round-trip") {
