@@ -1268,7 +1268,81 @@ object CdcQueries {
              |  substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
              |  substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
              |  substr(hex, 21, 12) || ':' || CAST(xid AS VARCHAR) AS gtid
-             |FROM h ORDER BY pk""".stripMargin))
+             |FROM h ORDER BY pk""".stripMargin)),
+
+    // Compressed-transaction replay (beyond-reference: MySQL 8.0.20+
+    // binlog_transaction_compression; the reference has no type-40 arm):
+    // each transaction travels as GTID event + ONE zstd-compressed
+    // TRANSACTION_PAYLOAD holding its BEGIN..rows..XID run. The engine
+    // opens the envelope ([[BinlogTxnPayloadSplit]]), re-frames the
+    // embedded events, and the standard assembly stamps xid/commit_ts
+    // from INSIDE the payload and gtid from OUTSIDE it — the two framing
+    // layers compose.
+    Q("q132_binlog_txn_payload", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+        val enc = udf((gid: Long, rows: Seq[Row]) => {
+          val sid = uuidOfLong(gid)
+          def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
+            if (part.isEmpty) Nil
+            else {
+              val inner: Seq[(Int, Array[Byte])] =
+                ((BinlogTxnCodec.QueryType,
+                  BinlogTxnCodec.encodeQuery("db", "BEGIN")) +:
+                  part.map(r => (BinlogRowCodec.WriteV2,
+                    BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+                      Seq(Seq[Any](r.getLong(0))))))) :+
+                  ((BinlogTxnCodec.XidType, BinlogTxnCodec.encodeXid(xid)))
+              Seq(
+                BinlogRowCodec.encodeEvent(BinlogGtidCodec.GtidType,
+                  BinlogGtidCodec.encodeGtid(sid, xid)),
+                BinlogRowCodec.encodeEvent(BinlogTxnPayloadCodec.TxnPayloadType,
+                  BinlogTxnPayloadCodec.encodePayload(inner, compress = true,
+                    timestamp = 1700000000L + xid)))
+            }
+          val h = (rows.length + 1) / 2
+          txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
+        })
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(sort_array(collect_list(struct(key.cast(LongType)))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(col("gid"), posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
+          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+          .select(col("gid"), col("ord"),
+            when(col("h.event_type") === BinlogTxnPayloadCodec.TxnPayloadType,
+              BinlogTxnPayloadSplit(col("h.body")))
+              .otherwise(array(col("h"))).as("subs"))
+          .select(col("gid"), col("ord"), posexplode(col("subs")).as(Seq("sub", "h")))
+          .select(col("gid"), (col("ord") * 100 + col("sub")).as("ord"),
+            col("h.timestamp").as("timestamp"),
+            col("h.event_type").as("event_type"), col("h.body").as("body"))
+          .transform(Transactions.assemble(_, "gid", "ord"))
+          .filter(col("event_type") === BinlogRowCodec.WriteV2)
+          .select(col("xid"), col("commit_ts"), col("gtid"),
+            BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("xid"), col("commit_ts"), col("gtid"),
+            explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("xid"), col("commit_ts").as("cts"), col("gtid"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderkey AS pk,
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
+             |  FROM orders),
+             |x AS (SELECT pk, gid, printf('%032x', gid) AS hex,
+             |  gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid
+             |  FROM g)
+             |SELECT pk, xid, 1700000000 + xid AS cts,
+             |  substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
+             |  substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
+             |  substr(hex, 21, 12) || ':' || CAST(xid AS VARCHAR) AS gtid
+             |FROM x ORDER BY pk""".stripMargin))
   )
 
   /** Shared fixture for q130/q131: the q129 stream with 8 server
