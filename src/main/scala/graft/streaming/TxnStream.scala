@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{BinlogGtidCodec, BinlogRowCodec, BinlogTxnCodec}
+import graft.cdc.{BinlogGtidCodec, BinlogRowCodec, BinlogTxnCodec, BinlogTxnPayloadCodec}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -36,6 +36,39 @@ object TxnStream {
     */
   final case class TxnState(txnSeq: Long, open: Boolean,
       buffered: List[TxnEvent], pendingGtid: Option[String])
+
+  /** Expand TRANSACTION_PAYLOAD envelopes (MySQL 8.0.20+ compressed
+    * transactions) into their embedded whole events ahead of
+    * [[assembleCommitted]] — stateless (pure flatMap, no state store), so
+    * it chains between [[ReplicaStream]] and the fold with no new shuffle.
+    * Every ordinal is scaled by 2^20 so sub-events slot between their
+    * envelope and the next event; an envelope holding ≥2^20 events fails
+    * loudly (far beyond any real transaction — the payload itself is
+    * bounded by max_binlog_size). Non-payload events pass through with
+    * the same scaling, so per-session relative order is preserved.
+    */
+  def expandPayloads(events: Dataset[SessionEvent]): Dataset[SessionEvent] = {
+    import events.sparkSession.implicits._
+    events.flatMap { se =>
+      val h = BinlogRowCodec.decodeHeader(se.event, packetMarker = false)
+      if (h.getInt(1) != BinlogTxnPayloadCodec.TxnPayloadType)
+        Seq(se.copy(ordinal = se.ordinal << 20))
+      else {
+        val arr = BinlogTxnPayloadCodec.decodePayload(h.getBinary(6))
+        val n = arr.numElements()
+        require(n < (1 << 20),
+          s"session ${se.session}: TRANSACTION_PAYLOAD with $n embedded " +
+            s"events at ordinal ${se.ordinal}")
+        (0 until n).map { i =>
+          val er = arr.getStruct(i, 7)
+          SessionEvent(se.session, (se.ordinal << 20) + i,
+            BinlogRowCodec.encodeEvent(er.getInt(1), er.getBinary(6),
+              timestamp = er.getLong(0), serverId = er.getLong(2),
+              logPos = er.getLong(4), flags = er.getInt(5)))
+        }
+      }
+    }
+  }
 
   /** Whole binlog events (as from [[ReplicaStream.events]]) → events
     * stamped with their commit, committed transactions and preludes only.

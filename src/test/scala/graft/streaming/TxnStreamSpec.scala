@@ -138,4 +138,58 @@ class TxnStreamSpec extends SparkSpec {
     // txns and the DDL itself carry no gtid at all
     assert(expected.count(_._6.isDefined) == 7, "no anonymous span inherits a gtid")
   }
+
+  test("compressed transactions expand and assemble like plain ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cdc.{BinlogGtidCodec, BinlogTxnPayloadCodec}
+    val sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    def gtid(gno: Long) =
+      encodeEvent(BinlogGtidCodec.GtidType, BinlogGtidCodec.encodeGtid(sid, gno))
+    def payload(pks: Seq[Long], xid: Long) = encodeEvent(
+      BinlogTxnPayloadCodec.TxnPayloadType,
+      BinlogTxnPayloadCodec.encodePayload(
+        ((QueryType, BinlogTxnCodec.encodeQuery("d", "BEGIN")) +:
+          pks.map(pk => (WriteV2, encodeRows(WriteV2, schema, Seq(Seq(pk)))))) :+
+          ((XidType, BinlogTxnCodec.encodeXid(xid))),
+        compress = true, timestamp = 9000L + xid))
+    // a compressed GTID'd txn, a PLAIN txn, then a compressed anonymous one
+    val events = Seq(
+      SessionEvent(1L, 0L, rotate),
+      SessionEvent(1L, 1L, gtid(50L)), SessionEvent(1L, 2L, payload(Seq(1L, 2L), 31L)),
+      SessionEvent(1L, 3L, begin), SessionEvent(1L, 4L, write(3L)),
+      SessionEvent(1L, 5L, xid(32L)),
+      SessionEvent(1L, 6L, payload(Seq(4L), 33L)))
+    val in = MemoryStream[SessionEvent]
+    val q = TxnStream.assembleCommitted(TxnStream.expandPayloads(in.toDS()))
+      .writeStream.format("memory").queryName("txn_tp")
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("txn_tp")
+      .select("ordinal", "txnSeq", "xid", "commitTs", "gtid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toSet
+    val S = 1L << 20
+    assert(got == Set(
+      (0L * S, 0L, None, None, None),            // rotate prelude
+      (1L * S, 0L, None, None, None),            // the GTID event itself
+      // compressed txn 1: BEGIN, 2 writes, XID — all stamped, gtid'd
+      (2L * S + 0, 1L, Some(31L), Some(9031L), Some(s"$sid:50")),
+      (2L * S + 1, 1L, Some(31L), Some(9031L), Some(s"$sid:50")),
+      (2L * S + 2, 1L, Some(31L), Some(9031L), Some(s"$sid:50")),
+      (2L * S + 3, 1L, Some(31L), Some(9031L), Some(s"$sid:50")),
+      // plain txn: stamped, anonymous
+      (3L * S, 2L, Some(32L), Some(9032L), None),
+      (4L * S, 2L, Some(32L), Some(9032L), None),
+      (5L * S, 2L, Some(32L), Some(9032L), None),
+      // compressed txn 2: anonymous (gtid 50 was spent on txn 1)
+      (6L * S + 0, 3L, Some(33L), Some(9033L), None),
+      (6L * S + 1, 3L, Some(33L), Some(9033L), None),
+      (6L * S + 2, 3L, Some(33L), Some(9033L), None)))
+  }
 }
