@@ -1314,7 +1314,10 @@ object CdcQueries {
             when(col("h.event_type") === BinlogTxnPayloadCodec.TxnPayloadType,
               BinlogTxnPayloadSplit(col("h.body")))
               .otherwise(array(col("h"))).as("subs"))
-          .select(col("gid"), col("ord"), posexplode(col("subs")).as(Seq("sub", "h")))
+          // _outer: see q68 — plain posexplode lets InferFiltersFromGenerate
+          // clone the zstd decode into a size() filter, inflating twice
+          .select(col("gid"), col("ord"),
+            posexplode_outer(col("subs")).as(Seq("sub", "h")))
           .select(col("gid"), (col("ord") * 100 + col("sub")).as("ord"),
             col("h.timestamp").as("timestamp"),
             col("h.event_type").as("event_type"), col("h.body").as("body"))
