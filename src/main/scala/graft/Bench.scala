@@ -59,9 +59,17 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
     } catch { case _: Throwable => "unknown" }
+    // Name the fixture generation too: a bench and a correctness artifact
+    // only form a consistent round snapshot when they saw the same testdata.
+    val fixtureMtime = try {
+      java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(sfDir, "lineitem.parquet"))
+        .toInstant.toString
+    } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failures":$failures,"errors":$errs,"cdc_rows_per_sec":$cdcRate,""" +
-      s""""commit":"$sha","sf":"$sfDir"}"""
+      s""""failures":$failures,"failed":${failures > 0},"errors":$errs,""" +
+      s""""cdc_rows_per_sec":$cdcRate,"commit":"$sha",""" +
+      s""""fixture_mtime":"$fixtureMtime","sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a tail of stdout; persist the complete
     // per-query map so every number survives for the next reader.
@@ -71,6 +79,8 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; never fail the bench
     spark.stop()
+    // A broken run must not look green to rc-keyed automation.
+    if (failures > 0) sys.exit(1)
   }
 
   /** End-to-end CDC throughput (the reference's headline number,

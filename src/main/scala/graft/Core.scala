@@ -23,12 +23,21 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects. Read nanos as long and convert; the fixture's nanos
-      // are exact multiples of 1000, so the micros conversion is lossless.
+      // events.parquet has stored ts either as TIMESTAMP(MICROS) (read back
+      // natively) or as TIMESTAMP(NANOS), which Spark's parquet reader
+      // rejects unless nanosAsLong is set — in that case read nanos as long
+      // and convert (the fixture's nanos are exact multiples of 1000, so the
+      // micros conversion is lossless). Branch on the type actually read so
+      // both fixture generations load identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // NTZ micros: same instants under the UTC session zone; cast to LTZ
+        // so downstream code sees one ts type across fixture generations.
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
 
