@@ -127,6 +127,12 @@ object BinlogDecode {
   def rowTableId(body: Column): Column =
     ColumnBridge.column(BinlogRowTableId(expr(body)))
 
+  /** QUERY event body decode → struct(db, sql) — see
+    * [[BinlogTxnCodec.decodeQuery]].
+    */
+  def query(body: Column): Column =
+    ColumnBridge.column(BinlogQueryDecode(expr(body)))
+
   /** Whole-row decode with the schema supplied at runtime from a paired
     * TABLE_MAP's `cols` — see [[BinlogRowCodec.decodeRowsDynamic]].
     */

@@ -1345,7 +1345,103 @@ object CdcQueries {
              |  substr(hex, 1, 8) || '-' || substr(hex, 9, 4) || '-' ||
              |  substr(hex, 13, 4) || '-' || substr(hex, 17, 4) || '-' ||
              |  substr(hex, 21, 12) || ':' || CAST(xid AS VARCHAR) AS gtid
-             |FROM x ORDER BY pk""".stripMargin))
+             |FROM x ORDER BY pk""".stripMargin)),
+
+    // Schema evolution across DDL (beyond-reference: the reference goes
+    // stale-then-refetch against the live server, executor.rs:33-48 —
+    // a replayable engine can't). TABLE_MAPs carry types but NO names;
+    // the binlog's own ALTER TABLE statements carry the name timeline.
+    // Engine shape: QUERY events → per-table DDL fold (SchemaVersions,
+    // metadata scale) → versioned name lists; row events decode
+    // positionally via TABLE_MAP pairing (the q83 as-of join) and pick up
+    // the era's names with a second as-of join on binlog position. The
+    // fixture crosses TWO live ALTERs — ADD COLUMN then DROP COLUMN, with
+    // changed table_ids as MySQL re-registers after DDL — and every row
+    // lands with the correct columns for its side of each boundary.
+    Q("q133_schema_evolution", { (s, dir) =>
+        import graft.operators.AsofJoin
+        val v1 = Seq("pk" -> "bigint", "price" -> "decimal(12,2)")
+        val v2 = Seq("pk" -> "bigint", "price" -> "decimal(12,2)",
+          "status" -> "varchar(4)")
+        val v3 = Seq("pk" -> "bigint", "status" -> "varchar(4)")
+        val (s1, s2, s3) = (BinlogSchema.fromMysqlTypes(v1),
+          BinlogSchema.fromMysqlTypes(v2), BinlogSchema.fromMysqlTypes(v3))
+        // TABLE_MAP at seq 3k, WRITE at 3k+1; the two ALTERs sit at
+        // 3·5000+2 and 3·10000+2 — strictly between the last old-era
+        // event and the first new-era TABLE_MAP.
+        val encRow = udf((k: Long, price: String, status: String) => {
+          val (sch, tid, vals) =
+            if (k <= 5000) (s1, 7L, Seq[Any](k, price))
+            else if (k <= 10000) (s2, 8L, Seq[Any](k, price, status))
+            else (s3, 9L, Seq[Any](k, status))
+          Seq(
+            (3 * k, BinlogRowCodec.encodeEvent(19,
+              BinlogRowCodec.encodeTableMap(tid, "db1", "t1", sch))),
+            (3 * k + 1, BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+              BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, sch,
+                Seq(vals), tableId = tid))))
+        })
+        val encDdl = udf((sql: String) => BinlogRowCodec.encodeEvent(
+          BinlogTxnCodec.QueryType, BinlogTxnCodec.encodeQuery("db1", sql)))
+        val o = t(s, dir, "orders")
+        val rowEvents = o.sortWithinPartitions("o_orderkey")
+          .select(explode(encRow(col("o_orderkey").cast(LongType),
+            col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+            col("o_orderstatus"))).as("e"))
+          .select(col("e._1").as("seq"), col("e._2").as("ev"))
+        import s.implicits._
+        val ddlEvents = Seq(
+            (15002L, "ALTER TABLE t1 ADD COLUMN status varchar(4) AFTER price"),
+            (30002L, "ALTER TABLE `t1` DROP COLUMN price"))
+          .toDF("seq", "sql")
+          .select(col("seq"), encDdl(col("sql")).as("ev"))
+        val events = rowEvents.unionByName(ddlEvents)
+
+        // ---- engine side: bytes in, named+typed change rows out ----
+        val split = events.select(col("seq"),
+          BinlogDecode.eventSplit(col("ev")).as("h"))
+        val alters = split
+          .filter(col("h.event_type") === BinlogTxnCodec.QueryType)
+          .select(col("seq"), BinlogDecode.query(col("h.body")).as("q"))
+          .filter(col("q.sql").rlike("(?i)^\\s*ALTER\\s+TABLE"))
+          .select(col("q.db").as("db"), AlterTargetTable(col("q.sql")).as("tbl"),
+            col("seq"), col("q.sql").as("sql"))
+        val bootstrap = array(v1.map { case (n, tp) =>
+          struct(lit(n), lit(tp)) }: _*)
+        val versions = alters
+          .groupBy("db", "tbl")
+          .agg(sort_array(collect_list(struct(col("seq"), col("sql")))).as("ddls"))
+          .select(col("db"), col("tbl"),
+            explode(SchemaVersions(bootstrap, col("ddls"))).as("v"))
+          .select(col("db"), col("tbl"), col("v.from_ord").as("from_ord"),
+            expr("transform(v.cols, c -> c.name)").as("names"))
+        val tms = split.filter(col("h.event_type") === 19)
+          .select(col("seq"), BinlogDecode.tableMap(col("h.body")).as("tm"))
+          .select(col("tm.table_id").as("table_id"), col("seq"), col("tm"))
+        val rows = split
+          .filter(col("h.event_type") === BinlogRowCodec.WriteV2)
+          .select(BinlogDecode.rowTableId(col("h.body")).as("table_id"),
+            col("seq"), col("h.event_type").as("et"), col("h.body").as("body"))
+        val decoded = AsofJoin
+          .asofJoin(rows, tms, Seq("table_id"), "seq", "seq", Seq("tm"))
+          .select(col("seq"), col("tm.database").as("db"),
+            col("tm.table").as("tbl"),
+            BinlogDecode.rowsDynamic(col("body"), col("et"), col("tm.cols")).as("r"))
+        AsofJoin
+          .asofJoin(decoded, versions, Seq("db", "tbl"), "seq", "from_ord",
+            Seq("names"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("names"), explode_outer(col("r.data")).as("vals"))
+          .select(map_from_arrays(col("names"), col("vals")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            try_element_at(col("m"), lit("price")).as("price"),
+            try_element_at(col("m"), lit("status")).as("status"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  CASE WHEN o_orderkey <= 10000
+             |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS price,
+             |  CASE WHEN o_orderkey > 5000 THEN o_orderstatus END AS status
+             |FROM orders ORDER BY pk""".stripMargin))
   )
 
   /** Shared fixture for q130/q131: the q129 stream with 8 server
