@@ -133,6 +133,12 @@ object BinlogDecode {
   def query(body: Column): Column =
     ColumnBridge.column(BinlogQueryDecode(expr(body)))
 
+  /** ROWS_QUERY event body decode → the original statement text — see
+    * [[BinlogTxnCodec.decodeRowsQuery]].
+    */
+  def rowsQuery(body: Column): Column =
+    ColumnBridge.column(BinlogRowsQueryDecode(expr(body)))
+
   /** Whole-row decode with the schema supplied at runtime from a paired
     * TABLE_MAP's `cols` — see [[BinlogRowCodec.decodeRowsDynamic]].
     */

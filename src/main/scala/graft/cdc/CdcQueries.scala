@@ -1441,6 +1441,50 @@ object CdcQueries {
              |  CASE WHEN o_orderkey <= 10000
              |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS price,
              |  CASE WHEN o_orderkey > 5000 THEN o_orderstatus END AS status
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Statement attribution (beyond-reference: no type-29 arm in
+    // binlog.rs): with binlog_rows_query_log_events=ON MySQL precedes
+    // each statement's row events with a ROWS_QUERY event carrying the
+    // original SQL text. One ROWS_QUERY covers ALL row events of its
+    // statement, so pairing is ordered, not adjacent — the same
+    // running-last window shape as Transactions.assemble: one shuffle on
+    // the file key, no join, no recompute of the decode.
+    Q("q134_binlog_rows_query", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.expressions.Window
+        val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+        val enc = udf((gid: Long, rows: Seq[Row]) =>
+          BinlogRowCodec.encodeEvent(BinlogTxnCodec.RowsQueryType,
+            BinlogTxnCodec.encodeRowsQuery(s"INSERT /* batch $gid */")) +:
+            rows.map(r => BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+              BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+                Seq(Seq[Any](r.getLong(0)))))))
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(sort_array(collect_list(struct(key.cast(LongType)))).as("rows"))
+        val split = grouped.sortWithinPartitions("gid")
+          .select(col("gid"),
+            posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
+          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+        val w = Window.partitionBy("gid").orderBy("ord")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        split
+          .withColumn("stmt", last(
+            when(col("h.event_type") === BinlogTxnCodec.RowsQueryType,
+              BinlogDecode.rowsQuery(col("h.body"))),
+            ignoreNulls = true).over(w))
+          .filter(col("h.event_type") === BinlogRowCodec.WriteV2)
+          .select(col("stmt"),
+            BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("stmt"), explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"), col("stmt"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  'INSERT /* batch ' || CAST(o_orderkey - o_orderkey % 4 AS VARCHAR)
+             |    || ' */' AS stmt
              |FROM orders ORDER BY pk""".stripMargin))
   )
 

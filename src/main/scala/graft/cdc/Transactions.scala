@@ -53,6 +53,31 @@ object BinlogTxnCodec {
       UTF8String.fromBytes(body, sqlStart, body.length - 4 - sqlStart))
   }
 
+  /** ROWS_QUERY_LOG_EVENT (type 29, `binlog_rows_query_log_events=ON`):
+    * the original statement text MySQL attaches ahead of the row events
+    * it produced. Body = 1-byte declared length (capped at 255 and
+    * ignored by every real consumer — the text runs to the event tail)
+    * ++ statement bytes. Beyond-reference: no type-29 arm in
+    * `/root/reference/src/binlog.rs`.
+    */
+  final val RowsQueryType = 29
+
+  def decodeRowsQuery(body: Array[Byte]): UTF8String = {
+    if (body.length < 1 + 4)
+      throw new IllegalArgumentException(
+        s"ROWS_QUERY body too short: ${body.length} bytes")
+    UTF8String.fromBytes(body, 1, body.length - 4 - 1)
+  }
+
+  def encodeRowsQuery(sql: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val bs = sql.getBytes("UTF-8")
+    out.write(math.min(bs.length, 255))
+    out.write(bs)
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
+    out.toByteArray
+  }
+
   def decodeXid(body: Array[Byte]): Long = {
     if (body.length < 8)
       throw new IllegalArgumentException(s"XID body too short: ${body.length} bytes")
@@ -98,6 +123,21 @@ case class BinlogQueryDecode(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogTxnCodec.decodeQuery($c)")
   override protected def withNewChildInternal(newChild: Expression): BinlogQueryDecode =
+    copy(child = newChild)
+}
+
+/** Codegen'd ROWS_QUERY-body decode: BINARY → original statement text. */
+case class BinlogRowsQueryDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BinlogRowsQueryDecode expects BINARY input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogTxnCodec.decodeRowsQuery(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogTxnCodec.decodeRowsQuery($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogRowsQueryDecode =
     copy(child = newChild)
 }
 

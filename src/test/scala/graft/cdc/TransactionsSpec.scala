@@ -21,6 +21,16 @@ class TransactionsSpec extends SparkSpec {
     assert(ddl.getUTF8String(1).toString == "CREATE TABLE t (id INT)")
   }
 
+  test("ROWS_QUERY body codec round-trips; length byte is ignored") {
+    val r = decodeRowsQuery(encodeRowsQuery("INSERT INTO t VALUES (1)"))
+    assert(r.toString == "INSERT INTO t VALUES (1)")
+    // a statement longer than the 255 the length byte can declare still
+    // decodes whole — the text runs to the event tail
+    val long = "INSERT /* " + ("x" * 300) + " */"
+    assert(decodeRowsQuery(encodeRowsQuery(long)).toString == long)
+    intercept[IllegalArgumentException](decodeRowsQuery(Array[Byte](1, 0, 0)))
+  }
+
   test("QUERY decode skips status vars and rejects corrupt layouts") {
     // hand-build a body WITH status vars (3 bytes), which the fixture
     // encoder never emits: thread_id(4) exec_time(4) db_len(1) err(2)
