@@ -252,6 +252,55 @@ object LlmQueries {
              |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Leakage-safe train/val split: hashing DOCUMENT ids across splits
+    // puts near-duplicate pairs on both sides — the classic eval leak.
+    // Split by CLUSTER instead: near-dup connected components (q79's
+    // operator) define the leakage unit, and the whole cluster lands on
+    // one side via the same engine-portable md5 bucket the samplers use.
+    // Costs exactly the q79 pipeline + one per-row hash; no extra shuffle
+    // beyond the cluster join.
+    Q("q135_leakage_split", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "text", "doc_id")
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "da", "db")
+          .withColumnRenamed("node", "doc_id")
+        docs.select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .withColumn("split",
+            when(Sampling.hashBucket(col("cluster_id"), "split1") <
+              lit(Sampling.threshold(0.75)), "train").otherwise("val"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShingleCte,
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT da, db FROM (
+             |    SELECT da, db, inter, ca.n AS na, cb.n AS nb FROM inter
+             |    JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db)
+             |  WHERE inter * 10 >= (na + nb - inter) * 7
+             |), sym AS (
+             |  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+             |), reach(u, v) AS (
+             |  SELECT u, v FROM sym
+             |  UNION
+             |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+             |), comp AS (
+             |  SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u
+             |), clu AS (
+             |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+             |)
+             |SELECT doc_id, cluster_id,
+             |  CASE WHEN substring(md5('split1:' || CAST(cluster_id AS VARCHAR)), 1, 4)
+             |    < '${Sampling.threshold(0.75)}' THEN 'train' ELSE 'val' END AS split
+             |FROM clu ORDER BY doc_id""".stripMargin)),
+
     // GPT-style sequence packing (concat-then-chunk at cap tokens),
     // sharded so the whole computation is per-shard parallel — no global
     // sort. See Packing.packSequences for why NOT first-fit bin packing.
