@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -101,6 +101,13 @@ object BinlogRowCodec {
   final val WriteV2 = 30
   final val UpdateV2 = 31
   final val DeleteV2 = 32
+  /** PARTIAL_UPDATE_ROWS_EVENT (MySQL 8.0.3+,
+    * `binlog_row_value_options=PARTIAL_JSON`): UPDATE layout, but each
+    * after image leads with a lenenc value_options (bit 0 = partial JSON)
+    * + a partial-bits bitmap over the table's JSON columns, and flagged
+    * JSON columns carry a [[JsonDiff]] sequence instead of a document.
+    */
+  final val PartialUpdateV2 = 39
 
   /** Decoded-rows output shape: envelope-aligned (`data` = after images,
     * `old` = before images; WRITE fills only `data`, DELETE only `old`,
@@ -326,31 +333,77 @@ object BinlogRowCodec {
     out
   }
 
-  /** One row image: null bitmap over the present columns, then values. */
-  private def decodeImage(r: Reader, cols: Array[BinlogColumn],
-      present: Array[Boolean]): MapData = {
-    val full = decodeImageFull(r, cols, present)
+  /** The decoded-full-array → output representation step shared by the
+    * map and positional modes.
+    */
+  private def imageRepr(full: Array[Any], cols: Array[BinlogColumn],
+      present: Array[Boolean], positional: Boolean): Any =
+    if (positional) new GenericArrayData(full)
+    else {
+      var nPresent = 0
+      var i = 0
+      while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
+      val keys = new Array[Any](nPresent)
+      val values = new Array[Any](nPresent)
+      var j = 0
+      i = 0
+      while (i < cols.length) {
+        if (present(i)) {
+          keys(j) = UTF8String.fromString(cols(i).name)
+          values(j) = full(i)
+          j += 1
+        }
+        i += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
+    }
+
+  /** A PARTIAL_UPDATE after image: lenenc value_options, the partial-bits
+    * bitmap over the table's JSON columns when bit 0 is set, then the
+    * usual null bitmap + values — flagged JSON columns holding a diff
+    * sequence applied against the before image's document.
+    */
+  private def decodePartialAfter(r: Reader, cols: Array[BinlogColumn],
+      present: Array[Boolean], before: Array[Any]): Array[Any] = {
+    val valueOptions = r.lenenc()
+    val partial = new Array[Boolean](cols.length)
+    if ((valueOptions & 1L) != 0) {
+      val jsonIdx = cols.indices.filter(cols(_).tpe == JSON)
+      if (jsonIdx.nonEmpty) {
+        val bs = r.slice((jsonIdx.length + 7) / 8)
+        jsonIdx.zipWithIndex.foreach { case (ci, j) => partial(ci) = bit(bs, j) }
+      }
+    }
     var nPresent = 0
     var i = 0
     while (i < present.length) { if (present(i)) nPresent += 1; i += 1 }
-    val keys = new Array[Any](nPresent)
-    val values = new Array[Any](nPresent)
+    val nullMap = r.slice((nPresent + 7) / 8)
+    val out = new Array[Any](cols.length)
     var j = 0
     i = 0
     while (i < cols.length) {
       if (present(i)) {
-        keys(j) = UTF8String.fromString(cols(i).name)
-        values(j) = full(i)
+        out(i) =
+          if (bit(nullMap, j)) null
+          else if (partial(i)) {
+            val len = r.uLE(cols(i).lengthSize).toInt
+            val diff = r.slice(len)
+            val b = before(i)
+            if (b == null) throw new IllegalArgumentException(
+              s"partial JSON diff against a null/absent before image (${cols(i).name})")
+            JsonDiff.applyToText(b.asInstanceOf[UTF8String].toString, diff)
+          } else decodeValue(r, cols(i))
         j += 1
       }
       i += 1
     }
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(values))
+    out
   }
 
   private def decodeRowsImpl(body: Array[Byte], eventType: Int,
       cols: Array[BinlogColumn], positional: Boolean): InternalRow = {
-    val isUpdate = eventType == UpdateV1 || eventType == UpdateV2
+    val isPartial = eventType == PartialUpdateV2
+    val isUpdate = eventType == UpdateV1 || eventType == UpdateV2 || isPartial
     val isWrite = eventType == WriteV1 || eventType == WriteV2
     val isDelete = eventType == DeleteV1 || eventType == DeleteV2
     if (!isUpdate && !isWrite && !isDelete)
@@ -373,8 +426,7 @@ object BinlogRowCodec {
     val present1 = bitmap()
     val present2 = if (isUpdate) bitmap() else null
     def image(present: Array[Boolean]): Any =
-      if (positional) new GenericArrayData(decodeImageFull(r, cols, present))
-      else decodeImage(r, cols, present)
+      imageRepr(decodeImageFull(r, cols, present), cols, present, positional)
     val data = scala.collection.mutable.ArrayBuffer.empty[Any]
     val old = scala.collection.mutable.ArrayBuffer.empty[Any]
     while (r.remaining > 4) {
@@ -382,8 +434,12 @@ object BinlogRowCodec {
       if (isWrite) data += image(present1)
       else if (isDelete) old += image(present1)
       else {
-        old += image(present1)
-        data += image(present2)
+        val fullBefore = decodeImageFull(r, cols, present1)
+        old += imageRepr(fullBefore, cols, present1, positional)
+        val fullAfter =
+          if (isPartial) decodePartialAfter(r, cols, present2, fullBefore)
+          else decodeImageFull(r, cols, present2)
+        data += imageRepr(fullAfter, cols, present2, positional)
       }
       // A zero-byte image (all-zero present bitmap on a corrupt body) would
       // spin this loop forever; fail loudly like every other malformed case.
@@ -681,6 +737,58 @@ object BinlogRowCodec {
     if (isUpdate) writeBitmap(p2)
     images.zipWithIndex.foreach { case (img, k) =>
       writeImage(out, cols, if (isUpdate && k % 2 == 1) p2 else p1, img)
+    }
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
+    out.toByteArray
+  }
+
+  /** Fixture encoder for PARTIAL_UPDATE_ROWS_EVENT (inverse of the
+    * [[decodePartialAfter]] path): `images` alternate old,new…;
+    * `diffCols` names the JSON schema columns whose NEW-image value is a
+    * raw [[JsonDiff]] byte sequence (`Array[Byte]`) instead of a
+    * document. Every after image carries value_options = PARTIAL_JSON and
+    * the partial-bits bitmap over the table's JSON columns.
+    */
+  def encodePartialRows(cols: Array[BinlogColumn], images: Seq[Seq[Any]],
+      diffCols: Set[Int], tableId: Long = 1L): Array[Byte] = {
+    require(images.length % 2 == 0, "PARTIAL_UPDATE images must be old/new pairs")
+    require(diffCols.forall(ci => cols(ci).tpe == JSON),
+      "diffCols must name JSON columns")
+    val jsonIdx = cols.indices.filter(cols(_).tpe == JSON)
+    val out = new java.io.ByteArrayOutputStream
+    writeLE(out, tableId, 6)
+    writeLE(out, 0L, 2) // flags
+    writeLE(out, 2L, 2) // extra area: just its own length
+    require(cols.length < 0xfb, "lenenc 1-byte form only in fixtures")
+    out.write(cols.length)
+    val fullBitmap = new Array[Byte]((cols.length + 7) / 8)
+    cols.indices.foreach(i => fullBitmap(i / 8) = (fullBitmap(i / 8) | (1 << (i % 8))).toByte)
+    out.write(fullBitmap)
+    out.write(fullBitmap)
+    images.zipWithIndex.foreach { case (img, k) =>
+      if (k % 2 == 0) writeImage(out, cols, Array.fill(cols.length)(true), img)
+      else {
+        out.write(1) // value_options: bit 0 = PARTIAL_JSON
+        val pbits = new Array[Byte]((jsonIdx.length + 7) / 8)
+        jsonIdx.zipWithIndex.foreach { case (ci, j) =>
+          if (diffCols(ci)) pbits(j / 8) = (pbits(j / 8) | (1 << (j % 8))).toByte
+        }
+        if (jsonIdx.nonEmpty) out.write(pbits)
+        val nullMap = new Array[Byte]((cols.length + 7) / 8)
+        cols.indices.foreach { ci =>
+          if (img(ci) == null) nullMap(ci / 8) = (nullMap(ci / 8) | (1 << (ci % 8))).toByte
+        }
+        out.write(nullMap)
+        cols.indices.foreach { ci =>
+          img(ci) match {
+            case null => ()
+            case diff: Array[Byte] if diffCols(ci) =>
+              writeLE(out, diff.length.toLong, cols(ci).lengthSize)
+              out.write(diff)
+            case v => out.write(encodeValue(cols(ci), v))
+          }
+        }
+      }
     }
     out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
     out.toByteArray

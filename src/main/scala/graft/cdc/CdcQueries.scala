@@ -1485,6 +1485,44 @@ object CdcQueries {
       Some("""SELECT o_orderkey AS pk,
              |  'INSERT /* batch ' || CAST(o_orderkey - o_orderkey % 4 AS VARCHAR)
              |    || ' */' AS stmt
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Partial JSON updates (beyond-reference: binlog_row_value_options=
+    // PARTIAL_JSON, MySQL 8.0.3+; the reference errors on JSON columns
+    // outright). A JSON_SET on a large document logs a type-39
+    // PARTIAL_UPDATE_ROWS_EVENT whose after image carries a diff sequence
+    // (REPLACE/INSERT/REMOVE at concrete paths) instead of the whole
+    // document. The decoder applies the diffs to the before image DURING
+    // row decode, so downstream sees a plain UPDATE with materialized
+    // documents — no consumer-side special-casing.
+    Q("q136_binlog_json_partial", { (s, dir) =>
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "doc" -> "json"))
+        val enc = udf((k: Long, status: String, prio: String) => {
+          val before = s"""{"st":"$status","tags":["a"]}"""
+          val diff = JsonDiff.encode(Seq(
+            (JsonDiff.Replace, "$.st", Some("\"" + status + "x\"")),
+            (JsonDiff.Insert, "$.tags[1]", Some("\"" + prio + "\""))))
+          BinlogRowCodec.encodeEvent(BinlogRowCodec.PartialUpdateV2,
+            BinlogRowCodec.encodePartialRows(schema,
+              images = Seq(Seq[Any](k, before), Seq[Any](k, diff)),
+              diffCols = Set(1)))
+        })
+        val o = t(s, dir, "orders")
+        o.sortWithinPartitions("o_orderkey")
+          .select(BinlogDecode.eventSplit(enc(col("o_orderkey").cast(LongType),
+            col("o_orderstatus"), col("o_orderpriority"))).as("h"))
+          .select(BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(explode_outer(col("r.data")).as("m"), col("r.old").as("olds"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            element_at(col("m"), "doc").as("doc"),
+            element_at(element_at(col("olds"), 1), "doc").as("doc_before"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  '{"st":"' || o_orderstatus || 'x","tags":["a","' ||
+             |    o_orderpriority || '"]}' AS doc,
+             |  '{"st":"' || o_orderstatus || '","tags":["a"]}' AS doc_before
              |FROM orders ORDER BY pk""".stripMargin))
   )
 

@@ -63,6 +63,12 @@ object JsonBinary {
     */
   final val MaxDepth = 100
 
+  /** Parse JSON text to a Jackson tree (shared mapper; [[JsonDiff]] use). */
+  def readTree(json: String): JsonNode = mapper.readTree(json)
+
+  /** Render a tree to compact JSON text (shared mapper; [[JsonDiff]] use). */
+  def render(node: JsonNode): String = mapper.writeValueAsString(node)
+
   /** Decode a whole JSONB document (type byte + payload) to JSON text. */
   def decodeToString(doc: Array[Byte]): String = {
     require(doc.length >= 1, "empty JSONB document")
