@@ -50,16 +50,21 @@ class SkewSpec extends SparkSpec {
         concat(lit("dim_"), $"id").as("name"))
       left.join(right, "k")
     }
-    def maxTaskMs(f: => Unit): Long = {
-      val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // Straggler metric: max per-task SHUFFLE-READ BYTES, not duration —
+    // bytes are content-determined, so the assertion cannot flake under
+    // host load the way wall-clock task times do (full-suite parallel
+    // runs made the timing version nondeterministically red).
+    def maxTaskShuffleBytes(f: => Unit): Long = {
+      val bytes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskInfo != null) durations.add(t.taskInfo.duration)
+          if (t.taskMetrics != null)
+            bytes.add(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
       }
       spark.sparkContext.addSparkListener(l)
       try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
       import scala.jdk.CollectionConverters._
-      durations.asScala.map(_.toLong).max
+      bytes.asScala.map(_.toLong).max
     }
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -73,17 +78,17 @@ class SkewSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
       val plain = fixture
-      val plainMax = maxTaskMs(assert(plain.collect().length == 200000))
+      val plainMax = maxTaskShuffleBytes(assert(plain.collect().length == 200000))
       assert(!plain.queryExecution.executedPlan.toString.contains("skew=true"))
 
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val split = fixture
-      val splitMax = maxTaskMs(assert(split.collect().length == 200000))
+      val splitMax = maxTaskShuffleBytes(assert(split.collect().length == 200000))
       val plan = split.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), plan.take(2000))
-      info(s"max task: skewJoin off ${plainMax}ms -> on ${splitMax}ms")
-      assert(splitMax < plainMax,
-        s"skew split did not shrink the straggler: $splitMax >= $plainMax ms")
+      info(s"max task shuffle read: skewJoin off ${plainMax}B -> on ${splitMax}B")
+      assert(splitMax < plainMax / 2,
+        s"skew split did not shrink the straggler: $splitMax >= $plainMax/2 bytes")
     } finally {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       saved.foreach {
