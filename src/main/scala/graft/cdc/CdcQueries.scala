@@ -1523,7 +1523,70 @@ object CdcQueries {
              |  '{"st":"' || o_orderstatus || 'x","tags":["a","' ||
              |    o_orderpriority || '"]}' AS doc,
              |  '{"st":"' || o_orderstatus || '","tags":["a"]}' AS doc_before
-             |FROM orders ORDER BY pk""".stripMargin))
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // MariaDB transaction replay (beyond-reference: the reference and the
+    // MySQL GTID path both assume uuid:gno; MariaDB positions are
+    // domain-server-seqno and — structurally — a non-standalone
+    // GTID_EVENT (type 162) REPLACES the QUERY("BEGIN") opener, with
+    // server_id taken from the event header. Transactions.assemble
+    // handles both dialects in one pass; a standalone GTID (DDL framing)
+    // is a marker like MySQL's, spent by the statement it names.
+    Q("q137_mariadb_txn", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+        val enc = udf((gid: Long, rows: Seq[Row]) => {
+          def writeEv(r: Row) = BinlogRowCodec.encodeEvent(
+            BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+              BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](r.getLong(0)))),
+            serverId = 5L)
+          def txn(part: Seq[Row], xid: Long): Seq[Array[Byte]] =
+            if (part.isEmpty) Nil
+            else (BinlogRowCodec.encodeEvent(MariaGtidCodec.GtidType,
+              MariaGtidCodec.encodeGtid(seqNo = xid, domainId = gid % 4),
+              serverId = 5L) +:
+              part.map(writeEv)) :+
+              BinlogRowCodec.encodeEvent(BinlogTxnCodec.XidType,
+                BinlogTxnCodec.encodeXid(xid),
+                timestamp = 1700000000L + xid, serverId = 5L)
+          val h = (rows.length + 1) / 2
+          txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
+        })
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(sort_array(collect_list(struct(key.cast(LongType)))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(col("gid"),
+            posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
+          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+          .select(col("gid"), col("ord"), col("h.timestamp").as("timestamp"),
+            col("h.server_id").as("server_id"),
+            col("h.event_type").as("event_type"), col("h.body").as("body"))
+          .transform(Transactions.assemble(_, "gid", "ord",
+            serverIdCol = "server_id"))
+          .filter(col("event_type") === BinlogRowCodec.WriteV2)
+          .select(col("xid"), col("commit_ts"), col("gtid"),
+            BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("xid"), col("commit_ts"), col("gtid"),
+            explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("xid"), col("commit_ts").as("cts"), col("gtid"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderkey AS pk,
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
+             |  FROM orders),
+             |x AS (SELECT pk, gid,
+             |  gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid
+             |  FROM g)
+             |SELECT pk, xid, 1700000000 + xid AS cts,
+             |  CAST(gid % 4 AS VARCHAR) || '-5-' || CAST(xid AS VARCHAR) AS gtid
+             |FROM x ORDER BY pk""".stripMargin))
   )
 
   /** Shared fixture for q130/q131: the q129 stream with 8 server

@@ -191,27 +191,51 @@ object Transactions {
     */
   def assemble(events: DataFrame, fileCol: String, ordCol: String,
       typeCol: String = "event_type", bodyCol: String = "body",
-      tsCol: String = "timestamp"): DataFrame = {
+      tsCol: String = "timestamp", serverIdCol: String = null): DataFrame = {
     val wRun = Window.partitionBy(col(fileCol)).orderBy(col(ordCol))
     val wFwd = wRun.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val isBegin = col(typeCol) === BinlogTxnCodec.QueryType &&
+    // MariaDB (event type 162): a non-standalone GTID event *replaces*
+    // QUERY("BEGIN") as the transaction opener, and the GTID text is
+    // domain-server-seqno with server_id from the event HEADER (pass
+    // `serverIdCol` for MariaDB streams; MySQL streams don't need it).
+    val isMariaGtid = col(typeCol) === MariaGtidCodec.GtidType
+    val mariaG = ColumnBridge.column(MariaGtidDecode(
+      ColumnBridge.expression(col(bodyCol))))
+    val isBegin = (col(typeCol) === BinlogTxnCodec.QueryType &&
       upper(trim(ColumnBridge.column(BinlogQueryDecode(
-        ColumnBridge.expression(col(bodyCol)))).getField("sql"))) === "BEGIN"
+        ColumnBridge.expression(col(bodyCol)))).getField("sql"))) === "BEGIN") ||
+      (isMariaGtid && !mariaG.getField("standalone"))
     val xidStruct = when(col(typeCol) === BinlogTxnCodec.XidType, struct(
       col("txn_seq").as("seq"),
       ColumnBridge.column(BinlogXidDecode(
         ColumnBridge.expression(col(bodyCol)))).as("xid"),
       col(tsCol).as("cts")))
+    val serverId =
+      if (serverIdCol == null) lit(0L) else col(serverIdCol).cast(LongType)
+    val mariaText = concat(
+      mariaG.getField("domain_id").cast(StringType), lit("-"),
+      serverId.cast(StringType), lit("-"),
+      mariaG.getField("seq_no").cast(StringType))
     // ANONYMOUS_GTID participates as a marker with a null name: it takes
     // the "latest GTID marker" slot, so the span it announces stamps null
-    // even in a malformed GTID-then-ANONYMOUS mix.
+    // even in a malformed GTID-then-ANONYMOUS mix. `ofs` is how far ahead
+    // of the marker its named span sits: 1 for MySQL-style markers (GTID
+    // precedes BEGIN) and MariaDB standalone markers (the DDL follows),
+    // 0 for a MariaDB transaction GTID (the marker IS the begin, so it
+    // already carries its own span's ordinal).
     val gtidStruct = when(col(typeCol) === BinlogGtidCodec.GtidType ||
       col(typeCol) === BinlogGtidCodec.AnonymousGtidType, struct(
       col("txn_seq").as("seq"),
       col(ordCol).cast(LongType).as("ord"),
+      lit(1L).as("ofs"),
       when(col(typeCol) === BinlogGtidCodec.GtidType,
         ColumnBridge.column(BinlogGtidDecode(
           ColumnBridge.expression(col(bodyCol)))).getField("gtid")).as("g")))
+      .when(isMariaGtid, struct(
+        col("txn_seq").as("seq"),
+        col(ordCol).cast(LongType).as("ord"),
+        when(mariaG.getField("standalone"), 1L).otherwise(0L).as("ofs"),
+        mariaText.as("g")))
     // A non-BEGIN QUERY outside any committed span commits implicitly
     // (DDL) and consumes the pending GTID; inside a committed span it is a
     // statement-format row change and consumes nothing.
@@ -228,7 +252,7 @@ object Transactions {
         when(col("__x.seq") === col("txn_seq"), col("__x.cts")))
       .withColumn("__c", last(consumerOrd, ignoreNulls = true).over(wPrev))
       .withColumn("gtid", when(col("xid").isNotNull &&
-        col("__g.seq") + 1 === col("txn_seq") &&
+        col("__g.seq") + col("__g.ofs") === col("txn_seq") &&
         (col("__c").isNull || col("__g.ord") > col("__c")), col("__g.g")))
       .drop("__x", "__g", "__c")
   }
