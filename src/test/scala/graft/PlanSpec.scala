@@ -204,4 +204,30 @@ class PlanSpec extends SparkSpec {
     assert("""BroadcastHashJoin \[[^\]]*__bin""".r.findFirstIn(p).isDefined,
       "anti join must equi-key on (sid, __bin), not sid alone\n" + p)
   }
+
+  test("q136 partial JSON decode is a pure per-row pipeline: zero exchanges") {
+    val p = plan("q136_binlog_json_partial")
+    assert(!p.contains("Exchange"),
+      "encode -> split -> decode -> project must fuse over the scan with " +
+        "no shuffle anywhere\n" + p)
+  }
+
+  test("q134 rows-query attribution: one shuffle shared by agg and window") {
+    val p = plan("q134_binlog_rows_query")
+    assert(!p.contains("Join"),
+      "statement pairing must be the running-last window, not a join\n" + p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1,
+      s"expected exactly one hash exchange (fixture agg + window share " +
+        s"the gid key), saw $n\n" + p)
+  }
+
+  test("q133 schema evolution: DDL fold is metadata-scale, no cartesian") {
+    val p = plan("q133_schema_evolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of joins must stay keyed unions + windows, never nested-loop\n" + p)
+    // the version fold aggregates on (db, tbl) — catalog-scale keys
+    assert(p.contains("hashpartitioning(db") || p.contains("hashpartitioning(tbl"),
+      "DDL fold must group on the table key\n" + p)
+  }
 }
