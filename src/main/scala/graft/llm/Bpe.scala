@@ -1,0 +1,218 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding kernels: initial word segmentation, one-pair merge,
+  * and full ranked-merge encode. All pure, all driven from codegen'd
+  * expressions below.
+  */
+object BpeCodec {
+
+  /** End-of-word marker (the classic Sennrich et al. convention — public
+    * algorithm, "Neural Machine Translation of Rare Words with Subword
+    * Units", 2016): distinguishes "est</w>" (suffix) from "est" (prefix).
+    */
+  final val EndOfWord = "</w>"
+
+  /** word → its initial symbol sequence: one symbol per code point, plus
+    * the end-of-word marker.
+    */
+  def initWord(word: UTF8String): GenericArrayData = {
+    val s = word.toString
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += UTF8String.fromString(s.substring(i, i + n))
+      i += n
+    }
+    out += UTF8String.fromString(EndOfWord)
+    new GenericArrayData(out.result())
+  }
+
+  /** Merge every non-overlapping adjacent (a, b) occurrence, scanning left
+    * to right — the standard BPE merge step.
+    */
+  def mergePair(syms: ArrayData, a: UTF8String, b: UTF8String): GenericArrayData = {
+    val n = syms.numElements()
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms.getUTF8String(i) == a && syms.getUTF8String(i + 1) == b) {
+        out += UTF8String.concat(a, b)
+        i += 2
+      } else {
+        out += syms.getUTF8String(i)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.result())
+  }
+
+  /** Encode one word with a ranked merge table: repeatedly apply the
+    * best-ranked (lowest index) merge whose pair is adjacent somewhere in
+    * the sequence, until none applies — byte-for-byte the trainer's fold,
+    * so `encode(word)` equals the trained symbols of that word.
+    */
+  def encode(word: UTF8String, merges: Array[Array[String]]): GenericArrayData = {
+    var syms = {
+      val init = initWord(word)
+      (0 until init.numElements()).map(init.getUTF8String).toVector
+    }
+    val rank = merges.iterator.zipWithIndex
+      .map { case (m, i) => (m(0), m(1)) -> i }.toMap
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i).toString, syms(i + 1).toString)).foreach { r =>
+          if (r < best) { best = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val a = UTF8String.fromString(merges(best)(0))
+        val b = UTF8String.fromString(merges(best)(1))
+        val merged = mergePair(new GenericArrayData(syms.toArray[Any]), a, b)
+        syms = (0 until merged.numElements()).map(merged.getUTF8String).toVector
+      }
+    }
+    new GenericArrayData(syms.toArray[Any])
+  }
+}
+
+/** Codegen'd initial segmentation: STRING → ARRAY<STRING> symbols. */
+case class BpeInitWord(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BpeInitWord expects STRING input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    BpeCodec.initWord(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.BpeCodec.initWord($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeInitWord =
+    copy(child = newChild)
+}
+
+/** Codegen'd single-merge step: symbols → symbols with (a, b) merged. */
+case class BpeMergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BpeMergePair expects ARRAY<STRING> input, got ${other.sql}")
+  }
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  override protected def nullSafeEval(input: Any): Any =
+    BpeCodec.mergePair(input.asInstanceOf[ArrayData], ua, ub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("a", ua, "org.apache.spark.unsafe.types.UTF8String")
+    val rb = ctx.addReferenceObj("b", ub, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.llm.BpeCodec.mergePair($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+}
+
+/** Codegen'd ranked-merge encode: STRING word → ARRAY<STRING> tokens. */
+case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BpeEncodeWord expects STRING input, got ${child.dataType.sql}")
+  @transient private lazy val table: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    BpeCodec.encode(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("merges", table, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.llm.BpeCodec.encode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWord =
+    copy(child = newChild)
+}
+
+/** BPE tokenizer training, Spark-first (public algorithm: Sennrich et al.
+  * 2016; the word-histogram-first formulation is how every production
+  * trainer scales).
+  *
+  * Scale design: the corpus is touched EXACTLY ONCE — one explode+groupBy
+  * shuffle builds the (word, count) histogram, which is vocab-scale
+  * (≤ a few million rows at any corpus size; Heaps' law, not corpus
+  * rows). Every training round then runs on that table: one pair-count
+  * aggregation (pairs per word ≈ symbols−1, shrinking each round) and a
+  * single-row argmax collect — the same bounded driver-side metadata as
+  * the IVF trainer's sample. `localCheckpoint` cuts the per-round lineage
+  * exactly like the connected-components loop.
+  */
+object Bpe {
+
+  def initWordCol(word: Column): Column =
+    ColumnBridge.column(BpeInitWord(ColumnBridge.expression(word)))
+
+  def mergePairCol(syms: Column, a: String, b: String): Column =
+    ColumnBridge.column(BpeMergePair(ColumnBridge.expression(syms), a, b))
+
+  def encodeCol(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeWord(ColumnBridge.expression(word), merges))
+
+  /** Lowercased whitespace word histogram — the one corpus-scale pass. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Train `nMerges` merges; returns (rank, left, right, pairCount).
+    * Deterministic: ties break on (count desc, left asc, right asc).
+    * Stops early when no adjacent pair occurs at least `minCount` times.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    var words = wordHistogram(docs, textCol)
+      .select(initWordCol(col("w")).as("syms"), col("n"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = words
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy("p.a", "p.b").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((rank, a, b, cnt))
+        val next = words
+          .select(mergePairCol(col("syms"), a, b).as("syms"), col("n"))
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    out.result()
+  }
+}

@@ -301,6 +301,23 @@ object LlmQueries {
              |    < '${Sampling.threshold(0.75)}' THEN 'train' ELSE 'val' END AS split
              |FROM clu ORDER BY doc_id""".stripMargin)),
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016, the word-histogram
+    // formulation every production trainer uses): the corpus is touched
+    // exactly once (explode+groupBy word histogram — vocab-scale output by
+    // Heaps' law), then each merge round runs one pair-count agg over the
+    // shrinking symbol table plus a single-row argmax collect (bounded
+    // driver metadata, like the IVF sample). Ties break (count desc, pair
+    // asc) so training is deterministic under any partitioning; the
+    // encode kernel (BpeSpec) reproduces trained symbols byte-for-byte.
+    // No SQL oracle — BPE is iterative argmax — so this is rows-only,
+    // gated by BpeSpec's textbook-corpus golden + encode≡train invariant.
+    Q("q138_bpe_merges", { (s, dir) =>
+        import s.implicits._
+        Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 20)
+          .toDF("rank", "left", "right", "cnt")
+      },
+      None),
+
     // GPT-style sequence packing (concat-then-chunk at cap tokens),
     // sharded so the whole computation is per-shard parallel — no global
     // sort. See Packing.packSequences for why NOT first-fit bin packing.
