@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{BinlogGtidCodec, BinlogRowCodec, BinlogTxnCodec, BinlogTxnPayloadCodec}
+import graft.cdc.{BinlogGtidCodec, BinlogRowCodec, BinlogTxnCodec, BinlogTxnPayloadCodec, MariaGtidCodec}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,14 +92,27 @@ object TxnStream {
             val isBegin = tpe == BinlogTxnCodec.QueryType &&
               BinlogTxnCodec.decodeQuery(body).getUTF8String(1)
                 .toString.trim.equalsIgnoreCase("BEGIN")
+            // MariaDB dialect: a non-standalone GTID_EVENT (162) IS the
+            // transaction opener (no BEGIN QUERY exists) and carries the
+            // span's own gtid; a standalone one frames the next statement
+            // like a MySQL-style marker.
+            val mariaGtid = if (tpe == MariaGtidCodec.GtidType)
+              Some(MariaGtidCodec.decodeGtid(body)) else None
+            val mariaText = mariaGtid.map(g => MariaGtidCodec.gtidText(
+              g.getLong(1), h.getLong(2), g.getLong(0)).toString)
             def raw(txnSeq: Long) =
               TxnEvent(session, se.ordinal, txnSeq, None, None, None, se.event)
-            if (isBegin) {
+            if (isBegin || mariaGtid.exists(!_.getBoolean(3))) {
               require(!st.open,
                 s"session $session: BEGIN inside an open transaction at " +
                   s"ordinal ${se.ordinal} — corrupt capture")
               st = TxnState(st.txnSeq + 1, open = true,
-                List(raw(st.txnSeq + 1)), st.pendingGtid)
+                List(raw(st.txnSeq + 1)),
+                if (mariaGtid.isDefined) mariaText else st.pendingGtid)
+            } else if (mariaGtid.isDefined && !st.open) {
+              // standalone MariaDB GTID: marker for the statement it names
+              out += raw(st.txnSeq)
+              st = st.copy(pendingGtid = mariaText)
             } else if (tpe == BinlogGtidCodec.GtidType && !st.open) {
               // GTID frames the NEXT transaction: emit the event itself
               // unstamped, remember the name for the span it announces

@@ -192,4 +192,52 @@ class TxnStreamSpec extends SparkSpec {
       (6L * S + 1, 3L, Some(33L), Some(9033L), None),
       (6L * S + 2, 3L, Some(33L), Some(9033L), None)))
   }
+
+  test("MariaDB dialect: GTID opener, standalone DDL framing, atomic emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.cdc.MariaGtidCodec
+    def mgtid(seq: Long, domain: Long, flags2: Int = 0) =
+      BinlogRowCodec.encodeEvent(MariaGtidCodec.GtidType,
+        MariaGtidCodec.encodeGtid(seq, domain, flags2), serverId = 5L)
+    val in = MemoryStream[SessionEvent]
+    val q = TxnStream.assembleCommitted(in.toDS())
+      .writeStream.format("memory").queryName("maria_txn")
+      .outputMode("append").start()
+    try {
+      // trigger 1: opener + one write — nothing emits (no BEGIN QUERY
+      // exists in a MariaDB stream; the GTID event opens the span)
+      in.addData(
+        SessionEvent(1L, 0L, rotate),
+        SessionEvent(1L, 1L, mgtid(10L, 0L)),
+        SessionEvent(1L, 2L, write(1L)))
+      q.processAllAvailable()
+      assert(spark.table("maria_txn").count() == 1) // just the prelude
+      // trigger 2: commit, then a standalone-GTID'd DDL, then another txn
+      in.addData(
+        SessionEvent(1L, 3L, xid(10L)),
+        SessionEvent(1L, 4L, mgtid(11L, 0L, MariaGtidCodec.FlStandalone)),
+        SessionEvent(1L, 5L, encodeEvent(QueryType,
+          BinlogTxnCodec.encodeQuery("d", "CREATE TABLE t (id INT)"))),
+        SessionEvent(1L, 6L, mgtid(12L, 2L)),
+        SessionEvent(1L, 7L, write(2L)),
+        SessionEvent(1L, 8L, xid(12L)))
+      q.processAllAvailable()
+      val got = spark.table("maria_txn")
+        .select("ordinal", "txnSeq", "xid", "gtid").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
+      assert(got == Set(
+        (0L, 0L, None, None), // prelude
+        (1L, 1L, Some(10L), Some("0-5-10")), // the opener is in its txn
+        (2L, 1L, Some(10L), Some("0-5-10")),
+        (3L, 1L, Some(10L), Some("0-5-10")),
+        (4L, 1L, None, None), // standalone marker
+        (5L, 1L, None, None), // DDL: implicit commit, never stamped
+        (6L, 2L, Some(12L), Some("2-5-12")),
+        (7L, 2L, Some(12L), Some("2-5-12")),
+        (8L, 2L, Some(12L), Some("2-5-12"))))
+    } finally q.stop()
+  }
 }
