@@ -301,6 +301,53 @@ object LlmQueries {
              |    < '${Sampling.threshold(0.75)}' THEN 'train' ELSE 'val' END AS split
              |FROM clu ORDER BY doc_id""".stripMargin)),
 
+    // Chunk-level exact dedup with TEXT REWRITING (the C4/RefinedWeb
+    // paragraph-dedup shape, adapted to the fixture's newline-free texts:
+    // 10-word chunks stand in for paragraphs). Unlike q101 (which SCORES
+    // span duplication), this drops every chunk whose exact word sequence
+    // appeared earlier in the corpus — (doc_id, chunk_idx) order — and
+    // reassembles the surviving text per document. One content-key
+    // shuffle for first-occurrence, one doc-key shuffle to rebuild;
+    // no all-pairs anywhere.
+    Q("q139_chunk_dedup_rewrite", { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val chunks = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .groupBy(col("doc_id"), (col("pos") / 10).cast(IntegerType).as("cidx"))
+          .agg(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, w))), s -> s.w)")).as("chunk"))
+        val firstSeen = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+        val rebuilt = chunks
+          .withColumn("rn", row_number().over(firstSeen))
+          .filter(col("rn") === 1)
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(cidx, chunk))), s -> s.chunk)"))
+            .as("clean_text"))
+        docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, e.cidx AS cidx, e.chunk AS chunk
+             |  FROM (
+             |    SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, CAST(ceil(len(toks) / 10.0) AS INT)),
+             |      i -> struct_pack(cidx := i - 1,
+             |        chunk := array_to_string(toks[(i-1)*10+1 : i*10], ' ')))) AS e
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+             |), k AS (
+             |  SELECT doc_id, cidx, chunk,
+             |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+             |  FROM c
+             |)
+             |SELECT d.doc_id, coalesce((
+             |  SELECT string_agg(chunk, ' ' ORDER BY cidx)
+             |  FROM k WHERE k.doc_id = d.doc_id AND rn = 1), '') AS clean_text
+             |FROM documents d ORDER BY doc_id""".stripMargin)),
+
     // BPE tokenizer TRAINING (Sennrich et al. 2016, the word-histogram
     // formulation every production trainer uses): the corpus is touched
     // exactly once (explode+groupBy word histogram — vocab-scale output by
