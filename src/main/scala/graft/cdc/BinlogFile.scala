@@ -135,6 +135,24 @@ object BinlogFileCodec {
     UTF8String.fromBytes(java.util.Arrays.copyOfRange(body, 8, body.length - 4))
   }
 
+  /** HEARTBEAT_LOG_EVENT (type 27): the master's idle keep-alive — the
+    * body is just the current binlog file name (no NUL, no extra fields;
+    * the header's log_pos carries the position). Never written to binlog
+    * FILES, only to the dump stream; consumers use it to advance their
+    * saved position past quiet periods without any row traffic. The
+    * reference drops unknown types on the floor (`binlog.rs` has no
+    * type-27 arm); here the name is surfaced so a checkpointer can
+    * persist (file, log_pos) from heartbeats alone.
+    */
+  final val HeartbeatType = 27
+
+  def heartbeatLogName(body: Array[Byte]): UTF8String = {
+    require(body.length >= 4, s"HEARTBEAT body too short: ${body.length}")
+    // tailed-body convention: the engine normalizes every body to carry a
+    // 4-byte checksum/zero tail
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(body, 0, body.length - 4))
+  }
+
   // ---- fixture/test encode side ---------------------------------------
 
   private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit =

@@ -122,4 +122,35 @@ class BinlogFileSpec extends SparkSpec {
       e.getMessage.contains("claims"), e.getMessage)
     intercept[Exception] { BinlogFileCodec.decodeFile(f.dropRight(3)) }
   }
+
+  test("heartbeat events surface the current file name; stream folds skip them") {
+    val body = "bin.000042".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0)
+    assert(BinlogFileCodec.heartbeatLogName(body).toString == "bin.000042")
+    intercept[IllegalArgumentException](
+      BinlogFileCodec.heartbeatLogName(Array[Byte](1, 2)))
+    // a heartbeat inside a transaction stream is a prelude-class event:
+    // it must pass through unstamped and never disturb an open span
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val events = Seq(
+      BinlogRowCodec.encodeEvent(BinlogTxnCodec.QueryType,
+        BinlogTxnCodec.encodeQuery("d", "BEGIN")),
+      BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+        BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq(1L)))),
+      BinlogRowCodec.encodeEvent(BinlogFileCodec.HeartbeatType, body),
+      BinlogRowCodec.encodeEvent(BinlogTxnCodec.XidType,
+        BinlogTxnCodec.encodeXid(9L), timestamp = 9009L))
+    val df = events.zipWithIndex.map { case (e, i) => (1L, i.toLong, e) }
+      .toDF("f", "ord", "ev")
+      .select(col("f"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+      .select(col("f"), col("ord"), col("h.timestamp").as("timestamp"),
+        col("h.event_type").as("event_type"), col("h.body").as("body"))
+      .transform(Transactions.assemble(_, "f", "ord"))
+    val rows = df.select("ord", "xid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // every event of the span, heartbeat included, stamps with the XID —
+    // the heartbeat sits inside BEGIN..XID so it belongs to the unit
+    assert(rows == Map(0L -> 9L, 1L -> 9L, 2L -> 9L, 3L -> 9L))
+  }
 }
