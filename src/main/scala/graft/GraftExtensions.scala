@@ -103,6 +103,34 @@ object GraftExtensions {
     "mysql_ok_decode" -> { args: Seq[Expression] =>
       require(args.length == 1, "mysql_ok_decode(payload)")
       graft.cdc.MysqlOkDecode(args(0))
+    },
+    "binlog_query_decode" -> { args: Seq[Expression] =>
+      require(args.length == 1, "binlog_query_decode(body)")
+      graft.cdc.BinlogQueryDecode(args(0))
+    },
+    "binlog_rows_query" -> { args: Seq[Expression] =>
+      require(args.length == 1, "binlog_rows_query(body)")
+      graft.cdc.BinlogRowsQueryDecode(args(0))
+    },
+    "alter_target_table" -> { args: Seq[Expression] =>
+      require(args.length == 1, "alter_target_table(sql)")
+      graft.cdc.AlterTargetTable(args(0))
+    },
+    "schema_versions" -> { args: Seq[Expression] =>
+      require(args.length == 2, "schema_versions(bootstrap, ddls)")
+      graft.cdc.SchemaVersions(args(0), args(1))
+    },
+    "maria_gtid_decode" -> { args: Seq[Expression] =>
+      require(args.length == 1, "maria_gtid_decode(body)")
+      graft.cdc.MariaGtidDecode(args(0))
+    },
+    "maria_gtid_list" -> { args: Seq[Expression] =>
+      require(args.length == 1, "maria_gtid_list(body)")
+      graft.cdc.MariaGtidListDecode(args(0))
+    },
+    "bpe_init_word" -> { args: Seq[Expression] =>
+      require(args.length == 1, "bpe_init_word(word)")
+      graft.llm.BpeInitWord(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */

@@ -27,6 +27,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) != 0L)
   }
 
+  test("round-8 decode family evaluates by SQL name") {
+    import graft.cdc.{BinlogTxnCodec, MariaGtidCodec}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((BinlogTxnCodec.encodeQuery("db1", "ALTER TABLE `db1`.`t1` ADD c int"),
+         BinlogTxnCodec.encodeRowsQuery("INSERT INTO t VALUES (1)"),
+         MariaGtidCodec.encodeGtid(42L, 3L)))
+      .toDF("q", "rq", "mg").createOrReplaceTempView("r8")
+    val r = spark.sql(
+      """SELECT binlog_query_decode(q).sql AS sql,
+        |       alter_target_table(binlog_query_decode(q).sql) AS tbl,
+        |       binlog_rows_query(rq) AS stmt,
+        |       maria_gtid_decode(mg).seq_no AS seq,
+        |       schema_versions(
+        |         array(struct('pk', 'bigint')),
+        |         array(struct(CAST(5 AS BIGINT), 'ALTER TABLE t1 ADD c int')))
+        |         [1].cols[1].name AS newcol,
+        |       bpe_init_word('low') AS syms
+        |FROM r8""".stripMargin).collect().head
+    assert(r.getString(1) == "t1")
+    assert(r.getString(2) == "INSERT INTO t VALUES (1)")
+    assert(r.getLong(3) == 42L)
+    assert(r.getString(4) == "c")
+    assert(r.getAs[collection.Seq[String]]("syms") == Seq("l", "o", "w", "</w>"))
+  }
+
   test("cosine_sim fails loudly on mismatched embedding dimensions") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
