@@ -1586,7 +1586,109 @@ object CdcQueries {
              |  FROM g)
              |SELECT pk, xid, 1700000000 + xid AS cts,
              |  CAST(gid % 4 AS VARCHAR) || '-5-' || CAST(xid AS VARCHAR) AS gtid
-             |FROM x ORDER BY pk""".stripMargin))
+             |FROM x ORDER BY pk""".stripMargin)),
+
+    // Round capstone: the q133 schema-evolution stream PLUS later
+    // re-writes of every third key under the final (post-DROP) schema,
+    // merged to a latest-image snapshot. A pk written in the
+    // two-column era and re-written after two ALTERs must surface the
+    // new-era image — columns the final schema dropped come back null —
+    // while untouched pks keep their original era's columns. This is the
+    // exact shape a real CDC consumer faces replaying a binlog archive
+    // that crosses DDL into a warehouse snapshot.
+    Q("q140_evolved_snapshot", { (s, dir) =>
+        import graft.operators.AsofJoin
+        import org.apache.spark.sql.expressions.Window
+        val v1 = Seq("pk" -> "bigint", "price" -> "decimal(12,2)")
+        val (s1, s2, s3) = (BinlogSchema.fromMysqlTypes(v1),
+          BinlogSchema.fromMysqlTypes(v1 :+ ("status" -> "varchar(4)")),
+          BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint", "status" -> "varchar(4)")))
+        // first write at 4k(+1); re-write of k%3==0 keys at BASE+4k(+1),
+        // after every DDL; ALTERs at 4·5000+2 and 4·10000+2
+        val Base = 80000000L
+        val encRow = udf((k: Long, price: String, status: String, prio: String) => {
+          val (sch, tid, vals) =
+            if (k <= 5000) (s1, 7L, Seq[Any](k, price))
+            else if (k <= 10000) (s2, 8L, Seq[Any](k, price, status))
+            else (s3, 9L, Seq[Any](k, status))
+          val first = Seq(
+            (4 * k, BinlogRowCodec.encodeEvent(19,
+              BinlogRowCodec.encodeTableMap(tid, "db1", "t1", sch))),
+            (4 * k + 1, BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+              BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, sch,
+                Seq(vals), tableId = tid))))
+          if (k % 3 != 0) first
+          else first ++ Seq(
+            (Base + 4 * k, BinlogRowCodec.encodeEvent(19,
+              BinlogRowCodec.encodeTableMap(9L, "db1", "t1", s3))),
+            (Base + 4 * k + 1, BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+              BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, s3,
+                Seq(Seq[Any](k, prio)), tableId = 9L))))
+        })
+        val encDdl = udf((sql: String) => BinlogRowCodec.encodeEvent(
+          BinlogTxnCodec.QueryType, BinlogTxnCodec.encodeQuery("db1", sql)))
+        val o = t(s, dir, "orders")
+        val rowEvents = o.sortWithinPartitions("o_orderkey")
+          .select(explode(encRow(col("o_orderkey").cast(LongType),
+            col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+            col("o_orderstatus"), col("o_orderpriority"))).as("e"))
+          .select(col("e._1").as("seq"), col("e._2").as("ev"))
+        import s.implicits._
+        val ddlEvents = Seq(
+            (20002L, "ALTER TABLE t1 ADD COLUMN status varchar(4) AFTER price"),
+            (40002L, "ALTER TABLE `t1` DROP COLUMN price"))
+          .toDF("seq", "sql")
+          .select(col("seq"), encDdl(col("sql")).as("ev"))
+        val split = rowEvents.unionByName(ddlEvents)
+          .select(col("seq"), BinlogDecode.eventSplit(col("ev")).as("h"))
+        val alters = split
+          .filter(col("h.event_type") === BinlogTxnCodec.QueryType)
+          .select(col("seq"), BinlogDecode.query(col("h.body")).as("q"))
+          .filter(col("q.sql").rlike("(?i)^\\s*ALTER\\s+TABLE"))
+          .select(col("q.db").as("db"), AlterTargetTable(col("q.sql")).as("tbl"),
+            col("seq"), col("q.sql").as("sql"))
+        val versions = alters
+          .groupBy("db", "tbl")
+          .agg(sort_array(collect_list(struct(col("seq"), col("sql")))).as("ddls"))
+          .select(col("db"), col("tbl"),
+            explode(SchemaVersions(array(v1.map { case (n, tp) =>
+              struct(lit(n), lit(tp)) }: _*), col("ddls"))).as("v"))
+          .select(col("db"), col("tbl"), col("v.from_ord").as("from_ord"),
+            expr("transform(v.cols, c -> c.name)").as("names"))
+        val tms = split.filter(col("h.event_type") === 19)
+          .select(col("seq"), BinlogDecode.tableMap(col("h.body")).as("tm"))
+          .select(col("tm.table_id").as("table_id"), col("seq"), col("tm"))
+        val rows = split
+          .filter(col("h.event_type") === BinlogRowCodec.WriteV2)
+          .select(BinlogDecode.rowTableId(col("h.body")).as("table_id"),
+            col("seq"), col("h.event_type").as("et"), col("h.body").as("body"))
+        val named = AsofJoin
+          .asofJoin(rows, tms, Seq("table_id"), "seq", "seq", Seq("tm"))
+          .select(col("seq"), col("tm.database").as("db"),
+            col("tm.table").as("tbl"),
+            BinlogDecode.rowsDynamic(col("body"), col("et"), col("tm.cols")).as("r"))
+          .transform(AsofJoin.asofJoin(_, versions, Seq("db", "tbl"),
+            "seq", "from_ord", Seq("names")))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("seq"), col("names"), explode_outer(col("r.data")).as("vals"))
+          .select(col("seq"), map_from_arrays(col("names"), col("vals")).as("m"))
+        // latest image per pk: the change stream's final word wins
+        named
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("seq"), col("m"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pk").orderBy(col("seq").desc)))
+          .filter(col("rn") === 1)
+          .select(col("pk"),
+            try_element_at(col("m"), lit("price")).as("price"),
+            try_element_at(col("m"), lit("status")).as("status"))
+      },
+      Some("""SELECT o_orderkey AS pk,
+             |  CASE WHEN o_orderkey % 3 != 0 AND o_orderkey <= 10000
+             |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS price,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+             |       WHEN o_orderkey > 5000 THEN o_orderstatus END AS status
+             |FROM orders ORDER BY pk""".stripMargin))
   )
 
   /** Shared fixture for q130/q131: the q129 stream with 8 server
