@@ -92,19 +92,9 @@ object SchemaHistory {
     * or None when the statement is not an ALTER TABLE.
     */
   def alterTable(sql: String): Option[String] = sql match {
-    case AlterRe(name, _) =>
-      // db.t1 / `db`.`t1` → t1 (the db comes from the QUERY event's own
-      // schema field): split on dots OUTSIDE backquotes, keep the last.
-      val parts = Seq.newBuilder[String]
-      var cur = new StringBuilder
-      var inQ = false
-      name.foreach {
-        case '`' => inQ = !inQ; cur += '`'
-        case '.' if !inQ => parts += cur.toString; cur = new StringBuilder
-        case c => cur += c
-      }
-      parts += cur.toString
-      Some(stripQuotes(parts.result().last))
+    // db.t1 / `db`.`t1` → t1 (the db comes from the QUERY event's own
+    // schema field): split on dots OUTSIDE backquotes, keep the last.
+    case AlterRe(name, _) => Some(lastIdent(name))
     case _ => None
   }
 
@@ -233,6 +223,56 @@ object SchemaHistory {
         }
       }
     case _ => throw new IllegalArgumentException(s"not an ALTER TABLE statement: $sql")
+  }
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[^\s(]+)\s*\((.*)\)[^)]*""".r
+
+  private val DropRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\S+?);?\s*""".r
+
+  /** Heads of CREATE TABLE definition entries that are NOT columns. */
+  private val NonColumnDefs = Set("PRIMARY", "UNIQUE", "KEY", "INDEX",
+    "CONSTRAINT", "FOREIGN", "FULLTEXT", "SPATIAL", "CHECK")
+
+  private def lastIdent(name: String): String = {
+    val parts = Seq.newBuilder[String]
+    var cur = new StringBuilder
+    var inQ = false
+    name.foreach {
+      case '`' => inQ = !inQ; cur += '`'
+      case '.' if !inQ => parts += cur.toString; cur = new StringBuilder
+      case c => cur += c
+    }
+    parts += cur.toString
+    stripQuotes(parts.result().last)
+  }
+
+  /** Parse a CREATE TABLE statement → (unqualified table, column list),
+    * or None when the statement is not a CREATE TABLE. With this, a
+    * binlog archive that begins at the table's creation needs NO external
+    * bootstrap — the stream itself carries the full schema timeline.
+    */
+  def createTable(sql: String): Option[(String, Seq[Col])] = sql match {
+    case CreateRe(name, body) =>
+      val cols = splitClauses(body).flatMap { clause =>
+        val ts = tokens(clause)
+        if (ts.isEmpty || NonColumnDefs.contains(ts.head.toUpperCase)) None
+        else {
+          val colName = stripQuotes(ts.head)
+          val (tpe, _) = readType(ts, 1)
+          Some(colName -> tpe)
+        }
+      }
+      require(cols.nonEmpty, s"CREATE TABLE with no columns: ${sql.take(80)}")
+      Some((lastIdent(name), cols))
+    case _ => None
+  }
+
+  /** The target of a DROP TABLE statement, or None. */
+  def dropTable(sql: String): Option[String] = sql match {
+    case DropRe(name) => Some(lastIdent(name))
+    case _ => None
   }
 
   /** [[alterTable]] for callers that already filtered to ALTER statements:

@@ -77,14 +77,25 @@ object SchemaStream {
             } else if (tpe == BinlogTxnCodec.QueryType) {
               val q = BinlogTxnCodec.decodeQuery(body)
               val sql = q.getUTF8String(1).toString
-              SchemaHistory.alterTable(sql).foreach { tbl =>
-                val k = key(q.getUTF8String(0).toString, tbl)
-                val cur = st.cols.getOrElse(k,
-                  throw new IllegalArgumentException(
-                    s"session $session: ALTER for unknown table $tbl at " +
-                      s"ordinal ${se.ordinal} (no bootstrap, no CREATE seen)"))
-                st = st.copy(cols = st.cols +
-                  (k -> SchemaHistory.applyAlter(cur, sql).toList))
+              val db = q.getUTF8String(0).toString
+              SchemaHistory.alterTable(sql) match {
+                case Some(tbl) =>
+                  val k = key(db, tbl)
+                  val cur = st.cols.getOrElse(k,
+                    throw new IllegalArgumentException(
+                      s"session $session: ALTER for unknown table $tbl at " +
+                        s"ordinal ${se.ordinal} (no bootstrap, no CREATE seen)"))
+                  st = st.copy(cols = st.cols +
+                    (k -> SchemaHistory.applyAlter(cur, sql).toList))
+                case None =>
+                  // a CREATE TABLE in the stream seeds the schema with no
+                  // external bootstrap; DROP TABLE retires it
+                  SchemaHistory.createTable(sql).foreach { case (tbl, cs) =>
+                    st = st.copy(cols = st.cols + (key(db, tbl) -> cs.toList))
+                  }
+                  SchemaHistory.dropTable(sql).foreach { tbl =>
+                    st = st.copy(cols = st.cols - key(db, tbl))
+                  }
               }
             } else if (RowTypes.contains(tpe)) {
               val tid = BinlogRowCodec.rowEventTableId(body)

@@ -85,6 +85,23 @@ class SchemaHistorySpec extends SparkSpec {
       applyAlter(base, "TRUNCATE TABLE t1"))
   }
 
+  test("CREATE TABLE parses columns, skips key/constraint defs") {
+    val sql = """CREATE TABLE IF NOT EXISTS `db1`.`t1` (
+      |  pk bigint NOT NULL AUTO_INCREMENT,
+      |  price decimal(12,2) DEFAULT 0,
+      |  `note` varchar(40) COMMENT 'free text',
+      |  PRIMARY KEY (pk),
+      |  KEY idx_p (price),
+      |  CONSTRAINT c1 CHECK (price >= 0)
+      |) ENGINE=InnoDB""".stripMargin
+    assert(SchemaHistory.createTable(sql) == Some(("t1", Seq(
+      "pk" -> "bigint", "price" -> "decimal(12,2)", "note" -> "varchar(40)"))))
+    assert(SchemaHistory.createTable("BEGIN") == None)
+    assert(SchemaHistory.dropTable("DROP TABLE IF EXISTS `db1`.`t1`") == Some("t1"))
+    assert(SchemaHistory.dropTable("DROP TABLE t2;") == Some("t2"))
+    assert(SchemaHistory.dropTable("CREATE TABLE t (id int)") == None)
+  }
+
   test("SchemaVersions folds eras over Spark columns") {
     val df = spark.range(1).select(
       array(

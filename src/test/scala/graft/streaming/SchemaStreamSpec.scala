@@ -95,6 +95,33 @@ class SchemaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a CREATE-led stream needs no bootstrap; DROP retires the table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[SessionEvent]
+    val q = SchemaStream.withSchema(in.toDS(), bootstrap = Map.empty)
+      .writeStream.format("memory").queryName("schema_out4")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        SessionEvent(1L, 0L, alter(
+          "CREATE TABLE t1 (pk bigint NOT NULL, price decimal(12,2), PRIMARY KEY (pk))")),
+        SessionEvent(1L, 1L, tm(7L, s1)),
+        SessionEvent(1L, 2L, write(s1, 7L, 5L, "1.00")),
+        SessionEvent(1L, 3L, alter("DROP TABLE t1")))
+      q.processAllAvailable()
+      val rows = spark.table("schema_out4").select("names").collect()
+      assert(rows.map(_.getSeq[String](0)).toSeq == Seq(Seq("pk", "price")))
+      // after the DROP, a row event for the table fails loudly
+      in.addData(SessionEvent(1L, 4L, write(s1, 7L, 6L, "2.00")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("no schema for") ||
+        String.valueOf(e.getCause).contains("no schema for"))
+    } finally q.stop()
+  }
+
   test("row events for unmapped table_ids or unknown tables fail loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
