@@ -1588,6 +1588,57 @@ object CdcQueries {
              |  CAST(gid % 4 AS VARCHAR) || '-5-' || CAST(xid AS VARCHAR) AS gtid
              |FROM x ORDER BY pk""".stripMargin)),
 
+    // TRUNCATE-aware latest-image merge: TRUNCATE TABLE arrives IN-BAND
+    // as a DDL change event (that is how Canal emits it), and a correct
+    // snapshot consumer must wipe everything the stream said before the
+    // LAST truncate — replaying the archive must not resurrect wiped
+    // rows. The truncate position is derived from the stream itself (a
+    // metadata-scale max over the DDL markers, broadcast back as a
+    // scalar), then the standard pk merge runs on the surviving suffix.
+    Q("q141_truncate_merge", { (s, dir) =>
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val ins = o.select(
+          (col("o_orderkey") * 3).as("cid"), col("o_orderkey").as("pk"),
+          lit("INSERT").as("type"), col("o_totalprice").as("price"))
+        val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+          (col("o_orderkey") * 3 + 1).as("cid"), col("o_orderkey").as("pk"),
+          lit("UPDATE").as("type"), (col("o_totalprice") + 1000.0).as("price"))
+        val del = o.filter(col("o_orderkey") % 7 === 0).select(
+          (col("o_orderkey") * 3 + 2).as("cid"), col("o_orderkey").as("pk"),
+          lit("DELETE").as("type"), lit(null).cast(DoubleType).as("price"))
+        val truncs = Seq(15000L, 22500L).toDF("cid")
+          .select(col("cid"), lit(null).cast(LongType).as("pk"),
+            lit("DDL").as("type"), lit(null).cast(DoubleType).as("price"),
+            lit("TRUNCATE TABLE orders").as("sql"))
+        val changes = ins.union(upd).union(del)
+          .withColumn("sql", lit(null).cast(StringType))
+          .unionByName(truncs)
+        val lastTrunc = changes
+          .filter(col("type") === "DDL" &&
+            upper(col("sql")).startsWith("TRUNCATE"))
+          .agg(max("cid").as("tcid"))
+        val live = changes.filter(col("type") =!= "DDL")
+          .crossJoin(broadcast(lastTrunc))
+          .filter(col("cid") > coalesce(col("tcid"), lit(Long.MinValue)))
+          .drop("tcid", "sql")
+        CdcMerge.latestImage(live, Seq("pk"), "cid")
+          .select("pk", "type", "price").orderBy("pk")
+      },
+      Some("""WITH chg AS (
+             |  SELECT o_orderkey*3 AS cid, o_orderkey AS pk, 'INSERT' AS type, o_totalprice AS price FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey*3+1, o_orderkey, 'UPDATE', o_totalprice + 1000.0 FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey*3+2, o_orderkey, 'DELETE', NULL FROM orders WHERE o_orderkey % 7 = 0
+             |), live AS (
+             |  SELECT * FROM chg WHERE cid > 22500
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY cid DESC) AS rn FROM live
+             |)
+             |SELECT pk, type, price FROM ranked WHERE rn = 1 AND type <> 'DELETE'
+             |ORDER BY pk""".stripMargin)),
+
     // Round capstone: the q133 schema-evolution stream PLUS later
     // re-writes of every third key under the final (post-DROP) schema,
     // merged to a latest-image snapshot. A pk written in the
