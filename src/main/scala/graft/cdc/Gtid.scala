@@ -144,6 +144,32 @@ object BinlogGtidCodec {
   }
 
   /** `sets`: (uuid, inclusive intervals). */
+  /** Parse canonical gtid_executed text — `uuid:a-b:c,uuid:d-e` —
+    * into (sid, inclusive intervals) lists: the inverse of the
+    * [[decodePreviousGtids]] rendering, for driver-side consumers like
+    * the auto-position dump command.
+    */
+  def parseSetText(text: String): Seq[(String, Seq[(Long, Long)])] = {
+    val t = text.trim
+    if (t.isEmpty) Nil
+    else t.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      val segs = part.split(":").toSeq
+      require(segs.length >= 2, s"malformed GTID set component: $part")
+      val sid = segs.head.trim.toLowerCase
+      require(sid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"),
+        s"malformed server uuid: $sid")
+      val ivs = segs.tail.map { seg =>
+        seg.split("-").toSeq match {
+          case Seq(a) => (a.trim.toLong, a.trim.toLong)
+          case Seq(a, b) => (a.trim.toLong, b.trim.toLong)
+          case _ => throw new IllegalArgumentException(s"malformed interval: $seg")
+        }
+      }
+      ivs.foreach { case (a, b) => require(a > 0 && b >= a, s"bad interval $a-$b") }
+      sid -> ivs
+    }
+  }
+
   def encodePreviousGtids(sets: Seq[(String, Seq[(Long, Long)])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     def le(v: Long): Unit = BinlogRowCodec.writeLE(out, v, 8)

@@ -314,6 +314,63 @@ object MysqlProtocolCodec {
     out.toByteArray
   }
 
+  /** BINLOG_THROUGH_GTID flag of COM_BINLOG_DUMP_GTID. */
+  final val BinlogThroughGtid = 0x04
+
+  /** COM_BINLOG_DUMP_GTID (0x1e) — GTID auto-position replication
+    * (beyond-reference: `protocal.rs` builds only the file+pos dump):
+    * flags u2, server_id u4, filename_size u4 + filename, pos u8, and
+    * under BINLOG_THROUGH_GTID a u4-sized SID block — n_sids u8, then per
+    * sid 16 uuid bytes, n_intervals u8, (start u8, end-exclusive u8)* —
+    * the same encoding PREVIOUS_GTIDS bodies carry. The server resumes
+    * from the first transaction NOT covered by the set; file/pos become
+    * advisory (the auto-position convention sends '' / 4).
+    */
+  def encodeComBinlogDumpGtid(serverId: Long,
+      gtidSet: Seq[(String, Seq[(Long, Long)])], filename: String = "",
+      pos: Long = 4L, flags: Int = BinlogThroughGtid): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x1e)
+    writeLE(out, flags.toLong, 2)
+    writeLE(out, serverId, 4)
+    val fn = filename.getBytes("UTF-8")
+    writeLE(out, fn.length.toLong, 4)
+    out.write(fn)
+    writeLE(out, pos, 8)
+    if ((flags & BinlogThroughGtid) != 0) {
+      // PREVIOUS_GTIDS body layout minus the engine's 4-byte tail
+      val sidBlock = BinlogGtidCodec.encodePreviousGtids(gtidSet).dropRight(4)
+      writeLE(out, sidBlock.length.toLong, 4)
+      out.write(sidBlock)
+    }
+    out.toByteArray
+  }
+
+  /** Decode [[encodeComBinlogDumpGtid]] (spec/round-trip use): returns
+    * (flags, server_id, filename, pos, canonical gtid-set text).
+    */
+  def decodeComBinlogDumpGtid(bs: Array[Byte]): (Int, Long, String, Long, String) = {
+    require(bs.length >= 1 + 2 + 4 + 4 + 8 && (bs(0) & 0xff) == 0x1e,
+      s"not a COM_BINLOG_DUMP_GTID packet (${bs.length} bytes)")
+    val flags = BinlogRowCodec.uLE(bs, 1, 2).toInt
+    val serverId = BinlogRowCodec.uLE(bs, 3, 4)
+    val fnLen = BinlogRowCodec.uLE(bs, 7, 4).toInt
+    require(bs.length >= 11 + fnLen + 8, "truncated COM_BINLOG_DUMP_GTID filename")
+    val fn = new String(bs, 11, fnLen, "UTF-8")
+    val pos = BinlogRowCodec.uLE(bs, 11 + fnLen, 8)
+    val text = if ((flags & BinlogThroughGtid) == 0) "" else {
+      val at = 11 + fnLen + 8
+      require(bs.length >= at + 4, "truncated COM_BINLOG_DUMP_GTID data_size")
+      val size = BinlogRowCodec.uLE(bs, at, 4).toInt
+      require(bs.length >= at + 4 + size, "truncated COM_BINLOG_DUMP_GTID SID block")
+      // reuse the event-body decoder: it expects the engine tail
+      BinlogGtidCodec.decodePreviousGtids(
+        java.util.Arrays.copyOfRange(bs, at + 4, at + 4 + size) ++
+          Array[Byte](0, 0, 0, 0)).toString
+    }
+    (flags, serverId, fn, pos, text)
+  }
+
   /** COM_QUERY (0x03) — reference `protocal.rs:177-183`. */
   def encodeComQuery(query: String): Array[Byte] =
     0x03.toByte +: query.getBytes("UTF-8")

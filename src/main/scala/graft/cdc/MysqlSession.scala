@@ -44,9 +44,15 @@ object MysqlReplicaSession {
   /** @param resumeAt overrides the master's (file, pos) — the reference's
     *   saved-position path (`check_valid_pos`); None = from `show master
     *   status` (its from-scratch path).
+    * @param resumeGtids canonical gtid_executed text — when set, the dump
+    *   command becomes COM_BINLOG_DUMP_GTID auto-position (the server
+    *   resumes at the first uncovered transaction; file/pos are advisory
+    *   and `resumeAt` is ignored). Beyond-reference: the reference only
+    *   dumps by file+pos.
     */
   final case class Config(user: String, password: String, serverId: Long,
-      resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24)
+      resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24,
+      resumeGtids: Option[String] = None)
 
   final case class State(phase: Phase, config: Config,
       seed: Array[Byte] = Array.emptyByteArray,
@@ -169,17 +175,27 @@ object MysqlReplicaSession {
           if first == 0xfe && (payload.length < 9 || deprecateEof(st)) =>
         if (!colEofSeen) // classic protocol: this EOF just ends the col defs
           Step(st.copy(phase = AwaitStatusRows(colEofSeen = true)))
-        else {
-          // result set done → dump from the chosen position
-          val (file, pos) = st.config.resumeAt.getOrElse((st.masterFile, st.masterPos))
-          if (file.isEmpty) fail(st, "master status returned no binlog file")
-          else if (pos < 0 || pos > 0xffffffffL)
-            // COM_BINLOG_DUMP carries a u4 position — truncating would
-            // silently dump from a wrong mid-event offset
-            fail(st, s"binlog position $pos does not fit COM_BINLOG_DUMP's u4 field")
-          else Step(st.copy(phase = Streaming),
-            send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
-              pos, 0, st.config.serverId, file)))
+        else st.config.resumeGtids match {
+          case Some(text) =>
+            // GTID auto-position: the executed set names the resume point;
+            // file/pos are advisory ('' / 4 by convention)
+            try Step(st.copy(phase = Streaming),
+              send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDumpGtid(
+                st.config.serverId, BinlogGtidCodec.parseSetText(text))))
+            catch { case e: IllegalArgumentException =>
+              fail(st, s"bad resume GTID set: ${e.getMessage}")
+            }
+          case None =>
+            // result set done → dump from the chosen position
+            val (file, pos) = st.config.resumeAt.getOrElse((st.masterFile, st.masterPos))
+            if (file.isEmpty) fail(st, "master status returned no binlog file")
+            else if (pos < 0 || pos > 0xffffffffL)
+              // COM_BINLOG_DUMP carries a u4 position — truncating would
+              // silently dump from a wrong mid-event offset
+              fail(st, s"binlog position $pos does not fit COM_BINLOG_DUMP's u4 field")
+            else Step(st.copy(phase = Streaming),
+              send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
+                pos, 0, st.config.serverId, file)))
         }
 
       case AwaitStatusRows(_) =>

@@ -138,6 +138,27 @@ class MysqlProtocolSpec extends SparkSpec {
     assert(new String(dump.drop(11)) == "bin.000007")
   }
 
+  test("COM_BINLOG_DUMP_GTID: auto-position round-trips the executed set") {
+    val sets = Seq(
+      "3e11fa47-71ca-11e1-9e33-c80aa9429562" -> Seq((1L, 77L), (80L, 80L)),
+      "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee" -> Seq((5L, 9L)))
+    val bs = MysqlProtocolCodec.encodeComBinlogDumpGtid(1001L, sets)
+    assert(bs(0) == 0x1e)
+    val (flags, sid, fn, pos, text) = MysqlProtocolCodec.decodeComBinlogDumpGtid(bs)
+    assert(flags == MysqlProtocolCodec.BinlogThroughGtid)
+    assert(sid == 1001L && fn == "" && pos == 4L)
+    assert(text == "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-77:80," +
+      "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:5-9")
+    // text → sets parse is the exact inverse of the canonical rendering
+    assert(BinlogGtidCodec.parseSetText(text) == sets)
+    assert(BinlogGtidCodec.parseSetText("") == Nil)
+    intercept[IllegalArgumentException](BinlogGtidCodec.parseSetText("nope"))
+    intercept[IllegalArgumentException](
+      BinlogGtidCodec.parseSetText("3e11fa47-71ca-11e1-9e33-c80aa9429562:9-5"))
+    intercept[IllegalArgumentException](
+      MysqlProtocolCodec.decodeComBinlogDumpGtid(bs.take(10)))
+  }
+
   // ---- packet framing --------------------------------------------------
 
   test("packet framing round-trips and validates exactly") {

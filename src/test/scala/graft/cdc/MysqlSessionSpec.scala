@@ -123,6 +123,26 @@ class MysqlSessionSpec extends SparkSpec {
       MysqlProtocolCodec.encodeComBinlogDump(4L, 0, 7L, "bin.000007")))
   }
 
+  test("a resume GTID set switches the dump to auto-position") {
+    val text = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-77"
+    var st = initial(Config("repl", "pw", 7L,
+      resumeAt = Some(("bin.000007", 4L)), // ignored under auto-position
+      resumeGtids = Some(text)))
+      .copy(phase = AwaitStatusRows(colEofSeen = true),
+        masterFile = "bin.000042", masterPos = 999L)
+    val s = onPayload(st, eof)
+    assert(s.state.phase == Streaming)
+    val Seq((0, dump)) = s.send
+    val (flags, sid, fn, pos, got) =
+      MysqlProtocolCodec.decodeComBinlogDumpGtid(dump)
+    assert(flags == MysqlProtocolCodec.BinlogThroughGtid && sid == 7L)
+    assert(fn == "" && pos == 4L && got == text)
+    // a malformed set fails the session loudly, never dumps from garbage
+    val bad = initial(Config("repl", "pw", 7L, resumeGtids = Some("zzz:1")))
+      .copy(phase = AwaitStatusRows(colEofSeen = true), masterFile = "f")
+    assert(onPayload(bad, eof).state.phase.isInstanceOf[Failed])
+  }
+
   test("DEPRECATE_EOF server: no col-def EOF, one terminator ends the rows") {
     val seed = (1 to 20).map(_.toByte).toArray
     var st = initial(Config("repl", "secret", 100L))
