@@ -218,4 +218,87 @@ class CdcEndToEndSpec extends SparkSpec {
     // batch oracle replay of the same script: fold latest image by hand
     assert(snap == Seq((1L, "alice", "99.90"), (3L, "carol", "7.00")))
   }
+
+  test("wire chain with a live ALTER: schema tracking survives the restart") {
+    // the round-8 composition: chunks → packets → session fold →
+    // SchemaStream (TABLE_MAP binding + DDL evolution in state) → typed
+    // rows under each event's era schema → snapshot. The restart cut
+    // lands AFTER the ALTER but before the new-era rows, so the evolved
+    // column list must come back from the state store, not the batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+
+    val v1 = Seq("id" -> "bigint", "name" -> "varchar(32)")
+    val s1 = BinlogSchema.fromMysqlTypes(v1)
+    val s2 = BinlogSchema.fromMysqlTypes(v1 :+ ("bal" -> "decimal(10,2)"))
+    val seed = (1 to 20).map(_.toByte).toArray
+    val ok = hx("00" + "00" + "00" + "0200" + "0000")
+    val eof = hx("fe" + "0000" + "0200")
+
+    val dumpEvents: Seq[Array[Byte]] = Seq(
+      encodeEvent(19, encodeTableMap(7L, "db1", "t1", s1)),
+      encodeEvent(WriteV2, encodeRows(WriteV2, s1,
+        Seq(Seq[Any](1L, "alice")), tableId = 7L)),
+      encodeEvent(BinlogTxnCodec.QueryType, BinlogTxnCodec.encodeQuery("db1",
+        "ALTER TABLE t1 ADD COLUMN bal decimal(10,2)")),
+      encodeEvent(19, encodeTableMap(8L, "db1", "t1", s2)),
+      encodeEvent(WriteV2, encodeRows(WriteV2, s2,
+        Seq(Seq[Any](2L, "bob", "5.00")), tableId = 8L)),
+      encodeEvent(UpdateV2, encodeRows(UpdateV2, s2,
+        Seq(Seq[Any](1L, "alice", null), Seq[Any](1L, "alice", "99.90")),
+        tableId = 8L)))
+    val serverPayloads: Seq[Array[Byte]] =
+      Seq(handshakeV10(seed),
+        (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte,
+        ok, ok,
+        Array(2.toByte), hx("deadbeef"), hx("deadbeef"), eof,
+        lenencStr("bin.000001") ++ lenencStr("4"), eof) ++
+        dumpEvents.map(0.toByte +: _)
+    val bytes = serverPayloads.zipWithIndex.toArray.flatMap { case (p, i) =>
+      MysqlProtocolCodec.writePacket(i % 256, p)
+    }
+    val chunks = bytes.grouped(13).toSeq.zipWithIndex
+      .map { case (bs, i) => ByteChunk(1L, i.toLong, bs) }
+
+    val dir = Files.createTempDirectory("graft-e2e-ddl").toString
+    val in = MemoryStream[ByteChunk]
+    val events = ReplicaStream.fromChunks(
+      in.toDS(), MysqlReplicaSession.Config("repl", "secret", serverId = 100L))
+    val named = graft.streaming.SchemaStream.withSchema(events,
+      Map(("db1", "t1") -> v1))
+    // decode each event under ITS OWN stamped era schema — no static
+    // column list appears anywhere downstream of the bootstrap
+    val keyed = named.flatMap { e =>
+      val h = BinlogRowCodec.decodeHeader(e.event, packetMarker = false)
+      val sch = BinlogSchema.fromMysqlTypes(e.names.zip(e.mysqlTypes))
+      val r = BinlogRowCodec.decodeRows(h.getBinary(6), h.getInt(1), sch)
+      val imgs = r.getArray(0)
+      (0 until imgs.numElements()).map { i =>
+        val m = imgs.getMap(i)
+        val kv = (0 until m.numElements()).map(j =>
+          m.keyArray.getUTF8String(j).toString ->
+            (if (m.valueArray.isNullAt(j)) null
+             else m.valueArray.getUTF8String(j).toString)).toMap
+        (e.ordinal * 10 + i, "INSERT", kv("id").toLong,
+          kv.getOrElse("name", null), kv.getOrElse("bal", null))
+      }
+    }.toDF("cid", "type", "pk", "name", "bal")
+    def start() = CdcSnapshot.start(keyed, Seq("pk"), "cid",
+      s"$dir/snap", s"$dir/ckpt", outputMode = "append")
+
+    // cut right after the ALTER packet: find the byte offset of the
+    // TABLE_MAP(8) payload and split the chunk list before it
+    val cutChunk = chunks.size * 3 / 4
+    val (a, b) = chunks.splitAt(cutChunk)
+    val q1 = start()
+    try { in.addData(a); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { in.addData(b); q2.processAllAvailable() } finally q2.stop()
+
+    val snap = CdcSnapshot.read(spark, s"$dir/snap")
+      .select("pk", "name", "bal").orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(snap == Seq((1L, "alice", "99.90"), (2L, "bob", "5.00")))
+  }
 }
