@@ -42,7 +42,8 @@ object SchemaHistory {
     else t
   }
 
-  /** Tokenize one ALTER clause: words and backquoted identifiers;
+  /** Tokenize one ALTER clause: words, backquoted identifiers, and
+    * '…'/"…" string literals (a `COMMENT 'x y, z'` value is ONE token);
     * parenthesized groups (type args, possibly containing spaces/commas)
     * attach to the preceding word, so `decimal (12, 2)` is ONE token.
     */
@@ -50,36 +51,50 @@ object SchemaHistory {
     val out = Vector.newBuilder[String]
     var cur = new StringBuilder
     var depth = 0
-    var inQuote = false
+    var quote = 0.toChar // '`', '\'', '"' while inside; 0 outside
+    var escape = false
     def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur = new StringBuilder }
-    clause.foreach {
-      case '`' if depth == 0 =>
-        inQuote = !inQuote; cur += '`'
-      case c if inQuote => cur += c
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case c if c.isWhitespace && depth == 0 => flush()
-      case c => cur += c
+    clause.foreach { c =>
+      if (quote != 0) {
+        cur += c
+        if (escape) escape = false
+        else if (c == '\\' && quote != '`') escape = true
+        else if (c == quote) quote = 0.toChar
+      } else c match {
+        case '`' | '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case w if w.isWhitespace && depth == 0 => flush()
+        case o => cur += o
+      }
     }
     flush()
     out.result()
   }
 
   /** Split the clause list after `ALTER TABLE <name>` on top-level commas
-    * (commas inside type parens don't split).
+    * (commas inside type parens, quoted identifiers, or string literals
+    * don't split).
     */
   private def splitClauses(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var cur = new StringBuilder
     var depth = 0
-    var inQuote = false
-    s.foreach {
-      case '`' => inQuote = !inQuote; cur += '`'
-      case c if inQuote => cur += c
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString; cur = new StringBuilder
-      case c => cur += c
+    var quote = 0.toChar
+    var escape = false
+    s.foreach { c =>
+      if (quote != 0) {
+        cur += c
+        if (escape) escape = false
+        else if (c == '\\' && quote != '`') escape = true
+        else if (c == quote) quote = 0.toChar
+      } else c match {
+        case '`' | '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.toString; cur = new StringBuilder
+        case o => cur += o
+      }
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
