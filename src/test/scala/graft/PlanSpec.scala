@@ -222,6 +222,23 @@ class PlanSpec extends SparkSpec {
         s"the gid key), saw $n\n" + p)
   }
 
+  test("q140 evolved snapshot: windows and keyed unions, never nested-loop") {
+    val p = plan("q140_evolved_snapshot")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of pairing and the pk merge must stay keyed windows\n" + p)
+  }
+
+  test("q141 truncate merge: the truncate position broadcasts as a scalar") {
+    val p = plan("q141_truncate_merge")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row truncate max must broadcast to the stream side\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the stream side must never materialize a cartesian\n" + p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected at most 2 hash exchanges (pk merge + union " +
+      s"prep), saw $n\n" + p)
+  }
+
   test("q133 schema evolution: DDL fold is metadata-scale, no cartesian") {
     val p = plan("q133_schema_evolution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
