@@ -41,6 +41,21 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Consistency stamp: which code and which fixture generation this
+    // dump came from, so a correctness artifact can be checked against a
+    // bench artifact at the same (commit, fixture) pair.
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .directory(new java.io.File(".")).start()
+      val o = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && o.nonEmpty) o else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val fixtureMtime = try Files.getLastModifiedTime(
+      Paths.get(sfDir, "lineitem.parquet")).toInstant.toString
+    catch { case _: Throwable => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/meta.json"),
+      s"""{"commit": ${q(sha)}, "fixture_mtime": ${q(fixtureMtime)}, """ +
+        s""""sf_dir": ${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1588,6 +1588,48 @@ object CdcQueries {
              |  CAST(gid % 4 AS VARCHAR) || '-5-' || CAST(xid AS VARCHAR) AS gtid
              |FROM x ORDER BY pk""".stripMargin)),
 
+    // The schema-version timeline AS a queryable output — the "schema
+    // registry" view a consumer browses to understand what each era of a
+    // table looked like and since when. Oracle-locks the SchemaVersions
+    // fold's exact output (era boundaries, positional name order, type
+    // evolution) against hand-written expectations.
+    Q("q142_schema_registry", { (s, dir) =>
+        import s.implicits._
+        val enc = udf((sql: String) => BinlogRowCodec.encodeEvent(
+          BinlogTxnCodec.QueryType, BinlogTxnCodec.encodeQuery("db1", sql)))
+        // a keyed fixture (one row per DDL) so the fold runs distributed
+        val ddls = Seq(
+            (10L, "ALTER TABLE t1 ADD COLUMN status varchar(4) AFTER price"),
+            (20L, "ALTER TABLE `t1` MODIFY COLUMN price decimal(14,4)"),
+            (30L, "ALTER TABLE t1 RENAME COLUMN status TO st"),
+            (40L, "ALTER TABLE t1 DROP COLUMN price"))
+          .toDF("seq", "sql")
+          .select(col("seq"), enc(col("sql")).as("ev"))
+          .select(col("seq"), BinlogDecode.eventSplit(col("ev")).as("h"))
+          .select(col("seq"), BinlogDecode.query(col("h.body")).as("q"))
+          .select(col("q.db").as("db"), AlterTargetTable(col("q.sql")).as("tbl"),
+            col("seq"), col("q.sql").as("sql"))
+        ddls.groupBy("db", "tbl")
+          .agg(sort_array(collect_list(struct(col("seq"), col("sql")))).as("ddls"))
+          .select(col("db"), col("tbl"), posexplode(SchemaVersions(
+            array(struct(lit("pk"), lit("bigint")),
+              struct(lit("price"), lit("decimal(12,2)"))),
+            col("ddls"))).as(Seq("version", "v")))
+          .select(col("db"), col("tbl"), col("version"),
+            greatest(col("v.from_ord"), lit(0L)).as("from_seq"),
+            concat_ws(",", expr(
+              "transform(v.cols, c -> c.name || ' ' || c.mysql_type)")).as("cols"))
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('db1', 't1', 0, 0, 'pk bigint,price decimal(12,2)'),
+             |  ('db1', 't1', 1, 10, 'pk bigint,price decimal(12,2),status varchar(4)'),
+             |  ('db1', 't1', 2, 20, 'pk bigint,price decimal(14,4),status varchar(4)'),
+             |  ('db1', 't1', 3, 30, 'pk bigint,price decimal(14,4),st varchar(4)'),
+             |  ('db1', 't1', 4, 40, 'pk bigint,st varchar(4)'))
+             |  AS t(db, tbl, version, from_seq, cols)
+             |ORDER BY version""".stripMargin)),
+
     // TRUNCATE-aware latest-image merge: TRUNCATE TABLE arrives IN-BAND
     // as a DDL change event (that is how Canal emits it), and a correct
     // snapshot consumer must wipe everything the stream said before the
