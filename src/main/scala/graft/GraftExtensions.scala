@@ -131,6 +131,10 @@ object GraftExtensions {
     "bpe_init_word" -> { args: Seq[Expression] =>
       require(args.length == 1, "bpe_init_word(word)")
       graft.llm.BpeInitWord(args(0))
+    },
+    "normalize_text" -> { args: Seq[Expression] =>
+      require(args.length == 1, "normalize_text(text)")
+      graft.llm.NormalizeText(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */

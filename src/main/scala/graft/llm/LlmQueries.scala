@@ -301,6 +301,26 @@ object LlmQueries {
              |    < '${Sampling.threshold(0.75)}' THEN 'train' ELSE 'val' END AS split
              |FROM clu ORDER BY doc_id""".stripMargin)),
 
+    // Text normalization — the standard first pass of corpus curation:
+    // Unicode NFC composition, control-char strip, space-run collapse,
+    // trim — one codegen'd kernel with deliberately engine-portable ASCII
+    // semantics (RE2's \s and Java's isWhitespace disagree on exotic
+    // Unicode whitespace, so the contract treats those as ordinary text).
+    // The fixture decorates each doc with leading/trailing runs, a tab,
+    // and a combining-accent sequence built identically in both engines.
+    Q("q143_text_normalize", { (s, dir) =>
+        val messy = concat(lit("  "), col("text"), lit("\t"),
+          lit("é"), lit("  tail   "))
+        t(s, dir, "documents")
+          .select(col("doc_id"), NormalizeText(messy).as("norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(nfc_normalize(
+             |    '  ' || text || chr(9) || 'e' || chr(769) || '  tail   '),
+             |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')) AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Chunk-level exact dedup with TEXT REWRITING (the C4/RefinedWeb
     // paragraph-dedup shape, adapted to the fixture's newline-free texts:
     // 10-word chunks stand in for paragraphs). Unlike q101 (which SCORES

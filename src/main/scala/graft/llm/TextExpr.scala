@@ -18,6 +18,32 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   private val Space = UTF8String.fromString(" ")
 
+  /** NFC-compose, strip C0/DEL control chars, collapse whitespace runs to
+    * one space, trim — see [[NormalizeText]] for the portable contract.
+    */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      // ASCII semantics on purpose (portable to RE2's \s): C0 controls
+      // and DEL — including \t\n\r — are STRIPPED, space runs collapse;
+      // exotic Unicode whitespace is ordinary text on both engines
+      if (c < 0x20 || c == 0x7f) ()
+      else if (c == ' ') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 64-bit SimHash over a token array: per bit j, sum the ±1 contribution
     * of each token hash's bit j; sign(sum) becomes bit j. 64-bit token
     * hash = two seeded murmur32 halves. One JIT'd pass, no shuffle.
@@ -174,6 +200,35 @@ case class WordSpans(child: Expression, k: Int)
 object WordSpans {
   def apply(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordSpans(ColumnBridge.expression(tokens), k))
+}
+
+/** Codegen'd text normalization — the standard first pass of a corpus
+  * pipeline: Unicode NFC composition (é as one code point, not e+◌́),
+  * control characters stripped, whitespace runs collapsed to single
+  * spaces, ends trimmed. Semantics chosen to be engine-portable: the
+  * DuckDB oracle reproduces it exactly with
+  * `trim(regexp_replace(regexp_replace(nfc_normalize(t),
+  * '[\x00-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g'))`.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"NormalizeText expects STRING input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  def apply(text: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(text)))
 }
 
 /** Codegen'd max single-token frequency over an `array<string>` column. */
