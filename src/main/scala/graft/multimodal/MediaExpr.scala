@@ -118,6 +118,108 @@ object AudioKernels {
     val r = sniffWavTuple(bytes)
     if (r == null) null else new GenericInternalRow(Array[Any](r._1, r._2, r._3))
   }
+
+  private def be32s(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def be16s(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Compressed-container sniff — the formats a multimodal corpus
+    * actually ships in, from magic bytes only (no codec): FLAC STREAMINFO
+    * and Ogg/Vorbis identification headers → (format, channels,
+    * sample_rate); MP3 first frame header (ID3v2 tag skipped, all three
+    * MPEG versions) → (format, channels, sample_rate); MP4 box walk
+    * ftyp→moov→trak→tkhd → (format, width, height). All layouts from the
+    * published specs; null for anything unrecognized or truncated.
+    */
+  def sniffContainerTuple(b: Array[Byte]): (String, Int, Int) = {
+    if (b == null) return null
+    // FLAC: "fLaC" ++ metadata block header ++ 34-byte STREAMINFO —
+    // 20-bit sample rate then 3-bit channels-1 (bit-packed)
+    if (b.length >= 8 + 21 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C' &&
+        (u8(b, 4) & 0x7f) == 0) {
+      val sr = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+      val ch = ((u8(b, 20) >> 1) & 0x07) + 1
+      return if (sr == 0) null else ("flac", ch, sr)
+    }
+    // Ogg page 0 holding a Vorbis identification header: 27-byte page
+    // header + 1 segment entry, then 0x01 "vorbis" version(4) ch(1) rate(4)
+    if (b.length >= 44 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S' &&
+        u8(b, 26) == 1 && u8(b, 28) == 0x01 && b(29) == 'v' && b(30) == 'o' &&
+        b(31) == 'r' && b(32) == 'b' && b(33) == 'i' && b(34) == 's')
+      return ("ogg", u8(b, 39), le32(b, 40).toInt)
+    // MP3: optional ID3v2 tag (syncsafe size), then an MPEG audio frame
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val tagLen = 10 + ((u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9))
+      return sniffMpegFrame(b, tagLen)
+    }
+    if (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)
+      return sniffMpegFrame(b, 0)
+    // MP4: top-level ftyp box, then walk moov → trak → tkhd for the
+    // 16.16-fixed presentation width/height
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      var i = 0
+      while (i + 8 <= b.length) {
+        val size = be32s(b, i)
+        if (size < 8) return null
+        if (b(i + 4) == 'm' && b(i + 5) == 'o' && b(i + 6) == 'o' && b(i + 7) == 'v') {
+          val end = math.min(b.length.toLong, i + size)
+          var j = i + 8
+          while (j + 8 <= end) {
+            val s2 = be32s(b, j)
+            if (s2 < 8) return null
+            if (b(j + 4) == 't' && b(j + 5) == 'r' && b(j + 6) == 'a' && b(j + 7) == 'k') {
+              val end2 = math.min(end, j + s2)
+              var k = j + 8
+              while (k + 8 <= end2) {
+                val s3 = be32s(b, k)
+                if (s3 < 8) return null
+                if (b(k + 4) == 't' && b(k + 5) == 'k' && b(k + 6) == 'h' &&
+                    b(k + 7) == 'd' && k + 92 <= b.length && u8(b, k + 8) == 0)
+                  return ("mp4", (be32s(b, k + 84) >> 16).toInt,
+                    (be32s(b, k + 88) >> 16).toInt)
+                k += s3.toInt
+              }
+            }
+            j += s2.toInt
+          }
+          return null
+        }
+        i += size.toInt
+      }
+      return null
+    }
+    null
+  }
+
+  /** One MPEG audio frame header at `at`: channels + sample rate across
+    * MPEG1/2/2.5 (rate table halves/quarters by version).
+    */
+  private def sniffMpegFrame(b: Array[Byte], at: Int): (String, Int, Int) = {
+    if (at + 4 > b.length) return null
+    if (u8(b, at) != 0xff || (u8(b, at + 1) & 0xe0) != 0xe0) return null
+    val version = (u8(b, at + 1) >> 3) & 0x03 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val srIdx = (u8(b, at + 2) >> 2) & 0x03
+    if (srIdx == 3 || version == 1) return null // reserved
+    val base = srIdx match {
+      case 0 => 44100
+      case 1 => 48000
+      case 2 => 32000
+    }
+    val rate = version match {
+      case 3 => base
+      case 2 => base / 2
+      case 0 => base / 4
+    }
+    val channels = if (((u8(b, at + 3) >> 6) & 0x03) == 3) 1 else 2
+    ("mp3", channels, rate)
+  }
+
+  def sniffContainer(bytes: Array[Byte]): InternalRow = {
+    val r = sniffContainerTuple(bytes)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
+  }
 }
 
 /** Codegen'd media-header sniff over a `binary` column:
@@ -180,4 +282,35 @@ case class SniffWav(child: Expression)
 object SniffWav {
   def apply(content: Column): Column =
     ColumnBridge.column(SniffWav(ColumnBridge.expression(content)))
+}
+
+/** Codegen'd compressed-container sniff over a `binary` column:
+  * struct<format string, p1 int, p2 int> — (channels, sample_rate) for
+  * flac/ogg/mp3, (width, height) for mp4; null when unrecognized.
+  */
+case class SniffContainer(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("p1", IntegerType, nullable = false),
+    StructField("p2", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SniffContainer expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    AudioKernels.sniffContainer(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.AudioKernels.sniffContainer($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): SniffContainer =
+    copy(child = newChild)
+}
+
+object SniffContainer {
+  def apply(content: Column): Column =
+    ColumnBridge.column(SniffContainer(ColumnBridge.expression(content)))
 }

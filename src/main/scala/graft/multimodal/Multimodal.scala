@@ -224,6 +224,61 @@ object MultimodalQueries {
              |CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000 ELSE -1 END AS INTEGER) AS sample_rate,
              |CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE doc_id % 300 + 1 END AS INTEGER) AS width,
              |CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE doc_id % 200 + 1 END AS INTEGER) AS height
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Compressed-container sniff: the formats a multimodal corpus
+    // actually ships in — FLAC (bit-packed STREAMINFO), Ogg/Vorbis
+    // (identification header), MP3 (ID3v2 skip + MPEG frame header), MP4
+    // (ftyp→moov→trak→tkhd box walk, 16.16-fixed dimensions). Headers
+    // synthesized byte-exactly per the published specs with
+    // formula-known parameters; p1/p2 = channels/sample-rate for audio,
+    // width/height for mp4.
+    Q("q144_container_sniff", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        def u8(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+        val ch = (col("doc_id") % 2 + 1).cast(IntegerType)
+        val sr = element_at(array(lit(44100), lit(48000), lit(32000)),
+          (col("doc_id") % 3 + 1).cast(IntegerType))
+        val w = (col("doc_id") % 300 + 1).cast(IntegerType)
+        val h = (col("doc_id") % 200 + 1).cast(IntegerType)
+        val flac = concat(lit("fLaC").cast(BinaryType), unhex(lit("00000022")),
+          unhex(lit("00" * 10)),
+          u8(shiftright(sr, 12)), u8(pmod(shiftright(sr, 4), lit(256))),
+          u8(pmod(sr, lit(16)) * 16 + (ch - 1) * 2), unhex(lit("00" * 16)))
+        val ogg = concat(lit("OggS").cast(BinaryType), unhex(lit("0002")),
+          unhex(lit("00" * 20)), unhex(lit("011E01")),
+          lit("vorbis").cast(BinaryType), unhex(lit("00000000")),
+          u8(ch), le32(sr), unhex(lit("00" * 8)))
+        val srIdx = (col("doc_id") % 3).cast(IntegerType) // same rate table order
+        val mono = col("doc_id") % 2 === 0
+        val mp3 = concat(lit("ID3").cast(BinaryType), unhex(lit("0300" + "00" * 5)),
+          unhex(lit("FFFB")), u8(lit(0x90) + srIdx * 4),
+          u8(when(mono, 0xc0).otherwise(0)))
+        val mp4 = concat(
+          unhex(lit("00000010")), lit("ftypisom").cast(BinaryType),
+          unhex(lit("00000200")),
+          unhex(lit("0000006C")), lit("moov").cast(BinaryType),
+          unhex(lit("00000064")), lit("trak").cast(BinaryType),
+          unhex(lit("0000005C")), lit("tkhd").cast(BinaryType),
+          unhex(lit("00" * 76)), be16(w), unhex(lit("0000")),
+          be16(h), unhex(lit("0000")))
+        val content = when(col("doc_id") % 4 === 0, flac)
+          .when(col("doc_id") % 4 === 1, ogg)
+          .when(col("doc_id") % 4 === 2, mp3)
+          .otherwise(mp4)
+        d.select(col("doc_id").as("media_id"), SniffContainer(content).as("c"))
+          .select(col("media_id"), col("c.format").as("format"),
+            col("c.p1").as("p1"), col("c.p2").as("p2"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |(['flac','ogg','mp3','mp4'])[CAST(doc_id % 4 AS INTEGER) + 1] AS format,
+             |CAST(CASE WHEN doc_id % 4 = 3 THEN doc_id % 300 + 1
+             |  WHEN doc_id % 4 = 2 THEN (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)
+             |  ELSE doc_id % 2 + 1 END AS INTEGER) AS p1,
+             |CAST(CASE WHEN doc_id % 4 = 3 THEN doc_id % 200 + 1
+             |  ELSE ([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1]
+             |  END AS INTEGER) AS p2
              |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

@@ -104,6 +104,39 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaKernels.sniffTuple(avi.take(40)) == null)
   }
 
+  test("SniffContainer goldens: FLAC/OGG/MP3/MP4 headers, strict negatives") {
+    def sniff(bs: Array[Byte]): (String, Int, Int) =
+      AudioKernels.sniffContainerTuple(bs)
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(g => Integer.parseInt(g, 16).toByte).toArray
+    // FLAC 44100 Hz stereo: STREAMINFO bit-packing per the spec
+    val flac = "fLaC".getBytes ++ hex("00000022") ++ Array.fill[Byte](10)(0) ++
+      hex("0AC442") ++ Array.fill[Byte](16)(0)
+    assert(sniff(flac) == ("flac", 2, 44100))
+    // OGG/Vorbis id header, 1 channel, 48000 Hz
+    val ogg = "OggS".getBytes ++ hex("0002") ++ Array.fill[Byte](20)(0) ++
+      hex("011E01") ++ "vorbis".getBytes ++ hex("00000000") ++
+      hex("01") ++ hex("80BB0000") ++ Array.fill[Byte](8)(0)
+    assert(sniff(ogg) == ("ogg", 1, 48000))
+    // MP3: bare MPEG1 Layer III frame, 32000 Hz, joint stereo
+    assert(sniff(hex("FFFB9840")) == ("mp3", 2, 32000))
+    // MP3 behind an ID3v2 tag with a 5-byte body; MPEG2 halves the rate
+    val id3 = "ID3".getBytes ++ hex("0300" + "00" + "00000005") ++
+      Array.fill[Byte](5)(0) ++ hex("FFF390C0")
+    assert(sniff(id3) == ("mp3", 1, 22050))
+    // MP4: 10x20 track dims via the tkhd walk
+    val mp4 = hex("00000010") ++ "ftypisom".getBytes ++ hex("00000200") ++
+      hex("0000006C") ++ "moov".getBytes ++ hex("00000064") ++ "trak".getBytes ++
+      hex("0000005C") ++ "tkhd".getBytes ++ Array.fill[Byte](76)(0) ++
+      hex("000A0000") ++ hex("00140000")
+    assert(sniff(mp4) == ("mp4", 10, 20))
+    // negatives: truncation and corruption yield null, never garbage
+    assert(sniff(flac.take(20)) == null)
+    assert(sniff(hex("FFFBFC40")) == null) // reserved sample-rate index
+    assert(sniff(mp4.take(40)) == null)    // walk runs out before tkhd
+    assert(sniff("OggX1234".getBytes) == null)
+  }
+
   test("q50/q51 run over fixture-backed media at sf0.001") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     assert(docs.count() > 0)
