@@ -156,36 +156,40 @@ object AudioKernels {
     if (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)
       return sniffMpegFrame(b, 0)
     // MP4: top-level ftyp box, then walk moov → trak → tkhd for the
-    // 16.16-fixed presentation width/height
+    // 16.16-fixed presentation width/height. All box sizes are UNSIGNED
+    // u32 longs and every advance is bounds-guarded — a corrupt declared
+    // size must yield null, never a negative index or an infinite loop.
     if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
-      var i = 0
+      def tag(at: Long, t: String): Boolean =
+        b(at.toInt + 4) == t(0) && b(at.toInt + 5) == t(1) &&
+          b(at.toInt + 6) == t(2) && b(at.toInt + 7) == t(3)
+      var i = 0L
       while (i + 8 <= b.length) {
-        val size = be32s(b, i)
-        if (size < 8) return null
-        if (b(i + 4) == 'm' && b(i + 5) == 'o' && b(i + 6) == 'o' && b(i + 7) == 'v') {
-          val end = math.min(b.length.toLong, i + size)
+        val size = be32s(b, i.toInt)
+        if (size < 8 || i + size > b.length) return null
+        if (tag(i, "moov")) {
+          val end = i + size
           var j = i + 8
           while (j + 8 <= end) {
-            val s2 = be32s(b, j)
-            if (s2 < 8) return null
-            if (b(j + 4) == 't' && b(j + 5) == 'r' && b(j + 6) == 'a' && b(j + 7) == 'k') {
-              val end2 = math.min(end, j + s2)
+            val s2 = be32s(b, j.toInt)
+            if (s2 < 8 || j + s2 > end) return null
+            if (tag(j, "trak")) {
+              val end2 = j + s2
               var k = j + 8
               while (k + 8 <= end2) {
-                val s3 = be32s(b, k)
-                if (s3 < 8) return null
-                if (b(k + 4) == 't' && b(k + 5) == 'k' && b(k + 6) == 'h' &&
-                    b(k + 7) == 'd' && k + 92 <= b.length && u8(b, k + 8) == 0)
-                  return ("mp4", (be32s(b, k + 84) >> 16).toInt,
-                    (be32s(b, k + 88) >> 16).toInt)
-                k += s3.toInt
+                val s3 = be32s(b, k.toInt)
+                if (s3 < 8 || k + s3 > end2) return null
+                if (tag(k, "tkhd") && s3 >= 92 && u8(b, k.toInt + 8) == 0)
+                  return ("mp4", (be32s(b, k.toInt + 84) >> 16).toInt,
+                    (be32s(b, k.toInt + 88) >> 16).toInt)
+                k += s3
               }
             }
-            j += s2.toInt
+            j += s2
           }
           return null
         }
-        i += size.toInt
+        i += size
       }
       return null
     }
