@@ -132,9 +132,15 @@ object Bench {
       run(CdcMerge.latestImage(keyed, Seq("pk"), "cid"))
     }
     pipeline() // warm
-    val t0 = System.nanoTime()
-    pipeline()
-    val secs = (System.nanoTime() - t0) / 1e9
+    // min-of-3: the 150k-row corpus runs in well under a second, so a
+    // single timed pass swings 2-3x with host bursts (observed 146k-457k
+    // rows/s across otherwise-identical captures); the fastest pass is
+    // the steady-state number, same policy as the per-query min-of-2
+    val secs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      pipeline()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     raw.unpersist()
     n / secs
   }
