@@ -135,6 +135,10 @@ object GraftExtensions {
     "normalize_text" -> { args: Seq[Expression] =>
       require(args.length == 1, "normalize_text(text)")
       graft.llm.NormalizeText(args(0))
+    },
+    "sniff_container" -> { args: Seq[Expression] =>
+      require(args.length == 1, "sniff_container(content)")
+      graft.multimodal.SniffContainer(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */
