@@ -33,6 +33,60 @@ object Pipeline {
     def stop(): Unit = queues.foreach(_._2.stop())
   }
 
+  /** Schema-stamped wire events → Canal-JSON envelope rows: the LAST
+    * missing link between the byte side and the envelope side, closing
+    * the reference's whole dataflow as one chain —
+    * `ReplicaStream.fromChunks → TxnStream/SchemaStream →
+    * envelopesFromWire → fromConfig` is `main.rs` end to end. Each row
+    * event decodes under its stamped era schema (no external metadata),
+    * UPDATE before-images land in `old`, DELETEs carry their image in
+    * `data` with type DELETE (the Canal convention the reference renders,
+    * `executor.rs:52-87`), and sqlType/mysqlType maps derive from the
+    * stamped column types. Stateless flatMap — chains with no shuffle.
+    */
+  def envelopesFromWire(named: org.apache.spark.sql.Dataset[SchemaEvent],
+      pkName: String = "pk"): DataFrame = {
+    import graft.cdc.{BinlogRowCodec, BinlogSchema, Catalog}
+    import named.sparkSession.implicits._
+    val rows = named.flatMap { e =>
+      val h = BinlogRowCodec.decodeHeader(e.event, packetMarker = false)
+      val cols = e.names.zip(e.mysqlTypes)
+      val sch = BinlogSchema.fromMysqlTypes(cols)
+      val tpe = h.getInt(1)
+      val r = BinlogRowCodec.decodeRows(h.getBinary(6), tpe, sch)
+      def images(slot: Int): Seq[Map[String, String]] = {
+        val arr = if (slot == 0) r.getArray(0) else r.getArray(1)
+        (0 until arr.numElements()).map { i =>
+          val m = arr.getMap(i)
+          (0 until m.numElements()).map(j =>
+            m.keyArray.getUTF8String(j).toString ->
+              (if (m.valueArray.isNullAt(j)) null
+               else m.valueArray.getUTF8String(j).toString)).toMap
+        }
+      }
+      val dml = tpe match {
+        case BinlogRowCodec.WriteV1 | BinlogRowCodec.WriteV2 => "INSERT"
+        case BinlogRowCodec.DeleteV1 | BinlogRowCodec.DeleteV2 => "DELETE"
+        case _ => "UPDATE"
+      }
+      // Canal puts the surviving image in data: after for INSERT/UPDATE,
+      // the deleted image for DELETE; old = UPDATE before-images only
+      val data = if (dml == "DELETE") images(1) else images(0)
+      val old = if (dml == "UPDATE") images(1) else Nil
+      val sqlType = cols.map { case (n, t) => n -> Catalog.jdbcCode(t) }.toMap
+      val mysqlType = cols.toMap
+      Some((e.ordinal, e.db, e.table, dml, h.getLong(0) * 1000,
+        h.getLong(0) * 1000, sqlType, mysqlType, data, old))
+    }.toDF("id", "database", "table", "type", "es", "ts",
+      "sqlType", "mysqlType", "data", "old")
+    rows.select(graft.cdc.Envelope.parse(graft.cdc.Envelope.build(
+      id = col("id"), database = col("database"), table = col("table"),
+      pkNames = array(lit(pkName)), dmlType = col("type"),
+      es = col("es"), ts = col("ts"),
+      sqlType = col("sqlType"), mysqlType = col("mysqlType"),
+      data = col("data"), old = col("old"))).as("e")).select("e.*")
+  }
+
   /** Envelope stream → routed MQ records: one row per (envelope × matching
     * instance) with the target mq/topic and the Kafka-shaped key/value
     * projection. Non-matching envelopes drop here — the multicast explode
