@@ -301,6 +301,28 @@ object LlmQueries {
              |    < '${Sampling.threshold(0.75)}' THEN 'train' ELSE 'val' END AS split
              |FROM clu ORDER BY doc_id""".stripMargin)),
 
+    // GPT-2-style regex pre-tokenization — the "BPE-ish" token counting a
+    // training-batch budget runs on (contractions split, leading-space
+    // word/number/punctuation runs), with an engine-portable ASCII class
+    // pattern (no lookarounds, so Java regex and RE2 agree exactly).
+    // Codegen'd built-in regexp_extract_all — no UDF, fused over the scan.
+    Q("q145_regex_tokenize", { (s, dir) =>
+        val pat = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+        val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks).as("n_tokens"),
+            concat_ws("|", slice(toks, 1, 5)).as("head_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+             |    AS INTEGER) AS n_tokens,
+             |  array_to_string(regexp_extract_all(text,
+             |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')[1:5],
+             |    '|') AS head_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Text normalization — the standard first pass of corpus curation:
     // Unicode NFC composition, control-char strip, space-run collapse,
     // trim — one codegen'd kernel with deliberately engine-portable ASCII
