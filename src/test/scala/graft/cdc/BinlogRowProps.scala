@@ -236,4 +236,43 @@ object BinlogRowProps extends Properties("BinlogRowCodec") {
         }
       }
     }
+
+  // ---- PARTIAL_UPDATE (type 39): diffs materialize during decode ------
+
+  private val partialGen: Gen[(Array[BinlogColumn], List[Any], String, Int, String)] =
+    for {
+      nCols <- Gen.choose(1, 5)
+      colSpecs <- Gen.listOfN(nCols, colGen)
+      schema = BinlogSchema.fromMysqlTypes(
+        colSpecs.zipWithIndex.map { case ((t, _), i) => s"c$i" -> t } :+
+          ("j" -> "json"))
+      vals <- Gen.sequence[List[Any], Any](colSpecs.map(_._2))
+      leaf <- Gen.oneOf(Gen.choose(-100000, 100000).map(_.toString),
+        Gen.oneOf("true", "false", "null"))
+      flavor <- Gen.choose(0, 2)
+      doc <- Gen.oneOf("[1,2,3]", "{\"x\":7}", "\"s\"", "42")
+    } yield (schema, vals, leaf, flavor, doc)
+
+  property("PARTIAL_UPDATE round-trip: diffs apply against the before image") =
+    forAllNoShrink(partialGen) { case (schema, vals, leaf, flavor, doc) =>
+      val beforeJson = s"""{"a":$leaf}"""
+      val (diff, expectedAfter) = flavor match {
+        case 0 => (JsonDiff.encode(Seq((JsonDiff.Replace, "$", Some(doc)))), doc)
+        case 1 => (JsonDiff.encode(Seq((JsonDiff.Insert, "$.fresh", Some(doc)))),
+          s"""{"a":$leaf,"fresh":$doc}""")
+        case 2 => (JsonDiff.encode(Seq((JsonDiff.Remove, "$.a", None))), "{}")
+      }
+      val before = vals :+ (beforeJson: Any)
+      val after = vals :+ (diff: Any)
+      val body = BinlogRowCodec.encodePartialRows(schema,
+        images = Seq(before, after), diffCols = Set(schema.length - 1))
+      val decoded = decodeRows(body, BinlogRowCodec.PartialUpdateV2, schema)
+      val afterImg = images(decoded, 0).head
+      val beforeImg = images(decoded, 1).head
+      afterImg("j") == expectedAfter && beforeImg("j") == beforeJson &&
+        schema.dropRight(1).zipWithIndex.forall { case (c, i) =>
+          afterImg(c.name) == rendered(schemaTypeOf(c), vals(i)) &&
+            beforeImg(c.name) == rendered(schemaTypeOf(c), vals(i))
+        }
+    }
 }
