@@ -241,7 +241,10 @@ object MysqlReplicaSession {
           case other => throw new IllegalArgumentException(s"bad lenenc tag $other")
         }
         val start = pos + used
-        if (start + len > payload.length)
+        // len is an UNSIGNED u64 landing in a signed Long: a adversarial
+        // 8-byte length can be negative here, which would pass a plain
+        // upper-bound check and reach String with a negative count
+        if (len < 0 || start + len > payload.length)
           throw new IllegalArgumentException(
             s"cell at $pos claims $len bytes; ${payload.length - start} left")
         out += new String(payload, start, len.toInt, "UTF-8")

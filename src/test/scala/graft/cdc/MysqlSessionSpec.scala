@@ -242,5 +242,15 @@ class MysqlSessionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       decodeTextRow(Array(0x05.toByte, 'a'.toByte)) // claims 5, has 1
     }
+    // an 8-byte lenenc is an UNSIGNED u64: with the high bit set it lands
+    // negative in a signed Long and must throw cleanly, never reach
+    // String with a negative count (found by the session fold fuzz)
+    intercept[IllegalArgumentException] {
+      decodeTextRow(0xfe.toByte +: Array.fill[Byte](8)(0xff.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      // the exact fuzz counterexample shape: count = 0xFF000000 << 32
+      decodeTextRow(0xfe.toByte +: Array[Byte](0, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    }
   }
 }
