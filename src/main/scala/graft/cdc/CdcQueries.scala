@@ -789,6 +789,45 @@ object CdcQueries {
              |  o_orderstatus AS status
              |FROM orders ORDER BY pk""".stripMargin)),
 
+    // Binlog ARCHIVE WRITER (inverse of q117's replay, as a product
+    // operator): table rows → standard mysqlbinlog-replayable file blobs
+    // via the codegen'd BinlogArchiveEncode — TABLE_MAP + multi-row
+    // WRITE_ROWS (32 images/event) + CRC32 + ROTATE chain, one file per
+    // 64-key bucket, NO ScalaUDF anywhere (q117's encoder is a fixture
+    // udf; this is the write direction productized). The round trip
+    // decodes the blobs through the engine's own replay path and must
+    // reproduce the source rows exactly — including the packed DECIMAL
+    // column the reference's own decoder family handles.
+    Q("q149_binlog_archive_writer", { (s, dir) =>
+        val mysqlTypes = Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)", "price" -> "decimal(12,2)")
+        val cols = BinlogSchema.fromMysqlTypes(mysqlTypes)
+        val o = t(s, dir, "orders")
+        val files = BinlogArchive.archive(o,
+          Seq(col("o_orderkey").cast(LongType), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(12, 2))),
+          mysqlTypes, "testdb", "orders",
+          bucket = col("o_orderkey") - col("o_orderkey") % 64, bucketStep = 64L)
+        files.sortWithinPartitions("gid")
+          .select(col("gid"), col("next_file"),
+            BinlogFileSplit(col("file_bytes")).as("evs"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("gid"), col("next_file"),
+            explode_outer(expr("filter(evs, e -> e.event_type = 30)")).as("h"))
+          .select(col("gid"), col("next_file"),
+            BinlogDecode.rows(col("h.body"), col("h.event_type"), cols).as("r"))
+          .select(col("gid"), col("next_file"), explode_outer(col("r.data")).as("m"))
+          .select(element_at(col("m"), "pk").cast(LongType).as("pk"),
+            col("gid"), col("next_file"),
+            element_at(col("m"), "status").as("status"),
+            element_at(col("m"), "price").as("price"))
+      },
+      Some("""SELECT o_orderkey AS pk, (o_orderkey - o_orderkey % 64) AS gid,
+             |  'bin.' || CAST(o_orderkey - o_orderkey % 64 + 64 AS VARCHAR) AS next_file,
+             |  o_orderstatus AS status,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price
+             |FROM orders ORDER BY pk""".stripMargin)),
+
     // Merge fast path, correctness-locked: the exact route→pk→latest-image
     // pipeline Bench.cdcThroughput times. Envelopes are built FULL-width
     // (13 Canal fields); the engine side parses PARTIALLY

@@ -102,6 +102,36 @@ object LlmQueries {
       },
       None),
 
+    // Product-quantization ANN (Jégou et al. 2011) with exact re-ranking —
+    // the compressed-index path beside brute (q44) / LSH (q45) / IVF (q57):
+    // candidates carry m=8 one-byte sub-codebook codes (64× smaller than raw
+    // doubles), ADC scores them in O(m) adds per row, and the top-48
+    // survivors per query are exactly re-ranked. Recall gated in PqSpec.
+    Q("q148_sim_topk_pq", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.pqTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    // Bloom-screened incremental ingest: a sharded mergeable bit-set
+    // sketch of the corpus's content hashes flags each ingest row as
+    // "definitely new" vs "probably seen" — the O(1)-per-row screen in
+    // front of the exact q88 ingest join. One-sided error (never misses a
+    // true member; ~ε of new keys dropped), gated in BloomSpec. Rows-only:
+    // the designed false-positive rate makes the exact output
+    // sketch-parameter-defined rather than SQL-derivable.
+    Q("q147_dedup_bloom_new", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val filters = Bloom.filterDf(corpus, col("text"),
+          expectedN = corpus.count(), fp = 0.01, shards = 4)
+        Bloom.newKeys(docs, col("text"), filters, shards = 4)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     Q("q46_text_stats", { (s, dir) =>
         val d = t(s, dir, "documents")
         d.groupBy("lang").agg(
@@ -846,6 +876,66 @@ object LlmQueries {
              |  FROM tf t JOIN df d USING (token), n
              |  WHERE d.df * 10 < n.n_docs * 9)
              |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // BM25 ranked retrieval (Robertson/Sparck Jones; k1=1.2, b=0.75): the
+    // classic lexical relevance scorer, here ranking the corpus against a
+    // fixed query-term set — the retrieval primitive behind dataset
+    // search / hard-negative mining over training corpora. Cross-engine
+    // determinism: tf/df/dl are integers, every double op is written as
+    // the SAME IEEE expression tree on both sides, the one libm call
+    // (ln of an identically-computed double) is snapped to a
+    // DECIMAL(18,9) grid before use, and per-term scores are summed as
+    // DECIMAL(18,8) — order-insensitive, so the distributed sum matches
+    // DuckDB's serial one bit-for-bit. Plan: the token explode filters to
+    // the query terms BEFORE the (doc,term) agg (the fact stream carries
+    // only matching tokens); df and the (N, avgdl) stats are
+    // metadata-scale broadcasts; the final top-20 is TakeOrderedAndProject.
+    Q("q146_bm25_retrieval", { (s, dir) =>
+        val terms = Seq("vector", "stream", "hash")
+        val docs = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
+        val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val r = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+        val idf = dfs.crossJoin(broadcast(stats))
+          .select(col("tok"), col("avgdl"),
+            log(r).cast(DecimalType(18, 9)).cast(DoubleType).as("idf9"))
+        val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+        tf.join(broadcast(idf), "tok")
+          .join(dl, "doc_id")
+          .select(col("doc_id"), (col("idf9") * sat).cast(DecimalType(18, 8)).as("term_score"))
+          .groupBy("doc_id")
+          .agg(sum(col("term_score")).cast(DoubleType).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM toks),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+             |  WHERE tok IN ('vector', 'stream', 'hash') GROUP BY doc_id, tok
+             |), df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |idf AS (
+             |  SELECT tok, avgdl, CAST(CAST(ln(
+             |      (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0
+             |    ) AS DECIMAL(18,9)) AS DOUBLE) AS idf9
+             |  FROM df, stats
+             |)
+             |SELECT doc_id, CAST(SUM(CAST(idf9 * ((CAST(tf AS DOUBLE) * 2.2) /
+             |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+             |  AS DECIMAL(18,8))) AS DOUBLE) AS bm25
+             |FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
     // Corpus-familiarity quality score: mean corpus frequency of a doc's
     // positional bigrams — the self-trained-LM typicality signal (a

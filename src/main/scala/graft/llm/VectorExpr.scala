@@ -218,3 +218,152 @@ object CosineSim {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Product-quantization kernels (Jégou et al. 2011, "Product quantization
+  * for nearest neighbor search"): a vector is split into `m` contiguous
+  * subspaces and each sub-vector is replaced by the index of its nearest
+  * sub-codebook centroid — `m` small ints instead of `dim` doubles. ADC
+  * (asymmetric distance computation) then scores a candidate against a
+  * query-specific lookup table in O(m) adds, never touching the original
+  * vector: the N-row scan cost drops from O(dim) mults to O(m) loads.
+  */
+object PqKernels {
+  /** codes(v): for each subspace, argmin squared-L2 sub-centroid (first
+    * min wins). Codebooks are [m][ksub][dsub]; v.length must equal m·dsub.
+    */
+  def code(v: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"PQ: embedding dimension ${v.numElements()} != m*dsub (${m * dsub})")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getDouble(off + i) - cen(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC table: tab[s][c] = ||q_sub(s) - codebook[s][c]||². */
+  def adcTable(q: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    require(q.length == m * dsub,
+      s"PQ: query dimension ${q.length} != m*dsub (${m * dsub})")
+    Array.tabulate(m) { s =>
+      val book = codebooks(s)
+      val off = s * dsub
+      Array.tabulate(book.length) { c =>
+        val cen = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = q(off + i) - cen(i)
+          d += diff * diff
+          i += 1
+        }
+        d
+      }
+    }
+  }
+
+  /** ADC distance of one coded candidate to one query's table: O(m) adds,
+    * ascending-subspace accumulation (deterministic doubles). Unknown
+    * query ids FAIL LOUDLY — a silent null would drop candidates from the
+    * ranking with no visible cause.
+    */
+  def adc(queryId: Long, codes: ArrayData,
+      tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]]): Double = {
+    val tab = tables.get(queryId)
+    if (tab == null)
+      throw new IllegalArgumentException(s"PQ ADC: no distance table for query id $queryId")
+    if (codes.numElements() != tab.length)
+      throw new IllegalArgumentException(
+        s"PQ ADC: ${codes.numElements()} codes vs ${tab.length} subspaces")
+    var d = 0.0
+    var s = 0
+    while (s < tab.length) {
+      d += tab(s)(codes.getInt(s))
+      s += 1
+    }
+    d
+  }
+}
+
+/** Codegen'd PQ code assignment over an `array<double>` column. */
+case class PqCode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"PqCode expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.code(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      s"${ev.value} = graft.llm.PqKernels.code($c, $ref);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
+object PqCode {
+  def apply(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(new PqCode(ColumnBridge.expression(v), codebooks))
+}
+
+/** Codegen'd ADC lookup: (query_id, codes) → approximate squared L2 using
+  * the per-query tables baked in as a reference object (|Q|·m·ksub doubles
+  * — bounded by the query set, independent of N).
+  */
+case class PqAdc(left: Expression, right: Expression,
+    tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]])
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.LongType,
+          ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"PqAdc expects (BIGINT, ARRAY<INT>) inputs, got ${l.sql}, ${r.sql}")
+  }
+  override protected def nullSafeEval(qid: Any, codes: Any): Any =
+    PqKernels.adc(qid.asInstanceOf[Long], codes.asInstanceOf[ArrayData], tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tables", tables, "java.util.HashMap")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.llm.PqKernels.adc($q, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def apply(queryId: Column, codes: Column,
+      tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]]): Column =
+    ColumnBridge.column(
+      PqAdc(ColumnBridge.expression(queryId), ColumnBridge.expression(codes), tables))
+}
