@@ -139,6 +139,14 @@ object GraftExtensions {
     "sniff_container" -> { args: Seq[Expression] =>
       require(args.length == 1, "sniff_container(content)")
       graft.multimodal.SniffContainer(args(0))
+    },
+    "binlog_tablemap_full" -> { args: Seq[Expression] =>
+      require(args.length == 1, "binlog_tablemap_full(body)")
+      graft.cdc.BinlogTableMapFullDecode(args(0))
+    },
+    "binlog_rows_full_meta" -> { args: Seq[Expression] =>
+      require(args.length == 3, "binlog_rows_full_meta(body, event_type, tablemap)")
+      graft.cdc.BinlogRowsDecodeFullMeta(args(0), args(1), args(2))
     })
 
   /** Register every function + optimizer rule into a live session. */

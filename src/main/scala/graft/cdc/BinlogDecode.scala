@@ -123,6 +123,21 @@ object BinlogDecode {
   def tableMap(body: Column): Column =
     ColumnBridge.column(BinlogTableMapDecode(expr(body)))
 
+  /** FULL-metadata TABLE_MAP decode (`binlog-row-metadata=FULL`): base
+    * schema plus wire-carried names / signedness / charsets / PK / ENUM-SET
+    * members — see [[BinlogRowCodec.decodeTableMapFull]].
+    */
+  def tableMapFull(body: Column): Column =
+    ColumnBridge.column(BinlogTableMapFullDecode(expr(body)))
+
+  /** Whole-row decode driven entirely by a paired FULL-metadata TABLE_MAP
+    * struct: named envelope-shaped images, zero external schema — see
+    * [[BinlogRowCodec.decodeRowsFullMeta]].
+    */
+  def rowsFullMeta(body: Column, eventType: Column, meta: Column): Column =
+    ColumnBridge.column(BinlogRowsDecodeFullMeta(
+      expr(body), expr(eventType), expr(meta)))
+
   /** The table_id routing key leading every row-event body. */
   def rowTableId(body: Column): Column =
     ColumnBridge.column(BinlogRowTableId(expr(body)))

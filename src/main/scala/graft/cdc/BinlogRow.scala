@@ -515,6 +515,187 @@ object BinlogRowCodec {
     StructField("table", StringType, nullable = false),
     StructField("cols", ArrayType(colSpecType, containsNull = false), nullable = false)))
 
+  // Optional-metadata TLV type codes carried after the nullability bitmap
+  // when the server runs `binlog-row-metadata=FULL` (public format:
+  // MySQL 8.0 WL#4618 / libbinlogevents rows_event.h
+  // Optional_metadata_field_type; MINIMAL emits only SIGNEDNESS +
+  // charset + PK). The reference ignores this block entirely — its
+  // TABLE_MAP parse stops at the metadata block (`binlog.rs:589-622`).
+  final val MetaSignedness = 1
+  final val MetaDefaultCharset = 2
+  final val MetaColumnCharset = 3
+  final val MetaColumnName = 4
+  final val MetaSetStrValue = 5
+  final val MetaEnumStrValue = 6
+  final val MetaGeometryType = 7
+  final val MetaSimplePrimaryKey = 8
+  final val MetaPrimaryKeyWithPrefix = 9
+
+  /** Numeric types covered by the SIGNEDNESS bitmap, in MySQL's
+    * is_numeric_type order (field order, one bit per numeric column,
+    * MSB-first within each byte).
+    */
+  private def isNumericType(tpe: Int): Boolean = tpe match {
+    case TINYINT | SMALLINT | MEDIUMINT | INT | BIGINT | FLOAT | DOUBLE | DECIMAL => true
+    case _ => false
+  }
+
+  /** Character-typed columns covered by the DEFAULT_CHARSET /
+    * COLUMN_CHARSET TLVs (ENUM/SET use their own TLV pair 10/11 which we
+    * skip as unknown — they render from the member list, not a charset).
+    */
+  private def isCharType(tpe: Int): Boolean = tpe match {
+    case VARCHAR | TEXT | CHAR => true
+    case _ => false
+  }
+
+  /** [[decodeTableMapFull]] output shape: the base [[tableMapType]] fields
+    * plus everything `binlog-row-metadata=FULL` puts on the wire that a
+    * schema-free decode needs — column names, per-numeric-column
+    * signedness, per-character-column charset ids, simple-PK ordinals and
+    * ENUM/SET member lists (empty array for non-ENUM/SET columns).
+    */
+  val tableMapFullType: StructType = StructType(Seq(
+    StructField("table_id", LongType, nullable = false),
+    StructField("database", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("cols", ArrayType(colSpecType, containsNull = false), nullable = false),
+    StructField("col_names", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("unsigned", ArrayType(BooleanType, containsNull = false), nullable = false),
+    StructField("charsets", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("pk", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("type_values",
+      ArrayType(ArrayType(StringType, containsNull = false), containsNull = false),
+      nullable = false)))
+
+  /** [[decodeTableMap]] plus the optional-metadata TLV block
+    * (`binlog-row-metadata=FULL`): parses SIGNEDNESS (bitmap over numeric
+    * columns, MSB-first), DEFAULT_CHARSET (lenenc default + absolute
+    * (column, charset) override pairs) / COLUMN_CHARSET (one lenenc per
+    * character column), COLUMN_NAME (lenenc-prefixed string per column),
+    * ENUM/SET_STR_VALUE (per ENUM/SET column: lenenc member count, then
+    * lenenc-prefixed members), SIMPLE_PRIMARY_KEY (lenenc absolute column
+    * ordinals). Unknown TLV types (GEOMETRY_TYPE, PK_WITH_PREFIX, the
+    * ENUM/SET charset pair, vector types…) are skipped by their declared
+    * length — the TLV framing exists exactly so readers stay
+    * forward-compatible. Columns absent from COLUMN_NAME default to the
+    * positional `c<i>` convention. The 4-byte body tail (checksum slot,
+    * engine tailed-body convention) bounds the block.
+    */
+  def decodeTableMapFull(body: Array[Byte]): InternalRow = {
+    val r = new Reader(body)
+    val (tableId, database, table, specs, types) = parseTableMapBase(r)
+    val n = types.length
+    val tlvEnd = body.length - 4
+    require(tlvEnd >= r.pos,
+      s"TABLE_MAP body too short for the 4-byte tail: ${body.length} bytes, pos ${r.pos}")
+    val names = Array.tabulate[UTF8String](n)(i => UTF8String.fromString("c" + i))
+    val unsigned = new Array[Boolean](n)
+    val charsets = new Array[Int](n)
+    var pk = Array.emptyIntArray
+    val typeValues = Array.fill[Array[Any]](n)(Array.empty[Any])
+    while (r.pos < tlvEnd) {
+      val t = r.u1()
+      val len = r.lenenc().toInt
+      val end = r.pos + len
+      require(end <= tlvEnd,
+        s"optional-metadata TLV type $t (len $len) overruns the event body")
+      t match {
+        case MetaSignedness =>
+          val bits = r.slice(len)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            if (isNumericType(types(i))) {
+              require(k / 8 < bits.length, "SIGNEDNESS bitmap shorter than numeric column count")
+              unsigned(i) = (bits(k / 8) & (0x80 >> (k % 8))) != 0
+              k += 1
+            }
+            i += 1
+          }
+        case MetaColumnName =>
+          var i = 0
+          while (r.pos < end) {
+            require(i < n, s"COLUMN_NAME carries more than $n names")
+            names(i) = UTF8String.fromBytes(r.slice(r.lenenc().toInt))
+            i += 1
+          }
+          require(i == n, s"COLUMN_NAME carries $i of $n names")
+        case MetaEnumStrValue | MetaSetStrValue =>
+          val want = if (t == MetaEnumStrValue) ENUM else SET
+          var i = 0
+          while (r.pos < end) {
+            while (i < n && types(i) != want) i += 1
+            require(i < n, s"TLV $t carries values beyond the last type-$want column")
+            val count = r.lenenc().toInt
+            typeValues(i) = Array.tabulate[Any](count)(_ =>
+              UTF8String.fromBytes(r.slice(r.lenenc().toInt)))
+            i += 1
+          }
+        case MetaSimplePrimaryKey =>
+          val b = Array.newBuilder[Int]
+          while (r.pos < end) b += r.lenenc().toInt
+          pk = b.result()
+          pk.foreach(i => require(i >= 0 && i < n, s"SIMPLE_PRIMARY_KEY ordinal $i out of range"))
+        case MetaDefaultCharset =>
+          val dflt = r.lenenc().toInt
+          val overrides = scala.collection.mutable.Map.empty[Int, Int]
+          while (r.pos < end) overrides(r.lenenc().toInt) = r.lenenc().toInt
+          var i = 0
+          while (i < n) {
+            if (isCharType(types(i))) charsets(i) = overrides.getOrElse(i, dflt)
+            i += 1
+          }
+        case MetaColumnCharset =>
+          var i = 0
+          while (r.pos < end) {
+            while (i < n && !isCharType(types(i))) i += 1
+            require(i < n, "COLUMN_CHARSET carries more entries than character columns")
+            charsets(i) = r.lenenc().toInt
+            i += 1
+          }
+        case _ => r.skip(end - r.pos) // forward-compatible: skip by declared length
+      }
+      require(r.pos == end,
+        s"optional-metadata TLV type $t consumed ${r.pos - (end - len)} of $len bytes")
+    }
+    InternalRow(tableId, database, table,
+      new GenericArrayData(specs.asInstanceOf[Array[Any]]),
+      new GenericArrayData(names.asInstanceOf[Array[Any]]),
+      new GenericArrayData(unsigned),
+      new GenericArrayData(charsets),
+      new GenericArrayData(pk),
+      new GenericArrayData(typeValues.map(vs => new GenericArrayData(vs): Any)))
+  }
+
+  /** [[BinlogColumn]]s reconstructed from a [[decodeTableMapFull]] struct:
+    * wire-carried names, signedness and ENUM/SET member lists drive the
+    * decode — zero external schema, the `binlog-row-metadata=FULL`
+    * promise delivered end to end.
+    */
+  private def colsFromFullMeta(m: InternalRow): Array[BinlogColumn] = {
+    val specs = m.getArray(3)
+    val names = m.getArray(4)
+    val uns = m.getArray(5)
+    val vals = m.getArray(8)
+    Array.tabulate(specs.numElements()) { i =>
+      val s = specs.getStruct(i, colSpecType.length)
+      val memArr = vals.getArray(i)
+      BinlogColumn(name = names.getUTF8String(i).toString, tpe = s.getInt(0),
+        maxLength = s.getInt(1), fsp = s.getInt(2), lengthSize = s.getInt(3),
+        precision = s.getInt(4), scale = s.getInt(5),
+        unsigned = uns.getBoolean(i),
+        members = (0 until memArr.numElements()).map(j => memArr.getUTF8String(j).toString))
+    }
+  }
+
+  /** Whole-row decode driven ENTIRELY by a paired FULL-metadata TABLE_MAP:
+    * images come back as NAMED maps (the [[outputType]] envelope shape) —
+    * names, signedness and ENUM/SET labels all from the wire.
+    */
+  def decodeRowsFullMeta(body: Array[Byte], eventType: Int, meta: InternalRow): InternalRow =
+    decodeRowsImpl(body, eventType, colsFromFullMeta(meta), positional = false)
+
   /** Decode a TABLE_MAP event body (event type 19): table_id u6 ++ flags
     * u2 ++ 1-byte-len + NUL-terminated schema and table names ++ lenenc
     * column count ++ type codes ++ lenenc-length metadata block ++
@@ -528,7 +709,17 @@ object BinlogRowCodec {
     * the trailing nullability bitmap rather than dropping it.
     */
   def decodeTableMap(body: Array[Byte]): InternalRow = {
-    val r = new Reader(body)
+    val (tableId, database, table, specs, _) = parseTableMapBase(new Reader(body))
+    InternalRow(tableId, database, table, new GenericArrayData(specs.asInstanceOf[Array[Any]]))
+  }
+
+  /** Shared TABLE_MAP base parse ([[decodeTableMap]] and
+    * [[decodeTableMapFull]]): reads through the nullability bitmap and
+    * leaves the reader positioned at the optional-metadata block.
+    * Returns (table_id, database, table, col specs, revealed type codes).
+    */
+  private def parseTableMapBase(
+      r: Reader): (Long, UTF8String, UTF8String, Array[InternalRow], Array[Int]) = {
     val tableId = r.uLE(6)
     r.skip(2) // flags
     def name(): UTF8String = {
@@ -577,12 +768,12 @@ object BinlogRowCodec {
     require(r.pos == metaEnd,
       s"TABLE_MAP metadata block length mismatch: consumed ${r.pos}, declared end $metaEnd")
     val nullBits = r.slice((n + 7) / 8)
-    val specs: Array[Any] = Array.tabulate(n) { i =>
+    val specs = Array.tabulate(n) { i =>
       val (maxLength, fsp, lengthSize, precision, scale) = meta(i)
       InternalRow(types(i), maxLength, fsp, lengthSize, precision, scale,
         bit(nullBits, i))
     }
-    InternalRow(tableId, database, table, new GenericArrayData(specs))
+    (tableId, database, table, specs, types)
   }
 
   // ---- fixture/test encoders (value synthesis; production never encodes) ----
@@ -800,6 +991,77 @@ object BinlogRowCodec {
   def encodeTableMap(tableId: Long, database: String, table: String,
       cols: Array[BinlogColumn], nullable: Array[Boolean] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
+    encodeTableMapBase(out, tableId, database, table, cols, nullable)
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail (engine convention)
+    out.toByteArray
+  }
+
+  /** MySQL length-encoded integer write (full range; inverse of
+    * `Reader.lenenc`).
+    */
+  def writeLenenc(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0 && v < 0xfb) out.write(v.toInt)
+    else if (v >= 0 && v <= 0xffffL) { out.write(0xfc); writeLE(out, v, 2) }
+    else if (v >= 0 && v <= 0xffffffL) { out.write(0xfd); writeLE(out, v, 3) }
+    else { out.write(0xfe); writeLE(out, v, 8) }
+
+  /** [[encodeTableMap]] plus the `binlog-row-metadata=FULL` optional TLV
+    * block (fixture/test use; inverse of [[decodeTableMapFull]]):
+    * SIGNEDNESS over numeric columns (MSB-first), DEFAULT_CHARSET (no
+    * overrides — one collation per fixture table), COLUMN_NAME,
+    * ENUM/SET_STR_VALUE from each column's `members`, SIMPLE_PRIMARY_KEY
+    * absolute ordinals.
+    */
+  def encodeTableMapFull(tableId: Long, database: String, table: String,
+      cols: Array[BinlogColumn], nullable: Array[Boolean] = null,
+      pk: Seq[Int] = Nil, defaultCharset: Int = 255): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    encodeTableMapBase(out, tableId, database, table, cols, nullable)
+    def tlv(t: Int)(payload: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val p = new java.io.ByteArrayOutputStream
+      payload(p)
+      out.write(t)
+      writeLenenc(out, p.size().toLong)
+      p.writeTo(out)
+    }
+    val numeric = cols.filter(c => isNumericType(c.tpe))
+    if (numeric.nonEmpty) tlv(MetaSignedness) { p =>
+      val bits = new Array[Byte]((numeric.length + 7) / 8)
+      numeric.zipWithIndex.foreach { case (c, k) =>
+        if (c.unsigned) bits(k / 8) = (bits(k / 8) | (0x80 >> (k % 8))).toByte
+      }
+      p.write(bits)
+    }
+    if (cols.exists(c => isCharType(c.tpe)))
+      tlv(MetaDefaultCharset)(p => writeLenenc(p, defaultCharset.toLong))
+    tlv(MetaColumnName) { p =>
+      cols.foreach { c =>
+        val bs = c.name.getBytes("UTF-8")
+        writeLenenc(p, bs.length.toLong)
+        p.write(bs)
+      }
+    }
+    def strValues(want: Int, t: Int): Unit =
+      if (cols.exists(_.tpe == want)) tlv(t) { p =>
+        cols.filter(_.tpe == want).foreach { c =>
+          writeLenenc(p, c.members.length.toLong)
+          c.members.foreach { m =>
+            val bs = m.getBytes("UTF-8")
+            writeLenenc(p, bs.length.toLong)
+            p.write(bs)
+          }
+        }
+      }
+    strValues(ENUM, MetaEnumStrValue)
+    strValues(SET, MetaSetStrValue)
+    if (pk.nonEmpty) tlv(MetaSimplePrimaryKey)(p => pk.foreach(i => writeLenenc(p, i.toLong)))
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail (engine convention)
+    out.toByteArray
+  }
+
+  private def encodeTableMapBase(out: java.io.ByteArrayOutputStream,
+      tableId: Long, database: String, table: String,
+      cols: Array[BinlogColumn], nullable: Array[Boolean]): Unit = {
     writeLE(out, tableId, 6)
     writeLE(out, 0L, 2) // flags
     def name(s: String): Unit = {
@@ -846,8 +1108,6 @@ object BinlogRowCodec {
       if (b) bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
     }
     out.write(bits)
-    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail (engine convention)
-    out.toByteArray
   }
 }
 
@@ -1015,6 +1275,57 @@ case class BinlogTableMapDecode(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogRowCodec.decodeTableMap($c)")
   override protected def withNewChildInternal(newChild: Expression): BinlogTableMapDecode =
     copy(child = newChild)
+}
+
+/** Codegen'd FULL-metadata TABLE_MAP decode (`binlog-row-metadata=FULL`):
+  * event body bytes → base schema plus wire-carried column names,
+  * signedness, charsets, simple-PK ordinals and ENUM/SET member lists —
+  * see [[BinlogRowCodec.decodeTableMapFull]].
+  */
+case class BinlogTableMapFullDecode(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinlogRowCodec.tableMapFullType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"BinlogTableMapFullDecode expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogRowCodec.decodeTableMapFull(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogRowCodec.decodeTableMapFull($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): BinlogTableMapFullDecode =
+    copy(child = newChild)
+}
+
+/** Codegen'd whole-row decode with a RUNTIME FULL-metadata schema: (body,
+  * event type, [[BinlogRowCodec.tableMapFullType]] struct from the paired
+  * TABLE_MAP) → NAMED envelope-shaped images ([[BinlogRowCodec.outputType]]).
+  * Names, signedness and ENUM/SET labels all come off the wire — the
+  * zero-external-schema decode `binlog-row-metadata=FULL` exists for.
+  */
+case class BinlogRowsDecodeFullMeta(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with Serializable {
+  override def dataType: DataType = BinlogRowCodec.outputType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, s: StructType)
+          if s.length == BinlogRowCodec.tableMapFullType.length =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"BinlogRowsDecodeFullMeta expects (BINARY, INT, STRUCT(tablemap_full)), " +
+          s"got (${f.sql}, ${s.sql}, ${t.sql})")
+    }
+  override protected def nullSafeEval(body: Any, tpe: Any, meta: Any): Any =
+    BinlogRowCodec.decodeRowsFullMeta(body.asInstanceOf[Array[Byte]],
+      tpe.asInstanceOf[Int], meta.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t, m) =>
+      s"graft.cdc.BinlogRowCodec.decodeRowsFullMeta($b, $t, $m)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BinlogRowsDecodeFullMeta =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Codegen'd row-event table_id extraction (u6 LE body prefix) — the

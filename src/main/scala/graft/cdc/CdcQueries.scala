@@ -828,6 +828,55 @@ object CdcQueries {
              |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price
              |FROM orders ORDER BY pk""".stripMargin)),
 
+    // binlog-row-metadata=FULL (MySQL 8 WL#4618; beyond-reference — the
+    // reference stops at the base TABLE_MAP parse, binlog.rs:589-622):
+    // the TABLE_MAP's optional TLV block carries column NAMES, numeric
+    // SIGNEDNESS, ENUM member lists, charsets and the simple PK, so a row
+    // stream decodes with ZERO external schema — names, unsigned
+    // reinterpretation (cust values past 2^31 round-trip through the u32
+    // wire form) and ENUM labels all come off the wire. The one-row
+    // metadata struct broadcasts to the row events — no shuffle anywhere.
+    Q("q150_binlog_full_metadata", { (s, dir) =>
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "enum('F','O','P')",
+          "cust" -> "int unsigned", "price" -> "decimal(12,2)"))
+        val tmBytes = BinlogRowCodec.encodeEvent(19,
+          BinlogRowCodec.encodeTableMapFull(7L, "testdb", "orders", schema,
+            pk = Seq(0)))
+        val enc = udf((pk: Long, status: String, cust: Long, price: String) =>
+          BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+            BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema,
+              Seq(Seq[Any](pk, status, cust, price)), tableId = 7L)))
+        val o = t(s, dir, "orders")
+        val events = o.sortWithinPartitions("o_orderkey")
+          .select(enc(col("o_orderkey").cast(LongType), col("o_orderstatus"),
+            col("o_custkey").cast(LongType) + 2147490000L,
+            col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType)).as("ev"))
+        // ---- engine side: one FULL TABLE_MAP + row events, no schema ----
+        val meta = s.range(1).select(
+          BinlogDecode.tableMapFull(
+            BinlogDecode.eventSplit(lit(tmBytes)).getField("body")).as("tm"))
+        events.select(BinlogDecode.eventSplit(col("ev")).as("h"))
+          .crossJoin(broadcast(meta))
+          .select(col("tm"),
+            BinlogDecode.rowsFullMeta(col("h.body"), col("h.event_type"),
+              col("tm")).as("r"))
+          // _outer: see q68 — avoids the inferred filter double-decoding
+          .select(col("tm"), explode_outer(col("r.data")).as("m"))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            element_at(col("m"), "status").as("status"),
+            element_at(col("m"), "cust").cast(LongType).as("cust"),
+            element_at(col("m"), "price").as("price"),
+            col("tm.table").as("tbl"),
+            element_at(col("tm.col_names"), col("tm.pk").getItem(0) + 1).as("pk_col"))
+      },
+      Some("""SELECT o_orderkey AS pk, o_orderstatus AS status,
+             |  CAST(o_custkey AS BIGINT) + 2147490000 AS cust,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
+             |  'orders' AS tbl, 'pk' AS pk_col
+             |FROM orders ORDER BY pk""".stripMargin)),
+
     // Merge fast path, correctness-locked: the exact route→pk→latest-image
     // pipeline Bench.cdcThroughput times. Envelopes are built FULL-width
     // (13 Canal fields); the engine side parses PARTIALLY

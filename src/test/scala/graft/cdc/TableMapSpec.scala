@@ -130,6 +130,122 @@ class TableMapSpec extends SparkSpec {
     assert(rowEventTableId(rowsBody) == 9L)
   }
 
+  // ---- binlog-row-metadata=FULL optional TLV block (WL#4618) ----
+
+  private val colsFull = BinlogSchema.fromMysqlTypes(Seq(
+    "pk" -> "bigint", "status" -> "enum('F','O','P')",
+    "cust" -> "int unsigned", "price" -> "decimal(12,2)"))
+
+  test("golden: FULL optional-metadata TLV wire bytes") {
+    val body = encodeTableMapFull(7L, "db1", "ta", colsFull, pk = Seq(0))
+    // base: id(6)+flags(2)+"db1"(5)+"ta"(4)+count(1)+types(4)+metaLen(1)
+    //       +meta(4: enum(247,1) + decimal(12,2))+nullbits(1) = 28 bytes
+    val tlv = body.slice(28, body.length - 4).map(_ & 0xff).toSeq
+    def str(s: String): Seq[Int] = s.length +: s.map(_.toInt)
+    assert(tlv ==
+      Seq(1, 1, 0x40) ++ // SIGNEDNESS: pk/cust/price numeric bits, MSB-first
+      (Seq(4, 21) ++ // COLUMN_NAME, 21 payload bytes
+        str("pk") ++ str("status") ++ str("cust") ++ str("price")) ++
+      (Seq(6, 7, 3) ++ // ENUM_STR_VALUE: 7 payload bytes, 3 members
+        str("F") ++ str("O") ++ str("P")) ++
+      Seq(8, 1, 0)) // SIMPLE_PRIMARY_KEY: ordinal 0
+    // no DEFAULT_CHARSET TLV: no character-typed column in this schema
+  }
+
+  test("FULL decode: names, signedness, PK and ENUM members off the wire") {
+    val body = encodeTableMapFull(7L, "testdb", "orders", colsFull, pk = Seq(0))
+    val m = decodeTableMapFull(body)
+    assert(m.getLong(0) == 7L)
+    assert(m.getUTF8String(2).toString == "orders")
+    val names = m.getArray(4)
+    assert((0 until 4).map(names.getUTF8String(_).toString) ==
+      Seq("pk", "status", "cust", "price"))
+    val uns = m.getArray(5)
+    assert((0 until 4).map(uns.getBoolean) == Seq(false, false, true, false))
+    assert(m.getArray(7).toIntArray().toSeq == Seq(0))
+    val vals = m.getArray(8)
+    val statusMembers = vals.getArray(1)
+    assert((0 until 3).map(statusMembers.getUTF8String(_).toString) == Seq("F", "O", "P"))
+    assert(vals.getArray(0).numElements() == 0 && vals.getArray(2).numElements() == 0)
+    // base decode of the same body still works and agrees on the specs
+    val base = decodeTableMap(body)
+    assert(base.getArray(3).getStruct(1, 7).getInt(0) == ENUM)
+  }
+
+  test("FULL decode: DEFAULT_CHARSET fills character columns; unknown TLVs skip") {
+    val cols = BinlogSchema.fromMysqlTypes(Seq(
+      "id" -> "int", "name" -> "varchar(40)", "note" -> "text"))
+    val body = encodeTableMapFull(1L, "d", "t", cols, defaultCharset = 224)
+    val m = decodeTableMapFull(body)
+    assert(m.getArray(6).toIntArray().toSeq == Seq(0, 224, 224))
+    // splice an unknown TLV (GEOMETRY_TYPE=7, 2 payload bytes) before the
+    // tail: forward-compat skip must leave every parsed field intact
+    val spliced = body.dropRight(4) ++ Array[Byte](7, 2, 9, 9) ++ body.takeRight(4)
+    val m2 = decodeTableMapFull(spliced)
+    assert(m2.getArray(6).toIntArray().toSeq == Seq(0, 224, 224))
+    assert((0 until 3).map(m2.getArray(4).getUTF8String(_).toString) ==
+      Seq("id", "name", "note"))
+  }
+
+  test("FULL decode: COLUMN_CHARSET variant maps one lenenc per char column") {
+    val cols = BinlogSchema.fromMysqlTypes(Seq(
+      "id" -> "int", "name" -> "varchar(40)", "note" -> "text"))
+    // hand-build: base TABLE_MAP (no TLVs) + COLUMN_CHARSET(3) + tail
+    val base = encodeTableMap(1L, "d", "t", cols).dropRight(4)
+    val body = base ++ Array[Byte](3, 2, 33, (224 - 256).toByte, 0, 0, 0, 0)
+    val m = decodeTableMapFull(body)
+    assert(m.getArray(6).toIntArray().toSeq == Seq(0, 33, 224))
+  }
+
+  test("FULL-metadata row decode: named maps, unsigned ints, ENUM labels") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmBody = encodeTableMapFull(7L, "testdb", "orders", colsFull, pk = Seq(0))
+    val rowsBody = encodeRows(WriteV2, colsFull, Seq(
+      Seq[Any](42L, "O", 3000000000L, "123.45"),
+      Seq[Any](7L, "P", 5L, null)), tableId = 7L)
+    val got = Seq((tmBody, rowsBody)).toDF("tm", "rows")
+      .select(BinlogDecode.tableMapFull(col("tm")).as("m"), col("rows"))
+      .select(BinlogDecode.rowsFullMeta(col("rows"), lit(WriteV2), col("m")).as("r"))
+      .select(explode(col("r.data")).as("m"))
+      .collect().map(_.getMap[String, String](0))
+    assert(got.length == 2)
+    assert(got(0) == Map("pk" -> "42", "status" -> "O",
+      "cust" -> "3000000000", "price" -> "123.45"))
+    // wire-NULL price keeps its key with a null value (absent keys are
+    // reserved for not-present columns — the minimal-image distinction)
+    assert(got(1) == Map("pk" -> "7", "status" -> "P", "cust" -> "5", "price" -> null))
+  }
+
+  test("q150 equals the direct fixture projection (oracle replay in-engine)") {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q150_binlog_full_metadata")(spark, dir)
+    val want = graft.Tables(spark, dir, "orders").select(
+      col("o_orderkey").cast(LongType).as("pk"),
+      col("o_orderstatus").as("status"),
+      (col("o_custkey").cast(LongType) + 2147490000L).as("cust"),
+      col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType).as("price"),
+      lit("orders").as("tbl"), lit("pk").as("pk_col"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
+  test("FULL decode: a TLV overrunning the body tail fails loudly") {
+    val cols = BinlogSchema.fromMysqlTypes(Seq("id" -> "int"))
+    val base = encodeTableMap(1L, "d", "t", cols).dropRight(4)
+    // SIGNEDNESS declares 9 payload bytes but only the 4-byte tail remains
+    val body = base ++ Array[Byte](1, 9) ++ Array[Byte](0, 0, 0, 0)
+    intercept[IllegalArgumentException] { decodeTableMapFull(body) }
+    // COLUMN_NAME with too many names fails too
+    val tooMany = new java.io.ByteArrayOutputStream
+    tooMany.write(1); tooMany.write('a')
+    tooMany.write(1); tooMany.write('b')
+    val p = tooMany.toByteArray
+    val body2 = base ++ Array[Byte](4, p.length.toByte) ++ p ++ Array[Byte](0, 0, 0, 0)
+    intercept[IllegalArgumentException] { decodeTableMapFull(body2) }
+  }
+
   test("truncated TABLE_MAP and name-terminator corruption fail loudly") {
     val body = encodeTableMap(1L, "db1", "ta", colsA)
     intercept[IllegalArgumentException] {
