@@ -32,6 +32,42 @@ object CdcMerge {
       .drop("__rn")
   }
 
+  /** DBLog/Debezium-style snapshot bootstrap (public algorithm: Andreakis
+    * et al., "DBLog: A Watermark Based Change-Data-Capture Framework",
+    * 2020; Debezium's incremental snapshot implements the same idea):
+    * reconcile a chunked consistent snapshot — each key carrying the
+    * binlog position its read happened at (`snapPosCol`) — with the
+    * change stream that ran concurrently. A change applies to a key only
+    * when its position is PAST that key's snapshot watermark (earlier
+    * changes are already reflected in the snapshot read — re-applying
+    * them would resurrect stale images); keys absent from the snapshot
+    * take every change. The final image is latest-by-position across
+    * surviving changes and snapshot rows (surfaced with `type` =
+    * SNAPSHOT), DELETEs dropping the key.
+    *
+    * Scale: both inputs hash-shuffle once on the pk; the watermark join,
+    * the union and the top-1 window all run under that one partitioning.
+    * Nothing data-scale broadcasts, per-key state is the window's top-1.
+    */
+  def bootstrapMerge(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      pkCols: Seq[String],
+      posCol: String,
+      snapPosCol: String,
+      typeCol: String = "type"): DataFrame = {
+    val marks = snapshot.select((pkCols :+ snapPosCol).map(col): _*)
+    val surviving = changes.join(marks, pkCols, "left")
+      .filter(col(snapPosCol).isNull || col(posCol) > col(snapPosCol))
+      .drop(snapPosCol)
+    val snapAsChange = snapshot
+      .withColumnRenamed(snapPosCol, posCol)
+      .withColumn(typeCol, lit("SNAPSHOT"))
+    latestImage(
+      surviving.unionByName(snapAsChange, allowMissingColumns = true),
+      pkCols, posCol, typeCol)
+  }
+
   /** SCD2 (type-2 slowly-changing-dimension) history: one row per surviving
     * version of each pk, valid over the half-open ordinal interval
     * `[valid_from, valid_to)` — `valid_from` is the change's own ordinal,

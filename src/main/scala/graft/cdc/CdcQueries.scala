@@ -877,6 +877,50 @@ object CdcQueries {
              |  'orders' AS tbl, 'pk' AS pk_col
              |FROM orders ORDER BY pk""".stripMargin)),
 
+    // Snapshot BOOTSTRAP (DBLog watermark reconciliation — see
+    // CdcMerge.bootstrapMerge): a chunked consistent snapshot with per-key
+    // read positions merged against the concurrent change stream. Changes
+    // at-or-before a key's snapshot watermark are discarded (the snapshot
+    // already reflects them); later UPDATEs re-image, later DELETEs drop,
+    // snapshot-absent keys take every change. The fixture varies the
+    // watermark per key (k%5) against fixed change positions (INSERT@1,
+    // UPDATE@3, DELETE@4) so every apply/discard combination occurs.
+    Q("q153_snapshot_bootstrap", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val k = col("o_orderkey")
+        val pk = k.cast(LongType).as("pk")
+        val price0 = col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType)
+        val price1 = (col("o_totalprice").cast(DecimalType(12, 2)) + 1).cast(StringType)
+        val snapshot = o.filter(k % 11 =!= 0).select(
+          pk, price0.as("price"), (k % 5).cast(LongType).as("snap_pos"))
+        val inserts = o.filter(k % 11 === 0).select(
+          pk, price0.as("price"), lit(1L).as("pos"), lit("INSERT").as("type"))
+        val updates = o.filter(k % 3 === 0).select(
+          pk, price1.as("price"), lit(3L).as("pos"), lit("UPDATE").as("type"))
+        val deletes = o.filter(k % 7 === 0).select(
+          pk, lit(null).cast(StringType).as("price"), lit(4L).as("pos"),
+          lit("DELETE").as("type"))
+        val changes = inserts.unionByName(updates).unionByName(deletes)
+        CdcMerge.bootstrapMerge(snapshot, changes, Seq("pk"), "pos", "snap_pos")
+          .sortWithinPartitions("pk")
+      },
+      Some("""WITH flags AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price0,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1 AS VARCHAR) AS price1,
+             |    o_orderkey % 11 = 0 AS absent,
+             |    o_orderkey % 5 AS sp,
+             |    (o_orderkey % 7 = 0) AND (o_orderkey % 11 = 0 OR 4 > o_orderkey % 5) AS del,
+             |    (o_orderkey % 3 = 0) AND (o_orderkey % 11 = 0 OR 3 > o_orderkey % 5) AS upd
+             |  FROM orders)
+             |SELECT k AS pk,
+             |  CASE WHEN upd THEN price1 ELSE price0 END AS price,
+             |  CAST(CASE WHEN upd THEN 3 WHEN absent THEN 1 ELSE sp END AS BIGINT) AS pos,
+             |  CASE WHEN upd THEN 'UPDATE' WHEN absent THEN 'INSERT'
+             |       ELSE 'SNAPSHOT' END AS type
+             |FROM flags WHERE NOT del
+             |ORDER BY pk""".stripMargin)),
+
     // Merge fast path, correctness-locked: the exact route→pk→latest-image
     // pipeline Bench.cdcThroughput times. Envelopes are built FULL-width
     // (13 Canal fields); the engine side parses PARTIALLY

@@ -172,6 +172,55 @@ object LlmQueries {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style rule filter (Rae et al. 2021 "Scaling Language Models",
+    // the published quality heuristics, thresholds adapted to the fixture's
+    // 10-99-word docs): word-count window, mean-word-length window,
+    // distinct-word ratio (the repetition rule) and a minimum stopword
+    // presence — each surfaced as its own flag plus the AND'd keep, so a
+    // pipeline can audit WHY a document dropped. Pure per-row expressions:
+    // embarrassingly parallel, no shuffle but the output sort.
+    Q("q152_quality_gopher", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast(LongType)
+        val meanWl = length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+          nWords.cast(DoubleType)
+        val uniqRatio = size(array_distinct(words)).cast(DoubleType) /
+          nWords.cast(DoubleType)
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val stopHits = Seq("the", "a", "data", "table").map(w =>
+          when(padded.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+        d.select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_wl"),
+            uniqRatio.as("uniq_ratio"),
+            (nWords >= 20 && nWords <= 90).as("ok_words"),
+            (meanWl >= 3.0 && meanWl <= 10.0).as("ok_wordlen"),
+            (uniqRatio >= 0.4).as("ok_repetition"),
+            (stopHits >= 2).as("ok_stopwords"))
+          .withColumn("keep", col("ok_words") && col("ok_wordlen") &&
+            col("ok_repetition") && col("ok_stopwords"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wl,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+             |    ((CASE WHEN contains(' '||text||' ', ' the ') THEN 1 ELSE 0 END)
+             |     + (CASE WHEN contains(' '||text||' ', ' a ') THEN 1 ELSE 0 END)
+             |     + (CASE WHEN contains(' '||text||' ', ' data ') THEN 1 ELSE 0 END)
+             |     + (CASE WHEN contains(' '||text||' ', ' table ') THEN 1 ELSE 0 END)) AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id, n_words, mean_wl, uniq_ratio,
+             |  n_words BETWEEN 20 AND 90 AS ok_words,
+             |  mean_wl BETWEEN 3.0 AND 10.0 AS ok_wordlen,
+             |  uniq_ratio >= 0.4 AS ok_repetition,
+             |  stop_hits >= 2 AS ok_stopwords,
+             |  (n_words BETWEEN 20 AND 90) AND (mean_wl BETWEEN 3.0 AND 10.0)
+             |    AND uniq_ratio >= 0.4 AND stop_hits >= 2 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     Q("q48_text_langid", { (s, dir) =>
         val d = t(s, dir, "documents")
         val toks = TextOps.tokens(col("text"))

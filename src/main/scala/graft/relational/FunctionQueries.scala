@@ -25,6 +25,24 @@ object FunctionQueries {
       |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
+  /** One SQL text both engines execute for q151: a recursive CTE walking
+    * each customer's ancestor chain in the deterministic key/10 hierarchy.
+    * Integer division is spelled CAST(FLOOR(x/10)) so Spark and DuckDB
+    * agree; the sums are integer-exact.
+    */
+  private val RecursiveSql: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS custkey,
+      |         CAST(FLOOR(c_custkey / 10) AS BIGINT) AS anc,
+      |         CAST(1 AS BIGINT) AS depth
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT custkey, CAST(FLOOR(anc / 10) AS BIGINT) AS anc, depth + 1
+      |  FROM chain WHERE anc >= 10)
+      |SELECT custkey, count(*) AS n_anc,
+      |       CAST(sum(anc) AS BIGINT) AS anc_sum, max(depth) AS hops
+      |FROM chain GROUP BY custkey ORDER BY custkey""".stripMargin
+
   /** One SQL text both engines execute for q109: a correlated LATERAL
     * subquery with ORDER BY + LIMIT — per-customer top-2 orders. Catalyst
     * decorrelates this into a ranked window join (DecorrelateInnerQuery),
@@ -281,6 +299,19 @@ object FunctionQueries {
         s.sql(SubquerySql)
       },
       Some(SubquerySql)),
+
+    // Recursive CTE (SQL:1999 WITH RECURSIVE; Spark 4's UnionLoop executes
+    // it natively — one engine-portable statement runs verbatim on both
+    // sides): every customer's ancestor chain under the deterministic
+    // key/10 hierarchy. Scale posture: each iteration is a narrow
+    // filter+project on the previous increment (no per-iteration shuffle),
+    // depth is log10(max key) ≈ 6 rounds at any SF, and the single hash
+    // aggregation at the end is the only exchange.
+    Q("q151_recursive_cte", { (s, dir) =>
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(RecursiveSql)
+      },
+      Some(RecursiveSql)),
 
     // PIVOT + UNPIVOT round-trip: order counts per year spread across
     // status columns, then melted back to long form (null cells dropped),
