@@ -115,6 +115,21 @@ object LlmQueries {
       },
       None),
 
+    // MMR diversity re-rank (Carbonell & Goldstein 1998) over the exact
+    // top-20 cosine candidates: the redundancy filter behind retrieval-
+    // augmented sampling — λ·relevance − (1−λ)·max-cos-to-selected,
+    // greedy, per-query codegen'd kernel (see Similarity.mmrRerank).
+    // Rows-only: greedy argmax is iterative; gated by MmrSpec (equality
+    // with a reference implementation, λ=1 ≡ relevance order, measured
+    // diversity gain).
+    Q("q155_sim_mmr_rerank", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.mmrRerank(e.filter(col("vec_id") < 10), e, kCand = 20, k = 5)
+          .drop("score")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // Bloom-screened incremental ingest: a sharded mergeable bit-set
     // sketch of the corpus's content hashes flags each ingest row as
     // "definitely new" vs "probably seen" — the O(1)-per-row screen in
@@ -483,6 +498,31 @@ object LlmQueries {
         import s.implicits._
         Bpe.trainMerges(t(s, dir, "documents"), "text", nMerges = 20)
           .toDF("rank", "left", "right", "cnt")
+      },
+      None),
+
+    // BPE ENCODE applied corpus-wide: train the merge table (bounded
+    // vocab-scale argmax, as q138), then tokenize every document with the
+    // codegen'd ranked-merge kernel — the real token-budget counter a
+    // training pipeline runs before packing. One per-row pass (transform
+    // over the word array), no shuffle but the output sort. Rows-only:
+    // ranked-merge encoding is iterative (no SQL oracle); gated by
+    // BpeSpec's encode≡train invariant plus the corpus-level
+    // concatenation-restores-every-word property.
+    Q("q154_bpe_encode", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val merges = Bpe.trainMerges(d, "text", nMerges = 20)
+          .map(m => (m._2, m._3))
+        val words = split(col("text"), " ")
+        val enc = transform(words, w => Bpe.encodeCol(w, merges))
+        val nBpe = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
+        d.select(col("doc_id"),
+            size(words).cast(LongType).as("n_words"),
+            nBpe.as("n_bpe_tokens"),
+            (nBpe.cast(DoubleType) / size(words).cast(DoubleType))
+              .as("tokens_per_word"),
+            element_at(enc, 1).as("first_word_symbols"))
+          .orderBy("doc_id")
       },
       None),
 

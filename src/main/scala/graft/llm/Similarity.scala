@@ -476,4 +476,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): exact top-`kCand`
+    * cosine candidates per query, greedily re-ranked to the k results
+    * maximizing `λ·relevance − (1−λ)·max-cos-to-selected` — the standard
+    * redundancy filter behind retrieval-augmented sampling and dataset
+    * search. Emits (query_id, rnk, neighbor_id, score).
+    *
+    * Scale: candidate generation is the bounded [[bruteForceTopK]] (swap
+    * in [[lshTopK]]/[[ivfTopK]] at 100 TB — same contract); the greedy
+    * kernel is a per-group codegen'd expression over ≤ kCand structs
+    * (O(k·kCand·dim) each), so the re-rank adds one |Q|·kCand-row shuffle
+    * and zero driver iteration.
+    */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame,
+      kCand: Int = 20, k: Int = 5, lam: Double = 0.7): DataFrame = {
+    val top = bruteForceTopK(queries, candidates, kCand)
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("nv"))
+    val cand = top.join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("rel"), col("nv"))
+    cand.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        col("neighbor_id").as("id"), col("rel"), col("nv").as("vec")))).as("cands"))
+      .select(col("query_id"), explode(MmrSelect(col("cands"), k, lam)).as("sel"))
+      .select(col("query_id"), col("sel.rnk").as("rnk"),
+        col("sel.id").as("neighbor_id"), col("sel.score").as("score"))
+  }
 }

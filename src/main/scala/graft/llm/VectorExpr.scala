@@ -367,3 +367,99 @@ object PqAdc {
     ColumnBridge.column(
       PqAdc(ColumnBridge.expression(queryId), ColumnBridge.expression(codes), tables))
 }
+
+/** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+  * 1998, the classic retrieval diversity re-ranker): from a bounded
+  * candidate array pick k items maximizing
+  * `λ·relevance − (1−λ)·max-cosine-to-already-selected`, relevance-only
+  * for the first pick. Runs per group over ≤ kCand structs —
+  * O(k·kCand·dim) inside codegen, no iterative driver loop; ties break to
+  * the smaller id so selection is deterministic under any partitioning.
+  */
+object MmrKernels {
+  def select(cands: ArrayData, k: Int, lam: Double): GenericArrayData = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val rel = new Array[Double](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val s = cands.getStruct(i, 3)
+      ids(i) = s.getLong(0)
+      rel(i) = s.getDouble(1)
+      vecs(i) = s.getArray(2).toDoubleArray()
+      i += 1
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = new Array[Boolean](n)
+    // max cosine to the selected set; NaN marks "nothing selected yet"
+    val maxSim = Array.fill(n)(Double.NaN)
+    val out = Array.newBuilder[Any]
+    var r = 1
+    val kk = math.min(k, n)
+    while (r <= kk) {
+      var best = -1
+      var bestScore = 0.0
+      var ci = 0
+      while (ci < n) {
+        if (!chosen(ci)) {
+          val pen = if (maxSim(ci).isNaN) 0.0 else maxSim(ci)
+          val sc = lam * rel(ci) - (1.0 - lam) * pen
+          if (best < 0 || sc > bestScore ||
+              (sc == bestScore && ids(ci) < ids(best))) {
+            best = ci; bestScore = sc
+          }
+        }
+        ci += 1
+      }
+      chosen(best) = true
+      out += org.apache.spark.sql.catalyst.InternalRow(r, ids(best), bestScore)
+      var cj = 0
+      while (cj < n) {
+        if (!chosen(cj)) {
+          val c2 = cos(vecs(cj), vecs(best))
+          if (maxSim(cj).isNaN || c2 > maxSim(cj)) maxSim(cj) = c2
+        }
+        cj += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out.result())
+  }
+}
+
+/** Codegen'd MMR selection over a per-query candidate array of
+  * `struct(id BIGINT, rel DOUBLE, vec ARRAY<DOUBLE>)` — see [[MmrKernels]].
+  */
+case class MmrSelect(child: Expression, k: Int, lam: Double)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _) if s.length == 3 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MmrSelect expects ARRAY<STRUCT(id, rel, vec)> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    MmrKernels.select(input.asInstanceOf[ArrayData], k, lam)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.MmrKernels.select($c, $k, $lam)")
+  override protected def withNewChildInternal(newChild: Expression): MmrSelect =
+    copy(child = newChild)
+}
+
+object MmrSelect {
+  def apply(cands: Column, k: Int, lam: Double): Column =
+    ColumnBridge.column(MmrSelect(ColumnBridge.expression(cands), k, lam))
+}

@@ -239,6 +239,41 @@ class PlanSpec extends SparkSpec {
       s"prep), saw $n\n" + p)
   }
 
+  test("q150 full-metadata decode: one-row TABLE_MAP broadcasts, zero hash exchange") {
+    val p = plan("q150_binlog_full_metadata")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the one-row FULL TABLE_MAP struct must broadcast to the row events\n" + p)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 0, s"per-row decode must not shuffle, saw $n hash exchanges\n" + p)
+  }
+
+  test("q151 recursive CTE plans Spark's native UnionLoop") {
+    val p = plan("q151_recursive_cte")
+    assert(p.contains("UnionLoop"), "WITH RECURSIVE must run natively\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q152 quality rules are per-row: no hash exchange before the sort") {
+    val p = plan("q152_quality_gopher")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 0, s"rule evaluation must stay per-row, saw $n hash exchanges\n" + p)
+  }
+
+  test("q153 bootstrap merge: keyed joins only, bounded pk exchanges") {
+    val p = plan("q153_snapshot_bootstrap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "watermark join and merge must stay keyed\n" + p)
+    val n = "Exchange hashpartitioning\\(pk".r.findAllIn(p).length
+    assert(n <= 4, s"expected at most 4 pk hash exchanges, saw $n\n" + p)
+  }
+
+  test("q155 MMR re-rank: queries broadcast, candidates never cartesian with vectors") {
+    val p = plan("q155_sim_mmr_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the bounded query side must broadcast\n" + p)
+  }
+
   test("q133 schema evolution: DDL fold is metadata-scale, no cartesian") {
     val p = plan("q133_schema_evolution")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

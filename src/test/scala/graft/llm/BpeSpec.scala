@@ -80,4 +80,19 @@ class BpeSpec extends SparkSpec {
     // vocab grows by exactly one symbol per merge; counts never increase
     assert(a.map(_._4).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("corpus encode restores every word on concatenation (q154 gate)") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.trainMerges(d, "text", nMerges = 20).map(m => (m._2, m._3))
+    val bad = d.select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w"), concat_ws("", Bpe.encodeCol(col("w"), merges)).as("joined"))
+      .filter(col("joined") =!= concat(col("w"), lit(BpeCodec.EndOfWord)))
+      .count()
+    assert(bad == 0, "BPE symbols must concatenate back to word + </w>")
+    // and the q154 budget counts are conservative: >= 1 token per word,
+    // <= the character count + marker per word
+    val q = graft.SparkEntry.queries("q154_bpe_encode")(spark, "/root/testdata/sf0.001")
+    val viol = q.filter(col("n_bpe_tokens") < col("n_words")).count()
+    assert(viol == 0)
+  }
 }
