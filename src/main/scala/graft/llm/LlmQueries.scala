@@ -1081,6 +1081,226 @@ object LlmQueries {
              |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              |    AS familiarity
              |FROM bg JOIN c USING (bg)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Trigram language-model scoring with Stupid Backoff (Brants et al.
+    // 2007, "Large Language Models in Machine Translation") — the
+    // CCNet-style (Wenzek et al. 2020) LM quality filter: train n-gram
+    // counts on a held-in slice (even doc_ids), score every document's
+    // mean per-token log-likelihood; gibberish scores low, the filter
+    // thresholds on it. S(w|a b) = c3/c2(ab) if the trigram was seen,
+    // else 0.4·c2(bw)/c1(b), else 0.16·max(c1(w),1)/N.
+    // Scale shape: three count aggs (vocab-scale by Heaps' law), then the
+    // scoring joins run at the (doc, trigram) PAIR level — the q122
+    // skew treatment: a Zipf-hot context ("of the") contributes one join
+    // row per containing doc, not one per occurrence, and map-side
+    // partial aggs bound its shuffle traffic. The count tables shuffle-
+    // join on n-gram keys (a real corpus's trigram vocab does not
+    // broadcast); nothing is all-to-all. Cross-engine bit-exactness via
+    // the house DECIMAL-snapped ln + order-insensitive DECIMAL sums.
+    Q("q156_lm_stupid_backoff", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val train = docs.filter(col("doc_id") % 2 === 0)
+        val uni = train.select(explode(toks).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c1"))
+        val bi = train.select(explode(WordSpans(toks, 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c2"))
+        val tri = train.select(explode(WordSpans(toks, 3)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c3"))
+        val n = train.agg(sum(size(toks)).cast(LongType).as("n_train"))
+        val pairs = docs.select(col("doc_id"), explode(WordSpans(toks, 3)).as("tri"))
+          .groupBy("doc_id", "tri").agg(count(lit(1)).as("m"))
+          .withColumn("p", split(col("tri"), " "))
+          .select(col("doc_id"), col("tri"), col("m"),
+            concat_ws(" ", col("p")(0), col("p")(1)).as("ctx2"),
+            concat_ws(" ", col("p")(1), col("p")(2)).as("bi"),
+            col("p")(1).as("ctx1"), col("p")(2).as("uni"))
+        val scored = pairs
+          .join(tri.select(col("g").as("tri"), col("c3")), Seq("tri"), "left")
+          .join(bi.select(col("g").as("ctx2"), col("c2").as("c2ctx")), Seq("ctx2"), "left")
+          .join(bi.select(col("g").as("bi"), col("c2").as("c2bi")), Seq("bi"), "left")
+          .join(uni.select(col("g").as("ctx1"), col("c1").as("c1ctx")), Seq("ctx1"), "left")
+          .join(uni.select(col("g").as("uni"), col("c1").as("c1uni")), Seq("uni"), "left")
+          .crossJoin(broadcast(n))
+        val sb = when(coalesce(col("c3"), lit(0L)) > 0,
+            col("c3").cast(DoubleType) / col("c2ctx").cast(DoubleType))
+          .when(coalesce(col("c2bi"), lit(0L)) > 0,
+            lit(0.4) * col("c2bi").cast(DoubleType) / col("c1ctx").cast(DoubleType))
+          .otherwise(lit(0.16) *
+            greatest(coalesce(col("c1uni"), lit(0L)), lit(1L)).cast(DoubleType) /
+            col("n_train").cast(DoubleType))
+        // The snapped ln STAYS decimal and multiplies the integer count in
+        // exact decimal arithmetic — a double product cast back to decimal
+        // lands on .5 ulp boundaries (snap9 × integer) where the two
+        // engines' rounding can split by 1e-8.
+        scored
+          .select(col("doc_id"), col("m"),
+            (log(sb).cast(DecimalType(18, 9)) *
+              col("m").cast(DecimalType(10, 0))).as("term"))
+          .groupBy("doc_id")
+          .agg(sum(col("m")).as("n_scored"),
+            sum(col("term")).cast(DoubleType).as("logprob_sum"))
+          .select(col("doc_id"), col("n_scored"), col("logprob_sum"),
+            (col("logprob_sum") / col("n_scored").cast(DoubleType)).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |trn AS (SELECT doc_id, toks FROM toks WHERE doc_id % 2 = 0),
+             |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1
+             |  FROM (SELECT unnest(toks) AS g FROM trn) GROUP BY g),
+             |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+             |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM trn) GROUP BY g),
+             |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+             |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM trn) GROUP BY g),
+             |n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_train FROM trn),
+             |tri AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri FROM toks),
+             |pairs AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS m
+             |  FROM tri GROUP BY doc_id, tri),
+             |keys AS (SELECT doc_id, tri, m,
+             |    p[1] || ' ' || p[2] AS ctx2, p[2] || ' ' || p[3] AS bi,
+             |    p[2] AS ctx1, p[3] AS uni
+             |  FROM (SELECT doc_id, tri, m, string_split(tri, ' ') AS p FROM pairs)),
+             |scored AS (
+             |  SELECT doc_id, m,
+             |    CAST(ln(CASE
+             |      WHEN coalesce(t3.c3, 0) > 0 THEN CAST(t3.c3 AS DOUBLE) / CAST(b2.c2 AS DOUBLE)
+             |      WHEN coalesce(b1.c2, 0) > 0 THEN 0.4 * CAST(b1.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+             |      ELSE 0.16 * CAST(greatest(coalesce(u2.c1, 0), 1) AS DOUBLE) / CAST(n.n_train AS DOUBLE)
+             |    END) AS DECIMAL(18,9)) * CAST(m AS DECIMAL(10,0)) AS term
+             |  FROM keys k
+             |  LEFT JOIN c3 t3 ON k.tri = t3.g
+             |  LEFT JOIN c2 b2 ON k.ctx2 = b2.g
+             |  LEFT JOIN c2 b1 ON k.bi = b1.g
+             |  LEFT JOIN c1 u1 ON k.ctx1 = u1.g
+             |  LEFT JOIN c1 u2 ON k.uni = u2.g
+             |  CROSS JOIN n)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_scored,
+             |  CAST(sum(term) AS DOUBLE) AS logprob_sum,
+             |  CAST(sum(term) AS DOUBLE)
+             |    / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) AS avg_logprob
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    // select raw documents that look like a target domain by importance
+    // weight log(p_target(x)/p_raw(x)) under HASHED bigram bag-of-ngrams
+    // models with add-1 smoothing. Feature space is a FIXED 256 buckets
+    // (md5-prefix hash — engine-portable), so the trained weight table is
+    // O(256) REGARDLESS of corpus size and always broadcasts: the whole
+    // point of DSIR's hashing is that 100 TB of raw text trains the same
+    // tiny model. One explode+groupBy for bucket counts, one broadcast
+    // join for scoring, a TakeOrderedAndProject for the selection —
+    // nothing shuffles on a vocabulary-sized key. Deterministic variant:
+    // top-k by weight (the paper's Gumbel resampling needs RNG; ties and
+    // order are exact here, DECIMAL-snapped like the BM25 scorer).
+    Q("q157_dsir_importance", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val f = docs.select(col("doc_id"),
+            when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+              .otherwise(0L).as("tgt"),
+            explode(WordSpans(toks, 2)).as("bg"))
+          .select(col("doc_id"), col("tgt"), substring(md5(col("bg")), 1, 2).as("b"))
+        val bucket = f.groupBy("b").agg(sum("tgt").as("ct"), count(lit(1)).as("cr"))
+        val tot = bucket.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val lam = bucket.crossJoin(broadcast(tot))
+          .select(col("b"),
+            log(((col("ct") + 1).cast(DoubleType) / (col("nt") + 256).cast(DoubleType)) /
+                ((col("cr") + 1).cast(DoubleType) / (col("nr") + 256).cast(DoubleType)))
+              .cast(DecimalType(18, 9)).as("lam"))
+        f.groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+          .join(broadcast(lam), "b")
+          .select(col("doc_id"), col("m"),
+            (col("m").cast(DecimalType(10, 0)) * col("lam")).as("term"))
+          .groupBy("doc_id")
+          .agg(sum("m").as("n_feats"), sum(col("term")).cast(DoubleType).as("dsir_weight"))
+          .orderBy(col("dsir_weight").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+             |f AS (SELECT doc_id, substr(md5(bg), 1, 2) AS b,
+             |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS tgt
+             |  FROM (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM toks)),
+             |bucket AS (SELECT b, CAST(sum(tgt) AS BIGINT) AS ct,
+             |    CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b),
+             |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bucket),
+             |lam AS (SELECT b,
+             |    CAST(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)) /
+             |      (CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))) AS DECIMAL(18,9)) AS lam
+             |  FROM bucket CROSS JOIN tot),
+             |dm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m FROM f GROUP BY doc_id, b)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+             |  CAST(sum(CAST(m AS DECIMAL(10,0)) * lam) AS DOUBLE) AS dsir_weight
+             |FROM dm JOIN lam USING (b)
+             |GROUP BY doc_id ORDER BY dsir_weight DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Exact duplicated-SPAN removal with document rewriting — the Lee et
+    // al. 2021 ("Deduplicating Training Data Makes Language Models
+    // Better") ExactSubstr semantics at k-gram granularity (k = 8,
+    // matching the q101 coverage stat): every 8-token span whose text
+    // occurs anywhere else in the corpus keeps only its globally FIRST
+    // occurrence (corpus order = (doc_id, pos)); tokens covered by any
+    // later occurrence are dropped and the document re-assembled. Unlike
+    // q139 (chunk-boundary-aligned) this catches duplicates at ANY
+    // offset. Shuffle shape: one window over the span text (first-
+    // occurrence rank — hot boilerplate spans bound by their occurrence
+    // count, the same Zipf note as q122), an ≤8× position explode of the
+    // duplicate set only, one anti-join on (doc, pos), one per-doc
+    // reassembly. Never all-pairs; work ∝ duplicate mass, the property
+    // that makes ExactSubstr runnable at corpus scale.
+    Q("q158_dup_span_removal", { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val tokPos = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+        val grams = docs.select(col("doc_id"),
+          posexplode(WordSpans(toks, 8)).as(Seq("gpos", "gram")))
+        val firstW = Window.partitionBy("gram").orderBy("doc_id", "gpos")
+        val covered = grams.withColumn("rn", row_number().over(firstW))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"),
+            explode(sequence(col("gpos"), col("gpos") + 7)).as("pos"))
+          .distinct()
+        val rebuilt = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, w))), s -> s.w)"))
+            .as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        docs.select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            col("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, e.gpos AS gpos, e.gram AS gram FROM (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+             |    i -> struct_pack(gpos := i - 1, gram := array_to_string(toks[i : i+7], ' ')))) AS e
+             |  FROM toks)),
+             |d AS (SELECT doc_id, gpos FROM (
+             |  SELECT doc_id, gpos, ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, gpos) AS rn
+             |  FROM g) WHERE rn > 1),
+             |cov AS (SELECT DISTINCT doc_id, pos FROM (
+             |  SELECT doc_id, unnest(generate_series(gpos, gpos + 7)) AS pos FROM d)),
+             |tp AS (SELECT doc_id, e.pos AS pos, e.w AS w FROM (
+             |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+             |    i -> struct_pack(pos := i - 1, w := toks[i]))) AS e FROM toks)),
+             |kept AS (SELECT tp.doc_id, tp.pos, tp.w FROM tp
+             |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+             |  WHERE cov.pos IS NULL)
+             |SELECT t.doc_id,
+             |  coalesce((SELECT string_agg(w, ' ' ORDER BY pos)
+             |    FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(toks) AS BIGINT) - coalesce((SELECT count(*)
+             |    FROM kept k WHERE k.doc_id = t.doc_id), 0) AS n_removed
+             |FROM toks t ORDER BY doc_id""".stripMargin))
   )
 }
