@@ -282,4 +282,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(db") || p.contains("hashpartitioning(tbl"),
       "DDL fold must group on the table key\n" + p)
   }
+
+  test("q156 LM scoring: pair-level joins keyed on n-grams, never all-to-all") {
+    val p = plan("q156_lm_stupid_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    // scoring runs at the (doc, trigram) PAIR level — the skew contract
+    assert(p.contains("hashpartitioning(doc_id") && p.contains("tri"),
+      "scoring must aggregate to (doc, trigram) pairs before joining\n" + p)
+    // count lookups are equi-joins on the n-gram key; at fixture scale
+    // Catalyst broadcasts the tiny count tables (correct there — at corpus
+    // scale stats flip them to shuffle joins on the same keys), so assert
+    // the join KEYS, not the exchange kind
+    assert("\\[tri#\\d+\\], \\[tri#\\d+\\], LeftOuter".r.findFirstIn(p).isDefined,
+      "trigram count lookup must be an equi-join on the n-gram\n" + p)
+    assert(p.contains("partial_"), "count aggs must map-side combine\n" + p)
+  }
+
+  test("q157 DSIR: the 256-bucket weight table broadcasts, selection is top-k") {
+    val p = plan("q157_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(256) lambda table must broadcast — DSIR's scale contract\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k selection must not global-sort\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q158 span removal: dup filter is a window, removal an anti-join, no cartesian") {
+    val p = plan("q158_dup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(gram"),
+      "first-occurrence rank must partition by span text\n" + p)
+    assert(p.contains("LeftAnti"), "covered positions must anti-join\n" + p)
+  }
 }
