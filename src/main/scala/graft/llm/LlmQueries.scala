@@ -1301,6 +1301,173 @@ object LlmQueries {
              |  CAST(len(toks) AS BIGINT) AS n_tokens,
              |  CAST(len(toks) AS BIGINT) - coalesce((SELECT count(*)
              |    FROM kept k WHERE k.doc_id = t.doc_id), 0) AS n_removed
-             |FROM toks t ORDER BY doc_id""".stripMargin))
+             |FROM toks t ORDER BY doc_id""".stripMargin)),
+
+    // UniMax language-balanced sampling (Chung et al. 2023): spend a total
+    // token budget as uniformly as possible across languages, capped at
+    // C = 1 epoch of each language's supply. The greedy ascending
+    // allocation is exactly water-filling: langs with supply ≤ the water
+    // level θ are taken whole, the rest get θ = (B − Σ_saturated) / #rest.
+    // Scale shape: the allocation runs on the per-language supply agg —
+    // METADATA-scale (thousands of rows at worst; the unpartitioned
+    // window is over that agg, never over docs) — and broadcasts back;
+    // doc selection is one per-language cumsum window over a
+    // deterministic md5 order (the q82 portable-shuffle trick) plus a
+    // per-row filter. Saturation is decided in INTEGER arithmetic
+    // (s·remaining + prefix ≤ B), so both engines pick identical
+    // saturated sets; only the final θ is a (single, identical) division.
+    // A 100 TB corpus's hot language makes one big cumsum partition —
+    // the escape hatch is the standard two-pass distributed prefix sum
+    // (per-range partial totals + broadcast offsets).
+    Q("q159_sample_unimax", { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val d = docs.select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"))
+        val sup = d.groupBy("lang").agg(sum("n_tok").as("s"))
+        val b = sup.agg(expr("sum(s) * 4 div 5").cast(LongType).as("budget_total"),
+          count(lit(1)).as("n_langs"))
+        val w = Window.orderBy("s", "lang") // rows = #languages (metadata)
+        val r = sup.withColumn("j", row_number().over(w))
+          .withColumn("cum",
+            sum("s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(b))
+          .withColumn("is_sat",
+            when(col("s") * (col("n_langs") - col("j") + 1) + col("cum") - col("s") <=
+              col("budget_total"), 1).otherwise(0))
+        val k = r.agg(
+          coalesce(max(when(col("is_sat") === 1, col("j"))), lit(0)).as("k"),
+          coalesce(max(when(col("is_sat") === 1, col("cum"))), lit(0L)).as("sat_sum"))
+        val alloc = r.crossJoin(broadcast(k))
+          .select(col("lang"),
+            when(col("is_sat") === 1, col("s").cast(DoubleType))
+              .otherwise((col("budget_total") - col("sat_sum")).cast(DoubleType) /
+                (col("n_langs") - col("k")).cast(DoubleType)).as("lang_budget"))
+        val rw = Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("u42:"), col("doc_id").cast(StringType))), col("doc_id"))
+        d.withColumn("cum_tok",
+            sum("n_tok").over(rw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(alloc), Seq("lang"))
+          .filter(col("cum_tok").cast(DoubleType) <= col("lang_budget"))
+          .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"), col("lang_budget"))
+          .orderBy("lang", "cum_tok")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
+             |s AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS s FROM d GROUP BY lang),
+             |b AS (SELECT CAST(sum(s) * 4 // 5 AS BIGINT) AS budget_total,
+             |  CAST(count(*) AS BIGINT) AS n_langs FROM s),
+             |r AS (SELECT lang, s, ROW_NUMBER() OVER (ORDER BY s, lang) AS j,
+             |    CAST(sum(s) OVER (ORDER BY s, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM s),
+             |sat AS (SELECT r.*, b.budget_total, b.n_langs,
+             |    CASE WHEN s * (n_langs - j + 1) + cum - s <= budget_total
+             |      THEN 1 ELSE 0 END AS is_sat
+             |  FROM r CROSS JOIN b),
+             |k AS (SELECT coalesce(max(CASE WHEN is_sat = 1 THEN j END), 0) AS k,
+             |    CAST(coalesce(max(CASE WHEN is_sat = 1 THEN cum END), 0) AS BIGINT) AS sat_sum
+             |  FROM sat),
+             |alloc AS (SELECT lang, CASE WHEN is_sat = 1 THEN CAST(s AS DOUBLE)
+             |    ELSE CAST(budget_total - sat_sum AS DOUBLE) / CAST(n_langs - k AS DOUBLE)
+             |    END AS lang_budget
+             |  FROM sat CROSS JOIN k),
+             |ranked AS (SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+             |    CAST(sum(n_tok) OVER (PARTITION BY lang
+             |      ORDER BY md5('u42:' || CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             |  FROM d)
+             |SELECT r.lang, r.doc_id, r.n_tok, r.cum_tok, a.lang_budget
+             |FROM ranked r JOIN alloc a USING (lang)
+             |WHERE CAST(r.cum_tok AS DOUBLE) <= a.lang_budget
+             |ORDER BY lang, cum_tok""".stripMargin)),
+
+    // Hard-negative mining for retrieval training — BM25 negatives (DPR,
+    // Karpukhin et al. 2020) with cross-encoder-style denoising
+    // (RocketQA, Qu et al. 2021): for each query document, the top-20
+    // lexically-similar candidates by full per-query BM25 are the
+    // negative pool, and the 3 most EMBEDDING-similar of them are flagged
+    // likely-false-negatives (lexical hits that are probably genuine
+    // matches — training on them as negatives hurts). Scale shape: the
+    // mining batch's vocabulary broadcasts (queries are a bounded batch);
+    // the corpus token stream is PRUNED to that vocabulary before any
+    // agg, so corpus-side work is ∝ matching tokens; per-query top-20 is
+    // a WindowGroupLimit heap, never a global sort; the cosine pass runs
+    // on 20·|batch| candidate rows only. BM25 terms DECIMAL-snap (q146)
+    // so ranks are engine-identical; cosine feeds only an ORDER (rank),
+    // never a hashed float (the q44 contract).
+    Q("q160_hard_negatives", { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val toks = TextOps.tokens(col("text"))
+        val dl = docs.select(col("doc_id"), size(toks).cast(LongType).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
+        val qt = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), explode(array_distinct(toks)).as("tok"))
+        val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+          .join(broadcast(qt.select("tok").distinct()), Seq("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val r = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+        val idf = dfs.crossJoin(broadcast(stats))
+          .select(col("tok"), col("avgdl"),
+            log(r).cast(DecimalType(18, 9)).cast(DoubleType).as("idf9"))
+        val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+        val scored = tf.join(broadcast(idf), "tok").join(dl, "doc_id")
+          .join(broadcast(qt), Seq("tok"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id").as("neighbor_id"),
+            (col("idf9") * sat).cast(DecimalType(18, 8)).as("term"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum(col("term")).cast(DoubleType).as("bm25"))
+        val wB = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("neighbor_id"))
+        val cand = scored.withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= 20)
+        val dv = (c: org.apache.spark.sql.Column) => c.cast(ArrayType(DoubleType))
+        val cos = cand
+          .join(emb.select(col("vec_id").as("query_id"), dv(col("embedding")).as("qv")), "query_id")
+          .join(emb.select(col("vec_id").as("neighbor_id"), dv(col("embedding")).as("nv")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"), col("rnk"), col("bm25"),
+            Similarity.cosine(col("qv"), col("nv")).as("cosv"))
+        val wC = Window.partitionBy("query_id").orderBy(col("cosv").desc, col("neighbor_id"))
+        cos.withColumn("crank", row_number().over(wC))
+          .select(col("query_id"), col("rnk"), col("neighbor_id"), col("bm25"),
+            (col("crank") <= 3).as("likely_false_negative"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM toks),
+             |qt AS (SELECT DISTINCT query_id, tok FROM (
+             |  SELECT doc_id AS query_id, unnest(toks) AS tok FROM toks WHERE doc_id < 5)),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+             |    SELECT doc_id, unnest(toks) AS tok FROM toks)
+             |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+             |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |idf AS (SELECT tok, avgdl, CAST(CAST(ln(
+             |    (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0
+             |  ) AS DECIMAL(18,9)) AS DOUBLE) AS idf9 FROM df CROSS JOIN stats),
+             |scored AS (
+             |  SELECT q.query_id, t.doc_id AS neighbor_id,
+             |    CAST(sum(CAST(i.idf9 * ((CAST(t.tf AS DOUBLE) * 2.2) /
+             |      (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / i.avgdl))))
+             |    AS DECIMAL(18,8))) AS DOUBLE) AS bm25
+             |  FROM qt q JOIN tf t ON q.tok = t.tok AND t.doc_id <> q.query_id
+             |  JOIN idf i ON i.tok = t.tok JOIN dl d ON d.doc_id = t.doc_id
+             |  GROUP BY q.query_id, t.doc_id),
+             |cand AS (SELECT * FROM (SELECT query_id, neighbor_id, bm25,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, neighbor_id) AS rnk
+             |  FROM scored) WHERE rnk <= 20),
+             |cos AS (SELECT c.query_id, c.neighbor_id, c.rnk, c.bm25,
+             |    list_cosine_similarity(eq.embedding, en.embedding) AS cosv
+             |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+             |  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+             |SELECT query_id, rnk, neighbor_id, bm25, (crank <= 3) AS likely_false_negative
+             |FROM (SELECT query_id, neighbor_id, rnk, bm25,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosv DESC, neighbor_id) AS crank
+             |  FROM cos)
+             |ORDER BY query_id, rnk""".stripMargin))
   )
 }
