@@ -521,7 +521,10 @@ object LlmQueries {
             nBpe.as("n_bpe_tokens"),
             (nBpe.cast(DoubleType) / size(words).cast(DoubleType))
               .as("tokens_per_word"),
-            element_at(enc, 1).as("first_word_symbols"))
+            // Joined to a scalar: the driver's pandas harness sorts and
+            // hashes every output column, and array columns are unhashable
+            // there (r8's only red row). CorpusSpec guards the shape.
+            array_join(element_at(enc, 1), " ").as("first_word_symbols"))
           .orderBy("doc_id")
       },
       None),

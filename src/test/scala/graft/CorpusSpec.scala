@@ -14,12 +14,30 @@ class CorpusSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  /** The driver's DuckDB/pandas harness sorts + hashes every top-level
+    * output column; array/map/struct columns are unhashable there and turn
+    * the whole row red even on a rows-only check (r8's q154). Any new
+    * query must emit atomic columns (join arrays to strings) or be added
+    * here with a reason.
+    */
+  val nonAtomicWhitelist: Set[(String, String)] = Set()
+
   SparkEntry.corpus.foreach { q =>
-    test(s"${q.name} runs at sf0.001") {
+    test(s"${q.name} runs at sf0.001 with sortable output columns") {
       val df = q.fn(spark, dir)
       val n = df.count()
       assert(n >= 0)
       assert(df.columns.nonEmpty)
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val bad = df.schema.fields
+        .filter(_.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _                                         => false
+        })
+        .filterNot(f => nonAtomicWhitelist((q.name, f.name)))
+      assert(bad.isEmpty,
+        s"non-atomic output columns (driver harness cannot sort/hash them): " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     }
   }
 
