@@ -1090,8 +1090,12 @@ object LlmQueries {
     // 2007, "Large Language Models in Machine Translation") — the
     // CCNet-style (Wenzek et al. 2020) LM quality filter: train n-gram
     // counts on a held-in slice (even doc_ids), score every document's
-    // mean per-token log-likelihood; gibberish scores low, the filter
-    // thresholds on it. S(w|a b) = c3/c2(ab) if the trigram was seen,
+    // mean per-TRIGRAM log-likelihood (n_scored = n_tokens - 2; no
+    // sentence-start padding, so the first two tokens are never scored);
+    // gibberish scores low, the filter thresholds on it. Documents too
+    // short to contain a trigram still emit a row (n_scored = 0, null
+    // score) — exactly the degenerate docs a quality filter must surface,
+    // not drop. S(w|a b) = c3/c2(ab) if the trigram was seen,
     // else 0.4·c2(bw)/c1(b), else 0.16·max(c1(w),1)/N.
     // Scale shape: three count aggs (vocab-scale by Heaps' law), then the
     // scoring joins run at the (doc, trigram) PAIR level — the q122
@@ -1137,14 +1141,20 @@ object LlmQueries {
         // exact decimal arithmetic — a double product cast back to decimal
         // lands on .5 ulp boundaries (snap9 × integer) where the two
         // engines' rounding can split by 1e-8.
-        scored
+        val perDoc = scored
           .select(col("doc_id"), col("m"),
             (log(sb).cast(DecimalType(18, 9)) *
               col("m").cast(DecimalType(10, 0))).as("term"))
           .groupBy("doc_id")
           .agg(sum(col("m")).as("n_scored"),
             sum(col("term")).cast(DoubleType).as("logprob_sum"))
-          .select(col("doc_id"), col("n_scored"), col("logprob_sum"),
+        // Left-join back onto the doc spine: docs with < 3 tokens have no
+        // trigram pairs and would otherwise vanish from the output.
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+            col("logprob_sum"),
             (col("logprob_sum") / col("n_scored").cast(DoubleType)).as("avg_logprob"))
           .orderBy("doc_id")
       },
@@ -1181,11 +1191,15 @@ object LlmQueries {
              |  LEFT JOIN c1 u1 ON k.ctx1 = u1.g
              |  LEFT JOIN c1 u2 ON k.uni = u2.g
              |  CROSS JOIN n)
-             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_scored,
-             |  CAST(sum(term) AS DOUBLE) AS logprob_sum,
-             |  CAST(sum(term) AS DOUBLE)
-             |    / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) AS avg_logprob
-             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |, perdoc AS (
+             |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_scored,
+             |    CAST(sum(term) AS DOUBLE) AS logprob_sum
+             |  FROM scored GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(p.n_scored, 0) AS n_scored,
+             |  p.logprob_sum,
+             |  p.logprob_sum / CAST(p.n_scored AS DOUBLE) AS avg_logprob
+             |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     // select raw documents that look like a target domain by importance
@@ -1199,6 +1213,10 @@ object LlmQueries {
     // nothing shuffles on a vocabulary-sized key. Deterministic variant:
     // top-k by weight (the paper's Gumbel resampling needs RNG; ties and
     // order are exact here, DECIMAL-snapped like the BM25 scorer).
+    // Candidate ranking follows the paper: only NON-target docs compete
+    // for selection (the target set is what we already have; DSIR picks
+    // raw docs that resemble it). p_raw stays fit on the full raw pool,
+    // of which the target slice is a subset — the paper's setup exactly.
     Q("q157_dsir_importance", { (s, dir) =>
         val docs = t(s, dir, "documents")
         val toks = TextOps.tokens(col("text"))
@@ -1214,7 +1232,8 @@ object LlmQueries {
             log(((col("ct") + 1).cast(DoubleType) / (col("nt") + 256).cast(DoubleType)) /
                 ((col("cr") + 1).cast(DoubleType) / (col("nr") + 256).cast(DoubleType)))
               .cast(DecimalType(18, 9)).as("lam"))
-        f.groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+        f.filter(col("tgt") === 0L)
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
           .join(broadcast(lam), "b")
           .select(col("doc_id"), col("m"),
             (col("m").cast(DecimalType(10, 0)) * col("lam")).as("term"))
@@ -1235,7 +1254,8 @@ object LlmQueries {
              |    CAST(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)) /
              |      (CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))) AS DECIMAL(18,9)) AS lam
              |  FROM bucket CROSS JOIN tot),
-             |dm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m FROM f GROUP BY doc_id, b)
+             |dm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m
+             |  FROM f WHERE tgt = 0 GROUP BY doc_id, b)
              |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
              |  CAST(sum(CAST(m AS DECIMAL(10,0)) * lam) AS DOUBLE) AS dsir_weight
              |FROM dm JOIN lam USING (b)

@@ -307,6 +307,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q159 UniMax: unpartitioned windows run only over the per-language supply agg") {
+    val qe = SparkEntry.queries("q159_sample_unimax")(spark, dir).queryExecution
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.nonEmpty, "expected the metadata-scale allocation window")
+    // the water-filling rank/cumsum may be global ONLY above the lang
+    // supply aggregate (thousands of rows), never over the docs relation
+    unpart.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("lang")) => a
+      }
+      assert(aggBelow.nonEmpty,
+        "unpartitioned window must sit above the per-language supply agg, " +
+          "not the doc-scale relation\n" + w)
+    }
+    // the doc-scale token cumsum is partitioned by lang
+    assert(wins.exists(w => w.partitionSpec.exists(_.toString.contains("lang"))),
+      "doc cumsum window must partition by lang\n" + wins.mkString("\n"))
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin \\[lang".r.findFirstIn(p).isDefined,
+      "the O(#langs) allocation table must broadcast back to docs\n" + p)
+  }
+
+  test("q160 hard negatives: corpus pruned by broadcast vocab, top-k is a group heap") {
+    val p = plan("q160_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin \\[tok".r.findFirstIn(p).isDefined,
+      "the mining batch's vocabulary must broadcast-prune the corpus token stream\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-20 must plan a group heap, not a full sort\n" + p)
+  }
+
   test("q158 span removal: dup filter is a window, removal an anti-join, no cartesian") {
     val p = plan("q158_dup_span_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -101,4 +101,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dup1 == 0.8 && top1 == 1.0) // one distinct bigram of 5, all tokens same
     assert(dup2 == 0.0 && top2 == 1.0 / 6.0)
   }
+
+  test("q156 LM scoring emits a sentinel row for docs too short to hold a trigram") {
+    // The fixture corpus has no <3-token docs, so the driver oracle can't
+    // exercise this path: build a tiny documents table with degenerate docs
+    // and run the corpus query against it (round-8 advice).
+    val dir = java.nio.file.Files.createTempDirectory("lm-short").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L),
+      (1L, "ok", "en", "src0", 2L),     // 1 token: no trigram, no bigram
+      (2L, "hello world", "en", "src1", 11L), // 2 tokens: no trigram
+      (3L, "", "en", "src1", 0L),       // empty
+      (4L, "the quick brown fox sleeps", "en", "src2", 26L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q156_lm_stupid_backoff")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.isNullAt(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "every doc_id must appear")
+    assert(out(1L) == ((0L, true)) && out(2L) == ((0L, true)) && out(3L) == ((0L, true)),
+      s"short docs must carry n_scored=0 and a null avg_logprob: $out")
+    assert(out(0L)._1 == 7L && !out(0L)._2, "9-token doc scores 7 trigrams")
+  }
 }
