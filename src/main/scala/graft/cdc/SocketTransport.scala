@@ -1,0 +1,110 @@
+package graft.cdc
+
+import java.io.{DataInputStream, EOFException, IOException, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+
+/** The ~50 lines of transport glue the pure session was designed for: a
+  * blocking `java.net.Socket` loop that frames/deframes MySQL packets and
+  * folds every received payload through [[MysqlReplicaSession.onPayload]],
+  * writing back whatever the state machine says to send. This is the
+  * counterpart of the reference's connect + read_exact loop
+  * (`/root/reference/src/main.rs:74-130`, `mysql.rs:47-94`) — but all
+  * protocol logic stays in the pure fold, so this file owns ONLY syscalls
+  * and framing. Point it at a real server with
+  * `runMain graft.cdc.SocketTransport host port user password [serverId]`.
+  *
+  * Scale note: one replica connection is inherently a single-reader loop
+  * (the reference's too); parallelism starts AFTER it, where events are
+  * handed to the streaming chain (hash-by-table repartition, see
+  * `streaming/ReplicaStream.scala`).
+  */
+object SocketTransport {
+
+  /** Terminal outcome of a drive loop: how many binlog events were
+    * delivered and why the loop stopped (None = maxEvents reached).
+    */
+  final case class Result(events: Long, stop: Option[String])
+
+  /** Reads one logical packet payload: 4-byte header (3-byte LE length +
+    * seq), then the body; frames of exactly 0xffffff bytes are continued
+    * by the next frame (the protocol's >16MB rule, same contract as
+    * [[MysqlProtocolCodec.drainFrames]] for captured streams).
+    */
+  def readPayload(in: DataInputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    var more = true
+    while (more) {
+      val hdr = new Array[Byte](4)
+      in.readFully(hdr)
+      val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      out.write(body)
+      more = len == MysqlProtocolCodec.MaxFrame
+    }
+    out.toByteArray
+  }
+
+  private def writeAll(os: OutputStream, send: Seq[(Int, Array[Byte])]): Unit = {
+    send.foreach { case (seq, payload) =>
+      os.write(MysqlProtocolCodec.writePacket(seq, payload))
+    }
+    if (send.nonEmpty) os.flush()
+  }
+
+  /** Connects and drives the replica session until the state machine
+    * fails, the server closes the connection, or `maxEvents` binlog
+    * events have been delivered to `onEvent` (each a whole event with the
+    * 0x00 packet marker stripped, ready for `BinlogDecode.eventSplit`).
+    */
+  def run(host: String, port: Int, config: MysqlReplicaSession.Config,
+      onEvent: Array[Byte] => Unit, maxEvents: Long = Long.MaxValue,
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 0): Result = {
+    val sock = new Socket()
+    try {
+      sock.setTcpNoDelay(true)
+      sock.setSoTimeout(readTimeoutMs)
+      sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+      val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+      val os = sock.getOutputStream
+      var st = MysqlReplicaSession.initial(config)
+      var events = 0L
+      while (true) {
+        val payload =
+          try readPayload(in)
+          catch {
+            case _: EOFException => return Result(events, Some("server closed connection"))
+          }
+        val step = MysqlReplicaSession.onPayload(st, payload)
+        writeAll(os, step.send)
+        step.event.foreach { ev =>
+          onEvent(ev)
+          events += 1
+          if (events >= maxEvents) return Result(events, None)
+        }
+        st = step.state
+        st.phase match {
+          case MysqlReplicaSession.Failed(reason) => return Result(events, Some(reason))
+          case _                                  => ()
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case e: IOException => Result(0L, Some(s"io: ${e.getMessage}"))
+    } finally sock.close()
+  }
+
+  /** CLI: tap a live server and print one line per binlog event. */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: SocketTransport host port user password [serverId] [maxEvents]")
+    val cfg = MysqlReplicaSession.Config(args(2), args(3),
+      serverId = if (args.length > 4) args(4).toLong else 1234L)
+    val max = if (args.length > 5) args(5).toLong else Long.MaxValue
+    val res = run(args(0), args(1).toInt, cfg, { ev =>
+      val hdr = BinlogRowCodec.decodeHeader(ev, packetMarker = false)
+      println(s"event type=${hdr.getInt(1)} len=${ev.length}")
+    }, maxEvents = max)
+    println(s"done: ${res.events} events, stop=${res.stop.getOrElse("maxEvents")}")
+  }
+}

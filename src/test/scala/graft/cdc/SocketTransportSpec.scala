@@ -1,0 +1,168 @@
+package graft.cdc
+
+import java.io.DataInputStream
+import java.net.ServerSocket
+
+import graft.SparkSpec
+import MysqlProtocolCodec.writePacket
+
+/** Drives [[SocketTransport]] against a loopback fake server speaking the
+  * MysqlSessionSpec bring-up conversation over a REAL `java.net.Socket` —
+  * the last §2A link: login → auth switch → checksum ack → show master
+  * status → COM_BINLOG_DUMP → typed events, end-to-end over TCP.
+  */
+class SocketTransportSpec extends SparkSpec {
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val ok = hx("00" + "00" + "00" + "0200" + "0000")
+  private val eof = hx("fe" + "0000" + "0200")
+
+  private def lenencStr(s: String): Array[Byte] = {
+    require(s.length < 0xfb)
+    s.length.toByte +: s.getBytes("UTF-8")
+  }
+
+  private def handshake(seed: Array[Byte]): Array[Byte] = {
+    require(seed.length == 20)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(10); out.write("8.0.42-log".getBytes); out.write(0)
+    out.write(Array[Byte](0x39, 0x30, 0, 0))
+    out.write(seed, 0, 8)
+    out.write(0)
+    out.write(0xff); out.write(0xf7)
+    out.write(0xff)
+    out.write(Array[Byte](2, 0))
+    out.write(0x08); out.write(0x00)
+    out.write(21)
+    for (_ <- 0 until 10) out.write(0)
+    out.write(seed, 8, 12); out.write(0)
+    out.write("mysql_native_password".getBytes); out.write(0)
+    out.toByteArray
+  }
+
+  private def authSwitch(seed: Array[Byte]): Array[Byte] =
+    (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte
+
+  test("frame reader reassembles a >16MB continued packet") {
+    val big = new Array[Byte](MysqlProtocolCodec.MaxFrame + 100)
+    big(0) = 42; big(big.length - 1) = 43
+    val framed = writePacket(0, big)
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(framed))
+    val got = SocketTransport.readPayload(in)
+    assert(got.length == big.length && got(0) == 42 && got(got.length - 1) == 43)
+    assert(in.available() == 0, "both frames consumed")
+  }
+
+  test("loopback TCP: login → dump → events delivered, server EOF ends loudly") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev1 = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))))
+    val ev2 = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](8L))))
+
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Option[Throwable] = None
+    val clientPackets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        def recv(): Unit = { clientPackets += SocketTransport.readPayload(in) }
+        os.write(writePacket(0, handshake(seed1))); os.flush()
+        recv() // HandshakeResponse41
+        os.write(writePacket(2, authSwitch(seed2))); os.flush()
+        recv() // scramble proof
+        os.write(writePacket(4, ok)); os.flush()
+        recv() // set @master_binlog_checksum
+        os.write(writePacket(1, ok)); os.flush()
+        recv() // show master status
+        os.write(writePacket(1, Array(5.toByte)))
+        for (i <- 0 until 5) os.write(writePacket(2 + i, hx("deadbeef")))
+        os.write(writePacket(7, eof))
+        os.write(writePacket(8, lenencStr("bin.000042") ++ lenencStr("1337") ++
+          lenencStr("") ++ lenencStr("") ++ lenencStr("")))
+        os.write(writePacket(9, eof)); os.flush()
+        recv() // COM_BINLOG_DUMP
+        os.write(writePacket(1, 0.toByte +: ev1))
+        os.write(writePacket(2, 0.toByte +: ev2))
+        os.write(writePacket(3, eof)); os.flush()
+        s.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.start()
+
+    val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      ev => events += ev, readTimeoutMs = 10000)
+    t.join(10000)
+    server.close()
+    assert(serverErr.isEmpty, s"fake server failed: $serverErr")
+
+    // both events crossed the wire intact and decode as typed rows
+    assert(events.size == 2)
+    assert(java.util.Arrays.equals(events(0), ev1))
+    assert(java.util.Arrays.equals(events(1), ev2))
+    val hdr = BinlogRowCodec.decodeHeader(events(1), packetMarker = false)
+    assert(hdr.getInt(1) == BinlogRowCodec.WriteV2)
+    // the post-stream EOF is a loud stop, not a silent hang
+    assert(res.events == 2 && res.stop.isDefined)
+
+    // the client bytes on the wire are the state machine's exact packets
+    assert(java.util.Arrays.equals(clientPackets(0),
+      MysqlProtocolCodec.encodeHandshakeResponse(
+        MysqlReplicaSession.Caps, 1L << 24, 0xff, "repl", Array.emptyByteArray,
+        None, Some("mysql_native_password"), Nil, 0)))
+    assert(java.util.Arrays.equals(clientPackets(1),
+      MysqlProtocolCodec.nativePasswordAuth("secret".getBytes, seed2)))
+    assert(java.util.Arrays.equals(clientPackets(4),
+      MysqlProtocolCodec.encodeComBinlogDump(1337L, 0, 100L, "bin.000042")))
+  }
+
+  test("maxEvents stops the loop cleanly with stop=None") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))))
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        def recv(): Unit = { SocketTransport.readPayload(in); () }
+        os.write(writePacket(0, handshake(seed1))); os.flush()
+        recv()
+        os.write(writePacket(2, authSwitch(seed2))); os.flush()
+        recv()
+        os.write(writePacket(4, ok)); os.flush()
+        recv()
+        os.write(writePacket(1, ok)); os.flush()
+        recv()
+        os.write(writePacket(1, Array(5.toByte)))
+        for (i <- 0 until 5) os.write(writePacket(2 + i, hx("deadbeef")))
+        os.write(writePacket(7, eof))
+        os.write(writePacket(8, lenencStr("bin.000001") ++ lenencStr("4") ++
+          lenencStr("") ++ lenencStr("") ++ lenencStr("")))
+        os.write(writePacket(9, eof)); os.flush()
+        recv()
+        // endless stream: client must cut at maxEvents, not drain us
+        var i = 1
+        while (true) { os.write(writePacket(i, 0.toByte +: ev)); os.flush(); i += 1 }
+      } catch { case _: Throwable => () } // client hangup is the expected exit
+    })
+    t.start()
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 7L),
+      _ => (), maxEvents = 3, readTimeoutMs = 10000)
+    server.close()
+    t.join(10000)
+    assert(res.events == 3 && res.stop.isEmpty)
+  }
+}
