@@ -182,9 +182,25 @@ object Bpe {
   /** Train `nMerges` merges; returns (rank, left, right, pairCount).
     * Deterministic: ties break on (count desc, left asc, right asc).
     * Stops early when no adjacent pair occurs at least `minCount` times.
+    *
+    * `batch` > 1 is the large-vocabulary scale path: each round takes a
+    * PREFIX of the ranked pair list whose pairs are pairwise
+    * symbol-disjoint (selection stops at the first pair sharing a symbol
+    * with an already-taken one) and applies them all before recounting —
+    * one pair-count job + one checkpoint amortize over up to `batch`
+    * merges, cutting the dominant per-merge driver-loop overhead ~batch×.
+    * Disjointness means an applied merge cannot change a later-taken
+    * pair's count, so within a round the counts recorded are the true
+    * sequential ones; the (rare, documented) deviation from strict
+    * sequential training is that a pair NEWLY CREATED by an earlier merge
+    * in the same round (e.g. ("x", "ab") after ("a","b")) cannot win until
+    * the next round. encode≡train and concatenation-restores-word hold for
+    * ANY batch (the encoder replays ranks in order, exactly how the
+    * trainer applied them); the default batch=1 is byte-exact classic BPE.
     */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+      minCount: Long = 2L, batch: Int = 1): Seq[(Int, String, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var words = wordHistogram(docs, textCol)
       .select(initWordCol(col("w")).as("syms"), col("n"))
       .localCheckpoint()
@@ -192,24 +208,39 @@ object Bpe {
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - rank)
+      // over-fetch: the disjoint prefix can be shorter than `want`
       val top = words
         .select(col("n"), explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy("p.a", "p.b").agg(sum(col("n")).as("cnt"))
+        .filter(col("cnt") >= minCount)
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minCount) exhausted = true
+        .limit(math.max(want * 4, 8)).collect()
+      // prefix-disjoint selection: stop at the first symbol collision so
+      // every taken pair's count is untouched by the round's earlier merges
+      val sel = Seq.newBuilder[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var i = 0
+      var nSel = 0
+      var stopped = false
+      while (!stopped && i < top.length && nSel < want) {
+        val (a, b, cnt) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        if (used(a) || used(b)) stopped = true
+        else { sel += ((a, b, cnt)); used += a; used += b; nSel += 1; i += 1 }
+      }
+      val taken = sel.result()
+      if (taken.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((rank, a, b, cnt))
-        val next = words
-          .select(mergePairCol(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint()
+        taken.foreach { case (a, b, cnt) => out += ((rank, a, b, cnt)); rank += 1 }
+        val merged = taken.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+          mergePairCol(c, a, b)
+        }
+        val next = words.select(merged.as("syms"), col("n")).localCheckpoint()
         words.unpersist()
         words = next
-        rank += 1
       }
     }
     words.unpersist()

@@ -81,6 +81,79 @@ class BpeSpec extends SparkSpec {
     assert(a.map(_._4).sliding(2).forall(p => p.head >= p.last))
   }
 
+  /** Train-side replay (rank-ordered mergePair fold) vs the encoder, both
+    * driver-side on the raw kernels — the encode≡train invariant without
+    * chaining 1000 codegen'd expressions.
+    */
+  private def assertEncodeEqualsTrain(words: Seq[String],
+      merges: Seq[(String, String)]): Unit = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val table = merges.map(m => Array(m._1, m._2)).toArray
+    words.foreach { w =>
+      var s: org.apache.spark.sql.catalyst.util.ArrayData =
+        BpeCodec.initWord(UTF8String.fromString(w))
+      merges.foreach { case (a, b) =>
+        s = BpeCodec.mergePair(s, UTF8String.fromString(a), UTF8String.fromString(b))
+      }
+      val trained = (0 until s.numElements()).map(s.getUTF8String(_).toString)
+      val e = BpeCodec.encode(UTF8String.fromString(w), table)
+      val encoded = (0 until e.numElements()).map(e.getUTF8String(_).toString)
+      assert(encoded == trained, s"word '$w': encode $encoded != train $trained")
+    }
+  }
+
+  test("batched training: disjoint-prefix rounds, encode≡train, same head merge") {
+    val docs = Seq(corpus).toDF("text")
+    val b1 = Bpe.trainMerges(docs, "text", nMerges = 8)
+    val b4 = Bpe.trainMerges(docs, "text", nMerges = 8, batch = 4)
+    assert(b4.map(_._1) == (0 until b4.length), "ranks must stay contiguous")
+    assert(b4.head == b1.head, "the top merge is the sequential argmax in any batch")
+    assert(b4.map(m => (m._2, m._3)).distinct.size == b4.size, "no duplicate merges")
+    val words = Bpe.wordHistogram(docs, "text").select("w")
+      .collect().map(_.getString(0)).toSeq
+    assertEncodeEqualsTrain(words, b4.map(m => (m._2, m._3)))
+  }
+
+  test("fixture corpus trains to full collapse; batched run holds invariants there") {
+    // The driver's synthetic documents carry only 31 distinct words, so
+    // BPE collapses the whole vocabulary (~105 merges) at ANY sf — train
+    // past exhaustion and assert the stop is the true fixed point.
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.trainMerges(d, "text", nMerges = 1000, batch = 16, minCount = 1L)
+    assert(merges.map(_._1) == (0 until merges.length), "contiguous ranks")
+    assert(merges.map(m => (m._2, m._3)).distinct.size == merges.size, "no dup merges")
+    val table = merges.map(m => (m._2, m._3))
+    // exhaustion means every word encodes to exactly ONE symbol
+    val multi = Bpe.wordHistogram(d, "text")
+      .select(size(Bpe.encodeCol(col("w"), table)).as("k")).filter(col("k") > 1).count()
+    assert(multi == 0, "training stopped before the vocabulary fully collapsed")
+    val words = Bpe.wordHistogram(d, "text").select("w").orderBy("w")
+      .collect().map(_.getString(0)).toSeq
+    assertEncodeEqualsTrain(words, table)
+  }
+
+  test("1k-merge table at batch=32 holds every invariant (scale path)") {
+    // A vocabulary rich enough to sustain 1000 ranks: 1500 seeded
+    // pseudo-words (the fixture's 31-word vocab can't — see above).
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 1500).map { _ =>
+      (0 until (6 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val docs = vocab.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 1000, batch = 32, minCount = 1L)
+    assert(merges.length == 1000, s"expected the full 1000 ranks, got ${merges.length}")
+    assert(merges.map(_._1) == (0 until 1000), "contiguous ranks")
+    assert(merges.map(m => (m._2, m._3)).distinct.size == 1000, "no dup merges")
+    val table = merges.map(m => (m._2, m._3))
+    assertEncodeEqualsTrain(rnd.shuffle(vocab).take(200), table)
+    // concatenation restores every word at 1k ranks
+    val bad = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w"), concat_ws("", Bpe.encodeCol(col("w"), table)).as("joined"))
+      .filter(col("joined") =!= concat(col("w"), lit(BpeCodec.EndOfWord)))
+      .count()
+    assert(bad == 0, "concatenation must restore word + </w> at 1k merges")
+  }
+
   test("corpus encode restores every word on concatenation (q154 gate)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val merges = Bpe.trainMerges(d, "text", nMerges = 20).map(m => (m._2, m._3))
