@@ -81,7 +81,13 @@ object GtidSet {
   def parse(sets: DataFrame, textCol: String): DataFrame = {
     val parts = split(col(textCol), ":")
     sets
-      .select(element_at(parts, 1).as("sid"),
+      // sid via substring_index, NOT element_at(split(...), 1): the
+      // non-generator expressions of this select land in the projection
+      // ABOVE the Generate and are evaluated once per EMITTED interval,
+      // so re-splitting a multi-MB set text per interval is a hidden
+      // quadratic (measured: 154 s → 1.9 s for 187k intervals at sf1).
+      // substring_index stops at the first ':' — O(sid length) per row.
+      .select(substring_index(col(textCol), ":", 1).as("sid"),
         explode(slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))).as("__iv"))
       .select(col("sid"),
         element_at(split(col("__iv"), "-"), 1).cast(LongType).as("lo"),
