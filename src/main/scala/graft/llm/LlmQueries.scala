@@ -1491,6 +1491,161 @@ object LlmQueries {
              |FROM (SELECT query_id, neighbor_id, rnk, bm25,
              |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosv DESC, neighbor_id) AS crank
              |  FROM cos)
-             |ORDER BY query_id, rnk""".stripMargin))
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // PII redaction — the scrub pass every public corpus pipeline runs
+    // before anything else touches the text (C4/CCNet-style). The fixture
+    // documents carry no PII (31-word synthetic vocab), so the corpus is
+    // constructed from `customer` (name → email, a TPC-H-format phone
+    // derived from the key — the fixture ships no c_phone column — and a
+    // derived IPv4) the same way the CDC queries build envelope fixtures
+    // from orders. Patterns are RE2-portable and shared verbatim with the
+    // oracle; redaction order (email → phone → IP) is part of the
+    // contract. Pure per-row codegen'd regex chain, zero shuffle.
+    Q("q161_pii_redact", { (s, dir) =>
+        val c = t(s, dir, "customer")
+        val ck = col("c_custkey")
+        val phone = concat(
+          lpad((ck % 90 + 10).cast(StringType), 2, "0"), lit("-"),
+          lpad((ck % 900 + 100).cast(StringType), 3, "0"), lit("-"),
+          lpad((ck % 853 + 100).cast(StringType), 3, "0"), lit("-"),
+          lpad((ck % 9000 + 1000).cast(StringType), 4, "0"))
+        val text = concat(col("c_name"), lit(" can be reached at "),
+          lower(expr("replace(c_name, '#', '.')")), lit("@example.com or "),
+          phone, lit(", host 10."),
+          (ck % 254).cast(StringType), lit("."),
+          (ck % 251).cast(StringType), lit("."),
+          ((ck % 97) + 1).cast(StringType), lit(" end"))
+        c.select(ck.as("cust_id"), text.as("text"))
+          .select(col("cust_id"),
+            Redact.redactPii(col("text")).as("redacted"),
+            Redact.countPat(col("text"), Redact.EmailPat).as("n_email"),
+            Redact.countPat(col("text"), Redact.PhonePat).as("n_phone"),
+            Redact.countPat(col("text"), Redact.Ipv4Pat).as("n_ip"))
+          .orderBy("cust_id")
+      },
+      Some(s"""WITH src AS (SELECT c_custkey AS cust_id,
+             |  c_name || ' can be reached at ' || lower(replace(c_name, '#', '.'))
+             |    || '@example.com or '
+             |    || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'
+             |    || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-'
+             |    || lpad(CAST(c_custkey % 853 + 100 AS VARCHAR), 3, '0') || '-'
+             |    || lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0')
+             |    || ', host 10.'
+             |    || CAST(c_custkey % 254 AS VARCHAR) || '.'
+             |    || CAST(c_custkey % 251 AS VARCHAR) || '.'
+             |    || CAST(c_custkey % 97 + 1 AS VARCHAR) || ' end' AS text
+             |  FROM customer)
+             |SELECT cust_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${Redact.EmailPat}', '<EMAIL>', 'g'),
+             |    '${Redact.PhonePat}', '<PHONE>', 'g'),
+             |    '${Redact.Ipv4Pat}', '<IP>', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(text, '${Redact.EmailPat}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text, '${Redact.PhonePat}')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(text, '${Redact.Ipv4Pat}')) AS BIGINT) AS n_ip
+             |FROM src ORDER BY cust_id""".stripMargin)),
+
+    // Distributed spherical k-means over the embedding corpus (full-data
+    // Lloyd's — the clustering step cluster-balanced sampling and
+    // SemDeDup-style pruning build on; see Clustering.scala for the
+    // one-job-per-iteration scale shape: broadcast argmax-dot assignment,
+    // (cell, dim) DECIMAL-summed update collected as k×dim metadata).
+    // Iterative → no SQL oracle; rows-only, gated by KmeansSpec (label
+    // purity ≥ 0.95 on the 10-cluster fixture, monotone inertia,
+    // determinism under repartitioning).
+    Q("q162_kmeans_clusters", { (s, dir) =>
+        Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 10, iters = 5)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"), min("vec_id").as("exemplar_id"),
+            sum(col("sim").cast(DecimalType(28, 14))).cast(DoubleType).as("sim_sum"))
+          .orderBy("cluster")
+      },
+      None),
+
+    // Cluster-balanced sampling: after k-means, keep at most `cap`
+    // members per cluster by a deterministic md5 shuffle — the diversity
+    // cap that stops one over-represented mode from dominating a
+    // training mix (the cluster-level analogue of q86's per-source cap).
+    // One WindowGroupLimit per cluster, never a global sort. Rows-only
+    // (inherits the iterative assignment), gated by KmeansSpec.
+    Q("q163_cluster_sample", { (s, dir) =>
+        val assigned = Clustering.kmeansAssign(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 10, iters = 5)
+        Clustering.clusterSample(assigned, "vec_id", cap = 20)
+          .select(col("cluster"), col("rn"), col("vec_id"), col("sim"))
+          .orderBy("cluster", "rn")
+      },
+      None),
+
+    // URL canonicalization + dedup + per-domain cap — the link-level
+    // hygiene of a web-corpus pipeline (canonicalize → collapse exact
+    // re-crawls → bound any one domain's share). URLs are constructed
+    // from `part` (the documents fixture has none) with every messiness
+    // the canonicalizer handles: case, www, default port, trailing
+    // slash, utm params, fragments. All steps RE2-portable and mirrored
+    // in the oracle. Shuffle shape: one groupBy on the canonical text,
+    // one WindowGroupLimit on the (small) domain key.
+    Q("q164_url_dedup", { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val p = t(s, dir, "part")
+        val pk = col("p_partkey")
+        val url = concat(lit("HTTPS://"),
+          when(pk % 3 === 0, "WWW.").otherwise(""),
+          lit("Shop-"), (pk % 40).cast(StringType), lit(".Example.COM"),
+          when(pk % 5 === 0, ":443").otherwise(""),
+          lit("/Item/"), (pk % 500).cast(StringType),
+          when(pk % 7 === 0, "/").otherwise(""),
+          when(pk % 2 === 0,
+            concat(lit("?id="), (pk % 9).cast(StringType), lit("&utm_source=feed")))
+            .otherwise(when(pk % 3 === 1, lit("?utm_campaign=x")).otherwise(lit(""))),
+          when(pk % 11 === 0, "#frag").otherwise(""))
+        val canon = p.select(pk.as("url_id"), Redact.canonicalUrl(url).as("canonical_url"))
+        val grp = canon.groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_dups"), min("url_id").as("canonical_id"))
+          .withColumn("domain",
+            regexp_extract(col("canonical_url"), "^https://([^/:?#]+)", 1))
+        val w = Window.partitionBy("domain").orderBy("canonical_id")
+        grp.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("domain"), col("rn"), col("canonical_url"),
+            col("canonical_id"), col("n_dups"))
+          .orderBy("domain", "rn")
+      },
+      Some("""WITH src AS (SELECT p_partkey AS url_id,
+             |  'HTTPS://' || CASE WHEN p_partkey % 3 = 0 THEN 'WWW.' ELSE '' END
+             |    || 'Shop-' || CAST(p_partkey % 40 AS VARCHAR) || '.Example.COM'
+             |    || CASE WHEN p_partkey % 5 = 0 THEN ':443' ELSE '' END
+             |    || '/Item/' || CAST(p_partkey % 500 AS VARCHAR)
+             |    || CASE WHEN p_partkey % 7 = 0 THEN '/' ELSE '' END
+             |    || CASE WHEN p_partkey % 2 = 0
+             |         THEN '?id=' || CAST(p_partkey % 9 AS VARCHAR) || '&utm_source=feed'
+             |         WHEN p_partkey % 3 = 1 THEN '?utm_campaign=x' ELSE '' END
+             |    || CASE WHEN p_partkey % 11 = 0 THEN '#frag' ELSE '' END AS u
+             |  FROM part),
+             |c1 AS (SELECT url_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM src),
+             |c2 AS (SELECT url_id,
+             |    lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*'))
+             |      || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS u FROM c1),
+             |c3 AS (SELECT url_id, regexp_replace(u, '://www\.', '://', 'g') AS u FROM c2),
+             |c4 AS (SELECT url_id,
+             |    regexp_replace(regexp_replace(u, ':443/', '/', 'g'), ':443\?', '?', 'g') AS u
+             |  FROM c3),
+             |c5 AS (SELECT url_id,
+             |    CASE WHEN u LIKE '%:443' THEN substr(u, 1, len(u) - 4) ELSE u END AS u
+             |  FROM c4),
+             |c6 AS (SELECT url_id, regexp_replace(u, '[?&]utm_[^&#]*', '', 'g') AS u FROM c5),
+             |canon AS (SELECT url_id,
+             |    regexp_replace(regexp_replace(u, '\?$', '', 'g'), '/$', '', 'g') AS canonical_url
+             |  FROM c6),
+             |grp AS (SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+             |    min(url_id) AS canonical_id,
+             |    regexp_extract(canonical_url, '^https://([^/:?#]+)', 1) AS domain
+             |  FROM canon GROUP BY canonical_url)
+             |SELECT domain, rn, canonical_url, canonical_id, n_dups
+             |FROM (SELECT domain, canonical_url, canonical_id, n_dups,
+             |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY canonical_id) AS rn FROM grp)
+             |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin))
   )
 }

@@ -75,6 +75,18 @@ object IvfKernels {
     best
   }
 
+  /** The argmax dot value itself — spherical k-means' cosine to the
+    * assigned unit centroid (the per-row quality signal cluster-based
+    * pruning keys on). Same first-max-wins tie rule as [[cell]].
+    */
+  def bestDot(v: ArrayData, centroids: Array[Array[Double]]): Double = {
+    val d = dots(v, centroids)
+    var best = 0.0
+    var i = 0
+    while (i < d.length) { if (i == 0 || d(i) > best) best = d(i); i += 1 }
+    best
+  }
+
   def probe(v: ArrayData, centroids: Array[Array[Double]], nprobe: Int): ArrayData = {
     val d = dots(v, centroids)
     val idx = Array.range(0, d.length)
@@ -188,6 +200,31 @@ case class IvfProbe(child: Expression, centroids: Array[Array[Double]], nprobe: 
 object IvfCell {
   def apply(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(new IvfCell(ColumnBridge.expression(v), centroids))
+}
+
+/** Codegen'd max-dot-to-any-centroid over an `array<double>` column. */
+case class IvfBestDot(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"IvfBestDot expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    IvfKernels.bestDot(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"${ev.value} = graft.llm.IvfKernels.bestDot($c, $ref);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): IvfBestDot =
+    copy(child = newChild)
+}
+
+object IvfBestDot {
+  def apply(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(new IvfBestDot(ColumnBridge.expression(v), centroids))
 }
 
 object IvfProbe {

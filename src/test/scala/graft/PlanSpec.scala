@@ -341,6 +341,31 @@ class PlanSpec extends SparkSpec {
       "per-query top-20 must plan a group heap, not a full sort\n" + p)
   }
 
+  test("q161 PII redaction is a pure per-row regex chain: zero hash exchanges") {
+    val p = plan("q161_pii_redact")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 0, s"redaction must stay per-row, saw $n hash exchanges\n" + p)
+  }
+
+  test("q163 cluster sample: per-row assignment feeds a group-heap window") {
+    val p = plan("q163_cluster_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "per-cluster cap must plan a group heap\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // assignment is codegen'd per-row: the only hash exchange is the
+    // window's cluster partitioning
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"expected at most the cluster window exchange, saw $n\n" + p)
+  }
+
+  test("q164 URL dedup: one canonical groupBy, domain cap is a group heap") {
+    val p = plan("q164_url_dedup")
+    assert(p.contains("WindowGroupLimit"),
+      "per-domain cap must plan a group heap\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "dedup agg must map-side combine\n" + p)
+  }
+
   test("q158 span removal: dup filter is a window, removal an anti-join, no cartesian") {
     val p = plan("q158_dup_span_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
