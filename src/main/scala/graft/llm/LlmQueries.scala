@@ -15,6 +15,106 @@ object LlmQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Stupid-Backoff trigram LM scoring (q156's engine), shared with the
+    * CCNet bucket query (q166): (doc_id, n_scored, logprob_sum,
+    * avg_logprob) for EVERY doc (short docs: n_scored = 0, null score).
+    * See the q156 comment for semantics and the scale argument.
+    */
+  private def lmScoreDf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val uni = train.select(explode(toks).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c1"))
+    val bi = train.select(explode(WordSpans(toks, 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val tri = train.select(explode(WordSpans(toks, 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val n = train.agg(sum(size(toks)).cast(LongType).as("n_train"))
+    val pairs = docs.select(col("doc_id"), explode(WordSpans(toks, 3)).as("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("m"))
+      .withColumn("p", split(col("tri"), " "))
+      .select(col("doc_id"), col("tri"), col("m"),
+        concat_ws(" ", col("p")(0), col("p")(1)).as("ctx2"),
+        concat_ws(" ", col("p")(1), col("p")(2)).as("bi"),
+        col("p")(1).as("ctx1"), col("p")(2).as("uni"))
+    val scored = pairs
+      .join(tri.select(col("g").as("tri"), col("c3")), Seq("tri"), "left")
+      .join(bi.select(col("g").as("ctx2"), col("c2").as("c2ctx")), Seq("ctx2"), "left")
+      .join(bi.select(col("g").as("bi"), col("c2").as("c2bi")), Seq("bi"), "left")
+      .join(uni.select(col("g").as("ctx1"), col("c1").as("c1ctx")), Seq("ctx1"), "left")
+      .join(uni.select(col("g").as("uni"), col("c1").as("c1uni")), Seq("uni"), "left")
+      .crossJoin(broadcast(n))
+    val sb = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast(DoubleType) / col("c2ctx").cast(DoubleType))
+      .when(coalesce(col("c2bi"), lit(0L)) > 0,
+        lit(0.4) * col("c2bi").cast(DoubleType) / col("c1ctx").cast(DoubleType))
+      .otherwise(lit(0.16) *
+        greatest(coalesce(col("c1uni"), lit(0L)), lit(1L)).cast(DoubleType) /
+        col("n_train").cast(DoubleType))
+    // The snapped ln STAYS decimal and multiplies the integer count in
+    // exact decimal arithmetic — a double product cast back to decimal
+    // lands on .5 ulp boundaries (snap9 × integer) where the two
+    // engines' rounding can split by 1e-8.
+    val perDoc = scored
+      .select(col("doc_id"), col("m"),
+        (log(sb).cast(DecimalType(18, 9)) *
+          col("m").cast(DecimalType(10, 0))).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_scored"),
+        sum(col("term")).cast(DoubleType).as("logprob_sum"))
+    // Left-join back onto the doc spine: docs with < 3 tokens have no
+    // trigram pairs and would otherwise vanish from the output.
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("logprob_sum"),
+        (col("logprob_sum") / col("n_scored").cast(DoubleType)).as("avg_logprob"))
+  }
+
+  /** The q156 oracle's scoring CTEs (everything up to `perdoc`), shared
+    * with the q166 bucket oracle.
+    */
+  private val LmScoreCtes: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |trn AS (SELECT doc_id, toks FROM toks WHERE doc_id % 2 = 0),
+      |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(toks) AS g FROM trn) GROUP BY g),
+      |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM trn) GROUP BY g),
+      |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM trn) GROUP BY g),
+      |n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_train FROM trn),
+      |tri AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri FROM toks),
+      |pairs AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS m
+      |  FROM tri GROUP BY doc_id, tri),
+      |keys AS (SELECT doc_id, tri, m,
+      |    p[1] || ' ' || p[2] AS ctx2, p[2] || ' ' || p[3] AS bi,
+      |    p[2] AS ctx1, p[3] AS uni
+      |  FROM (SELECT doc_id, tri, m, string_split(tri, ' ') AS p FROM pairs)),
+      |scored AS (
+      |  SELECT doc_id, m,
+      |    CAST(ln(CASE
+      |      WHEN coalesce(t3.c3, 0) > 0 THEN CAST(t3.c3 AS DOUBLE) / CAST(b2.c2 AS DOUBLE)
+      |      WHEN coalesce(b1.c2, 0) > 0 THEN 0.4 * CAST(b1.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+      |      ELSE 0.16 * CAST(greatest(coalesce(u2.c1, 0), 1) AS DOUBLE) / CAST(n.n_train AS DOUBLE)
+      |    END) AS DECIMAL(18,9)) * CAST(m AS DECIMAL(10,0)) AS term
+      |  FROM keys k
+      |  LEFT JOIN c3 t3 ON k.tri = t3.g
+      |  LEFT JOIN c2 b2 ON k.ctx2 = b2.g
+      |  LEFT JOIN c2 b1 ON k.bi = b1.g
+      |  LEFT JOIN c1 u1 ON k.ctx1 = u1.g
+      |  LEFT JOIN c1 u2 ON k.uni = u2.g
+      |  CROSS JOIN n)
+      |, perdoc AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_scored,
+      |    CAST(sum(term) AS DOUBLE) AS logprob_sum
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
   /** Shared shingle-set SQL fragment for oracles (3-shingles, distinct). */
   private val ShingleCte =
     """sh AS (
@@ -1105,96 +1205,9 @@ object LlmQueries {
     // join on n-gram keys (a real corpus's trigram vocab does not
     // broadcast); nothing is all-to-all. Cross-engine bit-exactness via
     // the house DECIMAL-snapped ln + order-insensitive DECIMAL sums.
-    Q("q156_lm_stupid_backoff", { (s, dir) =>
-        val docs = t(s, dir, "documents")
-        val toks = TextOps.tokens(col("text"))
-        val train = docs.filter(col("doc_id") % 2 === 0)
-        val uni = train.select(explode(toks).as("g"))
-          .groupBy("g").agg(count(lit(1)).as("c1"))
-        val bi = train.select(explode(WordSpans(toks, 2)).as("g"))
-          .groupBy("g").agg(count(lit(1)).as("c2"))
-        val tri = train.select(explode(WordSpans(toks, 3)).as("g"))
-          .groupBy("g").agg(count(lit(1)).as("c3"))
-        val n = train.agg(sum(size(toks)).cast(LongType).as("n_train"))
-        val pairs = docs.select(col("doc_id"), explode(WordSpans(toks, 3)).as("tri"))
-          .groupBy("doc_id", "tri").agg(count(lit(1)).as("m"))
-          .withColumn("p", split(col("tri"), " "))
-          .select(col("doc_id"), col("tri"), col("m"),
-            concat_ws(" ", col("p")(0), col("p")(1)).as("ctx2"),
-            concat_ws(" ", col("p")(1), col("p")(2)).as("bi"),
-            col("p")(1).as("ctx1"), col("p")(2).as("uni"))
-        val scored = pairs
-          .join(tri.select(col("g").as("tri"), col("c3")), Seq("tri"), "left")
-          .join(bi.select(col("g").as("ctx2"), col("c2").as("c2ctx")), Seq("ctx2"), "left")
-          .join(bi.select(col("g").as("bi"), col("c2").as("c2bi")), Seq("bi"), "left")
-          .join(uni.select(col("g").as("ctx1"), col("c1").as("c1ctx")), Seq("ctx1"), "left")
-          .join(uni.select(col("g").as("uni"), col("c1").as("c1uni")), Seq("uni"), "left")
-          .crossJoin(broadcast(n))
-        val sb = when(coalesce(col("c3"), lit(0L)) > 0,
-            col("c3").cast(DoubleType) / col("c2ctx").cast(DoubleType))
-          .when(coalesce(col("c2bi"), lit(0L)) > 0,
-            lit(0.4) * col("c2bi").cast(DoubleType) / col("c1ctx").cast(DoubleType))
-          .otherwise(lit(0.16) *
-            greatest(coalesce(col("c1uni"), lit(0L)), lit(1L)).cast(DoubleType) /
-            col("n_train").cast(DoubleType))
-        // The snapped ln STAYS decimal and multiplies the integer count in
-        // exact decimal arithmetic — a double product cast back to decimal
-        // lands on .5 ulp boundaries (snap9 × integer) where the two
-        // engines' rounding can split by 1e-8.
-        val perDoc = scored
-          .select(col("doc_id"), col("m"),
-            (log(sb).cast(DecimalType(18, 9)) *
-              col("m").cast(DecimalType(10, 0))).as("term"))
-          .groupBy("doc_id")
-          .agg(sum(col("m")).as("n_scored"),
-            sum(col("term")).cast(DoubleType).as("logprob_sum"))
-        // Left-join back onto the doc spine: docs with < 3 tokens have no
-        // trigram pairs and would otherwise vanish from the output.
-        docs.select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_scored"), lit(0L)).as("n_scored"),
-            col("logprob_sum"),
-            (col("logprob_sum") / col("n_scored").cast(DoubleType)).as("avg_logprob"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |trn AS (SELECT doc_id, toks FROM toks WHERE doc_id % 2 = 0),
-             |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1
-             |  FROM (SELECT unnest(toks) AS g FROM trn) GROUP BY g),
-             |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
-             |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
-             |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM trn) GROUP BY g),
-             |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
-             |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
-             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM trn) GROUP BY g),
-             |n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_train FROM trn),
-             |tri AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri FROM toks),
-             |pairs AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS m
-             |  FROM tri GROUP BY doc_id, tri),
-             |keys AS (SELECT doc_id, tri, m,
-             |    p[1] || ' ' || p[2] AS ctx2, p[2] || ' ' || p[3] AS bi,
-             |    p[2] AS ctx1, p[3] AS uni
-             |  FROM (SELECT doc_id, tri, m, string_split(tri, ' ') AS p FROM pairs)),
-             |scored AS (
-             |  SELECT doc_id, m,
-             |    CAST(ln(CASE
-             |      WHEN coalesce(t3.c3, 0) > 0 THEN CAST(t3.c3 AS DOUBLE) / CAST(b2.c2 AS DOUBLE)
-             |      WHEN coalesce(b1.c2, 0) > 0 THEN 0.4 * CAST(b1.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
-             |      ELSE 0.16 * CAST(greatest(coalesce(u2.c1, 0), 1) AS DOUBLE) / CAST(n.n_train AS DOUBLE)
-             |    END) AS DECIMAL(18,9)) * CAST(m AS DECIMAL(10,0)) AS term
-             |  FROM keys k
-             |  LEFT JOIN c3 t3 ON k.tri = t3.g
-             |  LEFT JOIN c2 b2 ON k.ctx2 = b2.g
-             |  LEFT JOIN c2 b1 ON k.bi = b1.g
-             |  LEFT JOIN c1 u1 ON k.ctx1 = u1.g
-             |  LEFT JOIN c1 u2 ON k.uni = u2.g
-             |  CROSS JOIN n)
-             |, perdoc AS (
-             |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_scored,
-             |    CAST(sum(term) AS DOUBLE) AS logprob_sum
-             |  FROM scored GROUP BY doc_id)
+    Q("q156_lm_stupid_backoff",
+      (s, dir) => lmScoreDf(s, dir).orderBy("doc_id"),
+      Some(s"""$LmScoreCtes
              |SELECT d.doc_id, coalesce(p.n_scored, 0) AS n_scored,
              |  p.logprob_sum,
              |  p.logprob_sum / CAST(p.n_scored AS DOUBLE) AS avg_logprob
@@ -1646,6 +1659,198 @@ object LlmQueries {
              |SELECT domain, rn, canonical_url, canonical_id, n_dups
              |FROM (SELECT domain, canonical_url, canonical_id, n_dups,
              |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY canonical_id) AS rn FROM grp)
-             |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin)),
+
+    // Multinomial Naive-Bayes quality classifier — the learned filter
+    // GPT-3/LLaMA-style pipelines train to score CommonCrawl against a
+    // curated target (Brown et al. 2020 §A; their LR over hashed features,
+    // here the closed-form NB variant, which is exactly SQL-expressible).
+    // Per-word log-odds λ(w) = ln p(w|target) − ln p(w|raw-rest) with
+    // add-1 smoothing over the corpus vocabulary V; doc score = prior
+    // log-odds + Σ m_w·λ(w); keep iff score > 0. Scale shape: two
+    // vocab-scale count aggs, scoring joins at the (doc, word) pair level
+    // on the word key (q156's skew note; a real vocab does not
+    // broadcast), DECIMAL-snapped ln + decimal sums for cross-engine
+    // bit-exactness.
+    Q("q165_nb_quality", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val isTgt = col("source").isin("src0", "src1", "src2", "src3")
+        val f = docs.select(col("doc_id"),
+          when(isTgt, 1L).otherwise(0L).as("tgt"), explode(toks).as("w"))
+        val cls = f.groupBy("w").agg(sum("tgt").as("ct"),
+          (count(lit(1)) - sum("tgt")).as("cr"))
+        val tot = cls.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+          count(lit(1)).as("v"))
+        // ONE ln of the odds ratio, not ln(p_t) − ln(p_r): every extra ln
+        // doubles the exposure to the 0.5e-9 decimal-snap boundary where
+        // the engines' libm can split (integer products stay exact in
+        // doubles below 2^53, so the ratio argument is bit-identical).
+        val lam = cls.crossJoin(broadcast(tot))
+          .select(col("w"),
+            log(((col("ct") + 1) * (col("nr") + col("v"))).cast(DoubleType) /
+                ((col("cr") + 1) * (col("nt") + col("v"))).cast(DoubleType))
+              .cast(DecimalType(18, 9)).as("lam"))
+        val prior = docs.agg(
+          sum(when(isTgt, 1L).otherwise(0L)).as("dt"), count(lit(1)).as("d"))
+          .select((log(col("dt").cast(DoubleType) / (col("d") - col("dt")).cast(DoubleType)))
+            .cast(DecimalType(18, 9)).as("prior"))
+        f.groupBy("doc_id", "w").agg(count(lit(1)).as("m"))
+          .join(lam, "w")
+          .groupBy("doc_id")
+          .agg(sum("m").as("n_tokens"),
+            // cap at (28,9): the raw DECIMAL(38,9) sum + the (18,9) prior
+            // would exceed precision 38 and Spark's precision-loss rule
+            // silently drops to scale 8 — a 2e-9 hash mismatch vs DuckDB
+            sum(col("m").cast(DecimalType(10, 0)) * col("lam"))
+              .cast(DecimalType(28, 9)).as("s"))
+          .crossJoin(broadcast(prior))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("s") + col("prior")).cast(DoubleType).as("score"),
+            ((col("s") + col("prior")) > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS tgt,
+             |    unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |cls AS (SELECT w, CAST(sum(tgt) AS BIGINT) AS ct,
+             |    CAST(count(*) - sum(tgt) AS BIGINT) AS cr FROM f GROUP BY w),
+             |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+             |    CAST(count(*) AS BIGINT) AS v FROM cls),
+             |lam AS (SELECT w,
+             |    CAST(ln(CAST((ct + 1) * (nr + v) AS DOUBLE)
+             |          / CAST((cr + 1) * (nt + v) AS DOUBLE)) AS DECIMAL(18,9)) AS lam
+             |  FROM cls CROSS JOIN tot),
+             |prior AS (SELECT CAST(ln(CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+             |      THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) - sum(CASE WHEN source IN ('src0','src1','src2','src3')
+             |      THEN 1 ELSE 0 END) AS DOUBLE)) AS DECIMAL(18,9)) AS prior
+             |  FROM documents),
+             |dm AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS m FROM f GROUP BY doc_id, w)
+             |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+             |  CAST(CAST(sum(CAST(m AS DECIMAL(10,0)) * lam) AS DECIMAL(28,9))
+             |    + any_value(prior) AS DOUBLE) AS score,
+             |  (CAST(sum(CAST(m AS DECIMAL(10,0)) * lam) AS DECIMAL(28,9))
+             |    + any_value(prior)) > 0 AS keep
+             |FROM dm JOIN lam USING (w) CROSS JOIN prior
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+    // doc with the trigram LM (q156's engine, shared code + shared oracle
+    // CTEs), cut the score distribution into head/middle/tail TERCILES,
+    // and keep each bucket at its own rate (head 100%, middle 50%, tail
+    // 10%) by the deterministic md5 coin (q82's portable-shuffle idiom).
+    // Docs too short to score land in the tail by policy. Scale shape:
+    // the cutoffs are TWO numbers from an exact percentile agg (a
+    // metadata-scale broadcast; at 100 TB the declared swap is the q97 GK
+    // sketch) — bucketing is then a per-row comparison, NOT a global
+    // ntile sort.
+    Q("q166_ccnet_buckets", { (s, dir) =>
+        val scores = lmScoreDf(s, dir)
+        val cuts = scores.filter(col("avg_logprob").isNotNull)
+          .agg(expr("percentile(avg_logprob, array(CAST(1.0/3.0 AS DOUBLE), CAST(2.0/3.0 AS DOUBLE)))").as("c"))
+          .select(col("c")(0).as("c1"), col("c")(1).as("c2"))
+        val bucketed = scores.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            when(col("avg_logprob").isNull, 3)
+              .when(col("avg_logprob") >= col("c2"), 1)
+              .when(col("avg_logprob") >= col("c1"), 2)
+              .otherwise(3))
+        val coin = substring(md5(concat(lit("ccnet:"), col("doc_id").cast(StringType))), 1, 4)
+        bucketed
+          .withColumn("kept",
+            when(col("bucket") === 1, lit(true))
+              .when(col("bucket") === 2, coin < "8000")
+              .otherwise(coin < "199a"))
+          .select(col("doc_id"), col("avg_logprob"), col("bucket"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$LmScoreCtes,
+             |sc AS (SELECT d.doc_id,
+             |    p.logprob_sum / CAST(p.n_scored AS DOUBLE) AS avg_logprob
+             |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+             |cuts AS (SELECT quantile_cont(avg_logprob, 1.0/3.0) AS c1,
+             |    quantile_cont(avg_logprob, 2.0/3.0) AS c2
+             |  FROM sc WHERE avg_logprob IS NOT NULL),
+             |b AS (SELECT doc_id, avg_logprob,
+             |    CASE WHEN avg_logprob IS NULL THEN 3
+             |         WHEN avg_logprob >= c2 THEN 1
+             |         WHEN avg_logprob >= c1 THEN 2 ELSE 3 END AS bucket
+             |  FROM sc CROSS JOIN cuts)
+             |SELECT doc_id, avg_logprob, bucket,
+             |  CASE WHEN bucket = 1 THEN true
+             |       WHEN bucket = 2 THEN substr(md5('ccnet:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+             |       ELSE substr(md5('ccnet:' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a' END AS kept
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // Edit-distance near-dup pairs — the character-level complement of
+    // the token-set measures (q41 Jaccard, q42 MinHash): docs in the same
+    // (24-char prefix, length/8) block whose full texts are within
+    // Levenshtein 40 are near-dup pairs. Blocking is the declared
+    // trade-off (an edit inside the first 24 chars escapes the block —
+    // the high-recall path is q42's LSH); within a block every pair is
+    // checked, and block sizes are bounded by construction (measured max
+    // 3 at sf0.1). levenshtein() is identically defined in Spark and
+    // DuckDB, so the oracle replays the same algorithm.
+    Q("q167_editdist_pairs", { (s, dir) =>
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            substring(col("text"), 1, 24).as("pfx"),
+            (length(col("text")).cast(LongType) / 8).cast(LongType).as("lb"))
+        val a = d.select(col("doc_id").as("da"), col("text").as("ta"),
+          col("pfx"), col("lb"))
+        val b = d.select(col("doc_id").as("db"), col("text").as("tb"),
+          col("pfx"), col("lb"))
+        a.join(b, Seq("pfx", "lb"))
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db"),
+            levenshtein(col("ta"), col("tb")).cast(LongType).as("dist"))
+          .filter(col("dist") <= 40)
+          .orderBy("da", "db")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, substr(text, 1, 24) AS pfx,
+             |    len(text) // 8 AS lb FROM documents)
+             |SELECT a.doc_id AS da, b.doc_id AS db,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             |FROM d a JOIN d b ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.text, b.text) <= 40
+             |ORDER BY da, db""".stripMargin)),
+
+    // Boilerplate prefix stripping — header/footer removal by prefix
+    // frequency (the doc-level cousin of q158's span removal): an 8-token
+    // prefix shared by ≥ 3 documents is boilerplate; affected docs are
+    // rewritten without it. One prefix groupBy (vocab-scale), one
+    // broadcast-size join back (the boilerplate set is tiny by
+    // definition — only prefixes with support ≥ 3 survive).
+    Q("q168_boilerplate_strip", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val withPfx = d.select(col("doc_id"), col("text"),
+          size(toks).cast(LongType).as("n_tokens"),
+          array_join(slice(toks, 1, 8), " ").as("pfx"))
+        val hot = withPfx.filter(col("n_tokens") >= 8)
+          .groupBy("pfx").agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 3)
+        withPfx.join(broadcast(hot), Seq("pfx"), "left")
+          .select(col("doc_id"),
+            coalesce(col("supp"), lit(0L)).as("prefix_support"),
+            (col("supp").isNotNull && col("n_tokens") >= 8).as("stripped"),
+            when(col("supp").isNotNull && col("n_tokens") >= 8,
+              array_join(slice(TextOps.tokens(col("text")), 9, 1000000), " "))
+              .otherwise(col("text")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    array_to_string(toks[1:8], ' ') AS pfx, toks FROM d),
+             |hot AS (SELECT pfx, CAST(count(*) AS BIGINT) AS supp
+             |  FROM p WHERE n_tokens >= 8 GROUP BY pfx HAVING count(*) >= 3)
+             |SELECT doc_id, coalesce(supp, 0) AS prefix_support,
+             |  (supp IS NOT NULL AND n_tokens >= 8) AS stripped,
+             |  CASE WHEN supp IS NOT NULL AND n_tokens >= 8
+             |    THEN array_to_string(toks[9:], ' ') ELSE text END AS clean_text
+             |FROM p LEFT JOIN hot USING (pfx)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -366,6 +366,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "dedup agg must map-side combine\n" + p)
   }
 
+  test("q165 NB classifier: scoring joins on the word key at pair level, no cartesian") {
+    val p = plan("q165_nb_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(doc_id") || p.contains("hashpartitioning(w"),
+      "scoring must aggregate (doc, word) pairs\n" + p)
+    assert(p.contains("partial_"), "count aggs must map-side combine\n" + p)
+    assert("\\[w#\\d+\\], \\[w#\\d+\\]".r.findFirstIn(p).isDefined,
+      "the lambda lookup must be an equi-join on the word\n" + p)
+  }
+
+  test("q166 CCNet buckets: cutoffs broadcast, bucketing per-row — no window, no sort-by-score") {
+    val p = plan("q166_ccnet_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    // the tercile cutoffs are a 1-row broadcast; bucketing is a comparison,
+    // never an ntile window (a global sort at corpus scale)
+    assert(!p.contains("WindowExec") && !"Window \\[ntile".r.findFirstIn(p).isDefined,
+      "bucketing must not plan a global ntile window\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the two-value cutoff row must broadcast\n" + p)
+  }
+
+  test("q167 edit-distance pairs: blocked equi self-join, never all-pairs") {
+    val p = plan("q167_editdist_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay blocked on (prefix, length bucket)\n" + p)
+    assert("\\[pfx#\\d+, lb#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      "the self-join must key on the block\n" + p)
+  }
+
+  test("q168 boilerplate strip: hot-prefix set broadcasts back, agg map-side combines") {
+    val p = plan("q168_boilerplate_strip")
+    assert(p.contains("BroadcastHashJoin"),
+      "the boilerplate set is tiny by definition and must broadcast\n" + p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q158 span removal: dup filter is a window, removal an anti-join, no cartesian") {
     val p = plan("q158_dup_span_removal")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
