@@ -313,6 +313,51 @@ object FunctionQueries {
       },
       Some(RecursiveSql)),
 
+    // VARIANT ingestion (Spark 4's semi-structured type — the open-format
+    // answer to schema-drifting JSON): rows carry heterogeneous JSON
+    // (every third order has nested tags/meta the others lack),
+    // parse_json lands them in ONE variant column with no up-front
+    // schema, and typed path extraction (variant_get / try_variant_get)
+    // reads what each row has — missing paths are NULL, not errors. The
+    // JSON text carries only integers/strings (double rendering differs
+    // across engines); the oracle replays the paths with json_extract.
+    // Per-row codegen'd parse+extract, zero shuffle.
+    Q("q169_variant_json", { (s, dir) =>
+        val o = Tables(s, dir, "orders")
+        val pk = col("o_orderkey")
+        val j = concat(lit("{\"k\":"), pk.cast(StringType),
+          lit(",\"cents\":"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType)
+            .cast(StringType),
+          when(pk % 3 === 0, concat(
+            lit(",\"tags\":[\"t"), (pk % 5).cast(StringType),
+            lit("\"],\"meta\":{\"pri\":\""), col("o_orderpriority"), lit("\"}")))
+            .otherwise(lit("")),
+          lit("}"))
+        o.select(pk.as("id"), parse_json(j).as("v"))
+          .select(col("id"),
+            expr("variant_get(v, '$.k', 'long')").as("k"),
+            expr("variant_get(v, '$.cents', 'long')").as("cents"),
+            expr("try_variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+            expr("try_variant_get(v, '$.meta.pri', 'string')").as("pri"))
+          .orderBy("id")
+      },
+      Some("""WITH src AS (SELECT o_orderkey AS id,
+             |  '{"k":' || CAST(o_orderkey AS VARCHAR)
+             |  || ',"cents":' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+             |  || CASE WHEN o_orderkey % 3 = 0
+             |       THEN ',"tags":["t' || CAST(o_orderkey % 5 AS VARCHAR)
+             |         || '"],"meta":{"pri":"' || o_orderpriority || '"}'
+             |       ELSE '' END
+             |  || '}' AS j
+             |  FROM orders)
+             |SELECT id,
+             |  CAST(json_extract(j, '$.k') AS BIGINT) AS k,
+             |  CAST(json_extract(j, '$.cents') AS BIGINT) AS cents,
+             |  json_extract_string(j, '$.tags[0]') AS tag0,
+             |  json_extract_string(j, '$.meta.pri') AS pri
+             |FROM src ORDER BY id""".stripMargin)),
+
     // PIVOT + UNPIVOT round-trip: order counts per year spread across
     // status columns, then melted back to long form (null cells dropped),
     // which must equal the plain GROUP BY — the oracle states exactly that.
