@@ -318,3 +318,143 @@ object SniffContainer {
   def apply(content: Column): Column =
     ColumnBridge.column(SniffContainer(ColumnBridge.expression(content)))
 }
+
+/** EXIF orientation parsing — the one piece of JPEG metadata every image
+  * pipeline must read before geometry matters (resize, crop, aspect
+  * filters): tag 0x0112 in TIFF IFD0 inside the APP1 "Exif" segment,
+  * with the TIFF header choosing byte order per file. Same policy as the
+  * sniffers: pure byte math, every offset bounds-checked, anything
+  * malformed or absent yields null, never a throw.
+  */
+object ExifKernels {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** (orientation 1-8, "II" | "MM") or null when not a JPEG carrying a
+    * well-formed EXIF orientation.
+    */
+  def orientationTuple(b: Array[Byte]): (Int, String) = {
+    if (b == null || b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return null // marker desync
+      val m = u8(b, i + 1)
+      if (m == 0xff) { i += 1 }
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+      else if (m == 0xda) return null // SOS: entropy data follows, no EXIF seen
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return null
+        if (m == 0xe1 && len >= 16 &&
+            b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+            b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+          val base = i + 10 // TIFF header start
+          val end = i + 2 + len
+          if (base + 8 > end) return null
+          val little =
+            if (b(base) == 'I' && b(base + 1) == 'I') true
+            else if (b(base) == 'M' && b(base + 1) == 'M') false
+            else return null
+          def r16(at: Int): Int = if (little) le16(b, at) else be16(b, at)
+          def r32(at: Int): Long = if (little) le32(b, at) else be32(b, at)
+          if (r16(base + 2) != 42) return null
+          val ifd0 = r32(base + 4)
+          if (ifd0 < 8 || base + ifd0 + 2 > end) return null
+          val entries = r16(base + ifd0.toInt)
+          var e = 0
+          while (e < entries) {
+            val at = base + ifd0.toInt + 2 + 12 * e
+            if (at + 12 > end) return null
+            if (r16(at) == 0x0112) {
+              // SHORT count 1: value lives in the first 2 bytes of the
+              // 4-byte value field
+              if (r16(at + 2) != 3 || r32(at + 4) != 1L) return null
+              val v = r16(at + 8)
+              return if (v >= 1 && v <= 8) (v, if (little) "II" else "MM") else null
+            }
+            e += 1
+          }
+          return null // APP1 Exif present but no orientation tag
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+
+  def orientation(bytes: Array[Byte]): InternalRow = {
+    val r = orientationTuple(bytes)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](r._1, UTF8String.fromString(r._2)))
+  }
+
+  /** Fixture-side encoder (test/bench setup only, like the cdc fixture
+    * builders): a minimal JPEG with an APP1 Exif segment carrying IFD0
+    * with `extraTags` dummy entries before the orientation tag.
+    */
+  def jpegWithExif(orientation: Int, little: Boolean, extraTags: Int): Array[Byte] = {
+    val tiff = {
+      val t = new java.io.ByteArrayOutputStream()
+      def t8(v: Int): Unit = t.write(v & 0xff)
+      def t16(v: Int): Unit = if (little) { t8(v); t8(v >> 8) } else { t8(v >> 8); t8(v) }
+      def t32(v: Long): Unit =
+        if (little) { t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt); t8((v >> 24).toInt) }
+        else { t8((v >> 24).toInt); t8((v >> 16).toInt); t8((v >> 8).toInt); t8(v.toInt) }
+      t.write(if (little) "II".getBytes else "MM".getBytes)
+      t16(42); t32(8L) // IFD0 at offset 8
+      t16(extraTags + 1)
+      for (k <- 0 until extraTags) { // dummy tags below 0x0112, sorted
+        t16(0x0100 + k); t16(3); t32(1L); t16(77); t16(0)
+      }
+      t16(0x0112); t16(3); t32(1L); t16(orientation); t16(0)
+      t32(0L) // no next IFD
+      t.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte)) // SOI
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    out.write(Array[Byte](0xff.toByte, 0xe1.toByte)) // APP1
+    out.write(((payload.length + 2) >> 8) & 0xff); out.write((payload.length + 2) & 0xff)
+    out.write(payload)
+    // SOS + EOI so the stream looks like a real (if empty) image
+    out.write(Array[Byte](0xff.toByte, 0xda.toByte))
+    out.write(Array[Byte](0xff.toByte, 0xd9.toByte))
+    out.toByteArray
+  }
+}
+
+/** Codegen'd EXIF orientation over a `binary` column:
+  * struct<orientation int, byte_order string>, null when absent/malformed.
+  */
+case class SniffExif(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("byte_order", StringType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SniffExif expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExifKernels.orientation(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.ExifKernels.orientation($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): SniffExif =
+    copy(child = newChild)
+}
+
+object SniffExif {
+  def apply(content: Column): Column =
+    ColumnBridge.column(SniffExif(ColumnBridge.expression(content)))
+}

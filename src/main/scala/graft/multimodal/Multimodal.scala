@@ -279,6 +279,38 @@ object MultimodalQueries {
              |CAST(CASE WHEN doc_id % 4 = 3 THEN doc_id % 200 + 1
              |  ELSE ([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1]
              |  END AS INTEGER) AS p2
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // EXIF orientation (TIFF IFD0 tag 0x0112 inside the JPEG APP1 "Exif"
+    // segment, byte order chosen per file by the TIFF header): the one
+    // JPEG metadata field every image pipeline must read before geometry
+    // matters. Fixture JPEGs are synthesized with formula-known
+    // orientation/endianness and a varying number of dummy IFD entries
+    // before the tag (the walker must actually walk); every 7th payload
+    // is a PNG — no EXIF — and must yield the (-1, 'none') sentinel, not
+    // an error. The fixture-encode UDF is setup only; the parse side is
+    // the codegen'd SniffExif kernel.
+    Q("q170_exif_orientation", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val enc = udf((id: Long) =>
+          if (id % 7 == 0) // a PNG: signature + IHDR, no EXIF anywhere
+            Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+              new Array[Byte](17)
+          else ExifKernels.jpegWithExif(
+            orientation = (id % 8 + 1).toInt,
+            little = id % 2 == 0,
+            extraTags = (id % 3).toInt))
+        d.select(col("doc_id").as("media_id"), SniffExif(enc(col("doc_id"))).as("e"))
+          .select(col("media_id"),
+            coalesce(col("e.orientation"), lit(-1)).as("orientation"),
+            coalesce(col("e.byte_order"), lit("none")).as("byte_order"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(CASE WHEN doc_id % 7 = 0 THEN -1 ELSE doc_id % 8 + 1 END AS INTEGER)
+             |  AS orientation,
+             |CASE WHEN doc_id % 7 = 0 THEN 'none'
+             |     WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
              |FROM documents ORDER BY media_id""".stripMargin))
   )
 }
