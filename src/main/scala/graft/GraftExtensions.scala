@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
   }
 }
 
@@ -157,5 +158,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinGuardRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinGuardRule
   }
 }

@@ -1794,6 +1794,10 @@ object LlmQueries {
     // 3 at sf0.1). levenshtein() is identically defined in Spark and
     // DuckDB, so the oracle replays the same algorithm.
     Q("q167_editdist_pairs", { (s, dir) =>
+        // registers LevenshteinGuardRule: the filter below plans as the
+        // O(1) length-gap guard + Spark's banded O(k·n) threshold kernel
+        // (LevGuardSpec proves plan shape + row equivalence vs disabled)
+        graft.GraftExtensions.register(s)
         val d = t(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             substring(col("text"), 1, 24).as("pfx"),
