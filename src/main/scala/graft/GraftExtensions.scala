@@ -148,6 +148,12 @@ object GraftExtensions {
     "binlog_rows_full_meta" -> { args: Seq[Expression] =>
       require(args.length == 3, "binlog_rows_full_meta(body, event_type, tablemap)")
       graft.cdc.BinlogRowsDecodeFullMeta(args(0), args(1), args(2))
+    },
+    "winnow_fingerprint" -> { args: Seq[Expression] =>
+      require(args.length == 3, "winnow_fingerprint(tokens, k, w)")
+      graft.llm.WinnowFingerprint(args(0),
+        intLit(args(1), "winnow_fingerprint", "k"),
+        intLit(args(2), "winnow_fingerprint", "w"))
     })
 
   /** Register every function + optimizer rule into a live session. */

@@ -1855,6 +1855,141 @@ object LlmQueries {
              |  CASE WHEN supp IS NOT NULL AND n_tokens >= 8
              |    THEN array_to_string(toks[9:], ' ') ELSE text END AS clean_text
              |FROM p LEFT JOIN hot USING (pfx)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    // the MOSS local document-fingerprinting scheme): hash every word
+    // 3-gram, slide a window of 4 hashes, select each window's minimum
+    // (rightmost on ties) once per position. Any shared run of >= k+w-1
+    // tokens across two docs is GUARANTEED to share a fingerprint — the
+    // locality property MinHash sampling lacks — at ~2/(w+1) density.
+    // Spark side: one per-row codegen'd O(n·w) kernel, zero shuffle
+    // before the output sort. The oracle replays the definition literally
+    // (every full window, rightmost min, distinct positions) with the
+    // same md5-prefix hashes.
+    Q("q171_winnow_fingerprint", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("fp"))
+          .select(col("doc_id"), col("fp.pos").cast(LongType).as("pos"),
+            col("fp.hash").as("fp_hash"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |    substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |win AS (SELECT b.doc_id, b.pos, b.h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4)
+             |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp_hash
+             |FROM win WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin)),
+
+    // Deterministic corpus shuffle + shard assignment — the training-order
+    // pass every pipeline runs last (C4/T5 shuffle-then-shard, Raffel et
+    // al. 2020 §2.2; epoch reshuffle = change the salt). A global sort
+    // over 100 TB is the naive shape; the scale path is hash-SHARD first
+    // (md5 range partition on the salted key — one hash shuffle, no total
+    // order), then sort only within each shard: readers interleaving the
+    // shards see a uniform deterministic permutation. Shard cutoffs are
+    // fixed hex ranges on the key prefix, so both engines assign
+    // identically without any hex-to-int conversion.
+    Q("q172_shuffle_shard", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val key = md5(concat(lit("ep1:"), col("doc_id").cast(StringType)))
+        val pfx = substring(col("shuffle_key"), 1, 2)
+        // 8 equal md5 ranges: '00'-'1f' -> 0 ... 'e0'-'ff' -> 7
+        val shard = when(pfx < "20", 0).when(pfx < "40", 1).when(pfx < "60", 2)
+          .when(pfx < "80", 3).when(pfx < "a0", 4).when(pfx < "c0", 5)
+          .when(pfx < "e0", 6).otherwise(7).cast(LongType)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("shuffle_key", "doc_id")
+        d.select(col("doc_id"), key.as("shuffle_key"))
+          .withColumn("shard", shard)
+          .withColumn("pos_in_shard", row_number().over(w).cast(LongType))
+          .select("doc_id", "shard", "pos_in_shard")
+          .orderBy("shard", "pos_in_shard")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS key,
+             |    substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS pfx
+             |  FROM documents),
+             |sh AS (SELECT doc_id, key,
+             |    CAST(CASE WHEN pfx < '20' THEN 0 WHEN pfx < '40' THEN 1
+             |      WHEN pfx < '60' THEN 2 WHEN pfx < '80' THEN 3
+             |      WHEN pfx < 'a0' THEN 4 WHEN pfx < 'c0' THEN 5
+             |      WHEN pfx < 'e0' THEN 6 ELSE 7 END AS BIGINT) AS shard
+             |  FROM k)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+             |    AS BIGINT) AS pos_in_shard
+             |FROM sh ORDER BY shard, pos_in_shard""".stripMargin)),
+
+    // Phrase-blocklist screen (the C4 "bad words" filter, Raffel et al.
+    // 2020 §2.2 — docs containing any listed phrase are dropped): every
+    // doc is scanned against a broadcast phrase list with word-boundary
+    // semantics (space-padded containment — a phrase matches whole-word
+    // sequences only, never inside a longer token). Per-row work is
+    // O(len·|list|) with a literal list; the production swap-in at large
+    // list sizes is one Aho-Corasick pass — same contract, still per-row,
+    // still zero shuffle.
+    Q("q173_blocklist_screen", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val hits = filter(
+          array(Blocklist.phrases.map(lit): _*),
+          p => padded.contains(concat(lit(" "), p, lit(" "))))
+        d.select(col("doc_id"), hits.as("hits"))
+          .select(col("doc_id"),
+            size(col("hits")).cast(LongType).as("n_hits"),
+            (size(col("hits")) > 0).as("blocked"),
+            array_join(col("hits"), "|").as("matched"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hits AS (SELECT doc_id,
+             |    list_filter(${Blocklist.sqlList},
+             |      p -> contains(' ' || text || ' ', ' ' || p || ' ')) AS hits
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+             |  len(hits) > 0 AS blocked,
+             |  coalesce(array_to_string(hits, '|'), '') AS matched
+             |FROM hits ORDER BY doc_id""".stripMargin)),
+
+    // IVF-PQ ANN — the full IVFADC composite (Jégou et al. 2011 §IV, the
+    // FAISS `IVFx,PQy` index): coarse inverted file + residual product
+    // quantization + per-probed-cell ADC + exact re-rank, completing the
+    // ANN family (q44 brute, q45 LSH, q57 IVF, q148 flat PQ). The stored
+    // index is N·(1 cell + 8 bytes) — the shape that fits 100 TB of
+    // embeddings in executor memory. Rows-only (iterative trainers);
+    // recall vs the exact q44 baseline gated in PqSpec.
+    Q("q174_sim_topk_ivfpq", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfpqTopK(e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None)
   )
+}
+
+/** The q173 phrase blocklist — one definition feeding both the Spark
+  * literal array and the DuckDB oracle list so the two can never drift.
+  * (C4 screens against the public "List of Dirty, Naughty, Obscene…"
+  * list; the fixture corpus is synthetic SQL-flavored text, so this list
+  * screens pipeline smells instead — the operator contract is identical.)
+  */
+object Blocklist {
+  // Mix of phrases that DO occur in the fixture corpus at every sf
+  // (bigrams of the fixture vocabulary — the screen must actually fire to
+  // be tested) and ones that never do (the negative path).
+  val phrases: Seq[String] = Seq(
+    "table scan", "slow hash", "key order", "window window",
+    "merge data", "drop table", "full outer panic", "cartesian storm")
+
+  def sqlList: String = phrases.map(p => s"'$p'").mkString("[", ", ", "]")
 }

@@ -108,6 +108,71 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Robust winnowing fingerprint (Schleimer, Wilkerson & Aiken 2003, the
+    * MOSS scheme): hash every word k-gram, slide a window of `w` hashes,
+    * and record the window minimum — rightmost position on ties — once per
+    * distinct position. Guarantees a selection in every w-window (so any
+    * shared substring of length ≥ k+w-1 tokens yields a shared
+    * fingerprint) while keeping the fingerprint density ~2/(w+1).
+    *
+    * The gram hash is the first 16 hex chars of md5(gram) so the DuckDB
+    * oracle reproduces it verbatim (`substr(md5(g), 1, 16)`); hex strings
+    * of fixed length compare like the numbers they encode. Documents with
+    * fewer than w grams have no full window and fingerprint to empty — the
+    * documented contract (winnowing is defined over full windows).
+    *
+    * One JIT'd O(n·w) pass per row (w is a small constant), no shuffle.
+    */
+  def winnow(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val ng = n - k + 1
+    if (ng < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val parts = new Array[UTF8String](k)
+    val hashes = new Array[String](ng)
+    var i = 0
+    while (i < ng) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      md.reset()
+      val dig = md.digest(gram.getBytes)
+      val sb = new java.lang.StringBuilder(16)
+      var b = 0
+      while (b < 8) { // 16 hex chars = first 8 digest bytes
+        sb.append(Character.forDigit((dig(b) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(dig(b) & 0xf, 16))
+        b += 1
+      }
+      hashes(i) = sb.toString
+      i += 1
+    }
+    // Right-to-left scan per window keeps the RIGHTMOST tied minimum (the
+    // robust-winnowing tie rule); a position is recorded at most once.
+    val out = new java.util.LinkedHashMap[Integer, String]()
+    var end = w - 1
+    while (end < ng) {
+      var minPos = end
+      var q = end - 1
+      while (q > end - w) {
+        if (hashes(q).compareTo(hashes(minPos)) < 0) minPos = q
+        q -= 1
+      }
+      out.putIfAbsent(minPos, hashes(minPos))
+      end += 1
+    }
+    val rows = new Array[Any](out.size)
+    val it = out.entrySet().iterator()
+    var r = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.intValue(), UTF8String.fromString(e.getValue))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Distinct word k-shingles in first-occurrence order — identical output
     * to `array_distinct(transform(...))` over the same tokens.
     */
@@ -175,6 +240,38 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+/** Codegen'd robust-winnowing fingerprint over an `array<string>` token
+  * column: `array<struct<pos:int, hash:string>>` of selected (k-gram
+  * position, 16-hex-char md5 prefix) pairs — see [[TextKernels.winnow]].
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Serializable {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+  require(w >= 1, s"window width must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("hash", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"WinnowFingerprint expects ARRAY<STRING> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnow(input.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def apply(tokens: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(tokens), k, w))
 }
 
 /** Codegen'd ALL-k-gram spans (position order, non-distinct) over an

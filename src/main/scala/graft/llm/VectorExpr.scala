@@ -105,6 +105,41 @@ object IvfKernels {
     }
     new GenericArrayData(idx.take(n))
   }
+
+  /** IVFADC's per-vector (cell, residual): unit-normalize, assign the
+    * argmax-dot cell (identical tie rule to [[cell]]), residual =
+    * unit − centroid — the quantity the residual PQ codebooks code.
+    * One fused pass; returns struct(cell INT, res ARRAY<DOUBLE>).
+    */
+  def residual(v: ArrayData,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    if (centroids.length > 0 && n != centroids(0).length)
+      throw new IllegalArgumentException(
+        s"IVF: embedding dimension $n != centroid dimension ${centroids(0).length}")
+    val unit = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); unit(i) = x; ss += x * x; i += 1 }
+    val nrm = math.sqrt(ss)
+    if (nrm != 0.0) { i = 0; while (i < n) { unit(i) /= nrm; i += 1 } }
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var s = 0.0
+      i = 0
+      while (i < n) { s += cen(i) * unit(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    val cen = centroids(best)
+    val res = new Array[Any](n)
+    i = 0
+    while (i < n) { res(i) = unit(i) - cen(i); i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(best, new GenericArrayData(res))
+  }
 }
 
 /** Hyperplane-LSH signature kernel: bit j of the result is
@@ -195,6 +230,37 @@ case class IvfProbe(child: Expression, centroids: Array[Array[Double]], nprobe: 
     })
   override protected def withNewChildInternal(newChild: Expression): IvfProbe =
     copy(child = newChild)
+}
+
+/** Codegen'd IVFADC (cell, residual) assignment over an `array<double>`
+  * column — see [[IvfKernels.residual]].
+  */
+case class IvfResidual(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("res",
+      ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"IvfResidual expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    IvfKernels.residual(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      s"${ev.value} = graft.llm.IvfKernels.residual($c, $ref);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): IvfResidual =
+    copy(child = newChild)
+}
+
+object IvfResidual {
+  def apply(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(IvfResidual(ColumnBridge.expression(v), centroids))
 }
 
 object IvfCell {

@@ -71,4 +71,52 @@ class PqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(one == many)
   }
+
+  // ---- IVF-PQ (IVFADC composite, q174) ----
+
+  test("IVF-PQ recall@5 >= 0.85 vs brute force at the q174 defaults") {
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val bf = triples(Similarity.bruteForceTopK(queries, e, 5))
+    val ivfpq = triples(Similarity.ivfpqTopK(queries, e, 5))
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    // probing 8/16 cells bounds recall by list coverage; measured 0.96
+    // at sf0.001 — floor leaves noise margin
+    assert(recall >= 0.85, s"recall=$recall bf=${bf.size} ivfpq=${ivfpq.size}")
+  }
+
+  test("probing every cell recovers (at least) the flat-PQ recall") {
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val bf = triples(Similarity.bruteForceTopK(queries, e, 5))
+    val all = triples(Similarity.ivfpqTopK(queries, e, 5, nlist = 16, nprobe = 16))
+    val part = triples(Similarity.ivfpqTopK(queries, e, 5, nlist = 16, nprobe = 4))
+    val rAll = (bf & all).size.toDouble / bf.size
+    val rPart = (bf & part).size.toDouble / bf.size
+    // full probing scores every list — narrowing probes can only lose lists
+    assert(rAll >= rPart, s"nprobe=16 recall $rAll < nprobe=4 recall $rPart")
+    assert(rAll >= 0.9, s"full-probe recall $rAll")
+  }
+
+  test("IVF-PQ result is partition-count independent") {
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val one = Similarity.ivfpqTopK(queries, e.repartition(1), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val many = Similarity.ivfpqTopK(queries, e.repartition(7), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(one == many)
+  }
+
+  test("residual codebooks are deterministic and residual-scale small") {
+    val e = Tables(spark, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, 16)
+    val a = Similarity.trainResidualCodebooks(e, cents, m = 8, ksub = 16)
+    val b = Similarity.trainResidualCodebooks(e.repartition(7), cents, m = 8, ksub = 16)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq == b.map(_.map(_.toSeq).toSeq).toSeq)
+    // residuals live near the origin: their codebook centroids should be
+    // much shorter than unit-vector sub-centroids on average
+    val norms = for (book <- a; cen <- book) yield math.sqrt(cen.map(x => x * x).sum)
+    assert(norms.max < 1.0, s"residual sub-centroid norm ${norms.max} not residual-scale")
+  }
 }

@@ -49,4 +49,64 @@ object TextKernelProps extends Properties("TextKernels") {
       h == TextKernels.simhash64(arr(ts)) &&
         h == TextKernels.simhash64(arr(scala.util.Random.shuffle(ts)))
     }
+
+  // ---- winnowing (Schleimer et al. 2003) ----
+
+  private def md5Prefix(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** The naive model: every full window of w gram hashes, rightmost
+    * minimum, distinct positions — the definition, written without any of
+    * the kernel's code.
+    */
+  private def winnowModel(ts: List[String], k: Int, w: Int): Set[(Int, String)] = {
+    val hs = ts.sliding(k).filter(_.size == k).map(g => md5Prefix(g.mkString(" "))).toVector
+    if (hs.length < w) Set.empty
+    else (0 to hs.length - w).map { a =>
+      val win = (a until a + w).map(p => (p, hs(p)))
+      val minH = win.map(_._2).min
+      win.filter(_._2 == minH).maxBy(_._1) // rightmost tie
+    }.toSet
+  }
+
+  private def winnowGot(ts: List[String], k: Int, w: Int): Set[(Int, String)] = {
+    val out = TextKernels.winnow(arr(ts), k, w)
+    (0 until out.numElements()).map { i =>
+      val row = out.getStruct(i, 2)
+      (row.getInt(0), row.getUTF8String(1).toString)
+    }.toSet
+  }
+
+  property("winnow == naive all-windows rightmost-min model") =
+    forAll(tokens, Gen.choose(1, 4), Gen.choose(1, 6)) { (ts, k, w) =>
+      winnowGot(ts, k, w) == winnowModel(ts, k, w)
+    }
+
+  property("winnow guarantees a selection in every full window") =
+    forAll(tokens, Gen.choose(2, 6)) { (ts, w) =>
+      val k = 3
+      val ng = ts.length - k + 1
+      val sel = winnowGot(ts, k, w).map(_._1)
+      ng < w || (0 to ng - w).forall(a => (a until a + w).exists(sel))
+    }
+
+  property("a shared token run of >= k+w-1 shares a fingerprint hash") =
+    forAll(tokens.suchThat(_.length >= 6), tokens, tokens) { (ts, pre, suf) =>
+      val (k, w) = (3, 4)
+      val run = ts.take(k + w - 1) // 6 tokens = exactly one full window of grams
+      val doc2 = pre ++ run ++ suf
+      val h1 = winnowGot(ts, k, w).map(_._2)
+      val h2 = winnowGot(doc2, k, w).map(_._2)
+      (h1 & h2).nonEmpty
+    }
+
+  property("winnow with fewer grams than one full window is empty") =
+    forAll(Gen.choose(0, 10), Gen.choose(2, 6)) { (n0, w) =>
+      val n = math.min(n0, w + 1) // ng = n - 2 <= w - 1 < w
+      val ts = List.tabulate(n)(i => s"t$i")
+      TextKernels.winnow(arr(ts), 3, w).numElements() == 0
+    }
 }
