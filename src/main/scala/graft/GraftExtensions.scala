@@ -154,6 +154,10 @@ object GraftExtensions {
       graft.llm.WinnowFingerprint(args(0),
         intLit(args(1), "winnow_fingerprint", "k"),
         intLit(args(2), "winnow_fingerprint", "w"))
+    },
+    "binlog_xa_prepare" -> { args: Seq[Expression] =>
+      require(args.length == 1, "binlog_xa_prepare(body)")
+      graft.cdc.BinlogXaPrepareDecode(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */

@@ -57,6 +57,40 @@ object CdcQueries {
     txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
   }
 
+  /** XA fixture for q176: each gid group is one binlog "file" holding one
+    * distributed transaction — `XA START x` … WRITEs … `XA END x` …
+    * XA_PREPARE(x) — whose fate is formula-derived from (gid/4) % 4:
+    * 0 = one-phase commit (the prepare carries the flag, no outcome
+    * statement), 1 = a later `XA COMMIT x`, 2 = a later `XA ROLLBACK x`,
+    * 3 = no outcome (stays prepared). gtrid = ascii "g<gid>", empty
+    * bqual, formatID 1 — so the oracle rebuilds the xid text with
+    * lower(hex(...)).
+    */
+  private def xaFixtureEvents(schema: Array[BinlogColumn], gid: Long,
+      rows: Seq[org.apache.spark.sql.Row],
+      writeVals: org.apache.spark.sql.Row => Seq[Any]): Seq[Array[Byte]] = {
+    import BinlogTxnCodec.{QueryType, XaPrepareType}
+    val gtrid = s"g$gid".getBytes("UTF-8")
+    val ghex = gtrid.map(b => f"$b%02x").mkString
+    val xid = BinlogTxnCodec.xidText(ghex, "", 1)
+    def q(sql: String) = BinlogRowCodec.encodeEvent(QueryType,
+      BinlogTxnCodec.encodeQuery("db", sql))
+    def writeEv(r: org.apache.spark.sql.Row) = BinlogRowCodec.encodeEvent(
+      BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
+        BinlogRowCodec.WriteV2, schema, Seq(writeVals(r))))
+    val fate = (gid / 4) % 4
+    val span = (q(s"XA START $xid") +: rows.map(writeEv)) ++ Seq(
+      q(s"XA END $xid"),
+      BinlogRowCodec.encodeEvent(XaPrepareType,
+        BinlogTxnCodec.encodeXaPrepare(fate == 0, 1, gtrid, Array.emptyByteArray)))
+    val outcome = fate match {
+      case 1 => Seq(q(s"XA COMMIT $xid"))
+      case 2 => Seq(q(s"XA ROLLBACK $xid"))
+      case _ => Nil
+    }
+    span ++ outcome
+  }
+
   /** Fixture routing table (FIXTURES.md §4 shapes): prefix, suffix, infix,
     * exact patterns + a blacklist, over (lang, source) as (db, table).
     */
@@ -1250,6 +1284,51 @@ object CdcQueries {
              |  gid * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS xid,
              |  1700000000 + gid * 2 +
              |    (CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END) AS cts
+             |FROM g ORDER BY pk""".stripMargin)),
+
+    // XA distributed-transaction assembly (beyond-reference AND beyond
+    // q127's BEGIN..XID grammar): each gid file holds one
+    // `XA START … XA END … XA_PREPARE` span whose fate is formula-driven
+    // — one-phase commit flag, later XA COMMIT / XA ROLLBACK statement,
+    // or no outcome at all (the dangling prepared txn a consistent
+    // consumer must hold back). xaAssemble stamps every row with the
+    // canonical statement-form xid text and its resolved state; outcomes
+    // are statement-scale metadata aggregated per xid and broadcast.
+    Q("q176_binlog_xa_txn", { (s, dir) =>
+        import org.apache.spark.sql.Row
+        val schema = BinlogSchema.fromMysqlTypes(Seq(
+          "pk" -> "bigint", "status" -> "varchar(4)"))
+        val enc = udf((gid: Long, rows: Seq[Row]) => xaFixtureEvents(
+          schema, gid, rows, r => Seq[Any](r.getLong(0), r.getString(1))))
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val grouped = o.groupBy((key - key % 4).cast(LongType).as("gid"))
+          .agg(sort_array(collect_list(struct(
+            key.cast(LongType), col("o_orderstatus")))).as("rows"))
+        grouped.sortWithinPartitions("gid")
+          .select(col("gid"), posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
+          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
+          .select(col("gid"), col("ord"),
+            col("h.event_type").as("event_type"), col("h.body").as("body"))
+          .transform(Transactions.xaAssemble(_, "gid", "ord"))
+          .filter(col("event_type") === BinlogRowCodec.WriteV2)
+          .select(col("xa_xid"), col("xa_state"),
+            BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
+          .select(col("xa_xid"), col("xa_state"), explode_outer(col("r.data")).as("m"))
+          .select(
+            element_at(col("m"), "pk").cast(LongType).as("pk"),
+            element_at(col("m"), "status").as("status"),
+            col("xa_xid"), col("xa_state"))
+          .orderBy("pk")
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderkey AS pk, o_orderstatus AS status,
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid
+             |  FROM orders)
+             |SELECT pk, status,
+             |  'X''' || lower(hex('g' || CAST(gid AS VARCHAR))) || ''',X'''',1' AS xa_xid,
+             |  CASE (gid // 4) % 4 WHEN 0 THEN 'committed' WHEN 1 THEN 'committed'
+             |    WHEN 2 THEN 'rolled_back' ELSE 'prepared' END AS xa_state
              |FROM g ORDER BY pk""".stripMargin)),
 
     // GTID-framed transaction assembly (beyond-reference: the reference

@@ -84,6 +84,76 @@ object BinlogTxnCodec {
     BinlogRowCodec.uLE(body, 0, 8)
   }
 
+  /** XA_PREPARE_LOG_EVENT (type 38, MySQL 5.7.7+; beyond-reference — no
+    * type-38 arm in `/root/reference/src/binlog.rs`): the binlog record of
+    * a distributed transaction's PREPARE (or, with the one_phase flag, of
+    * `XA COMMIT … ONE PHASE`). Body = one_phase u1, formatID u4 LE,
+    * gtrid_length u4 LE, bqual_length u4 LE, gtrid bytes ++ bqual bytes
+    * (mysql's XA_prepare_event serialization), + the engine-wide 4-byte
+    * checksum tail. The canonical xid text mirrors the statement form the
+    * outcome is issued with (`XA COMMIT X'<gtrid>',X'<bqual>',<formatID>`,
+    * lowercase hex) so prepare and outcome join on one string.
+    */
+  final val XaPrepareType = 38
+
+  val xaPrepareOutputType: StructType = StructType(Seq(
+    StructField("one_phase", BooleanType, nullable = false),
+    StructField("format_id", IntegerType, nullable = false),
+    StructField("gtrid", StringType, nullable = false),
+    StructField("bqual", StringType, nullable = false),
+    StructField("xid_text", StringType, nullable = false)))
+
+  private def hexLower(b: Array[Byte], off: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len * 2)
+    var i = 0
+    while (i < len) {
+      sb.append(Character.forDigit((b(off + i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b(off + i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def xidText(gtridHex: String, bqualHex: String, formatId: Int): String =
+    s"X'$gtridHex',X'$bqualHex',$formatId"
+
+  def decodeXaPrepare(body: Array[Byte]): InternalRow = {
+    if (body.length < 13 + 4)
+      throw new IllegalArgumentException(
+        s"XA_PREPARE body too short: ${body.length} bytes")
+    val onePhase = body(0) != 0
+    val formatId = BinlogRowCodec.uLE(body, 1, 4).toInt
+    val glen = BinlogRowCodec.uLE(body, 5, 4).toInt
+    val blen = BinlogRowCodec.uLE(body, 9, 4).toInt
+    // MYXID caps both at 64 (MAXGTRIDSIZE/MAXBQUALSIZE); reject anything
+    // larger BEFORE the bounds math so a hostile length can't wrap.
+    if (glen < 0 || blen < 0 || glen > 64 || blen > 64)
+      throw new IllegalArgumentException(
+        s"XA_PREPARE xid lengths out of range: gtrid=$glen bqual=$blen")
+    if (13 + glen + blen + 4 > body.length)
+      throw new IllegalArgumentException(
+        s"XA_PREPARE body truncated: need ${13 + glen + blen + 4}, have ${body.length}")
+    val g = hexLower(body, 13, glen)
+    val b = hexLower(body, 13 + glen, blen)
+    InternalRow(onePhase, formatId,
+      UTF8String.fromString(g), UTF8String.fromString(b),
+      UTF8String.fromString(xidText(g, b, formatId)))
+  }
+
+  def encodeXaPrepare(onePhase: Boolean, formatId: Int,
+      gtrid: Array[Byte], bqual: Array[Byte]): Array[Byte] = {
+    require(gtrid.length <= 64 && bqual.length <= 64, "xid component too long")
+    val out = new java.io.ByteArrayOutputStream
+    out.write(if (onePhase) 1 else 0)
+    BinlogRowCodec.writeLE(out, formatId.toLong, 4)
+    BinlogRowCodec.writeLE(out, gtrid.length.toLong, 4)
+    BinlogRowCodec.writeLE(out, bqual.length.toLong, 4)
+    out.write(gtrid)
+    out.write(bqual)
+    out.write(Array[Byte](0, 0, 0, 0)) // checksum tail
+    out.toByteArray
+  }
+
   // ---- fixture/test encoders ----
 
   def encodeQuery(db: String, sql: String, threadId: Long = 7L): Array[Byte] = {
@@ -153,6 +223,23 @@ case class BinlogXidDecode(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogTxnCodec.decodeXid($c)")
   override protected def withNewChildInternal(newChild: Expression): BinlogXidDecode =
+    copy(child = newChild)
+}
+
+/** Codegen'd XA_PREPARE-body decode: BINARY →
+  * struct(one_phase, format_id, gtrid, bqual, xid_text).
+  */
+case class BinlogXaPrepareDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinlogTxnCodec.xaPrepareOutputType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BinlogXaPrepareDecode expects BINARY input, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogTxnCodec.decodeXaPrepare(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.BinlogTxnCodec.decodeXaPrepare($c)")
+  override protected def withNewChildInternal(newChild: Expression): BinlogXaPrepareDecode =
     copy(child = newChild)
 }
 
@@ -255,5 +342,87 @@ object Transactions {
         col("__g.seq") + col("__g.ofs") === col("txn_seq") &&
         (col("__c").isNull || col("__g.ord") > col("__c")), col("__g.g")))
       .drop("__x", "__g", "__c")
+  }
+
+  /** XA (distributed) transaction assembly — the spans [[assemble]]'s
+    * BEGIN..XID grammar cannot see (beyond-reference, and beyond plain
+    * transactional replay: MySQL logs an XA transaction as
+    * `QUERY("XA START x") … rows … QUERY("XA END x")` + XA_PREPARE(x),
+    * and its outcome arrives LATER — possibly much later, in another
+    * file — as a standalone `QUERY("XA COMMIT x")` / `XA ROLLBACK x`
+    * statement; `XA COMMIT … ONE PHASE` folds prepare+commit into one
+    * XA_PREPARE event with the one_phase flag).
+    *
+    * Every event inside an XA span is stamped with `xa_xid` (the
+    * canonical statement-form xid text) and `xa_state`:
+    * `committed` (one-phase, or a matching XA COMMIT outcome exists after
+    * the prepare), `rolled_back` (matching XA ROLLBACK), or `prepared`
+    * (no outcome yet — the dangling distributed transaction a consistent
+    * consumer must hold back). Events outside any XA span pass through
+    * with null stamps.
+    *
+    * Shape: span stamping reuses the one (file, ord) window shuffle
+    * (running XA-START count + forward-first XA_PREPARE); outcomes are
+    * statement-scale metadata (two QUERY events per distributed txn at
+    * most) aggregated to one row per xid and broadcast back — never a
+    * row-scale join. Outcome ordering is honored: only an outcome at or
+    * after the prepare position (by global (file, ord)) resolves it.
+    */
+  def xaAssemble(events: DataFrame, fileCol: String, ordCol: String,
+      typeCol: String = "event_type", bodyCol: String = "body"): DataFrame = {
+    import BinlogTxnCodec.{QueryType, XaPrepareType}
+    val wRun = Window.partitionBy(col(fileCol)).orderBy(col(ordCol))
+    val wFwd = wRun.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sqlCol = ColumnBridge.column(BinlogQueryDecode(
+      ColumnBridge.expression(col(bodyCol)))).getField("sql")
+    val sqlUp = upper(trim(sqlCol))
+    val isQuery = col(typeCol) === QueryType
+    val isXaStart = isQuery && sqlUp.startsWith("XA START")
+    val prep = ColumnBridge.column(BinlogXaPrepareDecode(
+      ColumnBridge.expression(col(bodyCol))))
+    val prepStruct = when(col(typeCol) === XaPrepareType, struct(
+      col("xa_seq").as("seq"),
+      prep.getField("one_phase").as("one_phase"),
+      prep.getField("xid_text").as("xid"),
+      col(fileCol).cast(StringType).as("pfile"),
+      col(ordCol).cast(LongType).as("pord")))
+    val stamped = events
+      .withColumn("xa_seq", sum(when(isXaStart, 1L).otherwise(0L)).over(wRun))
+      .withColumn("__p", first(prepStruct, ignoreNulls = true).over(wFwd))
+      .withColumn("xa_xid", when(col("__p.seq") === col("xa_seq"), col("__p.xid")))
+      .withColumn("__one_phase",
+        when(col("xa_xid").isNotNull, col("__p.one_phase")))
+    // Outcome statements: `XA COMMIT <xid>` / `XA ROLLBACK <xid>` (the
+    // bare two-phase forms; ONE PHASE commits never reach here — they are
+    // the one_phase prepare flag). One row per xid after the agg;
+    // broadcast by construction.
+    val outcomes = events
+      .filter(col(typeCol) === lit(QueryType))
+      .select(col(fileCol).cast(StringType).as("ofile"),
+        col(ordCol).cast(LongType).as("oord"),
+        upper(trim(ColumnBridge.column(BinlogQueryDecode(
+          ColumnBridge.expression(col(bodyCol)))).getField("sql"))).as("osql"),
+        trim(ColumnBridge.column(BinlogQueryDecode(
+          ColumnBridge.expression(col(bodyCol)))).getField("sql")).as("osql_raw"))
+      .filter(col("osql").startsWith("XA COMMIT") || col("osql").startsWith("XA ROLLBACK"))
+      .filter(!col("osql").endsWith("ONE PHASE"))
+      .select(
+        when(col("osql").startsWith("XA COMMIT"), "committed")
+          .otherwise("rolled_back").as("outcome"),
+        trim(substring_index(col("osql_raw"), " ", -1)).as("xa_xid"),
+        col("ofile"), col("oord"))
+      .groupBy("xa_xid")
+      .agg(min(struct(col("ofile"), col("oord"), col("outcome"))).as("o"))
+      .select(col("xa_xid"), col("o.outcome").as("__outcome"),
+        col("o.ofile").as("__ofile"), col("o.oord").as("__oord"))
+    stamped
+      .join(broadcast(outcomes), Seq("xa_xid"), "left")
+      .withColumn("xa_state", when(col("xa_xid").isNull, lit(null).cast(StringType))
+        .when(col("__one_phase"), "committed")
+        .when(col("__outcome").isNotNull &&
+          struct(col("__ofile"), col("__oord")) >=
+            struct(col("__p.pfile"), col("__p.pord")), col("__outcome"))
+        .otherwise("prepared"))
+      .drop("__p", "__one_phase", "__outcome", "__ofile", "__oord")
   }
 }

@@ -1973,7 +1973,52 @@ object LlmQueries {
           .withColumnRenamed("rank", "rnk")
           .orderBy("query_id", "rnk")
       },
-      None)
+      None),
+
+    // Semantic decontamination — embedding-cosine overlap against a
+    // held-out eval set (the "Textbooks Are All You Need" recipe,
+    // Gunasekar et al. 2023 §2.4: drop training docs whose embedding is
+    // too close to any benchmark item; the semantic complement of the
+    // exact k-gram q90). Every candidate's max cosine over the eval set
+    // decides `contaminated`; output carries the argmax eval id (ids and
+    // bools only — cross-engine double comparisons, never hashed floats,
+    // the q44 contract). Scale: the eval set is benchmark-sized by
+    // construction and BROADCASTS; candidates stream through one
+    // codegen'd cosine scan + a per-candidate max — linear in N, no
+    // all-to-all (same posture as q44 with roles swapped).
+    Q("q175_semantic_decontam", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val cand = e.filter(col("vec_id") % 37 =!= 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+        val ev = e.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("eid"), col("embedding").cast("array<double>").as("evv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cos").desc, col("eid"))
+        cand.crossJoin(broadcast(ev))
+          .select(col("vec_id"), col("eid"),
+            Similarity.cosine(col("cv"), col("evv")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), (col("cos") >= 0.35).as("contaminated"),
+            col("eid").as("nearest_eval_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH dv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |sc AS (SELECT c.vec_id, e.vec_id AS eid,
+             |    list_inner_product(c.v, e.v)
+             |      / (sqrt(list_inner_product(c.v, c.v))
+             |       * sqrt(list_inner_product(e.v, e.v))) AS cos
+             |  FROM dv c CROSS JOIN dv e
+             |  WHERE c.vec_id % 37 <> 0 AND e.vec_id % 37 = 0),
+             |top AS (SELECT vec_id, eid, cos,
+             |    row_number() OVER (PARTITION BY vec_id
+             |                       ORDER BY cos DESC, eid) AS rn
+             |  FROM sc)
+             |SELECT vec_id, cos >= 0.35 AS contaminated,
+             |  eid AS nearest_eval_id
+             |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }
 

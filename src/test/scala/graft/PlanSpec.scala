@@ -410,4 +410,38 @@ class PlanSpec extends SparkSpec {
       "first-occurrence rank must partition by span text\n" + p)
     assert(p.contains("LeftAnti"), "covered positions must anti-join\n" + p)
   }
+
+  test("q171 winnowing is one per-row kernel: no join, no extra exchange") {
+    val p = plan("q171_winnow_fingerprint")
+    assert(!p.contains("Join"), "fingerprinting must not join\n" + p)
+    // explode + final output sort only — no hash exchange before the sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q172 shuffle-shard: one shard hash exchange, no global pre-sort") {
+    val p = plan("q172_shuffle_shard")
+    val hashEx = "Exchange hashpartitioning\\(shard".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one shard hash exchange, saw $hashEx\n" + p)
+  }
+
+  test("q173 blocklist screen is pure per-row work: no join, no hash exchange") {
+    val p = plan("q173_blocklist_screen")
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q175 decontamination broadcasts the eval set, never all-to-all") {
+    val p = plan("q175_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the eval set must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "candidate x eval scoring must not plan a shuffle cartesian\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q176 XA assembly: outcomes broadcast back, span stamp shares one (file, ord) sort") {
+    val p = plan("q176_binlog_xa_txn")
+    assert(p.contains("BroadcastHashJoin"),
+      "statement-scale outcomes must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

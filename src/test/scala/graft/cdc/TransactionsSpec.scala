@@ -103,4 +103,89 @@ class TransactionsSpec extends SparkSpec {
       .select(col("txn_seq"), col("xid")).collect().head
     assert(prelude.getLong(0) == 0L && prelude.isNullAt(1))
   }
+
+  test("XA_PREPARE codec: round-trip, one_phase flag, hostile lengths") {
+    val gtrid = "gt-1".getBytes("UTF-8")
+    val bqual = Array[Byte](0x00, 0x7f, 0xff.toByte)
+    val r = decodeXaPrepare(encodeXaPrepare(onePhase = false, 1, gtrid, bqual))
+    assert(!r.getBoolean(0) && r.getInt(1) == 1)
+    assert(r.getUTF8String(2).toString == "67742d31")
+    assert(r.getUTF8String(3).toString == "007fff")
+    assert(r.getUTF8String(4).toString == "X'67742d31',X'007fff',1")
+    val one = decodeXaPrepare(encodeXaPrepare(onePhase = true, 77, gtrid, Array.emptyByteArray))
+    assert(one.getBoolean(0) && one.getInt(1) == 77)
+    assert(one.getUTF8String(4).toString == "X'67742d31',X'',77")
+    intercept[IllegalArgumentException](decodeXaPrepare(Array[Byte](1, 2, 3)))
+    // declared gtrid length beyond MAXGTRIDSIZE must be rejected, not read
+    val hostile = encodeXaPrepare(onePhase = false, 1, gtrid, bqual)
+    hostile(5) = 0x65 // gtrid_length = 101 > 64
+    intercept[IllegalArgumentException](decodeXaPrepare(hostile))
+    // truncated data section (lengths promise more bytes than present)
+    val trunc = encodeXaPrepare(onePhase = false, 1, gtrid, bqual).dropRight(6)
+    intercept[IllegalArgumentException](decodeXaPrepare(trunc))
+  }
+
+  test("xaAssemble: span stamping, outcome resolution, ordering and strays") {
+    val spark2 = spark
+    import spark2.implicits._
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    def row(pk: Long) = BinlogRowCodec.encodeRows(
+      BinlogRowCodec.WriteV2, schema, Seq(Seq(pk)))
+    def xa(tag: String) = {
+      val hex = tag.getBytes("UTF-8").map(b => f"$b%02x").mkString
+      (tag.getBytes("UTF-8"), xidText(hex, "", 1))
+    }
+    val (g1, x1) = xa("a") // two-phase, committed after prepare
+    val (g2, x2) = xa("b") // two-phase, rolled back
+    val (g3, x3) = xa("c") // one-phase
+    val (g4, x4) = xa("d") // no outcome: prepared
+    val (_, x5) = xa("e")  // outcome BEFORE any prepare of x5 + unknown xid
+    def start(x: String) = encodeQuery("d", s"XA START $x")
+    def end(x: String) = encodeQuery("d", s"XA END $x")
+    def prep(g: Array[Byte], one: Boolean) = encodeXaPrepare(one, 1, g, Array.emptyByteArray)
+    val events = Seq(
+      // stray outcome for an xid never prepared — must not crash or match
+      ("A", 0, QueryType, encodeQuery("d", s"XA COMMIT $x5")),
+      ("A", 1, QueryType, start(x1)),
+      ("A", 2, BinlogRowCodec.WriteV2, row(1)),
+      ("A", 3, QueryType, end(x1)),
+      ("A", 4, XaPrepareType, prep(g1, one = false)),
+      ("A", 5, QueryType, start(x2)),
+      ("A", 6, BinlogRowCodec.WriteV2, row(2)),
+      ("A", 7, QueryType, end(x2)),
+      ("A", 8, XaPrepareType, prep(g2, one = false)),
+      ("A", 9, QueryType, encodeQuery("d", s"XA COMMIT $x1")),
+      ("A", 10, QueryType, encodeQuery("d", s"XA ROLLBACK $x2")),
+      // a plain (non-XA) event between spans stays unstamped
+      ("A", 11, BinlogRowCodec.WriteV2, row(9)),
+      ("B", 0, QueryType, start(x3)),
+      ("B", 1, BinlogRowCodec.WriteV2, row(3)),
+      ("B", 2, QueryType, end(x3)),
+      ("B", 3, XaPrepareType, prep(g3, one = true)),
+      ("B", 4, QueryType, start(x4)),
+      ("B", 5, BinlogRowCodec.WriteV2, row(4)),
+      ("B", 6, QueryType, end(x4)),
+      ("B", 7, XaPrepareType, prep(g4, one = false))
+    ).toDF("file", "ord", "event_type", "body")
+    val out = Transactions.xaAssemble(events, "file", "ord")
+      .filter(col("event_type") === BinlogRowCodec.WriteV2)
+      .select(col("file"), col("ord"), col("xa_xid"), col("xa_state"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out == Set(
+      ("A", 2, Some(x1), Some("committed")),
+      ("A", 6, Some(x2), Some("rolled_back")),
+      ("A", 11, None, None),
+      ("B", 1, Some(x3), Some("committed")),
+      ("B", 5, Some(x4), Some("prepared"))))
+    // an outcome that precedes its prepare does NOT resolve it: move the
+    // x1 commit to ord 0 (before the span) — x1 must stay 'prepared'
+    val early = events.withColumn("ord",
+      when(col("ord") === 9 && col("file") === "A", -1).otherwise(col("ord")))
+    val earlyOut = Transactions.xaAssemble(early, "file", "ord")
+      .filter(col("event_type") === BinlogRowCodec.WriteV2 && col("ord") === 2)
+      .select("xa_state").collect().head.getString(0)
+    assert(earlyOut == "prepared")
+  }
 }
