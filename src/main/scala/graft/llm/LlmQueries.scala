@@ -2018,7 +2018,108 @@ object LlmQueries {
              |  FROM sc)
              |SELECT vec_id, cos >= 0.35 AS contaminated,
              |  eid AS nearest_eval_id
-             |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+             |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    // algorithm A-ES): every doc draws key u^(1/w) — ranked here by the
+    // monotone-equivalent ln(u)/w — and the top-200 keys ARE a weighted
+    // sample without replacement; weight = n_chars makes selection
+    // probability ∝ document length (token-budget-proportional
+    // subsampling, the knob q82/q86/q159 don't have). Determinism +
+    // portability: u is built from the first 6 md5 hex digits via
+    // strpos arithmetic (no hex-to-int cast exists in both engines),
+    // (uint+0.5)/2^24 is exact in doubles, and the one libm call (ln) is
+    // snapped to the house DECIMAL(18,9) grid before the double divide.
+    // Scale: per-row key, global top-k = TakeOrderedAndProject — no
+    // shuffle, no sort of the full corpus.
+    Q("q177_weighted_sample", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val h = md5(concat(lit("ws:"), col("doc_id").cast(StringType)))
+        val digits = lit("0123456789abcdef")
+        val uint = (0 until 6).map { i =>
+          (instr(digits, substring(h, i + 1, 1)) - 1).cast(LongType) *
+            (1L << (4 * (5 - i)))
+        }.reduce(_ + _)
+        val u = (uint.cast(DoubleType) + lit(0.5)) / lit(16777216.0)
+        val key = log(u).cast(DecimalType(18, 9)).cast(DoubleType) /
+          col("n_chars").cast(DoubleType)
+        val sel = d.select(col("doc_id"), col("n_chars").cast(LongType).as("weight"),
+            key.as("key"))
+          .orderBy(col("key").desc, col("doc_id"))
+          .limit(200)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("key").desc, col("doc_id"))
+        sel.withColumn("sel_rank", row_number().over(w).cast(LongType))
+          .select("sel_rank", "doc_id", "weight")
+          .orderBy("sel_rank")
+      },
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+             |    md5('ws:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |u AS (SELECT doc_id, n_chars,
+             |    CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 1048576
+             |  + CAST(strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) * 65536
+             |  + CAST(strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS BIGINT) * 4096
+             |  + CAST(strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS BIGINT) * 256
+             |  + CAST(strpos('0123456789abcdef', substr(h, 5, 1)) - 1 AS BIGINT) * 16
+             |  + CAST(strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS BIGINT) AS uint
+             |  FROM k),
+             |ky AS (SELECT doc_id, n_chars,
+             |    CAST(CAST(ln((uint + 0.5) / 16777216.0) AS DECIMAL(18,9)) AS DOUBLE)
+             |      / CAST(n_chars AS DOUBLE) AS key FROM u),
+             |sel AS (SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY key DESC, doc_id) AS sel_rank FROM ky)
+             |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id,
+             |  CAST(n_chars AS BIGINT) AS weight
+             |FROM sel WHERE sel_rank <= 200 ORDER BY sel_rank""".stripMargin)),
+
+    // PageRank (Page et al. 1999) by fixed power iteration — the
+    // authority score a crawl/corpus pipeline ranks sources with,
+    // completing the graph family beside q79's connected components.
+    // Graph: one directed edge per order from its customer node to a hub
+    // node (o_orderkey % 97) — hubs have no out-edges, so the dangling-
+    // mass redistribution path is exercised on every iteration. Rows-only
+    // (iterative); PageRankSpec gates serial-model equivalence (1e-9),
+    // probability conservation, known-structure order, and BIT-exact
+    // partition independence via the decimal-snapped contribution sums.
+    Q("q178_graph_pagerank", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val edges = o.select(col("o_custkey").as("src"),
+          (col("o_orderkey") % 97 + 1000000L).as("dst"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("node"))
+        graft.operators.PageRank.ranks(edges, "src", "dst")
+          .orderBy(col("rank").desc, col("node")).limit(100)
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .select("rnk", "node", "rank")
+          .orderBy("rnk")
+      },
+      None),
+
+    // Materialized mergeable sketches (the Datasketches HLL workflow,
+    // Spark 4's hll_sketch_agg/hll_union_agg): per-group distinct-user
+    // sketches are built ONCE as binary sketch objects, then re-aggregated
+    // by UNION — the rollup-without-rescan capability a plain
+    // approx_count_distinct (q32) lacks. At 100 TB this is the shape that
+    // matters: daily sketches persist with the partition, and any ad-hoc
+    // slice (week, month, all) is a union of sketch blobs, never a rescan
+    // of the raw events. Rows-only; CorpusSpec gates each per-type
+    // estimate AND the union estimate within 5% of exact, and union ≤ sum
+    // (the sketch's subadditivity sanity).
+    Q("q179_sketch_union", { (s, dir) =>
+        val e = t(s, dir, "events")
+        val perType = e.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val union = perType
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+          .select(lit("__all__").as("event_type"),
+            expr("hll_sketch_estimate(sk)").cast(LongType).as("approx_users"))
+        perType
+          .select(col("event_type"),
+            expr("hll_sketch_estimate(sk)").cast(LongType).as("approx_users"))
+          .union(union)
+          .orderBy("event_type")
+      },
+      None)
   )
 }
 

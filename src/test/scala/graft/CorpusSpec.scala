@@ -54,6 +54,25 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("q179 sketch union: per-type and unioned estimates within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q179_sketch_union")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables(spark, dir, "events")
+    val exactPer = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.select(countDistinct("user_id")).collect().head.getLong(0)
+    (exactPer + ("__all__" -> exactAll)).foreach { case (k, exact) =>
+      val e = est(k)
+      assert(math.abs(e - exact).toDouble / exact <= 0.05, s"$k: est $e vs exact $exact")
+    }
+    // union of sketches estimates the union of sets: never (materially)
+    // above the sum of the per-type estimates
+    assert(est("__all__") <= est.filter(_._1 != "__all__").values.sum,
+      est.toString)
+  }
+
   test("q123 heavy-hitter sketch: top set and counts match the exact agg") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q123_sketch_heavyhitters")(spark, dir)
