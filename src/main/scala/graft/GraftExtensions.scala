@@ -158,6 +158,10 @@ object GraftExtensions {
     "binlog_xa_prepare" -> { args: Seq[Expression] =>
       require(args.length == 1, "binlog_xa_prepare(body)")
       graft.cdc.BinlogXaPrepareDecode(args(0))
+    },
+    "media_duration_ms" -> { args: Seq[Expression] =>
+      require(args.length == 1, "media_duration_ms(content)")
+      graft.multimodal.MediaDurationMs(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */

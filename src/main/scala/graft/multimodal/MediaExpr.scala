@@ -224,6 +224,139 @@ object AudioKernels {
     if (r == null) null
     else new GenericInternalRow(Array[Any](UTF8String.fromString(r._1), r._2, r._3))
   }
+
+  /** Container play-length in milliseconds from header metadata only (no
+    * codec, no frame walk beyond the first):
+    *
+    * - WAV: `data` chunk byte count over the fmt chunk's byte_rate.
+    * - FLAC: STREAMINFO's 36-bit total_samples over its sample rate
+    *   (0 total samples = "unknown" per spec → null).
+    * - MP3: CBR estimate — audio byte count (file minus ID3v2 tag) over
+    *   the first frame's bitrate, Layer III only (the corpus format);
+    *   free-format (index 0) and bad (15) bitrates → null. VBR streams
+    *   would need the Xing/VBRI header — out of scope, documented.
+    * - MP4: mvhd timescale/duration (version 0; version 1 uses 64-bit
+    *   fields at the same offsets + 8).
+    * - Ogg: the standard granulepos recipe — last page's granule position
+    *   (PCM sample count, scanned backward for the final `OggS` capture)
+    *   over the Vorbis id header's rate.
+    *
+    * All integer arithmetic (`n * 1000 / rate`, floor) so the DuckDB
+    * oracle reproduces it with `//`. Null on anything unrecognized,
+    * truncated, or with a zero rate — never a crash, never a guess.
+    */
+  def durationMsOpt(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    // WAV: find fmt (byte_rate) and data (size) chunks in one walk
+    if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size < 0 || size > Int.MaxValue - 9) return null
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+          if (i + 8 + 16 > b.length || size < 16) return null
+          byteRate = le32(b, i + 16)
+        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+          dataSize = size
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      return if (byteRate <= 0 || dataSize < 0) null
+      else java.lang.Long.valueOf(dataSize * 1000L / byteRate)
+    }
+    // FLAC STREAMINFO: rate at bit offset 144 for 20 bits, total samples
+    // 36 bits at offset 173 (bytes 18-25 of the file as laid out below)
+    if (b.length >= 8 + 26 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C' &&
+        (u8(b, 4) & 0x7f) == 0) {
+      val sr = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+      val totalSamples = ((u8(b, 21) & 0x0fL) << 32) | be32s(b, 22)
+      return if (sr <= 0 || totalSamples == 0) null
+      else java.lang.Long.valueOf(totalSamples * 1000L / sr)
+    }
+    // MP3 (CBR, Layer III): audio length / first-frame bitrate
+    val mp3At: Int =
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        10 + ((u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9))
+      else if (b.length >= 4 && u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0) 0
+      else -1
+    if (mp3At >= 0) {
+      if (mp3At + 4 > b.length) return null
+      if (u8(b, mp3At) != 0xff || (u8(b, mp3At + 1) & 0xe0) != 0xe0) return null
+      val version = (u8(b, mp3At + 1) >> 3) & 0x03
+      val layer = (u8(b, mp3At + 1) >> 1) & 0x03
+      if (layer != 1 || version == 1) return null // Layer III only, no reserved
+      val brIdx = (u8(b, mp3At + 2) >> 4) & 0x0f
+      if (brIdx == 0 || brIdx == 15) return null // free-format / bad
+      val kbps =
+        if (version == 3) // MPEG1 Layer III
+          Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+        else // MPEG2 / 2.5 Layer III share one table
+          Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+      val audioBytes = (b.length - mp3At).toLong
+      return java.lang.Long.valueOf(audioBytes * 8L * 1000L / (kbps * 1000L))
+    }
+    // MP4: moov → mvhd timescale + duration
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      def tag(at: Long, t: String): Boolean =
+        b(at.toInt + 4) == t(0) && b(at.toInt + 5) == t(1) &&
+          b(at.toInt + 6) == t(2) && b(at.toInt + 7) == t(3)
+      var i = 0L
+      while (i + 8 <= b.length) {
+        val size = be32s(b, i.toInt)
+        if (size < 8 || i + size > b.length) return null
+        if (tag(i, "moov")) {
+          val end = i + size
+          var j = i + 8
+          while (j + 8 <= end) {
+            val s2 = be32s(b, j.toInt)
+            if (s2 < 8 || j + s2 > end) return null
+            if (tag(j, "mvhd")) {
+              val v = u8(b, j.toInt + 8)
+              if (v == 0 && s2 >= 32) {
+                val timescale = be32s(b, j.toInt + 20)
+                val dur = be32s(b, j.toInt + 24)
+                return if (timescale <= 0) null
+                else java.lang.Long.valueOf(dur * 1000L / timescale)
+              } else if (v == 1 && s2 >= 44) {
+                val timescale = be32s(b, j.toInt + 28)
+                val dur = (be32s(b, j.toInt + 32) << 32) | be32s(b, j.toInt + 36)
+                return if (timescale <= 0 || dur < 0) null
+                else java.lang.Long.valueOf(dur * 1000L / timescale)
+              } else return null
+            }
+            j += s2
+          }
+          return null
+        }
+        i += size
+      }
+      return null
+    }
+    // Ogg/Vorbis: rate from page 0's id header, samples from the LAST
+    // page's granule position (scan backward for the final capture)
+    if (b.length >= 44 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S' &&
+        u8(b, 26) == 1 && u8(b, 28) == 0x01 && b(29) == 'v' && b(30) == 'o' &&
+        b(31) == 'r' && b(32) == 'b' && b(33) == 'i' && b(34) == 's') {
+      val rate = le32(b, 40)
+      if (rate <= 0) return null
+      var i = b.length - 27 // a page needs 27 header bytes
+      while (i >= 0) {
+        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S') {
+          var g = 0L
+          var k = 0
+          while (k < 8) { g |= u8(b, i + 6 + k).toLong << (8 * k); k += 1 }
+          // -1 granulepos = page holds no completed packet; unusable
+          return if (g < 0) null else java.lang.Long.valueOf(g * 1000L / rate)
+        }
+        i -= 1
+      }
+      return null
+    }
+    null
+  }
 }
 
 /** Codegen'd media-header sniff over a `binary` column:
@@ -314,9 +447,41 @@ case class SniffContainer(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd container play-length over a `binary` column: milliseconds
+  * as BIGINT, null when the container is unrecognized, truncated, or
+  * carries no usable rate — see [[AudioKernels.durationMsOpt]].
+  */
+case class MediaDurationMs(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MediaDurationMs expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    AudioKernels.durationMsOpt(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("durBoxed")
+      s"""
+      java.lang.Long $boxed = graft.multimodal.AudioKernels.durationMsOpt($c);
+      ${ev.isNull} = $boxed == null;
+      ${ev.value} = $boxed == null ? -1L : $boxed.longValue();"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): MediaDurationMs =
+    copy(child = newChild)
+}
+
 object SniffContainer {
   def apply(content: Column): Column =
     ColumnBridge.column(SniffContainer(ColumnBridge.expression(content)))
+}
+
+object MediaDurationMs {
+  def apply(content: Column): Column =
+    ColumnBridge.column(MediaDurationMs(ColumnBridge.expression(content)))
 }
 
 /** EXIF orientation parsing — the one piece of JPEG metadata every image

@@ -311,6 +311,77 @@ object MultimodalQueries {
              |  AS orientation,
              |CASE WHEN doc_id % 7 = 0 THEN 'none'
              |     WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Container play-length in milliseconds from header metadata only —
+    // the duration read every audio/video corpus runs before budgeting or
+    // chunking: WAV data-bytes/byte_rate, FLAC STREAMINFO
+    // total_samples/rate, MP3 CBR bytes/bitrate, MP4 mvhd
+    // duration/timescale (the codegen'd MediaDurationMs kernel; Ogg
+    // granulepos is covered in MultimodalSpec — its last-page scan needs
+    // a body the formula fixture doesn't carry). Fixture containers are
+    // formula-synthesized per doc_id with real header layouts; every 11th
+    // payload is a PNG — no duration — and must yield the -1 sentinel.
+    // All kernel arithmetic is integer floor division, replayed verbatim
+    // by the oracle's `//`.
+    Q("q180_media_duration", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val enc = udf((id: Long) => DurationFixtures.bytesFor(id))
+        d.select(col("doc_id").as("media_id"),
+            coalesce(MediaDurationMs(enc(col("doc_id"))), lit(-1L)).as("duration_ms"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+             |  WHEN doc_id % 4 = 0 THEN ((doc_id % 5000 + 100) * 1000)
+             |    // (([8000,16000,44100])[CAST(doc_id % 3 AS INTEGER) + 1] * 2)
+             |  WHEN doc_id % 4 = 1 THEN ((doc_id % 100000 + 1000) * 1000)
+             |    // ([8000,16000,44100])[CAST(doc_id % 3 AS INTEGER) + 1]
+             |  WHEN doc_id % 4 = 2 THEN ((4 + doc_id % 2000) * 8 * 1000) // 128000
+             |  ELSE ((doc_id % 100000) * 1000) // 600 END AS BIGINT) AS duration_ms
              |FROM documents ORDER BY media_id""".stripMargin))
   )
+}
+
+/** Formula-synthesized duration-bearing containers for q180 (fixture
+  * side only; the parse side is the codegen'd [[MediaDurationMs]]).
+  * Real header layouts: RIFF/fmt/data, fLaC STREAMINFO, ID3v2 + MPEG1
+  * Layer III frame at 128 kbps, ftyp + moov/mvhd v0.
+  */
+object DurationFixtures {
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def be(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+
+  def bytesFor(d: Long): Array[Byte] = {
+    if (d % 11 == 0) // PNG: signature + stub — carries no duration
+      return Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        new Array[Byte](17)
+    val sr = Array(8000L, 16000L, 44100L)((d % 3).toInt)
+    (d % 4) match {
+      case 0 => // WAV: fmt (mono 16-bit, byte_rate = 2·sr) + declared data size
+        "RIFF".getBytes("UTF-8") ++ le(0, 4) ++ "WAVE".getBytes("UTF-8") ++
+          "fmt ".getBytes("UTF-8") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+          le(sr, 4) ++ le(sr * 2, 4) ++ le(2, 2) ++ le(16, 2) ++
+          "data".getBytes("UTF-8") ++ le(d % 5000 + 100, 4)
+      case 1 => // FLAC STREAMINFO incl. the 36-bit total_samples + md5 pad
+        "fLaC".getBytes("UTF-8") ++ Array[Byte](0x00) ++ be(34, 3) ++
+          be(0, 10) ++ // min/max block, min/max frame
+          Array(((sr >> 12) & 0xff).toByte, ((sr >> 4) & 0xff).toByte,
+            ((sr & 0xf) << 4).toByte) ++ // rate(20) ch-1(3)=0 bps_hi(1)=0
+          Array(0x00.toByte) ++ be(d % 100000 + 1000, 4) ++ // ts_hi=0, ts_lo
+          new Array[Byte](16) // md5 pad to the full 34-byte STREAMINFO
+      case 2 => // MP3: empty ID3v2 tag + MPEG1 L3 128 kbps frame + payload
+        "ID3".getBytes("UTF-8") ++ Array[Byte](3, 0, 0, 0, 0, 0, 0) ++
+          Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte) ++
+          new Array[Byte]((d % 2000).toInt)
+      case _ => // MP4: ftyp + moov{mvhd v0, timescale 600}
+        be(16, 4) ++ "ftyp".getBytes("UTF-8") ++ "isom".getBytes("UTF-8") ++
+          be(0x200, 4) ++
+          be(48, 4) ++ "moov".getBytes("UTF-8") ++
+          be(40, 4) ++ "mvhd".getBytes("UTF-8") ++ be(0, 4) ++ be(0, 4) ++
+          be(0, 4) ++ be(600, 4) ++ be(d % 100000, 4) ++ be(0, 12)
+    }
+  }
 }

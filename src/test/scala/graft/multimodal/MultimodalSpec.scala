@@ -143,4 +143,51 @@ class MultimodalSpec extends SparkSpec {
     val q50 = graft.SparkEntry.queries("q50_media_decode")(spark, "/root/testdata/sf0.001")
     assert(q50.filter(col("checksum") <= 0).count() == 0)
   }
+
+  test("duration: formula fixtures, Ogg granulepos, hostile negatives") {
+    def dur(b: Array[Byte]): Option[Long] =
+      Option(AudioKernels.durationMsOpt(b)).map(_.longValue())
+    // formula fixtures agree with the oracle arithmetic
+    assert(dur(DurationFixtures.bytesFor(4)) == // WAV: sr 16000, data 4104
+      Some((4 % 5000 + 100) * 1000L / (16000L * 2)))
+    assert(dur(DurationFixtures.bytesFor(1)) == // FLAC: sr 16000, ts 1001
+      Some((1 % 100000 + 1000) * 1000L / 16000L))
+    assert(dur(DurationFixtures.bytesFor(2)) == // MP3: 6 audio bytes @128k
+      Some((4 + 2) * 8 * 1000L / 128000L))
+    assert(dur(DurationFixtures.bytesFor(3)) == Some(3 * 1000L / 600L)) // MP4
+    assert(dur(DurationFixtures.bytesFor(0)).isEmpty) // PNG: no duration
+    // Ogg: id header (rate 8000) + a last page with granulepos 12345
+    val idPage = "OggS".getBytes ++ Array[Byte](0, 2) ++ new Array[Byte](20) ++
+      Array[Byte](1, 30, 1) ++ "vorbis".getBytes ++ new Array[Byte](4) ++
+      Array[Byte](1) ++ Array[Byte](0x40, 0x1f, 0, 0) ++ new Array[Byte](8)
+    val lastPage = "OggS".getBytes ++ Array[Byte](0, 4) ++
+      Array[Byte](0x39, 0x30, 0, 0, 0, 0, 0, 0) ++ // granulepos 12345 LE
+      new Array[Byte](13)
+    assert(dur(idPage ++ lastPage) == Some(12345L * 1000 / 8000))
+    // a stream whose only page has granulepos -1 (no finished packet)
+    val noGranule = idPage.clone()
+    (0 until 8).foreach(k => noGranule(6 + k) = 0xff.toByte)
+    assert(dur(noGranule).isEmpty)
+    // negatives: zero byte_rate WAV, free-format MP3, Layer I MP3,
+    // truncated FLAC, mvhd v1 64-bit path, arbitrary junk
+    val wav0 = DurationFixtures.bytesFor(4).clone()
+    (0 until 4).foreach(k => wav0(28 + k) = 0) // byte_rate = 0
+    assert(dur(wav0).isEmpty)
+    val mp3free = DurationFixtures.bytesFor(2).clone()
+    mp3free(12) = 0x00 // bitrate index 0 = free-format
+    assert(dur(mp3free).isEmpty)
+    val mp3l1 = DurationFixtures.bytesFor(2).clone()
+    mp3l1(11) = 0xff.toByte // layer bits 11 = Layer I
+    assert(dur(mp3l1).isEmpty)
+    assert(dur(DurationFixtures.bytesFor(1).take(30)).isEmpty)
+    assert(dur("garbage-bytes-here".getBytes).isEmpty)
+    // mvhd version 1: 64-bit ctime/mtime shift timescale to +28
+    def be(v: Long, n: Int) =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    val v1 = be(16, 4) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0x200, 4) ++
+      be(8 + 48, 4) ++ "moov".getBytes ++
+      be(48, 4) ++ "mvhd".getBytes ++ Array[Byte](1, 0, 0, 0) ++
+      be(0, 8) ++ be(0, 8) ++ be(1000, 4) ++ be(0, 4) ++ be(98765, 4) ++ be(0, 8)
+    assert(dur(v1) == Some(98765L))
+  }
 }
