@@ -1932,19 +1932,17 @@ object LlmQueries {
 
     // Phrase-blocklist screen (the C4 "bad words" filter, Raffel et al.
     // 2020 §2.2 — docs containing any listed phrase are dropped): every
-    // doc is scanned against a broadcast phrase list with word-boundary
-    // semantics (space-padded containment — a phrase matches whole-word
-    // sequences only, never inside a longer token). Per-row work is
-    // O(len·|list|) with a literal list; the production swap-in at large
-    // list sizes is one Aho-Corasick pass — same contract, still per-row,
-    // still zero shuffle.
+    // doc is scanned against the phrase list with word-boundary
+    // semantics (space-padded matching — a phrase hits whole-word
+    // sequences only, never inside a longer token) in ONE codegen'd
+    // Aho-Corasick pass per row — O(len + hits) regardless of list size
+    // (the public C4 blocklist alone is ~400 phrases; a per-phrase
+    // contains loop is O(len·|list|)). Kernel ≡ the naive filter by
+    // TextKernelProps property; zero shuffle.
     Q("q173_blocklist_screen", { (s, dir) =>
         val d = t(s, dir, "documents")
-        val padded = concat(lit(" "), col("text"), lit(" "))
-        val hits = filter(
-          array(Blocklist.phrases.map(lit): _*),
-          p => padded.contains(concat(lit(" "), p, lit(" "))))
-        d.select(col("doc_id"), hits.as("hits"))
+        d.select(col("doc_id"),
+            WordPhraseHits(col("text"), Blocklist.phrases).as("hits"))
           .select(col("doc_id"),
             size(col("hits")).cast(LongType).as("n_hits"),
             (size(col("hits")) > 0).as("blocked"),

@@ -242,6 +242,114 @@ object SimHash64 {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 }
 
+/** Serializable Aho–Corasick automaton (Aho & Corasick 1975) over a
+  * fixed phrase list with word-boundary semantics: patterns are matched
+  * space-padded (` p `) against the space-padded text, so a phrase hits
+  * whole-word sequences only. ONE pass over the text regardless of list
+  * size — the multi-pattern scale path the per-phrase `contains` loop
+  * (O(len·|list|)) can't reach at real blocklist sizes (the public C4
+  * list alone is ~400 entries). Built once per executor (the expression
+  * ships the phrase list; the automaton rebuilds lazily on first use).
+  */
+final class AhoCorasick(val phrases: Array[String]) extends Serializable {
+  @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]], Array[Int], Array[Array[Int]]) = {
+    val padded = phrases.map(p => " " + p + " ")
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val outB = scala.collection.mutable.ArrayBuffer(Array.empty[Int])
+    padded.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        val t = next(s).get(c)
+        s = if (t != null) t.intValue()
+        else {
+          next += new java.util.HashMap[Character, Integer]()
+          outB += Array.empty[Int]
+          next(s).put(c, next.size - 1)
+          next.size - 1
+        }
+      }
+      outB(s) = outB(s) :+ pi
+    }
+    val fail = new Array[Int](next.size)
+    val queue = new java.util.ArrayDeque[Integer]()
+    next(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+    val out = outB.toArray
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      next(u).forEach { (c, v) =>
+        queue.add(v)
+        var f = fail(u)
+        while (f != 0 && next(f).get(c) == null) f = fail(f)
+        val t = next(f).get(c)
+        fail(v) = if (t != null && t != v) t.intValue() else 0
+        if (out(fail(v)).nonEmpty) out(v) = out(v) ++ out(fail(v))
+      }
+    }
+    (next.toArray, fail, out)
+  }
+
+  /** Matched ORIGINAL phrases in phrase-list order (each at most once) —
+    * exactly the output of `phrases.filter(p => (" "+text+" ").contains(" "+p+" "))`.
+    */
+  def hits(text: UTF8String): ArrayData = {
+    val (next, fail, out) = automaton
+    val t = " " + text.toString + " "
+    val seen = new java.util.BitSet(phrases.length)
+    var s = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      var f = s
+      while (f != 0 && next(f).get(c) == null) f = fail(f)
+      val nx = next(f).get(c)
+      s = if (nx != null) nx.intValue() else 0
+      val o = out(s)
+      var j = 0
+      while (j < o.length) { seen.set(o(j)); j += 1 }
+      i += 1
+    }
+    val res = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var p = seen.nextSetBit(0)
+    while (p >= 0) {
+      res += UTF8String.fromString(phrases(p))
+      p = seen.nextSetBit(p + 1)
+    }
+    new GenericArrayData(res.toArray)
+  }
+}
+
+/** Codegen'd word-boundary multi-phrase screen over a string column:
+  * one Aho–Corasick pass per row, matched phrases in list order.
+  */
+case class WordPhraseHits(child: Expression, phrases: Array[String])
+    extends UnaryExpression with Serializable {
+  require(phrases.nonEmpty, "phrase list must be non-empty")
+  require(phrases.sorted.sameElements(phrases.distinct.sorted),
+    "phrase list must be duplicate-free (list order defines output order)")
+  private val ac = new AhoCorasick(phrases)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"WordPhraseHits expects STRING input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ac.hits(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("ac", ac, classOf[AhoCorasick].getName)
+      s"${ev.value} = $ref.hits($c);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): WordPhraseHits =
+    copy(child = newChild)
+}
+
+object WordPhraseHits {
+  def apply(text: Column, phrases: Seq[String]): Column =
+    ColumnBridge.column(WordPhraseHits(ColumnBridge.expression(text), phrases.toArray))
+}
+
 /** Codegen'd robust-winnowing fingerprint over an `array<string>` token
   * column: `array<struct<pos:int, hash:string>>` of selected (k-gram
   * position, 16-hex-char md5 prefix) pairs — see [[TextKernels.winnow]].

@@ -109,4 +109,31 @@ object TextKernelProps extends Properties("TextKernels") {
       val ts = List.tabulate(n)(i => s"t$i")
       TextKernels.winnow(arr(ts), 3, w).numElements() == 0
     }
+
+  // ---- Aho–Corasick phrase screen (q173) ----
+
+  private val word: Gen[String] = Gen.oneOf("a", "b", "ab", "ba", "c", "the")
+  private val phraseGen: Gen[String] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  property("AhoCorasick.hits == the naive space-padded contains filter") =
+    forAll(Gen.listOf(word).map(_.mkString(" ")),
+      Gen.nonEmptyListOf(phraseGen).map(_.distinct)) { (text, phrases) =>
+      val ac = new AhoCorasick(phrases.toArray)
+      val got = {
+        val out = ac.hits(UTF8String.fromString(text))
+        (0 until out.numElements()).map(out.getUTF8String(_).toString).toList
+      }
+      val padded = " " + text + " "
+      val want = phrases.filter(p => padded.contains(" " + p + " "))
+      got == want
+    }
+
+  property("overlapping and nested phrases all surface in one pass") =
+    forAll(Gen.const(())) { _ =>
+      val ac = new AhoCorasick(Array("a b", "b c", "a b c", "c", "x y"))
+      val out = ac.hits(UTF8String.fromString("a b c d"))
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString).toList
+      got == List("a b", "b c", "a b c", "c")
+    }
 }
