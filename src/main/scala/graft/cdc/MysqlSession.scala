@@ -26,6 +26,8 @@ object MysqlReplicaSession {
   case object AwaitAuthResult extends Phase
   /** Checksum-session ack expected (OK). */
   case object AwaitChecksumAck extends Phase
+  /** `set @rpl_semi_sync_slave= 1` ack expected (OK) — semi-sync only. */
+  case object AwaitSemiSyncAck extends Phase
   /** `show master status` sent; text-result-set column count expected. */
   case object AwaitStatusColCount extends Phase
   /** Column-definition packets expected, then rows. */
@@ -50,14 +52,28 @@ object MysqlReplicaSession {
     *   and `resumeAt` is ignored). Beyond-reference: the reference only
     *   dumps by file+pos.
     */
+  /** @param semiSync register as a semi-sync replica (the public
+    *   rpl_semi_sync plugin protocol): `set @rpl_semi_sync_slave= 1` is
+    *   announced before the dump, every dump event then arrives with the
+    *   2-byte `0xef` magic + ack-flag prefix after the packet marker, and
+    *   a flagged event triggers an ACK packet (`0xef` + u8 LE end-log-pos
+    *   + current binlog file name) back to the master. Beyond-reference.
+    */
   final case class Config(user: String, password: String, serverId: Long,
       resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24,
-      resumeGtids: Option[String] = None)
+      resumeGtids: Option[String] = None, semiSync: Boolean = false)
 
+  /** `currentFile`/`checksumLen` exist for semi-sync ACKs: the file name
+    * tracks the dump-start file and every ROTATE that flows by (its name
+    * field excludes the trailing CRC when the FDE declared CRC32 —
+    * `checksumLen` is learned from the FDE's alg byte as it passes).
+    */
   final case class State(phase: Phase, config: Config,
       seed: Array[Byte] = Array.emptyByteArray,
       masterFile: String = "", masterPos: Long = 0L,
-      serverCaps: Long = 0L)
+      serverCaps: Long = 0L, currentFile: String = "", checksumLen: Int = 0)
+
+  final val SemiSyncMagic = 0xef
 
   /** One transition: packets to send (seq, payload) and, in the streaming
     * phase, the whole binlog event carried by this packet (marker
@@ -146,7 +162,14 @@ object MysqlReplicaSession {
           0 -> MysqlProtocolCodec.encodeComQuery(
             "set @master_binlog_checksum= @@global.binlog_checksum")))
 
+      case AwaitChecksumAck if st.config.semiSync =>
+        Step(st.copy(phase = AwaitSemiSyncAck), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery("set @rpl_semi_sync_slave= 1")))
       case AwaitChecksumAck =>
+        Step(st.copy(phase = AwaitStatusColCount), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
+
+      case AwaitSemiSyncAck =>
         Step(st.copy(phase = AwaitStatusColCount), send = Seq(
           0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
 
@@ -179,7 +202,7 @@ object MysqlReplicaSession {
           case Some(text) =>
             // GTID auto-position: the executed set names the resume point;
             // file/pos are advisory ('' / 4 by convention)
-            try Step(st.copy(phase = Streaming),
+            try Step(st.copy(phase = Streaming), // currentFile: first ROTATE names it
               send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDumpGtid(
                 st.config.serverId, BinlogGtidCodec.parseSetText(text))))
             catch { case e: IllegalArgumentException =>
@@ -193,7 +216,7 @@ object MysqlReplicaSession {
               // COM_BINLOG_DUMP carries a u4 position — truncating would
               // silently dump from a wrong mid-event offset
               fail(st, s"binlog position $pos does not fit COM_BINLOG_DUMP's u4 field")
-            else Step(st.copy(phase = Streaming),
+            else Step(st.copy(phase = Streaming, currentFile = file),
               send = Seq(0 -> MysqlProtocolCodec.encodeComBinlogDump(
                 pos, 0, st.config.serverId, file)))
         }
@@ -216,8 +239,40 @@ object MysqlReplicaSession {
       case Streaming if first == 0xfe && payload.length < 9 =>
         fail(st, "server closed the dump stream (EOF)")
       case Streaming if first == 0x00 =>
-        Step(st, event = Some(
-          java.util.Arrays.copyOfRange(payload, 1, payload.length)))
+        if (!st.config.semiSync)
+          Step(st, event = Some(
+            java.util.Arrays.copyOfRange(payload, 1, payload.length)))
+        else if (payload.length < 3 || (payload(1) & 0xff) != SemiSyncMagic)
+          fail(st, "semi-sync dump packet missing the 0xef magic prefix")
+        else {
+          val ackWanted = (payload(2) & 0xff) == 1
+          val event = java.util.Arrays.copyOfRange(payload, 3, payload.length)
+          // Track the ack coordinates as events flow by: the FDE's alg
+          // byte (5 bytes from the event end) says whether ROTATE names
+          // carry a trailing CRC; a ROTATE then renames the current file.
+          var st2 = st
+          if (event.length >= 19) {
+            val tpe = event(4) & 0xff
+            if (tpe == BinlogFileCodec.FdeType && event.length >= 24) {
+              val alg = event(event.length - 5) & 0xff
+              st2 = st2.copy(checksumLen = if (alg == 0) 0 else 4)
+            } else if (tpe == BinlogFileCodec.RotateType &&
+                event.length >= 19 + 8 + st2.checksumLen) {
+              st2 = st2.copy(currentFile = new String(event, 19 + 8,
+                event.length - 19 - 8 - st2.checksumLen, "UTF-8"))
+            }
+          }
+          val send = if (!ackWanted) Nil else {
+            val logPos = le(event, 13, 4) // the event's end position
+            val out = new java.io.ByteArrayOutputStream
+            out.write(SemiSyncMagic)
+            var i = 0
+            while (i < 8) { out.write(((logPos >> (8 * i)) & 0xff).toInt); i += 1 }
+            out.write(st2.currentFile.getBytes("UTF-8"))
+            Seq(0 -> out.toByteArray)
+          }
+          Step(st2, send = send, event = Some(event))
+        }
       case Streaming =>
         fail(st, f"unexpected marker 0x$first%02x in dump stream")
 

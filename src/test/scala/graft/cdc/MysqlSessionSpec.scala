@@ -112,6 +112,70 @@ class MysqlSessionSpec extends SparkSpec {
     assert(s7.state.phase.isInstanceOf[Failed])
   }
 
+  test("semi-sync: announcement, prefix strip, flagged ACK, rotate/FDE tracking") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", serverId = 100L,
+      resumeAt = Some(("bin.000077", 4L)), semiSync = true))
+    st = onPayload(st, handshake(seed1)).state
+    st = onPayload(st, authSwitch(seed2)).state
+    st = onPayload(st, ok).state // auth OK → checksum query out
+    assert(st.phase == AwaitChecksumAck)
+    val sAnn = onPayload(st, ok) // checksum ack → semi-sync announcement
+    st = sAnn.state
+    assert(st.phase == AwaitSemiSyncAck)
+    val Seq((0, ann)) = sAnn.send
+    assert(java.util.Arrays.equals(ann,
+      MysqlProtocolCodec.encodeComQuery("set @rpl_semi_sync_slave= 1")))
+    st = onPayload(st, ok).state
+    assert(st.phase == AwaitStatusColCount)
+    st = onPayload(st, Array(2.toByte)).state
+    st = onPayload(st, hx("deadbeef")).state
+    st = onPayload(st, hx("deadbeef")).state
+    st = onPayload(st, eof).state // classic col-def terminator
+    st = onPayload(st, lenencStr("bin.000001") ++ lenencStr("4")).state
+    val sDump = onPayload(st, eof)
+    st = sDump.state
+    assert(st.phase == Streaming && st.currentFile == "bin.000077")
+
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    def rowEv(logPos: Long) = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))),
+      logPos = logPos)
+    // unflagged: the 2-byte prefix is stripped, no ack goes out
+    val e1 = rowEv(100L)
+    val s1 = onPayload(st, Array[Byte](0, 0xef.toByte, 0) ++ e1)
+    assert(s1.send.isEmpty && java.util.Arrays.equals(s1.event.get, e1))
+    // flagged: ACK = 0xef + u8 LE end-log-pos + current file name
+    val e2 = rowEv(5555L)
+    val s2 = onPayload(s1.state, Array[Byte](0, 0xef.toByte, 1) ++ e2)
+    assert(java.util.Arrays.equals(s2.event.get, e2))
+    val Seq((0, ack)) = s2.send
+    val wantAck = 0xef.toByte +:
+      ((0 until 8).map(i => ((5555L >> (8 * i)) & 0xff).toByte).toArray ++
+        "bin.000077".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(ack, wantAck))
+    // ROTATE (no checksums yet): name runs to the event end
+    val rot1 = BinlogRowCodec.encodeEvent(BinlogFileCodec.RotateType,
+      (0 until 8).map(i => ((4L >> (8 * i)) & 0xff).toByte).toArray ++
+        "bin.000078".getBytes("UTF-8"))
+    var stS = onPayload(s2.state, Array[Byte](0, 0xef.toByte, 0) ++ rot1).state
+    assert(stS.currentFile == "bin.000078")
+    // FDE declaring CRC32 → later ROTATE names exclude the 4-byte tail
+    val fde = BinlogRowCodec.encodeEvent(BinlogFileCodec.FdeType,
+      new Array[Byte](40) ++ Array[Byte](1, 9, 9, 9, 9)) // alg=CRC32 + CRC
+    stS = onPayload(stS, Array[Byte](0, 0xef.toByte, 0) ++ fde).state
+    assert(stS.checksumLen == 4)
+    val rot2 = BinlogRowCodec.encodeEvent(BinlogFileCodec.RotateType,
+      (0 until 8).map(i => ((4L >> (8 * i)) & 0xff).toByte).toArray ++
+        "bin.000079".getBytes("UTF-8") ++ Array[Byte](9, 9, 9, 9))
+    stS = onPayload(stS, Array[Byte](0, 0xef.toByte, 0) ++ rot2).state
+    assert(stS.currentFile == "bin.000079")
+    // a dump packet WITHOUT the magic is a protocol violation
+    val bad = onPayload(stS, 0.toByte +: rowEv(1L))
+    assert(bad.state.phase.isInstanceOf[Failed])
+  }
+
   test("saved position overrides show-master-status (the resume path)") {
     var st = initial(Config("repl", "pw", 7L, resumeAt = Some(("bin.000007", 4L))))
       .copy(phase = AwaitStatusRows(colEofSeen = true),
