@@ -2117,7 +2117,155 @@ object LlmQueries {
           .union(union)
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // Winnowing-overlap near-dup pairs — the MOSS decision rule completed
+    // (Schleimer et al. 2003 §5: two documents sharing enough selected
+    // fingerprints share real text): q171's fingerprints, fingerprints in
+    // more than 20 docs dropped (the published boilerplate guard — hot
+    // hashes carry no pair signal and would fan out the join), then every
+    // (da < db) pair sharing >= 5 surviving fingerprints. Because
+    // winnowing GUARANTEES a selection inside any shared >= k+w-1-token
+    // run, a near-dup pair cannot hide between sample points the way it
+    // can from MinHash at low signature width. One hash-key join with
+    // df-capped fan-out (<= 20^2 pairs per hash) — the q42 bucket-cap
+    // posture; finds the same fixture near-dup population as q42 (~25
+    // pairs) from a completely independent signal.
+    Q("q181_winnow_neardup", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val fp = d.select(col("doc_id"),
+            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("fp"))
+          .select(col("doc_id"), col("fp.hash").as("h")).distinct()
+        val df = fp.groupBy("h").agg(count(lit(1)).as("c"))
+        val keep = fp.join(df.filter(col("c") <= 20), "h")
+        val a = keep.select(col("doc_id").as("da"), col("h"))
+        val b = keep.select(col("doc_id").as("db"), col("h"))
+        a.join(b, "h").filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5)
+          .orderBy("da", "db")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |    substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |win AS (SELECT b.doc_id, b.pos, b.h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4),
+             |fp AS (SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+             |df AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+             |keep AS (SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h)
+             |  WHERE df.c <= 20)
+             |SELECT a.doc_id AS da, b.doc_id AS db,
+             |  CAST(count(*) AS BIGINT) AS shared
+             |FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 5
+             |ORDER BY da, db""".stripMargin)),
+
+    // Round-9 composite curation pipeline (the v2 of q106, built from
+    // this round's operators — the point is that they COMPOSE into one
+    // plan and one oracle): blocklist screen (q173's Aho–Corasick) →
+    // winnowing near-dup drop (q181's pairs on the survivors, higher id
+    // drops — the greedy q71 rule) → length-weighted A-ES sample of 100
+    // (q177) → deterministic shuffle-shard (q172). Output is the final
+    // training-order assignment for the curated sample.
+    Q("q182_pipeline_curation_v2", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val clean = d.filter(
+          size(WordPhraseHits(col("text"), Blocklist.phrases)) === 0)
+        val fp = clean.select(col("doc_id"),
+            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("fp"))
+          .select(col("doc_id"), col("fp.hash").as("h")).distinct()
+        val df = fp.groupBy("h").agg(count(lit(1)).as("c"))
+        val keep = fp.join(df.filter(col("c") <= 20), "h")
+        val drops = keep.select(col("doc_id").as("da"), col("h"))
+          .join(keep.select(col("doc_id").as("db"), col("h")), "h")
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5)
+          .select(col("db").as("doc_id")).distinct()
+        val deduped = clean.join(drops, Seq("doc_id"), "left_anti")
+        val h = md5(concat(lit("ws:"), col("doc_id").cast(StringType)))
+        val digits = lit("0123456789abcdef")
+        val uint = (0 until 6).map { i =>
+          (instr(digits, substring(h, i + 1, 1)) - 1).cast(LongType) *
+            (1L << (4 * (5 - i)))
+        }.reduce(_ + _)
+        val u = (uint.cast(DoubleType) + lit(0.5)) / lit(16777216.0)
+        val key = log(u).cast(DecimalType(18, 9)).cast(DoubleType) /
+          col("n_chars").cast(DoubleType)
+        val sampled = deduped
+          .select(col("doc_id"), key.as("key"))
+          .orderBy(col("key").desc, col("doc_id")).limit(100)
+        val sk = md5(concat(lit("ep1:"), col("doc_id").cast(StringType)))
+        val pfx = substring(col("shuffle_key"), 1, 2)
+        val shard = when(pfx < "20", 0).when(pfx < "40", 1).when(pfx < "60", 2)
+          .when(pfx < "80", 3).when(pfx < "a0", 4).when(pfx < "c0", 5)
+          .when(pfx < "e0", 6).otherwise(7).cast(LongType)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("shuffle_key", "doc_id")
+        sampled.select(col("doc_id"), sk.as("shuffle_key"))
+          .withColumn("shard", shard)
+          .withColumn("pos_in_shard", row_number().over(w).cast(LongType))
+          .select("doc_id", "shard", "pos_in_shard")
+          .orderBy("shard", "pos_in_shard")
+      },
+      Some(s"""WITH clean AS (SELECT doc_id, text, n_chars FROM documents
+             |  WHERE len(list_filter(${Blocklist.sqlList},
+             |    p -> contains(' ' || text || ' ', ' ' || p || ' '))) = 0),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM clean),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |    substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |win AS (SELECT b.doc_id, b.pos, b.h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4),
+             |fp AS (SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+             |dfc AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+             |keep AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc USING (h)
+             |  WHERE dfc.c <= 20),
+             |drops AS (SELECT DISTINCT b.doc_id FROM keep a
+             |  JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
+             |dedup AS (SELECT * FROM clean
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+             |ky AS (SELECT doc_id,
+             |    CAST(CAST(ln((
+             |      CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 1048576
+             |    + CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 65536
+             |    + CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 4096
+             |    + CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS BIGINT) * 256
+             |    + CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1 AS BIGINT) * 16
+             |    + CAST(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1 AS BIGINT)
+             |    + 0.5) / 16777216.0) AS DECIMAL(18,9)) AS DOUBLE)
+             |      / CAST(n_chars AS DOUBLE) AS key
+             |  FROM dedup),
+             |sampled AS (SELECT doc_id FROM ky
+             |  ORDER BY key DESC, doc_id LIMIT 100),
+             |sh AS (SELECT doc_id,
+             |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS skey,
+             |    substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS pfx
+             |  FROM sampled),
+             |asg AS (SELECT doc_id, skey,
+             |    CAST(CASE WHEN pfx < '20' THEN 0 WHEN pfx < '40' THEN 1
+             |      WHEN pfx < '60' THEN 2 WHEN pfx < '80' THEN 3
+             |      WHEN pfx < 'a0' THEN 4 WHEN pfx < 'c0' THEN 5
+             |      WHEN pfx < 'e0' THEN 6 ELSE 7 END AS BIGINT) AS shard
+             |  FROM sh)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+             |    AS BIGINT) AS pos_in_shard
+             |FROM asg ORDER BY shard, pos_in_shard""".stripMargin))
   )
 }
 

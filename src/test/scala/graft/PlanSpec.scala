@@ -444,4 +444,17 @@ class PlanSpec extends SparkSpec {
       "statement-scale outcomes must broadcast\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q181 winnow near-dup joins on the fingerprint hash key, never cartesian") {
+    val p = plan("q181_winnow_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(h#".r.findFirstIn(p).isDefined,
+      "the pair join must key on the fingerprint hash\n" + p)
+  }
+
+  test("q182 composite pipeline plans without any cartesian or nested loop") {
+    val p = plan("q182_pipeline_curation_v2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), "the dedup drop must anti-join\n" + p)
+  }
 }
