@@ -2265,7 +2265,24 @@ object LlmQueries {
              |SELECT doc_id, shard,
              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
              |    AS BIGINT) AS pos_in_shard
-             |FROM asg ORDER BY shard, pos_in_shard""".stripMargin))
+             |FROM asg ORDER BY shard, pos_in_shard""".stripMargin)),
+
+    // Compression-ratio quality signal (RedPajama-v2, Together 2023 —
+    // one of its published per-document quality signals; the
+    // information-density cousin of q91's repetition fractions): zlib
+    // ratio per doc, flagged when outside the [0.3, 0.9] band — far
+    // below = boilerplate/repetition, above = noise. Per-row codegen'd
+    // Deflater kernel, zero shuffle. Rows-only (no zlib in the oracle
+    // engine); gated in TextKernelProps (determinism, repetitive <<
+    // natural < noise ordering, bounds) and the corpus shape guard.
+    Q("q184_compression_ratio", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val ratio = DeflateRatio(col("text"))
+        d.select(col("doc_id"), ratio.as("zlib_ratio"),
+            (ratio >= 0.3 && ratio <= 0.9).as("kept"))
+          .orderBy("doc_id")
+      },
+      None)
   )
 }
 

@@ -173,6 +173,26 @@ object TextKernels {
     new GenericArrayData(rows)
   }
 
+  /** zlib compression ratio (deflated bytes / raw bytes) — the
+    * RedPajama-v2 quality signal (Together 2023, after Rae et al.'s
+    * repetition measures): heavily repetitive/boilerplate text
+    * compresses far below natural prose, binary-ish noise compresses
+    * above it. Deterministic for a fixed input (java.util.zip.Deflater
+    * level 6, raw deflate); empty text maps to 1.0.
+    */
+  def deflateRatio(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / bytes.length
+  }
+
   /** Distinct word k-shingles in first-occurrence order — identical output
     * to `array_distinct(transform(...))` over the same tokens.
     */
@@ -348,6 +368,30 @@ case class WordPhraseHits(child: Expression, phrases: Array[String])
 object WordPhraseHits {
   def apply(text: Column, phrases: Seq[String]): Column =
     ColumnBridge.column(WordPhraseHits(ColumnBridge.expression(text), phrases.toArray))
+}
+
+/** Codegen'd zlib compression ratio over a string column — see
+  * [[TextKernels.deflateRatio]].
+  */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"DeflateRatio expects STRING input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
+object DeflateRatio {
+  def apply(text: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
 }
 
 /** Codegen'd robust-winnowing fingerprint over an `array<string>` token

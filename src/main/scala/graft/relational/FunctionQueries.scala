@@ -43,6 +43,13 @@ object FunctionQueries {
       |       CAST(sum(anc) AS BIGINT) AS anc_sum, max(depth) AS hops
       |FROM chain GROUP BY custkey ORDER BY custkey""".stripMargin
 
+  /** One SQL text both engines execute verbatim for q186. */
+  private val GroupByAllSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+
   /** One SQL text both engines execute for q109: a correlated LATERAL
     * subquery with ORDER BY + LIMIT — per-customer top-2 orders. Catalyst
     * decorrelates this into a ranked window join (DecorrelateInnerQuery),
@@ -357,6 +364,49 @@ object FunctionQueries {
              |  json_extract_string(j, '$.tags[0]') AS tag0,
              |  json_extract_string(j, '$.meta.pri') AS pri
              |FROM src ORDER BY id""".stripMargin)),
+
+    // Exact distributed median / percentile_cont(0.5) per group, by rank
+    // selection: rank every value inside its group, keep the middle one
+    // (or two — averaged through the house decimal-exact sum), never a
+    // global sort. This is the EXACT path beside the q97 GK sketch: one
+    // group-key shuffle + per-group sort, the classic selection shape
+    // written identically in both engines (native percentile_cont/
+    // quantile_cont interpolate in engine-specific float order, so the
+    // portable formulation IS the operator).
+    Q("q185_exact_median", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus")
+        Tables(s, dir, "orders")
+          .select(col("o_orderstatus").as("st"), col("o_totalprice").as("v"),
+            row_number().over(w).as("rn"), count(lit(1)).over(wc).as("n"))
+          .filter(col("rn") === floor((col("n") + 1) / 2) ||
+            col("rn") === floor((col("n") + 2) / 2))
+          .groupBy("st")
+          .agg((graft.Exact.dsum(col("v")) /
+            count(lit(1)).cast(DoubleType)).as("median"))
+          .orderBy("st")
+      },
+      Some(s"""WITH r AS (SELECT o_orderstatus AS st, o_totalprice AS v,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM orders)
+             |SELECT st,
+             |  (${graft.Exact.sqlSum("v")} / CAST(COUNT(*) AS DOUBLE)) AS median
+             |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+             |GROUP BY st ORDER BY st""".stripMargin)),
+
+    // GROUP BY ALL / ORDER BY ALL (modern SQL sugar both engines grew —
+    // Spark 3.4+/4.x and DuckDB): ONE statement text executed verbatim by
+    // both, like the q151 recursive CTE. Grouping keys are inferred from
+    // the non-aggregate select items; ordering covers the whole output.
+    Q("q186_group_by_all", { (s, dir) =>
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(GroupByAllSql)
+      },
+      Some(GroupByAllSql)),
 
     // PIVOT + UNPIVOT round-trip: order counts per year spread across
     // status columns, then melted back to long form (null cells dropped),

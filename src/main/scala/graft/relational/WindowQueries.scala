@@ -115,6 +115,36 @@ object WindowQueries {
              |    row_number() OVER (PARTITION BY o_custkey
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders)
-             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Analytic-function completion beside q18's lag/lead/first/last:
+    // nth_value over a running frame (null until the frame holds n rows),
+    // lead with an explicit default (no null at the partition tail), and
+    // the IGNORE NULLS form of last_value (the last non-null observation
+    // so far — the forward-fill primitive q112 builds on). Same one-key
+    // window shuffle as the rest of the family.
+    Q("q183_window_analytic_extras", { (s, dir) =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+            lead(col("o_orderkey"), 1, -1L).over(wl).as("next_key"),
+            last(when(col("o_orderkey") % 2 === 0, col("o_totalprice")),
+              ignoreNulls = true).over(w).as("last_even_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  nth_value(o_totalprice, 2) OVER w AS second_price,
+             |  lead(o_orderkey, 1, -1) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
+             |  last_value(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END
+             |    IGNORE NULLS) OVER w AS last_even_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

@@ -136,4 +136,26 @@ object TextKernelProps extends Properties("TextKernels") {
       val got = (0 until out.numElements()).map(out.getUTF8String(_).toString).toList
       got == List("a b", "b c", "a b c", "c")
     }
+
+  // ---- compression-ratio quality signal (q184) ----
+
+  property("deflateRatio: deterministic, positive, 1.0 on empty") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val r = TextKernels.deflateRatio(UTF8String.fromString(s))
+      r == TextKernels.deflateRatio(UTF8String.fromString(s)) &&
+        r > 0.0 && (s.nonEmpty || r == 1.0)
+    }
+
+  property("deflateRatio orders repetitive < natural < random-noise text") =
+    forAll(Gen.choose(1, 40)) { n =>
+      val rep = ("spark " * (50 + n)).trim
+      val nat = (0 until (50 + n)).map(i => s"w${i * 7919 % 997}").mkString(" ")
+      val rnd = new scala.util.Random(n)
+      val noise = Array.fill(rep.length)((33 + rnd.nextInt(94)).toChar).mkString
+      val (a, b, c) = (
+        TextKernels.deflateRatio(UTF8String.fromString(rep)),
+        TextKernels.deflateRatio(UTF8String.fromString(nat)),
+        TextKernels.deflateRatio(UTF8String.fromString(noise)))
+      a < b && b < c
+    }
 }
