@@ -162,6 +162,10 @@ object GraftExtensions {
     "media_duration_ms" -> { args: Seq[Expression] =>
       require(args.length == 1, "media_duration_ms(content)")
       graft.multimodal.MediaDurationMs(args(0))
+    },
+    "deflate_ratio" -> { args: Seq[Expression] =>
+      require(args.length == 1, "deflate_ratio(text)")
+      graft.llm.DeflateRatio(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */
