@@ -1992,7 +1992,93 @@ object CdcQueries {
              |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS price,
              |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
              |       WHEN o_orderkey > 5000 THEN o_orderstatus END AS status
-             |FROM orders ORDER BY pk""".stripMargin))
+             |FROM orders ORDER BY pk""".stripMargin)),
+
+    // Replica reconciliation by bucket digest — the pt-table-checksum
+    // shape (Percona's canonical replication-verification tool; also
+    // DBLog's validation pass): source and target exchange per-bucket
+    // (row count, digest) pairs and drill into MISMATCHING buckets only —
+    // at 100 TB the wire carries n_buckets tuples, never rows. Target =
+    // source with formula-injected drift (sparse: every 530th row deleted, every
+    // 970th price changed, inserts past the key horizon). Digest = sum of
+    // a per-row md5-prefix integer (the engine-portable strpos-arithmetic
+    // hash — addition is order-insensitive, so the distributed sum is
+    // partition-independent and comparable across engines); the value
+    // string fixes DECIMAL(18,2) rendering so both engines hash the same
+    // bytes. One bucket-key agg per side + one full-outer join of
+    // bucket-count rows.
+    Q("q187_table_checksum_diff", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val src = o.select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"),
+          col("o_orderstatus").as("st"))
+        val dst = src
+          .filter(col("k") % 530 =!= 0)
+          .withColumn("p",
+            when(col("k") % 970 === 0, col("p") + 1).otherwise(col("p")))
+          .unionAll(src.filter(col("k") % 1010 === 0)
+            .select((col("k") + 3000000L).as("k"), col("p"), col("st")))
+        val digits = lit("0123456789abcdef")
+        def rowHash(df: org.apache.spark.sql.DataFrame) = {
+          val h = md5(concat_ws("|", col("k").cast(StringType),
+            col("p").cast(StringType), col("st")))
+          val uint = (0 until 6).map { i =>
+            (instr(digits, substring(h, i + 1, 1)) - 1).cast(LongType) *
+              (1L << (4 * (5 - i)))
+          }.reduce(_ + _)
+          df.select((col("k") - pmod(col("k"), lit(64))).as("bucket"), uint.as("rh"))
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("n"), sum("rh").as("digest"))
+        }
+        rowHash(src).select(col("bucket"), col("n").as("src_rows"),
+            col("digest").as("src_digest"))
+          .join(rowHash(dst).select(col("bucket"), col("n").as("dst_rows"),
+            col("digest").as("dst_digest")), Seq("bucket"), "full")
+          .select(col("bucket"),
+            coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+            coalesce(col("dst_rows"), lit(0L)).as("dst_rows"),
+            coalesce(col("src_digest"), lit(-1L)).as("src_digest"),
+            coalesce(col("dst_digest"), lit(-1L)).as("dst_digest"))
+          .withColumn("consistent",
+            col("src_rows") === col("dst_rows") &&
+              col("src_digest") === col("dst_digest"))
+          .orderBy("bucket")
+      },
+      Some("""WITH src AS (SELECT o_orderkey AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             |    o_orderstatus AS st FROM orders),
+             |dst AS (SELECT k, CASE WHEN k % 970 = 0 THEN p + 1 ELSE p END AS p, st
+             |    FROM src WHERE k % 530 <> 0
+             |  UNION ALL
+             |  SELECT k + 3000000, p, st FROM src WHERE k % 1010 = 0),
+             |sh AS (SELECT k - k % 64 AS bucket,
+             |    CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 1, 1)) - 1 AS BIGINT) * 1048576
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 2, 1)) - 1 AS BIGINT) * 65536
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 3, 1)) - 1 AS BIGINT) * 4096
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 4, 1)) - 1 AS BIGINT) * 256
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 5, 1)) - 1 AS BIGINT) * 16
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 6, 1)) - 1 AS BIGINT) AS rh
+             |  FROM src),
+             |dh AS (SELECT k - k % 64 AS bucket,
+             |    CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 1, 1)) - 1 AS BIGINT) * 1048576
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 2, 1)) - 1 AS BIGINT) * 65536
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 3, 1)) - 1 AS BIGINT) * 4096
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 4, 1)) - 1 AS BIGINT) * 256
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 5, 1)) - 1 AS BIGINT) * 16
+             |  + CAST(strpos('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || st), 6, 1)) - 1 AS BIGINT) AS rh
+             |  FROM dst),
+             |sa AS (SELECT bucket, CAST(count(*) AS BIGINT) AS src_rows,
+             |    CAST(sum(rh) AS BIGINT) AS src_digest FROM sh GROUP BY bucket),
+             |da AS (SELECT bucket, CAST(count(*) AS BIGINT) AS dst_rows,
+             |    CAST(sum(rh) AS BIGINT) AS dst_digest FROM dh GROUP BY bucket)
+             |SELECT coalesce(sa.bucket, da.bucket) AS bucket,
+             |  coalesce(src_rows, 0) AS src_rows, coalesce(dst_rows, 0) AS dst_rows,
+             |  coalesce(src_digest, -1) AS src_digest,
+             |  coalesce(dst_digest, -1) AS dst_digest,
+             |  (coalesce(src_rows, 0) = coalesce(dst_rows, 0) AND
+             |   coalesce(src_digest, -1) = coalesce(dst_digest, -1)) AS consistent
+             |FROM sa FULL OUTER JOIN da ON sa.bucket = da.bucket
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** Shared fixture for q130/q131: the q129 stream with 8 server
