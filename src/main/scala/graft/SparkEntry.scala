@@ -14,6 +14,7 @@ object SparkEntry {
       relational.WindowQueries.qs ++
       relational.FunctionQueries.qs ++
       relational.EventQueries.qs ++
+      relational.EventQueries.qs2 ++
       cdc.CdcQueries.qs ++
       functions.Udx.qs ++
       llm.LlmQueries.qs ++

@@ -241,4 +241,52 @@ object EventQueries {
              |FROM seq WHERE prev_type IS NOT NULL AND gap_s <= 1800
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
+
+  /** q188 lives outside the main Seq literal purely to keep the file's
+    * giant Seq readable; [[qs]] exposes everything.
+    */
+  val qs2: Seq[Q] = Seq(
+
+    // DYNAMIC-gap sessionization — Spark's expression-valued
+    // session_window (3.2+; the static-gap q62 can't express "a purchase
+    // keeps the session alive longer"): each event extends its session by
+    // its own gap (48 h after a purchase, 12 h otherwise), sessions are
+    // the merged overlapping [ts, ts+gap) intervals. The oracle replays
+    // the merge as the classic variable-gap islands: new session iff
+    // ts >= running max of (ts + gap) over all earlier events — exactly
+    // the interval-union semantics, in integer microseconds on both
+    // sides. One user-key window shuffle, no unbounded state.
+    Q("q188_dynamic_session", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val gap = when(col("event_type") === "purchase", "48 hours")
+          .otherwise("12 hours")
+        ev.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start_us"),
+            unix_micros(col("sw.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+             |    CASE WHEN event_type = 'purchase' THEN 172800000000
+             |         ELSE 43200000000 END AS gap
+             |  FROM events),
+             |m AS (SELECT user_id, t, gap,
+             |    max(t + gap) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+             |  FROM e),
+             |f AS (SELECT user_id, t, gap,
+             |    CASE WHEN reach IS NULL OR t >= reach THEN 1 ELSE 0 END AS brk
+             |  FROM m),
+             |sess AS (SELECT user_id, t, gap,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM f)
+             |SELECT user_id, CAST(min(t) AS BIGINT) AS session_start_us,
+             |  CAST(max(t + gap) AS BIGINT) AS session_end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin))
+  )
 }

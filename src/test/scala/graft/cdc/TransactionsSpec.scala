@@ -125,6 +125,26 @@ class TransactionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeXaPrepare(trunc))
   }
 
+  test("XA_PREPARE decode is total on adversarial bytes") {
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { i =>
+      val bs = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      try { decodeXaPrepare(bs); () }
+      catch { case _: IllegalArgumentException => () } // the only allowed failure
+    }
+    // bit-flip sweep over a valid body: every corruption either decodes
+    // (a flipped data byte just changes the hex) or fails loudly with IAE
+    val valid = encodeXaPrepare(onePhase = false, 1,
+      "gtrid-x".getBytes("UTF-8"), Array[Byte](1, 2))
+    valid.indices.foreach { i =>
+      (0 until 8).foreach { b =>
+        val m = valid.clone(); m(i) = (m(i) ^ (1 << b)).toByte
+        try { decodeXaPrepare(m); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   test("xaAssemble: span stamping, outcome resolution, ordering and strays") {
     val spark2 = spark
     import spark2.implicits._
