@@ -2267,6 +2267,83 @@ object LlmQueries {
              |    AS BIGINT) AS pos_in_shard
              |FROM asg ORDER BY shard, pos_in_shard""".stripMargin)),
 
+    // Near-dup SIGNAL-AGREEMENT matrix — the audit a pipeline runs before
+    // trusting any single dedup detector: the three exactly-computable
+    // signals (token-set Jaccard q41, winnowing overlap q181,
+    // embedding cosine q52) over the same corpus, one row per pair found
+    // by ANY of them with a flag per signal. Disagreements are the
+    // review queue (a pair only the embedding finds is a PARAPHRASE, not
+    // a copy; one only Jaccard finds reordered its text). Full outer
+    // union of three already-bounded pair sets — adds no new shuffle
+    // shape of its own.
+    Q("q189_neardup_signals", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val jac = Dedup.jaccardPairs(docs, "text", "doc_id")
+          .select(col("da"), col("db"), lit(true).as("by_jaccard"))
+        val fp = docs.select(col("doc_id"),
+            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("f"))
+          .select(col("doc_id"), col("f.hash").as("h")).distinct()
+        val dfc = fp.groupBy("h").agg(count(lit(1)).as("c"))
+        val keep = fp.join(dfc.filter(col("c") <= 20), "h")
+        val win = keep.select(col("doc_id").as("da"), col("h"))
+          .join(keep.select(col("doc_id").as("db"), col("h")), "h")
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5)
+          .select(col("da"), col("db"), lit(true).as("by_winnow"))
+        val emb = Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45)
+          .select(col("da"), col("db"), lit(true).as("by_embedding"))
+        jac.join(win, Seq("da", "db"), "full")
+          .join(emb, Seq("da", "db"), "full")
+          .select(col("da"), col("db"),
+            coalesce(col("by_jaccard"), lit(false)).as("by_jaccard"),
+            coalesce(col("by_winnow"), lit(false)).as("by_winnow"),
+            coalesce(col("by_embedding"), lit(false)).as("by_embedding"))
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH $ShingleCte,
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jac AS (SELECT da, db FROM inter
+             |  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+             |  WHERE i * 10 >= (ca.n + cb.n - i) * 7),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS idx FROM d),
+             |g AS (SELECT doc_id, idx - 1 AS pos,
+             |    substr(md5(toks[idx] || ' ' || toks[idx+1] || ' ' || toks[idx+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |win0 AS (SELECT b.doc_id, b.pos, b.h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4),
+             |fp AS (SELECT DISTINCT doc_id, h FROM win0 WHERE rn = 1),
+             |dfc AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+             |keep AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc USING (h)
+             |  WHERE dfc.c <= 20),
+             |wn AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |dv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |em AS (SELECT a.vec_id AS da, b.vec_id AS db
+             |  FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+             |  WHERE list_inner_product(a.v, b.v)
+             |    / (sqrt(list_inner_product(a.v, a.v))
+             |     * sqrt(list_inner_product(b.v, b.v))) >= 0.45),
+             |allp AS (SELECT da, db FROM jac UNION
+             |  SELECT da, db FROM wn UNION SELECT da, db FROM em)
+             |SELECT p.da, p.db,
+             |  EXISTS (SELECT 1 FROM jac j WHERE j.da = p.da AND j.db = p.db) AS by_jaccard,
+             |  EXISTS (SELECT 1 FROM wn w WHERE w.da = p.da AND w.db = p.db) AS by_winnow,
+             |  EXISTS (SELECT 1 FROM em e WHERE e.da = p.da AND e.db = p.db) AS by_embedding
+             |FROM allp p ORDER BY da, db""".stripMargin)),
+
     // Compression-ratio quality signal (RedPajama-v2, Together 2023 —
     // one of its published per-document quality signals; the
     // information-density cousin of q91's repetition fractions): zlib
