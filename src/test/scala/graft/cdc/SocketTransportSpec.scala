@@ -124,6 +124,71 @@ class SocketTransportSpec extends SparkSpec {
       MysqlProtocolCodec.encodeComBinlogDump(1337L, 0, 100L, "bin.000042")))
   }
 
+  test("loopback TCP semi-sync: announcement on the wire, ACK bytes sent back") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev1 = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))),
+      logPos = 4242L)
+
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Option[Throwable] = None
+    val clientPackets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        def recv(): Unit = { clientPackets += SocketTransport.readPayload(in) }
+        os.write(writePacket(0, handshake(seed1))); os.flush()
+        recv() // HandshakeResponse41
+        os.write(writePacket(2, authSwitch(seed2))); os.flush()
+        recv() // scramble proof
+        os.write(writePacket(4, ok)); os.flush()
+        recv() // set @master_binlog_checksum
+        os.write(writePacket(1, ok)); os.flush()
+        recv() // set @rpl_semi_sync_slave= 1 <- the announcement
+        os.write(writePacket(1, ok)); os.flush()
+        recv() // show master status
+        os.write(writePacket(1, Array(5.toByte)))
+        for (i <- 0 until 5) os.write(writePacket(2 + i, hx("deadbeef")))
+        os.write(writePacket(7, eof))
+        os.write(writePacket(8, lenencStr("bin.000042") ++ lenencStr("1337") ++
+          lenencStr("") ++ lenencStr("") ++ lenencStr("")))
+        os.write(writePacket(9, eof)); os.flush()
+        recv() // COM_BINLOG_DUMP
+        // flagged semi-sync event: 0x00 marker + 0xef magic + flag 1
+        os.write(writePacket(1, Array[Byte](0, 0xef.toByte, 1) ++ ev1)); os.flush()
+        recv() // the semi-sync ACK
+        os.write(writePacket(3, eof)); os.flush()
+        s.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.start()
+
+    val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L,
+        semiSync = true),
+      ev => events += ev, readTimeoutMs = 10000)
+    t.join(10000)
+    server.close()
+    assert(serverErr.isEmpty, s"fake server failed: $serverErr")
+    assert(events.size == 1 && java.util.Arrays.equals(events(0), ev1))
+    assert(res.events == 1 && res.stop.isDefined)
+    // the announcement crossed the wire after the checksum ack
+    assert(java.util.Arrays.equals(clientPackets(3),
+      MysqlProtocolCodec.encodeComQuery("set @rpl_semi_sync_slave= 1")))
+    // the ACK packet: 0xef + u8 LE end-log-pos + current binlog file
+    val ack = clientPackets.last
+    val wantAck = 0xef.toByte +:
+      ((0 until 8).map(i => ((4242L >> (8 * i)) & 0xff).toByte).toArray ++
+        "bin.000042".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(ack, wantAck),
+      ack.map(b => f"$b%02x").mkString(" "))
+  }
+
   test("maxEvents stops the loop cleanly with stop=None") {
     val seed1 = (1 to 20).map(_.toByte).toArray
     val seed2 = (50 until 70).map(_.toByte).toArray
