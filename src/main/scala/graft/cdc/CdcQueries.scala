@@ -1994,6 +1994,67 @@ object CdcQueries {
              |       WHEN o_orderkey > 5000 THEN o_orderstatus END AS status
              |FROM orders ORDER BY pk""".stripMargin)),
 
+    // Snapshot DIFF → change stream (the inverse of the q33 latest-image
+    // merge, and the generator a backfill runs when no binlog exists for
+    // a period — diff two snapshots, emit synthetic INSERT/UPDATE/DELETE
+    // envelopes): one pk-keyed FULL OUTER join classifies every key,
+    // unchanged rows are dropped, changed ones carry before/after images.
+    // Same formula-drifted target as q187 (plus status flips), so the
+    // two reconciliation views agree by construction.
+    Q("q191_snapshot_diff", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val v1 = o.select(col("o_orderkey").as("pk"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderstatus").as("st"))
+        val v2 = v1
+          .filter(col("pk") % 530 =!= 0)
+          .withColumn("price",
+            when(col("pk") % 970 === 0, col("price") + 5).otherwise(col("price")))
+          .withColumn("st",
+            when(col("pk") % 113 === 0, lit("X")).otherwise(col("st")))
+          .unionAll(v1.filter(col("pk") % 1010 === 0)
+            .select((col("pk") + 3000000L).as("pk"), col("price"), col("st")))
+        val a = v1.select(col("pk"), col("price").as("old_price"), col("st").as("old_st"))
+        val b = v2.select(col("pk"), col("price").as("new_price"), col("st").as("new_st"))
+        a.join(b, Seq("pk"), "full")
+          .withColumn("change",
+            when(col("new_st").isNull, "DELETE")
+              .when(col("old_st").isNull, "INSERT")
+              .when(col("old_price") =!= col("new_price") ||
+                col("old_st") =!= col("new_st"), "UPDATE"))
+          .filter(col("change").isNotNull)
+          .select(col("pk"), col("change"),
+            col("old_price").cast(DoubleType).as("old_price"),
+            col("new_price").cast(DoubleType).as("new_price"),
+            col("old_st"), col("new_st"))
+          .orderBy("pk")
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS pk,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             |    o_orderstatus AS st FROM orders),
+             |v2 AS (SELECT pk,
+             |    CASE WHEN pk % 970 = 0 THEN price + 5 ELSE price END AS price,
+             |    CASE WHEN pk % 113 = 0 THEN 'X' ELSE st END AS st
+             |  FROM v1 WHERE pk % 530 <> 0
+             |  UNION ALL SELECT pk + 3000000, price, st FROM v1 WHERE pk % 1010 = 0),
+             |d AS (SELECT coalesce(a.pk, b.pk) AS pk,
+             |    a.price AS old_price, a.st AS old_st,
+             |    b.price AS new_price, b.st AS new_st
+             |  FROM v1 a FULL OUTER JOIN v2 b ON a.pk = b.pk)
+             |SELECT pk,
+             |  CASE WHEN new_st IS NULL THEN 'DELETE'
+             |       WHEN old_st IS NULL THEN 'INSERT'
+             |       WHEN old_price <> new_price OR old_st <> new_st THEN 'UPDATE'
+             |  END AS change,
+             |  CAST(old_price AS DOUBLE) AS old_price,
+             |  CAST(new_price AS DOUBLE) AS new_price, old_st, new_st
+             |FROM d
+             |WHERE (CASE WHEN new_st IS NULL THEN 'DELETE'
+             |       WHEN old_st IS NULL THEN 'INSERT'
+             |       WHEN old_price <> new_price OR old_st <> new_st THEN 'UPDATE'
+             |  END) IS NOT NULL
+             |ORDER BY pk""".stripMargin)),
+
     // Replica reconciliation by bucket digest — the pt-table-checksum
     // shape (Percona's canonical replication-verification tool; also
     // DBLog's validation pass): source and target exchange per-bucket

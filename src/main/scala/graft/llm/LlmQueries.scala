@@ -2344,6 +2344,79 @@ object LlmQueries {
              |  EXISTS (SELECT 1 FROM em e WHERE e.da = p.da AND e.db = p.db) AS by_embedding
              |FROM allp p ORDER BY da, db""".stripMargin)),
 
+    // Exact train/val/test split by largest-remainder apportionment
+    // (Hamilton's method — the classic integer-exact way to turn 80/10/10
+    // into per-group quotas that SUM EXACTLY to each group's size; naive
+    // per-row hashing only approximates the proportions): per language,
+    // base quotas floor(n·w/10), the leftover seats go to the splits with
+    // the largest remainders (ties to the earlier split), then docs are
+    // assigned to quota ranges in salted-md5 rank order. All integer
+    // arithmetic; one metadata-scale quota agg broadcast back onto one
+    // per-language rank window.
+    Q("q190_split_apportion", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val weights = Seq(("train", 8, 1), ("val", 1, 2), ("test", 1, 3))
+        val n = d.groupBy("lang").agg(count(lit(1)).as("n"))
+        val qrows = weights.map { case (nm, w, ord) =>
+          n.select(col("lang"), lit(nm).as("split"), lit(ord).as("ord"),
+            floor((col("n") * w) / lit(10)).cast(LongType).as("base"),
+            ((col("n") * w) % 10).as("rem"), col("n"))
+        }.reduce(_ unionAll _)
+        val wRem = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("rem").desc, col("ord"))
+        val quotas = qrows
+          .withColumn("seat_rank", row_number().over(wRem))
+          .withColumn("seats_left",
+            (col("n") - sum("base").over(
+              org.apache.spark.sql.expressions.Window.partitionBy("lang"))))
+          .withColumn("quota",
+            col("base") + when(col("seat_rank") <= col("seats_left"), 1L).otherwise(0L))
+          .select(col("lang"), col("split"), col("ord"), col("quota"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("ord")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val bounds = quotas.withColumn("hi", sum("quota").over(wCum))
+          .withColumn("lo", col("hi") - col("quota"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("skey", "doc_id")
+        val ranked = d.select(col("doc_id"), col("lang"),
+            md5(concat(lit("split:"), col("doc_id").cast(StringType))).as("skey"))
+          .withColumn("rk", row_number().over(wRank).cast(LongType))
+        ranked.join(broadcast(bounds), Seq("lang"))
+          .filter(col("rk") > col("lo") && col("rk") <= col("hi"))
+          .select(col("doc_id"), col("lang"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY lang),
+             |q0 AS (
+             |  SELECT lang, 'train' AS split, 1 AS ord, n * 8 // 10 AS base,
+             |    n * 8 % 10 AS rem, n FROM n
+             |  UNION ALL SELECT lang, 'val', 2, n // 10, n % 10, n FROM n
+             |  UNION ALL SELECT lang, 'test', 3, n // 10, n % 10, n FROM n),
+             |q1 AS (SELECT lang, split, ord, base, n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY rem DESC, ord) AS seat_rank,
+             |    n - sum(base) OVER (PARTITION BY lang) AS seats_left
+             |  FROM q0),
+             |quotas AS (SELECT lang, split, ord,
+             |    base + CASE WHEN seat_rank <= seats_left THEN 1 ELSE 0 END AS quota
+             |  FROM q1),
+             |bounds AS (SELECT lang, split, ord,
+             |    sum(quota) OVER (PARTITION BY lang ORDER BY ord
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             |    sum(quota) OVER (PARTITION BY lang ORDER BY ord
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - quota AS lo
+             |  FROM quotas),
+             |ranked AS (SELECT doc_id, lang,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS BIGINT) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.lang, b.split
+             |FROM ranked r JOIN bounds b
+             |  ON r.lang = b.lang AND r.rk > b.lo AND r.rk <= b.hi
+             |ORDER BY doc_id""".stripMargin)),
+
     // Compression-ratio quality signal (RedPajama-v2, Together 2023 —
     // one of its published per-document quality signals; the
     // information-density cousin of q91's repetition fractions): zlib
