@@ -253,7 +253,9 @@ object EventQueries {
     // its own gap (48 h after a purchase, 12 h otherwise), sessions are
     // the merged overlapping [ts, ts+gap) intervals. The oracle replays
     // the merge as the classic variable-gap islands: new session iff
-    // ts >= running max of (ts + gap) over all earlier events — exactly
+    // ts strictly beyond the running max of (ts + gap) over all earlier
+    // events (an event landing EXACTLY on the reach still merges — the
+    // boundary semantic StreamingSpec pins for the static-gap operator) —
     // the interval-union semantics, in integer microseconds on both
     // sides. One user-key window shuffle, no unbounded state.
     Q("q188_dynamic_session", { (s, dir) =>
@@ -277,7 +279,7 @@ object EventQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
              |  FROM e),
              |f AS (SELECT user_id, t, gap,
-             |    CASE WHEN reach IS NULL OR t >= reach THEN 1 ELSE 0 END AS brk
+             |    CASE WHEN reach IS NULL OR t > reach THEN 1 ELSE 0 END AS brk
              |  FROM m),
              |sess AS (SELECT user_id, t, gap,
              |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
