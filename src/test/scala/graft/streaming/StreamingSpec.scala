@@ -106,6 +106,46 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Timestamp]("session_start") == t("2024-01-01 00:19:01"))
   }
 
+  test("dynamic-gap session windows stream: a purchase extends the session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val gap = when(col("event_type") === "purchase", "30 minutes")
+      .otherwise("5 minutes")
+    val q = in.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s"), col("sw.end").as("e"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("dynsess_t")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        // user 1: view at 00:00 (5m reach), purchase at 00:04 (30m reach),
+        // view at 00:20 — INSIDE the purchase-extended session
+        Ev(t("2024-01-01 00:00:00"), 1, "view", 0),
+        Ev(t("2024-01-01 00:04:00"), 1, "purchase", 0),
+        Ev(t("2024-01-01 00:20:00"), 1, "view", 0),
+        // user 2: same shape but no purchase — 00:20 starts a NEW session
+        Ev(t("2024-01-01 00:00:00"), 2, "view", 0),
+        Ev(t("2024-01-01 00:04:00"), 2, "view", 0),
+        Ev(t("2024-01-01 00:20:00"), 2, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("dynsess_t")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, t("2024-01-01 00:00:00"), 3L), // one purchase-stretched session
+        (2L, t("2024-01-01 00:00:00"), 2L),
+        (2L, t("2024-01-01 00:20:00"), 1L)), rows)
+      // the stretched session's end = MAX over members of (ts + own gap):
+      // the 00:04 purchase reaches 00:34, past the last view's 00:25 —
+      // the same interval-union semantic the q188 oracle replays
+      val end1 = spark.table("dynsess_t").filter(col("user_id") === 1)
+        .collect().head.getTimestamp(2)
+      assert(end1 == t("2024-01-01 00:34:00"), end1)
+    } finally q.stop()
+  }
+
   test("throughput meter counts input rows via query progress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
