@@ -457,4 +457,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftAnti"), "the dedup drop must anti-join\n" + p)
   }
+
+  test("q185 exact median: per-group windows only, partial+final final agg") {
+    val p = plan("q185_exact_median")
+    assert(p.contains("partial_"), "the middle-row agg must map-side combine\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "no window may collapse to one partition\n" + p)
+  }
+
+  test("q187 checksum diff: bucket-key aggs both partial, no cartesian") {
+    val p = plan("q187_table_checksum_diff")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q190 apportionment: metadata-scale quota table broadcasts back") {
+    val p = plan("q190_split_apportion")
+    assert(p.contains("BroadcastHashJoin"),
+      "the quota/bounds table is O(langs x splits) and must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q191 snapshot diff is one pk-keyed full join, never nested-loop") {
+    val p = plan("q191_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
