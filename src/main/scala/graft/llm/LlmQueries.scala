@@ -2417,6 +2417,96 @@ object LlmQueries {
              |  ON r.lang = b.lang AND r.rk > b.lo AND r.rk <= b.hi
              |ORDER BY doc_id""".stripMargin)),
 
+    // Pointwise mutual information over windowed co-occurrence (Church &
+    // Hanks 1990 — the association statistic behind collocation mining
+    // and the word2vec-era count matrices): unordered token pairs within
+    // a ±2 window, PMI = ln(c_ab·N_w² / (N_p·c_a·c_b)) with every factor
+    // an INTEGER count (the single ln runs on an exactly-representable
+    // ratio and is snapped to the house DECIMAL(18,9) grid), pairs seen
+    // ≥ 20 times ranked by PMI. Scale: the windowed pair explode is one
+    // (pair) hash agg; unigram counts join on the word key (the q122
+    // key-shuffle shape — a real corpus's vocabulary does not
+    // broadcast); the two 1-row totals broadcast; top-50 is
+    // TakeOrderedAndProject.
+    Q("q192_pmi_collocations", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val pos = d.select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
+        val a = pos.select(col("doc_id"), col("p").as("pa"), col("w").as("wa"))
+        val b = pos.select(col("doc_id"), col("p").as("pb"), col("w").as("wb"))
+        val pairs = a.join(b, Seq("doc_id"))
+          .filter(col("pb") > col("pa") && col("pb") - col("pa") <= 2)
+          .select(least(col("wa"), col("wb")).as("x"),
+            greatest(col("wa"), col("wb")).as("y"))
+        val pc = pairs.groupBy("x", "y").agg(count(lit(1)).as("cab"))
+        val uni = pos.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val nw = pos.agg(count(lit(1)).as("nw"))
+        val np = pairs.agg(count(lit(1)).as("np"))
+        pc.filter(col("cab") >= 20)
+          .join(uni.select(col("w").as("x"), col("c1").as("ca")), "x")
+          .join(uni.select(col("w").as("y"), col("c1").as("cb")), "y")
+          .crossJoin(broadcast(nw)).crossJoin(broadcast(np))
+          .select(col("x"), col("y"), col("cab"),
+            log((col("cab") * col("nw") * col("nw")).cast(DoubleType) /
+              (col("np") * col("ca") * col("cb")).cast(DoubleType))
+              .cast(DecimalType(18, 9)).cast(DoubleType).as("pmi"))
+          .orderBy(col("pmi").desc, col("x"), col("y")).limit(50)
+      },
+      Some("""WITH pos AS (SELECT doc_id, i - 1 AS p, toks[i] AS w
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |       (SELECT unnest(generate_series(1, 200)) AS i)
+             |  WHERE i <= len(toks)),
+             |pairs AS (SELECT least(a.w, b.w) AS x, greatest(a.w, b.w) AS y
+             |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+             |    AND b.p > a.p AND b.p - a.p <= 2),
+             |pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cab
+             |  FROM pairs GROUP BY 1, 2),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM pos GROUP BY w),
+             |nw AS (SELECT CAST(count(*) AS BIGINT) AS nw FROM pos),
+             |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs)
+             |SELECT x, y, cab,
+             |  CAST(CAST(ln(CAST(cab * nw.nw * nw.nw AS DOUBLE)
+             |      / CAST(np.np * ua.c1 * ub.c1 AS DOUBLE)) AS DECIMAL(18,9))
+             |    AS DOUBLE) AS pmi
+             |FROM pc
+             |JOIN uni ua ON ua.w = pc.x JOIN uni ub ON ub.w = pc.y
+             |CROSS JOIN nw CROSS JOIN np
+             |WHERE cab >= 20
+             |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin)),
+
+    // Inverted-index construction (the canonical distributed-indexing
+    // workload — the original MapReduce motivating example, Dean &
+    // Ghemawat 2004 §2.1): per (term, doc) posting rows with occurrence
+    // count and first position, plus each term's document frequency —
+    // the index q146's BM25 retrieval conceptually reads. Scale: one
+    // (term, doc) hash agg off the position explode; the df agg and the
+    // join back both key on the term — the posting lists' natural
+    // partition (a search shard IS a term partition).
+    Q("q193_inverted_index", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val pos = d.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("p", "w")))
+        val posting = pos.groupBy("w", "doc_id")
+          .agg(count(lit(1)).as("n_occ"), min("p").cast(LongType).as("first_pos"))
+        val dfc = posting.groupBy("w").agg(count(lit(1)).as("df"))
+        posting.join(dfc, "w")
+          .select(col("w").as("term"), col("df"), col("doc_id"),
+            col("n_occ"), col("first_pos"))
+          .orderBy("term", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks))) AS i FROM d),
+             |pos AS (SELECT doc_id, i - 1 AS p, toks[i] AS w FROM ix),
+             |posting AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+             |    CAST(min(p) AS BIGINT) AS first_pos
+             |  FROM pos GROUP BY 1, 2),
+             |dfc AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+             |  FROM posting GROUP BY 1)
+             |SELECT posting.w AS term, df, doc_id, n_occ, first_pos
+             |FROM posting JOIN dfc ON posting.w = dfc.w
+             |ORDER BY term, doc_id""".stripMargin)),
+
     // Compression-ratio quality signal (RedPajama-v2, Together 2023 —
     // one of its published per-document quality signals; the
     // information-density cousin of q91's repetition fractions): zlib
