@@ -2507,6 +2507,99 @@ object LlmQueries {
              |FROM posting JOIN dfc ON posting.w = dfc.w
              |ORDER BY term, doc_id""".stripMargin)),
 
+    // Cross-source contamination matrix — corpus governance over q181's
+    // winnowing pairs: who copies from whom, aggregated to (source_a,
+    // source_b) with pair counts and the mean shared-fingerprint depth.
+    // The view a curation team reviews before weighting sources (a
+    // source pair with heavy overlap double-counts its text under any
+    // per-source mixture). Pairs are the bounded q181 set; the source
+    // join adds two broadcast-size doc lookups and one tiny agg.
+    Q("q194_source_overlap", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val fp = d.select(col("doc_id"),
+            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("f"))
+          .select(col("doc_id"), col("f.hash").as("h")).distinct()
+        val dfc = fp.groupBy("h").agg(count(lit(1)).as("c"))
+        val keep = fp.join(dfc.filter(col("c") <= 20), "h")
+        val pairs = keep.select(col("doc_id").as("da"), col("h"))
+          .join(keep.select(col("doc_id").as("db"), col("h")), "h")
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5)
+        val src = d.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"), col("shared"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("shared").as("shared_total"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |    substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |win AS (SELECT b.doc_id, b.pos, b.h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4),
+             |fp AS (SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+             |dfc AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+             |keep AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc USING (h)
+             |  WHERE dfc.c <= 20),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |    CAST(count(*) AS BIGINT) AS shared
+             |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |lbl AS (SELECT p.shared,
+             |    least(sa.source, sb.source) AS source_a,
+             |    greatest(sa.source, sb.source) AS source_b
+             |  FROM pairs p
+             |  JOIN documents sa ON sa.doc_id = p.da
+             |  JOIN documents sb ON sb.doc_id = p.db)
+             |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(shared) AS BIGINT) AS shared_total
+             |FROM lbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Half-life-decayed document score (the freshness/popularity
+    // weighting a recency-aware sampler applies; the standard
+    // exponential-decay trick with a twist that makes it BIT-EXACT
+    // cross-engine: integer age-in-days over a fixed 7-day half-life
+    // gives decay = 2^-(age/7) — with the exponent floor'd to an
+    // integer, the decay is an exact power of two in doubles, the
+    // per-row product snaps to DECIMAL, the sum is order-insensitive
+    // decimal addition, and the RESULT ships as integer micro-units —
+    // a final decimal-to-double cast differs by 1 ulp across engines at
+    // scale 11, measured; floor-to-micros does not). Anchor fixed past the fixture's max date so ages are non-negative
+    // and reproducible.
+    Q("q195_decayed_score", { (s, dir) =>
+        val o = t(s, dir, "orders")
+        val age = datediff(lit("2001-08-02").cast(DateType),
+          col("o_orderdate").cast(DateType))
+        val halves = floor(age / 7).cast(IntegerType)
+        val decay = pow(lit(2.0), -halves.cast(DoubleType))
+        o.groupBy(col("o_custkey"))
+          .agg(floor(sum((col("o_totalprice").cast(DecimalType(18, 2)) *
+              decay.cast(DecimalType(18, 9))).cast(DecimalType(28, 11))) *
+              lit(1000000)).cast(LongType).as("decayed_spend_micros"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey,
+             |  CAST(floor(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |    * CAST(power(2.0, -CAST(floor(date_diff('day',
+             |        CAST(o_orderdate AS DATE), DATE '2001-08-02') / 7)
+             |        AS INTEGER)) AS DECIMAL(18,9)) AS DECIMAL(28,11)))
+             |    * 1000000) AS BIGINT) AS decayed_spend_micros,
+             |  CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // Compression-ratio quality signal (RedPajama-v2, Together 2023 —
     // one of its published per-document quality signals; the
     // information-density cousin of q91's repetition fractions): zlib
