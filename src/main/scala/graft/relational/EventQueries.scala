@@ -289,6 +289,48 @@ object EventQueries {
              |  CAST(max(t + gap) AS BIGINT) AS session_end_us,
              |  CAST(count(*) AS BIGINT) AS n_events
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, session_start_us""".stripMargin))
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Last-touch attribution — for every purchase, the latest preceding
+    // non-purchase event by the same user within a 7-day lookback is the
+    // credited touchpoint (the standard marketing-attribution primitive;
+    // first-touch/linear are the same shape with a different pick).
+    // Spark side: the q80 as-of join shape — per-user ordered window,
+    // latest-event carry, never a per-purchase scan. Credited counts per
+    // touch type plus the unattributed bucket.
+    Q("q196_last_touch_attribution", { (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val sevenDaysUs = 7L * 86400 * 1000000
+        val touched = ev
+          .withColumn("touch", max(
+            when(col("event_type") =!= "purchase",
+              struct(unix_micros(col("ts")).as("tts"),
+                col("event_id").as("eid"), col("event_type").as("ttype"))))
+            .over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            when(col("touch").isNotNull &&
+              unix_micros(col("ts")) - col("touch.tts") <= sevenDaysUs,
+              col("touch.ttype")).otherwise("unattributed").as("credited"))
+        touched.groupBy("credited").agg(count(lit(1)).as("n_purchases"))
+          .orderBy("credited")
+      },
+      Some("""WITH seq AS (SELECT event_id, user_id, ts, event_type,
+             |    max(CASE WHEN event_type <> 'purchase'
+             |        THEN {'tts': epoch_us(ts), 'eid': event_id,
+             |              'ttype': event_type} END) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             |  FROM events),
+             |cr AS (SELECT event_id,
+             |    CASE WHEN touch IS NOT NULL
+             |        AND epoch_us(ts) - touch.tts <= 604800000000
+             |      THEN touch.ttype ELSE 'unattributed' END AS credited
+             |  FROM seq WHERE event_type = 'purchase')
+             |SELECT credited, CAST(count(*) AS BIGINT) AS n_purchases
+             |FROM cr GROUP BY credited ORDER BY credited""".stripMargin))
   )
 }

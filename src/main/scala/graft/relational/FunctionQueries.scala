@@ -408,6 +408,40 @@ object FunctionQueries {
       },
       Some(GroupByAllSql)),
 
+    // Referential-integrity audit (the data-quality pass a warehouse
+    // load runs after ingest): orphaned children and childless parents
+    // by LEFT ANTI join — never a row-shipping join, the only exchanges
+    // are the two key aggs. Fixture drift shifts every 101st lineitem's
+    // order key past the horizon so the orphan path actually fires;
+    // per-check counts plus the clean-row count make the audit total to
+    // the table sizes (the self-consistency a reviewer checks first).
+    Q("q197_referential_audit", { (s, dir) =>
+        val o = Tables(s, dir, "orders").select(col("o_orderkey"))
+        val l = Tables(s, dir, "lineitem")
+          .select(when(col("l_orderkey") % 101 === 0,
+            col("l_orderkey") + 30000000L).otherwise(col("l_orderkey")).as("fk"))
+        val orphans = l.join(o, col("fk") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("orphan_lineitem").as("check_name"), col("n"))
+        val childless = o.join(l, col("fk") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("childless_order").as("check_name"), col("n"))
+        val ok = l.join(o, col("fk") === col("o_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("ok_lineitem").as("check_name"), col("n"))
+        orphans.unionAll(childless).unionAll(ok).orderBy("check_name")
+      },
+      Some("""WITH l AS (SELECT CASE WHEN l_orderkey % 101 = 0
+             |      THEN l_orderkey + 30000000 ELSE l_orderkey END AS fk
+             |  FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'orphan_lineitem' AS check_name, CAST(count(*) AS BIGINT) AS n
+             |  FROM l WHERE fk NOT IN (SELECT o_orderkey FROM orders)
+             |  UNION ALL
+             |  SELECT 'childless_order', CAST(count(*) AS BIGINT) FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT fk FROM l)
+             |  UNION ALL
+             |  SELECT 'ok_lineitem', CAST(count(*) AS BIGINT)
+             |  FROM l WHERE fk IN (SELECT o_orderkey FROM orders))
+             |ORDER BY check_name""".stripMargin)),
+
     // PIVOT + UNPIVOT round-trip: order counts per year spread across
     // status columns, then melted back to long form (null cells dropped),
     // which must equal the plain GROUP BY — the oracle states exactly that.
