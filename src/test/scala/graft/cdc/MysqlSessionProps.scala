@@ -34,6 +34,18 @@ object MysqlSessionProps extends Properties("MysqlSession") {
       true // reaching here (no exception) IS the property
     }
 
+  property("semi-sync fold: arbitrary dump payloads never throw, bad magic fails") =
+    forAll(phaseGen, Gen.listOfN(6, bytesGen)) { (mk, payloads) =>
+      var st = mk(initial(Config("u", "p", 1L, semiSync = true)))
+      payloads.foreach { p => st = onPayload(st, p).state }
+      // and specifically: a 0x00-marked dump packet without the 0xef
+      // magic lands in Failed, never an exception or a silent event
+      val streaming = initial(Config("u", "p", 1L, semiSync = true))
+        .copy(phase = Streaming, currentFile = "f")
+      val bad = onPayload(streaming, Array[Byte](0, 0x12, 1, 2, 3))
+      bad.state.phase.isInstanceOf[Failed] && bad.event.isEmpty
+    }
+
   property("fold from Failed is a fixpoint with the original reason") =
     forAll(bytesGen) { p =>
       val failed = initial(Config("u", "p", 1L))

@@ -146,6 +146,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static temporal lookup: each event joins its SCD2 era") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static SCD2 dimension: user 1 upgrades at 01:00; user 2 never does
+    val dim = Seq(
+      (1L, t("2024-01-01 00:00:00"), t("2024-01-01 01:00:00"), "bronze"),
+      (1L, t("2024-01-01 01:00:00"), t("2099-01-01 00:00:00"), "gold"),
+      (2L, t("2024-01-01 00:00:00"), t("2099-01-01 00:00:00"), "silver")
+    ).toDF("user_id", "vf", "vt", "tier")
+    val in = MemoryStream[Ev]
+    val q = in.toDF()
+      .join(dim, in.toDF()("user_id") === dim("user_id") &&
+        col("ts") >= col("vf") && col("ts") < col("vt"))
+      .select(col("value"), col("tier"))
+      .writeStream.format("memory").queryName("scdlkp_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 00:30:00"), 1, "view", 10), // bronze era
+        Ev(t("2024-01-01 01:30:00"), 1, "view", 11), // after the upgrade
+        Ev(t("2024-01-01 00:30:00"), 2, "view", 12),
+        Ev(t("2024-01-01 00:30:00"), 9, "view", 13)) // no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("scdlkp_t").collect()
+        .map(r => (r.getDouble(0), r.getString(1))).toSet
+      assert(rows == Set((10.0, "bronze"), (11.0, "gold"), (12.0, "silver")),
+        rows)
+    } finally q.stop()
+  }
+
   test("throughput meter counts input rows via query progress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
