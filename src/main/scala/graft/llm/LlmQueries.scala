@@ -2600,6 +2600,66 @@ object LlmQueries {
              |  CAST(count(*) AS BIGINT) AS n_orders
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Corpus composition report — the one-page summary a curation run
+    // publishes (per source × lang: documents, token supply, share of
+    // the corpus, exact-dup rate): three integer aggs + one broadcast
+    // total; the integer-ratio columns ship as parts-per-million BIGINTs
+    // (the q195 lesson — no trailing decimal→double casts).
+    Q("q198_corpus_report", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val base = d.select(col("source"), col("lang"),
+          size(toks).cast(LongType).as("n_tok"), sha2(col("text"), 256).as("h"))
+        val grp = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"),
+            countDistinct("h").as("distinct_docs"))
+        val tot = base.agg(sum("n_tok").as("tot_tokens"))
+        grp.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("docs"), col("tokens"),
+            floor(col("tokens") * 1000000 / col("tot_tokens"))
+              .cast(LongType).as("token_share_ppm"),
+            floor((col("docs") - col("distinct_docs")) * 1000000 / col("docs"))
+              .cast(LongType).as("dup_rate_ppm"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH base AS (SELECT source, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    sha256(text) AS h FROM documents),
+             |grp AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+             |    CAST(sum(n_tok) AS BIGINT) AS tokens,
+             |    CAST(count(DISTINCT h) AS BIGINT) AS distinct_docs
+             |  FROM base GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tokens FROM base)
+             |SELECT source, lang, docs, tokens,
+             |  CAST(floor(tokens * 1000000 / tot_tokens) AS BIGINT) AS token_share_ppm,
+             |  CAST(floor((docs - distinct_docs) * 1000000 / docs) AS BIGINT) AS dup_rate_ppm
+             |FROM grp CROSS JOIN tot ORDER BY source, lang""".stripMargin)),
+
+    // Quality-priority dedup — the keep rule production dedup actually
+    // uses (RefinedWeb/FineWeb keep the LONGEST duplicate, not the
+    // first-seen): per exact-content group keep max length then min id,
+    // emitted beside the q40-style min-id canonical so the policy
+    // difference is itself visible. One content-hash shuffle with a
+    // struct-max agg — no window needed.
+    Q("q199_dedup_keep_best", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val keyed = d.select(sha2(col("text"), 256).as("h"),
+          col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+        keyed.groupBy("h")
+          .agg(count(lit(1)).as("n_dups"),
+            min("doc_id").as("first_id"),
+            max(struct(col("n_chars"), (-col("doc_id")).as("negid")))
+              .getField("negid").as("negbest"))
+          .select(col("h").as("content_hash"), col("n_dups"),
+            col("first_id"), (-col("negbest")).as("kept_id"))
+          .orderBy("content_hash")
+      },
+      Some("""SELECT sha256(text) AS content_hash,
+             |  CAST(count(*) AS BIGINT) AS n_dups,
+             |  min(doc_id) AS first_id,
+             |  -((max({'nc': CAST(n_chars AS BIGINT), 'negid': -doc_id})).negid) AS kept_id
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
     // Compression-ratio quality signal (RedPajama-v2, Together 2023 —
     // one of its published per-document quality signals; the
     // information-density cousin of q91's repetition fractions): zlib
