@@ -392,9 +392,33 @@ object Transactions {
       .withColumn("xa_xid", when(col("__p.seq") === col("xa_seq"), col("__p.xid")))
       .withColumn("__one_phase",
         when(col("xa_xid").isNotNull, col("__p.one_phase")))
+    // Global (file, ord) ordering key. Binlog file identifiers order by
+    // their numeric suffix, not lexicographically: 'binlog.999999' <
+    // 'binlog.1000000' (the documented rollover) and a fixture's bare
+    // '8' < '40'. Split the name into (prefix, numeric suffix) so the
+    // struct comparison is numeric where it must be; -1 keeps suffixless
+    // names comparable (they order by prefix alone).
+    def fileKey(f: Column, o: Column): Column = {
+      val suffix = regexp_extract(f, "([0-9]+)$", 1)
+      struct(
+        regexp_replace(f, "[0-9]+$", "").as("base"),
+        when(suffix === "", lit(-1L)).otherwise(suffix.cast(LongType)).as("num"),
+        o.as("ord"))
+    }
+    def keyGeq(a: Column, b: Column): Column =
+      (a.getField("base") > b.getField("base")) ||
+        (a.getField("base") === b.getField("base") &&
+          ((a.getField("num") > b.getField("num")) ||
+            (a.getField("num") === b.getField("num") &&
+              a.getField("ord") >= b.getField("ord"))))
     // Outcome statements: `XA COMMIT <xid>` / `XA ROLLBACK <xid>` (the
     // bare two-phase forms; ONE PHASE commits never reach here — they are
-    // the one_phase prepare flag). One row per xid after the agg;
+    // the one_phase prepare flag). MySQL permits xid REUSE once a
+    // transaction completes, so ALL outcomes per xid are kept (sorted,
+    // statement-scale — two QUERY events per distributed txn) and each
+    // prepare resolves against the earliest outcome at-or-after its own
+    // (file, ord); a single min-per-xid would hand a reused xid's first
+    // outcome to the second span. One row per xid after the agg;
     // broadcast by construction.
     val outcomes = events
       .filter(col(typeCol) === lit(QueryType))
@@ -412,17 +436,18 @@ object Transactions {
         trim(substring_index(col("osql_raw"), " ", -1)).as("xa_xid"),
         col("ofile"), col("oord"))
       .groupBy("xa_xid")
-      .agg(min(struct(col("ofile"), col("oord"), col("outcome"))).as("o"))
-      .select(col("xa_xid"), col("o.outcome").as("__outcome"),
-        col("o.ofile").as("__ofile"), col("o.oord").as("__oord"))
+      .agg(sort_array(collect_list(struct(
+        fileKey(col("ofile"), col("oord")).as("k"),
+        col("outcome").as("outcome")))).as("__os"))
+    val pk = fileKey(col("__p.pfile"), col("__p.pord"))
+    val resolved = try_element_at(
+      filter(col("__os"), o => keyGeq(o.getField("k"), pk)), lit(1))
     stamped
       .join(broadcast(outcomes), Seq("xa_xid"), "left")
       .withColumn("xa_state", when(col("xa_xid").isNull, lit(null).cast(StringType))
         .when(col("__one_phase"), "committed")
-        .when(col("__outcome").isNotNull &&
-          struct(col("__ofile"), col("__oord")) >=
-            struct(col("__p.pfile"), col("__p.pord")), col("__outcome"))
+        .when(resolved.isNotNull, resolved.getField("outcome"))
         .otherwise("prepared"))
-      .drop("__p", "__one_phase", "__outcome", "__ofile", "__oord")
+      .drop("__p", "__one_phase", "__os")
   }
 }

@@ -147,8 +147,11 @@ object TextKernels {
       hashes(i) = sb.toString
       i += 1
     }
-    // Right-to-left scan per window keeps the RIGHTMOST tied minimum (the
-    // robust-winnowing tie rule); a position is recorded at most once.
+    // Right-to-left scan per window keeps the RIGHTMOST tied minimum —
+    // plain winnowing with rightmost tie-breaking (NOT the paper's
+    // "robust" variant, which prefers re-selecting the previous window's
+    // fingerprint on ties; the oracle and the property model replay this
+    // rightmost rule). A position is recorded at most once.
     val out = new java.util.LinkedHashMap[Integer, String]()
     var end = w - 1
     while (end < ng) {
@@ -394,7 +397,8 @@ object DeflateRatio {
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
 }
 
-/** Codegen'd robust-winnowing fingerprint over an `array<string>` token
+/** Codegen'd winnowing fingerprint (rightmost tie-break, Schleimer et
+  * al. 2003 base scheme) over an `array<string>` token
   * column: `array<struct<pos:int, hash:string>>` of selected (k-gram
   * position, 16-hex-char md5 prefix) pairs — see [[TextKernels.winnow]].
   */

@@ -80,10 +80,17 @@ object XaStream {
                 st = st.copy(open = false, openXid = None, buffered = Nil,
                   pending = st.pending + (x -> span))
               }
-            } else if (st.open) {
-              st = st.copy(buffered = raw :: st.buffered)
             } else if (sqlUp.startsWith("XA COMMIT") && !sqlUp.endsWith("ONE PHASE")) {
+              // Resolved BEFORE the open-span buffering branch: an XA
+              // COMMIT for an already-prepared xid can legally arrive
+              // while a DIFFERENT span is open (the transaction manager
+              // resolves in-doubt transactions on its own schedule); the
+              // statement must resolve the pending span, never be
+              // swallowed into — and later mislabeled with — the open one.
               val x = sql.substring(sql.lastIndexOf(' ') + 1)
+              require(!(st.open && st.openXid.contains(x)),
+                s"session $session: XA COMMIT for the still-open xid $x " +
+                  s"before its prepare at ordinal ${se.ordinal} — corrupt capture")
               st.pending.get(x) match {
                 case Some(span) =>
                   span.foreach(e => out += e.copy(
@@ -94,9 +101,14 @@ object XaStream {
               }
             } else if (sqlUp.startsWith("XA ROLLBACK")) {
               val x = sql.substring(sql.lastIndexOf(' ') + 1)
+              require(!(st.open && st.openXid.contains(x)),
+                s"session $session: XA ROLLBACK for the still-open xid $x " +
+                  s"before its prepare at ordinal ${se.ordinal} — corrupt capture")
               // resolved-only delivery: the rolled-back span is DISCARDED
               st = st.copy(pending = st.pending - x)
               out += raw
+            } else if (st.open) {
+              st = st.copy(buffered = raw :: st.buffered)
             } else {
               out += raw // non-XA traffic passes through unstamped
             }

@@ -208,4 +208,36 @@ class TransactionsSpec extends SparkSpec {
       .select("xa_state").collect().head.getString(0)
     assert(earlyOut == "prepared")
   }
+
+  test("xaAssemble: xid reuse resolves per-span; files order by numeric suffix") {
+    val spark2 = spark
+    import spark2.implicits._
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    def row(pk: Long) = BinlogRowCodec.encodeRows(
+      BinlogRowCodec.WriteV2, schema, Seq(Seq(pk)))
+    val gid = "r".getBytes("UTF-8")
+    val xr = xidText(gid.map(b => f"$b%02x").mkString, "", 1)
+    def prep = encodeXaPrepare(false, 1, gid, Array.emptyByteArray)
+    // MySQL allows an xid to be REUSED once its transaction completes.
+    // Files '8' and '40' order numerically (8 < 40) though lexicographic
+    // string order says '40' < '8' — both spans must resolve against the
+    // outcome at-or-after THEIR OWN prepare, not a single global min.
+    val events = Seq(
+      ("8", 1, QueryType, encodeQuery("d", s"XA START $xr")),
+      ("8", 2, BinlogRowCodec.WriteV2, row(1)),
+      ("8", 3, QueryType, encodeQuery("d", s"XA END $xr")),
+      ("8", 4, XaPrepareType, prep),
+      ("8", 5, QueryType, encodeQuery("d", s"XA COMMIT $xr")),
+      ("40", 1, QueryType, encodeQuery("d", s"XA START $xr")),
+      ("40", 2, BinlogRowCodec.WriteV2, row(2)),
+      ("40", 3, QueryType, encodeQuery("d", s"XA END $xr")),
+      ("40", 4, XaPrepareType, prep),
+      ("40", 5, QueryType, encodeQuery("d", s"XA ROLLBACK $xr"))
+    ).toDF("file", "ord", "event_type", "body")
+    val out = Transactions.xaAssemble(events, "file", "ord")
+      .filter(col("event_type") === BinlogRowCodec.WriteV2)
+      .select("file", "xa_state").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("8", "committed"), ("40", "rolled_back")), out)
+  }
 }

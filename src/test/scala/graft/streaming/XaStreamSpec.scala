@@ -79,6 +79,44 @@ class XaStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("XA COMMIT for a pending xid resolves it even inside another open span") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (xa, xb) = (xidOf("a"), xidOf("b"))
+    val in = MemoryStream[SessionEvent]
+    val query = XaStream.assembleResolved(in.toDS())
+      .writeStream.format("memory").queryName("xa_interleaved")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        SessionEvent(1L, 0L, q(s"XA START $xa")),
+        SessionEvent(1L, 1L, write(1L)),
+        SessionEvent(1L, 2L, q(s"XA END $xa")),
+        SessionEvent(1L, 3L, prep("a", one = false)),
+        // span b opens; the transaction manager resolves a MID-SPAN —
+        // the commit must release span a, not be buffered into span b
+        SessionEvent(1L, 4L, q(s"XA START $xb")),
+        SessionEvent(1L, 5L, write(2L)),
+        SessionEvent(1L, 6L, q(s"XA COMMIT $xa")),
+        SessionEvent(1L, 7L, q(s"XA END $xb")),
+        SessionEvent(1L, 8L, prep("b", one = true)))
+      query.processAllAvailable()
+      val rows = spark.table("xa_interleaved")
+        .collect().map(r => (r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+      assert(rows == Set(
+        (0L, Some(xa), Some("committed")),
+        (1L, Some(xa), Some("committed")),
+        (2L, Some(xa), Some("committed")),
+        (3L, Some(xa), Some("committed")),
+        (6L, None, None), // the commit statement: immediate, unstamped
+        (4L, Some(xb), Some("committed")),
+        (5L, Some(xb), Some("committed")),
+        (7L, Some(xb), Some("committed")),
+        (8L, Some(xb), Some("committed"))), rows)
+    } finally query.stop()
+  }
+
   test("a stray XA COMMIT for an unknown xid passes through without effect") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
