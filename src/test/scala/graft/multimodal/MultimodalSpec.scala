@@ -17,7 +17,102 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Int]("byte_len") == 6)
     assert(out(0).getAs[Long]("checksum") == "abcdef".getBytes.map(_.toLong).sum)
     assert(out(1).getAs[Int]("byte_len") == 0 && out(1).getAs[Long]("checksum") == 0L)
-    assertThrows[NotImplementedError](MediaDecode.decodeReal(Array(1), "image"))
+    // the real codec boundary: images decode (junk → sentinel row, never a
+    // throw); audio/video bitstreams still have no JDK codec
+    assertThrows[NotImplementedError](MediaDecode.decodeReal(1L, "audio", Array(1)))
+    val junk = MediaDecode.decodeReal(7L, "image", "not a png".getBytes("UTF-8"))
+    assert(junk.getInt(3) == -1 && junk.getLong(6) == -1L)
+  }
+
+  test("ImageCodec: hand-built PNG decodes to exact golden pixel stats") {
+    // Build a 2x1 PNG byte-by-byte (signature, IHDR, IDAT via raw
+    // java.util.zip — independent of ImageIO's writer): pixels
+    // (255,0,0) and (0,128,64).
+    import java.util.zip.{CRC32, Deflater}
+    def be(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      be(body.length) ++ tag.getBytes("US-ASCII") ++ body ++ be(crc.getValue.toInt)
+    }
+    val ihdr = be(2) ++ be(1) ++ Array[Byte](8, 2, 0, 0, 0) // 2x1 8-bit RGB
+    val scanline = Array[Byte](0, // filter None
+      0xff.toByte, 0, 0, 0, 0x80.toByte, 0x40)
+    val defl = new Deflater()
+    defl.setInput(scanline); defl.finish()
+    val buf = new Array[Byte](64)
+    val n = defl.deflate(buf)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+    val f = ImageCodec.featuresOf(png).get
+    assert(f == ImageCodec.ImageFeatures(2, 1, 3, 255L, 128L, 64L), f)
+    // hostile bytes: junk, truncation mid-IDAT, empty — None, never a throw
+    assert(ImageCodec.featuresOf("garbage not an image".getBytes).isEmpty)
+    assert(ImageCodec.featuresOf(png.take(30)).isEmpty)
+    assert(ImageCodec.featuresOf(Array.empty[Byte]).isEmpty)
+  }
+
+  test("ImageCodec: decoded dims agree with the SniffMedia header sniffer") {
+    // Every fixture PNG: javax.imageio's decoded geometry must equal what
+    // the no-codec header sniffer (q102's kernel) reads from IHDR, and
+    // both must equal the formula. Exercises all 48 (w,h) combinations.
+    (0L until 48L).foreach { id =>
+      val bytes = ImageCodec.formulaPng(id)
+      val (w, h) = ((id % 16 + 4).toInt, (id % 12 + 4).toInt)
+      assert(MediaKernels.sniffTuple(bytes) == ("png", w, h), id)
+      val f = ImageCodec.featuresOf(bytes).get
+      assert((f.width, f.height, f.channels) == (w, h, 3), id)
+    }
+    // and for the other ImageIO formats, write→read round-trips geometry
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val img = ImageCodec.decode(ImageCodec.formulaPng(5L)).get
+    Seq("gif", "bmp", "jpg").foreach { fmt =>
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), fmt)
+      val back = ImageCodec.featuresOf(bos.toByteArray).get
+      assert((back.width, back.height) == (img.getWidth, img.getHeight), fmt)
+    }
+  }
+
+  test("ImageCodec: area-average resize and thumbSums pooling math") {
+    // 4x2 image, known pixels; resize to 2x1 → each target pixel is the
+    // floor-average of its 2x2 cell.
+    val px = Array(
+      Array((10, 20, 30), (20, 40, 60), (100, 0, 0), (200, 0, 0)),
+      Array((30, 60, 90), (40, 80, 120), (0, 50, 0), (0, 150, 8)))
+    val bytes = ImageCodec.encodePng(4, 2, (x, y) => px(y)(x))
+    val img = ImageCodec.decode(bytes).get
+    val small = ImageCodec.resize(img, 2, 1)
+    def rgb(p: Int) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    assert(rgb(small.getRGB(0, 0)) == ((10 + 20 + 30 + 40) / 4,
+      (20 + 40 + 60 + 80) / 4, (30 + 60 + 90 + 120) / 4))
+    assert(rgb(small.getRGB(1, 0)) == ((100 + 200 + 0 + 0) / 4,
+      (0 + 0 + 50 + 150) / 4, (0 + 0 + 0 + 8) / 4))
+    // thumbSums on a 4x4 grid over a 4x4 image = per-pixel (r+g+b),
+    // row-major — and it must equal resize's numerators on equal cells
+    val b16 = ImageCodec.encodePng(4, 4, (x, y) => (x, y, x * y))
+    val sums = ImageCodec.thumbSums(ImageCodec.decode(b16).get)
+    val want = for (y <- 0 until 4; x <- 0 until 4) yield (x + y + x * y).toLong
+    assert(sums.toSeq == want)
+    assertThrows[IllegalArgumentException](
+      ImageCodec.resize(img, 8, 1)) // upscale would make empty cells
+  }
+
+  test("decodeImages batch path equals the per-row UDF features") {
+    import spark.implicits._
+    val media = (0L until 24L).map(id => (id, ImageCodec.formulaPng(id)))
+      .toDF("media_id", "content")
+    val batch = MediaDecode.decodeImages(media).orderBy("media_id")
+      .select("media_id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
+      .collect().map(_.toSeq).toSeq
+    val direct = (0L until 24L).map { id =>
+      val f = ImageCodec.featuresOf(ImageCodec.formulaPng(id)).get
+      Seq[Any](id, f.width, f.height, f.channels, f.sum_r, f.sum_g, f.sum_b)
+    }
+    assert(batch == direct)
   }
 
   test("columnar decode equals the RDD-path decode, with no RDD scan in plan") {
@@ -141,7 +236,11 @@ class MultimodalSpec extends SparkSpec {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     assert(docs.count() > 0)
     val q50 = graft.SparkEntry.queries("q50_media_decode")(spark, "/root/testdata/sf0.001")
-    assert(q50.filter(col("checksum") <= 0).count() == 0)
+    // every fixture PNG must decode for real: no -1 sentinel anywhere
+    assert(q50.filter(col("width") <= 0 || col("channels") =!= 3 ||
+      col("sum_r") < 0).count() == 0)
+    val q51 = graft.SparkEntry.queries("q51_media_frame_sample")(spark, "/root/testdata/sf0.001")
+    assert(q51.filter(col("thumb") === "").count() == 0)
   }
 
   test("duration: formula fixtures, Ogg granulepos, hostile negatives") {
