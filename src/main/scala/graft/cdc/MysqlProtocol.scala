@@ -238,6 +238,33 @@ object MysqlProtocolCodec {
     out
   }
 
+  // ---- caching_sha2_password fast-path scramble -------------------------
+
+  /** SHA256(pass) XOR SHA256(SHA256(SHA256(pass)) ++ seed[0..20]) — the
+    * caching_sha2_password FAST-PATH proof (the MySQL 8.0+ default
+    * plugin; public algorithm, 32 bytes). The fast path succeeds whenever
+    * the server has the account's SHA256 digest cached; a cache miss
+    * triggers `perform_full_authentication` (RSA/TLS), which the session
+    * machine refuses loudly rather than send password material.
+    * Convention: an empty password sends an empty proof.
+    */
+  def cachingSha2Auth(password: Array[Byte], seed: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    require(seed.length >= 20, s"auth seed must carry 20 bytes, got ${seed.length}")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val h1 = sha.digest(password)
+    sha.reset()
+    val h2 = sha.digest(h1)
+    sha.reset()
+    sha.update(h2)
+    sha.update(seed, 0, 20)
+    val h3 = sha.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 32) { out(i) = (h1(i) ^ h3(i)).toByte; i += 1 }
+    out
+  }
+
   // ---- client-side packet builders ------------------------------------
 
   private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {

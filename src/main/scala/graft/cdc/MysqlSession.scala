@@ -24,6 +24,11 @@ object MysqlReplicaSession {
   case object AwaitAuthSwitch extends Phase
   /** Scramble proof sent; OK expected. */
   case object AwaitAuthResult extends Phase
+  /** caching_sha2 fast-path proof sent; AuthMoreData (0x01 0x03 =
+    * fast_auth_success, 0x01 0x04 = perform_full_authentication) or a
+    * direct OK (empty-password accounts) expected.
+    */
+  case object AwaitSha2MoreData extends Phase
   /** Checksum-session ack expected (OK). */
   case object AwaitChecksumAck extends Phase
   /** `set @rpl_semi_sync_slave= 1` ack expected (OK) — semi-sync only. */
@@ -141,16 +146,24 @@ object MysqlReplicaSession {
           fail(st, "malformed AuthSwitchRequest: unterminated plugin name")
         else {
           val plugin = new String(payload, 1, pos - 1, "UTF-8")
-          if (plugin != "mysql_native_password")
-            fail(st, s"unsupported auth plugin $plugin")
-          else {
-            val rest = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
-            val seed = if (rest.nonEmpty && rest.last == 0) rest.dropRight(1) else rest
-            val useSeed = if (seed.length >= 20) seed else st.seed
-            val proof = MysqlProtocolCodec.nativePasswordAuth(
-              st.config.password.getBytes("UTF-8"), useSeed)
-            Step(st.copy(phase = AwaitAuthResult, seed = useSeed),
-              send = Seq(3 -> proof))
+          val rest = java.util.Arrays.copyOfRange(payload, pos + 1, payload.length)
+          val seed = if (rest.nonEmpty && rest.last == 0) rest.dropRight(1) else rest
+          val useSeed = if (seed.length >= 20) seed else st.seed
+          plugin match {
+            case "mysql_native_password" =>
+              val proof = MysqlProtocolCodec.nativePasswordAuth(
+                st.config.password.getBytes("UTF-8"), useSeed)
+              Step(st.copy(phase = AwaitAuthResult, seed = useSeed),
+                send = Seq(3 -> proof))
+            case "caching_sha2_password" =>
+              // MySQL 8.0+ default plugin (reference stops at native —
+              // mysql.rs:480-494; a stock 8.0 account lands here first)
+              val proof = MysqlProtocolCodec.cachingSha2Auth(
+                st.config.password.getBytes("UTF-8"), useSeed)
+              Step(st.copy(phase = AwaitSha2MoreData, seed = useSeed),
+                send = Seq(3 -> proof))
+            case other =>
+              fail(st, s"unsupported auth plugin $other")
           }
         }
       case AwaitAuthSwitch =>
@@ -161,6 +174,31 @@ object MysqlReplicaSession {
         Step(st.copy(phase = AwaitChecksumAck), send = Seq(
           0 -> MysqlProtocolCodec.encodeComQuery(
             "set @master_binlog_checksum= @@global.binlog_checksum")))
+
+      case AwaitSha2MoreData if first == 0x00 =>
+        // direct OK: empty-password accounts skip the AuthMoreData round
+        Step(st.copy(phase = AwaitChecksumAck), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery(
+            "set @master_binlog_checksum= @@global.binlog_checksum")))
+      case AwaitSha2MoreData if first == 0x01 =>
+        // AuthMoreData: 0x03 = fast_auth_success (a bare OK follows, no
+        // client bytes in between), 0x04 = perform_full_authentication —
+        // the server's digest cache missed and it wants the cleartext
+        // password under TLS or RSA. Refuse LOUDLY: this client never
+        // transports password material; any TLS login (mysql CLI) primes
+        // the cache, after which the fast path succeeds.
+        if (payload.length < 2) fail(st, "empty AuthMoreData packet")
+        else (payload(1) & 0xff) match {
+          case 0x03 => Step(st.copy(phase = AwaitAuthResult))
+          case 0x04 => fail(st, "caching_sha2_password requested full " +
+            "authentication (server-side digest cache miss): refusing to " +
+            "send the password without TLS/RSA — log in once over TLS to " +
+            "prime the cache, then retry")
+          case other => fail(st, f"unexpected AuthMoreData tag 0x$other%02x")
+        }
+      case AwaitSha2MoreData =>
+        fail(st, f"expected AuthMoreData or OK after the caching_sha2 " +
+          f"proof, got first byte 0x$first%02x")
 
       case AwaitChecksumAck if st.config.semiSync =>
         Step(st.copy(phase = AwaitSemiSyncAck), send = Seq(

@@ -31,6 +31,23 @@ class MysqlProtocolSpec extends SparkSpec {
     assert(got.equalsIgnoreCase("b32bb3a583e1340c0a1108d58b1be49781ad8c2f"))
   }
 
+  test("caching_sha2 fast-path scramble matches hashlib-computed vectors") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    assert(MysqlProtocolCodec.cachingSha2Auth("secret".getBytes, seed).toSeq ==
+      hx("746ebe205d56a0707acb3e796e834e0dd7b1d61743b26bd5202c7a623230c7c9").toSeq)
+    val seed2 = (100 until 120).map(_.toByte).toArray
+    assert(MysqlProtocolCodec.cachingSha2Auth("p4ssw0rd!".getBytes, seed2).toSeq ==
+      hx("6dc06c46e097f8f7ea9855dc438a5fdaa6ffec0f8037ac1ddc2280f3c0aa14b9").toSeq)
+    // empty password → empty proof (wire convention); bytes past the
+    // 20-byte nonce are ignored (servers append a NUL the digest excludes)
+    assert(MysqlProtocolCodec.cachingSha2Auth(Array.emptyByteArray, seed).isEmpty)
+    assert(MysqlProtocolCodec.cachingSha2Auth("secret".getBytes, seed :+ 0.toByte).toSeq ==
+      MysqlProtocolCodec.cachingSha2Auth("secret".getBytes, seed).toSeq)
+    intercept[IllegalArgumentException] {
+      MysqlProtocolCodec.cachingSha2Auth("x".getBytes, seed.take(19))
+    }
+  }
+
   // ---- HandshakeV10 ----------------------------------------------------
 
   /** Build a HandshakeV10 payload byte-exactly per the wire layout the

@@ -237,6 +237,75 @@ class MysqlSessionSpec extends SparkSpec {
       "set @master_binlog_checksum= @@global.binlog_checksum")))
   }
 
+  private def authSwitchSha2(seed: Array[Byte]): Array[Byte] =
+    (0xfe.toByte +: ("caching_sha2_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte
+
+  test("caching_sha2 fast path: switch, 32-byte proof, AuthMoreData 0x03, OK") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", serverId = 100L))
+    st = onPayload(st, handshake(seed1)).state
+
+    val sw = onPayload(st, authSwitchSha2(seed2))
+    st = sw.state
+    assert(st.phase == AwaitSha2MoreData)
+    val Seq((3, proof)) = sw.send
+    // independent hashlib golden: SHA256(pass) XOR SHA256(SHA256²(pass)++seed)
+    assert(proof.toSeq == hx(
+      "d3cca0c87047b9edc64299e9c79775b631cbe3b140b44865013e68bbc8015e13").toSeq)
+
+    // fast_auth_success carries no client response; a bare OK follows
+    val more = onPayload(st, Array[Byte](0x01, 0x03))
+    st = more.state
+    assert(st.phase == AwaitAuthResult && more.send.isEmpty)
+    val s = onPayload(st, ok)
+    assert(s.state.phase == AwaitChecksumAck)
+    val Seq((0, q)) = s.send
+    assert(java.util.Arrays.equals(q, MysqlProtocolCodec.encodeComQuery(
+      "set @master_binlog_checksum= @@global.binlog_checksum")))
+  }
+
+  test("caching_sha2 full-auth request (cache miss) is refused loudly") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", 100L))
+    st = onPayload(st, handshake(seed)).state
+    st = onPayload(st, authSwitchSha2(seed)).state
+    val f = onPayload(st, Array[Byte](0x01, 0x04))
+    val reason = f.state.phase.asInstanceOf[Failed].reason
+    assert(reason.contains("full authentication") && reason.contains("TLS"))
+    // and the failure is terminal — a later OK does not resurrect it
+    assert(onPayload(f.state, ok).state.phase == f.state.phase)
+  }
+
+  test("caching_sha2 empty password: empty proof, direct OK proceeds") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    // force the switch path (a non-empty user with empty password)
+    var st = initial(Config("repl", "", 100L))
+    st = onPayload(st, handshake(seed)).state
+    val sw = onPayload(st, authSwitchSha2(seed))
+    st = sw.state
+    val Seq((3, proof)) = sw.send
+    assert(proof.isEmpty && st.phase == AwaitSha2MoreData)
+    val s = onPayload(st, ok)
+    assert(s.state.phase == AwaitChecksumAck && s.send.nonEmpty)
+  }
+
+  test("caching_sha2 malformed AuthMoreData fails, never hangs") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", 100L))
+    st = onPayload(st, handshake(seed)).state
+    st = onPayload(st, authSwitchSha2(seed)).state
+    assert(onPayload(st, Array[Byte](0x01)).state.phase.isInstanceOf[Failed])
+    assert(onPayload(st, Array[Byte](0x01, 0x07)).state
+      .phase.asInstanceOf[Failed].reason.contains("0x07"))
+    assert(onPayload(st, Array[Byte](0x05)).state.phase.isInstanceOf[Failed])
+    // ERR (wrong password) in this phase reports the server's message
+    val err = 0xff.toByte +: (Array[Byte](0x15, 0x04) ++ "#28000".getBytes ++
+      "Access denied".getBytes)
+    assert(onPayload(st, err).state.phase.asInstanceOf[Failed]
+      .reason.contains("Access denied"))
+  }
+
   test("ERR anywhere is terminal; unexpected plugin/marker fail loudly") {
     val err = 0xff.toByte +: (Array[Byte](0x48, 0x04) ++ "#HY000".getBytes ++
       "denied".getBytes)
@@ -248,7 +317,7 @@ class MysqlSessionSpec extends SparkSpec {
 
     val badPlugin = onPayload(
       initial(Config("u", "p", 1L)).copy(phase = AwaitAuthSwitch, seed = new Array[Byte](20)),
-      (0xfe.toByte +: ("caching_sha2_password".getBytes :+ 0.toByte)) ++ new Array[Byte](21))
+      (0xfe.toByte +: ("sha256_password".getBytes :+ 0.toByte)) ++ new Array[Byte](21))
     assert(badPlugin.state.phase.isInstanceOf[Failed])
 
     val badMarker = onPayload(

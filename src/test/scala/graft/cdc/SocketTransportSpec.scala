@@ -124,6 +124,92 @@ class SocketTransportSpec extends SparkSpec {
       MysqlProtocolCodec.encodeComBinlogDump(1337L, 0, 100L, "bin.000042")))
   }
 
+  test("loopback TCP caching_sha2: fast path over a real socket") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev1 = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))))
+
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Option[Throwable] = None
+    val clientPackets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        def recv(): Unit = { clientPackets += SocketTransport.readPayload(in) }
+        os.write(writePacket(0, handshake(seed1))); os.flush()
+        recv() // HandshakeResponse41
+        os.write(writePacket(2,
+          (0xfe.toByte +: ("caching_sha2_password".getBytes :+ 0.toByte)) ++
+            seed2 :+ 0.toByte)); os.flush()
+        recv() // 32-byte fast-path proof
+        // fast_auth_success, then the bare OK — no client bytes between
+        os.write(writePacket(4, Array[Byte](0x01, 0x03)))
+        os.write(writePacket(5, ok)); os.flush()
+        recv() // set @master_binlog_checksum
+        os.write(writePacket(1, ok)); os.flush()
+        recv() // show master status
+        os.write(writePacket(1, Array(5.toByte)))
+        for (i <- 0 until 5) os.write(writePacket(2 + i, hx("deadbeef")))
+        os.write(writePacket(7, eof))
+        os.write(writePacket(8, lenencStr("bin.000042") ++ lenencStr("1337") ++
+          lenencStr("") ++ lenencStr("") ++ lenencStr("")))
+        os.write(writePacket(9, eof)); os.flush()
+        recv() // COM_BINLOG_DUMP
+        os.write(writePacket(1, 0.toByte +: ev1))
+        os.write(writePacket(2, eof)); os.flush()
+        s.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.start()
+
+    val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      ev => events += ev, readTimeoutMs = 10000)
+    t.join(10000)
+    server.close()
+    assert(serverErr.isEmpty, s"fake server failed: $serverErr")
+    assert(events.size == 1 && java.util.Arrays.equals(events(0), ev1))
+    assert(res.events == 1 && res.stop.isDefined)
+    // the proof on the wire is the exact XOR-of-SHA256 scramble
+    assert(java.util.Arrays.equals(clientPackets(1),
+      MysqlProtocolCodec.cachingSha2Auth("secret".getBytes, seed2)))
+    assert(clientPackets(1).length == 32)
+  }
+
+  test("loopback TCP caching_sha2: full-auth request stops with the reason") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Option[Throwable] = None
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        os.write(writePacket(0, handshake(seed1))); os.flush()
+        SocketTransport.readPayload(in)
+        os.write(writePacket(2,
+          (0xfe.toByte +: ("caching_sha2_password".getBytes :+ 0.toByte)) ++
+            seed1 :+ 0.toByte)); os.flush()
+        SocketTransport.readPayload(in)
+        os.write(writePacket(4, Array[Byte](0x01, 0x04))); os.flush()
+        s.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.start()
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      _ => (), readTimeoutMs = 10000)
+    t.join(10000)
+    server.close()
+    assert(serverErr.isEmpty, s"fake server failed: $serverErr")
+    assert(res.events == 0 && res.stop.exists(_.contains("full authentication")))
+  }
+
   test("loopback TCP semi-sync: announcement on the wire, ACK bytes sent back") {
     val seed1 = (1 to 20).map(_.toByte).toArray
     val seed2 = (50 until 70).map(_.toByte).toArray
