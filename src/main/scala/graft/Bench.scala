@@ -24,7 +24,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver json-parses the LAST ~2000 chars of the
+    // combined output, and stray WARN lines (stderr, interleaved late by
+    // buffering) were landing after the summary line and breaking the
+    // parse (r9 item 7: BENCH_r09.json "parsed": null).
+    spark.sparkContext.setLogLevel("ERROR")
 
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () } // warm-up, untimed
 
@@ -101,13 +105,17 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errsShort = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .take(3).mkString("{", ",", "}")
+    // Stop Spark BEFORE printing: the summary line must be the final
+    // output this process emits, with no shutdown-hook log lines after it
+    // to push it out of the driver's tail window.
+    spark.stop()
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$slow,""" +
       s""""queries_note":"15 slowest of ${results.size}; full map in BENCH_FULL.json",""" +
       s""""failures":$failures,"failed":${failures > 0},"errors":$errsShort,""" +
       s""""cdc_rows_per_sec":${r3(cdcRate)},"commit":"$sha",""" +
       s""""fixture_mtime":"$fixtureMtime","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
     // A broken run must not look green to rc-keyed automation.
     if (failures > 0) sys.exit(1)
   }

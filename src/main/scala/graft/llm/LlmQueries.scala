@@ -874,8 +874,11 @@ object LlmQueries {
     // aggregates, with order restored from the exploded position.
     Q("q105_vocab_apply", { (s, dir) =>
         val docs = t(s, dir, "documents")
+        // ≤50 rows post-limit; the constant partitionBy is semantically
+        // identical on bounded input and silences the WindowExec
+        // no-partition warning that would mask real ones in the bench log
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("tf").desc, col("token")) // ≤50 rows post-limit
+          .partitionBy(lit(0)).orderBy(col("tf").desc, col("token"))
         val vocab = docs
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
           .groupBy("token")
@@ -1363,7 +1366,9 @@ object LlmQueries {
         val sup = d.groupBy("lang").agg(sum("n_tok").as("s"))
         val b = sup.agg(expr("sum(s) * 4 div 5").cast(LongType).as("budget_total"),
           count(lit(1)).as("n_langs"))
-        val w = Window.orderBy("s", "lang") // rows = #languages (metadata)
+        // rows = #languages (metadata); constant partitionBy = same plan
+        // on bounded input, keeps the bench log free of WindowExec warnings
+        val w = Window.partitionBy(lit(0)).orderBy("s", "lang")
         val r = sup.withColumn("j", row_number().over(w))
           .withColumn("cum",
             sum("s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -2045,8 +2050,8 @@ object LlmQueries {
             key.as("key"))
           .orderBy(col("key").desc, col("doc_id"))
           .limit(200)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("key").desc, col("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window // ≤200 rows post-limit
+          .partitionBy(lit(0)).orderBy(col("key").desc, col("doc_id"))
         sel.withColumn("sel_rank", row_number().over(w).cast(LongType))
           .select("sel_rank", "doc_id", "weight")
           .orderBy("sel_rank")
@@ -2083,8 +2088,8 @@ object LlmQueries {
         val o = t(s, dir, "orders")
         val edges = o.select(col("o_custkey").as("src"),
           (col("o_orderkey") % 97 + 1000000L).as("dst"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rank").desc, col("node"))
+        val w = org.apache.spark.sql.expressions.Window // ≤100 rows post-limit
+          .partitionBy(lit(0)).orderBy(col("rank").desc, col("node"))
         graft.operators.PageRank.ranks(edges, "src", "dst")
           .orderBy(col("rank").desc, col("node")).limit(100)
           .withColumn("rnk", row_number().over(w).cast(LongType))
