@@ -270,4 +270,59 @@ object Dedup {
         col("n_shared").cast(org.apache.spark.sql.types.DoubleType) /
           col("n_spans").cast(org.apache.spark.sql.types.DoubleType))
   }
+
+  /** Near-dup SIGNAL-AGREEMENT matrix (the q189 audit): the three
+    * exactly-computable detectors — token-set Jaccard ([[jaccardPairs]]),
+    * winnowing fingerprint overlap, embedding cosine
+    * ([[Similarity.cosineNearDupPairs]]) — over the same corpus, one row
+    * per pair found by ANY of them with a flag per signal. Disagreements
+    * are the review queue (a pair only the embedding finds is a
+    * paraphrase, not a copy; one only Jaccard finds reordered its text).
+    *
+    * `sampleDocs = Some(m)` is the corpus-scale mode: the audit composes
+    * the EXACT detectors (pairs-proportional and O(N²)-block work whose
+    * scale paths are the banded/IVF variants q42/q128), so at corpus
+    * scale it runs on a deterministic FIXED-SIZE sample — the m docs with
+    * the smallest md5("ns:" ++ id), engine-portable and selected by
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * A fixed budget makes the audit's cost flat in corpus size.
+    * `None` = the exhaustive mode, the sf0.01 oracle.
+    */
+  def signalAgreement(docs: DataFrame, embeddings: DataFrame,
+      sampleDocs: Option[Int] = None): DataFrame = {
+    val base = sampleDocs match {
+      case Some(m) => docs.orderBy(
+        md5(concat(lit("ns:"), col("doc_id").cast("string"))), col("doc_id"))
+        .limit(m)
+      case None => docs
+    }
+    val emb0 = sampleDocs match {
+      case Some(_) => embeddings.join(
+        broadcast(base.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi") // ≤m ids — broadcastable by contract
+      case None => embeddings
+    }
+    val jac = jaccardPairs(base, "text", "doc_id")
+      .select(col("da"), col("db"), lit(true).as("by_jaccard"))
+    val fp = base.select(col("doc_id"),
+        explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("f"))
+      .select(col("doc_id"), col("f.hash").as("h")).distinct()
+    val dfc = fp.groupBy("h").agg(count(lit(1)).as("c"))
+    val keep = fp.join(dfc.filter(col("c") <= 20), "h")
+    val win = keep.select(col("doc_id").as("da"), col("h"))
+      .join(keep.select(col("doc_id").as("db"), col("h")), "h")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .select(col("da"), col("db"), lit(true).as("by_winnow"))
+    val emb = Similarity.cosineNearDupPairs(emb0, 0.45)
+      .select(col("da"), col("db"), lit(true).as("by_embedding"))
+    jac.join(win, Seq("da", "db"), "full")
+      .join(emb, Seq("da", "db"), "full")
+      .select(col("da"), col("db"),
+        coalesce(col("by_jaccard"), lit(false)).as("by_jaccard"),
+        coalesce(col("by_winnow"), lit(false)).as("by_winnow"),
+        coalesce(col("by_embedding"), lit(false)).as("by_embedding"))
+      .orderBy("da", "db")
+  }
 }

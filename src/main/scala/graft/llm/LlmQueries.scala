@@ -2282,29 +2282,7 @@ object LlmQueries {
     // union of three already-bounded pair sets — adds no new shuffle
     // shape of its own.
     Q("q189_neardup_signals", { (s, dir) =>
-        val docs = t(s, dir, "documents")
-        val jac = Dedup.jaccardPairs(docs, "text", "doc_id")
-          .select(col("da"), col("db"), lit(true).as("by_jaccard"))
-        val fp = docs.select(col("doc_id"),
-            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("f"))
-          .select(col("doc_id"), col("f.hash").as("h")).distinct()
-        val dfc = fp.groupBy("h").agg(count(lit(1)).as("c"))
-        val keep = fp.join(dfc.filter(col("c") <= 20), "h")
-        val win = keep.select(col("doc_id").as("da"), col("h"))
-          .join(keep.select(col("doc_id").as("db"), col("h")), "h")
-          .filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 5)
-          .select(col("da"), col("db"), lit(true).as("by_winnow"))
-        val emb = Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45)
-          .select(col("da"), col("db"), lit(true).as("by_embedding"))
-        jac.join(win, Seq("da", "db"), "full")
-          .join(emb, Seq("da", "db"), "full")
-          .select(col("da"), col("db"),
-            coalesce(col("by_jaccard"), lit(false)).as("by_jaccard"),
-            coalesce(col("by_winnow"), lit(false)).as("by_winnow"),
-            coalesce(col("by_embedding"), lit(false)).as("by_embedding"))
-          .orderBy("da", "db")
+        Dedup.signalAgreement(t(s, dir, "documents"), t(s, dir, "embeddings"))
       },
       Some(s"""WITH $ShingleCte,
              |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -2348,6 +2326,89 @@ object LlmQueries {
              |  EXISTS (SELECT 1 FROM wn w WHERE w.da = p.da AND w.db = p.db) AS by_winnow,
              |  EXISTS (SELECT 1 FROM em e WHERE e.da = p.da AND e.db = p.db) AS by_embedding
              |FROM allp p ORDER BY da, db""".stripMargin)),
+
+    // The SAMPLED audit mode — what q189 actually runs at corpus scale:
+    // the agreement matrix composes the exact detectors (pairs-
+    // proportional + O(N²)-block work), so the production audit draws a
+    // deterministic FIXED-SIZE sample (smallest md5("ns:"++id), budget m)
+    // and audits within it; cost is flat in corpus size because the
+    // budget, not the corpus, bounds every pair set. The budget (200 at
+    // sf0.01, ~⅓ of the corpus) keeps the sample semantics exercised by
+    // the oracle, not just at scale.
+    Q("q200_neardup_signals_sampled", { (s, dir) =>
+        Dedup.signalAgreement(t(s, dir, "documents"), t(s, dir, "embeddings"),
+          sampleDocs = Some(200))
+      },
+      Some(s"""WITH smp AS (SELECT doc_id, text FROM documents
+             |  ORDER BY md5('ns:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             |  LIMIT 200),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM smp)
+             |),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jac AS (SELECT da, db FROM inter
+             |  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+             |  WHERE i * 10 >= (ca.n + cb.n - i) * 7),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM smp),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS idx FROM d),
+             |g AS (SELECT doc_id, idx - 1 AS pos,
+             |    substr(md5(toks[idx] || ' ' || toks[idx+1] || ' ' || toks[idx+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |win0 AS (SELECT b.doc_id, b.pos, b.h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4),
+             |fp AS (SELECT DISTINCT doc_id, h FROM win0 WHERE rn = 1),
+             |dfc AS (SELECT h, count(*) AS c FROM fp GROUP BY h),
+             |keep AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc USING (h)
+             |  WHERE dfc.c <= 20),
+             |wn AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 5),
+             |dv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM smp)),
+             |em AS (SELECT a.vec_id AS da, b.vec_id AS db
+             |  FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+             |  WHERE list_inner_product(a.v, b.v)
+             |    / (sqrt(list_inner_product(a.v, a.v))
+             |     * sqrt(list_inner_product(b.v, b.v))) >= 0.45),
+             |allp AS (SELECT da, db FROM jac UNION
+             |  SELECT da, db FROM wn UNION SELECT da, db FROM em)
+             |SELECT p.da, p.db,
+             |  EXISTS (SELECT 1 FROM jac j WHERE j.da = p.da AND j.db = p.db) AS by_jaccard,
+             |  EXISTS (SELECT 1 FROM wn w WHERE w.da = p.da AND w.db = p.db) AS by_winnow,
+             |  EXISTS (SELECT 1 FROM em e WHERE e.da = p.da AND e.db = p.db) AS by_embedding
+             |FROM allp p ORDER BY da, db""".stripMargin)),
+
+    // Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece
+    // unigram model; public algorithm), the tokenizer family's second
+    // member beside BPE (q138/q154) — the choice a data pipeline actually
+    // makes. Seed substring vocabulary → hard-EM rounds (Viterbi counts =
+    // exact long sums, partition-order-free) → SentencePiece
+    // likelihood-loss pruning to the target size. Corpus touched ONCE
+    // (word histogram); every E-step is a vocab-scale job whose collect
+    // is bounded by the current vocabulary — the q138 driver contract.
+    // Rows-only: iterative EM has no SQL oracle; gated by UnigramSpec
+    // (handcrafted-corpus golden, partition determinism, pinned
+    // tie-breaks, chars-never-pruned, segment≡final-counts).
+    Q("q201_unigram_vocab", { (s, dir) =>
+        import s.implicits._
+        val v = Unigram.train(t(s, dir, "documents"), "text",
+          targetMulti = 48, seedSize = 400, maxPieceLen = 6)
+        v.pieces.zipWithIndex.map { case ((p, c, lp), i) =>
+          (i.toLong + 1, p, c, lp)
+        }.toDF("rank", "piece", "count", "logprob")
+      },
+      None),
 
     // Exact train/val/test split by largest-remainder apportionment
     // (Hamilton's method — the classic integer-exact way to turn 80/10/10

@@ -231,10 +231,16 @@ object AudioKernels {
     * - WAV: `data` chunk byte count over the fmt chunk's byte_rate.
     * - FLAC: STREAMINFO's 36-bit total_samples over its sample rate
     *   (0 total samples = "unknown" per spec → null).
-    * - MP3: CBR estimate — audio byte count (file minus ID3v2 tag) over
-    *   the first frame's bitrate, Layer III only (the corpus format);
-    *   free-format (index 0) and bad (15) bitrates → null. VBR streams
-    *   would need the Xing/VBRI header — out of scope, documented.
+    * - MP3 (Layer III only, the corpus format): a Xing/Info header (after
+    *   the first frame's side info) or a VBRI header (at frame start +
+    *   36) with a frame count gives the exact duration frames·spf/rate —
+    *   the VBR path, where the byte estimate would be wrong (both public
+    *   layouts; "Info" is LAME's CBR spelling of the same struct, equally
+    *   exact). A Xing header WITHOUT the frames flag is a declared-VBR
+    *   stream with no count → null, never a wrong CBR guess. Otherwise
+    *   the CBR estimate: audio byte count (file minus ID3v2 tag) over the
+    *   first frame's bitrate; free-format (index 0) and bad (15)
+    *   bitrates → null.
     * - MP4: mvhd timescale/duration (version 0; version 1 uses 64-bit
     *   fields at the same offsets + 8).
     * - Ogg: the standard granulepos recipe — last page's granule position
@@ -288,6 +294,45 @@ object AudioKernels {
       val version = (u8(b, mp3At + 1) >> 3) & 0x03
       val layer = (u8(b, mp3At + 1) >> 1) & 0x03
       if (layer != 1 || version == 1) return null // Layer III only, no reserved
+      // VBR first: an exact frame count beats any byte estimate. Xing /
+      // Info sits after the side info (MPEG1: 17 mono / 32 else; MPEG2 &
+      // 2.5: 9 / 17); VBRI always at frame start + 36. Layer III frames
+      // carry 1152 samples (MPEG1) / 576 (MPEG2, 2.5).
+      val srIdx = (u8(b, mp3At + 2) >> 2) & 0x03
+      val mono = ((u8(b, mp3At + 3) >> 6) & 0x03) == 3
+      val sideInfo =
+        if (version == 3) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+      val spf = if (version == 3) 1152L else 576L
+      def tag4(at: Int, t: String): Boolean =
+        at >= 0 && at + 4 <= b.length && b(at) == t(0) && b(at + 1) == t(1) &&
+          b(at + 2) == t(2) && b(at + 3) == t(3)
+      def rate: Long =
+        if (srIdx == 3) 0L // reserved index
+        else {
+          val base = Array(44100L, 48000L, 32000L)(srIdx)
+          version match {
+            case 3 => base      // MPEG1
+            case 2 => base / 2  // MPEG2
+            case _ => base / 4  // MPEG2.5
+          }
+        }
+      val xAt = mp3At + 4 + sideInfo
+      if (tag4(xAt, "Xing") || tag4(xAt, "Info")) {
+        if (xAt + 12 > b.length) return null
+        if ((be32s(b, xAt + 4) & 1L) == 0) return null // no FRAMES field
+        val frames = be32s(b, xAt + 8)
+        val r = rate
+        return if (frames <= 0 || r <= 0) null
+        else java.lang.Long.valueOf(frames * spf * 1000L / r)
+      }
+      val vAt = mp3At + 4 + 32
+      if (tag4(vAt, "VBRI")) {
+        if (vAt + 18 > b.length) return null
+        val frames = be32s(b, vAt + 14)
+        val r = rate
+        return if (frames <= 0 || r <= 0) null
+        else java.lang.Long.valueOf(frames * spf * 1000L / r)
+      }
       val brIdx = (u8(b, mp3At + 2) >> 4) & 0x0f
       if (brIdx == 0 || brIdx == 15) return null // free-format / bad
       val kbps =

@@ -289,4 +289,33 @@ class MultimodalSpec extends SparkSpec {
       be(0, 8) ++ be(0, 8) ++ be(1000, 4) ++ be(0, 4) ++ be(98765, 4) ++ be(0, 8)
     assert(dur(v1) == Some(98765L))
   }
+
+  test("duration: MP3 VBR via Xing/Info and VBRI frame counts") {
+    def dur(b: Array[Byte]): Option[Long] =
+      Option(AudioKernels.durationMsOpt(b)).map(_.longValue())
+    def be(v: Long, n: Int) =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 0)
+    // MPEG1 Layer III stereo 44.1 kHz: side info 32 → Xing at frame+36
+    val hdr1 = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte)
+    def xing(tag: String, flags: Long, frames: Long) =
+      id3 ++ hdr1 ++ new Array[Byte](32) ++ tag.getBytes ++ be(flags, 4) ++
+        be(frames, 4) ++ new Array[Byte](16)
+    assert(dur(xing("Xing", 1, 1000)) == Some(1000L * 1152 * 1000 / 44100))
+    // LAME's "Info" spelling carries the same exact frame count
+    assert(dur(xing("Info", 7, 2500)) == Some(2500L * 1152 * 1000 / 44100))
+    // declared VBR with no frame count: null, never a wrong CBR guess
+    assert(dur(xing("Xing", 6, 1000)).isEmpty)
+    assert(dur(xing("Xing", 1, 0)).isEmpty)
+    // truncated right after the tag
+    assert(dur(xing("Xing", 1, 1000).take(10 + 4 + 32 + 4)).isEmpty)
+    // VBRI: MPEG2.5 Layer III mono 8 kHz; fixed offset frame+36, 576 spf
+    val hdr25 = Array(0xff.toByte, 0xe3.toByte, 0x28.toByte, 0xc0.toByte)
+    val vbri = id3 ++ hdr25 ++ new Array[Byte](32) ++ "VBRI".getBytes ++
+      be(1, 2) ++ be(0, 2) ++ be(0, 2) ++ be(99999, 4) ++ be(500, 4)
+    assert(dur(vbri) == Some(500L * 576 * 1000 / 8000))
+    assert(dur(vbri.take(vbri.length - 1)).isEmpty) // truncated frame count
+    // the CBR fixture (no Xing/VBRI in its zero payload) is untouched
+    assert(dur(DurationFixtures.bytesFor(2)) == Some((4 + 2) * 8 * 1000L / 128000L))
+  }
 }
