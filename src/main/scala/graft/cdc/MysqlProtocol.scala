@@ -265,6 +265,45 @@ object MysqlProtocolCodec {
     out
   }
 
+  // ---- caching_sha2_password RSA full-auth path -------------------------
+
+  /** Full-auth plaintext obfuscation: (password ++ NUL) XOR the 20-byte
+    * nonce repeated cyclically — what the client RSA-encrypts when the
+    * server's digest cache misses on a non-TLS connection (public
+    * protocol; the XOR binds the ciphertext to this session's nonce so a
+    * captured blob cannot be replayed against a new handshake).
+    */
+  def xorPasswordWithSeed(password: Array[Byte], seed: Array[Byte]): Array[Byte] = {
+    require(seed.length >= 20, s"auth seed must carry 20 bytes, got ${seed.length}")
+    val buf = password :+ 0.toByte
+    val out = new Array[Byte](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = (buf(i) ^ seed(i % 20)).toByte; i += 1 }
+    out
+  }
+
+  /** Parses the PEM `-----BEGIN PUBLIC KEY-----` (X.509 SubjectPublicKeyInfo)
+    * blob the server sends in AuthMoreData after a public-key request.
+    */
+  def parseRsaPublicKeyPem(pem: String): java.security.PublicKey = {
+    val body = pem.linesIterator
+      .filterNot(l => l.contains("-----") || l.isBlank)
+      .mkString
+    val der = java.util.Base64.getMimeDecoder.decode(body)
+    java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+  }
+
+  /** RSA-OAEP(SHA-1/MGF1) encryption of the obfuscated password — MySQL's
+    * RSA_PKCS1_OAEP_PADDING. NOT deterministic (OAEP is randomized by
+    * design); tests verify by decrypting with the private key.
+    */
+  def rsaEncryptOaep(data: Array[Byte], key: java.security.PublicKey): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(data)
+  }
+
   // ---- client-side packet builders ------------------------------------
 
   private def writeLE(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {

@@ -29,6 +29,11 @@ object MysqlReplicaSession {
     * direct OK (empty-password accounts) expected.
     */
   case object AwaitSha2MoreData extends Phase
+  /** Full auth, public key requested (0x02 sent); AuthMoreData carrying
+    * the server's PEM RSA key expected. Only reachable with
+    * `rsaFullAuth = true`.
+    */
+  case object AwaitSha2PublicKey extends Phase
   /** Checksum-session ack expected (OK). */
   case object AwaitChecksumAck extends Phase
   /** `set @rpl_semi_sync_slave= 1` ack expected (OK) — semi-sync only. */
@@ -64,9 +69,18 @@ object MysqlReplicaSession {
     *   a flagged event triggers an ACK packet (`0xef` + u8 LE end-log-pos
     *   + current binlog file name) back to the master. Beyond-reference.
     */
+  /** @param rsaFullAuth opt-in for caching_sha2's full-auth path on a
+    *   non-TLS connection: on a server digest-cache miss the client
+    *   requests the server's RSA public key and sends the nonce-XOR'd
+    *   password RSA-OAEP-encrypted (the public protocol). Default FALSE —
+    *   without it a cache miss fails loudly, because key-on-the-wire RSA
+    *   is trust-on-first-use (a MITM could substitute its own key); opt
+    *   in only where the network path is trusted.
+    */
   final case class Config(user: String, password: String, serverId: Long,
       resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24,
-      resumeGtids: Option[String] = None, semiSync: Boolean = false)
+      resumeGtids: Option[String] = None, semiSync: Boolean = false,
+      rsaFullAuth: Boolean = false)
 
   /** `currentFile`/`checksumLen` exist for semi-sync ACKs: the file name
     * tracks the dump-start file and every ROTATE that flows by (its name
@@ -190,12 +204,35 @@ object MysqlReplicaSession {
         if (payload.length < 2) fail(st, "empty AuthMoreData packet")
         else (payload(1) & 0xff) match {
           case 0x03 => Step(st.copy(phase = AwaitAuthResult))
+          case 0x04 if st.config.rsaFullAuth =>
+            // request the server's RSA public key (single 0x02 byte)
+            Step(st.copy(phase = AwaitSha2PublicKey),
+              send = Seq(5 -> Array(0x02.toByte)))
           case 0x04 => fail(st, "caching_sha2_password requested full " +
             "authentication (server-side digest cache miss): refusing to " +
             "send the password without TLS/RSA — log in once over TLS to " +
-            "prime the cache, then retry")
+            "prime the cache, or opt in with rsaFullAuth = true on a " +
+            "trusted network path")
           case other => fail(st, f"unexpected AuthMoreData tag 0x$other%02x")
         }
+      case AwaitSha2PublicKey if first == 0x01 =>
+        // AuthMoreData carrying the PEM public key: encrypt the
+        // nonce-XOR'd password with RSA-OAEP and send it
+        try {
+          val pem = new String(payload, 1, payload.length - 1, "UTF-8")
+          val key = MysqlProtocolCodec.parseRsaPublicKeyPem(pem)
+          val ct = MysqlProtocolCodec.rsaEncryptOaep(
+            MysqlProtocolCodec.xorPasswordWithSeed(
+              st.config.password.getBytes("UTF-8"), st.seed), key)
+          Step(st.copy(phase = AwaitAuthResult), send = Seq(7 -> ct))
+        } catch {
+          case e @ (_: java.security.GeneralSecurityException |
+              _: IllegalArgumentException) =>
+            fail(st, s"bad server RSA public key: ${e.getMessage}")
+        }
+      case AwaitSha2PublicKey =>
+        fail(st, f"expected the server's RSA key (AuthMoreData), got " +
+          f"first byte 0x$first%02x")
       case AwaitSha2MoreData =>
         fail(st, f"expected AuthMoreData or OK after the caching_sha2 " +
           f"proof, got first byte 0x$first%02x")

@@ -2410,6 +2410,32 @@ object LlmQueries {
       },
       None),
 
+    // Unigram ENCODE applied corpus-wide (the q154 shape for the second
+    // tokenizer): train the vocabulary (bounded driver EM, as q201), then
+    // segment every document with the codegen'd Viterbi kernel — one
+    // per-row pass (transform over the word array), no shuffle but the
+    // output sort. Rows-only: iterative EM upstream; gated by
+    // UnigramSpec's distributed≡driver-kernel equivalence plus the
+    // concatenation-restores-every-word DP property.
+    Q("q202_unigram_encode", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val vocab = Unigram.train(d, "text", targetMulti = 48,
+          seedSize = 400, maxPieceLen = 6).logProbs
+        val words = split(lower(col("text")), " ") // q154's exact word split
+        val enc = transform(words, w => Unigram.segmentCol(w, vocab, 6))
+        val nTok = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
+        d.select(col("doc_id"),
+            size(words).cast(LongType).as("n_words"),
+            nTok.as("n_unigram_tokens"),
+            (nTok.cast(DoubleType) / size(words).cast(DoubleType))
+              .as("tokens_per_word"),
+            // scalar column, not an array: the driver harness hashes
+            // every output column (same constraint as q154)
+            array_join(element_at(enc, 1), " ").as("first_word_pieces"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Exact train/val/test split by largest-remainder apportionment
     // (Hamilton's method — the classic integer-exact way to turn 80/10/10
     // into per-group quotas that SUM EXACTLY to each group's size; naive

@@ -160,10 +160,26 @@ object CdcSnapshot {
     * later merges reuse the bucket count recorded in the manifest (a
     * changed bucketing would silently split pks across buckets).
     */
-  def mergeBatch(batch: DataFrame, pkCols: Seq[String], ordCol: String,
+  def mergeBatch(batch0: DataFrame, pkCols: Seq[String], ordCol: String,
       snapshotDir: String, numBuckets: Int = 16,
       retention: Retention = Retention()): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    // This merge runs TWO actions over the batch (the touched-bucket
+    // collect, then the staging write). Inside foreachBatch each action
+    // RE-EXECUTES the micro-batch plan from the sources — including any
+    // upstream stateful operators, whose state-store updates would then
+    // apply twice per trigger (the ingest soak measured dedup state
+    // growing 2× per batch). Persisting pins the batch to one execution;
+    // it is micro-batch-sized by definition.
+    val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeBatchPersisted(batch, pkCols, ordCol, snapshotDir, numBuckets,
+      retention)
+    finally batch.unpersist()
+  }
+
+  private def mergeBatchPersisted(batch: DataFrame, pkCols: Seq[String],
+      ordCol: String, snapshotDir: String, numBuckets: Int,
+      retention: Retention): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(snapshotDir)

@@ -48,6 +48,34 @@ class MysqlProtocolSpec extends SparkSpec {
     }
   }
 
+  test("caching_sha2 full-auth: XOR obfuscation golden + RSA-OAEP roundtrip") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    // (password ++ NUL) XOR cyclic nonce — deterministic, hashlib-checked
+    assert(MysqlProtocolCodec.xorPasswordWithSeed("secret".getBytes, seed).toSeq ==
+      hx("72676076607207").toSeq)
+    // a password longer than the nonce wraps the seed cyclically
+    val long = MysqlProtocolCodec.xorPasswordWithSeed(("x" * 45).getBytes, seed)
+    assert(long.length == 46 && (long(40) & 0xff) == ('x' ^ seed(0)))
+    // PEM parse + OAEP encrypt: verified by decrypting with the private key
+    val kp = java.security.KeyPairGenerator.getInstance("RSA")
+    kp.initialize(2048)
+    val pair = kp.generateKeyPair()
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(pair.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+    val key = MysqlProtocolCodec.parseRsaPublicKeyPem(pem)
+    val plain = MysqlProtocolCodec.xorPasswordWithSeed("p4ss".getBytes, seed)
+    val ct = MysqlProtocolCodec.rsaEncryptOaep(plain, key)
+    assert(ct.length == 256) // 2048-bit modulus
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE, pair.getPrivate)
+    assert(c.doFinal(ct).toSeq == plain.toSeq)
+    intercept[java.security.spec.InvalidKeySpecException] {
+      MysqlProtocolCodec.parseRsaPublicKeyPem("-----BEGIN PUBLIC KEY-----\n!!!\n-----END PUBLIC KEY-----")
+    }
+  }
+
   // ---- HandshakeV10 ----------------------------------------------------
 
   /** Build a HandshakeV10 payload byte-exactly per the wire layout the

@@ -290,6 +290,48 @@ class MysqlSessionSpec extends SparkSpec {
     assert(s.state.phase == AwaitChecksumAck && s.send.nonEmpty)
   }
 
+  test("caching_sha2 RSA full auth: opt-in key request, ciphertext decrypts") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    val kp = java.security.KeyPairGenerator.getInstance("RSA")
+    kp.initialize(2048)
+    val pair = kp.generateKeyPair()
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(pair.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+
+    var st = initial(Config("repl", "secret", 100L, rsaFullAuth = true))
+    st = onPayload(st, handshake(seed)).state
+    st = onPayload(st, authSwitchSha2(seed)).state
+    val req = onPayload(st, Array[Byte](0x01, 0x04))
+    st = req.state
+    assert(st.phase == AwaitSha2PublicKey)
+    val Seq((5, reqBytes)) = req.send
+    assert(reqBytes.toSeq == Seq(0x02.toByte)) // "send me your public key"
+    val enc = onPayload(st, 0x01.toByte +: pem.getBytes("UTF-8"))
+    st = enc.state
+    assert(st.phase == AwaitAuthResult)
+    val Seq((7, ct)) = enc.send
+    // OAEP is randomized: verify by decrypting with the private key
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE, pair.getPrivate)
+    assert(c.doFinal(ct).toSeq ==
+      MysqlProtocolCodec.xorPasswordWithSeed("secret".getBytes, seed).toSeq)
+    val s = onPayload(st, ok)
+    assert(s.state.phase == AwaitChecksumAck)
+
+    // a garbage key fails loudly, never sends bytes
+    var st2 = initial(Config("repl", "secret", 100L, rsaFullAuth = true))
+    st2 = onPayload(st2, handshake(seed)).state
+    st2 = onPayload(st2, authSwitchSha2(seed)).state
+    st2 = onPayload(st2, Array[Byte](0x01, 0x04)).state
+    val bad = onPayload(st2, 0x01.toByte +: "not a pem".getBytes)
+    assert(bad.state.phase.asInstanceOf[Failed].reason.contains("RSA") &&
+      bad.send.isEmpty)
+    // and a non-AuthMoreData packet in the key phase fails too
+    assert(onPayload(st2, Array[Byte](0x42)).state.phase.isInstanceOf[Failed])
+  }
+
   test("caching_sha2 malformed AuthMoreData fails, never hangs") {
     val seed = (1 to 20).map(_.toByte).toArray
     var st = initial(Config("repl", "secret", 100L))

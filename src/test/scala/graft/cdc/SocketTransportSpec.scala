@@ -210,6 +210,74 @@ class SocketTransportSpec extends SparkSpec {
     assert(res.events == 0 && res.stop.exists(_.contains("full authentication")))
   }
 
+  test("loopback TCP caching_sha2 RSA full auth: key exchange end-to-end") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev1 = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))))
+    val kp = java.security.KeyPairGenerator.getInstance("RSA")
+    kp.initialize(2048)
+    val pair = kp.generateKeyPair()
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(pair.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Option[Throwable] = None
+    @volatile var decrypted: Array[Byte] = Array.emptyByteArray
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        os.write(writePacket(0, handshake(seed1))); os.flush()
+        SocketTransport.readPayload(in) // HandshakeResponse41
+        os.write(writePacket(2,
+          (0xfe.toByte +: ("caching_sha2_password".getBytes :+ 0.toByte)) ++
+            seed1 :+ 0.toByte)); os.flush()
+        SocketTransport.readPayload(in) // fast-path proof
+        os.write(writePacket(4, Array[Byte](0x01, 0x04))); os.flush()
+        val req = SocketTransport.readPayload(in) // public-key request
+        require(req.toSeq == Seq(0x02.toByte), s"bad key request ${req.toSeq}")
+        os.write(writePacket(6, 0x01.toByte +: pem.getBytes("UTF-8"))); os.flush()
+        val ct = SocketTransport.readPayload(in) // RSA ciphertext
+        val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE, pair.getPrivate)
+        decrypted = c.doFinal(ct)
+        os.write(writePacket(8, ok)); os.flush()
+        SocketTransport.readPayload(in) // checksum query
+        os.write(writePacket(1, ok)); os.flush()
+        SocketTransport.readPayload(in) // show master status
+        os.write(writePacket(1, Array(5.toByte)))
+        for (i <- 0 until 5) os.write(writePacket(2 + i, hx("deadbeef")))
+        os.write(writePacket(7, eof))
+        os.write(writePacket(8, lenencStr("bin.000042") ++ lenencStr("1337") ++
+          lenencStr("") ++ lenencStr("") ++ lenencStr("")))
+        os.write(writePacket(9, eof)); os.flush()
+        SocketTransport.readPayload(in) // COM_BINLOG_DUMP
+        os.write(writePacket(1, 0.toByte +: ev1))
+        os.write(writePacket(2, eof)); os.flush()
+        s.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.start()
+
+    val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L,
+        rsaFullAuth = true),
+      ev => events += ev, readTimeoutMs = 10000)
+    t.join(10000)
+    server.close()
+    assert(serverErr.isEmpty, s"fake server failed: $serverErr")
+    // the full-auth exchange completed and streaming followed it
+    assert(java.util.Arrays.equals(decrypted,
+      MysqlProtocolCodec.xorPasswordWithSeed("secret".getBytes, seed1)))
+    assert(events.size == 1 && java.util.Arrays.equals(events(0), ev1))
+    assert(res.events == 1 && res.stop.isDefined)
+  }
+
   test("loopback TCP semi-sync: announcement on the wire, ACK bytes sent back") {
     val seed1 = (1 to 20).map(_.toByte).toArray
     val seed2 = (50 until 70).map(_.toByte).toArray
