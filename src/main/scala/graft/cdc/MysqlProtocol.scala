@@ -444,6 +444,35 @@ object MysqlProtocolCodec {
   /** COM_PING (0x0e) — reference `protocal.rs:296-303`. */
   def encodeComPing(): Array[Byte] = Array(0x0e.toByte)
 
+  /** COM_REGISTER_SLAVE (0x15) — beyond-reference: the registration a
+    * real replica sends before COM_BINLOG_DUMP so it appears in the
+    * master's `SHOW REPLICAS` and report-host bookkeeping (some managed
+    * masters require it). Public layout: server_id u32, then
+    * u8-length-prefixed report-host / user / password, port u16,
+    * replication rank u32 (ignored by servers) and master_id u32 (0 =
+    * "let the master fill it"). The password field is conventionally
+    * empty — it is reporting metadata, not authentication.
+    */
+  def encodeComRegisterSlave(serverId: Long, reportHost: String,
+      reportUser: String, reportPort: Int): Array[Byte] = {
+    def lstr(s: String, what: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      require(b.length <= 255, s"$what exceeds the u8 length prefix: ${b.length}")
+      b.length.toByte +: b
+    }
+    require(reportPort >= 0 && reportPort <= 0xffff, s"bad port $reportPort")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x15)
+    writeLE(out, serverId, 4)
+    out.write(lstr(reportHost, "report host"))
+    out.write(lstr(reportUser, "report user"))
+    out.write(lstr("", "report password"))
+    writeLE(out, reportPort.toLong, 2)
+    writeLE(out, 0L, 4) // replication rank (unused by servers)
+    writeLE(out, 0L, 4) // master id: 0 = assigned by the master
+    out.toByteArray
+  }
+
   // ---- OK / EOF / ERR classification ----------------------------------
 
   val okType: StructType = StructType(Seq(

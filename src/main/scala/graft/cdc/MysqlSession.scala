@@ -38,6 +38,8 @@ object MysqlReplicaSession {
   case object AwaitChecksumAck extends Phase
   /** `set @rpl_semi_sync_slave= 1` ack expected (OK) — semi-sync only. */
   case object AwaitSemiSyncAck extends Phase
+  /** COM_REGISTER_SLAVE ack expected (OK) — only with `registerSlave`. */
+  case object AwaitRegisterAck extends Phase
   /** `show master status` sent; text-result-set column count expected. */
   case object AwaitStatusColCount extends Phase
   /** Column-definition packets expected, then rows. */
@@ -77,10 +79,16 @@ object MysqlReplicaSession {
     *   is trust-on-first-use (a MITM could substitute its own key); opt
     *   in only where the network path is trusted.
     */
+  /** @param registerSlave (report-host, report-port) — when set, a
+    *   COM_REGISTER_SLAVE goes out before the dump so this replica shows
+    *   in the master's `SHOW REPLICAS` (beyond-reference; some managed
+    *   masters require registration).
+    */
   final case class Config(user: String, password: String, serverId: Long,
       resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24,
       resumeGtids: Option[String] = None, semiSync: Boolean = false,
-      rsaFullAuth: Boolean = false)
+      rsaFullAuth: Boolean = false,
+      registerSlave: Option[(String, Int)] = None)
 
   /** `currentFile`/`checksumLen` exist for semi-sync ACKs: the file name
     * tracks the dump-start file and every ROTATE that flows by (its name
@@ -118,6 +126,19 @@ object MysqlReplicaSession {
 
   private def fail(st: State, reason: String): Step =
     Step(st.copy(phase = Failed(reason)))
+
+  /** After the session variables are acked: register as a named replica
+    * when configured, else go straight to the master-position query.
+    */
+  private def afterSessionSetup(st: State): Step = st.config.registerSlave match {
+    case Some((host, port)) =>
+      Step(st.copy(phase = AwaitRegisterAck), send = Seq(
+        0 -> MysqlProtocolCodec.encodeComRegisterSlave(
+          st.config.serverId, host, st.config.user, port)))
+    case None =>
+      Step(st.copy(phase = AwaitStatusColCount), send = Seq(
+        0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
+  }
 
   /** Pure-fold contract: NEVER throws — any decode failure (truncated or
     * adversarial capture bytes) lands in [[Failed]] like every protocol
@@ -240,11 +261,11 @@ object MysqlReplicaSession {
       case AwaitChecksumAck if st.config.semiSync =>
         Step(st.copy(phase = AwaitSemiSyncAck), send = Seq(
           0 -> MysqlProtocolCodec.encodeComQuery("set @rpl_semi_sync_slave= 1")))
-      case AwaitChecksumAck =>
-        Step(st.copy(phase = AwaitStatusColCount), send = Seq(
-          0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
+      case AwaitChecksumAck => afterSessionSetup(st)
 
-      case AwaitSemiSyncAck =>
+      case AwaitSemiSyncAck => afterSessionSetup(st)
+
+      case AwaitRegisterAck =>
         Step(st.copy(phase = AwaitStatusColCount), send = Seq(
           0 -> MysqlProtocolCodec.encodeComQuery("show master status")))
 

@@ -44,26 +44,60 @@ object CorpusIngest {
     * normalized, quality-gated, first-of-its-hash in the stream, absent
     * from the corpus.
     */
-  def curate(docs: DataFrame, corpus: DataFrame,
-      blocklist: Seq[String] = graft.llm.Blocklist.phrases,
-      minWords: Int = 8, maxWords: Int = 200,
-      minUniqRatio: Double = 0.3): DataFrame = {
+  /** Stages 1-2 + hashing, shared by both dedup variants: normalize,
+    * quality-gate, stamp the content hash; `passThrough` columns ride
+    * along untouched (e.g. the event-time column).
+    */
+  private def gate(docs: DataFrame, passThrough: Seq[String],
+      blocklist: Seq[String], minWords: Int, maxWords: Int,
+      minUniqRatio: Double): DataFrame = {
+    val keep = passThrough.map(col)
     val norm = docs
-      .select(col("doc_id"), NormalizeText(col("text")).as("text"))
+      .select(keep :+ NormalizeText(col("text")).as("text"): _*)
     val words = split(col("text"), " ")
     val nWords = size(words).cast(LongType)
     val uniqRatio = size(array_distinct(words)).cast(DoubleType) /
       nWords.cast(DoubleType)
-    val gated = norm
+    norm
       .withColumn("ok_words", nWords >= minWords && nWords <= maxWords)
       .withColumn("ok_repetition", uniqRatio >= minUniqRatio)
       .withColumn("ok_blocklist",
         size(WordPhraseHits(col("text"), blocklist)) === 0)
       .filter(col("ok_words") && col("ok_repetition") && col("ok_blocklist"))
-      .select(col("doc_id"), col("text"), contentHash(col("text")).as("content_hash"))
-    gated
+      .select(keep ++ Seq(col("text"),
+        contentHash(col("text")).as("content_hash")): _*)
+  }
+
+  def curate(docs: DataFrame, corpus: DataFrame,
+      blocklist: Seq[String] = graft.llm.Blocklist.phrases,
+      minWords: Int = 8, maxWords: Int = 200,
+      minUniqRatio: Double = 0.3): DataFrame =
+    gate(docs, Seq("doc_id"), blocklist, minWords, maxWords, minUniqRatio)
       .dropDuplicates("content_hash")
       .join(corpus.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .select("doc_id", "text", "content_hash")
-  }
+
+  /** The state-BOUNDED ingest — what actually runs at 100 TB. [[curate]]'s
+    * `dropDuplicates` keeps one state row per distinct document EVER seen:
+    * exact, but state grows with corpus-lifetime distinct content. This
+    * variant bounds it with the watermark horizon:
+    * `dropDuplicatesWithinWatermark` evicts a hash's state once the
+    * watermark passes its event time + `horizon`, so state holds only the
+    * horizon's worth of distinct content — the firehose contract where
+    * in-stream duplicates cluster in time (crawl recrawls, retry storms).
+    * Re-admittance beyond the horizon is then screened by the STATIC
+    * corpus side (the q147 Bloom screen's exact backstop), which is the
+    * durable memory; in-stream state is only the hot window. `docs` must
+    * carry an event-time column `eventTimeCol` (TIMESTAMP).
+    */
+  def curateBounded(docs: DataFrame, corpus: DataFrame, eventTimeCol: String,
+      horizon: String, blocklist: Seq[String] = graft.llm.Blocklist.phrases,
+      minWords: Int = 8, maxWords: Int = 200,
+      minUniqRatio: Double = 0.3): DataFrame =
+    gate(docs, Seq("doc_id", eventTimeCol), blocklist, minWords, maxWords,
+      minUniqRatio)
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(corpus.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .select("doc_id", eventTimeCol, "text", "content_hash")
 }

@@ -483,4 +483,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q200 sampled audit: budget via TakeOrderedAndProject, sample semi-join broadcasts") {
+    val p = plan("q200_neardup_signals_sampled")
+    // the fixed-size sample is per-partition heaps, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the ≤m sample ids broadcast into the embeddings semi-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q202 unigram encode is per-row kernel work: no join, one output sort") {
+    val p = plan("q202_unigram_encode")
+    assert(!p.contains("Join"), "encode must not join\n" + p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"only the output-sort exchange allowed, saw $exchanges\n" + p)
+  }
 }

@@ -76,6 +76,24 @@ class MysqlProtocolSpec extends SparkSpec {
     }
   }
 
+  test("COM_REGISTER_SLAVE: byte-exact layout") {
+    val got = MysqlProtocolCodec.encodeComRegisterSlave(100L, "replica-1",
+      "repl", 3307)
+    val want = Array[Byte](0x15, 100, 0, 0, 0) ++
+      (9.toByte +: "replica-1".getBytes) ++
+      (4.toByte +: "repl".getBytes) ++
+      Array[Byte](0) ++ // empty report password
+      Array[Byte]((3307 & 0xff).toByte, (3307 >> 8).toByte) ++
+      new Array[Byte](8) // rank + master_id, both zero
+    assert(got.toSeq == want.toSeq)
+    intercept[IllegalArgumentException] {
+      MysqlProtocolCodec.encodeComRegisterSlave(1L, "h" * 256, "u", 1)
+    }
+    intercept[IllegalArgumentException] {
+      MysqlProtocolCodec.encodeComRegisterSlave(1L, "h", "u", 70000)
+    }
+  }
+
   // ---- HandshakeV10 ----------------------------------------------------
 
   /** Build a HandshakeV10 payload byte-exactly per the wire layout the

@@ -226,6 +226,42 @@ class MysqlSessionSpec extends SparkSpec {
       MysqlProtocolCodec.encodeComBinlogDump(42L, 0, 100L, "bin.000099")))
   }
 
+  test("registerSlave: COM_REGISTER_SLAVE goes out before the dump, acked") {
+    val seed = (1 to 20).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", 100L,
+      registerSlave = Some(("replica-1", 3307))))
+    st = onPayload(st, handshake(seed)).state
+    st = onPayload(st, authSwitch(seed)).state
+    st = onPayload(st, ok).state // auth OK → checksum query
+    val reg = onPayload(st, ok) // checksum ack → registration
+    st = reg.state
+    assert(st.phase == AwaitRegisterAck)
+    val Seq((0, regBytes)) = reg.send
+    assert(java.util.Arrays.equals(regBytes,
+      MysqlProtocolCodec.encodeComRegisterSlave(100L, "replica-1", "repl", 3307)))
+    val s = onPayload(st, ok) // registration ack → master position
+    assert(s.state.phase == AwaitStatusColCount)
+    val Seq((0, q)) = s.send
+    assert(java.util.Arrays.equals(q,
+      MysqlProtocolCodec.encodeComQuery("show master status")))
+
+    // with semi-sync, registration follows the announcement
+    var st2 = initial(Config("repl", "secret", 100L, semiSync = true,
+      registerSlave = Some(("replica-1", 3307))))
+    st2 = onPayload(st2, handshake(seed)).state
+    st2 = onPayload(st2, authSwitch(seed)).state
+    st2 = onPayload(st2, ok).state // auth → checksum
+    st2 = onPayload(st2, ok).state // checksum → announce
+    assert(st2.phase == AwaitSemiSyncAck)
+    val r2 = onPayload(st2, ok) // announce ack → registration
+    assert(r2.state.phase == AwaitRegisterAck && r2.send.nonEmpty)
+    assert(onPayload(r2.state, ok).state.phase == AwaitStatusColCount)
+    // an ERR on the registration is terminal like everywhere else
+    val err = 0xff.toByte +: (Array[Byte](0x47, 0x04) ++ "#HY000".getBytes ++
+      "not allowed".getBytes)
+    assert(onPayload(r2.state, err).state.phase.isInstanceOf[Failed])
+  }
+
   test("empty-password fast path: OK instead of AuthSwitchRequest proceeds") {
     val seed = (1 to 20).map(_.toByte).toArray
     var st = initial(Config("repl", "", 100L))

@@ -55,4 +55,51 @@ class CorpusIngestSpec extends SparkSpec {
           sha2(lit(good), 256)).collect().head.getString(0))
     } finally query.stop()
   }
+
+  test("bounded variant: horizon dedup, state EVICTS past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(inCorpus).toDF("text")
+      .select(CorpusIngest.contentHash(
+        graft.llm.NormalizeText(col("text"))).as("content_hash"))
+    val fresh = "a different clean document with plenty of distinct useful " +
+      "words that sails through every quality gate easily"
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = CorpusIngest.curateBounded(
+        in.toDS().toDF("doc_id", "ts", "text"), corpus, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("bounded_out")
+      .outputMode("append").start()
+    def ids() = spark.table("bounded_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // same-batch and next-batch duplicates inside the horizon drop
+      in.addData((1L, ts(0), good), (2L, ts(1), good))
+      query.processAllAvailable()
+      assert(ids() == Set(1L), ids())
+      in.addData((3L, ts(5), good))
+      query.processAllAvailable()
+      assert(ids() == Set(1L), ids())
+      // an event far past the horizon advances the watermark; the state
+      // row for `good` (ts 0 + 10 min horizon) is then evicted
+      in.addData((4L, ts(60), fresh))
+      query.processAllAvailable()
+      assert(ids() == Set(1L, 4L), ids())
+      val afterEvict = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // the SAME text re-arrives beyond the horizon: in-stream state no
+      // longer remembers it — re-admitted (the STATIC corpus screen is
+      // the durable memory; this is the bounded-state contract)
+      in.addData((5L, ts(61), good))
+      query.processAllAvailable()
+      assert(ids() == Set(1L, 4L, 5L), ids())
+      // the static screen itself never expires
+      in.addData((6L, ts(62), inCorpus))
+      query.processAllAvailable()
+      assert(ids() == Set(1L, 4L, 5L), ids())
+      // measured eviction: state holds only the horizon's content, not
+      // every hash ever seen (4 distinct hashes crossed the stream)
+      assert(afterEvict <= 2L, s"state not evicted: $afterEvict rows")
+    } finally query.stop()
+  }
 }
