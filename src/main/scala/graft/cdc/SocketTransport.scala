@@ -94,14 +94,27 @@ object SocketTransport {
     } finally sock.close()
   }
 
-  /** CLI: tap a live server and print one line per binlog event. */
+  /** CLI: tap a live server and print one line per binlog event.
+    * Flags anywhere among the args: `--rsa-full-auth` opts into the
+    * caching_sha2 RSA key exchange on a cache miss (trusted networks
+    * only), `--register=host:port` sends COM_REGISTER_SLAVE first.
+    */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: SocketTransport host port user password [serverId] [maxEvents]")
-    val cfg = MysqlReplicaSession.Config(args(2), args(3),
-      serverId = if (args.length > 4) args(4).toLong else 1234L)
-    val max = if (args.length > 5) args(5).toLong else Long.MaxValue
-    val res = run(args(0), args(1).toInt, cfg, { ev =>
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length >= 4, "usage: SocketTransport host port user password " +
+      "[serverId] [maxEvents] [--rsa-full-auth] [--register=host:port]")
+    val register = flags.find(_.startsWith("--register=")).map { f =>
+      val hp = f.stripPrefix("--register=").split(":", 2)
+      require(hp.length == 2 && hp(1).forall(_.isDigit),
+        s"--register wants host:port, got $f")
+      (hp(0), hp(1).toInt)
+    }
+    val cfg = MysqlReplicaSession.Config(pos(2), pos(3),
+      serverId = if (pos.length > 4) pos(4).toLong else 1234L,
+      rsaFullAuth = flags.contains("--rsa-full-auth"),
+      registerSlave = register)
+    val max = if (pos.length > 5) pos(5).toLong else Long.MaxValue
+    val res = run(pos(0), pos(1).toInt, cfg, { ev =>
       val hdr = BinlogRowCodec.decodeHeader(ev, packetMarker = false)
       println(s"event type=${hdr.getInt(1)} len=${ev.length}")
     }, maxEvents = max)

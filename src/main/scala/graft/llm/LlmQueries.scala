@@ -158,6 +158,30 @@ object LlmQueries {
         .orderBy("da", "db"),
       None),
 
+    // The PRODUCTION cluster path: near-dup clusters from the
+    // MinHash-LSH detector (banded candidates + exact verify) instead of
+    // q79's all-pairs exact detector. Same transitive closure
+    // (large-star/small-star); the pair stage is the banded one that
+    // holds at corpus scale — the sf10 (100×) step runs HERE, while q79
+    // stays the declared exact oracle (its prefix filter needs Heaps-law
+    // shingle growth, which the synthetic fixture's closed 32-word
+    // vocabulary does not provide at 100×). Rows-only; gated by LshSpec:
+    // at oracle scale LSH recall is 1.0, so these clusters must equal
+    // q79's oracle-checked clusters exactly.
+    Q("q203_dedup_clusters_lsh", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "da", "db")
+          .withColumnRenamed("node", "doc_id")
+        docs.select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      None),
+
     Q("q44_sim_topk_brute", { (s, dir) =>
         val e = t(s, dir, "embeddings")
         Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -196,9 +220,12 @@ object LlmQueries {
     // scale path beside the exact q52 oracle: pairs only within k-means
     // cells, multi-probe assignment for boundary recall. Recall/precision
     // gated in SemDedupSpec (probes=4 measures recall 1.0, precision 1).
+    // nlist auto-scales with the corpus (ceil(probes·N/512), 16 at oracle
+    // scale so outputs are unchanged) — the fix for the 570× the fixed
+    // cell count measured at the sf10 step.
     Q("q128_semdedup", { (s, dir) =>
         Similarity.semDedupPairs(t(s, dir, "embeddings"), 0.45,
-          nlist = 16, probes = 4).orderBy("da", "db")
+          probes = 4).orderBy("da", "db")
       },
       None),
 

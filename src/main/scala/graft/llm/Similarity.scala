@@ -255,11 +255,30 @@ object Similarity {
     * measured in SemDedupSpec. Precision is 1 by construction: the
     * within-cluster cosine is exact, so every emitted pair is a true
     * near-dup pair.
+    *
+    * `nlist = 0` (the default) sizes the cluster count FROM the corpus:
+    * ceil(probes·N / 512) clamped to [16, 1024], so cells hold ~512
+    * assignments and within-cell pair work stays N·cellSize instead of
+    * going quadratic as N outgrows a fixed cell count — a fixed
+    * nlist=16 measured 570× at the 100× step (PERFORMANCE.md r10) before
+    * this. The clamp at 1024 is the scalar driver trainer's practical
+    * ceiling; past it (≈0.5M probes·N) the paper-faithful move is more
+    * cells from a faster trainer, not bigger cells. At oracle scale
+    * (≤2k vectors) the auto size IS 16, so small-sf outputs are
+    * byte-identical to the old default.
     */
-  def semDedupPairs(emb: DataFrame, threshold: Double, nlist: Int = 16,
+  def semDedupPairs(emb: DataFrame, threshold: Double, nlist: Int = 0,
       probes: Int = 1): DataFrame = {
-    require(probes >= 1 && probes <= nlist, s"probes $probes out of [1, $nlist]")
-    val centroids = trainCentroids(emb, nlist)
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = emb.count()
+        math.min(1024L, math.max(16L,
+          (probes.toLong * n + 511L) / 512L)).toInt
+      }
+    require(probes >= 1 && probes <= k, s"probes $probes out of [1, $k]")
+    val centroids = trainCentroids(emb, k,
+      sampleSize = math.max(2048, 4 * k))
     val assigned = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cell",
         if (probes <= 1) IvfCell(col("v"), centroids)
@@ -278,7 +297,7 @@ object Similarity {
     * higher id of every near-dup pair (deterministic one-pass, matching
     * the exact-path keep-list q71 semantics).
     */
-  def semDedupDrops(emb: DataFrame, threshold: Double, nlist: Int = 16,
+  def semDedupDrops(emb: DataFrame, threshold: Double, nlist: Int = 0,
       probes: Int = 1): DataFrame =
     semDedupPairs(emb, threshold, nlist, probes)
       .select(col("db").as("vec_id")).distinct()

@@ -25,6 +25,30 @@ class LshSpec extends SparkSpec {
     assert((approx -- exact).isEmpty)
   }
 
+  test("q203 LSH clusters equal the oracle-checked exact q79 clusters") {
+    // the production cluster path (banded pairs → components) must agree
+    // with the exact path wherever LSH recall is total — and when the
+    // pair sets coincide, the closures are IDENTICAL, not just similar
+    val exact = graft.SparkEntry.queries("q79_dedup_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lsh = graft.SparkEntry.queries("q203_dedup_clusters_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exactPairs = pairSet(Dedup.jaccardPairs(
+      Tables(spark, dir, "documents"), "text", "doc_id"))
+    val lshPairs = pairSet(Dedup.minhashPairs(
+      Tables(spark, dir, "documents"), "text", "doc_id"))
+    if (exactPairs == lshPairs) assert(lsh == exact)
+    else { // recall < 1.0 at this fixture: clusters may only be FINER
+      val exactBy = exact.toMap
+      val byCluster = lsh.groupBy(_._2).values
+      byCluster.foreach { members =>
+        val exactIds = members.map(m => exactBy(m._1)).distinct
+        assert(exactIds.size == 1,
+          s"LSH merged docs across exact clusters: $members")
+      }
+    }
+  }
+
   test("simhash: near-identical docs collide, pair list includes planted dups") {
     val docs = Tables(spark, dir, "documents")
     val exact = pairSet(Dedup.jaccardPairs(docs, "text", "doc_id", num = 9, den = 10))
