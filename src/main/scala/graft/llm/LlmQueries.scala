@@ -229,6 +229,31 @@ object LlmQueries {
       },
       None),
 
+    // Incremental SEMANTIC dedup — the embedding-side q88: each ingest
+    // batch probes the standing corpus for near-dup neighbors (corpus-vs-
+    // corpus work was done when the corpus was built). This query runs
+    // the nlist=1 mode (one cell ≡ the exact cross-cosine join) as the
+    // small-sf DuckDB oracle; the auto-cell mode is the scale path —
+    // same cell-join shape q128 measured at the 100× step — gated in
+    // SemDedupSpec (recall vs this exact mode, no same-side pairs).
+    Q("q204_semdedup_incremental", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.semDedupPairsAgainst(
+            e.filter(col("vec_id") % 10 === 0),
+            e.filter(col("vec_id") % 10 =!= 0), 0.45, nlist = 1)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some("""WITH dv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id AS new_id, v FROM dv WHERE vec_id % 10 = 0),
+             |c AS (SELECT vec_id AS corpus_id, v FROM dv WHERE vec_id % 10 <> 0)
+             |SELECT new_id, corpus_id FROM n JOIN c ON
+             |  list_inner_product(n.v, c.v)
+             |    / (sqrt(list_inner_product(n.v, n.v))
+             |     * sqrt(list_inner_product(c.v, c.v))) >= 0.45
+             |ORDER BY new_id, corpus_id""".stripMargin)),
+
     // Product-quantization ANN (Jégou et al. 2011) with exact re-ranking —
     // the compressed-index path beside brute (q44) / LSH (q45) / IVF (q57):
     // candidates carry m=8 one-byte sub-codebook codes (64× smaller than raw

@@ -293,6 +293,49 @@ object Similarity {
     if (probes > 1) pairs.distinct() else pairs
   }
 
+  /** Incremental SemDeDup: semantic near-dup pairs BETWEEN a new batch
+    * and the standing corpus — the embedding-side counterpart of
+    * [[Dedup.jaccardPairsAgainst]], the production dedup mode at
+    * 100 TB (each ingest batch probes the standing corpus; corpus-vs-
+    * corpus work was already done when the corpus was built).
+    *
+    * Cells come from centroids trained on the CORPUS side — the standing
+    * corpus defines the embedding space; a per-trigger batch is too
+    * small and too skewed to retrain on. Both sides assign to cells
+    * (batch side multi-probes for boundary recall), and only new×corpus
+    * pairs within a cell are scored. `nlist = 0` auto-sizes from the
+    * corpus exactly like [[semDedupPairs]]; `nlist = 1` is one cell =
+    * the exact cross cosine join, the small-sf oracle mode.
+    */
+  def semDedupPairsAgainst(newEmb: DataFrame, corpusEmb: DataFrame,
+      threshold: Double, nlist: Int = 0, probes: Int = 1): DataFrame = {
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = corpusEmb.count()
+        math.min(1024L, math.max(16L,
+          (probes.toLong * n + 511L) / 512L)).toInt
+      }
+    require(probes >= 1 && probes <= k, s"probes $probes out of [1, $k]")
+    val centroids = trainCentroids(corpusEmb, k,
+      sampleSize = math.max(2048, 4 * k))
+    def assign(e: DataFrame, useProbes: Int) =
+      e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("cell",
+          if (useProbes <= 1) IvfCell(col("v"), centroids)
+          else explode(IvfProbe(col("v"), centroids, useProbes)))
+    // only the (small) batch side replicates ×probes; the corpus side
+    // stays single-assigned, so corpus shuffle volume is N, not N·probes
+    val a = assign(newEmb, probes)
+      .select(col("cell"), col("vec_id").as("new_id"), col("v").as("va"))
+    val b = assign(corpusEmb, 1)
+      .select(col("cell"), col("vec_id").as("corpus_id"), col("v").as("vb"))
+    val pairs = a.join(b, "cell")
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select("new_id", "corpus_id")
+    if (probes > 1) pairs.distinct() else pairs
+  }
+
   /** The greedy SemDeDup keep decision over [[semDedupPairs]]: drop the
     * higher id of every near-dup pair (deterministic one-pass, matching
     * the exact-path keep-list q71 semantics).

@@ -49,6 +49,40 @@ class SemDedupSpec extends SparkSpec {
     assert(one == exact)
   }
 
+  test("incremental mode: nlist=1 is the exact cross join; cell modes never leak") {
+    import org.apache.spark.sql.functions._
+    val newE = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    def cross(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact mode ≡ the full exact pairs restricted to new×corpus
+    val one = cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      nlist = 1))
+    val want = exact.flatMap { case (a, b) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }
+    assert(one == want && one.nonEmpty)
+    // cell-scoped modes: precision 1, no same-side pairs, probes dominate
+    val p1 = cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      nlist = 16))
+    val p4 = cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      nlist = 16, probes = 4))
+    assert(p1.subsetOf(p4) && p4.subsetOf(one))
+    p4.foreach { case (n, c) =>
+      assert(n % 10 == 0 && c % 10 != 0, s"same-side pair leaked: ($n, $c)")
+    }
+    val recall = (want & p4).size.toDouble / want.size
+    assert(recall >= 0.85, s"probes=4 incremental recall=$recall")
+    // auto nlist at this sf resolves to the clamp floor: same result
+    assert(cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      probes = 4)) == p4)
+  }
+
   test("drop list is the higher id of each pair, deduplicated") {
     val pairs = Similarity.semDedupPairs(emb, threshold, nlist = 16)
     val drops = Similarity.semDedupDrops(emb, threshold, nlist = 16)
