@@ -2819,7 +2819,128 @@ object LlmQueries {
             (ratio >= 0.3 && ratio <= 0.9).as("kept"))
           .orderBy("doc_id")
       },
-      None)
+      None),
+
+    // Zipf rank-frequency audit — the corpus-health regression every
+    // scraped/synthetic source should pass before training (natural
+    // language fits ln(tf) ≈ a + s·ln(rank) with s ≈ -1; template spam
+    // flattens the head, mode-collapsed synthetic text steepens it).
+    // Per lang: token histogram (ONE corpus-scale hash shuffle on
+    // (lang, token)), deterministic top-100 by (tf desc, token) via a
+    // rank filter Spark rewrites to WindowGroupLimit — each map task
+    // keeps only its local top-100 per lang, so the window never sorts
+    // the full Heaps-law vocabulary — then an OLS fit over the 100
+    // (ln rank, ln tf) points. Both lns snap to DECIMAL(18,9) at the
+    // row (q156's 1-ulp rule) so the moment sums are exact decimals;
+    // the closed-form slope/intercept/r² then run in identical IEEE
+    // double ops in both engines.
+    Q("q205_zipf_audit", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("tf").desc, col("token"))
+        val pts = t(s, dir, "documents")
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 100)
+          .select(col("lang"),
+            log(col("rk").cast(DoubleType)).cast(DecimalType(18, 9)).as("x"),
+            log(col("tf").cast(DoubleType)).cast(DecimalType(18, 9)).as("y"))
+        val m = pts.groupBy("lang")
+          .agg(count(lit(1)).as("n_top"),
+            sum(col("x")).cast(DoubleType).as("sx"),
+            sum(col("y")).cast(DoubleType).as("sy"),
+            sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+            sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+            sum(col("y") * col("y")).cast(DoubleType).as("syy"))
+        val nd = col("n_top").cast(DoubleType)
+        val cov = nd * col("sxy") - col("sx") * col("sy")
+        val varx = nd * col("sxx") - col("sx") * col("sx")
+        val vary = nd * col("syy") - col("sy") * col("sy")
+        m.select(col("lang"), col("n_top"),
+            (cov / varx).as("slope"),
+            ((col("sy") - cov / varx * col("sx")) / nd).as("intercept"),
+            (cov * cov / (varx * vary)).as("r2"))
+          .orderBy("lang")
+      },
+      Some("""WITH freq AS (
+             |  SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT lang,
+             |    CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+             |    CAST(ln(CAST(tf AS DOUBLE)) AS DECIMAL(18,9)) AS y
+             |  FROM (SELECT lang, tf,
+             |      row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rk
+             |    FROM freq)
+             |  WHERE rk <= 100),
+             |m AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_top,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+             |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+             |    CAST(sum(y * y) AS DOUBLE) AS syy
+             |  FROM ranked GROUP BY 1)
+             |SELECT lang, n_top,
+             |  (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+             |    / (CAST(n_top AS DOUBLE) * sxx - sx * sx) AS slope,
+             |  (sy - (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+             |    / (CAST(n_top AS DOUBLE) * sxx - sx * sx) * sx)
+             |    / CAST(n_top AS DOUBLE) AS intercept,
+             |  ((CAST(n_top AS DOUBLE) * sxy - sx * sy)
+             |    * (CAST(n_top AS DOUBLE) * sxy - sx * sy))
+             |    / ((CAST(n_top AS DOUBLE) * sxx - sx * sx)
+             |      * (CAST(n_top AS DOUBLE) * syy - sy * sy)) AS r2
+             |FROM m ORDER BY lang""".stripMargin)),
+
+    // Token-entropy diversity audit — the mode-collapse detector for
+    // synthetic/distilled sources (self-training on low-entropy output
+    // degenerates; cf. the Zipf head-flattening q205 catches). Per
+    // source: unigram Shannon entropy H = ln N - (Σ tf·ln tf)/N in
+    // nats, normalized by the ln|V| maximum, plus the type-token
+    // ratio. One (source, token) hash histogram — the same single
+    // corpus-scale shuffle as q205 — then a per-source fold; tf·ln tf
+    // terms are BIGINT × DECIMAL(18,9) products, so the sum is exact
+    // and partition-order-free, and the final H is identical double
+    // arithmetic in both engines.
+    Q("q206_token_entropy", { (s, dir) =>
+        val freq = t(s, dir, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+        val m = freq.groupBy("source")
+          .agg(sum("tf").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("tf").cast(DecimalType(18, 0))
+                * log(col("tf").cast(DoubleType)).cast(DecimalType(18, 9)))
+              .cast(DoubleType).as("s_tlnt"))
+        val nd = col("n_tokens").cast(DoubleType)
+        val h = log(nd).cast(DecimalType(18, 9)).cast(DoubleType) - col("s_tlnt") / nd
+        val lnV = log(col("n_types").cast(DoubleType)).cast(DecimalType(18, 9)).cast(DoubleType)
+        m.select(col("source"), col("n_tokens"), col("n_types"),
+            (col("n_types").cast(DoubleType) / nd).as("ttr"),
+            h.as("entropy"),
+            (h / nullif(lnV, lit(0.0d))).as("norm_entropy"))
+          .orderBy("source")
+      },
+      Some("""WITH freq AS (
+             |  SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY 1, 2),
+             |m AS (
+             |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(sum(CAST(tf AS DECIMAL(18,0))
+             |      * CAST(ln(CAST(tf AS DOUBLE)) AS DECIMAL(18,9))) AS DOUBLE) AS s_tlnt
+             |  FROM freq GROUP BY 1)
+             |SELECT source, n_tokens, n_types,
+             |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+             |  CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+             |    - s_tlnt / CAST(n_tokens AS DOUBLE) AS entropy,
+             |  (CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+             |    - s_tlnt / CAST(n_tokens AS DOUBLE))
+             |    / nullif(CAST(CAST(ln(CAST(n_types AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE), 0.0)
+             |    AS norm_entropy
+             |FROM m ORDER BY source""".stripMargin))
   )
 }
 

@@ -499,4 +499,19 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 1, s"only the output-sort exchange allowed, saw $exchanges\n" + p)
   }
+
+  test("q205 zipf top-100 plans WindowGroupLimit over the vocab, not a full per-lang sort") {
+    val p = plan("q205_zipf_audit")
+    // rank-filter form: each task keeps a local top-100 per lang before the
+    // window shuffle — the Heaps-law vocabulary is never globally sorted
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q206 entropy is one histogram shuffle with map-side combine, no join") {
+    val p = plan("q206_token_entropy")
+    assert(!p.contains("Join"), "entropy fold must not join\n" + p)
+    assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
+  }
 }
