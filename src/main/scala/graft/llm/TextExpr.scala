@@ -108,11 +108,19 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** Robust winnowing fingerprint (Schleimer, Wilkerson & Aiken 2003, the
+  /** Winnowing fingerprint (Schleimer, Wilkerson & Aiken 2003, the
     * MOSS scheme): hash every word k-gram, slide a window of `w` hashes,
     * and record the window minimum — rightmost position on ties — once per
-    * distinct position. Guarantees a selection in every w-window (so any
-    * shared substring of length ≥ k+w-1 tokens yields a shared
+    * distinct position. `robust = true` switches the tie rule to the
+    * paper's ROBUST variant: when several hashes tie for the window
+    * minimum, prefer re-selecting the previous window's selection if it is
+    * still in the window and still minimal (Fig. 6 of the paper) — on
+    * repetitive text (the only source of ties under a cryptographic gram
+    * hash) this re-selects one position across a run of tied windows
+    * instead of recording a new rightmost minimum each time, lowering
+    * fingerprint density without weakening the guarantee below.
+    * Either way the kernel guarantees a selection in every w-window (so
+    * any shared substring of length ≥ k+w-1 tokens yields a shared
     * fingerprint) while keeping the fingerprint density ~2/(w+1).
     *
     * The gram hash is the first 16 hex chars of md5(gram) so the DuckDB
@@ -123,7 +131,10 @@ object TextKernels {
     *
     * One JIT'd O(n·w) pass per row (w is a small constant), no shuffle.
     */
-  def winnow(toks: ArrayData, k: Int, w: Int): ArrayData = {
+  def winnow(toks: ArrayData, k: Int, w: Int): ArrayData =
+    winnow(toks, k, w, robust = false)
+
+  def winnow(toks: ArrayData, k: Int, w: Int, robust: Boolean): ArrayData = {
     val n = toks.numElements()
     val ng = n - k + 1
     if (ng < w) return new GenericArrayData(Array.empty[Any])
@@ -148,11 +159,14 @@ object TextKernels {
       i += 1
     }
     // Right-to-left scan per window keeps the RIGHTMOST tied minimum —
-    // plain winnowing with rightmost tie-breaking (NOT the paper's
-    // "robust" variant, which prefers re-selecting the previous window's
-    // fingerprint on ties; the oracle and the property model replay this
-    // rightmost rule). A position is recorded at most once.
+    // plain winnowing with rightmost tie-breaking when `robust` is off
+    // (q171/q181's oracle replays this rule in SQL). With `robust` on,
+    // a tied minimum re-selects the previous window's selection while it
+    // stays in-window and minimal (the paper's robust rule) — equal hashes
+    // arise only from equal grams, so this only differs on repetitive
+    // text. A position is recorded at most once either way.
     val out = new java.util.LinkedHashMap[Integer, String]()
+    var prevPos = -1
     var end = w - 1
     while (end < ng) {
       var minPos = end
@@ -161,7 +175,13 @@ object TextKernels {
         if (hashes(q).compareTo(hashes(minPos)) < 0) minPos = q
         q -= 1
       }
-      out.putIfAbsent(minPos, hashes(minPos))
+      if (robust && prevPos > end - w && prevPos < end &&
+          hashes(prevPos) == hashes(minPos)) {
+        // previous selection still in-window and still minimal: keep it
+      } else {
+        out.putIfAbsent(minPos, hashes(minPos))
+        prevPos = minPos
+      }
       end += 1
     }
     val rows = new Array[Any](out.size)
@@ -397,12 +417,14 @@ object DeflateRatio {
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
 }
 
-/** Codegen'd winnowing fingerprint (rightmost tie-break, Schleimer et
-  * al. 2003 base scheme) over an `array<string>` token
-  * column: `array<struct<pos:int, hash:string>>` of selected (k-gram
-  * position, 16-hex-char md5 prefix) pairs — see [[TextKernels.winnow]].
+/** Codegen'd winnowing fingerprint (Schleimer et al. 2003) over an
+  * `array<string>` token column: `array<struct<pos:int, hash:string>>` of
+  * selected (k-gram position, 16-hex-char md5 prefix) pairs. Tie rule:
+  * rightmost minimum by default, the paper's robust re-selection rule
+  * with `robust = true` — see [[TextKernels.winnow]].
   */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+case class WinnowFingerprint(child: Expression, k: Int, w: Int,
+    robust: Boolean = false)
     extends UnaryExpression with Serializable {
   require(k >= 1, s"gram width must be >= 1, got $k")
   require(w >= 1, s"window width must be >= 1, got $w")
@@ -418,9 +440,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       s"WinnowFingerprint expects ARRAY<STRING> input, got ${other.sql}")
   }
   override protected def nullSafeEval(input: Any): Any =
-    TextKernels.winnow(input.asInstanceOf[ArrayData], k, w)
+    TextKernels.winnow(input.asInstanceOf[ArrayData], k, w, robust)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.winnow($c, $k, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.llm.TextKernels.winnow($c, $k, $w, $robust)")
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
 }
@@ -428,6 +450,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 object WinnowFingerprint {
   def apply(tokens: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(tokens), k, w))
+  def apply(tokens: Column, k: Int, w: Int, robust: Boolean): Column =
+    ColumnBridge.column(
+      WinnowFingerprint(ColumnBridge.expression(tokens), k, w, robust))
 }
 
 /** Codegen'd ALL-k-gram spans (position order, non-distinct) over an

@@ -110,6 +110,54 @@ object TextKernelProps extends Properties("TextKernels") {
       TextKernels.winnow(arr(ts), 3, w).numElements() == 0
     }
 
+  // ---- robust tie rule (Schleimer et al. 2003, Fig. 6) ----
+
+  private def winnowRobust(ts: List[String], k: Int, w: Int): Set[(Int, String)] = {
+    val out = TextKernels.winnow(arr(ts), k, w, robust = true)
+    (0 until out.numElements()).map { i =>
+      val row = out.getStruct(i, 2)
+      (row.getInt(0), row.getUTF8String(1).toString)
+    }.toSet
+  }
+
+  property("robust positions are a subset of plain positions") =
+    forAll(tokens, Gen.choose(1, 4), Gen.choose(1, 6)) { (ts, k, w) =>
+      // The else branch computes the identical rightmost-min selection as
+      // the plain rule; robust only ever *skips* recording, never records
+      // a position plain would not.
+      winnowRobust(ts, k, w).subsetOf(winnowGot(ts, k, w))
+    }
+
+  property("robust and plain select the same hash SET") =
+    forAll(tokens, Gen.choose(1, 4), Gen.choose(1, 6)) { (ts, k, w) =>
+      // Per window both rules select a hash equal to the window minimum,
+      // so the distinct hashes (the dedup signal) are identical.
+      winnowRobust(ts, k, w).map(_._2) == winnowGot(ts, k, w).map(_._2)
+    }
+
+  property("robust still guarantees a selection in every full window") =
+    forAll(tokens, Gen.choose(2, 6)) { (ts, w) =>
+      val k = 3
+      val ng = ts.length - k + 1
+      val sel = winnowRobust(ts, k, w).map(_._1)
+      ng < w || (0 to ng - w).forall(a => (a until a + w).exists(sel))
+    }
+
+  property("robust == plain on tie-free (all-distinct-gram) input") =
+    forAll(Gen.choose(0, 40), Gen.choose(1, 4), Gen.choose(1, 6)) { (n, k, w) =>
+      val ts = List.tabulate(n)(i => s"t$i") // every k-gram distinct
+      winnowRobust(ts, k, w) == winnowGot(ts, k, w)
+    }
+
+  property("robust is strictly denser-reducing on a constant-token run") =
+    forAll(Gen.choose(12, 40), Gen.choose(2, 5)) { (n, w) =>
+      // "a a a ... a": every gram hash ties, so plain records the rightmost
+      // minimum of each window (a new position per window) while robust
+      // keeps re-selecting one position per w-run.
+      val ts = List.fill(n)("a")
+      winnowRobust(ts, 3, w).size < winnowGot(ts, 3, w).size
+    }
+
   // ---- Aho–Corasick phrase screen (q173) ----
 
   private val word: Gen[String] = Gen.oneOf("a", "b", "ab", "ba", "c", "the")
