@@ -254,6 +254,24 @@ object LlmQueries {
              |     * sqrt(list_inner_product(c.v, c.v))) >= 0.45
              |ORDER BY new_id, corpus_id""".stripMargin)),
 
+    // The PRODUCTION mode of the same operator: corpus-trained auto-sized
+    // cells (nlist=0 -> ceil(probes·N/512) clamped [16,1024]), batch side
+    // multi-probes 4 cells, corpus side single-assigned — so per-trigger
+    // work is |batch|·cellSize cosines, FLAT in corpus size once cells
+    // saturate. q204's nlist=1 exact mode IS this query's recall oracle at
+    // small sf (SemDedupSpec: recall >= 0.85 measured, precision 1 by
+    // construction, no same-side pairs); the 10×/100× ScaleBench rows run
+    // HERE — the exact mode is by-construction quadratic (its 100× point
+    // measured 1126 s, the declared q41/q52-style oracle cost).
+    Q("q208_semdedup_incremental_cells", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.semDedupPairsAgainst(
+            e.filter(col("vec_id") % 10 === 0),
+            e.filter(col("vec_id") % 10 =!= 0), 0.45, probes = 4)
+          .orderBy("new_id", "corpus_id")
+      },
+      None),
+
     // Product-quantization ANN (Jégou et al. 2011) with exact re-ranking —
     // the compressed-index path beside brute (q44) / LSH (q45) / IVF (q57):
     // candidates carry m=8 one-byte sub-codebook codes (64× smaller than raw
@@ -1946,6 +1964,60 @@ object LlmQueries {
              |  WHERE a.pos <= a.ng - 4)
              |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp_hash
              |FROM win WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin)),
+
+    // ROBUST winnowing (Schleimer et al. 2003 Fig. 6) — the paper's
+    // preferred tie rule beside q171's rightmost-min: when several hashes
+    // tie for a window's minimum, re-select the previous window's
+    // selection while it is still in-window and still minimal. Under the
+    // md5 gram hash, ties arise exactly from repeated k-grams, so on
+    // repetitive text this records ONE position across a run of tied
+    // windows instead of a new rightmost minimum per window — lower
+    // fingerprint density, same every-window guarantee (any shared run of
+    // >= k+w-1 tokens still shares a fingerprint). Spark side is the same
+    // zero-shuffle codegen'd kernel with robust=true; the oracle replays
+    // the sequential re-selection rule literally as a recursive CTE over
+    // window ends (state = the previous selection).
+    Q("q207_winnow_robust", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4,
+              robust = true)).as("fp"))
+          .select(col("doc_id"), col("fp.pos").cast(LongType).as("pos"),
+            col("fp.hash").as("fp_hash"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |    substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16) AS h,
+             |    len(toks) - 2 AS ng FROM ix),
+             |wm AS (SELECT a.doc_id, a.pos + 3 AS e, b.pos AS min_pos, b.h AS min_h,
+             |    row_number() OVER (PARTITION BY a.doc_id, a.pos
+             |                       ORDER BY b.h ASC, b.pos DESC) AS rn
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id
+             |    AND b.pos BETWEEN a.pos AND a.pos + 3
+             |  WHERE a.pos <= a.ng - 4),
+             |w1 AS (SELECT doc_id, e, min_pos, min_h FROM wm WHERE rn = 1),
+             |rec AS (
+             |  SELECT doc_id, e, min_pos AS prev_pos, min_h AS prev_h,
+             |         min_pos AS rec_pos, min_h AS rec_h
+             |  FROM w1 WHERE e = 3
+             |  UNION ALL
+             |  SELECT w.doc_id, w.e,
+             |    CASE WHEN r.prev_pos > w.e - 4 AND r.prev_h = w.min_h
+             |      THEN r.prev_pos ELSE w.min_pos END,
+             |    CASE WHEN r.prev_pos > w.e - 4 AND r.prev_h = w.min_h
+             |      THEN r.prev_h ELSE w.min_h END,
+             |    CASE WHEN r.prev_pos > w.e - 4 AND r.prev_h = w.min_h
+             |      THEN NULL ELSE w.min_pos END,
+             |    CASE WHEN r.prev_pos > w.e - 4 AND r.prev_h = w.min_h
+             |      THEN NULL ELSE w.min_h END
+             |  FROM rec r JOIN w1 w ON w.doc_id = r.doc_id AND w.e = r.e + 1)
+             |SELECT DISTINCT doc_id, CAST(rec_pos AS BIGINT) AS pos,
+             |  rec_h AS fp_hash
+             |FROM rec WHERE rec_pos IS NOT NULL ORDER BY doc_id, pos""".stripMargin)),
 
     // Deterministic corpus shuffle + shard assignment — the training-order
     // pass every pipeline runs last (C4/T5 shuffle-then-shard, Raffel et

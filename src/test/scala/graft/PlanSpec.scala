@@ -514,4 +514,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "entropy fold must not join\n" + p)
     assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
   }
+
+  test("q208 incremental semdedup cells: cell-keyed join, corpus never probe-replicated") {
+    val p = plan("q208_semdedup_incremental_cells")
+    // the production ingest path: an equi join on the cell id — never a
+    // cross join like the q204 exact-oracle mode
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // only the (small) batch side explodes ×probes; the corpus side is
+    // single-assigned, so corpus shuffle volume is N, not N·probes
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"expected exactly the batch-side probe explode, saw $explodes\n" + p)
+  }
 }
