@@ -153,6 +153,7 @@ object MysqlProtocolCodec {
   final val ClientConnectWithDb = 0x00000008L
   final val ClientConnectAttrs = 0x00100000L
   final val ClientPluginAuthLenencData = 0x00200000L
+  final val ClientSsl = 0x00000800L
 
   private final class Reader(bs: Array[Byte]) {
     var pos = 0
@@ -312,6 +313,23 @@ object MysqlProtocolCodec {
   }
 
   /** HandshakeResponse41 (reference `protocal.rs:95-131`). */
+  /** SSLRequest (Protocol::SSLRequest): the 32-byte prefix of a
+    * HandshakeResponse41 — u4 capabilities (must carry [[ClientSsl]]),
+    * u4 max packet, u1 charset, 23 zero filler. The client sends this
+    * INSTEAD of the full response, upgrades the transport to TLS, then
+    * sends the full HandshakeResponse41 (same caps) over the encrypted
+    * stream with the next sequence number.
+    */
+  def encodeSslRequest(caps: Long, maxPacket: Long, charset: Int): Array[Byte] = {
+    require((caps & ClientSsl) != 0, "SSLRequest needs CLIENT_SSL in caps")
+    val out = new java.io.ByteArrayOutputStream(32)
+    writeLE(out, caps, 4)
+    writeLE(out, maxPacket, 4)
+    out.write(charset)
+    for (_ <- 0 until 23) out.write(0)
+    out.toByteArray
+  }
+
   def encodeHandshakeResponse(caps: Long, maxPacket: Long, charset: Int,
       user: String, authResp: Array[Byte], database: Option[String],
       pluginName: Option[String], attrs: Seq[(String, String)],

@@ -18,6 +18,11 @@ object MysqlReplicaSession {
   sealed trait Phase
   /** Server speaks first: HandshakeV10 expected. */
   case object AwaitHandshake extends Phase
+  /** SSLRequest sent; the transport must now upgrade the stream to TLS
+    * and call [[afterTlsUpgrade]] — NO server packet is legal in between
+    * (the client speaks next, over the encrypted stream).
+    */
+  case object AwaitTlsUpgrade extends Phase
   /** HandshakeResponse41 sent; AuthSwitchRequest expected (the reference
     * always takes the switch path — it sends an empty auth response).
     */
@@ -84,21 +89,42 @@ object MysqlReplicaSession {
     *   in the master's `SHOW REPLICAS` (beyond-reference; some managed
     *   masters require registration).
     */
+  /** @param tls upgrade the connection to TLS before authenticating (the
+    *   Protocol::SSLRequest dance): the short 32-byte SSLRequest goes out
+    *   in place of the HandshakeResponse, the transport wraps the socket,
+    *   and the full response + auth continue encrypted. Fails loudly when
+    *   the server did not advertise CLIENT_SSL. Beyond-reference (the
+    *   reference declares the flag, `protocal.rs:417-418`, but never
+    *   implements the upgrade). With TLS active, caching_sha2's
+    *   perform_full_authentication becomes legitimate: the cleartext
+    *   password goes NUL-terminated over the encrypted stream (the
+    *   public protocol), no RSA needed.
+    * @param tlsVerify true = verify the server certificate against the
+    *   JVM default trust store (mysql's ssl-mode=VERIFY_CA posture);
+    *   false = encrypt without verifying (parity with mysql's default
+    *   ssl-mode=REQUIRED, which also skips verification).
+    */
   final case class Config(user: String, password: String, serverId: Long,
       resumeAt: Option[(String, Long)] = None, maxPacket: Long = 1L << 24,
       resumeGtids: Option[String] = None, semiSync: Boolean = false,
       rsaFullAuth: Boolean = false,
-      registerSlave: Option[(String, Int)] = None)
+      registerSlave: Option[(String, Int)] = None,
+      tls: Boolean = false, tlsVerify: Boolean = false)
 
   /** `currentFile`/`checksumLen` exist for semi-sync ACKs: the file name
     * tracks the dump-start file and every ROTATE that flows by (its name
     * field excludes the trailing CRC when the FDE declared CRC32 —
     * `checksumLen` is learned from the FDE's alg byte as it passes).
     */
+  /** `seqOff` is 1 once an SSLRequest has consumed a handshake-phase
+    * sequence number (every later client packet in the auth exchange
+    * shifts by one); command phases reset to seq 0 and are unaffected.
+    */
   final case class State(phase: Phase, config: Config,
       seed: Array[Byte] = Array.emptyByteArray,
       masterFile: String = "", masterPos: Long = 0L,
-      serverCaps: Long = 0L, currentFile: String = "", checksumLen: Int = 0)
+      serverCaps: Long = 0L, currentFile: String = "", checksumLen: Int = 0,
+      seqOff: Int = 0)
 
   final val SemiSyncMagic = 0xef
 
@@ -106,8 +132,12 @@ object MysqlReplicaSession {
     * phase, the whole binlog event carried by this packet (marker
     * stripped), ready for `BinlogDecode.eventSplit`.
     */
+  /** `upgradeTls` tells the transport: after writing `send`, wrap the
+    * stream in TLS and call [[afterTlsUpgrade]] for the next client
+    * packets — the fold stays pure, the transport owns the handshake.
+    */
   final case class Step(state: State, send: Seq[(Int, Array[Byte])] = Nil,
-      event: Option[Array[Byte]] = None)
+      event: Option[Array[Byte]] = None, upgradeTls: Boolean = false)
 
   // the reference's exact capability set (mysql.rs:53-60) — including
   // CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA even though the first response
@@ -123,6 +153,22 @@ object MysqlReplicaSession {
     (st.serverCaps & ClientDeprecateEof) != 0
 
   def initial(config: Config): State = State(AwaitHandshake, config)
+
+  /** Called by the transport once the stream is TLS-wrapped (phase must
+    * be [[AwaitTlsUpgrade]]): emits the full HandshakeResponse41 — same
+    * capabilities the SSLRequest carried — as the next sequence number,
+    * over the now-encrypted stream.
+    */
+  def afterTlsUpgrade(st: State): Step = st.phase match {
+    case AwaitTlsUpgrade =>
+      val resp = MysqlProtocolCodec.encodeHandshakeResponse(
+        Caps | MysqlProtocolCodec.ClientSsl, st.config.maxPacket, 0xff,
+        st.config.user, Array.emptyByteArray, None,
+        Some("mysql_native_password"), Nil, 0)
+      Step(st.copy(phase = AwaitAuthSwitch), send = Seq(2 -> resp))
+    case other =>
+      fail(st, s"afterTlsUpgrade called in phase $other")
+  }
 
   private def fail(st: State, reason: String): Step =
     Step(st.copy(phase = Failed(reason)))
@@ -162,11 +208,31 @@ object MysqlReplicaSession {
       case AwaitHandshake =>
         val hs = MysqlProtocolCodec.decodeHandshake(payload)
         val seed = hs.getBinary(7)
-        val resp = MysqlProtocolCodec.encodeHandshakeResponse(
-          Caps, st.config.maxPacket, 0xff, st.config.user,
-          Array.emptyByteArray, None, Some("mysql_native_password"), Nil, 0)
-        Step(st.copy(phase = AwaitAuthSwitch, seed = seed,
-          serverCaps = hs.getLong(3)), send = Seq(1 -> resp))
+        val serverCaps = hs.getLong(3)
+        if (st.config.tls) {
+          if ((serverCaps & MysqlProtocolCodec.ClientSsl) == 0)
+            fail(st, "tls requested but the server did not advertise " +
+              "CLIENT_SSL (ssl is disabled on the master)")
+          else
+            // SSLRequest consumes seq 1; the transport upgrades, then
+            // afterTlsUpgrade sends the full response as seq 2
+            Step(st.copy(phase = AwaitTlsUpgrade, seed = seed,
+              serverCaps = serverCaps, seqOff = 1),
+              send = Seq(1 -> MysqlProtocolCodec.encodeSslRequest(
+                Caps | MysqlProtocolCodec.ClientSsl, st.config.maxPacket, 0xff)),
+              upgradeTls = true)
+        } else {
+          val resp = MysqlProtocolCodec.encodeHandshakeResponse(
+            Caps, st.config.maxPacket, 0xff, st.config.user,
+            Array.emptyByteArray, None, Some("mysql_native_password"), Nil, 0)
+          Step(st.copy(phase = AwaitAuthSwitch, seed = seed,
+            serverCaps = serverCaps), send = Seq(1 -> resp))
+        }
+
+      case AwaitTlsUpgrade =>
+        // the client speaks next (over TLS); any server packet here means
+        // the transport skipped the upgrade or the server jumped the gun
+        fail(st, "unexpected server packet while awaiting the TLS upgrade")
 
       case AwaitAuthSwitch if first == 0x00 =>
         // fast path: empty-password accounts get OK directly, no switch
@@ -189,14 +255,14 @@ object MysqlReplicaSession {
               val proof = MysqlProtocolCodec.nativePasswordAuth(
                 st.config.password.getBytes("UTF-8"), useSeed)
               Step(st.copy(phase = AwaitAuthResult, seed = useSeed),
-                send = Seq(3 -> proof))
+                send = Seq((3 + st.seqOff) -> proof))
             case "caching_sha2_password" =>
               // MySQL 8.0+ default plugin (reference stops at native —
               // mysql.rs:480-494; a stock 8.0 account lands here first)
               val proof = MysqlProtocolCodec.cachingSha2Auth(
                 st.config.password.getBytes("UTF-8"), useSeed)
               Step(st.copy(phase = AwaitSha2MoreData, seed = useSeed),
-                send = Seq(3 -> proof))
+                send = Seq((3 + st.seqOff) -> proof))
             case other =>
               fail(st, s"unsupported auth plugin $other")
           }
@@ -225,10 +291,17 @@ object MysqlReplicaSession {
         if (payload.length < 2) fail(st, "empty AuthMoreData packet")
         else (payload(1) & 0xff) match {
           case 0x03 => Step(st.copy(phase = AwaitAuthResult))
+          case 0x04 if st.config.tls =>
+            // full auth over an ENCRYPTED stream: the cleartext password
+            // goes NUL-terminated — the public protocol's TLS path (no
+            // RSA round needed; the transport already upgraded)
+            Step(st.copy(phase = AwaitAuthResult), send = Seq(
+              (5 + st.seqOff) ->
+                (st.config.password.getBytes("UTF-8") :+ 0.toByte)))
           case 0x04 if st.config.rsaFullAuth =>
             // request the server's RSA public key (single 0x02 byte)
             Step(st.copy(phase = AwaitSha2PublicKey),
-              send = Seq(5 -> Array(0x02.toByte)))
+              send = Seq((5 + st.seqOff) -> Array(0x02.toByte)))
           case 0x04 => fail(st, "caching_sha2_password requested full " +
             "authentication (server-side digest cache miss): refusing to " +
             "send the password without TLS/RSA — log in once over TLS to " +
@@ -245,7 +318,8 @@ object MysqlReplicaSession {
           val ct = MysqlProtocolCodec.rsaEncryptOaep(
             MysqlProtocolCodec.xorPasswordWithSeed(
               st.config.password.getBytes("UTF-8"), st.seed), key)
-          Step(st.copy(phase = AwaitAuthResult), send = Seq(7 -> ct))
+          Step(st.copy(phase = AwaitAuthResult),
+            send = Seq((7 + st.seqOff) -> ct))
         } catch {
           case e @ (_: java.security.GeneralSecurityException |
               _: IllegalArgumentException) =>

@@ -52,21 +52,47 @@ object SocketTransport {
     if (send.nonEmpty) os.flush()
   }
 
+  /** A socket factory that encrypts without verifying the peer — parity
+    * with mysql's default ssl-mode=REQUIRED (which also skips
+    * verification); `tlsVerify = true` selects the JVM default context
+    * (VERIFY_CA posture) instead.
+    */
+  private def tlsFactory(verify: Boolean): javax.net.ssl.SSLSocketFactory =
+    if (verify) javax.net.ssl.SSLContext.getDefault.getSocketFactory
+    else {
+      val trustAll: javax.net.ssl.X509TrustManager =
+        new javax.net.ssl.X509TrustManager {
+          override def checkClientTrusted(
+              chain: Array[java.security.cert.X509Certificate], t: String): Unit = ()
+          override def checkServerTrusted(
+              chain: Array[java.security.cert.X509Certificate], t: String): Unit = ()
+          override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+            Array.empty
+        }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+      ctx.getSocketFactory
+    }
+
   /** Connects and drives the replica session until the state machine
     * fails, the server closes the connection, or `maxEvents` binlog
     * events have been delivered to `onEvent` (each a whole event with the
     * 0x00 packet marker stripped, ready for `BinlogDecode.eventSplit`).
+    * With `config.tls` the loop performs the mid-stream upgrade the fold
+    * signals via `Step.upgradeTls`: wrap the socket, then ask the fold
+    * for the post-upgrade client packets (`afterTlsUpgrade`).
     */
   def run(host: String, port: Int, config: MysqlReplicaSession.Config,
       onEvent: Array[Byte] => Unit, maxEvents: Long = Long.MaxValue,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 0): Result = {
     val sock = new Socket()
+    var tlsSock: Socket = null
     try {
       sock.setTcpNoDelay(true)
       sock.setSoTimeout(readTimeoutMs)
       sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-      val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
-      val os = sock.getOutputStream
+      var in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream))
+      var os = sock.getOutputStream
       var st = MysqlReplicaSession.initial(config)
       var events = 0L
       while (true) {
@@ -77,12 +103,25 @@ object SocketTransport {
           }
         val step = MysqlReplicaSession.onPayload(st, payload)
         writeAll(os, step.send)
+        st = step.state
+        if (step.upgradeTls) {
+          val ssl = tlsFactory(config.tlsVerify)
+            .createSocket(sock, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(true)
+          ssl.startHandshake()
+          tlsSock = ssl
+          in = new DataInputStream(new java.io.BufferedInputStream(ssl.getInputStream))
+          os = ssl.getOutputStream
+          val cont = MysqlReplicaSession.afterTlsUpgrade(st)
+          writeAll(os, cont.send)
+          st = cont.state
+        }
         step.event.foreach { ev =>
           onEvent(ev)
           events += 1
           if (events >= maxEvents) return Result(events, None)
         }
-        st = step.state
         st.phase match {
           case MysqlReplicaSession.Failed(reason) => return Result(events, Some(reason))
           case _                                  => ()
@@ -91,18 +130,27 @@ object SocketTransport {
       throw new IllegalStateException("unreachable")
     } catch {
       case e: IOException => Result(0L, Some(s"io: ${e.getMessage}"))
-    } finally sock.close()
+      case e: java.security.GeneralSecurityException =>
+        Result(0L, Some(s"tls: ${e.getMessage}"))
+    } finally {
+      if (tlsSock != null) tlsSock.close()
+      sock.close()
+    }
   }
 
   /** CLI: tap a live server and print one line per binlog event.
     * Flags anywhere among the args: `--rsa-full-auth` opts into the
     * caching_sha2 RSA key exchange on a cache miss (trusted networks
-    * only), `--register=host:port` sends COM_REGISTER_SLAVE first.
+    * only), `--register=host:port` sends COM_REGISTER_SLAVE first,
+    * `--tls` upgrades the connection before authenticating
+    * (`--tls-verify` additionally checks the server certificate against
+    * the JVM trust store).
     */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     require(pos.length >= 4, "usage: SocketTransport host port user password " +
-      "[serverId] [maxEvents] [--rsa-full-auth] [--register=host:port]")
+      "[serverId] [maxEvents] [--rsa-full-auth] [--register=host:port] " +
+      "[--tls] [--tls-verify]")
     val register = flags.find(_.startsWith("--register=")).map { f =>
       val hp = f.stripPrefix("--register=").split(":", 2)
       require(hp.length == 2 && hp(1).forall(_.isDigit),
@@ -112,7 +160,9 @@ object SocketTransport {
     val cfg = MysqlReplicaSession.Config(pos(2), pos(3),
       serverId = if (pos.length > 4) pos(4).toLong else 1234L,
       rsaFullAuth = flags.contains("--rsa-full-auth"),
-      registerSlave = register)
+      registerSlave = register,
+      tls = flags.contains("--tls") || flags.contains("--tls-verify"),
+      tlsVerify = flags.contains("--tls-verify"))
     val max = if (pos.length > 5) pos(5).toLong else Long.MaxValue
     val res = run(pos(0), pos(1).toInt, cfg, { ev =>
       val hdr = BinlogRowCodec.decodeHeader(ev, packetMarker = false)

@@ -20,14 +20,16 @@ class MysqlSessionSpec extends SparkSpec {
     s.length.toByte +: s.getBytes("UTF-8")
   }
 
-  private def handshake(seed: Array[Byte], deprecateEof: Boolean = false): Array[Byte] = {
+  private def handshake(seed: Array[Byte], deprecateEof: Boolean = false,
+      ssl: Boolean = false): Array[Byte] = {
     require(seed.length == 20)
     val out = new java.io.ByteArrayOutputStream()
     out.write(10); out.write("8.0.42-log".getBytes); out.write(0)
     out.write(Array[Byte](0x39, 0x30, 0, 0))
     out.write(seed, 0, 8)
     out.write(0)
-    out.write(0xff); out.write(0xf7) // caps low
+    // caps low: 0xf7ff leaves CLIENT_SSL (bit 11) CLEAR; ssl sets it
+    out.write(0xff); out.write(if (ssl) 0xff else 0xf7)
     out.write(0xff)
     out.write(Array[Byte](2, 0))
     // caps high: PLUGIN_AUTH (bit 19); optionally DEPRECATE_EOF (bit 24)
@@ -463,5 +465,73 @@ class MysqlSessionSpec extends SparkSpec {
       // the exact fuzz counterexample shape: count = 0xFF000000 << 32
       decodeTextRow(0xfe.toByte +: Array[Byte](0, 0, 0, 0, 0, 0, 0, 0xff.toByte))
     }
+  }
+
+  test("tls: SSLRequest at seq 1, upgrade signaled, full response at seq 2") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    val st0 = initial(Config("repl", "secret", serverId = 100L, tls = true))
+
+    val s1 = onPayload(st0, handshake(seed1, ssl = true))
+    assert(s1.upgradeTls && s1.state.phase == AwaitTlsUpgrade
+      && s1.state.seqOff == 1)
+    val Seq((1, sslReq)) = s1.send
+    assert(java.util.Arrays.equals(sslReq, MysqlProtocolCodec.encodeSslRequest(
+      Caps | MysqlProtocolCodec.ClientSsl, 1L << 24, 0xff)))
+    // wire shape: 32 bytes — u4 caps (CLIENT_SSL = bit 11 → byte 1 bit 3),
+    // u4 max packet, charset 0xff, 23 zero filler
+    assert(sslReq.length == 32 && (sslReq(1) & 0x08) != 0
+      && (sslReq(8) & 0xff) == 0xff && sslReq.drop(9).forall(_ == 0))
+
+    // a server packet before the upgrade is a protocol violation
+    assert(onPayload(s1.state, ok).state.phase.isInstanceOf[Failed])
+
+    // transport wrapped the stream: same caps, next seq, over TLS
+    val s2 = afterTlsUpgrade(s1.state)
+    assert(s2.state.phase == AwaitAuthSwitch)
+    val Seq((2, resp)) = s2.send
+    assert(java.util.Arrays.equals(resp,
+      MysqlProtocolCodec.encodeHandshakeResponse(
+        Caps | MysqlProtocolCodec.ClientSsl, 1L << 24, 0xff, "repl",
+        Array.emptyByteArray, None, Some("mysql_native_password"), Nil, 0)))
+
+    // every later auth-phase packet shifts by one: native proof at seq 4
+    val s3 = onPayload(s2.state, authSwitch(seed2))
+    val Seq((4, proof)) = s3.send
+    assert(java.util.Arrays.equals(proof,
+      MysqlProtocolCodec.nativePasswordAuth("secret".getBytes, seed2)))
+    assert(s3.state.phase == AwaitAuthResult)
+
+    // afterTlsUpgrade out of phase is a loud failure, not a resend
+    assert(afterTlsUpgrade(s3.state).state.phase.isInstanceOf[Failed])
+  }
+
+  test("tls refused loudly when the server does not advertise CLIENT_SSL") {
+    val st = initial(Config("repl", "secret", serverId = 1L, tls = true))
+    val s = onPayload(st, handshake((1 to 20).map(_.toByte).toArray))
+    val reason = s.state.phase.asInstanceOf[Failed].reason
+    assert(reason.contains("CLIENT_SSL"))
+    assert(s.send.isEmpty && !s.upgradeTls)
+  }
+
+  test("caching_sha2 full auth over TLS: cleartext password NUL-terminated") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    var st = initial(Config("repl", "secret", serverId = 100L, tls = true))
+    st = onPayload(st, handshake(seed1, ssl = true)).state
+    st = afterTlsUpgrade(st).state
+
+    val sw = onPayload(st, authSwitchSha2(seed2))
+    st = sw.state
+    assert(st.phase == AwaitSha2MoreData)
+    val Seq((4, _)) = sw.send // the 32-byte scramble proof, shifted seq
+
+    // perform_full_authentication: legitimate over the encrypted stream —
+    // the password goes in clear, NUL-terminated, no RSA round
+    val full = onPayload(st, Array[Byte](0x01, 0x04))
+    assert(full.state.phase == AwaitAuthResult)
+    val Seq((6, pw)) = full.send
+    assert(java.util.Arrays.equals(pw, "secret".getBytes :+ 0.toByte))
+    assert(onPayload(full.state, ok).state.phase == AwaitChecksumAck)
   }
 }

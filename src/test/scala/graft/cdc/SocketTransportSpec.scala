@@ -384,4 +384,159 @@ class SocketTransportSpec extends SparkSpec {
     t.join(10000)
     assert(res.events == 3 && res.stop.isEmpty)
   }
+
+  /** A server-side SSLContext backed by a keytool-generated self-signed
+    * cert (keytool ships with the JDK — no new dependencies, no egress).
+    */
+  private lazy val serverTlsContext: javax.net.ssl.SSLContext = {
+    val ksFile = java.io.File.createTempFile("graft-tls-", ".p12")
+    ksFile.delete() // keytool refuses an existing file
+    ksFile.deleteOnExit()
+    val keytool = new java.io.File(System.getProperty("java.home"),
+      "bin/keytool").getAbsolutePath
+    val p = new ProcessBuilder(keytool, "-genkeypair", "-alias", "srv",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-dname", "CN=localhost", "-keystore", ksFile.getAbsolutePath,
+      "-storetype", "PKCS12", "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    assert(p.waitFor() == 0, s"keytool failed: $out")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksFile)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** handshake() with CLIENT_SSL (bit 11) advertised in the low caps. */
+  private def handshakeSsl(seed: Array[Byte]): Array[Byte] = {
+    val hs = handshake(seed)
+    // caps low bytes sit after proto(1) + version(10+NUL) + tid(4) +
+    // seed[0..8) + filler(1) = offsets 25..26; the 0xf7 (bit 11 clear)
+    // is the SECOND byte of the little-endian pair
+    assert((hs(26) & 0xff) == 0xf7)
+    hs(26) = 0xff.toByte
+    hs
+  }
+
+  test("loopback TLS: SSLRequest, upgraded stream, login, dump, events") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val seed2 = (50 until 70).map(_.toByte).toArray
+    val schema = BinlogSchema.fromMysqlTypes(Seq("pk" -> "bigint"))
+    val ev1 = BinlogRowCodec.encodeEvent(BinlogRowCodec.WriteV2,
+      BinlogRowCodec.encodeRows(BinlogRowCodec.WriteV2, schema, Seq(Seq[Any](7L))))
+
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var serverErr: Option[Throwable] = None
+    // (seq, payload, overTls) for every client packet, in arrival order
+    val clientPackets =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte], Boolean)]
+    val t = new Thread(() => {
+      try {
+        val plain = server.accept()
+        val pin = new DataInputStream(plain.getInputStream)
+        def recvFrame(in: DataInputStream, tls: Boolean): Unit = {
+          val hdr = new Array[Byte](4)
+          in.readFully(hdr)
+          val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+          val body = new Array[Byte](len)
+          in.readFully(body)
+          clientPackets += ((hdr(3) & 0xff, body, tls))
+        }
+        plain.getOutputStream.write(writePacket(0, handshakeSsl(seed1)))
+        plain.getOutputStream.flush()
+        recvFrame(pin, tls = false) // SSLRequest — the ONLY plaintext client packet
+        // upgrade the server side, continue the conversation encrypted
+        val s = serverTlsContext.getSocketFactory
+          .createSocket(plain, null, plain.getPort, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.setUseClientMode(false)
+        s.startHandshake()
+        val in = new DataInputStream(s.getInputStream)
+        val os = s.getOutputStream
+        def recv(): Unit = recvFrame(in, tls = true)
+        recv() // HandshakeResponse41
+        os.write(writePacket(3, authSwitch(seed2))); os.flush()
+        recv() // scramble proof
+        os.write(writePacket(5, ok)); os.flush()
+        recv() // set @master_binlog_checksum
+        os.write(writePacket(1, ok)); os.flush()
+        recv() // show master status
+        os.write(writePacket(1, Array(5.toByte)))
+        for (i <- 0 until 5) os.write(writePacket(2 + i, hx("deadbeef")))
+        os.write(writePacket(7, eof))
+        os.write(writePacket(8, lenencStr("bin.000042") ++ lenencStr("1337") ++
+          lenencStr("") ++ lenencStr("") ++ lenencStr("")))
+        os.write(writePacket(9, eof)); os.flush()
+        recv() // COM_BINLOG_DUMP
+        os.write(writePacket(1, 0.toByte +: ev1))
+        os.write(writePacket(2, eof)); os.flush()
+        s.close()
+      } catch { case e: Throwable => serverErr = Some(e) }
+    })
+    t.start()
+
+    val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L, tls = true),
+      ev => events += ev, readTimeoutMs = 15000)
+    t.join(15000)
+    server.close()
+    assert(serverErr.isEmpty, s"fake server failed: $serverErr")
+
+    // the event crossed the encrypted wire intact; the dump-stream EOF is
+    // still a loud stop
+    assert(events.size == 1 && java.util.Arrays.equals(events(0), ev1))
+    assert(res.events == 1 && res.stop.isDefined)
+
+    // exactly one plaintext client packet: the 32-byte SSLRequest, seq 1
+    val plaintext = clientPackets.filter(!_._3)
+    assert(plaintext.size == 1)
+    val (1, sslReq, false) = plaintext(0)
+    assert(java.util.Arrays.equals(sslReq, MysqlProtocolCodec.encodeSslRequest(
+      MysqlReplicaSession.Caps | MysqlProtocolCodec.ClientSsl, 1L << 24, 0xff)))
+
+    // over TLS: the full response at seq 2 (CLIENT_SSL in caps), then the
+    // shifted auth proof at seq 4, then command phases back at seq 0
+    val (2, resp, true) = clientPackets(1)
+    assert(java.util.Arrays.equals(resp,
+      MysqlProtocolCodec.encodeHandshakeResponse(
+        MysqlReplicaSession.Caps | MysqlProtocolCodec.ClientSsl, 1L << 24,
+        0xff, "repl", Array.emptyByteArray, None,
+        Some("mysql_native_password"), Nil, 0)))
+    val (4, proof, true) = clientPackets(2)
+    assert(java.util.Arrays.equals(proof,
+      MysqlProtocolCodec.nativePasswordAuth("secret".getBytes, seed2)))
+    val (0, dump, true) = clientPackets.last
+    assert(java.util.Arrays.equals(dump,
+      MysqlProtocolCodec.encodeComBinlogDump(1337L, 0, 100L, "bin.000042")))
+  }
+
+  test("tls against a server without CLIENT_SSL stops before any credential") {
+    val seed1 = (1 to 20).map(_.toByte).toArray
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val received = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        s.getOutputStream.write(writePacket(0, handshake(seed1))) // no SSL cap
+        s.getOutputStream.flush()
+        // drain whatever the client might (wrongly) send until it hangs up
+        val in = new DataInputStream(s.getInputStream)
+        while (true) received += SocketTransport.readPayload(in)
+      } catch { case _: Throwable => () } // client hangup = expected exit
+    })
+    t.start()
+    val res = SocketTransport.run("127.0.0.1", server.getLocalPort,
+      MysqlReplicaSession.Config("repl", "secret", serverId = 1L, tls = true),
+      _ => fail("no event can arrive"), readTimeoutMs = 10000)
+    server.close()
+    t.join(10000)
+    assert(res.stop.exists(_.contains("CLIENT_SSL")))
+    assert(received.isEmpty, "no byte may leave the client before failing")
+  }
 }
