@@ -158,6 +158,13 @@ object Similarity {
   private def signature(v: Column, planes: Seq[Array[Double]]): Column =
     HyperplaneSig(v, planes.toArray)
 
+  /** Past this cell count the driver's scalar Lloyd's loop (nlist ×
+    * sampleSize dots per iteration on one core) stops being metadata-
+    * scale work; [[trainCentroids]] switches to the distributed trainer
+    * over the same bounded sample.
+    */
+  final val ScalarTrainerCeiling = 1024
+
   /** Spherical k-means over a deterministic bounded sample — the IVF coarse
     * quantizer trainer. The sample (`sampleSize` rows picked by id hash) is
     * collected to the driver: this is bounded *metadata*-scale work
@@ -165,9 +172,17 @@ object Similarity {
     * training shape — the data table itself is never collected. Assignment
     * is argmax-dot over unit vectors; empty clusters keep their previous
     * centroid; fixed iteration count keeps training deterministic.
+    *
+    * Above [[ScalarTrainerCeiling]] cells the same bounded sample trains
+    * DISTRIBUTED ([[Clustering.kmeansCentroids]]: broadcast-argmax
+    * assignment + decimal-snapped (cell, dim) update — one job per
+    * iteration over sampleSize cached rows), so the cell count can keep
+    * following the corpus instead of freezing at a driver-loop ceiling.
     */
   def trainCentroids(candidates: DataFrame, nlist: Int,
       sampleSize: Int = 2048, iters: Int = 8): Array[Array[Double]] = {
+    if (nlist > ScalarTrainerCeiling)
+      return trainCentroidsDistributed(candidates, nlist, sampleSize, iters)
     val spark = candidates.sparkSession
     import spark.implicits._
     def normalize(v: Array[Double]): Array[Double] = {
@@ -206,6 +221,32 @@ object Similarity {
       it += 1
     }
     centroids
+  }
+
+  /** The large-nlist trainer: the same xxhash64-picked `sampleSize`-row
+    * sample, L2-normalized in SQL (spherical k-means sums unit vectors,
+    * matching the scalar path), cached once, then full Lloyd's over it via
+    * [[Clustering.kmeansCentroids]] — each iteration is ONE distributed
+    * job (k×dim broadcast argmax + decimal (cell, dim) sums), never a
+    * driver loop over nlist × sampleSize dots.
+    */
+  private def trainCentroidsDistributed(candidates: DataFrame, nlist: Int,
+      sampleSize: Int, iters: Int): Array[Array[Double]] = {
+    val norm = sqrt(aggregate(col("v"),
+      lit(0.0), (acc, x) => acc + x * x))
+    val sample = candidates
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .withColumn("v",
+        when(norm > 0, transform(col("v"), x => x / norm)).otherwise(col("v")))
+      // cache: kmeans runs iters+1 jobs over this — without it each one
+      // would re-run the sample's TakeOrdered over the full corpus
+      .persist()
+    try {
+      require(!sample.isEmpty, "cannot train IVF centroids on an empty table")
+      Clustering.kmeansCentroids(sample, "vec_id", "v", nlist, iters)
+    } finally { sample.unpersist(); () }
   }
 
   /** IVF ANN: a k-means-trained coarse quantizer of `nlist` centroids
@@ -261,11 +302,16 @@ object Similarity {
     * assignments and within-cell pair work stays N·cellSize instead of
     * going quadratic as N outgrows a fixed cell count — a fixed
     * nlist=16 measured 570× at the 100× step (PERFORMANCE.md r10) before
-    * this. The clamp at 1024 is the scalar driver trainer's practical
-    * ceiling; past it (≈0.5M probes·N) the paper-faithful move is more
-    * cells from a faster trainer, not bigger cells. At oracle scale
-    * (≤2k vectors) the auto size IS 16, so small-sf outputs are
-    * byte-identical to the old default.
+    * this. The 1024 clamp is deliberate and MEASURED, not a trainer
+    * limitation (past [[ScalarTrainerCeiling]] the trainer goes
+    * distributed, see [[trainCentroids]]): assignment costs N·k dots
+    * while pair work costs ~N·512 per probe, so k past the balance point
+    * √(probes·N-side-work) makes ASSIGNMENT the new superlinear term —
+    * the unclamped rule measured 12.8 s vs 4.6 s clamped at the q208
+    * 100× step (PERFORMANCE.md r10). Past the clamp the paper-faithful
+    * dial is a two-level (hierarchical) coarse quantizer, not more flat
+    * cells. At oracle scale (≤2k vectors) the auto size IS 16, so
+    * small-sf outputs are byte-identical to the old default.
     */
   def semDedupPairs(emb: DataFrame, threshold: Double, nlist: Int = 0,
       probes: Int = 1): DataFrame = {

@@ -83,6 +83,36 @@ class SemDedupSpec extends SparkSpec {
       probes = 4)) == p4)
   }
 
+  test("past the scalar ceiling the distributed trainer takes over: unit " +
+      "centroids, bit-deterministic under repartitioning, precision holds") {
+    import org.apache.spark.sql.functions.col
+    // sf0.1 (2000 vectors) so nlist can exceed ScalarTrainerCeiling while
+    // the bounded sample still seeds every cluster
+    val big = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+    val k = Similarity.ScalarTrainerCeiling + 6
+    val c1 = Similarity.trainCentroids(big, k, sampleSize = 4 * k)
+    assert(c1.length == k)
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(n == 0.0 || math.abs(n - 1.0) < 1e-9, s"non-unit centroid $n")
+    }
+    // decimal-snapped updates: identical centroids under any partitioning
+    val c2 = Similarity.trainCentroids(big.repartition(7), k, sampleSize = 4 * k)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // and the incremental operator stays precision-1 / same-side-clean
+    // with a distributed-trained cell map
+    val newE = big.filter(col("vec_id") % 10 === 0)
+    val corpus = big.filter(col("vec_id") % 10 =!= 0)
+    val exactBig = Similarity
+      .semDedupPairsAgainst(newE, corpus, threshold, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = Similarity
+      .semDedupPairsAgainst(newE, corpus, threshold, nlist = k, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells.subsetOf(exactBig))
+    cells.foreach { case (n, c) => assert(n % 10 == 0 && c % 10 != 0) }
+  }
+
   test("drop list is the higher id of each pair, deduplicated") {
     val pairs = Similarity.semDedupPairs(emb, threshold, nlist = 16)
     val drops = Similarity.semDedupDrops(emb, threshold, nlist = 16)
