@@ -119,6 +119,58 @@ object AudioKernels {
     if (r == null) null else new GenericInternalRow(Array[Any](r._1, r._2, r._3))
   }
 
+  /** SIGNAL-level PCM decode (the audio counterpart of the q50 pixel
+    * sums): walk RIFF to the fmt + data chunks, require uncompressed
+    * 16-bit PCM (format tag 1), and fold every interleaved LE int16
+    * sample into exact integer stats — count, sum, abs-sum, peak |s|,
+    * zero crossings ((prev < 0) != (cur < 0) over the interleaved
+    * stream), and clipped samples (±full scale). Null for non-WAVE,
+    * non-PCM16, a missing/odd-sized data chunk, or a data chunk whose
+    * declared size overruns the buffer (truncation is data, not an
+    * error). One O(n) pass, all-integer — bit-exact on any platform.
+    */
+  def pcmStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 44) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var fmtTag = -1; var bits = -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue - 9) return null
+      val sz = size.toInt
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length || sz < 16) return null
+        fmtTag = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        if (fmtTag != 1 || bits != 16) return null // only uncompressed PCM16
+        if ((sz & 1) == 1 || i + 8 + sz > b.length) return null
+        val base = i + 8
+        val n = sz / 2
+        var sum = 0L; var sumAbs = 0L; var peak = 0
+        var cross = 0L; var clipped = 0L
+        var prevNeg = false
+        var j = 0
+        while (j < n) {
+          val s = (u8(b, base + 2 * j) | (u8(b, base + 2 * j + 1) << 8)).toShort.toInt
+          val a = if (s < 0) -s else s // 32768 for -32768: exact in Int
+          sum += s; sumAbs += a
+          if (a > peak) peak = a
+          if (s == 32767 || s == -32768) clipped += 1
+          val neg = s < 0
+          if (j > 0 && neg != prevNeg) cross += 1
+          prevNeg = neg
+          j += 1
+        }
+        return new GenericInternalRow(
+          Array[Any](n.toLong, sum, sumAbs, peak, cross, clipped))
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    null
+  }
+
   private def be32s(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
@@ -464,6 +516,41 @@ case class SniffWav(child: Expression)
 object SniffWav {
   def apply(content: Column): Column =
     ColumnBridge.column(SniffWav(ColumnBridge.expression(content)))
+}
+
+/** Codegen'd signal-level PCM16 stats over a `binary` WAV column —
+  * struct<n_samples long, sum_amp long, sum_abs long, peak int,
+  * zero_cross long, clipped long>; null for anything that is not
+  * well-formed uncompressed 16-bit PCM (see [[AudioKernels.pcmStats]]).
+  */
+case class AudioPcmStats(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("zero_cross", LongType, nullable = false),
+    StructField("clipped", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"AudioPcmStats expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    AudioKernels.pcmStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.AudioKernels.pcmStats($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): AudioPcmStats =
+    copy(child = newChild)
+}
+
+object AudioPcmStats {
+  def apply(content: Column): Column =
+    ColumnBridge.column(AudioPcmStats(ColumnBridge.expression(content)))
 }
 
 /** Codegen'd compressed-container sniff over a `binary` column:

@@ -414,8 +414,78 @@ object MultimodalQueries {
              |    // ([8000,16000,44100])[CAST(doc_id % 3 AS INTEGER) + 1]
              |  WHEN doc_id % 4 = 2 THEN ((4 + doc_id % 2000) * 8 * 1000) // 128000
              |  ELSE ((doc_id % 100000) * 1000) // 600 END AS BIGINT) AS duration_ms
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // REAL audio decode (the q50 of the audio modality, zero new deps):
+    // each doc_id becomes an actual playable WAV with formula-known 16-bit
+    // PCM samples (PcmFixtures.formulaWav); the decode side walks RIFF to
+    // the data chunk and folds every sample into exact integer stats —
+    // count, sum, abs-sum (the RMS numerator a loudness filter uses), peak,
+    // zero crossings (the classic voiced/unvoiced + frequency proxy),
+    // clipped-sample count (the recording-quality signal). PCM is lossless
+    // and all-integer, so the oracle's closed-form per-sample replay must
+    // match bit-exactly — any chunk-walk, endianness, or sign bug breaks
+    // the hash.
+    Q("q209_audio_pcm_stats", { (s, dir) =>
+        val enc = udf((id: Long) => PcmFixtures.formulaWav(id))
+        t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            AudioPcmStats(enc(col("doc_id"))).as("a"))
+          .select(col("media_id"),
+            col("a.n_samples").as("n_samples"),
+            col("a.sum_amp").as("sum_amp"),
+            col("a.sum_abs").as("sum_abs"),
+            col("a.peak").as("peak"),
+            col("a.zero_cross").as("zero_cross"),
+            col("a.clipped").as("clipped"))
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+             |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+             |v AS (SELECT doc_id, i,
+             |    (i*37 + doc_id*11) % 65536 - 32768 AS x,
+             |    CASE WHEN i > 0
+             |      THEN ((i-1)*37 + doc_id*11) % 65536 - 32768 END AS px
+             |  FROM s)
+             |SELECT doc_id AS media_id,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(x) AS BIGINT) AS sum_amp,
+             |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+             |  CAST(max(abs(x)) AS INTEGER) AS peak,
+             |  CAST(sum(CASE WHEN px IS NOT NULL AND ((x < 0) <> (px < 0))
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+             |  CAST(sum(CASE WHEN x = 32767 OR x = -32768 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS clipped
+             |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin))
   )
+}
+
+/** Formula-synthesized REAL WAV files for q209 (fixture side only; the
+  * decode side is the codegen'd [[AudioPcmStats]]): canonical 44-byte
+  * RIFF/WAVE/fmt/data header (mono, 8 kHz, 16-bit PCM) followed by
+  * doc_id%200+50 LE samples s(i) = (i·37 + doc_id·11) mod 65536 − 32768 —
+  * a formula DuckDB replays in closed form, covering the full signed
+  * range including both clip rails.
+  */
+object PcmFixtures {
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  def formulaWav(d: Long): Array[Byte] = {
+    val n = (d % 200 + 50).toInt
+    val data = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = ((i * 37 + d * 11) % 65536 - 32768).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    "RIFF".getBytes("UTF-8") ++ le(36L + 2 * n, 4) ++ "WAVE".getBytes("UTF-8") ++
+      "fmt ".getBytes("UTF-8") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+      "data".getBytes("UTF-8") ++ le(2L * n, 4) ++ data
+  }
 }
 
 /** Formula-synthesized duration-bearing containers for q180 (fixture

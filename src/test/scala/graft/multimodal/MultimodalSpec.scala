@@ -318,4 +318,54 @@ class MultimodalSpec extends SparkSpec {
     // the CBR fixture (no Xing/VBRI in its zero payload) is untouched
     assert(dur(DurationFixtures.bytesFor(2)) == Some((4 + 2) * 8 * 1000L / 128000L))
   }
+
+  test("PCM stats: hand-computed golden, stereo interleave, strict negatives") {
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav(channels: Int, bits: Int, fmtTag: Int, samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le(s.toLong & 0xffff, 2)).toArray
+      ascii("RIFF") ++ le(36L + data.length, 4) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le(16, 4) ++ le(fmtTag, 2) ++ le(channels, 2) ++
+        le(8000, 4) ++ le(8000L * channels * bits / 8, 4) ++
+        le(channels * bits / 8, 2) ++ le(bits, 2) ++
+        ascii("data") ++ le(data.length, 4) ++ data
+    }
+    def stats(b: Array[Byte]): Option[(Long, Long, Long, Int, Long, Long)] =
+      Option(AudioKernels.pcmStats(b)).map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+
+    // golden: [0, 100, -100, 32767, -32768] — sum -1, abs-sum 65735,
+    // peak 32768 (|min|), 3 sign changes (0 counts as non-negative),
+    // both clip rails counted
+    assert(stats(wav(1, 16, 1, Seq(0, 100, -100, 32767, -32768)))
+      == Some((5L, -1L, 65735L, 32768, 3L, 2L)))
+    // stereo: stats fold the interleaved stream (documented semantics) —
+    // L=[1000,-1000] R=[-2000,2000] interleaved gives 4 crossings? no:
+    // 1000,-2000,-1000,2000 → signs +,-,-,+ → 2 crossings
+    assert(stats(wav(2, 16, 1, Seq(1000, -2000, -1000, 2000)))
+      == Some((4L, 0L, 6000L, 2000, 2L, 0L)))
+    // empty data chunk is a valid zero-length signal, not an error
+    assert(stats(wav(1, 16, 1, Seq.empty)) == Some((0L, 0L, 0L, 0, 0L, 0L)))
+    // negatives: IEEE-float fmt tag, 8-bit PCM, odd-sized data chunk,
+    // declared size past the buffer, non-WAVE, arbitrary junk
+    assert(stats(wav(1, 16, 3, Seq(1, 2))).isEmpty)
+    assert(stats(wav(1, 8, 1, Seq(1, 2))).isEmpty)
+    val odd = wav(1, 16, 1, Seq(7))
+    odd(40) = 1 // data size 2 -> 1 (odd)
+    assert(stats(odd).isEmpty)
+    val overrun = wav(1, 16, 1, Seq(7))
+    overrun(40) = 44 // data size 2 -> 44 (past the buffer): truncation
+    assert(stats(overrun).isEmpty)
+    assert(stats(ascii("RIFF") ++ le(4, 4) ++ ascii("JUNK")).isEmpty)
+    assert(stats(Array.fill[Byte](64)(0x5a)).isEmpty)
+    // the q209 fixture round-trips: formula samples == kernel fold
+    val d = 123L
+    val n = (d % 200 + 50).toInt
+    val expect = (0 until n).map(i => (i * 37 + d * 11) % 65536 - 32768)
+    val got = stats(PcmFixtures.formulaWav(d)).get
+    assert(got._1 == n.toLong && got._2 == expect.sum
+      && got._3 == expect.map(math.abs).sum
+      && got._4 == expect.map(math.abs).max.toInt)
+  }
 }
