@@ -171,6 +171,76 @@ object AudioKernels {
     null
   }
 
+  /** SIGNAL-level decode of UNCOMPRESSED video — BI_RGB DIB frames in an
+    * AVI 'movi' list ('00db' chunks, the format's raw-frame case; the
+    * video counterpart of [[pcmStats]]): per-channel exact pixel sums
+    * over all frames plus the inter-frame MOTION energy (Σ |byte − same
+    * byte of the previous frame| over payload bytes) — the static-video /
+    * slideshow detector a curation pipeline runs. Rows are stride-padded
+    * to 4 bytes per the DIB spec; pad bytes are skipped, so garbage in
+    * the padding cannot leak into any stat. Aggregate sums are
+    * orientation-invariant, so the DIB bottom-up row order does not
+    * matter here. Null for non-AVI, missing 'movi', any '00db' chunk
+    * whose size differs from stride×height, or truncation. Compressed
+    * streams ('00dc') are NOT decoded — that is the documented stub.
+    */
+  def videoDibStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 72) return null
+    val sn = MediaKernels.sniffTuple(b)
+    if (sn == null || sn._1 != "avi") return null
+    val w = sn._2; val h = sn._3
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return null
+    val stride = ((3 * w + 3) / 4) * 4
+    val frameSize = stride * h
+    var i = 12
+    var moviStart = -1; var moviEnd = -1
+    while (i + 8 <= b.length && moviStart < 0) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue - 9 || i + 8 + size > b.length) return null
+      if (b(i) == 'L' && b(i + 1) == 'I' && b(i + 2) == 'S' && b(i + 3) == 'T' &&
+          size >= 4 &&
+          b(i + 8) == 'm' && b(i + 9) == 'o' && b(i + 10) == 'v' && b(i + 11) == 'i') {
+        moviStart = i + 12; moviEnd = i + 8 + size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (moviStart < 0) return null
+    var nFrames = 0; var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
+    var prev = -1
+    var j = moviStart
+    while (j + 8 <= moviEnd) {
+      val sz = le32(b, j + 4)
+      if (sz < 0 || j + 8 + sz > moviEnd) return null
+      if (b(j) == '0' && b(j + 1) == '0' && b(j + 2) == 'd' && b(j + 3) == 'b') {
+        if (sz.toInt != frameSize) return null
+        val base = j + 8
+        var y = 0
+        while (y < h) {
+          var o = base + y * stride
+          val end = o + 3 * w
+          while (o < end) {
+            sumB += u8(b, o); sumG += u8(b, o + 1); sumR += u8(b, o + 2)
+            o += 3
+          }
+          if (prev >= 0) {
+            var c = base + y * stride
+            var p = prev + y * stride
+            val cend = c + 3 * w
+            while (c < cend) {
+              val d = u8(b, c) - u8(b, p)
+              motion += (if (d < 0) -d else d)
+              c += 1; p += 1
+            }
+          }
+          y += 1
+        }
+        prev = base; nFrames += 1
+      }
+      j += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    new GenericInternalRow(Array[Any](nFrames, w, h, sumR, sumG, sumB, motion))
+  }
+
   private def be32s(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
@@ -551,6 +621,43 @@ case class AudioPcmStats(child: Expression)
 object AudioPcmStats {
   def apply(content: Column): Column =
     ColumnBridge.column(AudioPcmStats(ColumnBridge.expression(content)))
+}
+
+/** Codegen'd signal-level DIB-frame video stats over a `binary` AVI
+  * column — struct<n_frames int, width int, height int, sum_r long,
+  * sum_g long, sum_b long, motion long>; null for anything that is not
+  * an AVI with well-formed uncompressed '00db' frames (see
+  * [[AudioKernels.videoDibStats]]).
+  */
+case class VideoDibStats(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("motion", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"VideoDibStats expects BINARY input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    AudioKernels.videoDibStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.multimodal.AudioKernels.videoDibStats($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): VideoDibStats =
+    copy(child = newChild)
+}
+
+object VideoDibStats {
+  def apply(content: Column): Column =
+    ColumnBridge.column(VideoDibStats(ColumnBridge.expression(content)))
 }
 
 /** Codegen'd compressed-container sniff over a `binary` column:

@@ -456,8 +456,108 @@ object MultimodalQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
              |  CAST(sum(CASE WHEN x = 32767 OR x = -32768 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS clipped
-             |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin))
+             |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // REAL video decode (the modality trio completed, zero new deps):
+    // each doc_id becomes an actual AVI holding UNCOMPRESSED BI_RGB DIB
+    // frames ('00db' — the format's raw-frame case) with formula-known
+    // pixels; the codegen'd kernel walks RIFF -> LIST movi, decodes every
+    // frame respecting the DIB 4-byte row stride, and emits exact
+    // per-channel pixel sums plus inter-frame MOTION energy (sum of
+    // |byte-wise frame deltas|) — the static-video/slideshow detector.
+    // All integers, so the closed-form oracle must match bit-exactly;
+    // compressed '00dc' streams remain the documented stub.
+    Q("q210_video_motion", { (s, dir) =>
+        val enc = udf((id: Long) => VideoFixtures.formulaAvi(id))
+        t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            VideoDibStats(enc(col("doc_id"))).as("v"))
+          .select(col("media_id"),
+            col("v.n_frames").as("n_frames"),
+            col("v.width").as("width"),
+            col("v.height").as("height"),
+            col("v.sum_r").as("sum_r"),
+            col("v.sum_g").as("sum_g"),
+            col("v.sum_b").as("sum_b"),
+            col("v.motion").as("motion"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 4 + 2 AS f,
+             |    doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h FROM documents)
+             |SELECT doc_id AS media_id,
+             |  CAST(f AS INTEGER) AS n_frames,
+             |  CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height,
+             |  CAST(list_sum(flatten(list_transform(generate_series(0, f-1), fr ->
+             |    flatten(list_transform(generate_series(0, h-1), y ->
+             |      list_transform(generate_series(0, w-1), x ->
+             |        (x*7 + y*13 + fr*5 + doc_id*3) % 256)))))) AS BIGINT) AS sum_r,
+             |  CAST(list_sum(flatten(list_transform(generate_series(0, f-1), fr ->
+             |    flatten(list_transform(generate_series(0, h-1), y ->
+             |      list_transform(generate_series(0, w-1), x ->
+             |        (x*5 + y*11 + fr*3 + doc_id*2) % 256)))))) AS BIGINT) AS sum_g,
+             |  CAST(list_sum(flatten(list_transform(generate_series(0, f-1), fr ->
+             |    flatten(list_transform(generate_series(0, h-1), y ->
+             |      list_transform(generate_series(0, w-1), x ->
+             |        (x*3 + y*7 + fr*11 + doc_id) % 256)))))) AS BIGINT) AS sum_b,
+             |  CAST(list_sum(flatten(list_transform(generate_series(1, f-1), fr ->
+             |    flatten(list_transform(generate_series(0, h-1), y ->
+             |      list_transform(generate_series(0, w-1), x ->
+             |        abs((x*3 + y*7 + fr*11 + doc_id) % 256
+             |          - (x*3 + y*7 + (fr-1)*11 + doc_id) % 256)
+             |      + abs((x*5 + y*11 + fr*3 + doc_id*2) % 256
+             |          - (x*5 + y*11 + (fr-1)*3 + doc_id*2) % 256)
+             |      + abs((x*7 + y*13 + fr*5 + doc_id*3) % 256
+             |          - (x*7 + y*13 + (fr-1)*5 + doc_id*3) % 256))))))) AS BIGINT)
+             |    AS motion
+             |FROM p ORDER BY media_id""".stripMargin))
   )
+}
+
+/** Formula-synthesized REAL AVI files for q210 (fixture side only; the
+  * decode side is the codegen'd [[VideoDibStats]]): RIFF/AVI with the
+  * canonical LIST hdrl/avih header (dims at the spec offsets the q103
+  * sniffer reads) and a LIST movi of doc_id%4+2 uncompressed BI_RGB
+  * '00db' frames — BGR byte order, rows padded to the DIB 4-byte
+  * stride — whose pixels follow per-channel formulas DuckDB replays in
+  * closed form.
+  */
+object VideoFixtures {
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  def formulaAvi(d: Long): Array[Byte] = {
+    val f = (d % 4 + 2).toInt
+    val w = (d % 8 + 4).toInt
+    val h = (d % 6 + 4).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    val frameSize = stride * h
+    def frame(fr: Int): Array[Byte] = {
+      val out = new Array[Byte](frameSize) // pad bytes stay 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = y * stride + 3 * x
+          out(o) = ((x * 3 + y * 7 + fr * 11 + d) % 256).toByte // B
+          out(o + 1) = ((x * 5 + y * 11 + fr * 3 + d * 2) % 256).toByte // G
+          out(o + 2) = ((x * 7 + y * 13 + fr * 5 + d * 3) % 256).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val avih = ascii("avih") ++ le(56, 4) ++ new Array[Byte](32) ++
+      le(w, 4) ++ le(h, 4) ++ new Array[Byte](16)
+    val hdrl = ascii("LIST") ++ le(4L + avih.length, 4) ++ ascii("hdrl") ++ avih
+    val frames = (0 until f).flatMap(fr =>
+      ascii("00db") ++ le(frameSize.toLong, 4) ++ frame(fr)).toArray
+    val movi = ascii("LIST") ++ le(4L + frames.length, 4) ++ ascii("movi") ++ frames
+    ascii("RIFF") ++ le(4L + hdrl.length + movi.length, 4) ++ ascii("AVI ") ++
+      hdrl ++ movi
+  }
 }
 
 /** Formula-synthesized REAL WAV files for q209 (fixture side only; the
