@@ -68,6 +68,39 @@ object MediaSniffProps extends Properties("MediaSniff") {
 
   property("random bytes never throw") = forAll(Gen.listOf(Gen.choose(-128, 127))) { xs =>
     val b = xs.map(_.toByte).toArray
-    MediaKernels.sniffTuple(b); AudioKernels.sniffWavTuple(b); true
+    MediaKernels.sniffTuple(b); AudioKernels.sniffWavTuple(b)
+    AudioKernels.pcmStats(b); AudioKernels.videoDibStats(b); true
   }
+
+  property("pcm stats round-trip on random signals") =
+    forAll(Gen.listOf(Gen.choose(-32768, 32767))) { sig =>
+      val data = sig.flatMap(s => le16(s & 0xffff)).toArray
+      val b = ascii("RIFF") ++ le32(36 + data.length) ++ ascii("WAVEfmt ") ++
+        le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++ ascii("data") ++ le32(data.length) ++ data
+      val r = AudioKernels.pcmStats(b)
+      r != null && r.getLong(0) == sig.length.toLong &&
+        r.getLong(1) == sig.map(_.toLong).sum &&
+        r.getLong(2) == sig.map(s => math.abs(s.toLong)).sum &&
+        r.getInt(3) == (if (sig.isEmpty) 0 else sig.map(s => math.abs(s.toLong)).max.toInt) &&
+        r.getLong(4) == sig.zip(sig.drop(1)).count { case (a, c) => (a < 0) != (c < 0) }.toLong &&
+        r.getLong(5) == sig.count(s => s == 32767 || s == -32768).toLong
+    }
+
+  property("pcm/video fuzz: every prefix truncation of a valid file is total") =
+    forAll(Gen.choose(0L, 5000L), Gen.choose(0, 400)) { (id, cut) =>
+      val wav = PcmFixtures.formulaWav(id)
+      val avi = VideoFixtures.formulaAvi(id)
+      AudioKernels.pcmStats(wav.take(math.min(cut, wav.length)))
+      AudioKernels.videoDibStats(avi.take(math.min(cut, avi.length)))
+      true // totality: null or a row, never a throw
+    }
+
+  property("video fuzz: random bit flips in a valid AVI never throw") =
+    forAll(Gen.choose(0L, 5000L), Gen.choose(0, 10000), Gen.choose(0, 7)) {
+      (id, pos, bit) =>
+        val avi = VideoFixtures.formulaAvi(id)
+        avi(pos % avi.length) = (avi(pos % avi.length) ^ (1 << bit)).toByte
+        AudioKernels.videoDibStats(avi); true
+    }
 }
