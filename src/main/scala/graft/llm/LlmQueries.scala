@@ -2560,6 +2560,56 @@ object LlmQueries {
       },
       None),
 
+    // WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the BERT
+    // tokenizer; public algorithm), completing the family's big three
+    // beside BPE (q138/q154) and unigram-LM (q201/q202). The ranking is
+    // the LIKELIHOOD score count(pair)/(count(left)·count(right)) — a
+    // pair wins by co-occurring more than its parts predict, not by raw
+    // frequency (the signature difference from BPE) — computed as exact
+    // fixed-scale DECIMAL division so training is bit-deterministic
+    // under any partitioning. Corpus touched once (word histogram); each
+    // round is one pair agg + one symbol agg + a single-row argmax
+    // collect. Rows-only: iterative argmax has no SQL oracle; gated by
+    // WordPieceSpec (score-vs-count divergence golden where WordPiece
+    // and BPE provably pick DIFFERENT merges, partition determinism,
+    // encode invariants).
+    Q("q211_wordpiece_vocab", { (s, dir) =>
+        import s.implicits._
+        WordPiece.trainMerges(t(s, dir, "documents"), "text", nMerges = 20)
+          .toDF("rank", "left", "right", "merged", "cnt")
+      },
+      None),
+
+    // WordPiece ENCODE applied corpus-wide (the q154 shape for the third
+    // tokenizer): train the vocabulary, then tokenize every document
+    // with the codegen'd GREEDY LONGEST-MATCH kernel — WordPiece
+    // inference never replays merge ranks, it is one longest-prefix
+    // hash-set pass per word (why BERT tokenization is fast). Also
+    // surfaces unk_words, the coverage metric a pipeline watches when a
+    // vocabulary meets a new corpus. Rows-only; gated by WordPieceSpec
+    // (BERT-style piece goldens, every-token-in-vocab + concatenation
+    // round-trip, [UNK] whole-word rule).
+    Q("q212_wordpiece_encode", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val (vocab, _) = WordPiece.trainVocab(d, "text", nMerges = 20)
+        val words = split(lower(col("text")), " ") // q154's exact word split
+        val enc = transform(words, w => WordPiece.encodeCol(w, vocab))
+        val nTok = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
+        val nUnk = aggregate(enc, lit(0L), (acc, a) =>
+          acc + when(a === array(lit(WordPieceCodec.Unk)), 1L).otherwise(0L))
+        d.select(col("doc_id"),
+            size(words).cast(LongType).as("n_words"),
+            nTok.as("n_wp_tokens"),
+            nUnk.as("unk_words"),
+            (nTok.cast(DoubleType) / size(words).cast(DoubleType))
+              .as("tokens_per_word"),
+            // scalar column, not an array: the driver harness hashes
+            // every output column (same constraint as q154)
+            array_join(element_at(enc, 1), " ").as("first_word_pieces"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Exact train/val/test split by largest-remainder apportionment
     // (Hamilton's method — the classic integer-exact way to turn 80/10/10
     // into per-group quotas that SUM EXACTLY to each group's size; naive
