@@ -33,6 +33,12 @@ object GraftExtensions {
       s"$name: $arg must be an INT literal, got $other")
   }
 
+  private def boolLit(e: Expression, name: String, arg: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be a BOOLEAN literal, got $other")
+  }
+
   /** name → builder for every SQL-exposed custom expression. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "mysql_packed_decimal" -> { args: Seq[Expression] =>
@@ -150,10 +156,12 @@ object GraftExtensions {
       graft.cdc.BinlogRowsDecodeFullMeta(args(0), args(1), args(2))
     },
     "winnow_fingerprint" -> { args: Seq[Expression] =>
-      require(args.length == 3, "winnow_fingerprint(tokens, k, w)")
+      require(args.length == 3 || args.length == 4,
+        "winnow_fingerprint(tokens, k, w[, robust])")
       graft.llm.WinnowFingerprint(args(0),
         intLit(args(1), "winnow_fingerprint", "k"),
-        intLit(args(2), "winnow_fingerprint", "w"))
+        intLit(args(2), "winnow_fingerprint", "w"),
+        robust = args.length == 4 && boolLit(args(3), "winnow_fingerprint", "robust"))
     },
     "binlog_xa_prepare" -> { args: Seq[Expression] =>
       require(args.length == 1, "binlog_xa_prepare(body)")
@@ -166,6 +174,18 @@ object GraftExtensions {
     "deflate_ratio" -> { args: Seq[Expression] =>
       require(args.length == 1, "deflate_ratio(text)")
       graft.llm.DeflateRatio(args(0))
+    },
+    "audio_pcm_stats" -> { args: Seq[Expression] =>
+      require(args.length == 1, "audio_pcm_stats(content)")
+      graft.multimodal.AudioPcmStats(args(0))
+    },
+    "video_dib_stats" -> { args: Seq[Expression] =>
+      require(args.length == 1, "video_dib_stats(content)")
+      graft.multimodal.VideoDibStats(args(0))
+    },
+    "wordpiece_init" -> { args: Seq[Expression] =>
+      require(args.length == 1, "wordpiece_init(word)")
+      graft.llm.WordPieceInit(args(0))
     })
 
   /** Register every function + optimizer rule into a live session. */

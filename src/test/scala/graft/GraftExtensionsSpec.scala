@@ -53,6 +53,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[collection.Seq[String]]("syms") == Seq("l", "o", "w", "</w>"))
   }
 
+  test("round-10 AV/tokenizer family evaluates by SQL name") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((graft.multimodal.PcmFixtures.formulaWav(3L),
+         graft.multimodal.VideoFixtures.formulaAvi(3L)))
+      .toDF("wav", "avi").createOrReplaceTempView("r10")
+    val r = spark.sql(
+      """SELECT audio_pcm_stats(wav).n_samples AS ns,
+        |       video_dib_stats(avi).n_frames AS nf,
+        |       wordpiece_init('word') AS wp,
+        |       winnow_fingerprint(array('a','b','a','b','a','b'), 2, 3) AS plain,
+        |       winnow_fingerprint(array('a','b','a','b','a','b'), 2, 3, true) AS robust
+        |FROM r10""".stripMargin).collect().head
+    assert(r.getLong(0) == 3L % 200 + 50)
+    assert(r.getInt(1) == (3L % 4 + 2).toInt)
+    assert(r.getAs[collection.Seq[String]]("wp") == Seq("w", "##o", "##r", "##d"))
+    // repeated grams tie every window: the robust rule re-selects one
+    // position across the run, so it records no MORE than plain
+    assert(r.getAs[collection.Seq[Any]]("robust").length
+      <= r.getAs[collection.Seq[Any]]("plain").length)
+  }
+
   test("cosine_sim fails loudly on mismatched embedding dimensions") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

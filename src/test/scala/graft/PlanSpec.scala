@@ -515,6 +515,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
   }
 
+  test("q209/q210 AV decode is per-row kernel work: no exchange before the sort") {
+    for (q <- Seq("q209_audio_pcm_stats", "q210_video_motion")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join\n" + p)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q: only the output-sort exchange allowed, saw $exchanges\n" + p)
+    }
+  }
+
   test("q208 incremental semdedup cells: cell-keyed join, corpus never probe-replicated") {
     val p = plan("q208_semdedup_incremental_cells")
     // the production ingest path: an equi join on the cell id — never a
