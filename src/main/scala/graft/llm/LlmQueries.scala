@@ -255,10 +255,12 @@ object LlmQueries {
              |ORDER BY new_id, corpus_id""".stripMargin)),
 
     // The PRODUCTION mode of the same operator: corpus-trained auto-sized
-    // cells (nlist=0 -> ceil(probes·N/512) clamped [16,1024]), batch side
-    // multi-probes 4 cells, corpus side single-assigned — so per-trigger
-    // work is |batch|·cellSize cosines, FLAT in corpus size once cells
-    // saturate. q204's nlist=1 exact mode IS this query's recall oracle at
+    // cells (nlist=0 -> ceil(probes·N/512): flat centroids to 1024, the
+    // TWO-LEVEL √k×√k codebook past that — measured faster than both the
+    // clamp and unclamped-flat at the 100× step), batch side multi-probes
+    // 4 cells, corpus side single-assigned — so per-trigger work is
+    // |batch|·cellSize cosines and cells keep following the corpus.
+    // q204's nlist=1 exact mode IS this query's recall oracle at
     // small sf (SemDedupSpec: recall >= 0.85 measured, precision 1 by
     // construction, no same-side pairs); the 10×/100× ScaleBench rows run
     // HERE — the exact mode is by-construction quadratic (its 100× point

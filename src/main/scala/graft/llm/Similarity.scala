@@ -183,21 +183,37 @@ object Similarity {
       sampleSize: Int = 2048, iters: Int = 8): Array[Array[Double]] = {
     if (nlist > ScalarTrainerCeiling)
       return trainCentroidsDistributed(candidates, nlist, sampleSize, iters)
+    val sample = collectSample(candidates, sampleSize)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty table")
+    lloydScalar(sample, nlist, iters)
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** The deterministic xxhash64-picked, L2-normalized training sample. */
+  private def collectSample(candidates: DataFrame,
+      sampleSize: Int): Array[Array[Double]] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    def normalize(v: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0) v else v.map(_ / n)
-    }
-    val sample = candidates
+    candidates
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .select("v").as[Seq[Double]].collect()
-      .map(v => normalize(v.toArray))
-    require(sample.nonEmpty, "cannot train IVF centroids on an empty table")
+      .map(v => l2normalize(v.toArray))
+  }
+
+  /** Scalar spherical Lloyd's over an in-memory sample: spread init,
+    * argmax-dot assignment (first max wins), empty clusters keep their
+    * previous centroid, fixed iterations — bit-deterministic.
+    */
+  private def lloydScalar(sample: Array[Array[Double]], nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     val step = math.max(1, sample.length / nlist)
     var centroids = Array.tabulate(nlist)(i => sample((i * step) % sample.length).clone())
     var it = 0
@@ -217,10 +233,44 @@ object Similarity {
         counts(best) += 1
       }
       centroids = Array.tabulate(nlist)(c =>
-        if (counts(c) == 0) centroids(c) else normalize(sums(c)))
+        if (counts(c) == 0) centroids(c) else l2normalize(sums(c)))
       it += 1
     }
     centroids
+  }
+
+  /** TWO-LEVEL coarse-quantizer trainer (the dial past the flat-cell
+    * clamp the r10 A/B measured): k1 coarse centroids over the bounded
+    * sample, then k2 sub-centroids per branch over that branch's sample
+    * members — assignment then costs k1 + k2 dots per vector for
+    * k1·k2 effective cells (vs the flat k1·k2 dots the A/B showed going
+    * superlinear). Driver work stays sample-bounded: the coarse train
+    * plus k1 sub-trains over disjoint member subsets ≈ two flat trains.
+    * An empty branch inherits its coarse centroid as every sub.
+    */
+  def trainTwoLevel(candidates: DataFrame, k1: Int, k2: Int,
+      sampleSize: Int = 2048, iters: Int = 8)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = collectSample(candidates, sampleSize)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty table")
+    val coarse = lloydScalar(sample, k1, iters)
+    val members = Array.fill(k1)(Vector.newBuilder[Array[Double]])
+    sample.foreach { v =>
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < k1) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * coarse(c)(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      members(best) += v
+    }
+    val subs = Array.tabulate(k1) { b =>
+      val m = members(b).result()
+      if (m.isEmpty) Array.fill(k2)(coarse(b).clone())
+      else lloydScalar(m.toArray, k2, iters)
+    }
+    (coarse, subs)
   }
 
   /** The large-nlist trainer: the same xxhash64-picked `sampleSize`-row
@@ -298,37 +348,83 @@ object Similarity {
     * near-dup pair.
     *
     * `nlist = 0` (the default) sizes the cluster count FROM the corpus:
-    * ceil(probes·N / 512) clamped to [16, 1024], so cells hold ~512
-    * assignments and within-cell pair work stays N·cellSize instead of
-    * going quadratic as N outgrows a fixed cell count — a fixed
-    * nlist=16 measured 570× at the 100× step (PERFORMANCE.md r10) before
-    * this. The 1024 clamp is deliberate and MEASURED, not a trainer
-    * limitation (past [[ScalarTrainerCeiling]] the trainer goes
-    * distributed, see [[trainCentroids]]): assignment costs N·k dots
-    * while pair work costs ~N·512 per probe, so k past the balance point
-    * √(probes·N-side-work) makes ASSIGNMENT the new superlinear term —
-    * the unclamped rule measured 12.8 s vs 4.6 s clamped at the q208
-    * 100× step (PERFORMANCE.md r10). Past the clamp the paper-faithful
-    * dial is a two-level (hierarchical) coarse quantizer, not more flat
-    * cells. At oracle scale (≤2k vectors) the auto size IS 16, so
-    * small-sf outputs are byte-identical to the old default.
+    * ceil(probes·N / 512) cells so each holds ~512 assignments and
+    * within-cell pair work stays N·cellSize instead of going quadratic
+    * as N outgrows a fixed cell count — a fixed nlist=16 measured 570×
+    * at the 100× step (PERFORMANCE.md r10) before this. Up to 1024
+    * cells the codebook is FLAT; past that it switches to the TWO-LEVEL
+    * quantizer ([[trainTwoLevel]], √wanted × √wanted), because more
+    * FLAT cells lose: assignment costs N·k dots, so the unclamped flat
+    * rule measured 12.8 s vs 4.6 s clamped at the q208 100× step —
+    * while the two-level codebook assigns at k1+k2 dots and measured
+    * 4.4 s vs 6.8 s (q128 sf10) and 2.5 s vs 3.5 s (q208) AGAINST the
+    * clamp, the best of all three measured designs. The effective-cell
+    * cap is 16384 (128+128 dots per vector); past ~8.4M corpus vectors
+    * the next dial is a third level or a graph-quantizer assignment. At
+    * oracle scale (≤2k vectors) the auto size IS 16 and flat, so
+    * small-sf outputs are byte-identical to the old default. A forced
+    * `nlist > 0` always trains flat ([[trainCentroids]] goes distributed
+    * past [[ScalarTrainerCeiling]]); `twoLevel > 0` forces a
+    * k1 = k2 = twoLevel two-level codebook.
     */
+  /** The trained cell map behind the SemDeDup operators: flat centroids
+    * up to the clamp, a two-level codebook past it (and on request).
+    */
+  private sealed trait CellModel {
+    def maxProbes: Int
+    def assign(v: Column): Column
+    def probeAssign(v: Column, probes: Int): Column
+  }
+  private final case class FlatModel(centroids: Array[Array[Double]])
+      extends CellModel {
+    def maxProbes: Int = centroids.length
+    def assign(v: Column): Column = IvfCell(v, centroids)
+    def probeAssign(v: Column, probes: Int): Column =
+      IvfProbe(v, centroids, probes)
+  }
+  private final case class TwoLevelModel(coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]) extends CellModel {
+    def maxProbes: Int = coarse.length // probes fan over COARSE branches
+    def assign(v: Column): Column = Ivf2Cell(v, coarse, subs)
+    def probeAssign(v: Column, probes: Int): Column =
+      Ivf2Probe(v, coarse, subs, probes)
+  }
+
+  /** Auto-sized cell map for a corpus of `n` vectors: flat
+    * ceil(probes·n/512) cells clamped at 1024 (the measured balance
+    * point — see the nlist scaladoc), switching to a √wanted × √wanted
+    * TWO-LEVEL codebook when the target outgrows the clamp, so cells
+    * keep following the corpus at k1+k2 assignment cost. `twoLevel > 0`
+    * forces a k1 = k2 = twoLevel model (the test/measurement hook).
+    */
+  private def cellModel(corpus: DataFrame, n: Long, probes: Int,
+      twoLevel: Int): CellModel = {
+    if (twoLevel > 0)
+      return TwoLevelModel.tupled(trainTwoLevel(corpus, twoLevel, twoLevel,
+        sampleSize = math.max(2048, 4 * twoLevel * twoLevel)))
+    val wanted = math.max(16L, (probes.toLong * n + 511L) / 512L)
+    if (wanted <= 1024L)
+      FlatModel(trainCentroids(corpus, wanted.toInt,
+        sampleSize = math.max(2048, 4 * wanted.toInt)))
+    else {
+      val s = math.ceil(math.sqrt(math.min(wanted, 16384L).toDouble)).toInt
+      TwoLevelModel.tupled(trainTwoLevel(corpus, s, s,
+        sampleSize = math.min(32768, math.max(2048, 4 * s * s))))
+    }
+  }
+
   def semDedupPairs(emb: DataFrame, threshold: Double, nlist: Int = 0,
-      probes: Int = 1): DataFrame = {
-    val k =
-      if (nlist > 0) nlist
-      else {
-        val n = emb.count()
-        math.min(1024L, math.max(16L,
-          (probes.toLong * n + 511L) / 512L)).toInt
-      }
-    require(probes >= 1 && probes <= k, s"probes $probes out of [1, $k]")
-    val centroids = trainCentroids(emb, k,
-      sampleSize = math.max(2048, 4 * k))
+      probes: Int = 1, twoLevel: Int = 0): DataFrame = {
+    val model =
+      if (nlist > 0) FlatModel(trainCentroids(emb, nlist,
+        sampleSize = math.max(2048, 4 * nlist)))
+      else cellModel(emb, emb.count(), probes, twoLevel)
+    require(probes >= 1 && probes <= model.maxProbes,
+      s"probes $probes out of [1, ${model.maxProbes}]")
     val assigned = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("cell",
-        if (probes <= 1) IvfCell(col("v"), centroids)
-        else explode(IvfProbe(col("v"), centroids, probes)))
+        if (probes <= 1) model.assign(col("v"))
+        else explode(model.probeAssign(col("v"), probes)))
     val a = assigned.select(col("cell"), col("vec_id").as("da"), col("v").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("db"), col("v").as("vb"))
     val pairs = a.join(b, "cell")
@@ -354,22 +450,19 @@ object Similarity {
     * the exact cross cosine join, the small-sf oracle mode.
     */
   def semDedupPairsAgainst(newEmb: DataFrame, corpusEmb: DataFrame,
-      threshold: Double, nlist: Int = 0, probes: Int = 1): DataFrame = {
-    val k =
-      if (nlist > 0) nlist
-      else {
-        val n = corpusEmb.count()
-        math.min(1024L, math.max(16L,
-          (probes.toLong * n + 511L) / 512L)).toInt
-      }
-    require(probes >= 1 && probes <= k, s"probes $probes out of [1, $k]")
-    val centroids = trainCentroids(corpusEmb, k,
-      sampleSize = math.max(2048, 4 * k))
+      threshold: Double, nlist: Int = 0, probes: Int = 1,
+      twoLevel: Int = 0): DataFrame = {
+    val model =
+      if (nlist > 0) FlatModel(trainCentroids(corpusEmb, nlist,
+        sampleSize = math.max(2048, 4 * nlist)))
+      else cellModel(corpusEmb, corpusEmb.count(), probes, twoLevel)
+    require(probes >= 1 && probes <= model.maxProbes,
+      s"probes $probes out of [1, ${model.maxProbes}]")
     def assign(e: DataFrame, useProbes: Int) =
       e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("cell",
-          if (useProbes <= 1) IvfCell(col("v"), centroids)
-          else explode(IvfProbe(col("v"), centroids, useProbes)))
+          if (useProbes <= 1) model.assign(col("v"))
+          else explode(model.probeAssign(col("v"), useProbes)))
     // only the (small) batch side replicates ×probes; the corpus side
     // stays single-assigned, so corpus shuffle volume is N, not N·probes
     val a = assign(newEmb, probes)

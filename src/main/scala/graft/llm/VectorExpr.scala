@@ -106,6 +106,36 @@ object IvfKernels {
     new GenericArrayData(idx.take(n))
   }
 
+  /** TWO-LEVEL (hierarchical) cell assignment — the coarse-quantizer
+    * shape past the flat clamp (IMI/IVF-HNSW family idea in its simplest
+    * public form): argmax over k1 coarse centroids picks a branch, argmax
+    * over that branch's k2 sub-centroids picks the cell, id = branch·k2 +
+    * sub. Assignment costs (k1 + k2) dots instead of the flat k1·k2 —
+    * the term the r10 unclamped-cells A/B measured as the superlinear
+    * killer. Same first-max-wins tie rule as [[cell]] at both levels.
+    */
+  def cell2(v: ArrayData, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): Int = {
+    val b = cell(v, coarse)
+    b * subs(b).length + cell(v, subs(b))
+  }
+
+  /** Multi-probe two-level assignment: the top-`nprobe` coarse branches,
+    * each refined to its best sub-cell — the recall dial of [[cell2]].
+    */
+  def probe2(v: ArrayData, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]], nprobe: Int): ArrayData = {
+    val branches = probe(v, coarse, nprobe)
+    val out = new Array[Int](branches.numElements())
+    var i = 0
+    while (i < out.length) {
+      val b = branches.getInt(i)
+      out(i) = b * subs(b).length + cell(v, subs(b))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** IVFADC's per-vector (cell, residual): unit-normalize, assign the
     * argmax-dot cell (identical tie rule to [[cell]]), residual =
     * unit − centroid — the quantity the residual PQ codebooks code.
@@ -296,6 +326,64 @@ object IvfBestDot {
 object IvfProbe {
   def apply(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     ColumnBridge.column(new IvfProbe(ColumnBridge.expression(v), centroids, nprobe))
+}
+
+/** Codegen'd two-level cell assignment — see [[IvfKernels.cell2]]. */
+case class Ivf2Cell(child: Expression, coarse: Array[Array[Double]],
+    subs: Array[Array[Array[Double]]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"Ivf2Cell expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    IvfKernels.cell2(input.asInstanceOf[ArrayData], coarse, subs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val rc = ctx.addReferenceObj("coarse", coarse, "double[][]")
+      val rs = ctx.addReferenceObj("subs", subs, "double[][][]")
+      s"${ev.value} = graft.llm.IvfKernels.cell2($c, $rc, $rs);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): Ivf2Cell =
+    copy(child = newChild)
+}
+
+object Ivf2Cell {
+  def apply(v: Column, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(new Ivf2Cell(ColumnBridge.expression(v), coarse, subs))
+}
+
+/** Codegen'd two-level multi-probe — see [[IvfKernels.probe2]]. */
+case class Ivf2Probe(child: Expression, coarse: Array[Array[Double]],
+    subs: Array[Array[Array[Double]]], nprobe: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"Ivf2Probe expects ARRAY<DOUBLE> input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    IvfKernels.probe2(input.asInstanceOf[ArrayData], coarse, subs, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val rc = ctx.addReferenceObj("coarse", coarse, "double[][]")
+      val rs = ctx.addReferenceObj("subs", subs, "double[][][]")
+      s"${ev.value} = graft.llm.IvfKernels.probe2($c, $rc, $rs, $nprobe);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): Ivf2Probe =
+    copy(child = newChild)
+}
+
+object Ivf2Probe {
+  def apply(v: Column, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]], nprobe: Int): Column =
+    ColumnBridge.column(
+      new Ivf2Probe(ColumnBridge.expression(v), coarse, subs, nprobe))
 }
 
 /** Codegen'd cosine similarity over two `array<double>` columns. */

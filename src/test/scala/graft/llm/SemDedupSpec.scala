@@ -113,6 +113,49 @@ class SemDedupSpec extends SparkSpec {
     cells.foreach { case (n, c) => assert(n % 10 == 0 && c % 10 != 0) }
   }
 
+  test("two-level cells: kernel composition, degenerate exactness, precision, " +
+      "probe monotonicity, determinism") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val (coarse, subs) = Similarity.trainTwoLevel(emb, k1 = 4, k2 = 3)
+    assert(coarse.length == 4 && subs.length == 4 && subs.forall(_.length == 3))
+    // kernel: cell2 IS branch·k2 + sub-argmax within that branch
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    vecs.take(50).foreach { v =>
+      val ad = new GenericArrayData(v)
+      val b = IvfKernels.cell(ad, coarse)
+      assert(IvfKernels.cell2(ad, coarse, subs)
+        == b * 3 + IvfKernels.cell(ad, subs(b)))
+      // probe2's first cell is the single assignment
+      assert(IvfKernels.probe2(ad, coarse, subs, 2).getInt(0)
+        == IvfKernels.cell2(ad, coarse, subs))
+    }
+    // training is deterministic under repartitioning
+    val (c2, s2) = Similarity.trainTwoLevel(emb.repartition(5), k1 = 4, k2 = 3)
+    assert(coarse.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    assert(subs.zip(s2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+
+    val newE = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    def cross(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      nlist = 1))
+    // degenerate two-level (1×1 = one cell) IS the exact cross join
+    assert(cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      twoLevel = 1)) == want)
+    // real two-level cells: precision 1, no same-side leak, probes monotone
+    val p1 = cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      twoLevel = 4))
+    val p2 = cross(Similarity.semDedupPairsAgainst(newE, corpus, threshold,
+      twoLevel = 4, probes = 2))
+    assert(p1.subsetOf(p2) && p2.subsetOf(want))
+    p2.foreach { case (n, c) => assert(n % 10 == 0 && c % 10 != 0) }
+  }
+
   test("drop list is the higher id of each pair, deduplicated") {
     val pairs = Similarity.semDedupPairs(emb, threshold, nlist = 16)
     val drops = Similarity.semDedupDrops(emb, threshold, nlist = 16)
