@@ -119,12 +119,14 @@ object MysqlReplicaSession {
   /** `seqOff` is 1 once an SSLRequest has consumed a handshake-phase
     * sequence number (every later client packet in the auth exchange
     * shifts by one); command phases reset to seq 0 and are unaffected.
+    * `statusRetried` marks the one-shot MySQL 8.4 fallback from
+    * `show master status` to `SHOW BINARY LOG STATUS`.
     */
   final case class State(phase: Phase, config: Config,
       seed: Array[Byte] = Array.emptyByteArray,
       masterFile: String = "", masterPos: Long = 0L,
       serverCaps: Long = 0L, currentFile: String = "", checksumLen: Int = 0,
-      seqOff: Int = 0)
+      seqOff: Int = 0, statusRetried: Boolean = false)
 
   final val SemiSyncMagic = 0xef
 
@@ -201,6 +203,16 @@ object MysqlReplicaSession {
     if (payload.isEmpty) return fail(st, "empty packet payload")
     val first = payload(0) & 0xff
     st.phase match {
+      // MySQL 8.4 REMOVED `show master status` (parse error 1064); retry
+      // once with the renamed `SHOW BINARY LOG STATUS` — same result-set
+      // shape (File, Position, ...), so every later transition is shared.
+      // Only the parse-error code retries: a permission ERR must not loop.
+      case AwaitStatusColCount
+          if first == 0xff && !st.statusRetried &&
+            MysqlProtocolCodec.decodeOk(payload).getInt(5) == 1064 =>
+        Step(st.copy(statusRetried = true), send = Seq(
+          0 -> MysqlProtocolCodec.encodeComQuery("show binary log status")))
+
       case _ if first == 0xff =>
         val err = MysqlProtocolCodec.decodeOk(payload)
         fail(st, s"server ERR ${err.getInt(5)}: ${err.getUTF8String(7)}")

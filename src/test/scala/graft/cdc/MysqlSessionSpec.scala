@@ -467,6 +467,29 @@ class MysqlSessionSpec extends SparkSpec {
     }
   }
 
+  test("MySQL 8.4: parse error on show master status retries ONCE with " +
+      "SHOW BINARY LOG STATUS; permission errors never retry") {
+    val st0 = initial(Config("u", "p", 1L)).copy(phase = AwaitStatusColCount)
+    // ER_PARSE_ERROR 1064 = 0x0428 — what 8.4 answers the removed syntax
+    val parseErr = 0xff.toByte +: (Array[Byte](0x28, 0x04) ++
+      "#42000".getBytes ++ "You have an error in your SQL syntax".getBytes)
+    val s1 = onPayload(st0, parseErr)
+    assert(s1.state.phase == AwaitStatusColCount && s1.state.statusRetried)
+    val Seq((0, q)) = s1.send
+    assert(java.util.Arrays.equals(q,
+      MysqlProtocolCodec.encodeComQuery("show binary log status")))
+    // the renamed command's result set then proceeds through the shared
+    // transitions (same File/Position columns)
+    assert(onPayload(s1.state, Array(5.toByte)).state.phase == AwaitStatusCols(5))
+    // a SECOND parse error is terminal — the fallback never loops
+    assert(onPayload(s1.state, parseErr).state.phase.isInstanceOf[Failed])
+    // a non-parse ERR (e.g. missing REPLICATION CLIENT privilege) fails
+    // immediately: retrying cannot fix permissions
+    val denied = 0xff.toByte +: (Array[Byte](0x48, 0x04) ++
+      "#HY000".getBytes ++ "denied".getBytes)
+    assert(onPayload(st0, denied).state.phase.isInstanceOf[Failed])
+  }
+
   test("tls: SSLRequest at seq 1, upgrade signaled, full response at seq 2") {
     val seed1 = (1 to 20).map(_.toByte).toArray
     val seed2 = (50 until 70).map(_.toByte).toArray
