@@ -309,6 +309,13 @@ object Similarity {
     // nprobe=12/nlist=16 measures recall@5 of 0.92/1.00/1.00 at
     // sf0.001/sf0.01/sf0.1g (r6 sweep) at the same bench cost as the old
     // 8-probe default's 0.80 — probing multiplies only the query side.
+    // Scale posture: nlist and nprobe are USER dials here, scaled
+    // together (FAISS practice: nlist ~ sqrt(N) and nprobe holding the
+    // wanted recall). They are not auto-sized like semDedupPairs' cells
+    // because recall depends on their RATIO — silently growing nlist
+    // under a fixed nprobe would quietly crater recall. nlist > 1024
+    // trains distributed (trainCentroids' dispatch), so large codebooks
+    // are one parameter away, not a refactor.
     val centroids: Array[Array[Double]] = trainCentroids(candidates, nlist)
     // Cell assignment and probe lists are codegen'd expressions — the
     // candidate side runs one static argmax-dot call per row with no

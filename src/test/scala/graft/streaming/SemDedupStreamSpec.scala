@@ -70,4 +70,53 @@ class SemDedupStreamSpec extends SparkSpec {
       assert(counts.values.forall(_ == 1L), counts)
     } finally query.stop()
   }
+
+  test("60-trigger soak: dup lags from 1 to 30 triggers all rejected, " +
+      "corpus is exactly the planted novels", SoakTest) {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d32 = 32
+    val rnd = new scala.util.Random(42)
+    // deterministic unit novels; seeded so the precondition is stable
+    val novels = Array.fill(60) {
+      val v = Array.fill(d32)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // precondition of the plant: novels are pairwise FAR below threshold
+    for (i <- novels.indices; j <- 0 until i) {
+      val cos = novels(i).zip(novels(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(cos) < 0.8, s"seeded novels degenerate at ($i,$j): $cos")
+    }
+    def dupOf(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
+
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_soak")
+      .resolve("corpus").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val query = in.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(SemDedupStream.ingestInto(dir, threshold = 0.9) _)
+      .start()
+    try {
+      for (t <- 0 until 60) {
+        val novelId = 1000L + t
+        val rows = Seq.newBuilder[(Long, Seq[Float])]
+        rows += ((novelId, novels(t)))
+        rows += ((2000L + t, dupOf(novels(t)))) // in-batch dup, every trigger
+        if (t > 0) { // dup of a novel admitted `lag` triggers ago
+          val lag = t / 2 + 1
+          val target = math.max(0, t - lag)
+          rows += ((3000L + t, dupOf(novels(target))))
+        }
+        in.addData(rows.result(): _*)
+        query.processAllAvailable()
+      }
+      val ids = spark.read.parquet(dir).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.toSet == (0 until 60).map(1000L + _).toSet,
+        s"corpus must be exactly the 60 planted novels, got ${ids.sorted.take(70)}")
+      assert(ids.length == 60, "exactly one row per admitted id")
+    } finally query.stop()
+  }
 }
