@@ -2903,6 +2903,66 @@ object LlmQueries {
              |  CAST(floor((docs - distinct_docs) * 1000000 / docs) AS BIGINT) AS dup_rate_ppm
              |FROM grp CROSS JOIN tot ORDER BY source, lang""".stripMargin)),
 
+    // Corpus DRIFT report — the between-snapshots audit a recurring
+    // crawl publishes (the q198 report's time derivative): v2 is a
+    // deterministic simulated next generation of the corpus (every 10th
+    // doc dropped, every 7th survivor's text amended, every 13th doc
+    // re-ingested under a fresh id), and the report classifies every id
+    // across a FULL OUTER join on doc_id — added / removed / changed
+    // (content hash differs) / unchanged — aggregated per lang with the
+    // net character supply delta. One id-keyed shuffle join + one agg;
+    // at 100 TB both sides are the stored snapshot manifests, so the
+    // join is pk-colocatable (the CdcSnapshot bucketing posture).
+    Q("q213_corpus_drift", { (s, dir) =>
+        val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+        val v2base = d.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
+              .otherwise(col("text")))
+        val arrived = d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("lang"), col("text"))
+        val v2 = v2base.unionByName(arrived)
+        val j = d.select(col("doc_id"), col("lang").as("lang1"), col("text").as("t1"))
+          .join(v2.select(col("doc_id"), col("lang").as("lang2"), col("text").as("t2")),
+            Seq("doc_id"), "full_outer")
+        j.select(coalesce(col("lang1"), col("lang2")).as("lang"),
+            when(col("t1").isNull, "added")
+              .when(col("t2").isNull, "removed")
+              .when(col("t1") =!= col("t2"), "changed")
+              .otherwise("unchanged").as("status"),
+            (coalesce(length(col("t2")), lit(0))
+              - coalesce(length(col("t1")), lit(0))).cast(LongType).as("cd"))
+          .groupBy("lang")
+          .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+            sum(col("cd")).as("char_delta"))
+          .orderBy("lang")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 13 = 0),
+             |j AS (SELECT coalesce(v1.lang, v2.lang) AS lang,
+             |    CASE WHEN v1.text IS NULL THEN 'added'
+             |      WHEN v2.text IS NULL THEN 'removed'
+             |      WHEN v1.text <> v2.text THEN 'changed'
+             |      ELSE 'unchanged' END AS status,
+             |    coalesce(len(v2.text), 0) - coalesce(len(v1.text), 0) AS cd
+             |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT lang,
+             |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             |  CAST(sum(cd) AS BIGINT) AS char_delta
+             |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Quality-priority dedup — the keep rule production dedup actually
     // uses (RefinedWeb/FineWeb keep the LONGEST duplicate, not the
     // first-seen): per exact-content group keep max length then min id,

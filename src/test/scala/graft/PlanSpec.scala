@@ -524,6 +524,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
+    val p = plan("q213_corpus_drift")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("FullOuter"), "classification needs the full outer join\n" + p)
+    assert(p.contains("partial_"), "per-lang counts must map-side combine\n" + p)
+  }
+
   test("q208 incremental semdedup cells: cell-keyed join, corpus never probe-replicated") {
     val p = plan("q208_semdedup_incremental_cells")
     // the production ingest path: an equi join on the cell id — never a
