@@ -73,6 +73,38 @@ object LlmQueries {
         (col("logprob_sum") / col("n_scored").cast(DoubleType)).as("avg_logprob"))
   }
 
+  /** BM25 scoring (k1 = 1.2, b = 0.75) of every document matching any of
+    * `terms` — (doc_id, bm25), unordered; q146's engine, shared with the
+    * hybrid-retrieval fusion (q214). Per-term scores snap to
+    * DECIMAL(18,8) before the per-doc sum so the distributed aggregation
+    * is order-insensitive and bit-identical to the serial oracle; idf
+    * snaps to DECIMAL(18,9) at its birth for the same reason. Plan: the
+    * token explode filters to the query terms before the (doc, term)
+    * agg; df and the (N, avgdl) stats broadcast at metadata scale.
+    */
+  private def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val r = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val idf = dfs.crossJoin(broadcast(stats))
+      .select(col("tok"), col("avgdl"),
+        log(r).cast(DecimalType(18, 9)).cast(DoubleType).as("idf9"))
+    val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+    tf.join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), (col("idf9") * sat).cast(DecimalType(18, 8)).as("term_score"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).cast(DoubleType).as("bm25"))
+  }
+
   /** The q156 oracle's scoring CTEs (everything up to `perdoc`), shared
     * with the q166 bucket oracle.
     */
@@ -1158,28 +1190,7 @@ object LlmQueries {
     // only matching tokens); df and the (N, avgdl) stats are
     // metadata-scale broadcasts; the final top-20 is TakeOrderedAndProject.
     Q("q146_bm25_retrieval", { (s, dir) =>
-        val terms = Seq("vector", "stream", "hash")
-        val docs = t(s, dir, "documents")
-        val toks = TextOps.tokens(col("text"))
-        val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"),
-          (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
-        val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
-          .filter(col("tok").isin(terms: _*))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val r = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
-        val idf = dfs.crossJoin(broadcast(stats))
-          .select(col("tok"), col("avgdl"),
-            log(r).cast(DecimalType(18, 9)).cast(DoubleType).as("idf9"))
-        val sat = (col("tf").cast(DoubleType) * lit(2.2)) /
-          (col("tf").cast(DoubleType) +
-            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
-        tf.join(broadcast(idf), "tok")
-          .join(dl, "doc_id")
-          .select(col("doc_id"), (col("idf9") * sat).cast(DecimalType(18, 8)).as("term_score"))
-          .groupBy("doc_id")
-          .agg(sum(col("term_score")).cast(DoubleType).as("bm25"))
+        bm25Scored(t(s, dir, "documents"), Seq("vector", "stream", "hash"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
       },
@@ -1203,6 +1214,77 @@ object LlmQueries {
              |  AS DECIMAL(18,8))) AS DOUBLE) AS bm25
              |FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
              |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009)
+    // — the RAG-stack shape that combines the sparse (BM25, q146) and
+    // dense (embedding-cosine, q44) rankers: each arm emits a bounded
+    // top-100 ranked list, fused by score = Σ 1/(60 + rank) over the arms
+    // that ranked the doc (the canonical k=60), top-20 fused out. Each
+    // 1/(60+r) term snaps to DECIMAL(18,9) so the two-term sum is exact
+    // and engine-portable. Scale: the arms' own 100 TB postures apply
+    // (q146's filtered explode + broadcast idf; q44's broadcast-queries
+    // pass + per-partition heaps); the fusion itself joins two ≤100-row
+    // lists — metadata-scale work regardless of corpus size, with the
+    // rank windows over pre-limited bounded inputs (constant partitionBy,
+    // the bounded-window idiom).
+    Q("q214_hybrid_rrf", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
+        val sparse = bm25Scored(docs, Seq("vector", "stream", "hash"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+          .select(col("doc_id"), row_number().over(wS).as("rs"))
+        val dense = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 100)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("rd"))
+        val term = (c: org.apache.spark.sql.Column) => coalesce(
+          (lit(1.0) / (lit(60.0) + c.cast(DoubleType))).cast(DecimalType(18, 9)),
+          lit(0.0).cast(DecimalType(18, 9)))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (term(col("rs")) + term(col("rd"))).cast(DoubleType).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM toks),
+             |tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+             |  WHERE tok IN ('vector', 'stream', 'hash') GROUP BY doc_id, tok
+             |), df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |idf AS (
+             |  SELECT tok, avgdl, CAST(CAST(ln(
+             |      (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0
+             |    ) AS DECIMAL(18,9)) AS DOUBLE) AS idf9
+             |  FROM df, stats
+             |), bm AS (
+             |  SELECT doc_id, CAST(SUM(CAST(idf9 * ((CAST(tf AS DOUBLE) * 2.2) /
+             |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+             |    AS DECIMAL(18,8))) AS DOUBLE) AS bm25
+             |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+             |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100
+             |), sp AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs FROM bm),
+             |dv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |sc AS (SELECT c.vec_id AS doc_id,
+             |    list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v))
+             |      * sqrt(list_inner_product(c.v, c.v))) AS cos
+             |  FROM dv c, (SELECT v FROM dv WHERE vec_id = 0) q
+             |  WHERE c.vec_id <> 0),
+             |dn AS (SELECT doc_id, rd FROM (
+             |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rd FROM sc)
+             |  WHERE rd <= 100)
+             |SELECT doc_id, CAST(
+             |    coalesce(CAST(1.0 / (60.0 + CAST(rs AS DOUBLE)) AS DECIMAL(18,9)),
+             |             CAST(0.0 AS DECIMAL(18,9)))
+             |  + coalesce(CAST(1.0 / (60.0 + CAST(rd AS DOUBLE)) AS DECIMAL(18,9)),
+             |             CAST(0.0 AS DECIMAL(18,9))) AS DOUBLE) AS rrf
+             |FROM sp FULL OUTER JOIN dn USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
 
     // Corpus-familiarity quality score: mean corpus frequency of a doc's
     // positional bigrams — the self-trained-LM typicality signal (a

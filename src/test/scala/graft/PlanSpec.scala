@@ -524,6 +524,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q214 RRF fusion: bounded top-k arms, declared queries-broadcast only, no cartesian") {
+    val p = plan("q214_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the fused top-20 must be a heap, not a global sort\n" + p)
+    assert(p.contains("partial_"), "bm25 term agg must map-side combine\n" + p)
+  }
+
   test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
     val p = plan("q213_corpus_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
