@@ -1286,6 +1286,42 @@ object LlmQueries {
              |FROM sp FULL OUTER JOIN dn USING (doc_id)
              |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Token-budget corpus selection — the "take the best B tokens"
+    // curation step (greedy prefix of the (quality desc, doc_id) order
+    // until the inclusive token cumsum exceeds the budget; here quality =
+    // distinct-token count, budget = half the corpus supply). The naive
+    // formulation is a GLOBAL-sort cumsum — a single-partition window
+    // that dies at corpus scale — so the implementation is a two-phase
+    // STRATUM CUT instead: (1) aggregate supply per quality level (the
+    // level histogram is metadata-scale — bounded by max doc length, not
+    // corpus size), cumsum over levels in a bounded window, broadcast
+    // back; levels that fit entirely are kept outright with no sort at
+    // all. (2) Only the single boundary level sorts: its docs rank in a
+    // partitionBy(score) window and fill the residual budget. Selection
+    // is identical to the serial greedy by construction (the within-level
+    // order doc_id matches the global tie-break); the DuckDB oracle runs
+    // the naive global cumsum. If the boundary level itself is skewed at
+    // 100 TB, the same level-cut recurses on doc_id buckets.
+    Q("q215_token_budget", { (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        val base = docs.select(col("doc_id"),
+          size(toks).cast(LongType).as("n_tok"),
+          size(array_distinct(toks)).cast(LongType).as("score"))
+        val budget = base.agg(
+          floor(sum(col("n_tok")) / lit(2)).cast(LongType).as("budget"))
+        Sampling.tokenBudgetSelect(base, budget).orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+             |  FROM documents),
+             |b AS (SELECT CAST(floor(sum(n_tok) / 2.0) AS BIGINT) AS budget FROM base),
+             |o AS (SELECT doc_id, n_tok, score,
+             |    sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM base)
+             |SELECT doc_id, score, n_tok FROM o, b WHERE cum <= budget
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus-familiarity quality score: mean corpus frequency of a doc's
     // positional bigrams — the self-trained-LM typicality signal (a
     // too-low score flags gibberish/OCR noise, a too-high one boilerplate).

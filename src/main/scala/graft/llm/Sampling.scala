@@ -85,4 +85,44 @@ object Sampling {
       .filter(hashBucket(col(idCol), seed) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Token-budget selection (q215): the greedy prefix of `base` in
+    * (score desc, doc_id) order whose inclusive `n_tok` cumsum stays
+    * within the budget — computed WITHOUT a global sort. Phase 1
+    * aggregates supply per score level (metadata-scale: bounded by the
+    * score domain, not the corpus), cumsums the levels in a bounded
+    * window, and broadcasts the cut back: levels that fit whole are kept
+    * with no sort at all. Phase 2 ranks only the single boundary level
+    * (partitionBy(score) window) and fills the residual budget in doc_id
+    * order — identical selection to the serial greedy by construction.
+    * If the boundary level is itself skewed, the same level-cut recurses
+    * on doc_id buckets.
+    *
+    * `base`: (doc_id, n_tok, score) — any long-typed score works.
+    * `budget`: a 1-row (budget: long) frame (kept as a frame so the
+    * whole selection stays one lazy plan).
+    */
+  def tokenBudgetSelect(base: DataFrame, budget: DataFrame): DataFrame = {
+    val wLev = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("score").desc)
+    val levels = base.groupBy("score").agg(sum(col("n_tok")).as("tok_s"))
+      .crossJoin(broadcast(budget))
+      .select(col("score"), col("tok_s"), col("budget"),
+        (sum(col("tok_s")).over(wLev) - col("tok_s")).as("cum_before"))
+    val fullLevels = levels
+      .filter(col("cum_before") + col("tok_s") <= col("budget"))
+      .select("score")
+    val boundary = levels
+      .filter(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("tok_s") > col("budget"))
+      .select(col("score"), (col("budget") - col("cum_before")).as("resid"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("score").orderBy("doc_id")
+    val keptFull = base.join(broadcast(fullLevels), Seq("score"))
+    val keptBoundary = base.join(broadcast(boundary), Seq("score"))
+      .withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      .filter(col("cum_in") <= col("resid"))
+    keptFull.select("doc_id", "score", "n_tok")
+      .unionByName(keptBoundary.select("doc_id", "score", "n_tok"))
+  }
 }

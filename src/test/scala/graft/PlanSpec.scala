@@ -532,6 +532,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "bm25 term agg must map-side combine\n" + p)
   }
 
+  test("q215 token budget: level cut broadcasts back, corpus never globally sorted") {
+    val p = plan("q215_token_budget")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "level supply agg must map-side combine\n" + p)
+    // The only windows are the bounded level cumsum (constant partition) and
+    // the boundary stratum rank (score-keyed) — never a corpus-wide
+    // single-partition sort window. A global-sort cumsum would show an
+    // Exchange SinglePartition feeding a Sort over doc columns; here the
+    // sole SinglePartition exchange carries the metadata-scale level table.
+    assert(p.contains("hashpartitioning(score"),
+      "boundary rank must key on the stratum\n" + p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      "level cuts must broadcast back to the fact side\n" + p)
+  }
+
   test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
     val p = plan("q213_corpus_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

@@ -72,4 +72,42 @@ class PackSampleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("ShuffleExchange"), plan)
   }
+
+  /** Serial greedy the stratum cut must reproduce: take docs in
+    * (score desc, doc_id) order while the inclusive cumsum fits. */
+  private def serialBudget(rows: Seq[(Long, Long, Long)], b: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, _, sc) => (-sc, id) }.flatMap { case (id, n, _) =>
+      cum += n; if (cum <= b) Some(id) else None
+    }.toSet
+  }
+
+  private def budgetIds(rows: Seq[(Long, Long, Long)], b: Long): Set[Long] = {
+    import spark.implicits._
+    val base = rows.toDF("doc_id", "n_tok", "score")
+    val budget = Seq(b).toDF("budget")
+    Sampling.tokenBudgetSelect(base, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("token budget: stratum cut equals the serial greedy at every budget") {
+    val rnd = new scala.util.Random(7)
+    // Small score domain forces multi-doc levels (real boundary strata);
+    // sweep budgets across the whole supply including both edges.
+    val rows = (0L until 300L).map(id =>
+      (id, 1L + rnd.nextInt(40).toLong, rnd.nextInt(6).toLong))
+    val total = rows.map(_._2).sum
+    for (b <- Seq(0L, 1L, total / 7, total / 3, total / 2, total - 1, total, total + 50)) {
+      assert(budgetIds(rows, b) == serialBudget(rows, b), s"budget $b")
+    }
+  }
+
+  test("token budget: exact level-edge budgets keep whole levels, resid 0 keeps none") {
+    // Two levels: score 2 holds 30 tokens, score 1 holds 20.
+    val rows = Seq((1L, 10L, 2L), (2L, 20L, 2L), (3L, 20L, 1L))
+    assert(budgetIds(rows, 30L) == Set(1L, 2L)) // exact fit of level 2
+    assert(budgetIds(rows, 29L) == Set(1L))     // boundary inside level 2
+    assert(budgetIds(rows, 9L) == Set.empty)    // resid smaller than first doc
+    assert(budgetIds(rows, 50L) == Set(1L, 2L, 3L))
+  }
 }
