@@ -105,6 +105,29 @@ object LlmQueries {
       .agg(sum(col("term_score")).cast(DoubleType).as("bm25"))
   }
 
+  /** The q216–q219 eval family's shared (pos, s) frame: label = the
+    * q165 target sources, score = the integer-ppm distinct-token ratio
+    * (an integer score keeps the per-score histogram exact with no
+    * snapping caveat). */
+  private def evalBase(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    t(s, dir, "documents").select(
+        when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+          .otherwise(0L).as("pos"),
+        size(array_distinct(toks)).cast(LongType).as("ad"),
+        size(toks).cast(LongType).as("n"))
+      .selectExpr("pos", "(ad * CAST(1000000 AS BIGINT)) DIV n AS s")
+  }
+
+  /** The DuckDB rendering of [[evalBase]], shared by the q216–q219
+    * oracles. */
+  private val EvalBaseSql: String =
+    """SELECT
+      |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS pos,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS s
+      |  FROM documents""".stripMargin
+
   /** The q156 oracle's scoring CTEs (everything up to `perdoc`), shared
     * with the q166 bucket oracle.
     */
@@ -1321,6 +1344,89 @@ object LlmQueries {
              |    sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum FROM base)
              |SELECT doc_id, score, n_tok FROM o, b WHERE cum <= budget
              |ORDER BY doc_id""".stripMargin)),
+
+    // Classifier evaluation: EXACT AUC (Mann-Whitney with the standard
+    // 0.5 tie credit) of a quality score against a label — the eval step
+    // every filtering classifier (q165's NB, fastText-style) needs
+    // before its threshold ships. Score here is the integer-ppm
+    // distinct-token ratio, label = the q165 target sources. The naive
+    // AUC is a global rank — a corpus-wide sort; instead the pair count
+    // folds over the per-score histogram (metadata-scale: the score
+    // domain, not the corpus): AUC·2PN = Σ_s np(s)·(2·nn_below(s) +
+    // nn(s)), all BIGINT/DECIMAL-exact, one double division at the end.
+    // One histogram shuffle + a bounded window over score levels.
+    Q("q216_classifier_auc", { (s, dir) =>
+        Eval.aucExact(evalBase(s, dir))
+      },
+      Some(s"""WITH base AS ($EvalBaseSql),
+             |h AS (SELECT s, CAST(sum(pos) AS BIGINT) AS np,
+             |    CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM base GROUP BY s),
+             |c AS (SELECT np, nn, sum(nn) OVER (ORDER BY s) - nn AS nn_below FROM h),
+             |a AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n,
+             |    sum(CAST(np AS DECIMAL(38,0)) * (2 * nn_below + nn)) AS num2 FROM c)
+             |SELECT p AS n_pos, n AS n_neg,
+             |  CAST(num2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) AS auc,
+             |  2.0 * (CAST(num2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))) - 1.0 AS gini
+             |FROM a""".stripMargin)),
+
+    // The ROC curve beside q216's scalar: 17 coarse score buckets
+    // (62,500 ppm wide), thresholds scanned descending (predict positive
+    // iff bucket ≥ t), cumulative TPR/FPR as EXACT integer ppm floors —
+    // engine-portable with no double in sight. Same single histogram
+    // shuffle; the cumulative window runs over ≤17 bucket rows.
+    Q("q217_roc_curve", { (s, dir) =>
+        Eval.rocCurve(evalBase(s, dir).selectExpr("pos", "s DIV 62500 AS bucket"))
+      },
+      Some(s"""WITH eb AS ($EvalBaseSql),
+             |base AS (SELECT pos, s // 62500 AS bucket FROM eb),
+             |h AS (SELECT bucket, CAST(sum(pos) AS BIGINT) AS np,
+             |    CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM base GROUP BY bucket),
+             |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+             |    CAST(count(*) - sum(pos) AS BIGINT) AS nneg FROM base),
+             |c AS (SELECT bucket,
+             |    CAST(sum(np) OVER (ORDER BY bucket DESC) AS BIGINT) AS cp,
+             |    CAST(sum(nn) OVER (ORDER BY bucket DESC) AS BIGINT) AS cn FROM h)
+             |SELECT bucket, (cn * 1000000) // nneg AS fpr_ppm,
+             |  (cp * 1000000) // p AS tpr_ppm
+             |FROM c CROSS JOIN tot ORDER BY bucket""".stripMargin)),
+
+    // Calibration reliability diagram — the third leg of the eval family
+    // (q216 AUC ranks, q217 ROC thresholds, this bins): treat the ppm
+    // score as a predicted probability, 10 equal-width bins, per bin the
+    // mean prediction vs the observed positive rate, all exact integer
+    // ppm floors. One histogram shuffle, no window.
+    Q("q218_calibration_bins", { (s, dir) =>
+        Eval.calibrationBins(evalBase(s, dir))
+      },
+      Some(s"""WITH base AS ($EvalBaseSql),
+             |b AS (SELECT pos, s,
+             |    CASE WHEN s >= 1000000 THEN 9 ELSE s // 100000 END AS bin FROM base)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_pred_ppm,
+             |  (CAST(sum(pos) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS frac_pos_ppm
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Scalar calibration quality: Brier score + 10-bin expected
+    // calibration error over the same ppm score — numerators folded as
+    // exact DECIMAL(38,0) integer sums (the per-row square ≤ 1e12
+    // overflows a BIGINT sum at real corpus counts), one double division
+    // each at the end. Same single histogram shuffle as q218.
+    Q("q219_calibration_score", { (s, dir) =>
+        Eval.calibrationScore(evalBase(s, dir))
+      },
+      Some(s"""WITH base AS ($EvalBaseSql),
+             |bn AS (SELECT pos, s,
+             |    CASE WHEN s >= 1000000 THEN 9 ELSE s // 100000 END AS bin FROM base),
+             |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(pos) AS BIGINT) AS np, CAST(sum(s) AS BIGINT) AS ssum,
+             |    sum(CAST((s - pos*1000000) * (s - pos*1000000) AS DECIMAL(38,0))) AS sq
+             |  FROM bn GROUP BY bin),
+             |a AS (SELECT CAST(sum(n) AS BIGINT) AS nd, sum(sq) AS sqsum,
+             |    sum(abs(CAST(np AS DECIMAL(38,0)) * 1000000 - ssum)) AS gap FROM bins)
+             |SELECT nd AS n_docs,
+             |  CAST(sqsum AS DOUBLE) / (1.0e12 * CAST(nd AS DOUBLE)) AS brier,
+             |  CAST(gap AS DOUBLE) / (1.0e6 * CAST(nd AS DOUBLE)) AS ece
+             |FROM a""".stripMargin)),
 
     // Corpus-familiarity quality score: mean corpus frequency of a doc's
     // positional bigrams — the self-trained-LM typicality signal (a

@@ -547,6 +547,18 @@ class PlanSpec extends SparkSpec {
       "level cuts must broadcast back to the fact side\n" + p)
   }
 
+  test("q216/q217 classifier eval: histogram fold, never a corpus-wide rank") {
+    for (q <- Seq("q216_classifier_auc", "q217_roc_curve",
+        "q218_calibration_bins", "q219_calibration_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_"), s"$q histogram agg must map-side combine\n" + p)
+      // The pair count folds over the score histogram — the corpus rows
+      // are never ranked, so no window may consume raw doc columns.
+      assert(!p.contains("row_number"), s"$q must not rank the corpus\n" + p)
+    }
+  }
+
   test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
     val p = plan("q213_corpus_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
