@@ -271,6 +271,23 @@ object LlmQueries {
       },
       None),
 
+    // The PERSISTED-index lifecycle beside q57's inline IVF: build the
+    // cell-partitioned postings layout once, probe it with static
+    // partition pruning — the production split where the index outlives
+    // the query batch (train/assign cost amortizes across probes; a
+    // probe reads nprobe/nlist of the corpus files, never rescans).
+    // Rows-only; IvfIndexSpec gates probe ≡ inline ivfTopK exactly and
+    // asserts the pruned scan.
+    Q("q220_sim_topk_ivf_persisted", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"/tmp/graft_ivf_idx_${math.abs(dir.hashCode)}"
+        Similarity.buildIvfIndex(e, idx)
+        Similarity.probeIvfIndex(idx, e.filter(col("vec_id") < 10), k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) — the
     // scale path beside the exact q52 oracle: pairs only within k-means
     // cells, multi-probe assignment for boundary recall. Recall/precision

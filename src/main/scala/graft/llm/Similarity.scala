@@ -836,4 +836,65 @@ object Similarity {
       .select(col("query_id"), col("sel.rnk").as("rnk"),
         col("sel.id").as("neighbor_id"), col("sel.score").as("score"))
   }
+
+  /** Persisted IVF index — the production split [[ivfTopK]] collapses:
+    * TRAIN and ASSIGN once, PROBE many. Writes (a) the nlist×dim centroid
+    * codebook (metadata-scale) and (b) the postings — every vector under
+    * its coarse cell — as parquet PARTITIONED BY cell, so a later probe
+    * touches only its probed cells' files instead of rescanning and
+    * re-quantizing the corpus per query batch (what every q45/q57-style
+    * inline ANN call pays). At 100 TB the postings layout is the index:
+    * a probe of nprobe/nlist cells reads that fraction of the data,
+    * enforced by static partition pruning (IvfIndexSpec asserts the
+    * pruned scan), and the index is rebuilt only when the corpus drifts.
+    */
+  def buildIvfIndex(candidates: DataFrame, dir: String, nlist: Int = 16): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(candidates, nlist)
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+    candidates
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", IvfCell(col("cv"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  /** Probe a [[buildIvfIndex]] layout: load the codebook (bounded
+    * nlist×dim), probe each query's nprobe nearest cells with the same
+    * codegen'd kernel as the inline path, and score ONLY those cells'
+    * partitions — the probed-cell set is collected (≤ |Q|·nprobe ints,
+    * the query batch is bounded by contract) and pushed as a static
+    * partition filter, so the scan never opens an unprobed cell's files.
+    * Output (query_id, rank, neighbor_id) — identical to [[ivfTopK]] at
+    * equal parameters (IvfIndexSpec asserts exact equality).
+    */
+  def probeIvfIndex(dir: String, queries: DataFrame, k: Int,
+      nprobe: Int = 12): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[Array[Double]] = spark.read
+      .parquet(dir + "/centroids")
+      .select("cell", "centroid").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val q = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(IvfProbe(col("qv"), centroids, nprobe)))
+    val probedCells: Array[Int] =
+      q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(dir + "/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
 }
