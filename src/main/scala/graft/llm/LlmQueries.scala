@@ -288,6 +288,57 @@ object LlmQueries {
       },
       None),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER/
+    // CCMatrix parallel-corpus recipe): the two embedding halves stand in
+    // for two languages' sentence embeddings; candidates are each side's
+    // cosine top-4 in the other, scored by the RATIO margin (cosine over
+    // the mean of the endpoints' top-k cosines — the hubness correction),
+    // pairs kept iff MUTUAL margin-best at margin ≥ 1. Exact-kNN small-sf
+    // oracle (q41/q52 class); at scale the candidate lists come from the
+    // ANN family and the margin fold is id-keyed joins only.
+    Q("q221_bitext_mining", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        Similarity.bitextMine(
+            e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 =!= 0))
+          .orderBy("aid")
+      },
+      Some("""WITH dv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |sc AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+             |    list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v))
+             |      * sqrt(list_inner_product(b.v, b.v))) AS cos
+             |  FROM (SELECT * FROM dv WHERE vec_id % 2 = 0) a,
+             |       (SELECT * FROM dv WHERE vec_id % 2 <> 0) b),
+             |abk AS (SELECT aid, bid, CAST(cos AS DECIMAL(18,9)) AS cos9 FROM (
+             |    SELECT aid, bid, cos,
+             |      row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS r
+             |    FROM sc) WHERE r <= 4),
+             |bak AS (SELECT aid, bid, CAST(cos AS DECIMAL(18,9)) AS cos9 FROM (
+             |    SELECT aid, bid, cos,
+             |      row_number() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS r
+             |    FROM sc) WHERE r <= 4),
+             |avga AS (SELECT aid, CAST(sum(cos9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avga
+             |  FROM abk GROUP BY aid),
+             |avgb AS (SELECT bid, CAST(sum(cos9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgb
+             |  FROM bak GROUP BY bid),
+             |besta AS (SELECT aid, bid, margin FROM (
+             |    SELECT aid, bid, margin,
+             |      row_number() OVER (PARTITION BY aid ORDER BY margin DESC, bid) AS r
+             |    FROM (SELECT aid, bid,
+             |        CAST(cos9 AS DOUBLE) / ((avga + avgb) / 2.0) AS margin
+             |      FROM abk JOIN avga USING (aid) JOIN avgb USING (bid))) WHERE r = 1),
+             |bestb AS (SELECT aid, bid FROM (
+             |    SELECT aid, bid, margin,
+             |      row_number() OVER (PARTITION BY bid ORDER BY margin DESC, aid) AS r
+             |    FROM (SELECT aid, bid,
+             |        CAST(cos9 AS DOUBLE) / ((avga + avgb) / 2.0) AS margin
+             |      FROM bak JOIN avgb USING (bid) JOIN avga USING (aid))) WHERE r = 1)
+             |SELECT aid, bid, CAST(CAST(margin AS DECIMAL(18,9)) AS DOUBLE) AS margin9
+             |FROM besta JOIN bestb USING (aid, bid)
+             |WHERE margin >= 1.0
+             |ORDER BY aid""".stripMargin)),
+
     // SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) — the
     // scale path beside the exact q52 oracle: pairs only within k-means
     // cells, multi-probe assignment for boundary recall. Recall/precision

@@ -45,7 +45,15 @@ object Similarity {
     * |Q|·k·partitions rows instead of |Q|·N — the global top-k is a subset
     * of the union of partition top-ks, so results are exactly unchanged.
     */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    bruteForceTopKScored(queries, candidates, k)
+      .select("query_id", "rank", "neighbor_id")
+
+  /** [[bruteForceTopK]] keeping the cosine column — (query_id, rank,
+    * neighbor_id, cos). The margin-scoring consumers (q221 bitext mining)
+    * need the score, not just the rank; same contract and plan otherwise.
+    */
+  def bruteForceTopKScored(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
@@ -74,9 +82,10 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    compacted.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+    compacted.select(col("query_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** Exact embedding-cosine near-dup pairs: every (a < b) pair whose cosine
@@ -835,6 +844,55 @@ object Similarity {
       .select(col("query_id"), explode(MmrSelect(col("cands"), k, lam)).as("sel"))
       .select(col("query_id"), col("sel.rnk").as("rnk"),
         col("sel.id").as("neighbor_id"), col("sel.score").as("score"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER/
+    * CCMatrix recipe): candidate pairs are each side's cosine top-k in
+    * the other, scored by the RATIO margin — cos(x,y) over the mean of
+    * the two endpoints' top-k cosines (the hubness correction raw cosine
+    * lacks) — and kept iff the pair is each endpoint's best margin
+    * (mutual best) at or above the threshold.
+    *
+    * Exactness: each cosine snaps to DECIMAL(18,9) at birth, so the
+    * top-k means are order-insensitive decimal sums and every margin is
+    * one identical double expression on both engines. The kNN stage here
+    * is the exact [[bruteForceTopKScored]] (this is the small-sf oracle
+    * formulation, q41/q52 class); at corpus scale the candidate lists
+    * come from any ANN family member instead (same (id, id, cos) shape)
+    * — the margin fold itself is id-keyed joins and per-id windows over
+    * ≤k rows, nothing side-sized ever broadcasts or goes all-to-all.
+    */
+  def bitextMine(aSide: DataFrame, bSide: DataFrame, k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    val cos9 = col("cos").cast(DecimalType(18, 9))
+    val ab = bruteForceTopKScored(aSide, bSide, k)
+      .select(col("query_id").as("aid"), col("neighbor_id").as("bid"),
+        cos9.as("cos9"))
+    val ba = bruteForceTopKScored(bSide, aSide, k)
+      .select(col("query_id").as("bid"), col("neighbor_id").as("aid"),
+        cos9.as("cos9"))
+    val avga = ab.groupBy("aid").agg(
+      (sum(col("cos9")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avga"))
+    val avgb = ba.groupBy("bid").agg(
+      (sum(col("cos9")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgb"))
+    def margins(cand: DataFrame): DataFrame = cand
+      .join(avga, "aid").join(avgb, "bid")
+      .select(col("aid"), col("bid"),
+        (col("cos9").cast(DoubleType) /
+          ((col("avga") + col("avgb")) / lit(2.0))).as("margin"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("aid").orderBy(col("margin").desc, col("bid"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(col("margin").desc, col("aid"))
+    val bestA = margins(ab)
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1).drop("r")
+    val bestB = margins(ba)
+      .withColumn("r", row_number().over(wB)).filter(col("r") === 1)
+      .select("aid", "bid")
+    bestA.join(bestB, Seq("aid", "bid"))
+      .filter(col("margin") >= threshold)
+      .select(col("aid"), col("bid"),
+        col("margin").cast(DecimalType(18, 9)).cast(DoubleType).as("margin9"))
   }
 
   /** Persisted IVF index — the production split [[ivfTopK]] collapses:

@@ -559,6 +559,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q221 bitext mining: margin fold is id-keyed joins + group-limit windows") {
+    val p = plan("q221_bitext_mining")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), "top-k mean aggs must map-side combine\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "margin-best rank-1 filters must plan as group heaps, not full sorts\n" + p)
+  }
+
   test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
     val p = plan("q213_corpus_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
