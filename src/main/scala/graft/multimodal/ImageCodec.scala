@@ -137,6 +137,83 @@ object ImageCodec {
     out
   }
 
+  /** 64-bit difference hash (dHash, the classic perceptual near-dup
+    * fingerprint): area-average the image to a 9×8 luminance grid and
+    * set bit (row·8 + col) iff cell (row, col+1) is brighter than
+    * (row, col). Cell means are compared CROSS-MULTIPLIED on the exact
+    * integer (r+g+b) sums — no division, no doubles, so the hash is
+    * bit-identical on any JVM. Uniform brightness shifts cancel in the
+    * comparison, which is the point of dHash. None when the image is
+    * smaller than the grid (every cell must be non-empty).
+    */
+  def dHash(img: BufferedImage): Option[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 9 || h < 8) return None
+    val sums = new Array[Long](8 * 9)
+    val counts = new Array[Long](8 * 9)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(cy * 9 + cx) = s
+        counts(cy * 9 + cx) = (x1 - x0).toLong * (y1 - y0)
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      var col = 0
+      while (col < 8) {
+        val i = row * 9 + col
+        // mean(i+1) > mean(i)  ⟺  s(i+1)·n(i) > s(i)·n(i+1), exactly.
+        if (sums(i + 1) * counts(i) > sums(i) * counts(i + 1))
+          hash |= 1L << (row * 8 + col)
+        col += 1
+      }
+      row += 1
+    }
+    Some(hash)
+  }
+
+  /** Decode → dHash in one call (the q222 kernel). */
+  def dHashOf(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).flatMap(dHash)
+
+  /** A second PNG family for the near-dup fixture: per-id gradient
+    * DIRECTIONS (not just a per-id offset like [[formulaPng]], whose
+    * uniform mod-256 shift would leave adjacent-cell comparisons — and so
+    * dHashes — near-identical across ids). Sized ≥ the 9×8 dHash grid.
+    * `patch = true` re-renders the same image with a small corner patch
+    * inverted — the planted near-duplicate (few dHash cells touched).
+    */
+  def formulaPng2(id: Long, patch: Boolean = false): Array[Byte] = {
+    val w = 18 + (id % 7).toInt
+    val h = 12 + (id % 5).toInt
+    val (mx, my) = ((3 + id % 13).toInt, (5 + id % 11).toInt)
+    val base = (id * id % 97).toInt
+    encodePng(w, h, { (x, y) =>
+      val inPatch = patch && x < 3 && y < 3
+      val v = (x * mx + y * my + base) % 256
+      val p = if (inPatch) 255 - v else v
+      (p, (p * 2) % 256, (p * 3) % 256)
+    })
+  }
+
   /** Encode an RGB pixel function to real PNG bytes (ImageIO writer —
     * lossless, so decode(encode(px)) ≡ px exactly).
     */

@@ -510,7 +510,48 @@ object MultimodalQueries {
              |      + abs((x*7 + y*13 + fr*5 + doc_id*3) % 256
              |          - (x*7 + y*13 + (fr-1)*5 + doc_id*3) % 256))))))) AS BIGINT)
              |    AS motion
-             |FROM p ORDER BY media_id""".stripMargin))
+             |FROM p ORDER BY media_id""".stripMargin)),
+
+    // IMAGE near-dup by perceptual hash — the multimodal×dedup
+    // intersection on REAL pixels: every doc renders a gradient PNG
+    // (per-id gradient directions), every 5th also a planted
+    // near-duplicate (inverted 3×3 corner patch) under a shifted id; the
+    // codegen path decodes via ImageIO and dHashes (9×8 luminance grid,
+    // integer-exact), then pairs band-join on 8×8-bit hash bands and
+    // verify exact hamming ≤ 7. Pigeonhole makes the banding LOSSLESS at
+    // this threshold (≤7 bit flips across 8 bands leave ≥1 band exact) —
+    // recall is 1.0 by construction, asserted banded ≡ brute in
+    // MultimodalSpec. Rows-only (no PNG decoder in the oracle engine).
+    // Scale: one decode+hash pass, band-key equi join with bounded
+    // verify, the q42/q43 posture on the pixel modality.
+    Q("q222_image_neardup", { (s, dir) =>
+        val enc = udf((id: Long, p: Boolean) => ImageCodec.formulaPng2(id, p))
+        val dh = udf((b: Array[Byte]) => ImageCodec.dHashOf(b))
+        val docs = t(s, dir, "documents").select("doc_id")
+        val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+        val dups = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"), lit(true).as("p"))
+        val hashes = base.unionByName(dups)
+          .select(col("media_id"),
+            dh(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
+          .filter(col("h").isNotNull)
+        val bands = hashes.select(col("media_id"), col("h"),
+            explode(array((0 until 8).map(b => struct(lit(b).as("b"),
+              shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
+              .as("band"))
+          .select(col("media_id"), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("da"), col("y.media_id").as("db"),
+            col("x.h").as("ha"), col("y.h").as("hb"))
+          .distinct()
+        cand.select(col("da"), col("db"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+          .filter(col("hamming") <= 7)
+          .orderBy("da", "db")
+      },
+      None)
   )
 }
 

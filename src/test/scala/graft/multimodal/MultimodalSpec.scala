@@ -443,4 +443,57 @@ class MultimodalSpec extends SparkSpec {
       hdrl).isEmpty) // header only, no movi list
     assert(stats(Array.fill[Byte](100)(0x11)).isEmpty)
   }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: deterministic, grid-bounded, brightness-shift invariant") {
+    val h1 = ImageCodec.dHashOf(ImageCodec.formulaPng2(7))
+    val h2 = ImageCodec.dHashOf(ImageCodec.formulaPng2(7))
+    assert(h1.isDefined && h1 == h2)
+    // Below the 9×8 grid → None (the old small fixture family).
+    assert(ImageCodec.dHashOf(ImageCodec.formulaPng(1)).isEmpty ||
+      ImageCodec.featuresOf(ImageCodec.formulaPng(1)).exists(f =>
+        f.width >= 9 && f.height >= 8))
+    // Uniform brightness shift cancels in the adjacent-cell comparison.
+    val px = (x: Int, y: Int) => ((x * 5 + y * 3) % 200,
+      (x * 7 + y * 2) % 200, (x * 3 + y * 11) % 200)
+    val shifted = (x: Int, y: Int) => { val (r, g, b) = px(x, y)
+      (r + 40, g + 40, b + 40) }
+    val a = ImageCodec.dHashOf(ImageCodec.encodePng(20, 14, px)).get
+    val b = ImageCodec.dHashOf(ImageCodec.encodePng(20, 14, shifted)).get
+    assert(a == b)
+  }
+
+  test("dHash near-dup: planted patches close, distinct gradients far, banding lossless") {
+    val ids = 0L until 80L
+    val hs = ids.map(i => i -> ImageCodec.dHashOf(ImageCodec.formulaPng2(i)).get).toMap
+    // Every planted patch stays within the query's hamming threshold.
+    ids.filter(_ % 5 == 0).foreach { i =>
+      val hp = ImageCodec.dHashOf(ImageCodec.formulaPng2(i, patch = true)).get
+      assert(hamming(hs(i), hp) <= 7, s"id $i planted dup drifted: ${hamming(hs(i), hp)}")
+    }
+    // Distinct gradient images are overwhelmingly far apart.
+    val pairs = for (a <- ids; b <- ids if a < b) yield hamming(hs(a), hs(b))
+    val close = pairs.count(_ <= 7)
+    assert(close.toDouble / pairs.size < 0.05,
+      s"$close of ${pairs.size} distinct-id pairs within threshold")
+    // The q222 banded path provably finds every hamming≤7 pair
+    // (8 bands, ≤7 flips → ≥1 exact band): banded ≡ brute on the fixture.
+    val q = graft.SparkEntry.queries("q222_image_neardup")
+    val got = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val all = docs.map(i => i -> ImageCodec.dHashOf(ImageCodec.formulaPng2(i)).get) ++
+      docs.filter(_ % 5 == 0).map(i =>
+        (i + 1000000L) -> ImageCodec.dHashOf(ImageCodec.formulaPng2(i, patch = true)).get)
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && hamming(ha, hb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    // And the planted pairs are all in it.
+    docs.filter(_ % 5 == 0).foreach { i =>
+      assert(got.contains((i, i + 1000000L)), s"planted pair $i missing") }
+  }
 }
