@@ -171,6 +171,68 @@ object AudioKernels {
     null
   }
 
+  /** 64-bit PCM energy-envelope fingerprint (the audio dHash, q223):
+    * split the sample stream into 65 windows, energy = exact Σ|s| per
+    * window, bit w = 1 iff window w+1 carries more MEAN energy than
+    * window w — compared CROSS-MULTIPLIED on the integer sums and
+    * counts, no doubles. A uniform gain change scales every window
+    * equally and cancels in the comparison (the loudness-normalization
+    * invariance that raw sample hashes lack). Same WAV validation as
+    * [[pcmStats]]; None for anything malformed or shorter than 65
+    * samples (every window must be non-empty).
+    */
+  def pcmHash(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var fmtTag = -1; var bits = -1
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      val sz = size.toInt
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length || sz < 16) return None
+        fmtTag = le16(b, i + 8)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        if (fmtTag != 1 || bits != 16) return None
+        if ((sz & 1) == 1 || i + 8 + sz > b.length) return None
+        val base = i + 8
+        val n = sz / 2
+        // Lower bound: every window non-empty. Upper bound (2^28 samples
+        // ≈ 9 h at 8 kHz): keeps the cross-multiplied comparison
+        // (sum ≤ 2^15·n/65) · (count ≤ n/65) clear of signed-64 overflow.
+        if (n < 65 || n > (1 << 28)) return None
+        val sums = new Array[Long](65)
+        val counts = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val j0 = w * n / 65; val j1 = (w + 1) * n / 65
+          var s = 0L
+          var j = j0
+          while (j < j1) {
+            val v = (u8(b, base + 2 * j) | (u8(b, base + 2 * j + 1) << 8)).toShort.toInt
+            s += (if (v < 0) -v else v)
+            j += 1
+          }
+          sums(w) = s; counts(w) = j1 - j0
+          w += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (sums(k + 1) * counts(k) > sums(k) * counts(k + 1))
+            hash |= 1L << k
+          k += 1
+        }
+        return Some(hash)
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
   /** SIGNAL-level decode of UNCOMPRESSED video — BI_RGB DIB frames in an
     * AVI 'movi' list ('00db' chunks, the format's raw-frame case; the
     * video counterpart of [[pcmStats]]): per-channel exact pixel sums

@@ -551,6 +551,44 @@ object MultimodalQueries {
           .filter(col("hamming") <= 7)
           .orderBy("da", "db")
       },
+      None),
+
+    // AUDIO near-dup by energy-envelope fingerprint — q222's recipe on
+    // the PCM modality, completing near-dup across all four modalities
+    // (text q42, embedding q128, image q222, audio here): every doc
+    // renders a real WAV with per-id structured loud/soft blocks, every
+    // 7th also a planted near-duplicate (first 5 samples silenced); the
+    // kernel folds exact per-window |s| sums into a 64-bit envelope hash
+    // (gain-invariant by cross-multiplied comparison), then the same
+    // provably-lossless 8-band join + hamming ≤ 7 verify. Rows-only;
+    // gated banded ≡ brute + invariances in MultimodalSpec.
+    Q("q223_audio_neardup", { (s, dir) =>
+        val enc = udf((id: Long, p: Boolean) => PcmFixtures.formulaWav2(id, p))
+        val ph = udf((b: Array[Byte]) => AudioKernels.pcmHash(b))
+        val docs = t(s, dir, "documents").select("doc_id")
+        val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"), lit(true).as("p"))
+        val hashes = base.unionByName(dups)
+          .select(col("media_id"),
+            ph(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
+          .filter(col("h").isNotNull)
+        val bands = hashes.select(col("media_id"), col("h"),
+            explode(array((0 until 8).map(b => struct(lit(b).as("b"),
+              shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
+              .as("band"))
+          .select(col("media_id"), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("da"), col("y.media_id").as("db"),
+            col("x.h").as("ha"), col("y.h").as("hb"))
+          .distinct()
+        cand.select(col("da"), col("db"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+          .filter(col("hamming") <= 7)
+          .orderBy("da", "db")
+      },
       None)
   )
 }
@@ -618,6 +656,40 @@ object PcmFixtures {
     var i = 0
     while (i < n) {
       val s = ((i * 37 + d * 11) % 65536 - 32768).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    "RIFF".getBytes("UTF-8") ++ le(36L + 2 * n, 4) ++ "WAVE".getBytes("UTF-8") ++
+      "fmt ".getBytes("UTF-8") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+      "data".getBytes("UTF-8") ++ le(2L * n, 4) ++ data
+  }
+
+  /** A second WAV family for the audio near-dup fixture (q223): long
+    * enough for the 65-window energy envelope, with per-id STRUCTURED
+    * loud/soft blocks (block phase + carrier step vary by id) so distinct
+    * ids produce distinctive envelopes — the plain [[formulaWav]]
+    * sawtooth has near-uniform per-window energy, which would make every
+    * envelope comparison a coin flip. `perturb = true` silences the
+    * first 5 samples — the planted near-duplicate (one window's energy
+    * nudged). Peak |s| ≤ 16384, so a ×2 gain never clips (the
+    * amplitude-invariance test's headroom).
+    */
+  def formulaWav2(d: Long, perturb: Boolean = false): Array[Byte] = {
+    val n = (200 + d % 100).toInt
+    val data = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      // Carrier step ranges over a PRIME-sized family (3989) so distinct
+      // ids almost never render the same signal — a narrow family (an
+      // early d%23 draft) made exact-hash groups at 10× docs and the
+      // near-dup OUTPUT itself went quadratic (the closed-vocab fixture
+      // lesson, measured 6.0× at 10×; 2.0× after this widening).
+      val base = ((i * (7 + d % 3989) + d * 13) % 4096 - 2048).toInt
+      val loud = (i / 16 + d % 3) % 3 == 0
+      val s0 = if (loud) base * 8 else base
+      val s = if (perturb && i < 5) 0 else s0
       data(2 * i) = (s & 0xff).toByte
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1

@@ -496,4 +496,52 @@ class MultimodalSpec extends SparkSpec {
     docs.filter(_ % 5 == 0).foreach { i =>
       assert(got.contains((i, i + 1000000L)), s"planted pair $i missing") }
   }
+
+  test("pcmHash: deterministic, gain-invariant, bounds honored") {
+    val h1 = AudioKernels.pcmHash(PcmFixtures.formulaWav2(9))
+    assert(h1.isDefined && h1 == AudioKernels.pcmHash(PcmFixtures.formulaWav2(9)))
+    // Short fixture family (< 65 samples possible) → may be None, never a throw.
+    AudioKernels.pcmHash(PcmFixtures.formulaWav(3))
+    assert(AudioKernels.pcmHash(Array.fill[Byte](100)(0x22)).isEmpty)
+    // ×2 gain (headroom guaranteed by the fixture's ≤16384 peak) cancels
+    // in the cross-multiplied window comparison.
+    val orig = PcmFixtures.formulaWav2(9)
+    val gained = orig.clone()
+    val dataOff = orig.length - (200 + 9 % 100).toInt * 2
+    var j = dataOff
+    while (j + 1 < gained.length) {
+      val s = ((gained(j) & 0xff) | ((gained(j + 1) & 0xff) << 8)).toShort.toInt * 2
+      gained(j) = (s & 0xff).toByte; gained(j + 1) = ((s >> 8) & 0xff).toByte
+      j += 2
+    }
+    assert(AudioKernels.pcmHash(gained) == h1)
+  }
+
+  test("audio near-dup: planted silences close, distinct envelopes far, banded ≡ brute") {
+    val ids = 0L until 80L
+    val hs = ids.map(i => i -> AudioKernels.pcmHash(PcmFixtures.formulaWav2(i)).get).toMap
+    ids.filter(_ % 7 == 0).foreach { i =>
+      val hp = AudioKernels.pcmHash(PcmFixtures.formulaWav2(i, perturb = true)).get
+      assert(hamming(hs(i), hp) <= 7, s"id $i planted dup drifted: ${hamming(hs(i), hp)}")
+    }
+    val pairs = for (a <- ids; b <- ids if a < b) yield hamming(hs(a), hs(b))
+    val close = pairs.count(_ <= 7)
+    assert(close.toDouble / pairs.size < 0.05,
+      s"$close of ${pairs.size} distinct-id pairs within threshold")
+    val q = graft.SparkEntry.queries("q223_audio_neardup")
+    val got = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val all = docs.map(i => i -> AudioKernels.pcmHash(PcmFixtures.formulaWav2(i)).get) ++
+      docs.filter(_ % 7 == 0).map(i =>
+        (i + 1000000L) -> AudioKernels.pcmHash(PcmFixtures.formulaWav2(i, perturb = true)).get)
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && hamming(ha, hb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    docs.filter(_ % 7 == 0).foreach { i =>
+      assert(got.contains((i, i + 1000000L)), s"planted pair $i missing") }
+  }
 }
