@@ -288,6 +288,20 @@ object LlmQueries {
       },
       None),
 
+    // Sample-preserving FFD bin packing — the OTHER standard packing
+    // beside q81's concat-then-chunk: a doc is never split across
+    // sequences (the contamination-free choice for SFT/eval batches).
+    // FFD is serial by nature, so it folds per id-hash shard (bounded
+    // (id, n) state, never text); docs over the cap emit bin −1. Rows
+    // only; PackSampleSpec gates shard-serial-model equality, cap/
+    // partition invariants, and FFD ≥ arrival-order first-fit fill.
+    Q("q224_pack_bins", { (s, dir) =>
+        Packing.packBinsFfd(t(s, dir, "documents"), "doc_id", "text",
+            cap = 512, shards = 8)
+          .orderBy("doc_id")
+      },
+      None),
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER/
     // CCMatrix parallel-corpus recipe): the two embedding halves stand in
     // for two languages' sentence embeddings; candidates are each side's

@@ -55,4 +55,53 @@ object Packing {
       .withColumn("pack_offset", col("cum_before") % cap)
       .drop("cum_before")
   }
+
+  /** First-fit-decreasing BIN packing — the SAMPLE-PRESERVING packing
+    * beside [[packSequences]]'s concat-then-chunk: a document is never
+    * split; docs place in (n_tokens desc, id) order, each into the first
+    * bin (by index) that still fits it, bins opened on demand — the FFD
+    * ordering with the classic 11/9·OPT + 1 bin guarantee. Placement
+    * decisions are inherently serial (the header note above), so the
+    * fold runs PER SHARD of the id hash: shards are independent and
+    * deterministic, the per-task state is (id, n_tokens) pairs only —
+    * never text — and `shards` dials per-task memory and latency at any
+    * corpus size. Docs longer than the cap emit with bin = −1
+    * (rejected), never silently truncated.
+    *
+    * @return (doc_id, n_tokens, shard, bin, bin_fill) — bin_fill is the
+    *         bin's token total AFTER this placement.
+    */
+  def packBinsFfd(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cap: Long,
+      shards: Int): DataFrame = {
+    require(cap > 0 && shards > 0, "cap and shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        tokenCount(col(textCol)).as("n"),
+        pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+        // Linear first-fit scan: O(docs·bins) per shard — fine while
+        // shards keep per-task doc counts bounded; a fenwick-over-capacity
+        // index is the drop-in upgrade if a shard ever packs millions.
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (id, n, _) =>
+          if (n > cap) (id, n, shard, -1L, n)
+          else {
+            var b = 0
+            while (b < rem.length && rem(b) < n) b += 1
+            if (b == rem.length) rem += cap
+            rem(b) -= n
+            (id, n, shard, b.toLong, cap - rem(b))
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard", "bin", "bin_fill")
+  }
 }

@@ -567,6 +567,14 @@ class PlanSpec extends SparkSpec {
       "margin-best rank-1 filters must plan as group heaps, not full sorts\n" + p)
   }
 
+  test("q222/q223 perceptual near-dup: band equi join, never all-pairs") {
+    for (q <- Seq("q222_image_neardup", "q223_audio_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q candidate stage must join on the band key\n" + p)
+    }
+  }
+
   test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
     val p = plan("q213_corpus_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

@@ -102,6 +102,51 @@ class PackSampleSpec extends SparkSpec {
     }
   }
 
+  test("FFD bin packing: serial model per shard, cap respected, beats arrival order") {
+    val cap = 512L
+    val docs = Tables(spark, dir, "documents")
+    val out = Packing.packBinsFfd(docs, "doc_id", "text", cap, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val in = docs.selectExpr("doc_id", "CAST(size(split(text, ' ', -1)) AS LONG) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Every doc exactly once, with its true token count.
+    assert(out.map(_._1).sorted.toSeq == in.map(_._1).sorted.toSeq)
+    val nOf = in.toMap
+    assert(out.forall { case (id, n, _, _, _) => n == nOf(id) })
+    // No bin over cap; rejected iff longer than cap.
+    out.groupBy(r => (r._3, r._4)).foreach { case ((_, bin), rows) =>
+      if (bin >= 0) assert(rows.map(_._2).sum <= cap)
+    }
+    assert(out.forall { case (_, n, _, bin, _) => (bin == -1L) == (n > cap) })
+    // Shard-local serial FFD replay must match exactly.
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      val ds = rows.map(r => (r._1, r._2)).sortBy { case (id, n) => (-n, id) }
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val model = ds.map { case (id, n) =>
+        if (n > cap) (id, -1L)
+        else {
+          var b = 0
+          while (b < rem.length && rem(b) < n) b += 1
+          if (b == rem.length) rem += cap
+          rem(b) -= n
+          (id, b.toLong)
+        }
+      }.toMap
+      rows.foreach { case (id, _, _, bin, _) =>
+        assert(bin == model(id), s"shard $shard doc $id") }
+      // The decreasing order is the point: never more bins than
+      // arrival-order (doc_id) first-fit on the same shard.
+      val remA = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy(_._1).filter(_._2 <= cap).foreach { case (_, n) =>
+        var b = 0
+        while (b < remA.length && remA(b) < n) b += 1
+        if (b == remA.length) remA += cap
+        remA(b) -= n
+      }
+      assert(rem.length <= remA.length, s"shard $shard: FFD ${rem.length} vs arrival ${remA.length}")
+    }
+  }
+
   test("token budget: exact level-edge budgets keep whole levels, resid 0 keeps none") {
     // Two levels: score 2 holds 30 tokens, score 1 holds 20.
     val rows = Seq((1L, 10L, 2L), (2L, 20L, 2L), (3L, 20L, 1L))
