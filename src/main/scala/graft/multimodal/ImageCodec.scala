@@ -206,9 +206,15 @@ object ImageCodec {
     val h = 12 + (id % 5).toInt
     val (mx, my) = ((3 + id % 13).toInt, (5 + id % 11).toInt)
     val base = (id * id % 97).toInt
+    // The x·y texture term varies per id: a pure linear ramp (the first
+    // draft) made adjacent-cell comparisons mostly "rising", so dHashes
+    // clustered toward all-ones rows and the band buckets went hot at
+    // 100× docs (28× measured; the hot-bucket cap now also guards this
+    // engine-side). Cross-term texture keeps the hash space spread.
+    val tx = (3 + id % 29).toInt
     encodePng(w, h, { (x, y) =>
       val inPatch = patch && x < 3 && y < 3
-      val v = (x * mx + y * my + base) % 256
+      val v = (x * mx + y * my + (x * y * tx) % 101 + base) % 256
       val p = if (inPatch) 255 - v else v
       (p, (p * 2) % 256, (p * 3) % 256)
     })

@@ -159,6 +159,43 @@ object MultimodalQueries {
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("modality"),
       col("text").cast(BinaryType).as("content"))
 
+  /** Banded hamming near-dup pairs over a 64-bit perceptual hash —
+    * shared by q222 (image dHash) and q223 (audio envelope): 8 bands of
+    * 8 bits, pairs sharing a band value verify exact
+    * bit_count(xor) ≤ `maxHamming`. Pigeonhole: ≤ 7 flips across 8
+    * bands leave ≥ 1 band exact, so the banding is LOSSLESS at the
+    * default threshold — up to the `maxBucket` hot-bucket cap (the q42
+    * LSH discipline): a band value shared by more members than the cap
+    * carries too few bits to discriminate and would alone put |bucket|²
+    * candidate pairs on one reducer (the image side MEASURED 28× at
+    * 100× before the cap — gradient images cluster toward all-rising
+    * dHash rows); such buckets drop from candidate generation and a
+    * true pair's recall then rests on its 7 other bands.
+    * MultimodalSpec's banded ≡ brute gates run at oracle scale, where
+    * no fixture bucket nears the cap, so losslessness there is exact.
+    */
+  private[multimodal] def hammingNearDupPairs(hashes: DataFrame,
+      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("h"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("b"),
+          shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
+          .as("band"))
+      .select(col("media_id"), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "v")
+    val sized = bands.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    val cand = sized.as("x").join(sized.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("da"), col("y.media_id").as("db"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    cand.select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("da", "db")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // REAL image decode (JDK ImageIO, zero new deps): each doc_id becomes
@@ -535,21 +572,7 @@ object MultimodalQueries {
           .select(col("media_id"),
             dh(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
           .filter(col("h").isNotNull)
-        val bands = hashes.select(col("media_id"), col("h"),
-            explode(array((0 until 8).map(b => struct(lit(b).as("b"),
-              shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
-              .as("band"))
-          .select(col("media_id"), col("h"), col("band.b").as("b"), col("band.v").as("v"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-              col("x.media_id") < col("y.media_id"))
-          .select(col("x.media_id").as("da"), col("y.media_id").as("db"),
-            col("x.h").as("ha"), col("y.h").as("hb"))
-          .distinct()
-        cand.select(col("da"), col("db"),
-            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-          .filter(col("hamming") <= 7)
-          .orderBy("da", "db")
+        hammingNearDupPairs(hashes)
       },
       None),
 
@@ -573,21 +596,7 @@ object MultimodalQueries {
           .select(col("media_id"),
             ph(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
           .filter(col("h").isNotNull)
-        val bands = hashes.select(col("media_id"), col("h"),
-            explode(array((0 until 8).map(b => struct(lit(b).as("b"),
-              shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
-              .as("band"))
-          .select(col("media_id"), col("h"), col("band.b").as("b"), col("band.v").as("v"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-              col("x.media_id") < col("y.media_id"))
-          .select(col("x.media_id").as("da"), col("y.media_id").as("db"),
-            col("x.h").as("ha"), col("y.h").as("hb"))
-          .distinct()
-        cand.select(col("da"), col("db"),
-            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-          .filter(col("hamming") <= 7)
-          .orderBy("da", "db")
+        hammingNearDupPairs(hashes)
       },
       None)
   )
