@@ -80,6 +80,40 @@ object Eval {
           (lit(1.0e6) * col("nd").cast(DoubleType))).as("ece"))
   }
 
+  /** Retrieval metrics of a ranked system against exact ground truth
+    * (q225): per query, recall@k, MRR@k (reciprocal rank of the first
+    * relevant hit), and nDCG@k with binary relevance = membership in the
+    * truth top-k. Both inputs carry (query_id, rank, neighbor_id) — the
+    * ANN family's shape — and truth is assumed to hold exactly k rows
+    * per query (the exact top-k contract), so IDCG is the constant
+    * Σ_{r≤k} 1/log2(r+1). Every 1/log2 gain snaps to DECIMAL(18,9)
+    * (both in the per-rank gains and in the scala-side IDCG constant,
+    * same HALF_UP grid) so a system identical to the truth scores
+    * EXACTLY 1.0. One truth-key join + one per-query agg — both sides
+    * are |Q|·k rows, metadata-scale relative to the corpus the rankers
+    * scanned.
+    */
+  def retrievalMetrics(truth: DataFrame, sys: DataFrame, k: Int): DataFrame = {
+    val rel = truth.select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+    val gain9 = (lit(1.0) / log2(col("rank").cast(DoubleType) + lit(1.0)))
+      .cast(DecimalType(18, 9))
+    val idcg = (1 to k).map { r =>
+      BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    sys.join(rel, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .groupBy("query_id")
+      .agg(
+        (sum(col("rel")).cast(DoubleType) / lit(k.toDouble)).as("recall"),
+        coalesce(lit(1.0) /
+            min(when(col("rel") === 1L, col("rank"))).cast(DoubleType),
+          lit(0.0)).as("mrr"),
+        (sum(when(col("rel") === 1L, gain9)
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 9))))
+          .cast(DoubleType) / lit(idcg.toDouble)).as("ndcg"))
+  }
+
   /** ROC points over coarse score buckets, thresholds scanned descending
     * (predict positive iff bucket ≥ t); cumulative TPR/FPR as exact
     * integer ppm floors. `base` needs (pos: long 0/1, bucket: long).

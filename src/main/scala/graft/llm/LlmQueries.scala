@@ -288,6 +288,24 @@ object LlmQueries {
       },
       None),
 
+    // Retrieval evaluation — the ANN family's own report card, promoting
+    // the recall checks LshSpec runs ad-hoc to a first-class operator:
+    // per query, recall@5 / MRR@5 / nDCG@5 of the LSH ranking (q45's
+    // path) against the exact brute-force top-5 as ground truth. Gains
+    // snap to DECIMAL(18,9) on both sides of the nDCG ratio so a perfect
+    // system scores exactly 1.0. The metric fold is |Q|·k-row joins —
+    // metadata-scale; the rankers' own 100 TB postures apply. Rows-only
+    // (the LSH side is seeded Spark-side); EvalSpec gates the formulas
+    // against hand-computed examples and the perfect/disjoint anchors.
+    Q("q225_retrieval_eval", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val truth = Similarity.bruteForceTopK(q, e, k = 5)
+        val sys = Similarity.lshTopK(q, e, k = 5)
+        Eval.retrievalMetrics(truth, sys, k = 5).orderBy("query_id")
+      },
+      None),
+
     // Sample-preserving FFD bin packing — the OTHER standard packing
     // beside q81's concat-then-chunk: a doc is never split across
     // sequences (the contamination-free choice for SFT/eval batches).

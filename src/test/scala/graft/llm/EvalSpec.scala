@@ -103,4 +103,35 @@ class EvalSpec extends SparkSpec {
     val pr = Eval.calibrationScore(perfect.toDF("pos", "s")).collect()(0)
     assert(pr.getDouble(1) == 0.0 && pr.getDouble(2) == 0.0)
   }
+
+  test("retrieval metrics: perfect system scores exactly 1, disjoint 0, hand example") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Int, Long)]) =
+      rows.toDF("query_id", "rank", "neighbor_id")
+    val truth = df(Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    val perfect = Eval.retrievalMetrics(truth, truth, k = 3).collect()(0)
+    assert(perfect.getDouble(1) == 1.0 && perfect.getDouble(2) == 1.0 &&
+      perfect.getDouble(3) == 1.0)
+    val disjoint = Eval.retrievalMetrics(truth,
+      df(Seq((1L, 1, 90L), (1L, 2, 91L), (1L, 3, 92L))), k = 3).collect()(0)
+    assert(disjoint.getDouble(1) == 0.0 && disjoint.getDouble(2) == 0.0 &&
+      disjoint.getDouble(3) == 0.0)
+    // Hand example: sys = (miss, hit@2, hit@3) → recall 2/3, MRR 1/2,
+    // nDCG = (g2 + g3) / (g1 + g2 + g3) with gains on the DECIMAL(18,9) grid.
+    val r = Eval.retrievalMetrics(truth,
+      df(Seq((1L, 1, 90L), (1L, 2, 10L), (1L, 3, 12L))), k = 3).collect()(0)
+    def g(rk: Int) = BigDecimal(1.0 / (math.log(rk + 1.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(r.getDouble(1) - 2.0 / 3.0) < 1e-15)
+    assert(r.getDouble(2) == 0.5)
+    val want = ((g(2) + g(3)).toDouble / (g(1) + g(2) + g(3)).toDouble)
+    assert(math.abs(r.getDouble(3) - want) < 1e-15)
+    // The q225 composition runs and stays in [0, 1] with exact-ranker recall 1.
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val exactTruth = Similarity.bruteForceTopK(q, e, 5)
+    val self = Eval.retrievalMetrics(exactTruth, exactTruth, 5).collect()
+    assert(self.length == 10 && self.forall(row =>
+      row.getDouble(1) == 1.0 && row.getDouble(2) == 1.0 && row.getDouble(3) == 1.0))
+  }
 }
