@@ -174,6 +174,23 @@ object MultimodalQueries {
     * MultimodalSpec's banded ≡ brute gates run at oracle scale, where
     * no fixture bucket nears the cap, so losslessness there is exact.
     */
+  /** The q222/q226 image-hash fixture stage: every doc renders a
+    * gradient+texture PNG, every 5th also a planted near-duplicate
+    * (inverted 3×3 corner patch) under a shifted id; decode + dHash via
+    * the [[ImageCodec]] kernels. */
+  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
+    val enc = udf((id: Long, p: Boolean) => ImageCodec.formulaPng2(id, p))
+    val dh = udf((b: Array[Byte]) => ImageCodec.dHashOf(b))
+    val docs = t(s, dir, "documents").select("doc_id")
+    val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+    val dups = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("media_id"), lit(true).as("p"))
+    base.unionByName(dups)
+      .select(col("media_id"),
+        dh(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
+      .filter(col("h").isNotNull)
+  }
+
   private[multimodal] def hammingNearDupPairs(hashes: DataFrame,
       maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
     val bands = hashes.select(col("media_id"), col("h"),
@@ -562,17 +579,29 @@ object MultimodalQueries {
     // Scale: one decode+hash pass, band-key equi join with bounded
     // verify, the q42/q43 posture on the pixel modality.
     Q("q222_image_neardup", { (s, dir) =>
-        val enc = udf((id: Long, p: Boolean) => ImageCodec.formulaPng2(id, p))
-        val dh = udf((b: Array[Byte]) => ImageCodec.dHashOf(b))
-        val docs = t(s, dir, "documents").select("doc_id")
-        val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
-        val dups = docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("media_id"), lit(true).as("p"))
-        val hashes = base.unionByName(dups)
+        hammingNearDupPairs(imageHashes(s, dir))
+      },
+      None),
+
+    // End-to-end IMAGE dedup — the q203 shape on the pixel modality:
+    // q222's verified perceptual pairs close transitively
+    // (large-star/small-star components) and each cluster keeps its
+    // min-id canonical, so the output is directly actionable (keep =
+    // true survives, the rest drop). Rows-only; MultimodalSpec gates
+    // every planted duplicate clustering with (and losing to) its base
+    // and exactly one keeper per cluster.
+    Q("q226_image_dedup", { (s, dir) =>
+        val hashes = imageHashes(s, dir)
+        val pairs = hammingNearDupPairs(hashes).select("da", "db")
+        val comp = graft.operators.Components
+          .connectedComponents(pairs, "da", "db")
+          .withColumnRenamed("node", "media_id")
+        hashes.select("media_id")
+          .join(comp, Seq("media_id"), "left")
           .select(col("media_id"),
-            dh(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
-          .filter(col("h").isNotNull)
-        hammingNearDupPairs(hashes)
+            coalesce(col("component"), col("media_id")).as("cluster_id"))
+          .withColumn("keep", col("media_id") === col("cluster_id"))
+          .orderBy("media_id")
       },
       None),
 
