@@ -288,6 +288,55 @@ object LlmQueries {
       },
       None),
 
+    // Embedding-space DRIFT between corpus generations — the q213
+    // report's embedding sibling and the encoder/distribution-shift
+    // monitor a recurring pipeline publishes: per label, the Euclidean
+    // shift of the mean vector between v1 (all vectors) and v2 (the next
+    // generation: every 10th dropped). Component sums fold as
+    // DECIMAL(18,9) (order-insensitive — a double vector sum is
+    // partition-order-dependent), means and the final sqrt are single
+    // identical double expressions, and each squared component delta
+    // snaps back to the decimal grid before the cross-dimension sum.
+    // Plan: posexplode → (label, dim)-keyed partial aggs — the shuffle
+    // carries labels×dims rows, metadata-scale at any corpus size.
+    Q("q227_embedding_drift", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        def comp(df: DataFrame, tag: String): DataFrame = df
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos"),
+            col("col").cast(DoubleType).cast(DecimalType(18, 9)).as("x"))
+          .groupBy("label", "pos")
+          .agg(sum(col("x")).as(s"s$tag"), count(lit(1)).as(s"n$tag"))
+        val j = comp(e, "1")
+          .join(comp(e.filter(col("vec_id") % 10 =!= 0), "2"), Seq("label", "pos"))
+        val mu1 = col("s1").cast(DoubleType) / col("n1").cast(DoubleType)
+        val mu2 = col("s2").cast(DoubleType) / col("n2").cast(DoubleType)
+        j.select(col("label"), col("n1"), col("n2"),
+            ((mu1 - mu2) * (mu1 - mu2)).cast(DecimalType(18, 9)).as("d2"))
+          .groupBy("label")
+          .agg(max(col("n1")).as("n_v1"), max(col("n2")).as("n_v2"),
+            sqrt(sum(col("d2")).cast(DoubleType)).as("drift"))
+          .orderBy("label")
+      },
+      Some("""WITH dv AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+             |c1 AS (SELECT label, i,
+             |    sum(CAST(v[i] AS DECIMAL(18,9))) AS s1, CAST(count(*) AS BIGINT) AS n1
+             |  FROM dv, dims GROUP BY label, i),
+             |c2 AS (SELECT label, i,
+             |    sum(CAST(v[i] AS DECIMAL(18,9))) AS s2, CAST(count(*) AS BIGINT) AS n2
+             |  FROM dv, dims WHERE vec_id % 10 <> 0 GROUP BY label, i),
+             |d AS (SELECT label, n1, n2,
+             |    CAST((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |      * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS DECIMAL(18,9)) AS d2
+             |  FROM c1 JOIN c2 USING (label, i))
+             |SELECT label, max(n1) AS n_v1, max(n2) AS n_v2,
+             |  sqrt(CAST(sum(d2) AS DOUBLE)) AS drift
+             |FROM d GROUP BY label ORDER BY label""".stripMargin)),
+
     // Retrieval evaluation — the ANN family's own report card, promoting
     // the recall checks LshSpec runs ad-hoc to a first-class operator:
     // per query, recall@5 / MRR@5 / nDCG@5 of the LSH ranking (q45's

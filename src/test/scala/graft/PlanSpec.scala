@@ -575,6 +575,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q227 embedding drift: (label, dim)-keyed partial aggs, no cartesian") {
+    val p = plan("q227_embedding_drift")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_"), "component sums must map-side combine\n" + p)
+    assert(p.contains("hashpartitioning(label"),
+      "the shuffle must key on (label, dim), never a single partition\n" + p)
+  }
+
   test("q213 drift report: one id-keyed outer join, partial+final agg, no cartesian") {
     val p = plan("q213_corpus_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
