@@ -288,6 +288,41 @@ object LlmQueries {
       },
       None),
 
+    // N-gram NOVELTY audit — per doc, the share of its distinct word
+    // trigrams that appear in NO other document (integer ppm): the
+    // memorization/novelty signal that separates boilerplate-heavy docs
+    // (novelty → 0) from genuinely fresh text, published beside the
+    // q198/q213 corpus reports. Plan: distinct (doc, trigram) pairs →
+    // trigram-keyed df agg (the q122 skew note: a real n-gram vocab does
+    // NOT broadcast, so the df lookup is a key-shuffle join at the
+    // pair level, partial-agg bounded) → one per-doc integer fold.
+    Q("q228_ngram_novelty", { (s, dir) =>
+        val toks = TextOps.tokens(col("text"))
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"), explode(WordSpans(toks, 3)).as("tri"))
+          .distinct()
+        val df3 = pairs.groupBy("tri").agg(count(lit(1)).as("df"))
+        pairs.join(df3, "tri")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tri"),
+            sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+          .selectExpr("doc_id", "n_tri", "n_novel",
+            "(n_novel * CAST(1000000 AS BIGINT)) DIV n_tri AS novelty_ppm")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |pairs AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+             |  FROM toks),
+             |df3 AS (SELECT tri, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY tri)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+             |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+             |FROM pairs JOIN df3 USING (tri)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift
     // monitor a recurring pipeline publishes: per label, the Euclidean

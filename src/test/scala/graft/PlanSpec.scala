@@ -575,6 +575,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q228 ngram novelty: trigram-keyed df join at pair level, never all-to-all") {
+    val p = plan("q228_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_"), "df agg must map-side combine\n" + p)
+    assert(p.contains("hashpartitioning(tri"),
+      "the df lookup must key-shuffle on the trigram\n" + p)
+  }
+
   test("q227 embedding drift: (label, dim)-keyed partial aggs, no cartesian") {
     val p = plan("q227_embedding_drift")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
