@@ -306,7 +306,16 @@ object MysqlReplicaSession {
           case 0x04 if st.config.tls =>
             // full auth over an ENCRYPTED stream: the cleartext password
             // goes NUL-terminated — the public protocol's TLS path (no
-            // RSA round needed; the transport already upgraded)
+            // RSA round needed; the transport already upgraded). When the
+            // stream is encrypted but UNVERIFIED (tlsVerify = false, the
+            // ssl-mode=REQUIRED parity posture), the password is MITM-able
+            // despite the encryption — warn loudly rather than silently.
+            if (!st.config.tlsVerify)
+              System.err.println("[graft-cdc] WARNING: sending cleartext " +
+                "password for caching_sha2 full auth over a TLS stream " +
+                "whose server certificate was NOT verified (tlsVerify = " +
+                "false); an active MITM can capture it. Set tlsVerify = " +
+                "true for this path.")
             Step(st.copy(phase = AwaitAuthResult), send = Seq(
               (5 + st.seqOff) ->
                 (st.config.password.getBytes("UTF-8") :+ 0.toByte)))

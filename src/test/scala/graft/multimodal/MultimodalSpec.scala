@@ -486,7 +486,7 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0))
     val all = docs.map(i => i -> ImageCodec.dHashOf(ImageCodec.formulaPng2(i)).get) ++
       docs.filter(_ % 5 == 0).map(i =>
-        (i + 1000000L) -> ImageCodec.dHashOf(ImageCodec.formulaPng2(i, patch = true)).get)
+        (i + graft.multimodal.MultimodalQueries.DupOffset) -> ImageCodec.dHashOf(ImageCodec.formulaPng2(i, patch = true)).get)
     val brute = (for {
       (ia, ha) <- all; (ib, hb) <- all
       if ia < ib && hamming(ha, hb) <= 7
@@ -494,7 +494,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
     // And the planted pairs are all in it.
     docs.filter(_ % 5 == 0).foreach { i =>
-      assert(got.contains((i, i + 1000000L)), s"planted pair $i missing") }
+      assert(got.contains((i, i + graft.multimodal.MultimodalQueries.DupOffset)), s"planted pair $i missing") }
   }
 
   test("image dedup clusters: planted dup loses to its base, one keeper per cluster") {
@@ -504,7 +504,7 @@ class MultimodalSpec extends SparkSpec {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id").collect().map(_.getLong(0))
     docs.filter(_ % 5 == 0).foreach { i =>
-      val dup = byId(i + 1000000L)
+      val dup = byId(i + graft.multimodal.MultimodalQueries.DupOffset)
       assert(dup._2 == byId(i)._2, s"planted dup $i not clustered with its base")
       assert(!dup._3, s"planted dup $i must not be the keeper")
     }
@@ -552,13 +552,13 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0))
     val all = docs.map(i => i -> AudioKernels.pcmHash(PcmFixtures.formulaWav2(i)).get) ++
       docs.filter(_ % 7 == 0).map(i =>
-        (i + 1000000L) -> AudioKernels.pcmHash(PcmFixtures.formulaWav2(i, perturb = true)).get)
+        (i + graft.multimodal.MultimodalQueries.DupOffset) -> AudioKernels.pcmHash(PcmFixtures.formulaWav2(i, perturb = true)).get)
     val brute = (for {
       (ia, ha) <- all; (ib, hb) <- all
       if ia < ib && hamming(ha, hb) <= 7
     } yield (ia, ib)).toSet
     assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
     docs.filter(_ % 7 == 0).foreach { i =>
-      assert(got.contains((i, i + 1000000L)), s"planted pair $i missing") }
+      assert(got.contains((i, i + graft.multimodal.MultimodalQueries.DupOffset)), s"planted pair $i missing") }
   }
 }
