@@ -244,7 +244,9 @@ object AudioKernels {
     * orientation-invariant, so the DIB bottom-up row order does not
     * matter here. Null for non-AVI, missing 'movi', any '00db' chunk
     * whose size differs from stride×height, or truncation. Compressed
-    * streams ('00dc') are NOT decoded — that is the documented stub.
+    * streams ('00dc') are not decoded HERE: MJPG '00dc' decodes for real
+    * via ImageIO in [[graft.multimodal.MjpgCodec]] (q229); only codecs
+    * the JDK genuinely lacks (H.264/H.265/VP9/AV1) remain stubbed.
     */
   def videoDibStats(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 72) return null

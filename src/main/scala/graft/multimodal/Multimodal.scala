@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   * per partition, schema declared up front, no driver round-trips).
   *
   * The IMAGE modality decodes for real through the JDK's `javax.imageio`
-  * codecs (JPEG/PNG/GIF/BMP → pixels; see [[ImageCodec]] and q50/q51).
-  * Audio/video bitstream decode stays STUBBED behind
-  * [[MediaDecode.decodeReal]] — the JDK ships no MP3/AAC/H.264 codec —
-  * with [[MediaDecode.decodeStub]]'s deterministic fake keeping that
-  * plumbing (schema, partitioning, batch shape, joins) real and testable;
-  * header-level AV metadata is fully real (q103/q144/q180).
+  * codecs (JPEG/PNG/GIF/BMP → pixels; see [[ImageCodec]] and q50/q51);
+  * VIDEO decodes for real for uncompressed DIB frames (q210) and MJPG
+  * motion-JPEG (q229, every frame a standalone JPEG through ImageIO);
+  * AUDIO decodes for real for PCM WAV (q209). Only bitstream codecs the
+  * JDK genuinely lacks (MP3/AAC/H.264/H.265/VP9/AV1) stay STUBBED behind
+  * [[MediaDecode.decodeReal]], with [[MediaDecode.decodeStub]]'s
+  * deterministic fake keeping that plumbing (schema, partitioning, batch
+  * shape, joins) real and testable; header-level AV metadata is fully
+  * real (q103/q144/q180).
   */
 object MediaDecode {
 
@@ -529,7 +532,9 @@ object MultimodalQueries {
     // per-channel pixel sums plus inter-frame MOTION energy (sum of
     // |byte-wise frame deltas|) — the static-video/slideshow detector.
     // All integers, so the closed-form oracle must match bit-exactly;
-    // compressed '00dc' streams remain the documented stub.
+    // compressed '00dc' streams: MJPG decodes for real via ImageIO
+    // (q229); codecs the JDK lacks (H.264/H.265/VP9/AV1) remain the
+    // documented stub.
     Q("q210_video_motion", { (s, dir) =>
         val enc = udf((id: Long) => VideoFixtures.formulaAvi(id))
         t(s, dir, "documents")
@@ -652,6 +657,34 @@ object MultimodalQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         hammingNearDupPairs(hashes)
       },
+      None),
+
+    // COMPRESSED video decode — MJPG ('00dc' motion-JPEG), the codec the
+    // JDK actually ships: each doc renders a real AVI whose frames are
+    // standalone JPEGs written by ImageIO's own encoder; the kernel walks
+    // RIFF → movi, decodes every frame through ImageIO, and emits exact
+    // per-channel pixel sums over the DECODED rasters plus inter-frame
+    // motion energy — the q210 shape on a lossy bitstream. Rows-only
+    // (JPEG loss has no closed form); MultimodalSpec golden-gates the
+    // stats bit-exactly against a direct ImageIO decode of the same
+    // frames and bounds the formula drift (pixel realness), plus
+    // junk/truncation/foreign-codec negatives. Scale: one decode pass,
+    // no shuffle until the final sort — embarrassingly parallel.
+    Q("q229_video_mjpg_motion", { (s, dir) =>
+        val enc = udf((id: Long) => VideoFixtures.formulaMjpgAvi(id))
+        val st = udf((b: Array[Byte]) => MjpgCodec.mjpgStats(b))
+        t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), st(enc(col("doc_id"))).as("v"))
+          .select(col("media_id"),
+            coalesce(col("v.n_frames"), lit(-1)).as("n_frames"),
+            coalesce(col("v.width"), lit(-1)).as("width"),
+            coalesce(col("v.height"), lit(-1)).as("height"),
+            coalesce(col("v.sum_r"), lit(-1L)).as("sum_r"),
+            coalesce(col("v.sum_g"), lit(-1L)).as("sum_g"),
+            coalesce(col("v.sum_b"), lit(-1L)).as("sum_b"),
+            coalesce(col("v.motion"), lit(-1L)).as("motion"))
+          .orderBy("media_id")
+      },
       None)
   )
 }
@@ -699,6 +732,150 @@ object VideoFixtures {
     val movi = ascii("LIST") ++ le(4L + frames.length, 4) ++ ascii("movi") ++ frames
     ascii("RIFF") ++ le(4L + hdrl.length + movi.length, 4) ++ ascii("AVI ") ++
       hdrl ++ movi
+  }
+
+  /** Formula-synthesized REAL motion-JPEG AVI (q229 fixture side): same
+    * RIFF/hdrl/movi skeleton as [[formulaAvi]] but the stream is
+    * COMPRESSED — each '00dc' chunk is a complete standalone JPEG written
+    * by the JDK's own ImageIO JPEG encoder from formula-known pixels.
+    * That is the actual MJPG wire format (every frame an independent
+    * JPEG), so [[MjpgCodec.mjpgStats]] exercises a real compressed-video
+    * decode with zero new dependencies. JPEG is lossy → no closed-form
+    * oracle; the gate is MultimodalSpec's golden compare against a direct
+    * ImageIO decode of the same frames (bit-exact: same codec both
+    * sides) plus a formula-proximity tolerance for pixel realness.
+    */
+  def formulaMjpgAvi(d: Long): Array[Byte] = {
+    val f = (d % 3 + 2).toInt
+    val w = (d % 8 + 8).toInt
+    val h = (d % 6 + 8).toInt
+    def jpegFrame(fr: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + y * 13 + fr * 5 + d * 3) % 256).toInt
+          val g = ((x * 5 + y * 11 + fr * 3 + d * 2) % 256).toInt
+          val b = ((x * 3 + y * 7 + fr * 11 + d) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val avih = ascii("avih") ++ le(56, 4) ++ new Array[Byte](32) ++
+      le(w, 4) ++ le(h, 4) ++ new Array[Byte](16)
+    val hdrl = ascii("LIST") ++ le(4L + avih.length, 4) ++ ascii("hdrl") ++ avih
+    val frames = (0 until f).flatMap { fr =>
+      val j = jpegFrame(fr)
+      // RIFF chunks pad to even length; the size field records the
+      // unpadded payload length
+      val pad = if ((j.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+      ascii("00dc") ++ le(j.length.toLong, 4) ++ j ++ pad
+    }.toArray
+    val movi = ascii("LIST") ++ le(4L + frames.length, 4) ++ ascii("movi") ++ frames
+    ascii("RIFF") ++ le(4L + hdrl.length + movi.length, 4) ++ ascii("AVI ") ++
+      hdrl ++ movi
+  }
+}
+
+/** MJPG ('00dc' motion-JPEG) frame decode — the compressed-video format
+  * the JDK can actually decode, closing the q210 stub for it: every MJPG
+  * frame is a standalone JPEG, so the kernel walks RIFF → LIST movi →
+  * '00dc' chunks and hands each payload to ImageIO, folding exact
+  * per-channel pixel sums over the DECODED rasters plus inter-frame
+  * MOTION energy (Σ |Δr|+|Δg|+|Δb| per pixel between consecutive
+  * frames). Codecs the JDK genuinely lacks (H.264/H.265/VP9/AV1 '00dc'
+  * streams) remain the documented stub — an unreadable frame rejects the
+  * whole payload (None), never a throw.
+  */
+object MjpgCodec {
+
+  /** Typed stats row (UDF-returnable struct). */
+  final case class MjpgStats(
+      n_frames: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, motion: Long)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** Decode stats from an MJPG AVI; None on junk, truncation, missing
+    * movi, a frame ImageIO cannot decode, or frame dims that disagree
+    * with the avih header (hostile bytes are data, not errors).
+    */
+  def mjpgStats(b: Array[Byte]): Option[MjpgStats] = {
+    if (b == null || b.length < 72) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    // header dims from the avih fields (same offsets the q103 sniffer
+    // reads); each decoded frame must agree
+    var i = 12
+    var w = -1; var h = -1
+    var moviStart = -1; var moviEnd = -1
+    while (i + 8 <= b.length && (moviStart < 0 || w < 0)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue - 9 || i + 8 + size > b.length) return None
+      if (tag(b, i, "LIST") && size >= 4) {
+        if (tag(b, i + 8, "hdrl") && i + 8 + size >= i + 12 + 48 + 8 &&
+            tag(b, i + 12, "avih")) {
+          w = le32(b, i + 12 + 8 + 32).toInt
+          h = le32(b, i + 12 + 8 + 36).toInt
+        }
+        if (tag(b, i + 8, "movi")) {
+          moviStart = i + 12; moviEnd = i + 8 + size.toInt
+        }
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (moviStart < 0 || w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
+      return None
+    var nFrames = 0; var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
+    var prev: Array[Int] = null
+    var j = moviStart
+    while (j + 8 <= moviEnd) {
+      val sz = le32(b, j + 4)
+      if (sz < 0 || j + 8 + sz > moviEnd) return None
+      if (tag(b, j, "00dc")) {
+        val img = ImageCodec.decode(
+          java.util.Arrays.copyOfRange(b, j + 8, j + 8 + sz.toInt))
+          .getOrElse(return None)
+        if (img.getWidth != w || img.getHeight != h) return None
+        val cur = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            cur(y * w + x) = p
+            sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        if (prev != null) {
+          var k = 0
+          while (k < cur.length) {
+            val c = cur(k); val q = prev(k)
+            motion += math.abs(((c >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+              math.abs(((c >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+              math.abs((c & 0xff) - (q & 0xff))
+            k += 1
+          }
+        }
+        prev = cur; nFrames += 1
+      }
+      j += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (nFrames == 0) None
+    else Some(MjpgStats(nFrames, w, h, sumR, sumG, sumB, motion))
   }
 }
 

@@ -561,4 +561,91 @@ class MultimodalSpec extends SparkSpec {
     docs.filter(_ % 7 == 0).foreach { i =>
       assert(got.contains((i, i + graft.multimodal.MultimodalQueries.DupOffset)), s"planted pair $i missing") }
   }
+
+  test("MJPG stats: golden vs direct ImageIO decode, pixel realness, negatives") {
+    // Independent extraction: walk the movi chunks ourselves, decode each
+    // '00dc' payload directly through ImageIO, fold sums + motion. Same
+    // codec both sides → the kernel's AVI walk and stats fold are gated
+    // bit-exactly even though JPEG itself is lossy.
+    def goldenOf(avi: Array[Byte]): MjpgCodec.MjpgStats = {
+      def le32(i: Int): Int = (avi(i) & 0xff) | ((avi(i + 1) & 0xff) << 8) |
+        ((avi(i + 2) & 0xff) << 16) | ((avi(i + 3) & 0xff) << 24)
+      val moviAt = avi.indices.find(i => i + 4 <= avi.length &&
+        avi(i) == 'm' && avi(i + 1) == 'o' && avi(i + 2) == 'v' && avi(i + 3) == 'i').get
+      var j = moviAt + 4
+      val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+      while (j + 8 <= avi.length) {
+        val sz = le32(j + 4)
+        if (avi(j) == '0' && avi(j + 1) == '0' && avi(j + 2) == 'd' && avi(j + 3) == 'c')
+          frames += javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(avi, j + 8, j + 8 + sz)))
+        j += 8 + sz + (sz & 1)
+      }
+      val fs = frames.result()
+      val (w, h) = (fs.head.getWidth, fs.head.getHeight)
+      var (sr, sg, sb, mo) = (0L, 0L, 0L, 0L)
+      for (fi <- fs.indices; y <- 0 until h; x <- 0 until w) {
+        val p = fs(fi).getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        if (fi > 0) {
+          val q = fs(fi - 1).getRGB(x, y)
+          mo += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+            math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+            math.abs((p & 0xff) - (q & 0xff))
+        }
+      }
+      MjpgCodec.MjpgStats(fs.size, w, h, sr, sg, sb, mo)
+    }
+
+    for (d <- Seq(0L, 5L, 12L, 77L)) {
+      val avi = VideoFixtures.formulaMjpgAvi(d)
+      val (f, w, h) = ((d % 3 + 2).toInt, (d % 8 + 8).toInt, (d % 6 + 8).toInt)
+      val got = MjpgCodec.mjpgStats(avi)
+      val gold = goldenOf(avi)
+      assert(got.contains(gold), s"d=$d kernel $got vs golden $gold")
+      assert(gold.n_frames == f && gold.width == w && gold.height == h)
+      // pixel REALNESS: the decoded sums track the encoded formula within
+      // JPEG loss — mean per-pixel-channel deviation bounded, so the
+      // decode is reading actual picture content, not noise
+      val n = f.toLong * w * h
+      var (fr0, fg0, fb0) = (0L, 0L, 0L)
+      for (fr <- 0 until f; y <- 0 until h; x <- 0 until w) {
+        fr0 += (x * 7 + y * 13 + fr * 5 + d * 3) % 256
+        fg0 += (x * 5 + y * 11 + fr * 3 + d * 2) % 256
+        fb0 += (x * 3 + y * 7 + fr * 11 + d) % 256
+      }
+      assert(math.abs(gold.sum_r - fr0) < 24 * n, s"d=$d sum_r drift")
+      assert(math.abs(gold.sum_g - fg0) < 24 * n, s"d=$d sum_g drift")
+      assert(math.abs(gold.sum_b - fb0) < 24 * n, s"d=$d sum_b drift")
+    }
+
+    // negatives: junk, truncation, a DIB-only AVI (no '00dc' frames), and
+    // a frame whose JPEG is corrupted — each rejects, never throws
+    assert(MjpgCodec.mjpgStats(null).isEmpty)
+    assert(MjpgCodec.mjpgStats("not an avi at all, just text bytes padded to length 72!!!!!!!!!!!!!!!!!!"
+      .getBytes("US-ASCII")).isEmpty)
+    val ok = VideoFixtures.formulaMjpgAvi(9L)
+    assert(MjpgCodec.mjpgStats(ok.take(50)).isEmpty, "short truncation")
+    assert(MjpgCodec.mjpgStats(ok.dropRight(7)).isEmpty, "mid-movi truncation")
+    assert(MjpgCodec.mjpgStats(VideoFixtures.formulaAvi(9L)).isEmpty, "no 00dc frames")
+    val corrupt = ok.clone()
+    val pj = corrupt.indices.find(i => i + 4 <= corrupt.length &&
+      corrupt(i) == '0' && corrupt(i + 1) == '0' &&
+      corrupt(i + 2) == 'd' && corrupt(i + 3) == 'c').get
+    corrupt(pj + 8) = 0x00; corrupt(pj + 9) = 0x00 // destroy the SOI marker
+    assert(MjpgCodec.mjpgStats(corrupt).isEmpty, "undecodable frame rejects payload")
+
+    // end-to-end: the query emits no sentinel rows on the fixture and
+    // matches the kernel per id
+    val out = graft.SparkEntry.queries("q229_video_mjpg_motion")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) > 0, s"sentinel row for media_id ${r.getLong(0)}")
+      val exp = MjpgCodec.mjpgStats(VideoFixtures.formulaMjpgAvi(r.getLong(0))).get
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)) ==
+        (exp.n_frames, exp.width, exp.height, exp.sum_r, exp.sum_g, exp.sum_b, exp.motion))
+    }
+  }
 }
