@@ -475,6 +475,28 @@ object LlmQueries {
              |WHERE margin >= 1.0
              |ORDER BY aid""".stripMargin)),
 
+    // q221's PRODUCTION candidate mode: the same ratio-margin mutual-best
+    // fold fed by IVF-Flat candidates (ivfTopKScored, nprobe 12 / nlist
+    // 16) instead of the exact O(|A|·|B|) kNN — the shape CCMatrix
+    // actually runs at corpus scale (ANN candidates, exact rescoring).
+    // Candidate stage inherits IVF's cell-join posture (no all-to-all);
+    // the margin fold is unchanged: id-keyed joins + group-limit windows.
+    // Rows-only; BitextSpec gates pair recall vs the exact q221 mode and
+    // that every emitted pair is mutual-margin-best within its own
+    // candidate sets.
+    Q("q230_bitext_mining_ann", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        // DATA-SIZED quantizer + symmetric candidate union — see
+        // bitextMineAnn's scaladoc for the design and measurements (the
+        // q128 fixed-block-param lesson re-sighted: fixed nlist=16 probed
+        // 12/16 of a 100k-vector side, near-brute-force, >600 s at 100×).
+        Similarity.bitextMineAnn(
+            e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 =!= 0))
+          .orderBy("aid")
+      },
+      None),
+
     // SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) — the
     // scale path beside the exact q52 oracle: pairs only within k-means
     // cells, multi-probe assignment for boundary recall. Recall/precision

@@ -313,7 +313,7 @@ object Similarity {
     * argmax-dot centroid, queries probe their `nprobe` best centroids and
     * score only those lists — the classic IVF-Flat recall/throughput dial.
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+  def ivfTopKScored(queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 12, dim: Int = 64): DataFrame = {
     // nprobe=12/nlist=16 measures recall@5 of 0.92/1.00/1.00 at
     // sf0.001/sf0.01/sf0.1g (r6 sweep) at the same bench cost as the old
@@ -340,10 +340,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.select(col("query_id"), col("neighbor_id"), row_number().over(w).as("rank"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** [[ivfTopKScored]] without the score column — the original IVF-Flat
+    * contract (query_id, rank, neighbor_id).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 12, dim: Int = 64): DataFrame =
+    ivfTopKScored(queries, candidates, k, nlist, nprobe, dim)
+      .select("query_id", "rank", "neighbor_id")
 
   /** SemDeDup-style cluster-scoped semantic near-dup pairs (the public
     * SemDeDup recipe: k-means the embedding space, then deduplicate only
@@ -887,6 +897,75 @@ object Similarity {
     val bestA = margins(ab)
       .withColumn("r", row_number().over(wA)).filter(col("r") === 1).drop("r")
     val bestB = margins(ba)
+      .withColumn("r", row_number().over(wB)).filter(col("r") === 1)
+      .select("aid", "bid")
+    bestA.join(bestB, Seq("aid", "bid"))
+      .filter(col("margin") >= threshold)
+      .select(col("aid"), col("bid"),
+        col("margin").cast(DecimalType(18, 9)).cast(DoubleType).as("margin9"))
+  }
+
+  /** [[bitextMine]]'s PRODUCTION candidate mode (q230): the same
+    * ratio-margin mutual-best fold, fed by IVF-Flat candidates instead of
+    * the exact O(|A|·|B|) kNN — the CCMatrix shape (ANN candidates, exact
+    * rescoring). Two IVF probes run (a→b and b→a, each with a DATA-SIZED
+    * quantizer: nlist ~ √N per FAISS practice) and their pair sets UNION
+    * symmetrically before the fold: mutual-margin pairs on this kind of
+    * fixture are cluster-BOUNDARY outliers (BitextSpec's decile print:
+    * every exact pair has cos 0.30–0.51 — the hubness correction strips
+    * dense-cluster near-dups by design), the single hardest case for a
+    * coarse quantizer, and a pair found by EITHER direction's probe
+    * enters both candidate lists, squaring the per-direction miss rate
+    * at zero extra scoring cost (MEASURED at sf0.01: pair recall 0.66
+    * one-direction → 0.92 after union, 0.95 on the top-half-cos pairs).
+    * Work scales ~nprobe/nlist · N per query — N^1.5
+    * total with the √N sizing — vs the exact mode's N².
+    *
+    * The union makes candidate lists symmetric, so one margin table
+    * serves both argmax directions; per-id candidate counts may exceed k
+    * (up to 2k), which changes the avg-of-candidates denominator vs the
+    * exact mode — this is the ANN estimator's own (documented) margin,
+    * not a drop-in replay of q221's numbers.
+    */
+  def bitextMineAnn(aSide: DataFrame, bSide: DataFrame, k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    val cos9 = col("cos").cast(DecimalType(18, 9))
+    // nlist ~ √N; nprobe floors at 8 and grows as nlist/16, so the probe
+    // FRACTION tapers from 1/4 (sf0.01, where BitextSpec's recall gate
+    // runs) toward 1/16 at corpus scale — total work ~N²·fraction, the
+    // recall/throughput dial stated rather than hidden (a constant
+    // fraction would keep the N² of the exact mode with a smaller
+    // constant).
+    def sized(q: DataFrame, c: DataFrame): DataFrame = {
+      val n = c.count()
+      val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val nprobe = math.min(nlist, math.max(8, nlist / 16))
+      ivfTopKScored(q, c, k, nlist, nprobe)
+    }
+    val cand = sized(aSide, bSide)
+      .select(col("query_id").as("aid"), col("neighbor_id").as("bid"),
+        cos9.as("cos9"))
+      .unionByName(sized(bSide, aSide)
+        .select(col("query_id").as("bid"), col("neighbor_id").as("aid"),
+          cos9.as("cos9"))
+        .select("aid", "bid", "cos9"))
+      .groupBy("aid", "bid").agg(max(col("cos9")).as("cos9"))
+    val avga = cand.groupBy("aid").agg(
+      (sum(col("cos9")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avga"))
+    val avgb = cand.groupBy("bid").agg(
+      (sum(col("cos9")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgb"))
+    val margins = cand
+      .join(avga, "aid").join(avgb, "bid")
+      .select(col("aid"), col("bid"),
+        (col("cos9").cast(DoubleType) /
+          ((col("avga") + col("avgb")) / lit(2.0))).as("margin"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("aid").orderBy(col("margin").desc, col("bid"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(col("margin").desc, col("aid"))
+    val bestA = margins
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1).drop("r")
+    val bestB = margins
       .withColumn("r", row_number().over(wB)).filter(col("r") === 1)
       .select("aid", "bid")
     bestA.join(bestB, Seq("aid", "bid"))

@@ -13,18 +13,51 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *
   * Matched shape highlights (profiled from /root/testdata/sf0.1):
   * documents ≈4.5% near-dup copies of a random earlier doc with 1-3 word
-  * edits (Jaccard 0.95-0.99) + ≈0.2% exact copies; embeddings = 64-dim
+  * edits (Jaccard 0.95-0.99) + ≈0.2% exact copies — over an OPEN
+  * Zipf/Heaps vocabulary (see the word synthesizer below), deliberately
+  * richer than the driver's closed 32-word fixture so shingle-space
+  * detectors can be measured at 100× instead of saturating; embeddings = 64-dim
   * unit vectors in 10 clusters with ≈5% near-identical copies; lineitem
   * ≈4.07 rows/order; events.ts stored as long nanos exactly like the
   * driver's TIMESTAMP(NANOS) so [[graft.Tables]] reads both identically.
   */
 object GenData {
 
-  private val Vocab: Array[String] = Array(
-    "spark", "batch", "part", "line", "column", "order", "small", "sort",
-    "fast", "value", "scan", "hash", "slow", "group", "vector", "query",
-    "agg", "table", "the", "key", "filter", "customer", "stream", "window",
-    "join", "a", "index", "cache", "shuffle", "merge", "scale", "plan")
+  // ---- open-vocabulary word synthesizer (Zipf/Heaps) -------------------
+  // The driver's sf fixtures draw from a CLOSED 32-word vocabulary, which
+  // saturates the shingle space at scale: by sf10 every possible trigram
+  // exists in thousands of docs, so exact-Jaccard detectors (q79/q88/
+  // q106/q135) go quadratic BY FIXTURE and novelty signals (q228)
+  // deflate — three sightings in round 10. Real text obeys Heaps' law
+  // (distinct words ~ n^beta); synthesize it with a hash-derived long-tail
+  // vocabulary of 2^22 ranks sampled Zipf(s=1) — frequency ~ 1/rank via
+  // inverse-CDF (rank = floor(exp(u * ln V))), so rank-1..30 words act as
+  // natural stopwords while the tail keeps producing corpus-unique words
+  // at every scale. Deterministic: word(k) is a pure function of k.
+  private val VocabRanks: Long = 1L << 22
+  private val LnV: Double = math.log(VocabRanks.toDouble)
+
+  /** Deterministic 3–10 lowercase-char word for Zipf rank `k`. */
+  def word(k: Long): String = {
+    var x = k * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+    x ^= x >>> 29; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 32
+    val len = 3 + (x & 7).toInt
+    val sb = new java.lang.StringBuilder(len)
+    var y = x | 1L
+    var i = 0
+    while (i < len) {
+      sb.append(('a' + java.lang.Long.remainderUnsigned(y >>> 8, 26).toInt).toChar)
+      y = y * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Zipf(s=1) rank sample over [1, VocabRanks): P(k) ~ 1/k. */
+  private def zipfRank(r: java.util.Random): Long =
+    math.min(VocabRanks - 1, math.max(1L, math.floor(math.exp(r.nextDouble() * LnV)).toLong))
+
+  private def sampleWord(r: java.util.Random): String = word(zipfRank(r))
   private val Langs = Array("en", "de", "es", "fr", "zh")
   private val Segments = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
   private val Priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -44,7 +77,7 @@ object GenData {
   // ---- documents ------------------------------------------------------
   private def docWords(id: Long): Array[String] = {
     val r = rng(1, id)
-    Array.fill(8 + r.nextInt(92))(Vocab(r.nextInt(Vocab.length)))
+    Array.fill(8 + r.nextInt(92))(sampleWord(r))
   }
 
   def docText(id: Long): String = {
@@ -53,7 +86,7 @@ object GenData {
     if (id > 20 && roll < 0.002) docWords(r.nextInt(id.toInt).toLong).mkString(" ")
     else if (id > 20 && roll < 0.047) {
       val w = docWords(r.nextInt(id.toInt).toLong)
-      for (_ <- 0 to r.nextInt(3)) w(r.nextInt(w.length)) = Vocab(r.nextInt(Vocab.length))
+      for (_ <- 0 to r.nextInt(3)) w(r.nextInt(w.length)) = sampleWord(r)
       w.mkString(" ")
     } else docWords(id).mkString(" ")
   }
