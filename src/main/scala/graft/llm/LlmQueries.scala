@@ -308,6 +308,36 @@ object LlmQueries {
       },
       None),
 
+    // Persisted FLAT-PQ index (q148's lifecycle split, the q220 pattern on
+    // the compressed index): codebooks + m-byte codes written once, the
+    // probe ADC-scans codes only and exact-reranks survivors against the
+    // corpus table (raw vectors stay OUT of the index — N·(8+m) bytes
+    // total). Rows-only; PqIndexSpec gates probe ≡ inline pqTopK exactly.
+    Q("q231_sim_topk_pq_persisted", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"${LlmQueries.ivfIndexRoot}/pq_${math.floorMod(dir.hashCode, 1 << 30)}"
+        Similarity.buildPqIndex(e, idx)
+        Similarity.probePqIndex(idx, e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    // Persisted IVF-PQ index (q174's lifecycle split — the full IVFADC
+    // layout at rest): centroids + residual codebooks + postings
+    // PARTITIONED BY coarse cell, so a probe reads nprobe/nlist of the
+    // corpus at PQ compression via static partition pruning (asserted in
+    // PqIndexSpec). Rows-only; gated probe ≡ inline ivfpqTopK exactly.
+    Q("q232_sim_topk_ivfpq_persisted", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"${LlmQueries.ivfIndexRoot}/ivfpq_${math.floorMod(dir.hashCode, 1 << 30)}"
+        Similarity.buildIvfPqIndex(e, idx)
+        Similarity.probeIvfPqIndex(idx, e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // N-gram NOVELTY audit — per doc, the share of its distinct word
     // trigrams that appear in NO other document (integer ppm): the
     // memorization/novelty signal that separates boilerplate-heavy docs

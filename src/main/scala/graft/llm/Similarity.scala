@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1033,5 +1033,165 @@ object Similarity {
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
+  }
+
+  // ---- persisted COMPRESSED indexes (the q220 lifecycle for PQ/IVF-PQ) --
+
+  private def writeCodebooks(spark: SparkSession,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    (for (s <- codebooks.indices; c <- codebooks(s).indices)
+      yield (s, c, codebooks(s)(c).toSeq)).toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Persisted FLAT-PQ index ([[pqTopK]]'s train+code stage written once):
+    * the m×ksub sub-codebooks (metadata-scale) plus every vector's m
+    * one-byte codes — N·(8+m) bytes, the layout that fits 100 TB of
+    * embeddings in a fraction of the raw footprint. Flat PQ has no coarse
+    * cells, so a probe SCANS all codes (that is its contract — ADC over
+    * compressed codes, no pruning) but never touches a raw vector until
+    * the exact re-rank of the top-`rerank` survivors.
+    */
+  def buildPqIndex(candidates: DataFrame, dir: String,
+      m: Int = 8, ksub: Int = 256): Unit = {
+    val spark = candidates.sparkSession
+    val codebooks = trainPqCodebooks(candidates, m, ksub)
+    writeCodebooks(spark, codebooks, dir + "/codebooks")
+    candidates
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("neighbor_id"), PqCode(normalized(col("cv")), codebooks).as("codes"))
+      .write.mode("overwrite").parquet(dir + "/codes")
+  }
+
+  /** Probe a [[buildPqIndex]] layout: ADC-score the stored codes against
+    * per-query tables rebuilt from the stored codebooks, then exact-rerank
+    * the survivors against `corpus` (the raw vectors live in the corpus
+    * table, NOT the index — survivor ids are query-bounded metadata
+    * fetched with a broadcast join). Identical output to the inline
+    * [[pqTopK]] at equal parameters (PqIndexSpec).
+    */
+  def probePqIndex(dir: String, queries: DataFrame, corpus: DataFrame,
+      k: Int, rerank: Int = 48): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val codebooks = readCodebooks(spark, dir + "/codebooks")
+    val qRows = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
+    qRows.foreach { case (id, v) =>
+      val a = v.toArray
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      val unit = if (n == 0) a else a.map(_ / n)
+      tables.put(id, PqKernels.adcTable(unit, codebooks))
+    }
+    val qids = qRows.map(_._1)
+    val scored = spark.read.parquet(dir + "/codes")
+      .select(col("neighbor_id"), col("codes"),
+        explode(array(qids.map(lit(_)): _*)).as("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        PqAdc(col("query_id"), col("codes"), tables).as("adc"))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    adcCompactRerank(scored, c, qRows.toSeq.toDF("query_id", "qv"), k, rerank)
+  }
+
+  /** Persisted IVF-PQ index — the full IVFADC layout ([[ivfpqTopK]]'s
+    * train+assign written once): coarse centroids + residual sub-codebooks
+    * (both metadata-scale) + the postings — every vector's m residual
+    * codes PARTITIONED BY its coarse cell, so a probe reads only its
+    * probed cells' files (static partition pruning, asserted in
+    * PqIndexSpec) and each file carries m bytes/vector. This is the
+    * 100 TB layout: nprobe/nlist of the corpus read per probe, at PQ's
+    * compression, rebuilt only on drift.
+    */
+  def buildIvfPqIndex(candidates: DataFrame, dir: String, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 256): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(candidates, nlist)
+    val codebooks = trainResidualCodebooks(candidates, centroids, m, ksub)
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+    writeCodebooks(spark, codebooks, dir + "/codebooks")
+    candidates
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("neighbor_id"), IvfResidual(col("cv"), centroids).as("r"))
+      .select(col("neighbor_id"), col("r.cell").as("cell"),
+        PqCode(col("r.res"), codebooks).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  /** Probe a [[buildIvfPqIndex]] layout: rebuild the per-(query, cell)
+    * residual ADC tables from the stored centroids + codebooks, read ONLY
+    * the probed cells' postings (partition-pruned), ADC-score, and
+    * exact-rerank survivors against `corpus`. Identical output to the
+    * inline [[ivfpqTopK]] at equal parameters (PqIndexSpec).
+    */
+  def probeIvfPqIndex(dir: String, queries: DataFrame, corpus: DataFrame,
+      k: Int, nprobe: Int = 12, rerank: Int = 48): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids: Array[Array[Double]] = spark.read
+      .parquet(dir + "/centroids")
+      .select("cell", "centroid").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val nlist = centroids.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe out of [1, $nlist]")
+    val codebooks = readCodebooks(spark, dir + "/codebooks")
+    val qRows = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
+    val probes = qRows.flatMap { case (id, v) =>
+      val a = v.toArray
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      val unit = if (n == 0) a else a.map(_ / n)
+      val byDot = centroids.indices
+        .map(ci => (ci, {
+          var d = 0.0; var j = 0
+          while (j < unit.length) { d += unit(j) * centroids(ci)(j); j += 1 }
+          d
+        }))
+        .sortBy { case (ci, d) => (-d, ci) }
+        .take(nprobe)
+      byDot.map { case (ci, _) =>
+        val cen = centroids(ci)
+        val qres = Array.tabulate(unit.length)(j => unit(j) - cen(j))
+        tables.put(id * nlist + ci, PqKernels.adcTable(qres, codebooks))
+        (id, ci)
+      }
+    }
+    val probedCells: Array[Int] = probes.map(_._2).distinct.sorted
+    val coded = spark.read.parquet(dir + "/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val probeDf = probes.toSeq.toDF("query_id", "cell")
+    val scored = coded.join(broadcast(probeDf), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        PqAdc(col("query_id") * nlist + col("cell"), col("codes"), tables).as("adc"))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    adcCompactRerank(scored, c, qRows.toSeq.toDF("query_id", "qv"), k, rerank)
   }
 }
