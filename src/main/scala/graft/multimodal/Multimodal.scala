@@ -203,7 +203,7 @@ object MultimodalQueries {
       .filter(col("h").isNotNull)
   }
 
-  private[multimodal] def hammingNearDupPairs(hashes: DataFrame,
+  private[graft] def hammingNearDupPairs(hashes: DataFrame,
       maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
     val bands = hashes.select(col("media_id"), col("h"),
         explode(array((0 until 8).map(b => struct(lit(b).as("b"),

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.multimodal.{ImageCodec, MultimodalQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming IMAGE dedup — [[SemDedupStream]]'s pattern on the pixel
+  * modality, composing q222's decode+dHash kernel into the ingest path:
+  * every micro-batch of images is hashed once (ImageIO decode → 64-bit
+  * dHash), screened against ITSELF (banded hamming pairs, greedy
+  * keep-lowest) and against the STANDING band store, and only
+  * perceptually novel images are admitted — a re-crop/re-encode of an
+  * image admitted two triggers ago is rejected like one admitted at
+  * bootstrap. Batch dedup (q226) answers "what is duplicated"; this
+  * answers "don't store it twice" at ingest time.
+  *
+  * State is BOUNDED by content, not by rows ingested: the store holds one
+  * (media_id, h) row — 16 bytes + id — per ADMITTED image, never the
+  * pixels. The screen reuses the q222 machinery: 8×8-bit band join with
+  * the q42 hot-bucket cap on the STORE side (an over-cap band value is
+  * non-discriminative and alone would put |bucket|·|batch| candidates on
+  * one reducer; a true pair keeps its 7 other bands), exact
+  * bit_count(xor) ≤ maxHamming verify. Per-trigger work is one decode
+  * pass over the batch + a band-key equi join against the store — at
+  * 100 TB the store is partitioned by band and the join is key-colocated;
+  * the per-trigger store re-read here is the exact backstop, same as
+  * SemDedupStream's corpus re-read.
+  */
+object ImageDedupStream {
+
+  /** Banded hamming pairs BETWEEN `newH` and `storeH` (both
+    * (media_id, h)): candidates share one of the 8 byte-bands, pairs
+    * verify exact hamming ≤ `maxHamming`. Lossless at maxHamming ≤ 7 by
+    * the q222 pigeonhole, up to the hot-bucket cap applied to the store
+    * side. Returns (new_id, store_id, hamming).
+    */
+  def hammingPairsAgainst(newH: DataFrame, storeH: DataFrame,
+      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
+    def bands(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("media_id").as(idAs), col("h"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("b"),
+          shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
+          .as("band"))
+      .select(col(idAs), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "v")
+    val storeB = bands(storeH, "store_id")
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+      .withColumnRenamed("h", "hs")
+    bands(newH, "new_id").withColumnRenamed("h", "hn")
+      .join(storeB, Seq("b", "v"))
+      .select(col("new_id"), col("store_id"), col("hn"), col("hs"))
+      .distinct()
+      .select(col("new_id"), col("store_id"),
+        bit_count(col("hn").bitwiseXOR(col("hs"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Screen one micro-batch of hashes: drop in-batch near-dup higher ids
+    * (the greedy q71/q226 keep-lowest rule), then drop everything with a
+    * near-dup in the store. Pure batch-side function.
+    */
+  def admitBatch(batchH: DataFrame, storeH: DataFrame,
+      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
+    if (batchH.isEmpty) return batchH
+    val inBatchDrops = MultimodalQueries
+      .hammingNearDupPairs(batchH, maxHamming, maxBucket)
+      .select(col("db").as("media_id")).distinct()
+    val survivors = batchH.join(inBatchDrops, Seq("media_id"), "left_anti")
+    if (storeH.isEmpty) survivors
+    else {
+      val dupIds = hammingPairsAgainst(survivors, storeH, maxHamming, maxBucket)
+        .select(col("new_id").as("media_id")).distinct()
+      survivors.join(dupIds, Seq("media_id"), "left_anti")
+    }
+  }
+
+  /** The full trigger body for a parquet-backed band store: hash the
+    * batch's image bytes (decode failures are data — dropped, not
+    * errors), screen against `storeDir` (missing/empty = bootstrap), and
+    * append the admitted (media_id, h) rows. Wire as
+    * `stream.writeStream.foreachBatch(ImageDedupStream.ingestInto(dir) _)`
+    * with a (media_id, content) batch.
+    */
+  def ingestInto(storeDir: String, maxHamming: Int = 7, maxBucket: Int = 1024)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData: Boolean = fs.exists(path) &&
+      fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+    val store =
+      if (hasData) spark.read.parquet(storeDir).select("media_id", "h")
+      else spark.emptyDataFrame
+    val dh = udf((b: Array[Byte]) => ImageCodec.dHashOf(b))
+    // the decode is the expensive kernel and foreachBatch re-executes the
+    // plan per action (screen jobs + append) — hash once, persist the
+    // 16-byte/row projection (the q226 lesson)
+    val hashed = batch
+      .select(col("media_id"), dh(col("content")).as("h"))
+      .filter(col("h").isNotNull)
+      .persist()
+    try {
+      admitBatch(hashed, store, maxHamming, maxBucket)
+        .select("media_id", "h")
+        .write.mode("append").parquet(storeDir)
+    } finally { hashed.unpersist(); () }
+  }
+}

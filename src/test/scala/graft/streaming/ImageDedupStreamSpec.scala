@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.multimodal.ImageCodec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming image dedup: per-trigger decode+dHash, in-batch banded drop,
+  * standing band-store screen — a near-dup of an image admitted triggers
+  * ago must be rejected, the store stays one 16-byte row per admitted
+  * image, and the hot-bucket cap bounds candidate generation.
+  */
+class ImageDedupStreamSpec extends SparkSpec {
+
+  private def png(id: Long, patch: Boolean = false): Array[Byte] =
+    ImageCodec.formulaPng2(id, patch)
+  private def hashOf(id: Long, patch: Boolean = false): Long =
+    ImageCodec.dHashOf(png(id, patch)).get
+
+  test("admitBatch: in-batch greedy drop, then store screen") {
+    import spark.implicits._
+    // planted near-dup: formulaPng2(i, patch=true) is within hamming 7 of
+    // its base (the q222 contract)
+    val batch = Seq(
+      (1L, hashOf(1)), (2L, hashOf(2)), (3L, hashOf(1, patch = true))
+    ).toDF("media_id", "h")
+    val boot = ImageDedupStream.admitBatch(batch, spark.emptyDataFrame)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(boot == Set(1L, 2L), s"greedy rule keeps the lower id: $boot")
+
+    val store = Seq((1L, hashOf(1)), (2L, hashOf(2))).toDF("media_id", "h")
+    val next = Seq((4L, hashOf(4)), (5L, hashOf(2, patch = true)))
+      .toDF("media_id", "h")
+    val admitted = ImageDedupStream.admitBatch(next, store)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(4L), s"store near-dup must be rejected: $admitted")
+
+    // an idle trigger is a no-op, not a crash
+    assert(ImageDedupStream.admitBatch(batch.limit(0), store).isEmpty)
+  }
+
+  test("foreachBatch ingest: cross-trigger near-dup rejected, bounded store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup_stream")
+      .resolve("store").toString
+    val in = MemoryStream[(Long, Array[Byte])]
+    val query = in.toDS().toDF("media_id", "content")
+      .writeStream
+      .foreachBatch(ImageDedupStream.ingestInto(dir) _)
+      .start()
+    try {
+      def storeIds() = spark.read.parquet(dir).select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      // trigger 1 (bootstrap): 103 is an in-batch near-dup of 1; junk
+      // bytes are data (dropped), never a crash
+      in.addData((1L, png(1)), (2L, png(2)), (103L, png(1, patch = true)),
+        (900L, "not a png".getBytes("UTF-8")))
+      query.processAllAvailable()
+      assert(storeIds() == Set(1L, 2L))
+      // trigger 2: 4 novel, 104 duplicates store image 2
+      in.addData((4L, png(4)), (104L, png(2, patch = true)))
+      query.processAllAvailable()
+      assert(storeIds() == Set(1L, 2L, 4L))
+      // trigger 3: 105 duplicates an image admitted TWO triggers ago,
+      // 106 duplicates one admitted last trigger, 7 is novel
+      in.addData((105L, png(1, patch = true)), (106L, png(4, patch = true)),
+        (7L, png(7)))
+      query.processAllAvailable()
+      assert(storeIds() == Set(1L, 2L, 4L, 7L))
+      // the store is BOUNDED: one 16-byte (media_id, h) row per admitted
+      // image — never pixels, never a re-appended id
+      val rows = spark.read.parquet(dir)
+      assert(rows.columns.toSet == Set("media_id", "h"))
+      val counts = rows.groupBy("media_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(counts.values.forall(_ == 1L), counts)
+      assert(rows.count() == 4L)
+    } finally query.stop()
+  }
+
+  test("hot-bucket cap: an over-cap store band drops from candidates; " +
+      "a true pair survives on its other bands") {
+    import spark.implicits._
+    // store rows share band 0 (low byte = 0x11) but differ elsewhere —
+    // with maxBucket = 2 that band is non-discriminative and must drop
+    val store = Seq(
+      (10L, 0x0101010101010111L), (11L, 0x4444444444444411L),
+      (12L, 0x8888888888888811L)
+    ).toDF("media_id", "h")
+    // the probe is a true near-dup of store row 10 (1 bit flipped in band
+    // 1): band 0 is capped away, bands 2–7 still match row 10 exactly
+    val probe = Seq((99L, 0x0101010101010311L)).toDF("media_id", "h")
+    val pairs = ImageDedupStream
+      .hammingPairsAgainst(probe, store, maxHamming = 7, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((99L, 10L)),
+      s"true pair must survive via uncapped bands: ${pairs.toSeq}")
+    // and the capped band generated no candidates against rows 11/12
+    // (they share ONLY the capped band with the probe): verified by the
+    // pair set above containing neither
+  }
+}
