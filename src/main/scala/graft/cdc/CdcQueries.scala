@@ -57,18 +57,37 @@ object CdcQueries {
     txn(rows.take(h), gid * 2 + 1) ++ txn(rows.drop(h), gid * 2 + 2)
   }
 
-  /** XA fixture for q176: each gid group is one binlog "file" holding one
-    * distributed transaction — `XA START x` … WRITEs … `XA END x` …
-    * XA_PREPARE(x) — whose fate is formula-derived from (gid/4) % 4:
+  /** XA fixture for q176: each gid group holds one distributed
+    * transaction — `XA START x` … WRITEs … `XA END x` … XA_PREPARE(x) —
+    * whose fate is formula-derived from (gid/4) % 4:
     * 0 = one-phase commit (the prepare carries the flag, no outcome
-    * statement), 1 = a later `XA COMMIT x`, 2 = a later `XA ROLLBACK x`,
-    * 3 = no outcome (stays prepared). gtrid = ascii "g<gid>", empty
-    * bqual, formatID 1 — so the oracle rebuilds the xid text with
-    * lower(hex(...)).
+    * statement), 2 = a later `XA ROLLBACK x`, 3 = no outcome (stays
+    * prepared) — all in the single file `b<gid>`.
+    *
+    * Fate 1 is the ORACLE-VISIBLE xid-REUSE case (MySQL permits reusing
+    * an xid once the previous transaction under it completes) with its
+    * outcomes split across NUMERICALLY-ordered files: the group's rows
+    * split into two spans under the SAME xid —
+    *   file `b<gid>`:        span 1 (first half) … prepare … XA ROLLBACK x
+    *   file `b<gid·10+9>`:   span 2 (second half) … prepare
+    *   file `b<gid·100+10>`: XA COMMIT x
+    * so span 1 must resolve to the rollback and span 2 to the commit
+    * (a min-per-xid outcome would hand span 2 the rollback), and since
+    * suffix gid·100+10 sorts BEFORE gid·10+9 lexicographically (e.g.
+    * "410" < "49") but after it numerically, span 2's committed state
+    * also pins the numeric binlog-file ordering — both r10 ADVICE fixes,
+    * now held by the DuckDB gate instead of only TransactionsSpec.
+    * The suffix spaces never collide: plain gids are multiples of 4,
+    * gid·10+9 is odd, gid·100+10 ≡ 2 (mod 4).
+    *
+    * gtrid = ascii "g<gid>", empty bqual, formatID 1 — so the oracle
+    * rebuilds the xid text with lower(hex(...)). Returns (file, event)
+    * pairs; the global array position is the ord (monotone within each
+    * file).
     */
   private def xaFixtureEvents(schema: Array[BinlogColumn], gid: Long,
       rows: Seq[org.apache.spark.sql.Row],
-      writeVals: org.apache.spark.sql.Row => Seq[Any]): Seq[Array[Byte]] = {
+      writeVals: org.apache.spark.sql.Row => Seq[Any]): Seq[(String, Array[Byte])] = {
     import BinlogTxnCodec.{QueryType, XaPrepareType}
     val gtrid = s"g$gid".getBytes("UTF-8")
     val ghex = gtrid.map(b => f"$b%02x").mkString
@@ -78,17 +97,23 @@ object CdcQueries {
     def writeEv(r: org.apache.spark.sql.Row) = BinlogRowCodec.encodeEvent(
       BinlogRowCodec.WriteV2, BinlogRowCodec.encodeRows(
         BinlogRowCodec.WriteV2, schema, Seq(writeVals(r))))
+    def span(part: Seq[org.apache.spark.sql.Row], onePhase: Boolean) =
+      (q(s"XA START $xid") +: part.map(writeEv)) ++ Seq(
+        q(s"XA END $xid"),
+        BinlogRowCodec.encodeEvent(XaPrepareType,
+          BinlogTxnCodec.encodeXaPrepare(onePhase, 1, gtrid, Array.emptyByteArray)))
     val fate = (gid / 4) % 4
-    val span = (q(s"XA START $xid") +: rows.map(writeEv)) ++ Seq(
-      q(s"XA END $xid"),
-      BinlogRowCodec.encodeEvent(XaPrepareType,
-        BinlogTxnCodec.encodeXaPrepare(fate == 0, 1, gtrid, Array.emptyByteArray)))
-    val outcome = fate match {
-      case 1 => Seq(q(s"XA COMMIT $xid"))
-      case 2 => Seq(q(s"XA ROLLBACK $xid"))
-      case _ => Nil
+    if (fate == 1) {
+      val h = (rows.length + 1) / 2
+      (span(rows.take(h), onePhase = false) :+ q(s"XA ROLLBACK $xid"))
+        .map((s"b$gid", _)) ++
+        span(rows.drop(h), onePhase = false).map((s"b${gid * 10 + 9}", _)) ++
+        Seq((s"b${gid * 100 + 10}", q(s"XA COMMIT $xid")))
+    } else {
+      val events = span(rows, onePhase = fate == 0) ++
+        (if (fate == 2) Seq(q(s"XA ROLLBACK $xid")) else Nil)
+      events.map((s"b$gid", _))
     }
-    span ++ outcome
   }
 
   /** Fixture routing table (FIXTURES.md §4 shapes): prefix, suffix, infix,
@@ -1287,11 +1312,16 @@ object CdcQueries {
              |FROM g ORDER BY pk""".stripMargin)),
 
     // XA distributed-transaction assembly (beyond-reference AND beyond
-    // q127's BEGIN..XID grammar): each gid file holds one
-    // `XA START … XA END … XA_PREPARE` span whose fate is formula-driven
-    // — one-phase commit flag, later XA COMMIT / XA ROLLBACK statement,
-    // or no outcome at all (the dangling prepared txn a consistent
-    // consumer must hold back). xaAssemble stamps every row with the
+    // q127's BEGIN..XID grammar): each gid group holds `XA START … XA END
+    // … XA_PREPARE` spans whose fate is formula-driven — one-phase commit
+    // flag, later XA COMMIT / XA ROLLBACK statement, or no outcome at all
+    // (the dangling prepared txn a consistent consumer must hold back).
+    // Fate-1 groups are the xid-REUSE case: two spans under the SAME xid
+    // with outcomes in DIFFERENT numeric files, first rolled back, second
+    // committed from a file whose suffix sorts before the span's
+    // lexicographically but after it numerically — so the oracle pins
+    // both r10 ADVICE fixes (per-span outcome matching and numeric
+    // binlog-file ordering). xaAssemble stamps every row with the
     // canonical statement-form xid text and its resolved state; outcomes
     // are statement-scale metadata aggregated per xid and broadcast.
     Q("q176_binlog_xa_txn", { (s, dir) =>
@@ -1306,11 +1336,12 @@ object CdcQueries {
           .agg(sort_array(collect_list(struct(
             key.cast(LongType), col("o_orderstatus")))).as("rows"))
         grouped.sortWithinPartitions("gid")
-          .select(col("gid"), posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "ev")))
-          .select(col("gid"), col("ord"), BinlogDecode.eventSplit(col("ev")).as("h"))
-          .select(col("gid"), col("ord"),
+          .select(col("gid"), posexplode(enc(col("gid"), col("rows"))).as(Seq("ord", "fe")))
+          .select(col("gid"), col("ord"), col("fe._1").as("file"),
+            BinlogDecode.eventSplit(col("fe._2")).as("h"))
+          .select(col("file"), col("ord"),
             col("h.event_type").as("event_type"), col("h.body").as("body"))
-          .transform(Transactions.xaAssemble(_, "gid", "ord"))
+          .transform(Transactions.xaAssemble(_, "file", "ord"))
           .filter(col("event_type") === BinlogRowCodec.WriteV2)
           .select(col("xa_xid"), col("xa_state"),
             BinlogDecode.rows(col("body"), col("event_type"), schema).as("r"))
@@ -1323,11 +1354,16 @@ object CdcQueries {
       },
       Some("""WITH g AS (
              |  SELECT o_orderkey AS pk, o_orderstatus AS status,
-             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid
+             |    CAST(o_orderkey - o_orderkey % 4 AS BIGINT) AS gid,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderkey - o_orderkey % 4
+             |                       ORDER BY o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderkey - o_orderkey % 4) AS n
              |  FROM orders)
              |SELECT pk, status,
              |  'X''' || lower(hex('g' || CAST(gid AS VARCHAR))) || ''',X'''',1' AS xa_xid,
-             |  CASE (gid // 4) % 4 WHEN 0 THEN 'committed' WHEN 1 THEN 'committed'
+             |  CASE (gid // 4) % 4 WHEN 0 THEN 'committed'
+             |    WHEN 1 THEN (CASE WHEN rn <= (n + 1) // 2
+             |      THEN 'rolled_back' ELSE 'committed' END)
              |    WHEN 2 THEN 'rolled_back' ELSE 'prepared' END AS xa_state
              |FROM g ORDER BY pk""".stripMargin)),
 
