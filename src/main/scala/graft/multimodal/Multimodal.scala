@@ -670,6 +670,34 @@ object MultimodalQueries {
     // frames and bounds the formula drift (pixel realness), plus
     // junk/truncation/foreign-codec negatives. Scale: one decode pass,
     // no shuffle until the final sort — embarrassingly parallel.
+    // VIDEO near-dup by temporal-mean perceptual hash — completing
+    // near-dup across all FIVE modalities (text q42, embedding q128,
+    // image q222, audio q223, video here): every doc renders a real MJPG
+    // AVI (per-id gradient directions + texture, per-frame phase shift),
+    // every 6th also a planted near-duplicate (frame-0 corner patch)
+    // under a DupOffset id; the kernel decodes every JPEG frame via
+    // ImageIO, dHashes the per-pixel integer-mean frame, then the same
+    // provably-lossless 8-band join + hamming ≤ 7 verify (hot-bucket
+    // capped). Rows-only; gated banded ≡ brute + planted-pair recall in
+    // MultimodalSpec. Scale: one decode pass (persisted 16-byte/row
+    // projection), band-key equi join — the q222 posture on video.
+    Q("q233_video_neardup", { (s, dir) =>
+        val enc = udf((id: Long, p: Boolean) => VideoFixtures.neardupMjpgAvi(id, p))
+        val vh = udf((b: Array[Byte]) => MjpgCodec.videoHash(b))
+        val docs = t(s, dir, "documents").select("doc_id")
+        val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+        val dups = docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
+        val hashes = base.unionByName(dups)
+          .select(col("media_id"),
+            vh(enc(pmod(col("media_id"), lit(DupOffset)), col("p"))).as("h"))
+          .filter(col("h").isNotNull)
+          // one decode+mean+dHash pass for the two sides of the band join
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hammingNearDupPairs(hashes)
+      },
+      None),
+
     Q("q229_video_mjpg_motion", { (s, dir) =>
         val enc = udf((id: Long) => VideoFixtures.formulaMjpgAvi(id))
         val st = udf((b: Array[Byte]) => MjpgCodec.mjpgStats(b))
@@ -768,11 +796,15 @@ object VideoFixtures {
       javax.imageio.ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
+    mjpgContainer(w, h, (0 until f).map(jpegFrame))
+  }
+
+  private def mjpgContainer(w: Int, h: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
     val avih = ascii("avih") ++ le(56, 4) ++ new Array[Byte](32) ++
       le(w, 4) ++ le(h, 4) ++ new Array[Byte](16)
     val hdrl = ascii("LIST") ++ le(4L + avih.length, 4) ++ ascii("hdrl") ++ avih
-    val frames = (0 until f).flatMap { fr =>
-      val j = jpegFrame(fr)
+    val frames = jpegFrames.flatMap { j =>
       // RIFF chunks pad to even length; the size field records the
       // unpadded payload length
       val pad = if ((j.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
@@ -781,6 +813,46 @@ object VideoFixtures {
     val movi = ascii("LIST") ++ le(4L + frames.length, 4) ++ ascii("movi") ++ frames
     ascii("RIFF") ++ le(4L + hdrl.length + movi.length, 4) ++ ascii("AVI ") ++
       hdrl ++ movi
+  }
+
+  /** The q233 VIDEO near-dup fixture: an MJPG AVI sized ≥ the 9×8 dHash
+    * grid, pixels following the q222 spread lessons — per-id gradient
+    * DIRECTIONS + cross-term texture (a pure per-id offset would leave
+    * temporal-mean dHashes near-identical across ids and send the band
+    * buckets hot), plus a per-frame phase shift for motion. `perturb`
+    * brightens a 3×3 corner patch in FRAME 0 only (clamped +48) — the
+    * planted near-duplicate. The amplitude matters: a full inversion
+    * (the q222 PNG recipe) spreads across the whole 8×8 JPEG DCT block
+    * on the lossy codec and flipped >7 mean-dHash bits for some ids;
+    * the clamped shift stays within the hamming-7 budget corpus-wide
+    * (gated per planted id in MultimodalSpec).
+    */
+  def neardupMjpgAvi(id: Long, perturb: Boolean = false): Array[Byte] = {
+    val f = (id % 3 + 2).toInt
+    val w = 18 + (id % 7).toInt
+    val h = 12 + (id % 5).toInt
+    val (mx, my) = ((3 + id % 13).toInt, (5 + id % 11).toInt)
+    val tx = (3 + id % 29).toInt
+    val base = (id * id % 97).toInt
+    def jpegFrame(fr: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v0 = (x * mx + y * my + (x * y * tx) % 101 + base + fr * 17) % 256
+          val v = if (perturb && fr == 0 && x < 3 && y < 3) math.min(255, v0 + 48) else v0
+          img.setRGB(x, y, (v << 16) | (((v * 2) % 256) << 8) | ((v * 3) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    mjpgContainer(w, h, (0 until f).map(jpegFrame))
   }
 }
 
@@ -808,11 +880,14 @@ object MjpgCodec {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
-  /** Decode stats from an MJPG AVI; None on junk, truncation, missing
-    * movi, a frame ImageIO cannot decode, or frame dims that disagree
-    * with the avih header (hostile bytes are data, not errors).
+  /** RIFF→movi walk + per-frame ImageIO decode shared by [[mjpgStats]]
+    * and [[videoHash]]: Some((w, h, frames)) with every '00dc' frame
+    * decoded, or None on junk, truncation, missing movi, a frame ImageIO
+    * cannot decode, frame dims that disagree with the avih header, or
+    * zero decodable frames (hostile bytes are data, not errors).
     */
-  def mjpgStats(b: Array[Byte]): Option[MjpgStats] = {
+  private def decodeFrames(
+      b: Array[Byte]): Option[(Int, Int, Seq[java.awt.image.BufferedImage])] = {
     if (b == null || b.length < 72) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
     // header dims from the avih fields (same offsets the q103 sniffer
@@ -837,8 +912,8 @@ object MjpgCodec {
     }
     if (moviStart < 0 || w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
       return None
-    var nFrames = 0; var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
-    var prev: Array[Int] = null
+    val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+    var nFrames = 0
     var j = moviStart
     while (j + 8 <= moviEnd) {
       val sz = le32(b, j + 4)
@@ -848,35 +923,71 @@ object MjpgCodec {
           java.util.Arrays.copyOfRange(b, j + 8, j + 8 + sz.toInt))
           .getOrElse(return None)
         if (img.getWidth != w || img.getHeight != h) return None
-        val cur = new Array[Int](w * h)
+        frames += img
+        nFrames += 1
+      }
+      j += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (nFrames == 0) None else Some((w, h, frames.result()))
+  }
+
+  /** Decode stats from an MJPG AVI; None per [[decodeFrames]]'s rejects. */
+  def mjpgStats(b: Array[Byte]): Option[MjpgStats] =
+    decodeFrames(b).map { case (w, h, fs) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
+      var fi = 0
+      while (fi < fs.length) {
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val p = img.getRGB(x, y)
-            cur(y * w + x) = p
+            val p = fs(fi).getRGB(x, y)
             sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+            if (fi > 0) {
+              val q = fs(fi - 1).getRGB(x, y)
+              motion += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+                math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+                math.abs((p & 0xff) - (q & 0xff))
+            }
             x += 1
           }
           y += 1
         }
-        if (prev != null) {
-          var k = 0
-          while (k < cur.length) {
-            val c = cur(k); val q = prev(k)
-            motion += math.abs(((c >> 16) & 0xff) - ((q >> 16) & 0xff)) +
-              math.abs(((c >> 8) & 0xff) - ((q >> 8) & 0xff)) +
-              math.abs((c & 0xff) - (q & 0xff))
-            k += 1
-          }
-        }
-        prev = cur; nFrames += 1
+        fi += 1
       }
-      j += 8 + sz.toInt + (sz.toInt & 1)
+      MjpgStats(fs.length, w, h, sumR, sumG, sumB, motion)
     }
-    if (nFrames == 0) None
-    else Some(MjpgStats(nFrames, w, h, sumR, sumG, sumB, motion))
-  }
+
+  /** 64-bit perceptual VIDEO fingerprint — dHash of the TEMPORAL-MEAN
+    * frame (per-pixel integer floor mean of the decoded RGB across all
+    * frames): the q222 recipe lifted to the video modality. A re-encode
+    * or a small patch in one frame moves the mean — and so the hash — by
+    * a few cells only, while distinct videos' means differ like distinct
+    * images. None per [[decodeFrames]]'s rejects or sub-dHash-grid dims.
+    */
+  def videoHash(b: Array[Byte]): Option[Long] =
+    decodeFrames(b).flatMap { case (w, h, fs) =>
+      val n = fs.length
+      val mean = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var sr = 0; var sg = 0; var sb = 0
+          var fi = 0
+          while (fi < n) {
+            val p = fs(fi).getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            fi += 1
+          }
+          mean.setRGB(x, y, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
+          x += 1
+        }
+        y += 1
+      }
+      ImageCodec.dHash(mean)
+    }
 }
 
 /** Formula-synthesized REAL WAV files for q209 (fixture side only; the

@@ -648,4 +648,40 @@ class MultimodalSpec extends SparkSpec {
         (exp.n_frames, exp.width, exp.height, exp.sum_r, exp.sum_g, exp.sum_b, exp.motion))
     }
   }
+
+  test("video near-dup: planted frame patches close, distinct videos far, banded ≡ brute") {
+    // kernel invariants on a synthetic id range first
+    val ids = 0L until 80L
+    val hs = ids.map(i => i -> MjpgCodec.videoHash(VideoFixtures.neardupMjpgAvi(i)).get).toMap
+    ids.filter(_ % 6 == 0).foreach { i =>
+      val hp = MjpgCodec.videoHash(VideoFixtures.neardupMjpgAvi(i, perturb = true)).get
+      assert(hamming(hs(i), hp) <= 7, s"id $i planted dup drifted: ${hamming(hs(i), hp)}")
+    }
+    val pairs = for (a <- ids; b <- ids if a < b) yield hamming(hs(a), hs(b))
+    val close = pairs.count(_ <= 7)
+    assert(close.toDouble / pairs.size < 0.05,
+      s"$close of ${pairs.size} distinct-video pairs within threshold")
+    // junk and truncation reject, never throw
+    assert(MjpgCodec.videoHash(null).isEmpty)
+    assert(MjpgCodec.videoHash("junk".getBytes("US-ASCII")).isEmpty)
+    assert(MjpgCodec.videoHash(VideoFixtures.neardupMjpgAvi(5L).take(60)).isEmpty)
+
+    // banded ≡ brute through the registered query on the driver fixture
+    val q = graft.SparkEntry.queries("q233_video_neardup")
+    val got = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val off = graft.multimodal.MultimodalQueries.DupOffset
+    val all = docs.map(i => i -> MjpgCodec.videoHash(VideoFixtures.neardupMjpgAvi(i)).get) ++
+      docs.filter(_ % 6 == 0).map(i =>
+        (i + off) -> MjpgCodec.videoHash(VideoFixtures.neardupMjpgAvi(i, perturb = true)).get)
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && hamming(ha, hb) <= 7
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    docs.filter(_ % 6 == 0).foreach { i =>
+      assert(got.contains((i, i + off)), s"planted pair $i missing") }
+  }
 }
