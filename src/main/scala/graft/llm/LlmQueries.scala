@@ -373,6 +373,53 @@ object LlmQueries {
              |FROM pairs JOIN df3 USING (tri)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Asymmetric CONTAINMENT dedup — the doc-in-doc / quote-inclusion
+    // detector Jaccard cannot express: C(a→b) = |S(a)∩S(b)| / |S(a)|
+    // over distinct word trigrams (Broder's containment, the resemblance
+    // paper's second measure) flags a document mostly CONTAINED in a
+    // larger one even when the Jaccard union term dilutes below any
+    // threshold (a 50-word quote inside a 5000-word doc). Integer ppm,
+    // pairs at containment ≥ 0.8 emitted DIRECTED (da contained-in db).
+    // Exact shingle-join formulation is the declared small-sf oracle
+    // (q41 class); at corpus scale the candidate pairs come from the q42
+    // LSH banding and this fold scores only candidates — and the q122
+    // skew rule applies: the trigram df join is pair-level key-shuffle,
+    // partial-agg bounded, never a broadcast of a vocabulary.
+    Q("q234_containment_dedup", { (s, dir) =>
+        val toks = TextOps.tokens(col("text"))
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(WordSpans(toks, 3)).as("tri"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"), col("a.tri") === col("b.tri") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("common"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+          .selectExpr("da", "db", "common", "na",
+            "(common * CAST(1000000 AS BIGINT)) DIV na AS containment_ppm")
+          .filter(col("containment_ppm") >= 800000L)
+          .select("da", "db", "common", "na", "containment_ppm")
+          .orderBy("da", "db")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+             |  FROM toks),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |    CAST(count(*) AS BIGINT) AS common
+             |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT da, db, common, n AS na,
+             |  (common * 1000000) // n AS containment_ppm
+             |FROM inter JOIN sizes ON inter.da = sizes.doc_id
+             |WHERE (common * 1000000) // n >= 800000
+             |ORDER BY da, db""".stripMargin)),
+
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift
     // monitor a recurring pipeline publishes: per label, the Euclidean
