@@ -609,4 +609,34 @@ class PlanSpec extends SparkSpec {
     assert(explodes == 1,
       s"expected exactly the batch-side probe explode, saw $explodes\n" + p)
   }
+
+  test("q233 video near-dup: band equi join, never all-pairs") {
+    val p = plan("q233_video_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "candidate stage must join on the band key\n" + p)
+  }
+
+  test("q234 containment: shingle equi join, partial aggs, no cartesian") {
+    val p = plan("q234_containment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_"), "pair counts must map-side combine\n" + p)
+    // the self-join must be an EQUI join on the trigram: a key shuffle at
+    // corpus scale, a broadcast at this toy sf — both are fine, a
+    // non-equi strategy is not (caught by the cartesian assert above)
+    assert(p.contains("hashpartitioning(tri") || p.contains("BroadcastHashJoin"),
+      "the shingle join must be an equi join on the trigram\n" + p)
+  }
+
+  test("q229 MJPG stats: per-row map, no join before the final sort") {
+    val p = plan("q229_video_mjpg_motion")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "decode is embarrassingly parallel — no join belongs here\n" + p)
+  }
+
+  test("q230 ANN bitext: cell equi joins + id-keyed fold, no cartesian") {
+    val p = plan("q230_bitext_mining_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "IVF candidates must equi-join on the cell; the exact mode's " +
+        "cross join must not appear in the ANN path\n" + p)
+  }
 }
