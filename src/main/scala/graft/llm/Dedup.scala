@@ -76,6 +76,37 @@ object Dedup {
         col("nsh") - floor((col("nsh") * num + (den - 1)) / den) + 1)
   }
 
+  /** Directed CONTAINMENT pairs C(a→b) = |A∩B| / |A| ≥ num/den via a
+    * ONE-SIDED prefix filter: C ≥ t means |A∩B| ≥ ⌈t·n_a⌉, so if none of
+    * a's first n_a − ⌈t·n_a⌉ + 1 globally-ordered shingles is in B, then
+    * A∩B fits inside the remaining ⌈t·n_a⌉ − 1 — contradiction. Only the
+    * CONTAINED side prunes (containment ignores |B|, so no length filter
+    * and no container-side prefix exists); the filter is LOSSLESS, so the
+    * output is exactly the plain shared-shingle formulation's (q234's
+    * oracle is reused verbatim by q235). Returns directed
+    * (da, db, common, na, containment_ppm).
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
+    val arrays = shingleArrays(docs, textCol, idCol, k)
+    val prefix = prefixRows(arrays, num, den, Nil)
+    val full = arrays.select(col("sid"), explode(col("arr")).as("s"))
+    val cand = prefix.as("a").join(full.as("b"),
+        col("a.s") === col("b.s") && col("a.sid") =!= col("b.sid"))
+      .select(col("a.sid").as("da"), col("b.sid").as("db"))
+      .distinct()
+    cand
+      .join(arrays.select(col("sid").as("da"), col("arr").as("arra")), "da")
+      .join(arrays.select(col("sid").as("db"), col("arr").as("arrb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("arra"), col("arrb")))
+          .cast(org.apache.spark.sql.types.LongType).as("common"),
+        size(col("arra")).cast(org.apache.spark.sql.types.LongType).as("na"))
+      .filter(col("common") * den >= col("na") * num)
+      .select(col("da"), col("db"), col("common"), col("na"),
+        expr("(common * CAST(1000000 AS BIGINT)) DIV na").as("containment_ppm"))
+  }
+
   /** Exact n-gram Jaccard self-join via the shared prefix filter, with the
     * AllPairs length filter in the join condition: J >= t implies
     * den*min(na,nb) >= num*max, so a size-mismatched pair can never reach

@@ -15,6 +15,28 @@ object LlmQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Shared DuckDB oracle for the directed-containment pair set: q234
+    * (plain shared-shingle formulation) and q235 (one-sided prefix
+    * filter) must both reproduce it exactly — the prefix filter is
+    * lossless by theorem and pinned by this gate.
+    */
+  private val ContainmentOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, common, n AS na,
+      |  (common * 1000000) // n AS containment_ppm
+      |FROM inter JOIN sizes ON inter.da = sizes.doc_id
+      |WHERE (common * 1000000) // n >= 800000
+      |ORDER BY da, db""".stripMargin
+
   /** Per-JVM root for q220's persisted IVF index: pid-qualified so two
     * concurrent processes over the same fixture never race on one path,
     * removed recursively at JVM exit.
@@ -404,21 +426,23 @@ object LlmQueries {
           .select("da", "db", "common", "na", "containment_ppm")
           .orderBy("da", "db")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
-             |    unnest(list_transform(generate_series(1, len(toks) - 2),
-             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
-             |  FROM toks),
-             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
-             |    CAST(count(*) AS BIGINT) AS common
-             |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id <> b.doc_id
-             |  GROUP BY a.doc_id, b.doc_id)
-             |SELECT da, db, common, n AS na,
-             |  (common * 1000000) // n AS containment_ppm
-             |FROM inter JOIN sizes ON inter.da = sizes.doc_id
-             |WHERE (common * 1000000) // n >= 800000
-             |ORDER BY da, db""".stripMargin)),
+      Some(ContainmentOracle)),
+
+    // q234's PRODUCTION formulation — the SAME directed containment set
+    // through the ONE-SIDED prefix filter (only the contained side prunes:
+    // C ≥ t means the pair shares one of a's first n−⌈t·n⌉+1
+    // globally-df-ordered shingles — pigeonhole, LOSSLESS, see
+    // Dedup.containmentPairs). Because the filter is exact, this query is
+    // ORACLE-CHECKED against the identical SQL as q234: the optimization
+    // is pinned by the gate, not trusted. Candidate volume shrinks
+    // ~(1−t) on the contained side and the hot-shingle skew falls out of
+    // prefixes (the q41/q42 discipline applied to containment).
+    Q("q235_containment_prefix", { (s, dir) =>
+        Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+            k = 3, num = 4, den = 5)
+          .orderBy("da", "db")
+      },
+      Some(ContainmentOracle)),
 
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift
