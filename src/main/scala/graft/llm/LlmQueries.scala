@@ -444,6 +444,60 @@ object LlmQueries {
       },
       Some(ContainmentOracle)),
 
+    // Chi-squared INDEPENDENCE audit of (lang × source) — the
+    // distribution-shift test the corpus-report family (q198/q205/q213/
+    // q227) publishes: is language independent of provenance, or does a
+    // source skew toward a language (a crawler/pipeline bug signal)?
+    // Per-cell observed counts, expected under independence
+    // E = row·col/N (one identical double expression cross-engine), and
+    // the (O−E)²/E contribution SNAPPED to DECIMAL(28,12) before any
+    // summation — the total folds over snapped decimals, so it is
+    // order-insensitive and hash-exact (the q227 discipline). Plan: one
+    // (lang, source) partial+final agg, the marginals broadcast back as
+    // windows over a cells×1 frame — contingency tables are
+    // metadata-scale at any corpus size.
+    Q("q236_chi2_independence", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val cells = t(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        cells
+          .withColumn("rowt", sum("o").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .withColumn("colt", sum("o").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .withColumn("n", sum("o").over(w))
+          .withColumn("e",
+            (col("rowt").cast(DoubleType) * col("colt").cast(DoubleType) /
+              col("n").cast(DoubleType)).cast(DecimalType(28, 12)))
+          .withColumn("contrib",
+            (((col("o").cast(DoubleType) - col("e").cast(DoubleType)) *
+              (col("o").cast(DoubleType) - col("e").cast(DoubleType))) /
+              col("e").cast(DoubleType)).cast(DecimalType(28, 12)))
+          .withColumn("chi2_total", sum("contrib").over(w))
+          .select("lang", "source", "o", "e", "contrib", "chi2_total")
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY lang, source),
+             |m AS (SELECT lang, source, o,
+             |    sum(o) OVER (PARTITION BY lang) AS rowt,
+             |    sum(o) OVER (PARTITION BY source) AS colt,
+             |    sum(o) OVER () AS n
+             |  FROM cells),
+             |x AS (SELECT lang, source, o,
+             |    CAST(CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE)
+             |      / CAST(n AS DOUBLE) AS DECIMAL(28,12)) AS e
+             |  FROM m),
+             |c AS (SELECT lang, source, o, e,
+             |    CAST((CAST(o AS DOUBLE) - CAST(e AS DOUBLE))
+             |      * (CAST(o AS DOUBLE) - CAST(e AS DOUBLE))
+             |      / CAST(e AS DOUBLE) AS DECIMAL(28,12)) AS contrib
+             |  FROM x)
+             |SELECT lang, source, o, e, contrib,
+             |  sum(contrib) OVER () AS chi2_total
+             |FROM c ORDER BY lang, source""".stripMargin)),
+
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift
     // monitor a recurring pipeline publishes: per label, the Euclidean

@@ -78,6 +78,42 @@ class ImageDedupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("60-trigger soak: image dups at lags from 1 to 30 triggers all " +
+      "rejected, store is exactly the planted novels", SoakTest) {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // novel id space spread so distinct renders stay apart (gated by the
+    // MultimodalSpec <5% collision invariant on the same generator)
+    def novelId(t: Int): Long = 50000L + t * 97L
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup_soak")
+      .resolve("store").toString
+    val in = MemoryStream[(Long, Array[Byte])]
+    val query = in.toDS().toDF("media_id", "content")
+      .writeStream
+      .foreachBatch(ImageDedupStream.ingestInto(dir) _)
+      .start()
+    try {
+      for (t <- 0 until 60) {
+        val rows = Seq.newBuilder[(Long, Array[Byte])]
+        rows += ((novelId(t), png(novelId(t))))
+        // in-batch near-dup, every trigger
+        rows += ((200000L + t, png(novelId(t), patch = true)))
+        if (t > 0) { // near-dup of a novel admitted `lag` triggers ago
+          val lag = t / 2 + 1
+          val target = math.max(0, t - lag)
+          rows += ((300000L + t, png(novelId(target), patch = true)))
+        }
+        in.addData(rows.result(): _*)
+        query.processAllAvailable()
+      }
+      val ids = spark.read.parquet(dir).select("media_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.toSet == (0 until 60).map(novelId).toSet,
+        s"store must be exactly the 60 planted novels, got ${ids.sorted.take(70)}")
+      assert(ids.length == 60, "exactly one row per admitted id")
+    } finally query.stop()
+  }
+
   test("hot-bucket cap: an over-cap store band drops from candidates; " +
       "a true pair survives on its other bands") {
     import spark.implicits._
