@@ -137,6 +137,38 @@ object MultimodalQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Per-JVM root for materialized media fixtures (pid-qualified, removed
+    * at exit — the q220 index-root discipline): the MJPG decode queries
+    * (q229/q233) read STORED bytes like a real corpus would, so the bench
+    * times the decode under test, not the fixture's JPEG *encode*. One
+    * write per (fixture table, sf dir) per JVM; re-runs read parquet.
+    */
+  private lazy val mediaFixtureRoot: String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_media_fx_${ProcessHandle.current().pid()}_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+  private val mediaFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize (media_id, content) once per (name, dir) and read it back. */
+  private def storedMedia(s: SparkSession, name: String, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val path = mediaFixtures.computeIfAbsent(s"$name|$dir", _ => {
+      val p = s"$mediaFixtureRoot/${name}_${math.floorMod(dir.hashCode, 1 << 30)}"
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** documents.text bytes stand in for media payloads (ASCII, so the DuckDB
     * oracle can mirror byte math with ascii()/octet_length()).
     */
@@ -682,15 +714,20 @@ object MultimodalQueries {
     // MultimodalSpec. Scale: one decode pass (persisted 16-byte/row
     // projection), band-key equi join — the q222 posture on video.
     Q("q233_video_neardup", { (s, dir) =>
-        val enc = udf((id: Long, p: Boolean) => VideoFixtures.neardupMjpgAvi(id, p))
         val vh = udf((b: Array[Byte]) => MjpgCodec.videoHash(b))
-        val docs = t(s, dir, "documents").select("doc_id")
-        val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
-        val dups = docs.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
-        val hashes = base.unionByName(dups)
-          .select(col("media_id"),
-            vh(enc(pmod(col("media_id"), lit(DupOffset)), col("p"))).as("h"))
+        // stored bytes (the q229 discipline): encode once per (sf, JVM)
+        val media = storedMedia(s, "mjpg_nd", dir) {
+          val enc = udf((id: Long, p: Boolean) => VideoFixtures.neardupMjpgAvi(id, p))
+          val docs = t(s, dir, "documents").select("doc_id")
+          val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+          val dups = docs.filter(col("doc_id") % 6 === 0)
+            .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
+          base.unionByName(dups)
+            .select(col("media_id"),
+              enc(pmod(col("media_id"), lit(DupOffset)), col("p")).as("content"))
+        }
+        val hashes = media
+          .select(col("media_id"), vh(col("content")).as("h"))
           .filter(col("h").isNotNull)
           // one decode+mean+dHash pass for the two sides of the band join
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -699,10 +736,17 @@ object MultimodalQueries {
       None),
 
     Q("q229_video_mjpg_motion", { (s, dir) =>
-        val enc = udf((id: Long) => VideoFixtures.formulaMjpgAvi(id))
         val st = udf((b: Array[Byte]) => MjpgCodec.mjpgStats(b))
-        t(s, dir, "documents")
-          .select(col("doc_id").as("media_id"), st(enc(col("doc_id"))).as("v"))
+        // stored bytes, like a real corpus: the fixture's JPEG ENCODE is
+        // paid once per (sf, JVM) at materialization, not per run — the
+        // bench times the decode under test
+        val media = storedMedia(s, "mjpg", dir) {
+          val enc = udf((id: Long) => VideoFixtures.formulaMjpgAvi(id))
+          t(s, dir, "documents")
+            .select(col("doc_id").as("media_id"), enc(col("doc_id")).as("content"))
+        }
+        media
+          .select(col("media_id"), st(col("content")).as("v"))
           .select(col("media_id"),
             coalesce(col("v.n_frames"), lit(-1)).as("n_frames"),
             coalesce(col("v.width"), lit(-1)).as("width"),
