@@ -114,6 +114,25 @@ class ImageDedupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the band-store screen is modality-agnostic: audio envelope hashes " +
+      "flow through the same admitBatch") {
+    import spark.implicits._
+    import graft.multimodal.{AudioKernels, PcmFixtures}
+    def ah(id: Long, p: Boolean = false): Long =
+      AudioKernels.pcmHash(PcmFixtures.formulaWav2(id, p)).get
+    // admitBatch takes any (media_id, h) frame — the 64-bit envelope hash
+    // from the audio modality screens identically (q223's kernel, the
+    // streaming composition the image side pioneered)
+    val store = Seq((1L, ah(1)), (2L, ah(2))).toDF("media_id", "h")
+    val batch = Seq(
+      (4L, ah(4)), (5L, ah(2, p = true)), (6L, ah(4, p = true))
+    ).toDF("media_id", "h")
+    val admitted = ImageDedupStream.admitBatch(batch, store)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // 5 duplicates store audio 2; 6 is an in-batch near-dup of 4
+    assert(admitted == Set(4L), s"audio screen: $admitted")
+  }
+
   test("hot-bucket cap: an over-cap store band drops from candidates; " +
       "a true pair survives on its other bands") {
     import spark.implicits._
