@@ -735,6 +735,40 @@ object MultimodalQueries {
       },
       None),
 
+    // KEYFRAME / scene-cut selection — the frame-sampling primitive a
+    // video training pipeline runs before feature extraction (sample at
+    // cuts, not uniformly): per consecutive-frame GAP, the decoded motion
+    // energy, flagged a cut when it exceeds 2× the video's LEAVE-ONE-OUT
+    // mean gap motion — INTEGER-exact rule motion·(n_gaps−1) >
+    // 2·(total−motion), no float thresholds; excluding the gap from its
+    // own baseline matters on short videos, where a real cut inflates the
+    // plain mean enough to mask itself (measured: an 84k cut against two
+    // ~20k smooth gaps misses the plain-mean rule by 1.2%).
+    // Fixture plants one real scene change per video
+    // (gradient directions flip at frame f/2). Rows-only (JPEG loss);
+    // MultimodalSpec golden-gates motions against an independent decode
+    // and asserts exactly the planted cut flags per video. Scale: one
+    // decode pass over stored bytes, per-video windows over ≤5 gaps.
+    Q("q237_video_keyframes", { (s, dir) =>
+        val fm = udf((b: Array[Byte]) => MjpgCodec.frameMotions(b))
+        val media = storedMedia(s, "mjpg_scene", dir) {
+          val enc = udf((id: Long) => VideoFixtures.sceneMjpgAvi(id))
+          t(s, dir, "documents")
+            .select(col("doc_id").as("media_id"), enc(col("doc_id")).as("content"))
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+        media
+          .select(col("media_id"), posexplode(fm(col("content"))).as(Seq("g", "motion")))
+          .select(col("media_id"), (col("g") + 1).as("frame_idx"), col("motion"))
+          .withColumn("n_gaps", count(lit(1)).over(w))
+          .withColumn("total", sum("motion").over(w))
+          .withColumn("is_cut",
+            col("motion") * (col("n_gaps") - 1) > (col("total") - col("motion")) * 2)
+          .select("media_id", "frame_idx", "motion", "is_cut")
+          .orderBy("media_id", "frame_idx")
+      },
+      None),
+
     Q("q229_video_mjpg_motion", { (s, dir) =>
         val st = udf((b: Array[Byte]) => MjpgCodec.mjpgStats(b))
         // stored bytes, like a real corpus: the fixture's JPEG ENCODE is
@@ -898,6 +932,44 @@ object VideoFixtures {
     }
     mjpgContainer(w, h, (0 until f).map(jpegFrame))
   }
+
+  /** The q237 SCENE-CUT fixture: an MJPG AVI of id%3+4 frames with a
+    * planted scene change at frame f/2 — gradient DIRECTIONS flip at the
+    * cut (a genuinely different picture), while within a scene frames
+    * drift by a small +3 phase per frame (motion ~18/pixel incl. mod
+    * wraps vs ~255·3/pixel at the cut, an order of magnitude apart even
+    * under JPEG loss). Per-id directions + texture keep videos distinct.
+    */
+  def sceneMjpgAvi(id: Long): Array[Byte] = {
+    val f = (id % 3 + 4).toInt
+    val cut = f / 2
+    val w = 18 + (id % 7).toInt
+    val h = 12 + (id % 5).toInt
+    val (mx1, my1) = ((3 + id % 13).toInt, (5 + id % 11).toInt)
+    val (mx2, my2) = ((7 + id % 17).toInt, (11 + id % 19).toInt)
+    val tx = (3 + id % 29).toInt
+    val base = (id * id % 97).toInt
+    def jpegFrame(fr: Int): Array[Byte] = {
+      val (mx, my, sceneBase) =
+        if (fr < cut) (mx1, my1, base) else (mx2, my2, base + 131)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (x * mx + y * my + (x * y * tx) % 101 + sceneBase + fr * 3) % 256
+          img.setRGB(x, y, (v << 16) | (((v * 2) % 256) << 8) | ((v * 3) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    mjpgContainer(w, h, (0 until f).map(jpegFrame))
+  }
 }
 
 /** MJPG ('00dc' motion-JPEG) frame decode — the compressed-video format
@@ -1000,6 +1072,32 @@ object MjpgCodec {
         fi += 1
       }
       MjpgStats(fs.length, w, h, sumR, sumG, sumB, motion)
+    }
+
+  /** Per-GAP motion energies (Σ |Δr|+|Δg|+|Δb| over pixels between
+    * consecutive decoded frames) — the q237 scene-cut kernel: length
+    * n_frames−1, element i = motion from frame i to i+1. None per
+    * [[decodeFrames]]'s rejects or a single-frame stream (no gap).
+    */
+  def frameMotions(b: Array[Byte]): Option[Seq[Long]] =
+    decodeFrames(b).flatMap { case (w, h, fs) =>
+      if (fs.length < 2) None
+      else Some((1 until fs.length).map { fi =>
+        var m = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = fs(fi).getRGB(x, y); val q = fs(fi - 1).getRGB(x, y)
+            m += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+              math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+              math.abs((p & 0xff) - (q & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        m
+      })
     }
 
   /** 64-bit perceptual VIDEO fingerprint — dHash of the TEMPORAL-MEAN

@@ -649,6 +649,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video keyframes: motions golden vs independent decode, exactly the planted cut flags") {
+    // independent per-gap motion from a direct ImageIO decode of the
+    // extracted frames (same codec both sides → bit-exact golden)
+    def goldenMotions(avi: Array[Byte]): Seq[Long] = {
+      def le32(i: Int): Int = (avi(i) & 0xff) | ((avi(i + 1) & 0xff) << 8) |
+        ((avi(i + 2) & 0xff) << 16) | ((avi(i + 3) & 0xff) << 24)
+      val moviAt = avi.indices.find(i => i + 4 <= avi.length &&
+        avi(i) == 'm' && avi(i + 1) == 'o' && avi(i + 2) == 'v' && avi(i + 3) == 'i').get
+      var j = moviAt + 4
+      val fs = Seq.newBuilder[java.awt.image.BufferedImage]
+      while (j + 8 <= avi.length) {
+        val sz = le32(j + 4)
+        if (avi(j) == '0' && avi(j + 1) == '0' && avi(j + 2) == 'd' && avi(j + 3) == 'c')
+          fs += javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(avi, j + 8, j + 8 + sz)))
+        j += 8 + sz + (sz & 1)
+      }
+      val frames = fs.result()
+      (1 until frames.size).map { fi =>
+        var m = 0L
+        for (y <- 0 until frames(fi).getHeight; x <- 0 until frames(fi).getWidth) {
+          val p = frames(fi).getRGB(x, y); val q = frames(fi - 1).getRGB(x, y)
+          m += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+            math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+            math.abs((p & 0xff) - (q & 0xff))
+        }
+        m
+      }
+    }
+    for (d <- Seq(0L, 7L, 23L, 101L)) {
+      val avi = VideoFixtures.sceneMjpgAvi(d)
+      val got = MjpgCodec.frameMotions(avi)
+      assert(got.contains(goldenMotions(avi)), s"d=$d motions diverge")
+    }
+    // negatives
+    assert(MjpgCodec.frameMotions(null).isEmpty)
+    assert(MjpgCodec.frameMotions("junk junk junk".getBytes("US-ASCII")).isEmpty)
+
+    // end-to-end: exactly the planted scene change flags per video —
+    // the cut sits at gap index f/2 (motion from frame f/2−1 to f/2,
+    // i.e. frame_idx = f/2)
+    val out = graft.SparkEntry.queries("q237_video_keyframes")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val f = (id % 3 + 4).toInt
+      val cuts = rows.filter(_._3).map(_._2).toSeq
+      assert(cuts == Seq(f / 2), s"video $id: cuts at $cuts, expected ${Seq(f / 2)}")
+      assert(rows.length == f - 1, s"video $id gap count")
+    }
+  }
+
   test("video near-dup: planted frame patches close, distinct videos far, banded ≡ brute") {
     // kernel invariants on a synthetic id range first
     val ids = 0L until 80L
