@@ -98,7 +98,7 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failures":$failures,"failed":${failures > 0},"errors":$errs,""" +
-      s""""cdc_rows_per_sec":$cdcRate,"commit":"$sha",""" +
+      s""""cdc_rows_per_sec":$cdcRate,"cdc_meter":"max3","commit":"$sha",""" +
       s""""fixture_mtime":"$fixtureMtime","sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // them; the full 160-query line is ~6 KB, so printing it last left the

@@ -448,14 +448,22 @@ object LlmQueries {
     // distribution-shift test the corpus-report family (q198/q205/q213/
     // q227) publishes: is language independent of provenance, or does a
     // source skew toward a language (a crawler/pipeline bug signal)?
-    // Per-cell observed counts, expected under independence
-    // E = row·col/N (one identical double expression cross-engine), and
-    // the (O−E)²/E contribution SNAPPED to DECIMAL(28,12) before any
-    // summation — the total folds over snapped decimals, so it is
-    // order-insensitive and hash-exact (the q227 discipline). Plan: one
-    // (lang, source) partial+final agg, the marginals broadcast back as
-    // windows over a cells×1 frame — contingency tables are
-    // metadata-scale at any corpus size.
+    // Per-cell observed counts, expected under independence, and the
+    // (O−E)²/E contribution — ALL in integer-exact ppm (the q234
+    // discipline): e_ppm = (rowt·colt·10⁶) DIV n and, since
+    // (O−E)²/E = (O·n − rowt·colt)² / (rowt·colt·n),
+    // contrib_ppm = (d²·10⁶) DIV (rowt·colt·n) with d = O·n − rowt·colt,
+    // over DECIMAL(38,0)/HUGEINT — floor division of exact integers is
+    // identically defined in both engines, so NO engine-defined
+    // double→decimal rounding exists anywhere in the query (r11's one
+    // red row: a DECIMAL(28,12) snap of a double with ~2 digits of
+    // headroom landed one ulp apart across DuckDB versions). Headroom:
+    // d ≤ n² so d²·10⁶ needs n ≤ ~10⁸ inside 38 digits — the exact-ppm
+    // envelope; a larger corpus dials SCALE down (ppm → per-mille →
+    // units), trading resolution for headroom, never exactness. Plan:
+    // one (lang, source) partial+final agg, the marginals as windows
+    // over a cells×1 frame — contingency tables are metadata-scale at
+    // any corpus size.
     Q("q236_chi2_independence", { (s, dir) =>
         val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
         val cells = t(s, dir, "documents")
@@ -466,37 +474,112 @@ object LlmQueries {
           .withColumn("colt", sum("o").over(
             org.apache.spark.sql.expressions.Window.partitionBy("source")))
           .withColumn("n", sum("o").over(w))
-          .withColumn("e",
-            (col("rowt").cast(DoubleType) * col("colt").cast(DoubleType) /
-              col("n").cast(DoubleType)).cast(DecimalType(28, 12)))
-          .withColumn("contrib",
-            (((col("o").cast(DoubleType) - col("e").cast(DoubleType)) *
-              (col("o").cast(DoubleType) - col("e").cast(DoubleType))) /
-              col("e").cast(DoubleType)).cast(DecimalType(28, 12)))
-          .withColumn("chi2_total", sum("contrib").over(w))
-          .select("lang", "source", "o", "e", "contrib", "chi2_total")
+          .selectExpr("lang", "source", "o",
+            "(CAST(rowt AS DECIMAL(38,0)) * colt * 1000000) DIV n AS e_ppm",
+            """((CAST(o AS DECIMAL(38,0)) * n - CAST(rowt AS DECIMAL(38,0)) * colt)
+              | * (CAST(o AS DECIMAL(38,0)) * n - CAST(rowt AS DECIMAL(38,0)) * colt)
+              | * 1000000)
+              | DIV ((CAST(rowt AS DECIMAL(38,0)) * colt) * n) AS contrib_ppm"""
+              .stripMargin.replace("\n", " "))
+          .withColumn("chi2_total_ppm", sum("contrib_ppm").over(w))
+          .select("lang", "source", "o", "e_ppm", "contrib_ppm", "chi2_total_ppm")
           .orderBy("lang", "source")
       },
       Some("""WITH cells AS (
              |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
              |  FROM documents GROUP BY lang, source),
              |m AS (SELECT lang, source, o,
-             |    sum(o) OVER (PARTITION BY lang) AS rowt,
-             |    sum(o) OVER (PARTITION BY source) AS colt,
-             |    sum(o) OVER () AS n
+             |    CAST(sum(o) OVER (PARTITION BY lang) AS HUGEINT) AS rowt,
+             |    CAST(sum(o) OVER (PARTITION BY source) AS HUGEINT) AS colt,
+             |    CAST(sum(o) OVER () AS HUGEINT) AS n
              |  FROM cells),
              |x AS (SELECT lang, source, o,
-             |    CAST(CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE)
-             |      / CAST(n AS DOUBLE) AS DECIMAL(28,12)) AS e
-             |  FROM m),
-             |c AS (SELECT lang, source, o, e,
-             |    CAST((CAST(o AS DOUBLE) - CAST(e AS DOUBLE))
-             |      * (CAST(o AS DOUBLE) - CAST(e AS DOUBLE))
-             |      / CAST(e AS DOUBLE) AS DECIMAL(28,12)) AS contrib
-             |  FROM x)
-             |SELECT lang, source, o, e, contrib,
-             |  sum(contrib) OVER () AS chi2_total
-             |FROM c ORDER BY lang, source""".stripMargin)),
+             |    CAST((rowt * colt * 1000000) // n AS BIGINT) AS e_ppm,
+             |    CAST(((CAST(o AS HUGEINT) * n - rowt * colt)
+             |      * (CAST(o AS HUGEINT) * n - rowt * colt) * 1000000)
+             |      // (rowt * colt * n) AS BIGINT) AS contrib_ppm
+             |  FROM m)
+             |SELECT lang, source, o, e_ppm, contrib_ppm,
+             |  CAST(sum(contrib_ppm) OVER () AS BIGINT) AS chi2_total_ppm
+             |FROM x ORDER BY lang, source""".stripMargin)),
+
+    // Chi-squared family COMPLETION — effect size + the log-likelihood
+    // variant on q236's cells fold (a significant chi² on a huge corpus
+    // can be a trivially small effect; V is what the report reads):
+    // Cramér's V² = chi²/(n·(min(r,c)−1)) stays in the integer-ppm
+    // contract (one more floor division of the already-exact
+    // chi2_total_ppm — no new rounding anywhere), and the G-test
+    // G = 2·Σ O·ln(O·n/(rowt·colt)) (Sokal & Rohlf's log-likelihood
+    // ratio; observed cells only — empty cells contribute 0 by the
+    // O·ln O → 0 limit) takes the house transcendental discipline: the
+    // ln input is ONE IEEE division of two exactly-computed integers
+    // cast to double, the ln output snaps to the DECIMAL(18,9) grid
+    // (≥ 6 digits of snap headroom over the libm ulp, the q146 rule),
+    // and the per-cell term multiplies the snapped ln by the exact
+    // integer 2·O in DECIMAL arithmetic so the sum is order-insensitive
+    // and the single final double cast is engine-identical. Plan: the
+    // same metadata-scale contingency fold as q236 — one (lang, source)
+    // agg, windows over cells, a one-row summary out.
+    Q("q238_chi2_effect", { (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val cells = t(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val m = cells
+          .withColumn("rowt", sum("o").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .withColumn("colt", sum("o").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .withColumn("n", sum("o").over(w))
+        m.selectExpr("lang", "source", "o", "n",
+            """((CAST(o AS DECIMAL(38,0)) * n - CAST(rowt AS DECIMAL(38,0)) * colt)
+              | * (CAST(o AS DECIMAL(38,0)) * n - CAST(rowt AS DECIMAL(38,0)) * colt)
+              | * 1000000)
+              | DIV ((CAST(rowt AS DECIMAL(38,0)) * colt) * n) AS contrib_ppm"""
+              .stripMargin.replace("\n", " "),
+            """CAST(ln(CAST(CAST(o AS DECIMAL(38,0)) * n AS DOUBLE)
+              | / CAST(CAST(rowt AS DECIMAL(38,0)) * colt AS DOUBLE)) AS DECIMAL(18,9))
+              | * CAST(2 * o AS DECIMAL(18,0)) AS g_term"""
+              .stripMargin.replace("\n", " "))
+          .agg(max("n").as("n"),
+            countDistinct("lang").as("r_levels"),
+            countDistinct("source").as("c_levels"),
+            sum("contrib_ppm").as("chi2_total_ppm"),
+            sum("g_term").as("g_sum"))
+          .selectExpr("n", "r_levels", "c_levels",
+            "(r_levels - 1) * (c_levels - 1) AS dof",
+            "chi2_total_ppm",
+            "chi2_total_ppm DIV nullif(n * (least(r_levels, c_levels) - 1), 0)" +
+              " AS cramers_v2_ppm",
+            "CAST(g_sum AS DOUBLE) AS g_total")
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY lang, source),
+             |m AS (SELECT lang, source, o,
+             |    CAST(sum(o) OVER (PARTITION BY lang) AS HUGEINT) AS rowt,
+             |    CAST(sum(o) OVER (PARTITION BY source) AS HUGEINT) AS colt,
+             |    CAST(sum(o) OVER () AS HUGEINT) AS n
+             |  FROM cells),
+             |x AS (SELECT lang, source, o, n,
+             |    CAST(((CAST(o AS HUGEINT) * n - rowt * colt)
+             |      * (CAST(o AS HUGEINT) * n - rowt * colt) * 1000000)
+             |      // (rowt * colt * n) AS BIGINT) AS contrib_ppm,
+             |    CAST(ln(CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+             |      / CAST(rowt * colt AS DOUBLE)) AS DECIMAL(18,9))
+             |      * CAST(2 * o AS DECIMAL(18,0)) AS g_term
+             |  FROM m)
+             |SELECT CAST(max(n) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS c_levels,
+             |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+             |    AS BIGINT) AS dof,
+             |  CAST(sum(contrib_ppm) AS BIGINT) AS chi2_total_ppm,
+             |  CAST(CAST(sum(contrib_ppm) AS HUGEINT)
+             |    // nullif(CAST(max(n) AS HUGEINT)
+             |      * (least(count(DISTINCT lang), count(DISTINCT source)) - 1), 0)
+             |    AS BIGINT) AS cramers_v2_ppm,
+             |  CAST(sum(g_term) AS DOUBLE) AS g_total
+             |FROM x""".stripMargin)),
 
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift

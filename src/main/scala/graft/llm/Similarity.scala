@@ -1050,6 +1050,9 @@ object Similarity {
     val rows = spark.read.parquet(path)
       .select("sub", "code", "centroid").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // loud index-corruption error instead of empty.max deep in the probe
+    // (r11 ADVICE) — mirrors the nprobe/rerank requires at the entry points
+    require(rows.nonEmpty, s"no codebooks at $path (index missing or corrupt)")
     val m = rows.map(_._1).max + 1
     Array.tabulate(m) { s =>
       rows.filter(_._1 == s).sortBy(_._2).map(_._3)

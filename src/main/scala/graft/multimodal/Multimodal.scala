@@ -157,12 +157,19 @@ object MultimodalQueries {
   }
   private val mediaFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mediaFixtureSeq =
+    new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Materialize (media_id, content) once per (name, dir) and read it back. */
+  /** Materialize (media_id, content) once per (name, dir) and read it back.
+    * The on-disk path is collision-free by construction (a monotonically
+    * assigned index per memo key, never a truncated hash of `dir` — r11
+    * ADVICE: two dirs colliding mod 2^30 would silently share a path and
+    * the second overwrite would serve the first dir's reads wrong bytes).
+    */
   private def storedMedia(s: SparkSession, name: String, dir: String)(
       build: => DataFrame): DataFrame = {
     val path = mediaFixtures.computeIfAbsent(s"$name|$dir", _ => {
-      val p = s"$mediaFixtureRoot/${name}_${math.floorMod(dir.hashCode, 1 << 30)}"
+      val p = s"$mediaFixtureRoot/${name}_${mediaFixtureSeq.getAndIncrement()}"
       build.write.mode("overwrite").parquet(p)
       p
     })
@@ -235,13 +242,90 @@ object MultimodalQueries {
       .filter(col("h").isNotNull)
   }
 
-  private[graft] def hammingNearDupPairs(hashes: DataFrame,
-      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
-    val bands = hashes.select(col("media_id"), col("h"),
+  /** The pigeonhole-critical 8×8-bit band layout — ONE definition (r11
+    * verdict item 5): (id, h) → (id, h, b, v) with band b ∈ [0,8) holding
+    * byte b of the 64-bit hash. The losslessness of every banded hamming
+    * join (≤ 7 flips across 8 bands leave ≥ 1 band exact) depends on this
+    * exact layout, so batch ([[hammingNearDupPairs]]) and streaming
+    * ([[graft.streaming.ImageDedupStream]]) both explode through here.
+    */
+  private[graft] def bandExplode(hashes: DataFrame, idAs: String): DataFrame =
+    hashes.select(col("media_id").as(idAs), col("h"),
         explode(array((0 until 8).map(b => struct(lit(b).as("b"),
           shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
           .as("band"))
-      .select(col("media_id"), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+      .select(col(idAs), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+
+  /** Pairs → components → keeper: the end-to-end dedup spine shared by
+    * the image (q226), audio (q239), and video (q240) cluster queries —
+    * verified perceptual pairs close transitively (large-star/small-star
+    * components) and each cluster keeps its min-id canonical, so the
+    * output is directly actionable (keep = true survives, the rest drop).
+    * `hashes` must arrive PERSISTED: the 16-byte/row projection feeds the
+    * pair join (both sides) and the keeper spine, so the expensive decode
+    * kernel runs once. NOTE (r11 ADVICE): the persist has no matching
+    * unpersist because the query returns an unevaluated plan — Bench
+    * clearCache()s between queries; any other caller running several of
+    * these queries in one session should do the same (the entries are
+    * plan-keyed, so re-invocations reuse rather than pile up).
+    */
+  private def dedupClusters(hashes: DataFrame): DataFrame = {
+    val pairs = hammingNearDupPairs(hashes).select("da", "db")
+    val comp = graft.operators.Components
+      .connectedComponents(pairs, "da", "db")
+      .withColumnRenamed("node", "media_id")
+    hashes.select("media_id")
+      .join(comp, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("cluster_id"))
+      .withColumn("keep", col("media_id") === col("cluster_id"))
+      .orderBy("media_id")
+  }
+
+  /** The q223/q239 audio-hash fixture stage: every doc renders a real WAV
+    * with per-id structured loud/soft blocks, every 7th also a planted
+    * near-duplicate (first 5 samples silenced) under a shifted id; the
+    * gain-invariant 65-window energy-envelope hash via [[AudioKernels]].
+    */
+  private def audioHashes(s: SparkSession, dir: String): DataFrame = {
+    val enc = udf((id: Long, p: Boolean) => PcmFixtures.formulaWav2(id, p))
+    val ph = udf((b: Array[Byte]) => AudioKernels.pcmHash(b))
+    val docs = t(s, dir, "documents").select("doc_id")
+    val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
+    base.unionByName(dups)
+      .select(col("media_id"),
+        ph(enc(pmod(col("media_id"), lit(DupOffset)), col("p"))).as("h"))
+      .filter(col("h").isNotNull)
+  }
+
+  /** The q233/q240 video-hash fixture stage: every doc renders a real
+    * MJPG AVI (stored bytes — the q229 discipline: encode once per
+    * (sf, JVM), so the bench times the decode), every 6th also a planted
+    * near-duplicate (frame-0 clamped-brightened corner patch) under a
+    * shifted id; temporal-mean dHash via [[MjpgCodec.videoHash]].
+    */
+  private def videoNdHashes(s: SparkSession, dir: String): DataFrame = {
+    val vh = udf((b: Array[Byte]) => MjpgCodec.videoHash(b))
+    val media = storedMedia(s, "mjpg_nd", dir) {
+      val enc = udf((id: Long, p: Boolean) => VideoFixtures.neardupMjpgAvi(id, p))
+      val docs = t(s, dir, "documents").select("doc_id")
+      val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
+      val dups = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
+      base.unionByName(dups)
+        .select(col("media_id"),
+          enc(pmod(col("media_id"), lit(DupOffset)), col("p")).as("content"))
+    }
+    media
+      .select(col("media_id"), vh(col("content")).as("h"))
+      .filter(col("h").isNotNull)
+  }
+
+  private[graft] def hammingNearDupPairs(hashes: DataFrame,
+      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
+    val bands = bandExplode(hashes, "media_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "v")
     val sized = bands.withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= maxBucket).drop("bsz")
@@ -650,18 +734,8 @@ object MultimodalQueries {
         // at sf10). Spark's CacheManager keys on the canonicalized plan,
         // so repeated invocations reuse the same entry rather than piling
         // up copies.
-        val hashes = imageHashes(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = hammingNearDupPairs(hashes).select("da", "db")
-        val comp = graft.operators.Components
-          .connectedComponents(pairs, "da", "db")
-          .withColumnRenamed("node", "media_id")
-        hashes.select("media_id")
-          .join(comp, Seq("media_id"), "left")
-          .select(col("media_id"),
-            coalesce(col("component"), col("media_id")).as("cluster_id"))
-          .withColumn("keep", col("media_id") === col("cluster_id"))
-          .orderBy("media_id")
+        dedupClusters(imageHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       },
       None),
 
@@ -675,19 +749,22 @@ object MultimodalQueries {
     // provably-lossless 8-band join + hamming ≤ 7 verify. Rows-only;
     // gated banded ≡ brute + invariances in MultimodalSpec.
     Q("q223_audio_neardup", { (s, dir) =>
-        val enc = udf((id: Long, p: Boolean) => PcmFixtures.formulaWav2(id, p))
-        val ph = udf((b: Array[Byte]) => AudioKernels.pcmHash(b))
-        val docs = t(s, dir, "documents").select("doc_id")
-        val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
-        val dups = docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
-        val hashes = base.unionByName(dups)
-          .select(col("media_id"),
-            ph(enc(pmod(col("media_id"), lit(DupOffset)), col("p"))).as("h"))
-          .filter(col("h").isNotNull)
-          // one PCM render+hash pass for the two sides of the band join
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        hammingNearDupPairs(hashes)
+        // one PCM render+hash pass for the two sides of the band join
+        hammingNearDupPairs(audioHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      },
+      None),
+
+    // End-to-end AUDIO dedup — pairs → clusters parity with the image
+    // modality (r11 verdict item 4): q223's verified envelope-hash pairs
+    // close transitively and each cluster keeps its min-id canonical —
+    // the directly actionable drop list on the PCM modality, over the
+    // same persisted 16-byte/row hash projection. Rows-only;
+    // MultimodalSpec gates every planted dup clustering with (and losing
+    // to) its base and exactly one keeper per cluster.
+    Q("q239_audio_dedup", { (s, dir) =>
+        dedupClusters(audioHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       },
       None),
 
@@ -714,24 +791,22 @@ object MultimodalQueries {
     // MultimodalSpec. Scale: one decode pass (persisted 16-byte/row
     // projection), band-key equi join — the q222 posture on video.
     Q("q233_video_neardup", { (s, dir) =>
-        val vh = udf((b: Array[Byte]) => MjpgCodec.videoHash(b))
-        // stored bytes (the q229 discipline): encode once per (sf, JVM)
-        val media = storedMedia(s, "mjpg_nd", dir) {
-          val enc = udf((id: Long, p: Boolean) => VideoFixtures.neardupMjpgAvi(id, p))
-          val docs = t(s, dir, "documents").select("doc_id")
-          val base = docs.select(col("doc_id").as("media_id"), lit(false).as("p"))
-          val dups = docs.filter(col("doc_id") % 6 === 0)
-            .select((col("doc_id") + DupOffset).as("media_id"), lit(true).as("p"))
-          base.unionByName(dups)
-            .select(col("media_id"),
-              enc(pmod(col("media_id"), lit(DupOffset)), col("p")).as("content"))
-        }
-        val hashes = media
-          .select(col("media_id"), vh(col("content")).as("h"))
-          .filter(col("h").isNotNull)
-          // one decode+mean+dHash pass for the two sides of the band join
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        hammingNearDupPairs(hashes)
+        // one decode+mean+dHash pass for the two sides of the band join
+        hammingNearDupPairs(videoNdHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      },
+      None),
+
+    // End-to-end VIDEO dedup — pairs → clusters parity with the image
+    // modality (r11 verdict item 4): q233's verified temporal-mean-dHash
+    // pairs close transitively, min-id keeper per cluster — the
+    // actionable drop list on the video modality, over the persisted
+    // 16-byte/row projection of the stored MJPG bytes. Rows-only;
+    // MultimodalSpec gates planted-dup clustering + one keeper per
+    // cluster.
+    Q("q240_video_dedup", { (s, dir) =>
+        dedupClusters(videoNdHashes(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       },
       None),
 
@@ -996,14 +1071,21 @@ object MjpgCodec {
     b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
       b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
 
-  /** RIFF→movi walk + per-frame ImageIO decode shared by [[mjpgStats]]
-    * and [[videoHash]]: Some((w, h, frames)) with every '00dc' frame
-    * decoded, or None on junk, truncation, missing movi, a frame ImageIO
-    * cannot decode, frame dims that disagree with the avih header, or
-    * zero decodable frames (hostile bytes are data, not errors).
+  /** RIFF→movi walk + per-frame ImageIO decode shared by [[mjpgStats]],
+    * [[frameMotions]] and [[videoHash]]: STREAMS each decoded '00dc'
+    * frame through `onFrame` — only the current frame (plus whatever the
+    * fold keeps, at most the previous frame or running sums) is ever
+    * alive, so a crafted AVI with an unbounded frame count cannot OOM an
+    * executor (r11 ADVICE; previously every frame materialized at once).
+    * A total decoded-pixel cap (2³², ~4 gigapixels) additionally bounds
+    * the decode CPU a single hostile row can consume. Returns
+    * Some((w, h, nFrames)), or None on junk, truncation, missing movi, a
+    * frame ImageIO cannot decode, frame dims that disagree with the avih
+    * header, the pixel cap, or zero decodable frames (hostile bytes are
+    * data, not errors).
     */
-  private def decodeFrames(
-      b: Array[Byte]): Option[(Int, Int, Seq[java.awt.image.BufferedImage])] = {
+  private def walkFrames(b: Array[Byte])(
+      onFrame: java.awt.image.BufferedImage => Unit): Option[(Int, Int, Int)] = {
     if (b == null || b.length < 72) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
     // header dims from the avih fields (same offsets the q103 sniffer
@@ -1028,77 +1110,84 @@ object MjpgCodec {
     }
     if (moviStart < 0 || w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
       return None
-    val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+    val pixelCap = 1L << 32
+    var decodedPx = 0L
     var nFrames = 0
     var j = moviStart
     while (j + 8 <= moviEnd) {
       val sz = le32(b, j + 4)
       if (sz < 0 || j + 8 + sz > moviEnd) return None
       if (tag(b, j, "00dc")) {
+        decodedPx += w.toLong * h
+        if (decodedPx > pixelCap) return None
         val img = ImageCodec.decode(
           java.util.Arrays.copyOfRange(b, j + 8, j + 8 + sz.toInt))
           .getOrElse(return None)
         if (img.getWidth != w || img.getHeight != h) return None
-        frames += img
+        onFrame(img)
         nFrames += 1
       }
       j += 8 + sz.toInt + (sz.toInt & 1)
     }
-    if (nFrames == 0) None else Some((w, h, frames.result()))
+    if (nFrames == 0) None else Some((w, h, nFrames))
   }
 
-  /** Decode stats from an MJPG AVI; None per [[decodeFrames]]'s rejects. */
-  def mjpgStats(b: Array[Byte]): Option[MjpgStats] =
-    decodeFrames(b).map { case (w, h, fs) =>
-      var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
-      var fi = 0
-      while (fi < fs.length) {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = fs(fi).getRGB(x, y)
-            sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
-            if (fi > 0) {
-              val q = fs(fi - 1).getRGB(x, y)
-              motion += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
-                math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
-                math.abs((p & 0xff) - (q & 0xff))
-            }
-            x += 1
-          }
-          y += 1
-        }
-        fi += 1
+  /** Σ |Δr|+|Δg|+|Δb| over pixels between two same-sized frames. */
+  private def frameDelta(a: java.awt.image.BufferedImage,
+      c: java.awt.image.BufferedImage): Long = {
+    val w = a.getWidth; val h = a.getHeight
+    var m = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = c.getRGB(x, y); val q = a.getRGB(x, y)
+        m += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+          math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+          math.abs((p & 0xff) - (q & 0xff))
+        x += 1
       }
-      MjpgStats(fs.length, w, h, sumR, sumG, sumB, motion)
+      y += 1
     }
+    m
+  }
+
+  /** Decode stats from an MJPG AVI; None per [[walkFrames]]'s rejects.
+    * Folds with current + previous frame only.
+    */
+  def mjpgStats(b: Array[Byte]): Option[MjpgStats] = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var motion = 0L
+    var prev: java.awt.image.BufferedImage = null
+    walkFrames(b) { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sumR += (p >> 16) & 0xff; sumG += (p >> 8) & 0xff; sumB += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      if (prev != null) motion += frameDelta(prev, img)
+      prev = img
+    }.map { case (w, h, n) => MjpgStats(n, w, h, sumR, sumG, sumB, motion) }
+  }
 
   /** Per-GAP motion energies (Σ |Δr|+|Δg|+|Δb| over pixels between
     * consecutive decoded frames) — the q237 scene-cut kernel: length
     * n_frames−1, element i = motion from frame i to i+1. None per
-    * [[decodeFrames]]'s rejects or a single-frame stream (no gap).
+    * [[walkFrames]]'s rejects or a single-frame stream (no gap).
     */
-  def frameMotions(b: Array[Byte]): Option[Seq[Long]] =
-    decodeFrames(b).flatMap { case (w, h, fs) =>
-      if (fs.length < 2) None
-      else Some((1 until fs.length).map { fi =>
-        var m = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = fs(fi).getRGB(x, y); val q = fs(fi - 1).getRGB(x, y)
-            m += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
-              math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
-              math.abs((p & 0xff) - (q & 0xff))
-            x += 1
-          }
-          y += 1
-        }
-        m
-      })
-    }
+  def frameMotions(b: Array[Byte]): Option[Seq[Long]] = {
+    val ms = Seq.newBuilder[Long]
+    var prev: java.awt.image.BufferedImage = null
+    walkFrames(b) { img =>
+      if (prev != null) ms += frameDelta(prev, img)
+      prev = img
+    }.flatMap { case (_, _, n) => if (n < 2) None else Some(ms.result()) }
+  }
 
   /** 64-bit perceptual VIDEO fingerprint — dHash of the TEMPORAL-MEAN
     * frame (per-pixel integer floor mean of the decoded RGB across all
@@ -1107,29 +1196,43 @@ object MjpgCodec {
     * a few cells only, while distinct videos' means differ like distinct
     * images. None per [[decodeFrames]]'s rejects or sub-dHash-grid dims.
     */
-  def videoHash(b: Array[Byte]): Option[Long] =
-    decodeFrames(b).flatMap { case (w, h, fs) =>
-      val n = fs.length
+  def videoHash(b: Array[Byte]): Option[Long] = {
+    // running per-pixel channel sums — only the current frame is alive
+    // during the walk (r11 ADVICE); Long sums cannot overflow under the
+    // walk's pixel cap (≤ 255 · nFrames per cell)
+    var sums: Array[Long] = null
+    walkFrames(b) { img =>
+      val w = img.getWidth; val h = img.getHeight
+      if (sums == null) sums = new Array[Long](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y); val o = 3 * (y * w + x)
+          sums(o) += (p >> 16) & 0xff
+          sums(o + 1) += (p >> 8) & 0xff
+          sums(o + 2) += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+    }.flatMap { case (w, h, n) =>
       val mean = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          var sr = 0; var sg = 0; var sb = 0
-          var fi = 0
-          while (fi < n) {
-            val p = fs(fi).getRGB(x, y)
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-            fi += 1
-          }
-          mean.setRGB(x, y, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
+          val o = 3 * (y * w + x)
+          mean.setRGB(x, y, (((sums(o) / n) << 16) | ((sums(o + 1) / n) << 8) |
+            (sums(o + 2) / n)).toInt)
           x += 1
         }
         y += 1
       }
       ImageCodec.dHash(mean)
     }
+  }
 }
 
 /** Formula-synthesized REAL WAV files for q209 (fixture side only; the

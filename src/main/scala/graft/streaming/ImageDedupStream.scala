@@ -36,12 +36,10 @@ object ImageDedupStream {
     */
   def hammingPairsAgainst(newH: DataFrame, storeH: DataFrame,
       maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
-    def bands(df: DataFrame, idAs: String): DataFrame = df
-      .select(col("media_id").as(idAs), col("h"),
-        explode(array((0 until 8).map(b => struct(lit(b).as("b"),
-          shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*))
-          .as("band"))
-      .select(col(idAs), col("h"), col("band.b").as("b"), col("band.v").as("v"))
+    // the 8-band layout is losslessness-critical and has ONE definition
+    // (r11 verdict item 5) — shared with the batch pair join
+    def bands(df: DataFrame, idAs: String): DataFrame =
+      MultimodalQueries.bandExplode(df, idAs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "v")
     val storeB = bands(storeH, "store_id")
       .withColumn("bsz", count(lit(1)).over(w))

@@ -514,6 +514,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** The q226 cluster gate parameterized over the modality (r11 verdict
+    * item 4: audio and video gain the same pairs→clusters parity).
+    */
+  private def checkDedupClusters(query: String, dupMod: Int): Unit = {
+    val out = graft.SparkEntry.queries(query)(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    docs.filter(_ % dupMod == 0).foreach { i =>
+      val dup = byId(i + graft.multimodal.MultimodalQueries.DupOffset)
+      assert(dup._2 == byId(i)._2, s"planted dup $i not clustered with its base")
+      assert(!dup._3, s"planted dup $i must not be the keeper")
+    }
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.count(_._3) == 1, s"cluster $c keeper count")
+      assert(rows.filter(_._3).head._1 == rows.map(_._1).min,
+        s"cluster $c keeper not min id")
+    }
+  }
+
+  test("audio dedup clusters (q239): planted dup loses to its base, one keeper per cluster") {
+    checkDedupClusters("q239_audio_dedup", dupMod = 7)
+  }
+
+  test("video dedup clusters (q240): planted dup loses to its base, one keeper per cluster") {
+    checkDedupClusters("q240_video_dedup", dupMod = 6)
+  }
+
   test("pcmHash: deterministic, gain-invariant, bounds honored") {
     val h1 = AudioKernels.pcmHash(PcmFixtures.formulaWav2(9))
     assert(h1.isDefined && h1 == AudioKernels.pcmHash(PcmFixtures.formulaWav2(9)))

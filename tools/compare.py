@@ -5,22 +5,42 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
 For each query parquet under <verifyOutDir>/<name>/ with an entry in
 oracle_sql.json: run the SQL in DuckDB over the sf tables, sort columns by
-name on both sides, and compare values row by row (exact; doubles must be
-bit-identical, mirroring a hash compare).
+name on both sides, and compare the canonical STRING FORM of every value
+row by row. The driver compares hashes of the pandas-loaded result, not
+numeric equality (r11 q236: a value-level compare passed locally while the
+driver's hash failed), so this mimic canonicalizes each cell to a
+type-sensitive repr — integer widths normalize (int32 vs int64 hash equal
+per the r4 observation), but int-vs-float, float-vs-Decimal, and any
+Decimal exponent/trailing-zero representation difference FAIL here before
+the driver sees them. Doubles must be bit-identical (repr of the same
+binary64 is identical; repr of different ones never is).
 """
 import json
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
 
 def canon(v):
+    """Type-sensitive canonical string of one cell, mirroring a hash compare."""
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, int):
+        return repr(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+            return "float:NaN"
+        return "float:" + repr(v)
+    if isinstance(v, Decimal):
+        # str keeps scale/exponent form: Decimal('1.50') != Decimal('1.5')
+        return "Decimal:" + str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return type(v).__name__ + ":" + str(v)
 
 
 def main():
@@ -67,12 +87,12 @@ def main():
             print(f"FAIL {name}: rowcount {len(spark_rows)} vs {len(duck_rows)}")
             n_fail += 1
             continue
-        key = lambda r: repr(tuple(map(canon, r)))
+        key = lambda r: tuple(map(canon, r))
         spark_rows = sorted(spark_rows, key=key)
         duck_rows = sorted(duck_rows, key=key)
         bad = None
         for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
-            if tuple(map(canon, a)) != tuple(map(canon, b)):
+            if key(a) != key(b):
                 bad = (i, a, b)
                 break
         if bad:
