@@ -330,6 +330,42 @@ object LlmQueries {
       },
       None),
 
+    // INCREMENTAL IVF index append — the lifecycle step q220's
+    // build/probe split leaves out (a real corpus grows between
+    // rebuilds): the index builds on the standing corpus (even vec_ids),
+    // a new batch (odd vec_ids) appends under the FROZEN centroids —
+    // parquet append into the cell partition dirs, no retrain, no
+    // rewrite of standing postings — and the probe immediately sees
+    // old+new through the same partition-pruned scan. Rows-only;
+    // IvfIndexSpec gates append ≡ one-shot assignment under the same
+    // centroids EXACTLY, plus appended-vector reachability.
+    Q("q242_ivf_index_append", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"${LlmQueries.ivfIndexRoot}/app_${math.floorMod(dir.hashCode, 1 << 30)}"
+        Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0), idx)
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 =!= 0), idx)
+        Similarity.probeIvfIndex(idx, e.filter(col("vec_id") < 10), k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    // IVF index BALANCE report — the rebuild trigger for the append
+    // lifecycle above: per-cell occupancy share in integer ppm (nlist
+    // rows, metadata-scale; appended batches land under frozen
+    // centroids, so a share drifting far above 1/nlist says the corpus
+    // outgrew its quantizer and the hot cell's probes degrade toward a
+    // scan). Rows-only; IvfIndexSpec gates the shares summing to ~1 and
+    // the counts reconciling with the postings.
+    Q("q243_ivf_index_balance", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"${LlmQueries.ivfIndexRoot}/bal_${math.floorMod(dir.hashCode, 1 << 30)}"
+        Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0), idx)
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 =!= 0), idx)
+        Similarity.ivfIndexBalance(s, idx)
+      },
+      None),
+
     // Persisted FLAT-PQ index (q148's lifecycle split, the q220 pattern on
     // the compressed index): codebooks + m-byte codes written once, the
     // probe ADC-scans codes only and exact-reranks survivors against the
@@ -580,6 +616,96 @@ object LlmQueries {
              |    AS BIGINT) AS cramers_v2_ppm,
              |  CAST(sum(g_term) AS DOUBLE) AS g_total
              |FROM x""".stripMargin)),
+
+    // Per-source Jensen–Shannon divergence vs the REST of the corpus —
+    // the distributional complement of the q206 entropy audit (entropy
+    // says a source is internally diverse; JSD says whether its token
+    // DISTRIBUTION matches everyone else's — the synthetic-source /
+    // wrong-corpus / template-spam detector, symmetric and bounded
+    // [0, ln 2] unlike raw KL). Exactness: with P = tf_p/N_p,
+    // Q = tf_q/N_q, M = (P+Q)/2, both ln inputs are single IEEE
+    // divisions of EXACT integer products — P/M = 2·tf_p·N_q / d and
+    // Q/M = 2·tf_q·N_p / d with d = tf_p·N_q + tf_q·N_p over
+    // DECIMAL(38,0)/HUGEINT — each ln snapped to the (18,9) grid (the
+    // q236 snap-headroom rule), each term an exact BIGINT×DECIMAL
+    // product, sums order-insensitive. Tokens the source never saw
+    // contribute Q·ln 2 to KL(Q||M) in closed form — ln2_9 ·
+    // (N_q − Σ_present tf_q) — so the join only carries the source's own
+    // vocabulary. Plan: ONE (source, token) histogram shuffle (the
+    // q205/q206 shape), global tf by token-keyed re-agg, the scoring
+    // join keyed on token (the q122 non-broadcastable-vocab rule).
+    Q("q241_source_jsd", { (s, dir) =>
+        val freq = t(s, dir, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+        val glob = freq.groupBy("token").agg(sum("tf").as("gtf"))
+        val np = freq.groupBy("source").agg(sum("tf").as("n_p"))
+        val ntot = freq.agg(sum("tf").as("n_tot"))
+        val joined = freq.join(glob, "token").join(np, "source").crossJoin(ntot)
+          .selectExpr("source", "token", "tf AS tf_p", "gtf - tf AS tf_q",
+            "n_p", "n_tot - n_p AS n_q")
+        val terms = joined.selectExpr("source", "n_p", "n_q", "tf_q",
+          """CAST(tf_p AS DECIMAL(18,0)) * CAST(ln(
+            | CAST(2 * CAST(tf_p AS DECIMAL(38,0)) * n_q AS DOUBLE)
+            | / CAST(CAST(tf_p AS DECIMAL(38,0)) * n_q
+            |   + CAST(tf_q AS DECIMAL(38,0)) * n_p AS DOUBLE)
+            |) AS DECIMAL(18,9)) AS term_p""".stripMargin.replace("\n", " "),
+          """CASE WHEN tf_q > 0 THEN
+            | CAST(tf_q AS DECIMAL(18,0)) * CAST(ln(
+            |  CAST(2 * CAST(tf_q AS DECIMAL(38,0)) * n_p AS DOUBLE)
+            |  / CAST(CAST(tf_p AS DECIMAL(38,0)) * n_q
+            |    + CAST(tf_q AS DECIMAL(38,0)) * n_p AS DOUBLE)
+            | ) AS DECIMAL(18,9))
+            | ELSE CAST(0 AS DECIMAL(18,9)) END AS term_q"""
+            .stripMargin.replace("\n", " "))
+        terms.groupBy("source")
+          .agg(max("n_p").as("n_tokens_src"), max("n_q").as("n_tokens_rest"),
+            sum("term_p").as("s_p"), sum("term_q").as("s_q_terms"),
+            sum("tf_q").as("s_q_present"))
+          .selectExpr("source", "n_tokens_src", "n_tokens_rest",
+            """0.5 * (CAST(s_p AS DOUBLE) / CAST(n_tokens_src AS DOUBLE)
+              | + (CAST(s_q_terms AS DOUBLE)
+              |    + CAST(CAST(ln(2.0) AS DECIMAL(18,9)) AS DOUBLE)
+              |      * CAST(n_tokens_rest - s_q_present AS DOUBLE))
+              |   / CAST(n_tokens_rest AS DOUBLE)) AS jsd"""
+              .stripMargin.replace("\n", " "))
+          .orderBy("source")
+      },
+      Some("""WITH freq AS (
+             |  SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY 1, 2),
+             |gtot AS (SELECT token, CAST(sum(tf) AS BIGINT) AS gtf FROM freq GROUP BY 1),
+             |np AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_p FROM freq GROUP BY 1),
+             |ntot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tot FROM freq),
+             |j AS (
+             |  SELECT source, token, tf AS tf_p, gtf - tf AS tf_q, n_p,
+             |    n_tot - n_p AS n_q
+             |  FROM freq JOIN gtot USING (token) JOIN np USING (source), ntot),
+             |terms AS (
+             |  SELECT source, n_p, n_q, tf_q,
+             |    CAST(tf_p AS DECIMAL(18,0)) * CAST(ln(
+             |      CAST(2 * CAST(tf_p AS HUGEINT) * n_q AS DOUBLE)
+             |      / CAST(CAST(tf_p AS HUGEINT) * n_q
+             |        + CAST(tf_q AS HUGEINT) * n_p AS DOUBLE)
+             |    ) AS DECIMAL(18,9)) AS term_p,
+             |    CASE WHEN tf_q > 0 THEN
+             |      CAST(tf_q AS DECIMAL(18,0)) * CAST(ln(
+             |        CAST(2 * CAST(tf_q AS HUGEINT) * n_p AS DOUBLE)
+             |        / CAST(CAST(tf_p AS HUGEINT) * n_q
+             |          + CAST(tf_q AS HUGEINT) * n_p AS DOUBLE)
+             |      ) AS DECIMAL(18,9))
+             |      ELSE CAST(0 AS DECIMAL(18,9)) END AS term_q
+             |  FROM j)
+             |SELECT source,
+             |  CAST(max(n_p) AS BIGINT) AS n_tokens_src,
+             |  CAST(max(n_q) AS BIGINT) AS n_tokens_rest,
+             |  0.5 * (CAST(sum(term_p) AS DOUBLE) / CAST(max(n_p) AS DOUBLE)
+             |    + (CAST(sum(term_q) AS DOUBLE)
+             |       + CAST(CAST(ln(2.0) AS DECIMAL(18,9)) AS DOUBLE)
+             |         * CAST(max(n_q) - sum(tf_q) AS DOUBLE))
+             |      / CAST(max(n_q) AS DOUBLE)) AS jsd
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
 
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift

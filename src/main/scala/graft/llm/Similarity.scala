@@ -928,18 +928,22 @@ object Similarity {
     * not a drop-in replay of q221's numbers.
     */
   def bitextMineAnn(aSide: DataFrame, bSide: DataFrame, k: Int = 4,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0, probeFloor: Int = 16): DataFrame = {
     val cos9 = col("cos").cast(DecimalType(18, 9))
-    // nlist ~ √N; nprobe floors at 8 and grows as nlist/16, so the probe
-    // FRACTION tapers from 1/4 (sf0.01, where BitextSpec's recall gate
+    // nlist ~ √N; nprobe floors at 16 and grows as nlist/16, so the probe
+    // FRACTION tapers from full (sf0.01, where BitextSpec's recall gate
     // runs) toward 1/16 at corpus scale — total work ~N²·fraction, the
     // recall/throughput dial stated rather than hidden (a constant
     // fraction would keep the N² of the exact mode with a smaller
-    // constant).
+    // constant). The floor was 8 until r12's measurement at the TAPERED
+    // point (sf1: nlist=100 → fraction 0.08) read pair recall 0.74
+    // overall / 0.85 strong — under the 0.8 bar; floor 16 (fraction 0.16
+    // there) bought the recall back for the cost delta recorded in
+    // PERFORMANCE.md, and the asymptotic 1/16 taper is unchanged.
     def sized(q: DataFrame, c: DataFrame): DataFrame = {
       val n = c.count()
       val nlist = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val nprobe = math.min(nlist, math.max(8, nlist / 16))
+      val nprobe = math.min(nlist, math.max(probeFloor, nlist / 16))
       ivfTopKScored(q, c, k, nlist, nprobe)
     }
     val cand = sized(aSide, bSide)
@@ -950,10 +954,24 @@ object Similarity {
           cos9.as("cos9"))
         .select("aid", "bid", "cos9"))
       .groupBy("aid", "bid").agg(max(col("cos9")).as("cos9"))
-    val avga = cand.groupBy("aid").agg(
-      (sum(col("cos9")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avga"))
-    val avgb = cand.groupBy("bid").agg(
-      (sum(col("cos9")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgb"))
+    // Hubness denominators over each id's TOP-k candidates only — the
+    // paper's avg-of-k-nearest, NOT the avg of the whole symmetric union
+    // (whose up-to-2k lists pull the denominator down and drift margins
+    // off the exact mode's: r12 MEASURED at sf1 the union-avg capping
+    // recall at 0.83 even under a FULL probe; top-k denominators lift the
+    // same probes to parity with the probe's own candidate quality). The
+    // windows run over per-id ≤2k-row groups (WindowGroupLimit class).
+    def topKAvg(idCol: String, as: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("cos9").desc,
+          col(if (idCol == "aid") "bid" else "aid"))
+      cand.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .groupBy(idCol).agg(
+          (sum(col("cos9")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as(as))
+    }
+    val avga = topKAvg("aid", "avga")
+    val avgb = topKAvg("bid", "avgb")
     val margins = cand
       .join(avga, "aid").join(avgb, "bid")
       .select(col("aid"), col("bid"),
@@ -1008,14 +1026,65 @@ object Similarity {
     * Output (query_id, rank, neighbor_id) — identical to [[ivfTopK]] at
     * equal parameters (IvfIndexSpec asserts exact equality).
     */
+  private def readIvfCentroids(spark: SparkSession,
+      dir: String): Array[Array[Double]] = {
+    val rows = spark.read
+      .parquet(dir + "/centroids")
+      .select("cell", "centroid").collect()
+    require(rows.nonEmpty, s"no centroids at $dir (index missing or corrupt)")
+    rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Assign vectors to an EXISTING index's centroids and write their
+    * postings under the same cell partitioning. `mode = "append"` is the
+    * incremental-add step (below); `"overwrite"` regenerates the postings
+    * under frozen centroids (the one-shot reference the append gate
+    * compares against).
+    */
+  def assignIvfPostings(vectors: DataFrame, dir: String,
+      mode: String): Unit = {
+    val spark = vectors.sparkSession
+    val centroids = readIvfCentroids(spark, dir)
+    vectors
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", IvfCell(col("cv"), centroids))
+      .write.mode(mode).partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  /** INCREMENTAL index maintenance — the lifecycle step between build and
+    * rebuild (the FAISS add-after-train contract): assign a batch of NEW
+    * vectors to the index's EXISTING centroids and append their postings —
+    * parquet append drops new files into the cell partition directories,
+    * so no standing posting is rewritten, nothing retrains, and the very
+    * next probe sees old+new through the identical partition-pruned scan.
+    * Centroids drift as the corpus grows, which is [[ivfIndexBalance]]'s
+    * job to surface; rebuild (q220's build) remains the drift response.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit =
+    assignIvfPostings(newVectors, dir, "append")
+
+  /** Per-cell occupancy of a persisted IVF index — (cell, n, share_ppm),
+    * nlist rows (metadata-scale at any corpus size; the count agg is
+    * partial+final over the postings). A maintenance job watches the max
+    * share: appended batches land under frozen centroids, so a share
+    * drifting far above 1/nlist means the corpus outgrew its quantizer
+    * and probes of the hot cell degrade toward a scan — the REBUILD
+    * trigger, stated as a measurable signal instead of a guess.
+    */
+  def ivfIndexBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    spark.read.parquet(dir + "/postings")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(w))
+      .selectExpr("cell", "n",
+        "(n * CAST(1000000 AS BIGINT)) DIV total AS share_ppm")
+      .orderBy("cell")
+  }
+
   def probeIvfIndex(dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 12): DataFrame = {
     val spark = queries.sparkSession
-    val centroids: Array[Array[Double]] = spark.read
-      .parquet(dir + "/centroids")
-      .select("cell", "centroid").collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val centroids: Array[Array[Double]] = readIvfCentroids(spark, dir)
     val q = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("cell", explode(IvfProbe(col("qv"), centroids, nprobe)))

@@ -39,6 +39,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(pf.contains("cell"), "cell filter missing from partition filters\n" + plan.take(4000))
   }
 
+  test("append ≡ one-shot assignment under the same centroids, exactly") {
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    // production path: build on A, append B incrementally
+    val idxApp = idx + "_app"
+    Similarity.buildIvfIndex(a, idxApp, nlist = 16)
+    Similarity.appendToIvfIndex(b, idxApp)
+    // reference path: identical training (build on A is deterministic),
+    // then postings regenerated in ONE shot under the frozen centroids
+    val idxRef = idx + "_ref"
+    Similarity.buildIvfIndex(a, idxRef, nlist = 16)
+    Similarity.assignIvfPostings(a.unionByName(b), idxRef, "overwrite")
+    val q = e.filter(col("vec_id") < 10)
+    def probe(d: String) = Similarity.probeIvfIndex(d, q, k = 5, nprobe = 12)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = probe(idxApp)
+    assert(got == probe(idxRef), s"append diverged from one-shot: ${got.take(5)}…")
+    assert(got.nonEmpty)
+    // reachability: an appended (odd) vector is a returnable neighbor
+    assert(got.exists(_._3 % 2 == 1), "no appended vector ever surfaced")
+    // postings hold exactly |A| + |B| rows — nothing lost, nothing doubled
+    val n = spark.read.parquet(idxApp + "/postings").count()
+    assert(n == e.count(), s"postings count $n")
+  }
+
+  test("balance report: shares sum to ~1e6 ppm, counts reconcile") {
+    val e = Tables(spark, dir, "embeddings")
+    Similarity.buildIvfIndex(e, idx, nlist = 16)
+    val bal = Similarity.ivfIndexBalance(spark, idx)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(bal.map(_._2).sum == e.count(), "cell counts must total the corpus")
+    val ppm = bal.map(_._3).sum
+    // each share floors, so the total undershoots 1e6 by < nlist
+    assert(ppm <= 1000000L && ppm > 1000000L - bal.length, s"ppm sum $ppm")
+    assert(bal.forall(_._2 > 0L), "empty cells have no postings rows")
+  }
+
   test("rebuild replaces the previous generation completely") {
     val e = Tables(spark, dir, "embeddings")
     // Generation 1: only even vectors. A probe can never return an odd id.

@@ -141,6 +141,45 @@ class TextDedupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("composes downstream of CorpusIngest: quality gate and exact screen " +
+      "first, the near-dup signature screen last") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textdedup_compose")
+      .resolve("store").toString
+    // empty static corpus (bootstrap), with the contract's hash column
+    val corpus = Seq.empty[String].toDF("text")
+      .select(CorpusIngest.contentHash(
+        graft.llm.NormalizeText(org.apache.spark.sql.functions.col("text")))
+        .as("content_hash"))
+    val in = MemoryStream[(Long, String)]
+    // the full ingest chain: normalize → quality gates → in-stream exact
+    // dedup → corpus screen (CorpusIngest) → near-dup signature screen
+    // (this operator) — one writeStream
+    val query = CorpusIngest.curate(in.toDS().toDF("doc_id", "text"), corpus)
+      .writeStream
+      .foreachBatch(TextDedupStream.ingestInto(dir) _)
+      .start()
+    try {
+      def storeIds() = spark.read.parquet(dir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // trigger 1: 1 is novel; 50 is an EXACT dup of 1 (curate's
+      // in-stream hash dedup owns it); 60 carries a blocklisted phrase
+      // (the gate owns it) — neither reaches the signature store
+      in.addData((1L, doc(1)), (50L, doc(1)),
+        (60L, doc(60) + " table scan inside"))
+      query.processAllAvailable()
+      assert(storeIds() == Set(1L))
+      // trigger 2: 2 is novel; 105 is an EDIT of doc 1 — new content
+      // hash, so it passes every exact screen, and only the near-dup
+      // signature screen can (and must) reject it
+      in.addData((2L, doc(2)), (105L, doc(1, edit = true)))
+      query.processAllAvailable()
+      assert(storeIds() == Set(1L, 2L),
+        "the edit must be rejected by the near-dup screen, the novel admitted")
+    } finally query.stop()
+  }
+
   test("hot-bucket cap: an over-cap store band drops from candidates; " +
       "a true pair survives on its other bands") {
     import spark.implicits._
