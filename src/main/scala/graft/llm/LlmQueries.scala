@@ -707,6 +707,82 @@ object LlmQueries {
              |      / CAST(max(n_q) AS DOUBLE)) AS jsd
              |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Truncated-dimension retrieval eval — the measurement a pipeline
+    // runs before shrinking its vector index (matryoshka/dim-reduction
+    // question: what does searching on the first 16 of 64 dims cost?):
+    // per query, the exact top-5 by full-dim cosine vs the top-5 by
+    // truncated-dim cosine — overlap@5 and rank-1 agreement. ORACLE-
+    // checked (unlike the rows-only q225 eval): both engines compute
+    // both cosines as double folds over the same slices, each cosine
+    // snapped to the (18,9) grid BEFORE ranking (the q236 headroom
+    // rule — ulp noise from fold order cannot flip a rank), ties broken
+    // by neighbor_id. Scale: the q44 contract — bounded query batch ×
+    // one corpus scan, both rankings from ONE scored pass (two windows
+    // over the same |Q|·N rows), output |Q| rows.
+    Q("q244_truncated_dim_eval", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+        def cosSql(dims: Int): String =
+          s"""CAST(aggregate(zip_with(slice(qe, 1, $dims), slice(ce, 1, $dims),
+             | (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+             | / (sqrt(aggregate(slice(qe, 1, $dims), CAST(0.0 AS DOUBLE),
+             |   (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+             | * sqrt(aggregate(slice(ce, 1, $dims), CAST(0.0 AS DOUBLE),
+             |   (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             | AS DECIMAL(18,9))""".stripMargin.replace("\n", " ")
+        val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+          .selectExpr("query_id", "neighbor_id",
+            s"${cosSql(64)} AS cos64", s"${cosSql(16)} AS cos16")
+        def w(cc: String) = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col(cc).desc, col("neighbor_id"))
+        scored
+          .withColumn("r64", row_number().over(w("cos64")))
+          .withColumn("r16", row_number().over(w("cos16")))
+          .groupBy("query_id")
+          .agg(sum(when(col("r64") <= 5 && col("r16") <= 5, 1L).otherwise(0L))
+              .as("n_overlap"),
+            max(when(col("r64") === 1, col("neighbor_id"))).as("t1f"),
+            max(when(col("r16") === 1, col("neighbor_id"))).as("t1t"))
+          .selectExpr("query_id", "n_overlap",
+            "t1f = t1t AS rank1_match")
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+             |    FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(generate_series(1, 64),
+             |          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))
+             |      AS DECIMAL(18,9)) AS cos64,
+             |    CAST(list_sum(list_transform(generate_series(1, 16),
+             |        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(generate_series(1, 16),
+             |          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(generate_series(1, 16),
+             |          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))
+             |      AS DECIMAL(18,9)) AS cos16
+             |  FROM q JOIN c ON neighbor_id <> query_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos64 DESC, neighbor_id) AS r64,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos16 DESC, neighbor_id) AS r16
+             |  FROM scored)
+             |SELECT query_id,
+             |  CAST(sum(CASE WHEN r64 <= 5 AND r16 <= 5 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_overlap,
+             |  (max(CASE WHEN r64 = 1 THEN neighbor_id END)
+             |    = max(CASE WHEN r16 = 1 THEN neighbor_id END)) AS rank1_match
+             |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
     // Embedding-space DRIFT between corpus generations — the q213
     // report's embedding sibling and the encoder/distribution-shift
     // monitor a recurring pipeline publishes: per label, the Euclidean

@@ -515,6 +515,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
   }
 
+  test("q236/q238 chi² family: contingency histogram map-side combines, no cartesian") {
+    for (q <- Seq("q236_chi2_independence", "q238_chi2_effect")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: cell histogram must map-side combine\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$q\n" + p)
+    }
+  }
+
+  test("q241 JSD: scoring join keyed on the token, never all-to-all") {
+    val p = plan("q241_source_jsd")
+    // the only nested-loop is the 1-row n_tot scalar broadcast; the token
+    // vocabulary must never cartesian (the q122 rule)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Exchange hashpartitioning(token"),
+      "the tf join shuffles on the token key (non-broadcastable vocab)\n" + p)
+    assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
+  }
+
+  test("q244 truncated-dim eval: bounded query side broadcasts, one scored pass feeds both windows") {
+    val p = plan("q244_truncated_dim_eval")
+    // the ≠ join is the q44 contract: the 10-row query batch broadcasts
+    // into a nested loop over ONE corpus scan — never a cartesian of the
+    // corpus with itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = "row_number".r.findAllIn(p).length
+    assert(windows >= 2, "both rankings must come from the same scored rows\n" + p)
+  }
+
   test("q209/q210 AV decode is per-row kernel work: no exchange before the sort") {
     for (q <- Seq("q209_audio_pcm_stats", "q210_video_motion")) {
       val p = plan(q)

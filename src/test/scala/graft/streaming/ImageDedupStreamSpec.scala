@@ -133,6 +133,24 @@ class ImageDedupStreamSpec extends SparkSpec {
     assert(admitted == Set(4L), s"audio screen: $admitted")
   }
 
+  test("the band-store screen is modality-agnostic: video temporal-mean " +
+      "hashes flow through the same admitBatch") {
+    import spark.implicits._
+    import graft.multimodal.{MjpgCodec, VideoFixtures}
+    def vh(id: Long, p: Boolean = false): Long =
+      MjpgCodec.videoHash(VideoFixtures.neardupMjpgAvi(id, p)).get
+    // q233's 64-bit temporal-mean dHash screens identically — with the
+    // audio case above, every hash-based modality shares one ingest path
+    val store = Seq((1L, vh(1)), (2L, vh(2))).toDF("media_id", "h")
+    val batch = Seq(
+      (4L, vh(4)), (5L, vh(2, p = true)), (6L, vh(4, p = true))
+    ).toDF("media_id", "h")
+    val admitted = ImageDedupStream.admitBatch(batch, store)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // 5 duplicates store video 2; 6 is an in-batch near-dup of 4
+    assert(admitted == Set(4L), s"video screen: $admitted")
+  }
+
   test("hot-bucket cap: an over-cap store band drops from candidates; " +
       "a true pair survives on its other bands") {
     import spark.implicits._
