@@ -396,6 +396,36 @@ object LlmQueries {
       },
       None),
 
+    // q242's incremental append on the COMPRESSED layouts — the add-
+    // after-train step for flat PQ (new vectors encode under the frozen
+    // codebooks, their m-byte code rows append) and IVF-PQ (assign to
+    // frozen coarse centroids, residuals encode under frozen
+    // sub-codebooks, codes append into the cell partitions). Rows-only;
+    // PqIndexSpec gates each append ≡ a one-shot assignment under the
+    // same trained artifacts, exactly, plus appended-vector
+    // reachability.
+    Q("q245_pq_index_append", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"${LlmQueries.ivfIndexRoot}/pqapp_${math.floorMod(dir.hashCode, 1 << 30)}"
+        Similarity.buildPqIndex(e.filter(col("vec_id") % 2 === 0), idx)
+        Similarity.appendToPqIndex(e.filter(col("vec_id") % 2 =!= 0), idx)
+        Similarity.probePqIndex(idx, e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    Q("q246_ivfpq_index_append", { (s, dir) =>
+        val e = t(s, dir, "embeddings")
+        val idx = s"${LlmQueries.ivfIndexRoot}/ivfpqapp_${math.floorMod(dir.hashCode, 1 << 30)}"
+        Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0), idx)
+        Similarity.appendToIvfPqIndex(e.filter(col("vec_id") % 2 =!= 0), idx)
+        Similarity.probeIvfPqIndex(idx, e.filter(col("vec_id") < 10), e, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // N-gram NOVELTY audit — per doc, the share of its distinct word
     // trigrams that appear in NO other document (integer ppm): the
     // memorization/novelty signal that separates boilerplate-heavy docs

@@ -1147,6 +1147,45 @@ object Similarity {
       .write.mode("overwrite").parquet(dir + "/codes")
   }
 
+  /** Encode vectors under an EXISTING flat-PQ index's codebooks and write
+    * their codes — `"append"` is the incremental add (the [[appendToIvfIndex]]
+    * contract on the compressed layout: frozen codebooks, new code rows,
+    * nothing re-encoded), `"overwrite"` the one-shot reference the gate
+    * compares against.
+    */
+  def assignPqCodes(vectors: DataFrame, dir: String, mode: String): Unit = {
+    val spark = vectors.sparkSession
+    val codebooks = readCodebooks(spark, dir + "/codebooks")
+    vectors
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("neighbor_id"), PqCode(normalized(col("cv")), codebooks).as("codes"))
+      .write.mode(mode).parquet(dir + "/codes")
+  }
+
+  def appendToPqIndex(newVectors: DataFrame, dir: String): Unit =
+    assignPqCodes(newVectors, dir, "append")
+
+  /** IVF-PQ incremental add: assign to the FROZEN coarse centroids,
+    * encode each residual with the FROZEN sub-codebooks, append the
+    * m-byte code rows into the cell partition dirs — quantization error
+    * on appended batches grows with corpus drift, which q243's balance
+    * report is the stated watch signal for.
+    */
+  def assignIvfPqPostings(vectors: DataFrame, dir: String, mode: String): Unit = {
+    val spark = vectors.sparkSession
+    val centroids = readIvfCentroids(spark, dir)
+    val codebooks = readCodebooks(spark, dir + "/codebooks")
+    vectors
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("neighbor_id"), IvfResidual(col("cv"), centroids).as("r"))
+      .select(col("neighbor_id"), col("r.cell").as("cell"),
+        PqCode(col("r.res"), codebooks).as("codes"))
+      .write.mode(mode).partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit =
+    assignIvfPqPostings(newVectors, dir, "append")
+
   /** Probe a [[buildPqIndex]] layout: ADC-score the stored codes against
     * per-query tables rebuilt from the stored codebooks, then exact-rerank
     * the survivors against `corpus` (the raw vectors live in the corpus

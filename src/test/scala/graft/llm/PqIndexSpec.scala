@@ -28,6 +28,44 @@ class PqIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("flat-PQ append ≡ one-shot encoding under the same codebooks, exactly") {
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val idxApp = pqIdx + "_app"
+    Similarity.buildPqIndex(a, idxApp)
+    Similarity.appendToPqIndex(b, idxApp)
+    val idxRef = pqIdx + "_ref"
+    Similarity.buildPqIndex(a, idxRef) // deterministic training → same codebooks
+    Similarity.assignPqCodes(a.unionByName(b), idxRef, "overwrite")
+    val q = e.filter(col("vec_id") < 10)
+    val got = triples(Similarity.probePqIndex(idxApp, q, e, k = 5))
+    assert(got == triples(Similarity.probePqIndex(idxRef, q, e, k = 5)),
+      s"PQ append diverged from one-shot: ${got.take(5)}…")
+    assert(got.nonEmpty && got.exists(_._3 % 2 == 1),
+      "no appended vector ever surfaced")
+    assert(spark.read.parquet(idxApp + "/codes").count() == e.count())
+  }
+
+  test("IVF-PQ append ≡ one-shot assignment under the same artifacts, exactly") {
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val idxApp = ivfpqIdx + "_app"
+    Similarity.buildIvfPqIndex(a, idxApp, nlist = 16)
+    Similarity.appendToIvfPqIndex(b, idxApp)
+    val idxRef = ivfpqIdx + "_ref"
+    Similarity.buildIvfPqIndex(a, idxRef, nlist = 16)
+    Similarity.assignIvfPqPostings(a.unionByName(b), idxRef, "overwrite")
+    val q = e.filter(col("vec_id") < 10)
+    val got = triples(Similarity.probeIvfPqIndex(idxApp, q, e, k = 5, nprobe = 12))
+    assert(got == triples(Similarity.probeIvfPqIndex(idxRef, q, e, k = 5, nprobe = 12)),
+      s"IVF-PQ append diverged from one-shot: ${got.take(5)}…")
+    assert(got.nonEmpty && got.exists(_._3 % 2 == 1),
+      "no appended vector ever surfaced")
+    assert(spark.read.parquet(idxApp + "/postings").count() == e.count())
+  }
+
   test("IVF-PQ probe of the persisted index equals the inline ivfpqTopK exactly") {
     val e = Tables(spark, dir, "embeddings")
     Similarity.buildIvfPqIndex(e, ivfpqIdx, nlist = 16)
