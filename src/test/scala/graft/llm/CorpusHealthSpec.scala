@@ -47,6 +47,106 @@ class CorpusHealthSpec extends SparkSpec {
     }
   }
 
+  // The EvalSpec lesson applies to the whole audit family: the DuckDB
+  // oracles replay the same integer-ppm/snapped-ln formulations, so
+  // cross-engine agreement alone cannot catch a formula that is wrong
+  // the same way in both engines. Each audit below is re-derived by an
+  // INDEPENDENT naive double model over the collected fixture and must
+  // agree within the ppm-floor / ln-snap error budget.
+
+  private def contingency(): (Map[(String, String), Long], Map[String, Long],
+      Map[String, Long], Long) = {
+    val cells = graft.Tables(spark, dir, "documents")
+      .groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rowt = cells.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val colt = cells.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    (cells, rowt, colt, cells.values.sum)
+  }
+
+  test("q236 chi² agrees with an independent double model within the ppm floor") {
+    val (cells, rowt, colt, n) = contingency()
+    val out = rows("q236_chi2_independence")
+    assert(out.size == cells.size)
+    var chi2 = 0.0
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val o = cells(key).toDouble
+      val e = rowt(key._1).toDouble * colt(key._2).toDouble / n
+      val contrib = (o - e) * (o - e) / e
+      chi2 += contrib
+      // each ppm value floors the exact rational: within 1 ppm below
+      val ePpm = r.getLong(r.fieldIndex("e_ppm")).toDouble / 1e6
+      val cPpm = r.getLong(r.fieldIndex("contrib_ppm")).toDouble / 1e6
+      assert(ePpm <= e + 1e-12 && ePpm > e - 2e-6, s"$key e=$e got $ePpm")
+      assert(cPpm <= contrib + 1e-12 && cPpm > contrib - 2e-6,
+        s"$key contrib=$contrib got $cPpm")
+    }
+    val totPpm = out.head.getLong(out.head.fieldIndex("chi2_total_ppm")).toDouble / 1e6
+    // total of per-cell floors: undershoots by < cells · 1 ppm
+    assert(totPpm <= chi2 + 1e-9 && totPpm > chi2 - cells.size * 2e-6,
+      s"chi2 $chi2 got $totPpm")
+  }
+
+  test("q238 effect sizes agree with an independent double model") {
+    val (cells, rowt, colt, n) = contingency()
+    val r = rows("q238_chi2_effect").head
+    val rl = rowt.size.toLong; val cl = colt.size.toLong
+    assert(r.getLong(r.fieldIndex("r_levels")) == rl)
+    assert(r.getLong(r.fieldIndex("c_levels")) == cl)
+    assert(r.getLong(r.fieldIndex("dof")) == (rl - 1) * (cl - 1))
+    var chi2 = 0.0; var g = 0.0
+    cells.foreach { case ((l, s), o) =>
+      val e = rowt(l).toDouble * colt(s).toDouble / n
+      chi2 += (o - e) * (o - e) / e
+      g += 2.0 * o * math.log(o / e)
+    }
+    val v2 = chi2 / (n.toDouble * (math.min(rl, cl) - 1))
+    val v2Ppm = r.getLong(r.fieldIndex("cramers_v2_ppm")).toDouble / 1e6
+    assert(math.abs(v2Ppm - v2) < cells.size * 2e-6 + 2e-6, s"V² $v2 got $v2Ppm")
+    // g_total: ln snapped at 1e-9, error ≤ Σ 2·o · 1e-9 = 2n·1e-9
+    val gGot = r.getDouble(r.fieldIndex("g_total"))
+    assert(math.abs(gGot - g) < 2.0 * n * 1e-9 + 1e-9, s"G $g got $gGot")
+    assert(v2Ppm >= 0.0 && v2Ppm <= 1.0 + 1e-6, s"V² out of range: $v2Ppm")
+  }
+
+  test("q241 JSD agrees with an independent double model; bounds hold") {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (src, text) =>
+      text.split(" ").filter(_.nonEmpty).foreach { w =>
+        tf((src, w)) = tf.getOrElse((src, w), 0L) + 1
+      }
+    }
+    val bySrc = tf.groupBy(_._1._1)
+    val nBySrc = bySrc.map { case (s, m) => s -> m.values.sum }
+    val nTot = nBySrc.values.sum
+    val gtf = tf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val out = rows("q241_source_jsd")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == bySrc.keySet)
+    bySrc.keys.foreach { src =>
+      val nP = nBySrc(src); val nQ = nTot - nP
+      // naive model over the FULL union vocabulary, plain doubles
+      var kl_p = 0.0; var kl_q = 0.0
+      gtf.foreach { case (w, g) =>
+        val tp = tf.getOrElse((src, w), 0L); val tq = g - tp
+        val p = tp.toDouble / nP; val q = tq.toDouble / nQ
+        val m = (p + q) / 2.0
+        if (tp > 0) kl_p += p * math.log(p / m)
+        if (tq > 0) kl_q += q * math.log(q / m)
+      }
+      val want = 0.5 * (kl_p + kl_q)
+      val (gotNp, gotNq, gotJsd) = out(src)
+      assert(gotNp == nP && gotNq == nQ, s"$src token counts")
+      assert(math.abs(gotJsd - want) < 1e-6, s"$src jsd $want got $gotJsd")
+      assert(gotJsd >= -1e-9 && gotJsd <= math.log(2.0) + 1e-9,
+        s"$src jsd out of [0, ln 2]: $gotJsd")
+    }
+  }
+
   test("q205/q206 are partition-order-free (exact decimal moment sums)") {
     val conf = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(conf)
