@@ -426,6 +426,106 @@ object LlmQueries {
       },
       None),
 
+    // Round-12 composite — curation pipeline v3, the RefinedWeb-style
+    // policy chain the r11/r12 dedup family enables, in ONE plan and ONE
+    // oracle (q106 = v1 first-seen dedup + Jaccard drop; q182 = v2
+    // winnowing + sampled shard; v3 = the asymmetric policies): quality
+    // gate (word window + repetition ratio) → KEEP-LONGEST exact dedup
+    // (the q199 rule: the longest duplicate survives, not the
+    // first-seen) → DIRECTED containment drop (q234: any surviving doc
+    // ≥ 80% contained in another survivor drops — the quote/subset
+    // policy Jaccard dilutes away) → deterministic shuffle-shard (q172,
+    // fresh salt). Scale posture inherits each stage's: per-row gates,
+    // one hash shuffle, the q235 prefix filter as the containment scale
+    // path, one shard shuffle — no stage adds a new bottleneck class.
+    // Stage firing at sf0.01: gate drops 8, containment drops 47; the
+    // keep-longest stage is exercised by the oracle replaying the same
+    // rule (the driver fixture holds no exact text duplicates — q40/q199
+    // see the same corpus), its policy gated value-level in q199.
+    Q("q247_pipeline_curation_v3", { (s, dir) =>
+        val d = t(s, dir, "documents")
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast(LongType)
+        val uniqRatio = size(array_distinct(words)).cast(DoubleType) /
+          nWords.cast(DoubleType)
+        val gated = d.filter(nWords >= 8 && uniqRatio >= 0.3)
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy(col("len").desc, col("doc_id"))
+        val canon = gated
+          .withColumn("h", md5(col("text")))
+          .withColumn("len", length(col("text")).cast(LongType))
+          .withColumn("rn", row_number().over(wH))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text")
+        val sh = canon
+          .select(col("doc_id"),
+            explode(WordSpans(TextOps.tokens(col("text")), 3)).as("tri"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val contained = sh.as("a")
+          .join(sh.as("b"), col("a.tri") === col("b.tri") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.withColumnRenamed("doc_id", "da")
+            .withColumnRenamed("n", "na"), "da")
+          .filter(expr("(common * CAST(1000000 AS BIGINT)) DIV na >= 800000"))
+          .select(col("da").as("doc_id")).distinct()
+        val kept = canon.join(contained, Seq("doc_id"), "left_anti")
+        val key = md5(concat(lit("v3:"), col("doc_id").cast(StringType)))
+        val pfx = substring(col("shuffle_key"), 1, 2)
+        val shard = when(pfx < "20", 0).when(pfx < "40", 1).when(pfx < "60", 2)
+          .when(pfx < "80", 3).when(pfx < "a0", 4).when(pfx < "c0", 5)
+          .when(pfx < "e0", 6).otherwise(7).cast(LongType)
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("shuffle_key", "doc_id")
+        kept.select(col("doc_id"), key.as("shuffle_key"))
+          .withColumn("shard", shard)
+          .withColumn("pos_in_shard", row_number().over(wS).cast(LongType))
+          .select("doc_id", "shard", "pos_in_shard")
+          .orderBy("shard", "pos_in_shard")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 8
+             |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3),
+             |canon AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, row_number() OVER (
+             |        PARTITION BY md5(text)
+             |        ORDER BY length(text) DESC, doc_id) AS rn
+             |    FROM g) WHERE rn = 1),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM canon),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, len(toks) - 2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+             |  FROM toks),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, CAST(count(*) AS BIGINT) AS common
+             |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id <> b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id),
+             |contained AS (SELECT DISTINCT da AS doc_id
+             |  FROM inter JOIN sizes s ON s.doc_id = inter.da
+             |  WHERE (common * 1000000) // s.n >= 800000),
+             |kept AS (SELECT doc_id FROM canon
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
+             |k AS (SELECT doc_id,
+             |    md5('v3:' || CAST(doc_id AS VARCHAR)) AS key,
+             |    substr(md5('v3:' || CAST(doc_id AS VARCHAR)), 1, 2) AS pfx
+             |  FROM kept),
+             |sh2 AS (SELECT doc_id, key,
+             |    CAST(CASE WHEN pfx < '20' THEN 0 WHEN pfx < '40' THEN 1
+             |      WHEN pfx < '60' THEN 2 WHEN pfx < '80' THEN 3
+             |      WHEN pfx < 'a0' THEN 4 WHEN pfx < 'c0' THEN 5
+             |      WHEN pfx < 'e0' THEN 6 ELSE 7 END AS BIGINT) AS shard
+             |  FROM k)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+             |    AS BIGINT) AS pos_in_shard
+             |FROM sh2 ORDER BY shard, pos_in_shard""".stripMargin)),
+
     // N-gram NOVELTY audit — per doc, the share of its distinct word
     // trigrams that appear in NO other document (integer ppm): the
     // memorization/novelty signal that separates boilerplate-heavy docs

@@ -533,6 +533,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
   }
 
+  test("q247 curation v3: anti-join containment drop, no cartesian anywhere") {
+    val p = plan("q247_pipeline_curation_v3")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the containment stage must stay a shingle-keyed equi join\n" + p)
+    assert(p.contains("LeftAnti"), "contained docs drop via anti join\n" + p)
+  }
+
   test("q244 truncated-dim eval: bounded query side broadcasts, one scored pass feeds both windows") {
     val p = plan("q244_truncated_dim_eval")
     // the ≠ join is the q44 contract: the 10-row query batch broadcasts
