@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Compaction for the append-accumulated parquet stores the streaming
+  * dedup screens keep ([[ImageDedupStream]] (media_id, h),
+  * [[TextDedupStream]] (doc_id, sig), [[SemDedupStream]]'s vector store):
+  * every trigger appends one small file, so a one-trigger-per-minute
+  * ingest leaves half a million files a year — the classic small-file
+  * failure, where the per-trigger store RE-READ (the screens' exact
+  * backstop) spends its time opening footers instead of scanning rows.
+  *
+  * `compact` rewrites the store into `targetFiles` coalesced files via a
+  * temp directory and a rename swap. The swap is two renames, not one
+  * atomic operation — safe here because a foreachBatch ingest is the
+  * store's ONLY writer and triggers run serially, so compaction runs
+  * BETWEEN triggers (same maintenance slot as the index rebuilds); a
+  * concurrent reader outside the ingest would need a manifest layer
+  * (CdcSnapshot's generation scheme) instead.
+  */
+object StoreCompact {
+
+  /** Row-identical rewrite of `dir` into at most `targetFiles` files.
+    * Returns (filesBefore, filesAfter). No-op (returns counts) when the
+    * store is already at or under the target.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFiles: Int = 8): (Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles $targetFiles")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count { st =>
+        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+    val before = dataFiles(path)
+    if (before <= targetFiles) return (before, before)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(dir)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = dataFiles(tmp)
+    require(fs.rename(path, old), s"compact: could not retire $dir")
+    require(fs.rename(tmp, path), s"compact: could not publish $tmp")
+    fs.delete(old, true)
+    (before, after)
+  }
+}

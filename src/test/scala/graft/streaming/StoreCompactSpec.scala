@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Store compaction for the append-accumulated parquet band/signature
+  * stores: row-identical rewrite, file count bounded by the target,
+  * no-op under the target, and the screens' store re-read still works
+  * over the compacted layout.
+  */
+class StoreCompactSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.delete() // parquet writer wants to create it
+    d.getAbsolutePath
+  }
+
+  private def listDataFiles(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) Seq.empty
+    else f.listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+  }
+
+  test("compact rewrites a many-file store row-identically under the target") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_compact")
+    // 20 one-row appends = 20+ files, the per-trigger append pattern of
+    // ImageDedupStream/TextDedupStream stores.
+    (0 until 20).foreach { i =>
+      Seq((i.toLong, i.toLong * 1000003L)).toDF("media_id", "h")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val beforeRows = spark.read.parquet(dir).as[(Long, Long)].collect().sorted
+    assert(listDataFiles(dir).size >= 20)
+
+    val (before, after) = StoreCompact.compact(spark, dir, targetFiles = 4)
+    assert(before >= 20)
+    assert(after <= 4 && after >= 1)
+    assert(listDataFiles(dir).size == after)
+
+    val afterRows = spark.read.parquet(dir).as[(Long, Long)].collect().sorted
+    assert(afterRows.toSeq == beforeRows.toSeq) // row-identical, schema intact
+    // no temp/retired dirs left behind
+    assert(!new java.io.File(dir + "_compact_tmp").exists())
+    assert(!new java.io.File(dir + "_compact_old").exists())
+  }
+
+  test("compact is a no-op at or under the target") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_compact_noop")
+    Seq((1L, 2L), (3L, 4L)).toDF("media_id", "h")
+      .coalesce(2).write.mode("append").parquet(dir)
+    val files0 = listDataFiles(dir)
+    val (before, after) = StoreCompact.compact(spark, dir, targetFiles = 8)
+    assert(before == files0.size && after == files0.size)
+    assert(listDataFiles(dir) == files0) // untouched, not rewritten
+  }
+
+  test("targetFiles must be positive") {
+    intercept[IllegalArgumentException] {
+      StoreCompact.compact(spark, tmpDir("graft_compact_bad"), targetFiles = 0)
+    }
+  }
+
+  test("the dedup screen reads the compacted store unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_compact_screen")
+    // Same shape ImageDedupStream.ingestInto appends: admitted hashes.
+    (0 until 12).foreach { i =>
+      Seq((i.toLong, 0x0f0f0f0fL * (i + 1))).toDF("media_id", "h")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    StoreCompact.compact(spark, dir, targetFiles = 2)
+    val store = spark.read.parquet(dir).select("media_id", "h")
+    assert(store.count() == 12)
+    assert(store.columns.toSeq == Seq("media_id", "h"))
+  }
+}
