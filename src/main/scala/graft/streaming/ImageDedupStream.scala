@@ -78,9 +78,14 @@ object ImageDedupStream {
     * errors), screen against `storeDir` (missing/empty = bootstrap), and
     * append the admitted (media_id, h) rows. Wire as
     * `stream.writeStream.foreachBatch(ImageDedupStream.ingestInto(dir) _)`
-    * with a (media_id, content) batch.
+    * with a (media_id, content) batch. `compactEvery` > 0 runs
+    * [[StoreCompact]] after every that-many triggers (keyed on batchId,
+    * so restarts don't reset the cadence) — the append-per-trigger store
+    * otherwise fragments into the small-file layout StoreBench measures
+    * at 2.3–6.3× probe cost.
     */
-  def ingestInto(storeDir: String, maxHamming: Int = 7, maxBucket: Int = 1024)(
+  def ingestInto(storeDir: String, maxHamming: Int = 7, maxBucket: Int = 1024,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(storeDir)
@@ -105,5 +110,8 @@ object ImageDedupStream {
         .select("media_id", "h")
         .write.mode("append").parquet(storeDir)
     } finally { hashed.unpersist(); () }
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      StoreCompact.compact(spark, storeDir); ()
+    }
   }
 }

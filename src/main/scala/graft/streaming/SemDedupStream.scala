@@ -68,8 +68,11 @@ object SemDedupStream {
     * batch against `corpusDir` (missing/empty dir = bootstrap) and
     * append the admitted rows to it. Wire as
     * `stream.writeStream.foreachBatch(SemDedupStream.ingestInto(dir, t) _)`.
+    * `compactEvery` > 0 runs [[StoreCompact]] after every that-many
+    * triggers (keyed on batchId so restarts keep the cadence).
     */
-  def ingestInto(corpusDir: String, threshold: Double, probes: Int = 4)(
+  def ingestInto(corpusDir: String, threshold: Double, probes: Int = 4,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // Bootstrap detection by actual path existence (Hadoop FileSystem),
@@ -93,5 +96,8 @@ object SemDedupStream {
       admitted.select("vec_id", "embedding")
         .write.mode("append").parquet(corpusDir)
     } finally { pinned.unpersist(); () }
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      StoreCompact.compact(spark, corpusDir); ()
+    }
   }
 }

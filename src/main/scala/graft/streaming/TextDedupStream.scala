@@ -138,9 +138,12 @@ object TextDedupStream {
     * Wire as `stream.writeStream.foreachBatch(TextDedupStream
     * .ingestInto(dir) _)` — downstream of [[CorpusIngest]]'s quality +
     * exact-hash gate when composing the full curation ingest.
+    * `compactEvery` > 0 runs [[StoreCompact]] after every that-many
+    * triggers (keyed on batchId so restarts keep the cadence).
     */
   def ingestInto(storeDir: String, bands: Int = 8, k: Int = 32,
-      num: Int = 7, den: Int = 10, maxBucket: Int = 10000)(
+      num: Int = 7, den: Int = 10, maxBucket: Int = 10000,
+      compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(storeDir)
@@ -161,5 +164,8 @@ object TextDedupStream {
         .select("doc_id", "sig")
         .write.mode("append").parquet(storeDir)
     } finally { signed.unpersist(); () }
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      StoreCompact.compact(spark, storeDir); ()
+    }
   }
 }

@@ -65,6 +65,34 @@ class StoreCompactSpec extends SparkSpec {
     }
   }
 
+  test("ingestInto(compactEvery) keeps the store's file count bounded " +
+      "without changing what was admitted") {
+    val s = spark
+    import s.implicits._
+    val base = tmpDir("graft_compact_ingest")
+    val plain = base + "/plain"
+    val compacted = base + "/compacted"
+    // 9 triggers of 3 novel docs each (id-namespaced vocab: zero shared
+    // 3-shingles across ids, so every doc is admitted) through both a
+    // compaction-free ingest and one compacting every 3 triggers.
+    def doc(id: Long): String = (0 until 40).map(j => s"w${id}x$j").mkString(" ")
+    (0L until 9L).foreach { trig =>
+      val batch = (0 until 3)
+        .map(i => (trig * 3 + i, doc(trig * 3 + i))).toDF("doc_id", "text")
+      TextDedupStream.ingestInto(plain)(batch, trig)
+      TextDedupStream.ingestInto(compacted, compactEvery = 3)(batch, trig)
+    }
+    val plainRows = spark.read.parquet(plain)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val compactedRows = spark.read.parquet(compacted)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plainRows == (0L until 27L)) // all novel docs admitted
+    assert(compactedRows == plainRows) // compaction never changes content
+    // last compaction fired at trigger 6; triggers 7, 8 appended after it
+    assert(listDataFiles(compacted).size < listDataFiles(plain).size)
+    assert(listDataFiles(compacted).size <= 8 + 2)
+  }
+
   test("the dedup screen reads the compacted store unchanged") {
     val s = spark
     import s.implicits._
