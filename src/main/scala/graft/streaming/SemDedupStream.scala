@@ -75,6 +75,7 @@ object SemDedupStream {
       compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    StoreCompact.recover(spark, corpusDir) // heal an interrupted compaction
     // Bootstrap detection by actual path existence (Hadoop FileSystem),
     // not by matching the AnalysisException message text — error phrasing
     // varies across Spark versions/locales and a mismatch would crash the

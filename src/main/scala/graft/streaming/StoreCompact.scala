@@ -14,11 +14,36 @@ import org.apache.spark.sql.SparkSession
   * temp directory and a rename swap. The swap is two renames, not one
   * atomic operation — safe here because a foreachBatch ingest is the
   * store's ONLY writer and triggers run serially, so compaction runs
-  * BETWEEN triggers (same maintenance slot as the index rebuilds); a
-  * concurrent reader outside the ingest would need a manifest layer
-  * (CdcSnapshot's generation scheme) instead.
+  * BETWEEN triggers (same maintenance slot as the index rebuilds), and a
+  * crash INSIDE the rename window (store retired, replacement not yet
+  * published) is healed by [[recover]], which the ingest bodies run
+  * before every store read — without it a missing-store crash residue
+  * would read as bootstrap and silently re-admit every rejected
+  * duplicate. A concurrent reader outside the ingest would need a
+  * manifest layer (CdcSnapshot's generation scheme) instead.
   */
 object StoreCompact {
+
+  /** Recover from a compaction interrupted between the two renames: in
+    * that window the store path does not exist but the retired copy at
+    * `dir + "_compact_old"` holds every row — without this check the next
+    * trigger's missing-store test would read as BOOTSTRAP and the screen
+    * would silently re-admit everything it ever rejected. The ingest
+    * bodies call this before reading (two fs.exists checks on the happy
+    * path); `compact` calls it first for the same reason. Returns true if
+    * a retired copy was restored. A tmp dir alongside a LIVE store is the
+    * other crash residue (died before the first rename) — stale, deleted
+    * by the next compact's rewrite.
+    */
+  def recover(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    if (!fs.exists(path) && fs.exists(old)) {
+      require(fs.rename(old, path), s"recover: could not restore $old")
+      true
+    } else false
+  }
 
   /** Row-identical rewrite of `dir` into at most `targetFiles` files.
     * Returns (filesBefore, filesAfter). No-op (returns counts) when the
@@ -27,6 +52,7 @@ object StoreCompact {
   def compact(spark: SparkSession, dir: String,
       targetFiles: Int = 8): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles $targetFiles")
+    recover(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: org.apache.hadoop.fs.Path): Int =

@@ -146,6 +146,7 @@ object TextDedupStream {
       compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    StoreCompact.recover(spark, storeDir) // heal an interrupted compaction
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasData: Boolean = fs.exists(path) &&

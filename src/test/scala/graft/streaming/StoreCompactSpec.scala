@@ -93,6 +93,32 @@ class StoreCompactSpec extends SparkSpec {
     assert(listDataFiles(compacted).size <= 8 + 2)
   }
 
+  test("a compaction crash between the renames is healed, not read as " +
+      "bootstrap") {
+    val s = spark
+    import s.implicits._
+    val base = tmpDir("graft_compact_crash")
+    val dir = base + "/store"
+    def doc(id: Long): String = (0 until 40).map(j => s"w${id}x$j").mkString(" ")
+    // trigger 0 admits docs 0..2
+    val b0 = (0L until 3L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    TextDedupStream.ingestInto(dir)(b0, 0L)
+    // simulate dying between compact's two renames: store retired to
+    // _compact_old, replacement never published
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + "_compact_old")))
+    assert(!f.exists())
+    // next trigger re-offers doc 1 (an exact re-crawl) plus a novel doc —
+    // without recovery the missing store reads as bootstrap and doc 1 is
+    // re-admitted
+    val b1 = Seq((10L, doc(1)), (11L, doc(11))).toDF("doc_id", "text")
+    TextDedupStream.ingestInto(dir)(b1, 1L)
+    val ids = spark.read.parquet(dir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L, 11L)) // 10 rejected against the healed store
+    assert(!new java.io.File(dir + "_compact_old").exists())
+  }
+
   test("the dedup screen reads the compacted store unchanged") {
     val s = spark
     import s.implicits._
