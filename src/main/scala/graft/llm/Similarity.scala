@@ -1081,6 +1081,24 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** The rebuild trigger [[ivfIndexBalance]] documents, as an executable
+    * policy instead of prose: true when the hottest cell holds more than
+    * `factor`× its fair share (1/nlist) of the postings — appended
+    * batches land under frozen centroids, so a hot cell means the corpus
+    * outgrew its quantizer and probes of that cell degrade toward a
+    * scan. Two metadata-scale jobs (nlist-row agg + centroid count); the
+    * maintenance slot calls this per append cadence and runs q220's
+    * build when it fires.
+    */
+  def ivfNeedsRebuild(spark: SparkSession, dir: String,
+      factor: Double = 4.0): Boolean = {
+    require(factor > 1.0, s"factor $factor must exceed the fair share")
+    val nlist = readIvfCentroids(spark, dir).length
+    val maxShare = ivfIndexBalance(spark, dir)
+      .agg(max("share_ppm")).head.getLong(0)
+    maxShare > (factor * 1000000.0 / nlist).toLong
+  }
+
   def probeIvfIndex(dir: String, queries: DataFrame, k: Int,
       nprobe: Int = 12): DataFrame = {
     val spark = queries.sparkSession

@@ -78,6 +78,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(bal.forall(_._2 > 0L), "empty cells have no postings rows")
   }
 
+  test("the rebuild trigger fires on a hot cell and stays quiet on a " +
+      "balanced index") {
+    val e = Tables(spark, dir, "embeddings")
+    // Balanced: built on the full corpus, k-means shares stay near fair.
+    Similarity.buildIvfIndex(e, idx, nlist = 16)
+    assert(!Similarity.ivfNeedsRebuild(spark, idx, factor = 4.0),
+      "a freshly built index must not demand a rebuild")
+    // Drifted: append a hot batch the quantizer never saw — as many
+    // copies of ONE vector as the whole corpus, all landing in one cell,
+    // which then holds >= 50% of postings, far past 4x the 1/16 fair
+    // share. (The real-world shape: a new ingest source whose embeddings
+    // cluster where the frozen centroids have a single cell.)
+    val idxDrift = idx + "_drift"
+    Similarity.buildIvfIndex(e, idxDrift, nlist = 16)
+    val n = e.count()
+    val hot = e.filter(col("vec_id") === 0).select("embedding")
+      .crossJoin(spark.range(n).select((col("id") + 1000000L).as("vec_id")))
+      .select("vec_id", "embedding")
+    Similarity.appendToIvfIndex(hot, idxDrift)
+    assert(Similarity.ivfNeedsRebuild(spark, idxDrift, factor = 4.0),
+      "a one-cell hot append of corpus size must fire")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfNeedsRebuild(spark, idx, factor = 1.0)
+    }
+  }
+
   test("rebuild replaces the previous generation completely") {
     val e = Tables(spark, dir, "embeddings")
     // Generation 1: only even vectors. A probe can never return an odd id.
