@@ -68,6 +68,17 @@ object CorpusIngest {
         contentHash(col("text")).as("content_hash")): _*)
   }
 
+  /** Stages 1-2 as a batch-side function — the gate [[CurationChain]]
+    * runs inside its foreachBatch trigger body (curate/curateBounded wrap
+    * the same kernel for the declarative streaming form). Returns
+    * (passThrough..., text, content_hash) for rows passing the gate.
+    */
+  def gateBatch(docs: DataFrame, passThrough: Seq[String] = Seq("doc_id"),
+      blocklist: Seq[String] = graft.llm.Blocklist.phrases,
+      minWords: Int = 8, maxWords: Int = 200,
+      minUniqRatio: Double = 0.3): DataFrame =
+    gate(docs, passThrough, blocklist, minWords, maxWords, minUniqRatio)
+
   def curate(docs: DataFrame, corpus: DataFrame,
       blocklist: Seq[String] = graft.llm.Blocklist.phrases,
       minWords: Int = 8, maxWords: Int = 200,

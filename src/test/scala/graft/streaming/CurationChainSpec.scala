@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** The composed curation trigger body: every stage fires on its own
+  * planted case, admissions are judged against admitted content only,
+  * and the four stores stay mutually consistent (no reject residue).
+  */
+class CurationChainSpec extends SparkSpec {
+
+  /** 80 words over an id-namespaced vocabulary (zero shared 3-shingles
+    * across ids — the TextDedupStreamSpec fixture); `edit` replaces one
+    * mid-doc word: Jaccard ≈ 0.93 vs the base, past the 7/10 gate.
+    */
+  private def doc(id: Long, edit: Boolean = false): String =
+    (0 until 80).map { j =>
+      if (edit && j == 40) s"edited$id" else s"w${id}x$j"
+    }.mkString(" ")
+
+  /** Deterministic unit embedding in a 4-dim one-hot family: same `axis`
+    * → cosine 1 (semantic dup), different axes → cosine 0.
+    */
+  private def vec(axis: Int): Array[Float] =
+    Array.tabulate(4)(i => if (i == axis % 4) 1.0f else 0.0f)
+
+  private def rows(spark: org.apache.spark.sql.SparkSession,
+      data: Seq[(Long, String, Array[Float])]) = {
+    val s = spark
+    import s.implicits._
+    data.toDF("doc_id", "text", "embedding")
+  }
+
+  test("every stage fires, stores hold admitted content only") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain").toFile.getAbsolutePath + "/c"
+
+    // trigger 0: a gate reject (3 words), an in-batch exact dup pair
+    // (lowest id keeps), and two novel docs on distinct axes
+    val b0 = rows(spark, Seq(
+      (1L, "too short junk", vec(0)),
+      (2L, doc(2), vec(0)),
+      (3L, doc(2), vec(1)), // exact copy of 2's text — in-batch exact drop
+      (4L, doc(4), vec(1))))
+    CurationChain.ingestInto(root)(b0, 0L)
+    val a0 = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a0 == Seq(2L, 4L))
+
+    // trigger 1: one case per screen, plus one genuine novel doc —
+    //  10: exact re-offer of doc 2          → exact store reject
+    //  11: light edit of doc 4              → signature store reject
+    //  12: novel text, doc 2's embedding    → semantic store reject
+    //  13: novel text, novel axis           → admitted
+    val b1 = rows(spark, Seq(
+      (10L, doc(2), vec(2)),
+      (11L, doc(4, edit = true), vec(2)),
+      (12L, doc(12), vec(0)),
+      (13L, doc(13), vec(2))))
+    CurationChain.ingestInto(root)(b1, 1L)
+    val a1 = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a1 == Seq(2L, 4L, 13L))
+
+    // store consistency: every store grew by exactly the admitted rows —
+    // the semantically-rejected doc 12 left no hash/signature residue
+    assert(spark.read.parquet(s"$root/exact").count() == 3)
+    val sigIds = spark.read.parquet(s"$root/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sigIds == Seq(2L, 4L, 13L))
+    val vecIds = spark.read.parquet(s"$root/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vecIds == Seq(2L, 4L, 13L))
+
+    // no-residue consequence: doc 12's text is still judged against
+    // ADMITTED content only — an exact copy of it two triggers later is
+    // rejected by the SEMANTIC screen again (same embedding), not by a
+    // leaked exact hash; prove it by re-offering with a NOVEL embedding,
+    // which must now be admitted (nothing admitted holds 12's text)
+    val b2 = rows(spark, Seq((20L, doc(12), vec(3))))
+    CurationChain.ingestInto(root)(b2, 2L)
+    val a2 = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a2 == Seq(2L, 4L, 13L, 20L),
+      "a rejected doc's re-arrival must be re-judged, not blocked by residue")
+  }
+
+  test("text-only batches skip the semantic stage") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_txt").toFile.getAbsolutePath + "/c"
+    val b0 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    CurationChain.ingestInto(root)(b0, 0L)
+    val b1 = Seq((3L, doc(1, edit = true)), (4L, doc(40))).toDF("doc_id", "text")
+    CurationChain.ingestInto(root)(b1, 1L)
+    val ids = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L)) // 3 rejected by the signature screen
+    assert(!new java.io.File(s"$root/vecs").exists())
+  }
+}
