@@ -84,6 +84,64 @@ class CurationChainSpec extends SparkSpec {
       "a rejected doc's re-arrival must be re-judged, not blocked by residue")
   }
 
+  test("18-trigger soak: planted dups of every kind rejected at any lag, " +
+      "novels admitted, stores compacted and consistent") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_soak").toFile.getAbsolutePath + "/c"
+    val rnd = new scala.util.Random(42)
+    // high-dim one-hot axes: every novel doc gets its own axis, so only
+    // planted semantic dups are ever cosine-close
+    def axisVec(axis: Int): Array[Float] =
+      Array.tabulate(128)(i => if (i == axis) 1.0f else 0.0f)
+    var nextId = 0L
+    var admittedSoFar = Vector.empty[(Long, Int)] // (doc_id, axis)
+    var expected = Set.empty[Long]
+    (0 until 18).foreach { trig =>
+      val novel = (0 until 2).map { _ =>
+        val id = nextId; nextId += 1
+        (id, doc(id), axisVec(id.toInt), true)
+      }
+      // one planted dup per kind against a RANDOM earlier admitted doc
+      val dups =
+        if (admittedSoFar.isEmpty) Seq.empty
+        else {
+          def pick() = admittedSoFar(rnd.nextInt(admittedSoFar.size))
+          val (e, _) = pick(); val (t, _) = pick(); val (v, va) = pick()
+          val base = 100000L + trig * 10L
+          Seq(
+            (base, doc(e), axisVec(120 + trig % 8), false), // exact re-offer
+            (base + 1, doc(t, edit = true), axisVec(120 + (trig + 1) % 8), false), // light edit
+            (base + 2, doc(90000L + trig), axisVec(va), false)) // semantic dup
+        }
+      val batch = rows(spark, rnd.shuffle(novel ++ dups)
+        .map { case (id, tx, em, _) => (id, tx, em) })
+      CurationChain.ingestInto(root, compactEvery = 6)(batch, trig.toLong)
+      novel.foreach { case (id, _, _, _) =>
+        admittedSoFar :+= ((id, id.toInt)); expected += id
+      }
+    }
+    val got = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"leaked dups: ${(got -- expected).toSeq.sorted.take(10)}; " +
+        s"lost novels: ${(expected -- got).toSeq.sorted.take(10)}")
+    // stores mutually consistent with the admitted set
+    assert(spark.read.parquet(s"$root/exact").count() == expected.size)
+    assert(spark.read.parquet(s"$root/sigs").count() == expected.size)
+    assert(spark.read.parquet(s"$root/vecs").count() == expected.size)
+    // compaction held: each trigger appends up to 3 non-empty part files
+    // per store (4 shuffle partitions, 2-3 rows), so 18 uncompacted
+    // triggers would leave up to ~54 and at least 18 files; the last
+    // compaction fired at trigger 12, leaving <= 5 appends x 3 files on
+    // top of the 8-file target
+    def files(d: String) = new java.io.File(d).listFiles()
+      .map(_.getName).count(n => !n.startsWith("_") && !n.startsWith("."))
+    Seq("exact", "sigs", "vecs", "admitted").foreach { st =>
+      assert(files(s"$root/$st") <= 8 + 5 * 3,
+        s"$st fragmented: ${files(s"$root/$st")}")
+    }
+  }
+
   test("text-only batches skip the semantic stage") {
     val s = spark
     import s.implicits._
