@@ -85,12 +85,19 @@ object CurationChain {
         .map(st => pinned.join(st, Seq("content_hash"), "left_anti"))
         .getOrElse(pinned)
 
-      // stage 3: near-dup signature screen (in-batch + store)
-      val sigs = TextDedupStream.signatures(afterExact)
+      // stage 3: near-dup signature screen (in-batch + store). The sig
+      // pipeline (shingle explode + k-minima agg + band joins) is the
+      // most expensive stage and feeds BOTH the admitted set and the
+      // store append — pin it, or keepSigs below re-runs it end to end.
+      // (admitBatch's isEmpty probe alone re-runs the full k-minima agg
+      // when its input is unpinned — an agg can't short-circuit to one
+      // row)
+      val sigs = TextDedupStream.signatures(afterExact).persist()
       val afterSig = TextDedupStream
         .admitBatch(sigs, readStore(spark, sigDir, Seq("doc_id", "sig"))
           .getOrElse(spark.emptyDataFrame))
         .select("doc_id", "sig")
+        .persist()
       val survivedSig = afterExact.join(afterSig, Seq("doc_id"), "left_semi")
 
       // stage 4: semantic screen (in-batch + store), when embeddings ride
@@ -119,6 +126,7 @@ object CurationChain {
       val keepSigs = afterSig
         .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .localCheckpoint()
+      sigs.unpersist(); afterSig.unpersist()
       keep.select("content_hash")
         .write.mode("append").parquet(exactDir)
       keepSigs.write.mode("append").parquet(sigDir)
