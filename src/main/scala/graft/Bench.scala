@@ -47,8 +47,9 @@ object Bench {
       d.toString
     } catch { case _: Throwable => sfDir }
 
-    // Two timed passes per query, keep the min: absorbs first-pass codegen
-    // and host-level CPU burst noise; min-of-2 is the steady-state number.
+    // Timed passes per query, keep the min: absorbs first-pass codegen
+    // and host-level CPU burst noise. Two passes; a third when the
+    // min-of-2 lands under 3 s (see the threshold note at the call site).
     def timed(q: Q): Double = {
       val t0 = System.nanoTime()
       run(q.fn(spark, if (envelopeFamily(q.name)) splitDir else sfDir))
@@ -65,7 +66,16 @@ object Bench {
       // decode). Within one query's min-of-2 the cache legitimately
       // carries — that is the operator's own persist discipline.
       spark.catalog.clearCache()
-      try { (q.name, math.min(timed(q), timed(q)), None) }
+      // Sub-3 s queries at min-of-2 swing ±2× round over round on host
+      // CPU-burst noise (r12 verdict item 3: q117/q83/q149 flagged with
+      // no code cause) — a third pass below the threshold buys the
+      // steady-state number where the variance actually bites, while the
+      // long queries (where a pass is expensive and variance is
+      // proportionally small) stay at two.
+      try {
+        val two = math.min(timed(q), timed(q))
+        (q.name, if (two < 3.0) math.min(two, timed(q)) else two, None)
+      }
       catch { case e: Throwable =>
         (q.name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
       }
@@ -98,7 +108,8 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failures":$failures,"failed":${failures > 0},"errors":$errs,""" +
-      s""""cdc_rows_per_sec":$cdcRate,"cdc_meter":"max3","commit":"$sha",""" +
+      s""""cdc_rows_per_sec":$cdcRate,"cdc_meter":"max3",""" +
+      s""""q_meter":"min2+3below3s","commit":"$sha",""" +
       s""""fixture_mtime":"$fixtureMtime","sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // them; the full 160-query line is ~6 KB, so printing it last left the

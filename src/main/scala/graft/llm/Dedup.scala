@@ -189,12 +189,27 @@ object Dedup {
     * near-dup recall comes from the *other* bands' buckets. Recall under
     * the default cap is what LshSpec measures.
     */
-  def lshCandidates(sig: DataFrame, bands: Int, rows: Int,
-      maxBucket: Int = 10000): DataFrame = {
-    val bandCols = (0 until bands).map { bIdx =>
-      val rowsCols = (0 until rows).map(r => col(s"m${bIdx * rows + r}"))
+  /** The recall-critical MinHash band layout — ONE definition (r12
+    * verdict item: the r11 image-band lesson applied to text): band `b`
+    * is `xxhash64` over minima `[b·rows, (b+1)·rows)`, with `minimaAt(i)`
+    * supplying the i-th minimum — wide `m0..m{k-1}` columns for the batch
+    * path ([[lshCandidates]]) and `element_at(sig, i+1)` for the
+    * streaming store's array form
+    * ([[graft.streaming.TextDedupStream]]). Batch dedup and streaming
+    * admission screen the SAME corpus, so a layout divergence would
+    * silently zero cross-path recall; routing both through this helper
+    * makes divergence unrepresentable.
+    */
+  private[graft] def bandStructs(minimaAt: Int => Column, bands: Int,
+      rows: Int): Seq[Column] =
+    (0 until bands).map { bIdx =>
+      val rowsCols = (0 until rows).map(r => minimaAt(bIdx * rows + r))
       struct(lit(bIdx).as("band"), xxhash64(rowsCols: _*).as("bh"))
     }
+
+  def lshCandidates(sig: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    val bandCols = bandStructs(i => col(s"m$i"), bands, rows)
     val buckets = sig.select(col("sid"), explode(array(bandCols: _*)).as("bk"))
       .select(col("sid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     // Bucket-size cap via a window count, not a join against a re-aggregated

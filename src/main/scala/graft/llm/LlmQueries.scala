@@ -37,6 +37,35 @@ object LlmQueries {
       |WHERE (common * 1000000) // n >= 800000
       |ORDER BY da, db""".stripMargin
 
+  /** q247's containment-drop policy as one reusable stage: DIRECTED
+    * drops over the q235 prefix-filtered pair join (the lossless
+    * one-sided filter IS the 100 TB path; q234≡q235 pins it to the
+    * plain formulation), with the MUTUAL-containment exemption (r12
+    * ADVICE): a doc ≥ 80% contained in another survivor drops, UNLESS
+    * the pair is mutually contained and the doc is the pair's canonical
+    * member (longer text, then lower id) — without the exemption two
+    * near-identical survivors each contained in the other both drop and
+    * the content is lost entirely. The mutual check is a self-join of
+    * the (already threshold-filtered, |pairs|-bounded) pair set, never
+    * a second shingle pass. Returns one `doc_id` column: the drop set.
+    */
+  private[llm] def curationContainmentDrops(canon: DataFrame): DataFrame = {
+    val pairs = Dedup.containmentPairs(canon, "text", "doc_id")
+      .select("da", "db")
+    val lens = canon.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("len"))
+    val rev = pairs.select(col("db").as("da"), col("da").as("db"),
+      lit(true).as("mutual"))
+    pairs
+      .join(rev, Seq("da", "db"), "left")
+      .join(lens.select(col("doc_id").as("da"), col("len").as("la")), "da")
+      .join(lens.select(col("doc_id").as("db"), col("len").as("lb")), "db")
+      .filter(!(coalesce(col("mutual"), lit(false)) &&
+        (col("la") > col("lb") ||
+          (col("la") === col("lb") && col("da") < col("db")))))
+      .select(col("da").as("doc_id")).distinct()
+  }
+
   /** Per-JVM root for q220's persisted IVF index: pid-qualified so two
     * concurrent processes over the same fixture never race on one path,
     * removed recursively at JVM exit.
@@ -435,13 +464,26 @@ object LlmQueries {
     // first-seen) → DIRECTED containment drop (q234: any surviving doc
     // ≥ 80% contained in another survivor drops — the quote/subset
     // policy Jaccard dilutes away) → deterministic shuffle-shard (q172,
-    // fresh salt). Scale posture inherits each stage's: per-row gates,
-    // one hash shuffle, the q235 prefix filter as the containment scale
-    // path, one shard shuffle — no stage adds a new bottleneck class.
-    // Stage firing at sf0.01: gate drops 8, containment drops 47; the
-    // keep-longest stage is exercised by the oracle replaying the same
-    // rule (the driver fixture holds no exact text duplicates — q40/q199
-    // see the same corpus), its policy gated value-level in q199.
+    // fresh salt). The containment stage runs the q235 PREFIX-FILTERED
+    // formulation in the Spark plan (r12 verdict item 7 — lossless by
+    // the one-sided pigeonhole, oracle-pinned identical by q234≡q235,
+    // and the declared 100 TB path), while the DuckDB oracle keeps the
+    // plain shared-shingle SQL. MUTUAL containment keeps its canonical
+    // member (longer text, then lower id — r12 ADVICE): keep-longest
+    // collapses only byte-identical texts, so two near-identical
+    // survivors can each be ≥ 80% contained in the other, and an
+    // undirected drop would silently lose the content entirely; a
+    // one-way contained doc still drops unconditionally (the quote
+    // case). Scale posture inherits each stage's: per-row gates, one
+    // hash shuffle, prefix-bounded containment candidates, a
+    // |pairs|-bounded mutual self-join, one shard shuffle — no stage
+    // adds a new bottleneck class. Stage firing at sf0.01: gate drops
+    // 8, containment drops 47; the keep-longest stage is exercised by
+    // the oracle replaying the same rule (the driver fixture holds no
+    // exact text duplicates — q40/q199 see the same corpus), its policy
+    // gated value-level in q199; the mutual exemption is gated
+    // value-level in CurationPolicySpec (the fixture's containments are
+    // all one-way, so the oracle exercises the unconditional arm).
     Q("q247_pipeline_curation_v3", { (s, dir) =>
         val d = t(s, dir, "documents")
         val words = split(col("text"), " ")
@@ -457,21 +499,8 @@ object LlmQueries {
           .withColumn("rn", row_number().over(wH))
           .filter(col("rn") === 1)
           .select("doc_id", "text")
-        val sh = canon
-          .select(col("doc_id"),
-            explode(WordSpans(TextOps.tokens(col("text")), 3)).as("tri"))
-          .distinct()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val contained = sh.as("a")
-          .join(sh.as("b"), col("a.tri") === col("b.tri") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.withColumnRenamed("doc_id", "da")
-            .withColumnRenamed("n", "na"), "da")
-          .filter(expr("(common * CAST(1000000 AS BIGINT)) DIV na >= 800000"))
-          .select(col("da").as("doc_id")).distinct()
-        val kept = canon.join(contained, Seq("doc_id"), "left_anti")
+        val kept = canon.join(
+          curationContainmentDrops(canon), Seq("doc_id"), "left_anti")
         val key = md5(concat(lit("v3:"), col("doc_id").cast(StringType)))
         val pfx = substring(col("shuffle_key"), 1, 2)
         val shard = when(pfx < "20", 0).when(pfx < "40", 1).when(pfx < "60", 2)
@@ -503,12 +532,22 @@ object LlmQueries {
              |  FROM toks),
              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
              |  FROM sh GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id AS da, CAST(count(*) AS BIGINT) AS common
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             |    CAST(count(*) AS BIGINT) AS common
              |  FROM sh a JOIN sh b ON a.tri = b.tri AND a.doc_id <> b.doc_id
              |  GROUP BY a.doc_id, b.doc_id),
-             |contained AS (SELECT DISTINCT da AS doc_id
-             |  FROM inter JOIN sizes s ON s.doc_id = inter.da
+             |pairs AS (SELECT da, db FROM inter
+             |  JOIN sizes s ON s.doc_id = inter.da
              |  WHERE (common * 1000000) // s.n >= 800000),
+             |lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+             |  FROM canon),
+             |contained AS (SELECT DISTINCT p.da AS doc_id
+             |  FROM pairs p
+             |  JOIN lens a ON a.doc_id = p.da
+             |  JOIN lens b ON b.doc_id = p.db
+             |  LEFT JOIN pairs r ON r.da = p.db AND r.db = p.da
+             |  WHERE NOT (r.da IS NOT NULL
+             |    AND (a.len > b.len OR (a.len = b.len AND p.da < p.db)))),
              |kept AS (SELECT doc_id FROM canon
              |  WHERE doc_id NOT IN (SELECT doc_id FROM contained)),
              |k AS (SELECT doc_id,

@@ -1094,9 +1094,12 @@ object Similarity {
       factor: Double = 4.0): Boolean = {
     require(factor > 1.0, s"factor $factor must exceed the fair share")
     val nlist = readIvfCentroids(spark, dir).length
-    val maxShare = ivfIndexBalance(spark, dir)
-      .agg(max("share_ppm")).head.getLong(0)
-    maxShare > (factor * 1000000.0 / nlist).toLong
+    // max over zero postings rows is SQL null (a build over an empty
+    // filter leaves the partition dirs with no rows) — an empty index is
+    // trivially balanced, not an NPE (r12 ADVICE)
+    val row = ivfIndexBalance(spark, dir).agg(max("share_ppm")).head
+    if (row.isNullAt(0)) false
+    else row.getLong(0) > (factor * 1000000.0 / nlist).toLong
   }
 
   def probeIvfIndex(dir: String, queries: DataFrame, k: Int,

@@ -43,15 +43,16 @@ object TextDedupStream {
       .select(col("sid").as("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
 
-  /** Band rows from signature arrays: band b hashes minima
-    * [b·rows, (b+1)·rows) — the q42 band layout on the array form.
+  /** Band rows from signature arrays: the q42 band layout on the array
+    * form, through the ONE shared layout definition
+    * ([[Dedup.bandStructs]] — r12 verdict item 3: the batch and
+    * streaming paths screen the same corpus, so the recall-critical
+    * minima→band grouping must have a single source of truth).
     */
   private def bandize(sigs: DataFrame, idAs: String, bands: Int,
       rows: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val rowCols = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
-      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("bh"))
-    }
+    val bandCols =
+      Dedup.bandStructs(i => element_at(col("sig"), i + 1), bands, rows)
     sigs.select(col("doc_id").as(idAs), col("sig"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col(idAs), col("sig"), col("bk.band").as("band"),

@@ -89,11 +89,17 @@ object ChainBench {
       (System.nanoTime() - t0) / 1e9
     }
     val total = times.sum
+    // trigger 0 carries only its novels (no earlier trigger exists to
+    // duplicate), so the denominator-side doc count is nNovel there, not
+    // perTrigger — dividing perTrigger*nTriggers overstated docs/sec by
+    // ~dupPct/nTriggers percent (r12 ADVICE)
+    val docsOffered = nNovel.toLong +
+      (if (nTriggers > 1) perTrigger.toLong * (nTriggers - 1) else 0L)
     val admitted = spark.read.parquet(s"$root/admitted").count()
     println(f"""{"docs_per_trigger":$perTrigger,"triggers":$nTriggers,""" +
       f""""dup_pct":$dupPct,"admitted":$admitted,"expected":${
-        nNovel.toLong * nTriggers},""" +
-      f""""docs_per_sec":${perTrigger.toLong * nTriggers / total}%.0f,""" +
+        nNovel.toLong * nTriggers},"docs_offered":$docsOffered,""" +
+      f""""docs_per_sec":${docsOffered / total}%.0f,""" +
       f""""first_trigger_s":${times.head}%.2f,"last_trigger_s":${times.last}%.2f,""" +
       f""""total_s":$total%.1f}""")
     spark.stop()

@@ -533,11 +533,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "histogram must map-side combine\n" + p)
   }
 
-  test("q247 curation v3: anti-join containment drop, no cartesian anywhere") {
+  test("q247 curation v3: anti-join containment drop via the prefix filter, no cartesian") {
     val p = plan("q247_pipeline_curation_v3")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the containment stage must stay a shingle-keyed equi join\n" + p)
     assert(p.contains("LeftAnti"), "contained docs drop via anti join\n" + p)
+    // r12 verdict item 7: the containment candidates must come from the
+    // q235 one-sided PREFIX filter, visible as the per-doc row_number
+    // window over sid ordered by document frequency (prefixRows) — the
+    // plain shared-shingle self-join has no such window
+    assert("windowspecdefinition\\(sid#\\d+L?, df#\\d+L".r.findFirstIn(p).isDefined,
+      "containment candidates must be prefix-filtered (sid window over df)\n" + p)
   }
 
   test("q244 truncated-dim eval: bounded query side broadcasts, one scored pass feeds both windows") {

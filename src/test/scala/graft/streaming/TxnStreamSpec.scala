@@ -240,4 +240,41 @@ class TxnStreamSpec extends SparkSpec {
         (8L, 2L, Some(12L), Some("2-5-12"))))
     } finally q.stop()
   }
+
+  test("an over-maxBuffered open span fails loudly, never OOMs silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // at the bound: BEGIN + 3 writes buffer exactly maxBuffered=4 events
+    // (the XID never buffers) — delivers atomically
+    val okIn = MemoryStream[SessionEvent]
+    val ok = TxnStream.assembleCommitted(okIn.toDS(), maxBuffered = 4)
+      .writeStream.format("memory").queryName("txn_bound_ok")
+      .outputMode("append").start()
+    try {
+      okIn.addData(SessionEvent(1L, 0L, begin) +:
+        (1L to 3L).map(i => SessionEvent(1L, i, write(i))) :+
+        SessionEvent(1L, 4L, xid(7L)): _*)
+      ok.processAllAvailable()
+      assert(spark.table("txn_bound_ok").count() == 5)
+    } finally ok.stop()
+    // one past the bound: the fold fails with the session, ordinal, and
+    // bound named (the reference's 3M-row bulk import is ONE transaction
+    // — the default bound clears it; this is the oversized-span contract)
+    val in = MemoryStream[SessionEvent]
+    val q = TxnStream.assembleCommitted(in.toDS(), maxBuffered = 4)
+      .writeStream.format("memory").queryName("txn_bound_fail")
+      .outputMode("append").start()
+    try {
+      in.addData(SessionEvent(1L, 0L, begin) +:
+        (1L to 4L).map(i => SessionEvent(1L, i, write(i))): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+      val msg = messages(e).mkString(" | ")
+      assert(msg.contains("maxBuffered=4") && msg.contains("session 1"),
+        s"expected the bound and session in the failure, got: $msg")
+    } finally q.stop()
+  }
 }
