@@ -249,6 +249,28 @@ object MultimodalQueries {
     * exact layout, so batch ([[hammingNearDupPairs]]) and streaming
     * ([[graft.streaming.ImageDedupStream]]) both explode through here.
     */
+  /** Modality-dispatching 64-bit perceptual hash — the ONE kernel behind
+    * the shared perceptual band store in
+    * [[graft.streaming.CurationChain]]: RIFF/WAVE bytes fold through the
+    * gain-invariant energy-envelope hash (q223), RIFF/AVI through the
+    * temporal-mean dHash (q233), anything else through the ImageIO
+    * decode + dHash (q222). All three emit 64 bits screened by the same
+    * 8-band + hamming ≤ 7 rule, so one store serves every modality; a
+    * cross-modality band collision must also survive the exact hamming
+    * verify (≤ 7 of 64 bits differing between unrelated hash families:
+    * vanishingly rare). None = not decodable media (data, not an error).
+    */
+  def perceptualHash(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 12) None
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      AudioKernels.pcmHash(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      MjpgCodec.videoHash(b)
+    else ImageCodec.dHashOf(b)
+  }
+
   private[graft] def bandExplode(hashes: DataFrame, idAs: String): DataFrame =
     hashes.select(col("media_id").as(idAs), col("h"),
         explode(array((0 until 8).map(b => struct(lit(b).as("b"),

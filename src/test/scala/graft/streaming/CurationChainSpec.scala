@@ -89,17 +89,24 @@ class CurationChainSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft_chain_soak").toFile.getAbsolutePath + "/c"
     val rnd = new scala.util.Random(42)
+    val s = spark
+    import s.implicits._
     // high-dim one-hot axes: every novel doc gets its own axis, so only
     // planted semantic dups are ever cosine-close
     def axisVec(axis: Int): Array[Float] =
       Array.tabulate(128)(i => if (i == axis) 1.0f else 0.0f)
+    // every novel doc also carries a per-id image, so the perceptual
+    // store compounds alongside the text/embedding stores and its
+    // planted dup kind can fire at any lag
+    def img(id: Long, dup: Boolean = false): Array[Byte] =
+      graft.multimodal.ImageCodec.formulaPng2(id, patch = dup)
     var nextId = 0L
     var admittedSoFar = Vector.empty[(Long, Int)] // (doc_id, axis)
     var expected = Set.empty[Long]
     (0 until 18).foreach { trig =>
       val novel = (0 until 2).map { _ =>
         val id = nextId; nextId += 1
-        (id, doc(id), axisVec(id.toInt), true)
+        (id, doc(id), img(id), axisVec(id.toInt), true)
       }
       // one planted dup per kind against a RANDOM earlier admitted doc
       val dups =
@@ -107,16 +114,19 @@ class CurationChainSpec extends SparkSpec {
         else {
           def pick() = admittedSoFar(rnd.nextInt(admittedSoFar.size))
           val (e, _) = pick(); val (t, _) = pick(); val (v, va) = pick()
+          val (p, _) = pick()
           val base = 100000L + trig * 10L
           Seq(
-            (base, doc(e), axisVec(120 + trig % 8), false), // exact re-offer
-            (base + 1, doc(t, edit = true), axisVec(120 + (trig + 1) % 8), false), // light edit
-            (base + 2, doc(90000L + trig), axisVec(va), false)) // semantic dup
+            (base, doc(e), img(96000L + trig), axisVec(120 + trig % 8), false), // exact re-offer
+            (base + 1, doc(t, edit = true), img(97000L + trig), axisVec(120 + (trig + 1) % 8), false), // light edit
+            (base + 2, doc(90000L + trig), img(98000L + trig), axisVec(va), false), // semantic dup
+            (base + 3, doc(95000L + trig), img(p, dup = true), axisVec(120 + (trig + 2) % 8), false)) // image near-dup
         }
-      val batch = rows(spark, rnd.shuffle(novel ++ dups)
-        .map { case (id, tx, em, _) => (id, tx, em) })
+      val batch = rnd.shuffle(novel ++ dups)
+        .map { case (id, tx, im, em, _) => (id, tx, im, em) }
+        .toDF("doc_id", "text", "content", "embedding")
       CurationChain.ingestInto(root, compactEvery = 6)(batch, trig.toLong)
-      novel.foreach { case (id, _, _, _) =>
+      novel.foreach { case (id, _, _, _, _) =>
         admittedSoFar :+= ((id, id.toInt)); expected += id
       }
     }
@@ -125,8 +135,10 @@ class CurationChainSpec extends SparkSpec {
     assert(got == expected,
       s"leaked dups: ${(got -- expected).toSeq.sorted.take(10)}; " +
         s"lost novels: ${(expected -- got).toSeq.sorted.take(10)}")
-    // stores mutually consistent with the admitted set
+    // stores mutually consistent with the admitted set — including the
+    // perceptual band store: rejected docs' (novel) images left no residue
     assert(spark.read.parquet(s"$root/exact").count() == expected.size)
+    assert(spark.read.parquet(s"$root/phash").count() == expected.size)
     assert(spark.read.parquet(s"$root/sigs").count() == expected.size)
     assert(spark.read.parquet(s"$root/vecs").count() == expected.size)
     // compaction held: each trigger appends up to 3 non-empty part files
@@ -136,10 +148,137 @@ class CurationChainSpec extends SparkSpec {
     // top of the 8-file target
     def files(d: String) = new java.io.File(d).listFiles()
       .map(_.getName).count(n => !n.startsWith("_") && !n.startsWith("."))
-    Seq("exact", "sigs", "vecs", "admitted").foreach { st =>
+    Seq("exact", "phash", "sigs", "vecs", "admitted").foreach { st =>
       assert(files(s"$root/$st") <= 8 + 5 * 3,
         s"$st fragmented: ${files(s"$root/$st")}")
     }
+  }
+
+  test("perceptual screen: image/audio/video near-dups rejected at any lag " +
+      "through the one shared band store; undecodable media passes") {
+    import graft.multimodal.{ImageCodec, PcmFixtures, VideoFixtures}
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_perc").toFile.getAbsolutePath + "/c"
+    def rowsM(data: Seq[(Long, String, Array[Byte])]) =
+      data.toDF("doc_id", "text", "content")
+
+    // trigger 0: one admitted doc per modality + an in-batch image
+    // near-dup pair (novel texts — only the perceptual screen can fire)
+    val b0 = rowsM(Seq(
+      (1L, doc(1), ImageCodec.formulaPng2(1)),
+      (2L, doc(2), PcmFixtures.formulaWav2(2)),
+      (3L, doc(3), VideoFixtures.neardupMjpgAvi(3)),
+      (4L, doc(4), ImageCodec.formulaPng2(1, patch = true)), // in-batch image dup of 1
+      (5L, doc(5), null.asInstanceOf[Array[Byte]]),          // no media: passes
+      (6L, doc(6), "notmedia".getBytes)))                    // undecodable: passes
+    CurationChain.ingestInto(root)(b0, 0L)
+    def admitted() = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L))
+    // the shared store holds one hash per admitted DECODABLE doc only —
+    // the rejected in-batch dup left no residue
+    val ph0 = spark.read.parquet(s"$root/phash")
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ph0 == Seq(1L, 2L, 3L))
+
+    // trigger 1: a media-less interleaved batch exercises the skip path
+    CurationChain.ingestInto(root)(
+      Seq((7L, doc(7))).toDF("doc_id", "text"), 1L)
+    assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L, 7L))
+
+    // trigger 2: one near-dup per modality of media admitted TWO triggers
+    // ago, all under novel text — only the standing band store can reject
+    // them; plus one genuinely novel image
+    val b2 = rowsM(Seq(
+      (10L, doc(10), ImageCodec.formulaPng2(1, patch = true)),
+      (11L, doc(11), PcmFixtures.formulaWav2(2, perturb = true)),
+      (12L, doc(12), VideoFixtures.neardupMjpgAvi(3, perturb = true)),
+      (13L, doc(13), ImageCodec.formulaPng2(13))))
+    CurationChain.ingestInto(root)(b2, 2L)
+    assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L, 7L, 13L),
+      "a re-encode of admitted media must be rejected at lag 2, any modality")
+    val ph2 = spark.read.parquet(s"$root/phash")
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ph2 == Seq(1L, 2L, 3L, 13L))
+  }
+
+  test("media-less chains never create a phash store") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_nomedia").toFile.getAbsolutePath + "/c"
+    CurationChain.ingestInto(root)(
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$root/admitted").count() == 2)
+    assert(!new java.io.File(s"$root/phash").exists())
+  }
+
+  test("at-least-once replay: crash windows heal, committed batches no-op") {
+    def admittedIds(root: String) = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft_chain_clean").toFile.getAbsolutePath + "/c"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_replay").toFile.getAbsolutePath + "/c"
+    val b0 = rows(spark, Seq((1L, doc(1), vec(0)), (2L, doc(2), vec(1))))
+    // trigger 1 carries one dup of each screen kind plus two novels
+    val b1 = rows(spark, Seq(
+      (10L, doc(1), vec(2)),               // exact store reject
+      (11L, doc(2, edit = true), vec(2)),  // signature store reject
+      (12L, doc(12), vec(0)),              // semantic store reject
+      (13L, doc(13), vec(2))))
+    Seq(clean, root).foreach(CurationChain.ingestInto(_)(b0, 0L))
+
+    // crash window 1 — mid-PUBLISH: batch 1 fully staged, then only the
+    // exact-store file moved before the crash. This is EXACTLY the r12
+    // ADVICE failure: under direct appends the replay would anti-join
+    // docs 13/14 away by their own half-written hashes and drop them
+    // forever. The replayed trigger must finish the publish without
+    // recompute.
+    CurationChain.stageBatch(root, 0.92)(b1, 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stagedExact = new org.apache.hadoop.fs.Path(s"$root/_staged/1/exact")
+    val moved = fs.listStatus(stagedExact).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    assert(moved.nonEmpty, "staging must have produced exact-store files")
+    moved.foreach { p =>
+      require(fs.rename(p,
+        new org.apache.hadoop.fs.Path(s"$root/exact", s"b1-${p.getName}")))
+    }
+    CurationChain.ingestInto(root)(b1, 1L) // the replay
+    CurationChain.ingestInto(clean)(b1, 1L)
+    assert(admittedIds(root) == admittedIds(clean),
+      "mid-publish replay must equal the uncrashed run")
+    assert(admittedIds(root) == Seq(1L, 2L, 13L))
+    // no half-applied residue: every store grew by exactly the admitted rows
+    assert(spark.read.parquet(s"$root/exact").count() == 3)
+    assert(spark.read.parquet(s"$root/sigs").count() == 3)
+    assert(spark.read.parquet(s"$root/vecs").count() == 3)
+
+    // committed replay — the engine re-delivers an already-applied batch:
+    // must be a pure no-op (no double append, no store churn)
+    CurationChain.ingestInto(root)(b1, 1L)
+    assert(spark.read.parquet(s"$root/exact").count() == 3)
+    assert(admittedIds(root) == Seq(1L, 2L, 13L))
+
+    // crash window 2 — mid-STAGING: an unsealed staged dir (no _STAGED
+    // marker) is residue from a crash before any store was touched; the
+    // replay must discard it and recompute from scratch
+    val b2 = rows(spark, Seq((20L, doc(20), vec(3)), (21L, doc(1), vec(3))))
+    val staged2 = new org.apache.hadoop.fs.Path(s"$root/_staged/2/exact")
+    fs.mkdirs(staged2)
+    fs.create(new org.apache.hadoop.fs.Path(staged2, "part-junk.parquet"), true)
+      .close()
+    CurationChain.ingestInto(root)(b2, 2L)
+    CurationChain.ingestInto(clean)(b2, 2L)
+    assert(admittedIds(root) == admittedIds(clean))
+    assert(admittedIds(root) == Seq(1L, 2L, 13L, 20L),
+      "21 is an exact dup of 1; 20 must survive the discarded junk staging")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_staged")),
+      "published batches must leave no staged residue")
   }
 
   test("text-only batches skip the semantic stage") {
