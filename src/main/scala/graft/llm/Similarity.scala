@@ -1063,6 +1063,22 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit =
     assignIvfPostings(newVectors, dir, "append")
 
+  /** The STAGED form of [[appendToIvfIndex]]: assign NEW vectors to
+    * `indexDir`'s frozen centroids but write the postings delta to
+    * `outDir` (same cell partitioning) instead of appending in place —
+    * for the exactly-once trigger bodies that stage every store delta
+    * and publish by rename ([[graft.streaming.StoreTxn]]).
+    */
+  def stageIvfAppend(newVectors: DataFrame, indexDir: String,
+      outDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readIvfCentroids(spark, indexDir)
+    newVectors
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", IvfCell(col("cv"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
+
   /** Per-cell occupancy of a persisted IVF index — (cell, n, share_ppm),
     * nlist rows (metadata-scale at any corpus size; the count agg is
     * partial+final over the postings). A maintenance job watches the max
@@ -1123,6 +1139,38 @@ object Similarity {
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Threshold neighbor pairs for a batch of query vectors against a
+    * persisted IVF index — the SCREEN form of [[probeIvfIndex]] (which
+    * ranks top-k): each query probes its `nprobe` nearest cells and
+    * pairs with every posting whose EXACT cosine clears `threshold`
+    * (postings carry raw vectors, so the verify is exact; recall is
+    * bounded by the probe set like every IVF path — the
+    * [[ivfNeedsRebuild]] policy keeps that bound honest as the corpus
+    * drifts under appends). Returns (query_id, neighbor_id, cos). The
+    * probed-cell collect is query-bounded metadata, and the postings
+    * scan is partition-pruned to the probed cells.
+    */
+  def ivfThresholdPairs(dir: String, queries: DataFrame, threshold: Double,
+      nprobe: Int = 12): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[Array[Double]] = readIvfCentroids(spark, dir)
+    val q = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(IvfProbe(col("qv"), centroids, nprobe)))
+    val probedCells: Array[Int] =
+      q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (probedCells.isEmpty) // an empty query batch probes nothing
+      return q.select(col("query_id"), col("query_id").as("neighbor_id"),
+        lit(0.0).as("cos")).limit(0)
+    val c = spark.read.parquet(dir + "/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   // ---- persisted COMPRESSED indexes (the q220 lifecycle for PQ/IVF-PQ) --

@@ -71,6 +71,100 @@ class SemDedupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("indexed lifecycle: screens run through the persisted IVF index, " +
+      "hot-skewed appends trip the rebuild policy, the rebuild retrains, " +
+      "and admit decisions on replayed offers are unchanged") {
+    import spark.implicits._
+    // region i ∈ [0,4) carries weight 0.6 on axis i; slot k spreads the
+    // 0.8-weight complement around a 30° circle in the (e4, e5) plane:
+    // within-region pair cosine = 0.36 + 0.64·cos(30°·Δk) ≤ 0.914 and
+    // cross-region ≤ 0.64 — both under the 0.95 gate — while a dup offer
+    // (coord-0 nudge) stays ≈ 0.9999 above it.
+    def rv(region: Int, k: Int): Seq[Float] = {
+      val th = math.toRadians(30.0 * k)
+      Seq.tabulate(8) { j =>
+        if (j == region) 0.6f
+        else if (j == 4) (0.8 * math.cos(th)).toFloat
+        else if (j == 5) (0.8 * math.sin(th)).toFloat
+        else 0.0f
+      }
+    }
+    // the HOT family: region 0's 0.6·e0 spine but the complement ring in
+    // the ORTHOGONAL (e6, e7) plane — every bootstrap centroid sees the
+    // same ~0 complement dot, so the 0.36 spine term makes ALL hot
+    // vectors assign to region 0's frozen cell (the deterministic skew),
+    // while within-hot pairs stay at 0.36 + 0.64·cos(45°·Δk) ≤ 0.81
+    def hv(k: Int): Seq[Float] = {
+      val th = math.toRadians(45.0 * k)
+      Seq.tabulate(8) { j =>
+        if (j == 0) 0.6f
+        else if (j == 6) (0.8 * math.cos(th)).toFloat
+        else if (j == 7) (0.8 * math.sin(th)).toFloat
+        else 0.0f
+      }
+    }
+    def dupOf(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+
+    val root = java.nio.file.Files.createTempDirectory("semdedup_idx")
+      .resolve("root").toString
+    val body = SemDedupStream.ingestIntoIndexed(root, threshold = 0.95,
+      nlist = 4, nprobe = 2, rebuildCheckEvery = 4, rebuildFactor = 1.5) _
+    def corpusIds() = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def indexExists = new java.io.File(s"$root/ivf/centroids").exists()
+
+    // triggers 0-1: bootstrap below the index floor (4·nlist = 16) —
+    // the per-trigger screen still rejects a dup offer
+    body(df((0 until 4).flatMap(r => Seq(0, 1).map(k =>
+      (r * 100L + k, rv(r, k))))), 0L)
+    assert(!indexExists, "no index below the floor")
+    body(df((0 until 4).flatMap(r => Seq(2, 3).map(k =>
+      (r * 100L + k, rv(r, k)))) :+ (99L, dupOf(rv(0, 0)))), 1L)
+    assert(!corpusIds().contains(99L), "pre-index dup offer must reject")
+    assert(corpusIds().size == 16 && indexExists,
+      "the index founds once the corpus clears the floor")
+
+    // triggers 2-3: hot-skewed appends — every novel lands in region 0's
+    // cell under the FROZEN centroids; a lag-2 dup offer must reject
+    // through the index screen
+    body(df(Seq(0, 1, 2, 3).map(k => (20L + k, hv(k))) :+
+      (98L, dupOf(rv(1, 0)))), 2L)
+    assert(!corpusIds().contains(98L), "index-screen dup offer must reject")
+    body(df(Seq(4, 5, 6, 7).map(k => (30L + k, hv(k)))), 3L)
+    assert(corpusIds().size == 24)
+    assert(graft.llm.Similarity.ivfNeedsRebuild(spark, s"$root/ivf", 1.5),
+      "12 of 24 postings in one cell must trip the 1.5× fair-share policy")
+
+    // trigger 4 hits the rebuildCheckEvery cadence: the policy fires,
+    // the rebuild retrains over the skewed corpus, balance is restored
+    body(df(Seq((40L, rv(1, 4)))), 4L)
+    assert(corpusIds().contains(40L))
+    assert(!graft.llm.Similarity.ivfNeedsRebuild(spark, s"$root/ivf", 1.5),
+      "the retrained quantizer must absorb the hot region")
+
+    // replayed offers post-rebuild: dups of vectors admitted in every
+    // phase (bootstrap / hot / post-rebuild) still reject, novels admit —
+    // the rebuild changed the index layout, not the decisions
+    body(df(Seq(
+      (50L, dupOf(rv(0, 0))), (51L, dupOf(hv(3))),
+      (52L, dupOf(rv(1, 4))), (53L, rv(3, 4)))), 5L)
+    val after = corpusIds()
+    assert(!after.contains(50L) && !after.contains(51L) && !after.contains(52L),
+      s"replayed dup offers must stay rejected after the rebuild: $after")
+    assert(after.contains(53L))
+
+    // at-least-once replay of a committed batch is a pure no-op
+    val before = after
+    body(df(Seq(
+      (50L, dupOf(rv(0, 0))), (51L, dupOf(hv(3))),
+      (52L, dupOf(rv(1, 4))), (53L, rv(3, 4)))), 5L)
+    assert(corpusIds() == before)
+    assert(spark.read.parquet(s"$root/corpus").count() == before.size.toLong,
+      "one corpus row per admitted id — no replay double-append")
+  }
+
   test("60-trigger soak: dup lags from 1 to 30 triggers all rejected, " +
       "corpus is exactly the planted novels", SoakTest) {
     implicit val sqlCtx = spark.sqlContext
