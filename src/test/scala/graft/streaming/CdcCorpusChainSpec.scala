@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.{BinlogRowCodec, BinlogSchema, MysqlProtocolCodec, MysqlReplicaSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The capstone contract: binlog BYTES in (session bring-up + WriteV2
+  * row events over a documents table), curated admitted store out, equal
+  * to the batch replay of the same (doc_id, text) rows through
+  * [[CurationChain.ingestInto]] with the same trigger grouping. Dup
+  * kinds planted across trigger lags so every curation screen fires on
+  * rows that only exist as decoded wire bytes.
+  */
+class CdcCorpusChainSpec extends SparkSpec {
+
+  private val columns = Seq("doc_id" -> "bigint", "text" -> "varchar(2048)")
+  private val schema = BinlogSchema.fromMysqlTypes(columns)
+
+  /** The CurationChainSpec text fixture: 80 words over an id-namespaced
+    * vocabulary; `edit` swaps one mid-doc word (Jaccard ≈ 0.93, past the
+    * 7/10 signature gate).
+    */
+  private def doc(id: Long, edit: Boolean = false): String =
+    (0 until 80).map { j =>
+      if (edit && j == 40) s"edited$id" else s"w${id}x$j"
+    }.mkString(" ")
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def lenencStr(s: String): Array[Byte] =
+    s.length.toByte +: s.getBytes("UTF-8")
+
+  private def handshakeV10(seed: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(10); out.write("8.0.42-log".getBytes); out.write(0)
+    out.write(Array[Byte](0x39, 0x30, 0, 0))
+    out.write(seed, 0, 8); out.write(0)
+    out.write(0xff); out.write(0xf7)
+    out.write(0xff); out.write(Array[Byte](2, 0))
+    out.write(0x08); out.write(0x00)
+    out.write(21)
+    for (_ <- 0 until 10) out.write(0)
+    out.write(seed, 8, 12); out.write(0)
+    out.write("mysql_native_password".getBytes); out.write(0)
+    out.toByteArray
+  }
+
+  test("binlog bytes → wire fold → decode → curation equals the batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+
+    // three trigger tranches of documents, one dup kind per screen:
+    //  t0: 1-3 novel, 4 = exact copy of 1's text (in-batch exact dup)
+    //  t1: 10 = exact re-offer of 2 (store), 11 = light edit of 3 (sig),
+    //      12 novel
+    //  t2: 20 = light edit of 1 at lag 2 (sig), 21 novel
+    val tranches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> doc(1), 2L -> doc(2), 3L -> doc(3), 4L -> doc(1)),
+      Seq(10L -> doc(2), 11L -> doc(3, edit = true), 12L -> doc(12)),
+      Seq(20L -> doc(1, edit = true), 21L -> doc(21)))
+
+    // one continuous wire session: bring-up once, then the tranches'
+    // WriteV2 events; packet sequence and chunk ordinals run across the
+    // whole session, split into tranches at payload boundaries
+    val seed = (1 to 20).map(_.toByte).toArray
+    val ok = hx("00" + "00" + "00" + "0200" + "0000")
+    val eof = hx("fe" + "0000" + "0200")
+    val bringup: Seq[Array[Byte]] = Seq(
+      handshakeV10(seed),
+      (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte,
+      ok, ok, Array(2.toByte), hx("deadbeef"), hx("deadbeef"), eof,
+      lenencStr("bin.000001") ++ lenencStr("4"), eof)
+    val tranchePayloads: Seq[Seq[Array[Byte]]] = tranches.zipWithIndex.map {
+      case (docs, ti) =>
+        val evs = docs.map { case (id, text) =>
+          0.toByte +: encodeEvent(WriteV2,
+            encodeRows(WriteV2, schema, Seq(Seq[Any](id, text))))
+        }
+        if (ti == 0) bringup ++ evs else evs
+    }
+    var pktSeq = 0
+    var chunkOrd = 0L
+    val trancheChunks: Seq[Seq[ByteChunk]] = tranchePayloads.map { payloads =>
+      val bytes = payloads.toArray.flatMap { p =>
+        val out = MysqlProtocolCodec.writePacket(pktSeq % 256, p)
+        pktSeq += 1; out
+      }
+      bytes.grouped(700).map { bs =>
+        val c = ByteChunk(1L, chunkOrd, bs); chunkOrd += 1; c
+      }.toSeq
+    }
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_capstone").toFile.getAbsolutePath
+    val wireRoot = s"$base/wire"
+    val in = MemoryStream[ByteChunk]
+    val q = CdcCorpusChain.start(in.toDS(),
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      columns, wireRoot, s"$base/ckpt")
+    try {
+      trancheChunks.foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the batch replay oracle: the same (doc_id, text) rows through the
+    // curation body directly, same trigger grouping, no wire leg
+    val batchRoot = s"$base/batch"
+    tranches.zipWithIndex.foreach { case (docs, ti) =>
+      CurationChain.ingestInto(batchRoot)(
+        docs.toDF("doc_id", "text"), ti.toLong)
+    }
+
+    def admitted(root: String): Seq[(Long, String, String)] =
+      spark.read.parquet(s"$root/admitted")
+        .select("doc_id", "text", "content_hash")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq.sortBy(_._1)
+    val wire = admitted(wireRoot)
+    val batch = admitted(batchRoot)
+    assert(wire == batch,
+      s"wire-fed curation must equal the batch replay:\n wire=${wire.map(_._1)}" +
+        s"\n batch=${batch.map(_._1)}")
+    assert(wire.map(_._1) == Seq(1L, 2L, 3L, 12L, 21L),
+      "every screen fired on wire-decoded rows: 4 (in-batch exact), " +
+        "10 (exact store), 11 (sig), 20 (sig at lag 2) rejected")
+    // the signature store compounds from wire-decoded text identically
+    val sigs = spark.read.parquet(s"$wireRoot/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(1L, 2L, 3L, 12L, 21L))
+  }
+}
