@@ -114,6 +114,7 @@ object CurationChain {
     // re-executes the plan per action — pin it (the q226 lesson)
     val pinned = gated.persist()
     var hashed: Option[DataFrame] = None
+    var percDrops: Option[DataFrame] = None
     try {
       // stage 2b: exact screen against the standing hash store
       val afterExact = readStore(spark, exactDir, Seq("content_hash"))
@@ -139,8 +140,16 @@ object CurationChain {
             .admitBatch(h, readStore(spark, phashDir, Seq("media_id", "h"))
               .getOrElse(spark.emptyDataFrame))
             .select(col("media_id").as("doc_id"))
+          // pin the drop DECISION, not just the hashes: every downstream
+          // action (sig isEmpty probe, semantic counts, checkpoint, five
+          // staged writes) re-executes this subplan otherwise, and the
+          // band self-join + store join re-running ~10× per trigger
+          // measured 3× the whole trigger time (the q226/sigs lesson
+          // applied one stage earlier)
           val dropIds = h.select(col("media_id").as("doc_id"))
             .join(okIds, Seq("doc_id"), "left_anti")
+            .persist()
+          percDrops = Some(dropIds)
           afterExact.join(dropIds, Seq("doc_id"), "left_anti")
         }
 
@@ -199,7 +208,8 @@ object CurationChain {
         .write.mode("overwrite").parquet(staged("admitted"))
       StoreTxn.seal(spark, rootDir, batchId)
     } finally {
-      pinned.unpersist(); hashed.foreach(_.unpersist()); ()
+      pinned.unpersist(); hashed.foreach(_.unpersist())
+      percDrops.foreach(_.unpersist()); ()
     }
   }
 
