@@ -70,4 +70,53 @@ object CdcCorpusChain {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(CurationChain.ingestInto(rootDir, threshold, compactEvery) _)
       .start()
+
+  /** Raw replica chunks → (op, ord, doc_id, text) rows across the FULL
+    * DML surface: INSERT/UPDATE rows carry the surviving (after) image,
+    * DELETE rows the deleted image (the Canal slot conventions
+    * [[Pipeline.envelopesFromWire]] renders); `ord` is
+    * event-ordinal-major, row-position-minor, so the last op per doc in
+    * a batch is well defined. This is [[CurationChain.ingestCdcInto]]'s
+    * input shape — the mutable-corpus form of [[docsFromChunks]].
+    */
+  def cdcDocsFromChunks(chunks: Dataset[ByteChunk],
+      config: MysqlReplicaSession.Config,
+      columns: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import BinlogRowCodec._
+    val schema = BinlogSchema.fromMysqlTypes(columns)
+    val deletes = Seq(DeleteV1, DeleteV2)
+    val updates = Seq(UpdateV1, UpdateV2)
+    val writes = Seq(WriteV1, WriteV2)
+    ReplicaStream.fromChunks(chunks, config).toDF()
+      .select(col("ordinal"), BinlogDecode.eventSplit(col("event")).as("h"))
+      .filter(col("h.event_type").isin((writes ++ updates ++ deletes)
+        .map(Integer.valueOf): _*))
+      .select(col("ordinal"), col("h.event_type").as("t"),
+        BinlogDecode.rows(col("h.body"), col("h.event_type"), schema).as("r"))
+      .select(col("ordinal"), col("t"),
+        posexplode(when(col("t").isin(deletes.map(Integer.valueOf): _*),
+          col("r.old")).otherwise(col("r.data"))).as(Seq("pos", "m")))
+      .select(
+        (col("ordinal") * 1000000L + col("pos")).as("ord"),
+        when(col("t").isin(deletes.map(Integer.valueOf): _*), "DELETE")
+          .when(col("t").isin(updates.map(Integer.valueOf): _*), "UPDATE")
+          .otherwise("INSERT").as("op"),
+        element_at(col("m"), idCol).cast("long").as("doc_id"),
+        element_at(col("m"), textCol).as("text"))
+  }
+
+  /** [[start]] for the full DML surface: UPDATE/DELETE retire the doc's
+    * standing store rows (tombstones) and UPDATE re-offers the new text
+    * through the screens — the mutable-corpus capstone.
+    */
+  def startCdc(chunks: Dataset[ByteChunk], config: MysqlReplicaSession.Config,
+      columns: Seq[(String, String)], rootDir: String, checkpointDir: String,
+      threshold: Double = 0.92, compactEvery: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    cdcDocsFromChunks(chunks, config, columns, idCol, textCol)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(CurationChain.ingestCdcInto(rootDir, threshold, compactEvery) _)
+      .start()
 }

@@ -58,9 +58,26 @@ import org.apache.spark.sql.functions._
   * publication without recompute, a mid-staging crash recomputes
   * safely.
   *
+  * MUTABLE-corpus curation (r13): a CDC-fed documents table UPDATEs and
+  * DELETEs, and without retirement a doc's new version is forever
+  * rejected as a near-dup of its own past (and a deleted doc's re-offer
+  * is blocked by a ghost). [[ingestCdcInto]] takes (op, ord, doc_id,
+  * text, …) batches: the LAST op per doc wins, UPDATE/DELETE write a
+  * TOMBSTONE (doc_id, asOf = batchId) through the same staged commit,
+  * every store row carries its admit batch `b`, and the screens exclude
+  * rows with a tombstone newer than their batch — so an UPDATE's new
+  * text is screened against the corpus MINUS its own retired version,
+  * in the same trigger, exactly-once. Tombstones are logical until the
+  * `compactEvery` cadence runs [[applyTombstones]] — a crash-healed
+  * rewrite ([[StoreCompact.rewrite]] swap) that removes retired rows
+  * physically and clears the tombstone store; a crash mid-apply leaves
+  * tombstones in place, so the logical exclusion still holds and the
+  * next cadence finishes (idempotent).
+  *
   * Wire as `stream.writeStream.foreachBatch(CurationChain.ingestInto(root) _)`
   * with a (doc_id, text[, content][, embedding]) batch; admitted docs
-  * append to `root/admitted`.
+  * append to `root/admitted`. For the CDC shape, wire
+  * [[ingestCdcInto]] (see [[CdcCorpusChain.startCdc]]).
   */
 object CurationChain {
 
@@ -88,24 +105,59 @@ object CurationChain {
     * all outputs under `_staged/<batchId>/`, sealing with `_STAGED`.
     * Touches no store — the crash window before [[StoreTxn.publish]] is
     * recompute-safe. Split from [[ingestInto]] so the crash-replay spec
-    * can stop exactly here.
+    * can stop exactly here. `batchTombstones` (doc_id rows), when
+    * present, retire those docs' standing store rows as of THIS batch —
+    * the screens below exclude them, and the tombstone delta stages
+    * into the same atomic publish.
     */
-  private[streaming] def stageBatch(rootDir: String, threshold: Double)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  private[streaming] def stageCurated(rootDir: String, threshold: Double,
+      offers: DataFrame, batchTombstones: Option[DataFrame],
+      batchId: Long): Unit = {
+    val spark = offers.sparkSession
     val exactDir = s"$rootDir/exact"
     val phashDir = s"$rootDir/phash"
     val sigDir = s"$rootDir/sigs"
     val vecDir = s"$rootDir/vecs"
     def staged(store: String): String = StoreTxn.stagePath(rootDir, batchId, store)
-    val semantic = batch.columns.contains("embedding")
-    val media = batch.columns.contains("content")
+    val semantic = offers.columns.contains("embedding")
+    val media = offers.columns.contains("content")
+
+    // effective tombstones: standing (un-applied) ∪ this batch's, one
+    // max-asOf row per doc — tiny (bounded by churn since the last
+    // cadence), pinned because every store read below joins it
+    val tombOpt: Option[DataFrame] = {
+      val standing = readStore(spark, s"$rootDir/tombstones",
+        Seq("doc_id", "asOf"))
+      val fresh = batchTombstones.map(
+        _.select(col("doc_id")).withColumn("asOf", lit(batchId)))
+      (standing, fresh) match {
+        case (None, None) => None
+        case (a, b) => Some((a.toSeq ++ b.toSeq).reduce(_ unionByName _)
+          .groupBy("doc_id").agg(max("asOf").as("asOf")).persist())
+      }
+    }
+    /** A store's LIVE rows: minus rows retired by a newer tombstone
+      * (`b < asOf`; a row written by the retiring batch itself
+      * survives — that is how an UPDATE's new version coexists with its
+      * own tombstone).
+      */
+    def readLive(dir: String, key: String, cols: Seq[String]): Option[DataFrame] =
+      readStore(spark, dir, (Seq(key) ++ cols :+ "b").distinct).map { df =>
+        tombOpt match {
+          case None => df.select(cols.map(col): _*)
+          case Some(t) =>
+            df.join(t.select(col("doc_id").as(key), col("asOf").as("_asof")),
+                Seq(key), "left")
+              .filter(col("_asof").isNull || col("b") >= col("_asof"))
+              .select(cols.map(col): _*)
+        }
+      }
 
     // stage 1+2a: gate, then first-of-hash within the batch (lowest id
     // keeps, matching the near-dup screens' greedy rule)
     val wH = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash").orderBy("doc_id")
-    val gated = CorpusIngest.gateBatch(batch,
+    val gated = CorpusIngest.gateBatch(offers,
         passThrough = Seq("doc_id") ++ (if (media) Seq("content") else Nil) ++
           (if (semantic) Seq("embedding") else Nil))
       .withColumn("rn", row_number().over(wH))
@@ -117,7 +169,7 @@ object CurationChain {
     var percDrops: Option[DataFrame] = None
     try {
       // stage 2b: exact screen against the standing hash store
-      val afterExact = readStore(spark, exactDir, Seq("content_hash"))
+      val afterExact = readLive(exactDir, "doc_id", Seq("content_hash"))
         .map(st => pinned.join(st, Seq("content_hash"), "left_anti"))
         .getOrElse(pinned)
 
@@ -137,7 +189,7 @@ object CurationChain {
             .persist()
           hashed = Some(h)
           val okIds = ImageDedupStream
-            .admitBatch(h, readStore(spark, phashDir, Seq("media_id", "h"))
+            .admitBatch(h, readLive(phashDir, "media_id", Seq("media_id", "h"))
               .getOrElse(spark.emptyDataFrame))
             .select(col("media_id").as("doc_id"))
           // pin the drop DECISION, not just the hashes: every downstream
@@ -162,7 +214,7 @@ object CurationChain {
       // row)
       val sigs = TextDedupStream.signatures(afterPerc).persist()
       val afterSig = TextDedupStream
-        .admitBatch(sigs, readStore(spark, sigDir, Seq("doc_id", "sig"))
+        .admitBatch(sigs, readLive(sigDir, "doc_id", Seq("doc_id", "sig"))
           .getOrElse(spark.emptyDataFrame))
         .select("doc_id", "sig")
         .persist()
@@ -175,7 +227,7 @@ object CurationChain {
           val vecs = survivedSig
             .select(col("doc_id").as("vec_id"), col("embedding"))
           val ok = SemDedupStream
-            .admitBatch(vecs, readStore(spark, vecDir, Seq("vec_id", "embedding"))
+            .admitBatch(vecs, readLive(vecDir, "vec_id", Seq("vec_id", "embedding"))
               .getOrElse(spark.emptyDataFrame), threshold)
             .select(col("vec_id").as("doc_id"))
           survivedSig.join(ok, Seq("doc_id"), "left_semi")
@@ -193,25 +245,39 @@ object CurationChain {
         .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .localCheckpoint()
       sigs.unpersist(); afterSig.unpersist()
-      keep.select("content_hash")
+      // every store row carries its admit batch: the tombstone exclusion
+      // and the physical apply are both keyed on (id, b < asOf)
+      keep.select("doc_id", "content_hash").withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(staged("exact"))
       hashed.foreach { h =>
         h.join(keep.select(col("doc_id").as("media_id")),
             Seq("media_id"), "left_semi")
+          .withColumn("b", lit(batchId))
           .write.mode("overwrite").parquet(staged("phash"))
       }
-      keepSigs.write.mode("overwrite").parquet(staged("sigs"))
+      keepSigs.withColumn("b", lit(batchId))
+        .write.mode("overwrite").parquet(staged("sigs"))
       if (semantic)
         keep.select(col("doc_id").as("vec_id"), col("embedding"))
+          .withColumn("b", lit(batchId))
           .write.mode("overwrite").parquet(staged("vecs"))
       keep.select("doc_id", "text", "content_hash")
+        .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(staged("admitted"))
+      batchTombstones.foreach { t =>
+        t.select(col("doc_id")).distinct().withColumn("asOf", lit(batchId))
+          .write.mode("overwrite").parquet(staged("tombstones"))
+      }
       StoreTxn.seal(spark, rootDir, batchId)
     } finally {
       pinned.unpersist(); hashed.foreach(_.unpersist())
-      percDrops.foreach(_.unpersist()); ()
+      percDrops.foreach(_.unpersist()); tombOpt.foreach(_.unpersist()); ()
     }
   }
+
+  private[streaming] def stageBatch(rootDir: String, threshold: Double)(
+      batch: DataFrame, batchId: Long): Unit =
+    stageCurated(rootDir, threshold, batch, None, batchId)
 
   /** The full trigger body. `rootDir` holds the stores (`exact`,
     * `phash`, `sigs`, `vecs`, `admitted` — `phash`/`vecs` only when
@@ -235,6 +301,100 @@ object CurationChain {
       StoreTxn.publish(spark, rootDir, batchId)
     }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      StoreNames.map(s => s"$rootDir/$s")
+        .filter(hasData(spark, _))
+        .foreach(StoreCompact.compact(spark, _))
+    }
+  }
+
+  /** The LIVE admitted corpus: the admitted store minus rows retired by
+    * a newer tombstone — what a consumer reads between tombstone-apply
+    * cadences (after [[applyTombstones]] the raw store and this view are
+    * identical).
+    */
+  def readAdmitted(spark: SparkSession, rootDir: String): DataFrame =
+    readStore(spark, s"$rootDir/admitted",
+        Seq("doc_id", "text", "content_hash", "b")).map { adm =>
+      readStore(spark, s"$rootDir/tombstones", Seq("doc_id", "asOf")) match {
+        case None => adm.select("doc_id", "text", "content_hash")
+        case Some(t0) =>
+          val t = t0.groupBy("doc_id").agg(max("asOf").as("_asof"))
+          adm.join(t, Seq("doc_id"), "left")
+            .filter(col("_asof").isNull || col("b") >= col("_asof"))
+            .select("doc_id", "text", "content_hash")
+      }
+    }.getOrElse(spark.emptyDataFrame)
+
+  /** Which id column retires a store's rows when its doc tombstones. */
+  private val StoreKeys = Seq("exact" -> "doc_id", "phash" -> "media_id",
+    "sigs" -> "doc_id", "vecs" -> "vec_id", "admitted" -> "doc_id")
+
+  /** Physically remove tombstoned rows (a row retires when a tombstone
+    * with `asOf > b` exists for its doc) from every store, then clear
+    * the tombstone store. Each rewrite goes through the
+    * [[StoreCompact.rewrite]] swap, so a crash mid-apply is healed by
+    * the next trigger's recover; a crash BEFORE the final clear leaves
+    * tombstones standing — the logical exclusion still holds and the
+    * next cadence finishes the apply (idempotent: rewriting an
+    * already-clean store drops nothing).
+    */
+  def applyTombstones(spark: SparkSession, rootDir: String): Unit = {
+    val tombDir = s"$rootDir/tombstones"
+    if (!hasData(spark, tombDir)) return
+    val t = spark.read.parquet(tombDir)
+      .groupBy("doc_id").agg(max("asOf").as("_asof"))
+      .localCheckpoint() // the rewrites below retire the dirs this reads
+    StoreKeys.foreach { case (store, key) =>
+      val dir = s"$rootDir/$store"
+      if (hasData(spark, dir))
+        StoreCompact.rewrite(spark, dir, df =>
+          df.join(t.select(col("doc_id").as(key), col("_asof")), Seq(key), "left")
+            .filter(col("_asof").isNull || col("b") >= col("_asof"))
+            .drop("_asof"))
+    }
+    val (fs, p) = hadoopFs(spark, tombDir)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** The CDC trigger body — [[ingestInto]] for a batch of ROW OPERATIONS
+    * `(op, ord, doc_id, text[, content][, embedding])` with `op` ∈
+    * INSERT/UPDATE/DELETE and `ord` the within-batch event order (see
+    * [[CdcCorpusChain.cdcDocsFromChunks]]). The LAST op per doc wins;
+    * UPDATE and DELETE tombstone the doc's standing store rows as of
+    * this batch, and INSERT/UPDATE texts re-offer through the full
+    * screen chain against the corpus MINUS the retired rows — all under
+    * ONE staged publish, so replay cannot half-apply a retire/re-admit
+    * pair. An UPDATE whose new text fails the gate (or screens against
+    * OTHER docs) removes the doc from the corpus entirely — the current
+    * version failed curation. Tombstones apply physically on the
+    * `compactEvery` cadence, before compaction.
+    */
+  def ingestCdcInto(rootDir: String, threshold: Double = 0.92,
+      compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    StoreNames.map(s => s"$rootDir/$s").foreach(StoreCompact.recover(spark, _))
+    if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
+      if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
+        StoreTxn.clearForeignStaged(spark, rootDir, batchId)
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("ord").desc)
+        val last = batch
+          .withColumn("rn", row_number().over(wOrd))
+          .filter(col("rn") === 1).drop("rn")
+          .persist()
+        try {
+          val tombIds = last
+            .filter(col("op").isin("UPDATE", "DELETE")).select("doc_id")
+          val offers = last
+            .filter(col("op").isin("INSERT", "UPDATE")).drop("op", "ord")
+          stageCurated(rootDir, threshold, offers, Some(tombIds), batchId)
+        } finally { last.unpersist(); () }
+      }
+      StoreTxn.publish(spark, rootDir, batchId)
+    }
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      applyTombstones(spark, rootDir)
       StoreNames.map(s => s"$rootDir/$s")
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))

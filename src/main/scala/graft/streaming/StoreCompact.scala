@@ -73,4 +73,29 @@ object StoreCompact {
     fs.delete(old, true)
     (before, after)
   }
+
+  /** Rewrite `dir` as `f(current rows)` under the same temp-dir + rename
+    * swap (and so the same [[recover]] healing) as [[compact]] — the
+    * physical-removal primitive behind tombstone application
+    * ([[CurationChain.applyTombstones]]): logical deletes filter reads
+    * until a cadence pass rewrites the store without the retired rows.
+    */
+  def rewrite(spark: SparkSession, dir: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      targetFiles: Int = 8): Unit = {
+    require(targetFiles >= 1, s"targetFiles $targetFiles")
+    recover(spark, dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    f(spark.read.parquet(dir))
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(path, old), s"rewrite: could not retire $dir")
+    require(fs.rename(tmp, path), s"rewrite: could not publish $tmp")
+    fs.delete(old, true)
+    ()
+  }
 }

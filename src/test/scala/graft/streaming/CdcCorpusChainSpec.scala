@@ -46,6 +46,93 @@ class CdcCorpusChainSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("full-DML binlog bytes: UPDATE retires the doc's own past on the " +
+      "wire path, DELETE clears corpus memory, equals the batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+
+    //  t0: INSERT docs 1-3
+    //  t1: UPDATE 1 (light edit — needs its own retirement to admit),
+    //      DELETE 2
+    //  t2: INSERT 10 re-offering the DELETED doc 2's text (novel again),
+    //      INSERT 11 re-offering standing doc 3's text (exact reject)
+    val trancheEvents: Seq[Seq[Array[Byte]]] = Seq(
+      Seq(
+        encodeEvent(WriteV2, encodeRows(WriteV2, schema,
+          Seq(Seq[Any](1L, doc(1)), Seq[Any](2L, doc(2)), Seq[Any](3L, doc(3)))))),
+      Seq(
+        encodeEvent(UpdateV2, encodeRows(UpdateV2, schema,
+          Seq(Seq[Any](1L, doc(1)), Seq[Any](1L, doc(1, edit = true))))),
+        encodeEvent(DeleteV2, encodeRows(DeleteV2, schema,
+          Seq(Seq[Any](2L, doc(2)))))),
+      Seq(
+        encodeEvent(WriteV2, encodeRows(WriteV2, schema,
+          Seq(Seq[Any](10L, doc(2))))),
+        encodeEvent(WriteV2, encodeRows(WriteV2, schema,
+          Seq(Seq[Any](11L, doc(3)))))))
+
+    val seed = (1 to 20).map(_.toByte).toArray
+    val ok = hx("00" + "00" + "00" + "0200" + "0000")
+    val eof = hx("fe" + "0000" + "0200")
+    val bringup: Seq[Array[Byte]] = Seq(
+      handshakeV10(seed),
+      (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte,
+      ok, ok, Array(2.toByte), hx("deadbeef"), hx("deadbeef"), eof,
+      lenencStr("bin.000001") ++ lenencStr("4"), eof)
+    var pktSeq = 0
+    var chunkOrd = 0L
+    val trancheChunks: Seq[Seq[ByteChunk]] = trancheEvents.zipWithIndex.map {
+      case (evs, ti) =>
+        val payloads =
+          (if (ti == 0) bringup else Seq.empty) ++ evs.map(0.toByte +: _)
+        val bytes = payloads.toArray.flatMap { p =>
+          val out = MysqlProtocolCodec.writePacket(pktSeq % 256, p)
+          pktSeq += 1; out
+        }
+        bytes.grouped(700).map { bs =>
+          val c = ByteChunk(1L, chunkOrd, bs); chunkOrd += 1; c
+        }.toSeq
+    }
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_capstone_dml").toFile.getAbsolutePath
+    val wireRoot = s"$base/wire"
+    val in = MemoryStream[ByteChunk]
+    val q = CdcCorpusChain.startCdc(in.toDS(),
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      columns, wireRoot, s"$base/ckpt")
+    try {
+      trancheChunks.foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the batch replay oracle: the same op tuples through ingestCdcInto
+    // directly, same trigger grouping
+    val batchRoot = s"$base/batch"
+    val opTranches: Seq[Seq[(String, Long, Long, String)]] = Seq(
+      Seq(("INSERT", 1L, 1L, doc(1)), ("INSERT", 2L, 2L, doc(2)),
+        ("INSERT", 3L, 3L, doc(3))),
+      Seq(("UPDATE", 1L, 1L, doc(1, edit = true)),
+        ("DELETE", 2L, 2L, doc(2))),
+      Seq(("INSERT", 1L, 10L, doc(2)), ("INSERT", 2L, 11L, doc(3))))
+    opTranches.zipWithIndex.foreach { case (rows, ti) =>
+      CurationChain.ingestCdcInto(batchRoot)(
+        rows.toDF("op", "ord", "doc_id", "text"), ti.toLong)
+    }
+
+    def live(root: String) = CurationChain.readAdmitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val wire = live(wireRoot)
+    assert(wire == live(batchRoot),
+      "wire-fed mutable curation must equal the batch replay")
+    assert(wire.map(_._1) == Seq(1L, 3L, 10L),
+      s"expected 1 (updated), 3, 10 (deleted content re-admitted): $wire")
+    assert(wire.find(_._1 == 1L).get._2 == doc(1, edit = true),
+      "the live corpus must carry doc 1's post-UPDATE text")
+  }
+
   test("binlog bytes → wire fold → decode → curation equals the batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -281,6 +281,70 @@ class CurationChainSpec extends SparkSpec {
       "published batches must leave no staged residue")
   }
 
+  test("CDC ops: an UPDATE's new text screens against the corpus minus " +
+      "its own retired version, DELETE clears corpus memory, the last op " +
+      "per doc wins, and the cadence applies tombstones physically") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_cdc").toFile.getAbsolutePath + "/c"
+    def ops(rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("op", "ord", "doc_id", "text")
+    def live() = CurationChain.readAdmitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+    // batch 0: three novels, plus INSERT-then-UPDATE of doc 20 in ONE
+    // batch — the last op wins, so only the updated text lands
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("INSERT", 1L, 1L, doc(1)), ("INSERT", 2L, 2L, doc(2)),
+      ("INSERT", 3L, 3L, doc(3)),
+      ("INSERT", 4L, 20L, doc(20)), ("UPDATE", 5L, 20L, doc(21)))), 0L)
+    assert(live().map(_._1) == Seq(1L, 2L, 3L, 20L))
+    assert(live().find(_._1 == 20L).get._2 == doc(21), "last op wins")
+
+    // batch 1: UPDATE doc 1 with a LIGHT EDIT of its own text — without
+    // retirement the signature store rejects a doc's own new version
+    // forever; DELETE doc 2
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("UPDATE", 1L, 1L, doc(1, edit = true)),
+      ("DELETE", 2L, 2L, doc(2)))), 1L)
+    val l1 = live()
+    assert(l1.map(_._1) == Seq(1L, 3L, 20L),
+      s"update must re-admit its own edit, delete must remove: $l1")
+    assert(l1.find(_._1 == 1L).get._2 == doc(1, edit = true),
+      "the live corpus carries the CURRENT version")
+
+    // batch 2: a deleted doc's text re-offers as NOVEL (no ghost);
+    // standing docs still screen; a near-dup of doc 1's CURRENT version
+    // still rejects (retirement is not amnesia — the new version's
+    // signature stands)
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("INSERT", 1L, 10L, doc(2)),              // deleted content → novel again
+      ("INSERT", 2L, 11L, doc(3)),              // exact dup of standing 3
+      ("INSERT", 3L, 12L, doc(1)))), 2L)        // 1 word from 1's current → sig reject
+    assert(live().map(_._1) == Seq(1L, 3L, 10L, 20L))
+
+    // batch 3 hits the compactEvery cadence: tombstones apply
+    // PHYSICALLY — raw stores drop the retired rows, the tombstone
+    // store clears, and the raw admitted parquet equals the live view
+    CurationChain.ingestCdcInto(root, compactEvery = 3)(
+      ops(Seq(("INSERT", 1L, 30L, doc(30)))), 3L)
+    assert(!new java.io.File(s"$root/tombstones").exists(),
+      "applied tombstones must clear")
+    val raw = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(raw == Seq(1L, 3L, 10L, 20L, 30L),
+      s"physical apply must drop retired rows from the raw store: $raw")
+    assert(spark.read.parquet(s"$root/exact").count() == 5)
+    assert(spark.read.parquet(s"$root/sigs").count() == 5)
+
+    // post-apply consistency: the re-admitted content (id 10) is the
+    // standing memory now — its text re-offered again is an exact dup
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("INSERT", 1L, 40L, doc(2)))), 4L)
+    assert(live().map(_._1) == Seq(1L, 3L, 10L, 20L, 30L))
+  }
+
   test("text-only batches skip the semantic stage") {
     val s = spark
     import s.implicits._
