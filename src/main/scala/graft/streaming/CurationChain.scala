@@ -183,8 +183,22 @@ object CurationChain {
         else {
           val ph = udf((b: Array[Byte]) =>
             graft.multimodal.MultimodalQueries.perceptualHash(b))
-          val h = afterExact.filter(col("content").isNotNull)
-            .select(col("doc_id").as("media_id"), ph(col("content")).as("h"))
+          // the decode kernel inherits the INPUT's partitioning and a
+          // media batch is small in BYTES but big in compute — a 5 MB
+          // batch reads as ONE partition and would decode
+          // single-threaded; spread it across the executors before the
+          // kernel (one shuffle of the batch's media bytes). Measured
+          // NEUTRAL at bench scale, where the kernel is ms-class and the
+          // stage cost is its ~8 fixed jobs — the guard exists for
+          // decode-heavy media (video, large images) where one reader
+          // partition would serialize the whole trigger.
+          val src = afterExact.filter(col("content").isNotNull)
+            .select(col("doc_id").as("media_id"), col("content"))
+          val par = spark.sparkContext.defaultParallelism
+          val spread =
+            if (src.rdd.getNumPartitions >= par) src else src.repartition(par)
+          val h = spread
+            .select(col("media_id"), ph(col("content")).as("h"))
             .filter(col("h").isNotNull)
             .persist()
           hashed = Some(h)
