@@ -345,6 +345,91 @@ class CurationChainSpec extends SparkSpec {
     assert(live().map(_._1) == Seq(1L, 3L, 10L, 20L, 30L))
   }
 
+  test("20-trigger mutable soak: random INSERT/UPDATE/DELETE stream " +
+      "tracks an oracle model exactly, including updates that fail " +
+      "curation and remove their doc") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_mut_soak").toFile.getAbsolutePath + "/c"
+    val rnd = new scala.util.Random(1313)
+    // versioned text: one mid-doc word per version over an id-namespaced
+    // vocabulary — any two versions of one doc are 1-word near-dups
+    // (past the 7/10 sig gate), distinct ids never collide
+    def text(id: Long, v: Int): String =
+      (0 until 80).map { j =>
+        if (v > 0 && j == 40) s"edited${id}v$v" else s"w${id}x$j"
+      }.mkString(" ")
+    def ops(rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("op", "ord", "doc_id", "text")
+
+    var nextId = 0L
+    // the oracle model of the live corpus: doc_id → (version, text)
+    val model = scala.collection.mutable.Map.empty[Long, (Int, String)]
+    val deletedTexts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 20).foreach { trig =>
+      val batch = Seq.newBuilder[(String, Long, Long, String)]
+      var ord = 0L
+      def add(op: String, id: Long, t: String): Unit = {
+        ord += 1; batch += ((op, ord, id, t))
+      }
+      // pre-batch standing docs ONLY: same-batch novels must not be
+      // mutation targets, or the in-batch first-of-hash tiebreak and the
+      // oracle model diverge on engineered collisions
+      val standing = model.keys.toSeq.sorted
+      // two novels per trigger
+      (0 until 2).foreach { _ =>
+        val id = nextId; nextId += 1
+        add("INSERT", id, text(id, 0)); model(id) = (0, text(id, 0))
+      }
+      if (standing.size >= 8) {
+        // five DISTINCT standing docs, one per role — overlapping roles
+        // (e.g. the copied victim deleted in the same batch) change the
+        // expected outcome and are covered by the targeted CDC-ops spec
+        val Seq(u, bad, victim, d, r) =
+          rnd.shuffle(standing).take(5).toSeq
+        // self-edit UPDATE: retires its own past, re-admits the new text
+        val nv = model(u)._1 + 1
+        add("UPDATE", u, text(u, nv)); model(u) = (nv, text(u, nv))
+        // UPDATE whose new text copies ANOTHER standing doc — fails the
+        // exact screen, so the doc is REMOVED from the corpus entirely
+        add("UPDATE", bad, model(victim)._2)
+        model.remove(bad)
+        // DELETE a standing doc; remember its text for later re-offer
+        add("DELETE", d, model(d)._2)
+        deletedTexts += model(d)._2; model.remove(d)
+        // exact re-offer of a standing doc under a fresh id: rejected
+        add("INSERT", 500000L + trig, model(r)._2)
+        // re-offer of DELETED content under a fresh id: novel again
+        if (deletedTexts.nonEmpty && trig % 3 == 0) {
+          val t = deletedTexts.remove(0)
+          // only if nothing live still matches it (a removed-update's
+          // source may have re-admitted equal content)
+          if (!model.values.exists(_._2 == t)) {
+            val id = 600000L + trig
+            add("INSERT", id, t); model(id) = (0, t)
+          }
+        }
+      }
+      CurationChain.ingestCdcInto(root, compactEvery = 5)(
+        ops(batch.result()), trig.toLong)
+    }
+    val live = CurationChain.readAdmitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = model.map { case (id, (_, t)) => id -> t }.toMap
+    assert(live.keySet == expect.keySet,
+      s"leaked: ${(live.keySet -- expect.keySet).toSeq.sorted.take(10)}; " +
+        s"lost: ${(expect.keySet -- live.keySet).toSeq.sorted.take(10)}")
+    live.foreach { case (id, t) =>
+      assert(t == expect(id), s"doc $id text diverged from the model")
+    }
+    // the cadence applied: after trigger 15's apply + later triggers'
+    // tombstones, the raw store holds at most the post-apply retirees
+    assert(!new java.io.File(s"$root/tombstones").exists() ||
+      spark.read.parquet(s"$root/tombstones").count() <= 15,
+      "tombstones must drain on the cadence")
+  }
+
   test("text-only batches skip the semantic stage") {
     val s = spark
     import s.implicits._
