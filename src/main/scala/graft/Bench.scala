@@ -48,8 +48,8 @@ object Bench {
     } catch { case _: Throwable => sfDir }
 
     // Timed passes per query, keep the min: absorbs first-pass codegen
-    // and host-level CPU burst noise. Two passes; a third when the
-    // min-of-2 lands under 3 s (see the threshold note at the call site).
+    // and host-level CPU burst noise. Three passes for every query (see
+    // the spread note at the call site).
     def timed(q: Q): Double = {
       val t0 = System.nanoTime()
       run(q.fn(spark, if (envelopeFamily(q.name)) splitDir else sfDir))
@@ -58,33 +58,38 @@ object Bench {
     // A failing query must be loud: it records -1 in `queries`, lands in
     // `errors` with its message, and bumps `failures` — the headline total
     // alone can never silently improve because a query started crashing.
-    val results: Seq[(String, Double, Option[String])] = SparkEntry.corpus.map { q =>
+    val results: Seq[(String, Double, Double, Option[String])] = SparkEntry.corpus.map { q =>
       // drop cached plans between QUERIES: the persisted hash/IVF
       // projections are keyed by canonicalized plan, so without this a
       // query sharing a subtree with an earlier one reads the earlier
       // run's cache and its number flatters (q222 would pre-warm q226's
-      // decode). Within one query's min-of-2 the cache legitimately
+      // decode). Within one query's min-of-3 the cache legitimately
       // carries — that is the operator's own persist discipline.
       spark.catalog.clearCache()
-      // Sub-3 s queries at min-of-2 swing ±2× round over round on host
-      // CPU-burst noise (r12 verdict item 3: q117/q83/q149 flagged with
-      // no code cause) — a third pass below the threshold buys the
-      // steady-state number where the variance actually bites, while the
-      // long queries (where a pass is expensive and variance is
-      // proportionally small) stay at two.
+      // min-of-3 for EVERY query, and record the pass spread: r12's
+      // min-of-2-above-3s left 3-6 s queries swinging ±70 % round over
+      // round with no code cause (r13 verdict item 3: q132/q178/q133
+      // flagged). The third pass costs ~1/2 of the bench again but makes
+      // the minimum a steady-state number everywhere, and the recorded
+      // spread ((max-min)/min across the three passes) lets a cross-round
+      // diff machine-classify any residual swing as noise vs regression.
       try {
-        val two = math.min(timed(q), timed(q))
-        (q.name, if (two < 3.0) math.min(two, timed(q)) else two, None)
+        val passes = Seq(timed(q), timed(q), timed(q))
+        val best = passes.min
+        (q.name, best, (passes.max - best) / math.max(best, 1e-9), None)
       }
       catch { case e: Throwable =>
-        (q.name, -1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
+        (q.name, -1.0, 0.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
       }
     }
     def jstr(s: String): String = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+    def r3j(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s, _) => "\"" + k + "\":" + r3j(s) }
       .mkString("{", ",", "}")
-    val failures = results.count(_._3.isDefined)
+    val errs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val failures = results.count(_._4.isDefined)
     val total = results.map(_._2).filter(_ >= 0).sum
     // best-of-3: the end-of-bench JVM is warm but fragmented and the
     // single-shot meter swung 255-383k across r10 captures while the
@@ -107,9 +112,9 @@ object Bench {
         .toInstant.toString
     } catch { case _: Throwable => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failures":$failures,"failed":${failures > 0},"errors":$errs,""" +
+      s""""spread":$spreads,"failures":$failures,"failed":${failures > 0},"errors":$errs,""" +
       s""""cdc_rows_per_sec":$cdcRate,"cdc_meter":"max3",""" +
-      s""""q_meter":"min2+3below3s","commit":"$sha",""" +
+      s""""q_meter":"min3+spread","commit":"$sha",""" +
       s""""fixture_mtime":"$fixtureMtime","sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // them; the full 160-query line is ~6 KB, so printing it last left the
@@ -124,8 +129,8 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort; never fail the bench
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val errsShort = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .take(3).mkString("{", ",", "}")
     // Stop Spark BEFORE printing: the summary line must be the final
     // output this process emits, with no shutdown-hook log lines after it

@@ -1026,7 +1026,7 @@ object Similarity {
     * Output (query_id, rank, neighbor_id) — identical to [[ivfTopK]] at
     * equal parameters (IvfIndexSpec asserts exact equality).
     */
-  private def readIvfCentroids(spark: SparkSession,
+  private[graft] def readIvfCentroids(spark: SparkSession,
       dir: String): Array[Array[Double]] = {
     val rows = spark.read
       .parquet(dir + "/centroids")
@@ -1289,6 +1289,115 @@ object Similarity {
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     adcCompactRerank(scored, c, qRows.toSeq.toDF("query_id", "qv"), k, rerank)
+  }
+
+  // ---- IVF-pruned, PQ-scored, exact-verified: the STREAM-SCREEN index --
+
+  /** Build the streaming screens' compressed index (r13 verdict item 2):
+    * coarse IVF cells for PARTITION PRUNING + FULL-VECTOR PQ codes for
+    * scoring — the non-residual ADC variant of Jégou et al. 2011: codes
+    * quantize the normalized vector itself, so a query's ADC table gives
+    * the cosine approximation DIRECTLY (a residual table orders within a
+    * cell but is offset by the query·centroid term, useless for a global
+    * threshold). Postings are N·(8+m) bytes partitioned by cell — the
+    * read a screening trigger pays is nprobe/nlist of THAT, not of the
+    * raw vectors; exactness is restored by a candidate-bounded verify
+    * against the raw corpus. Extra input columns (e.g. the admit batch
+    * `b`) ride through into the postings unchanged, so tombstone
+    * retirement can filter them like any other store.
+    */
+  def buildIvfCodeIndex(candidates: DataFrame, dir: String, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 256): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(candidates, nlist)
+    val codebooks = trainPqCodebooks(candidates, m, ksub)
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+    writeCodebooks(spark, codebooks, dir + "/codebooks")
+    encodeIvfCode(candidates, centroids, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  private def encodeIvfCode(vectors: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val extras = vectors.columns.filterNot(Set("vec_id", "embedding")).toSeq
+    vectors
+      .select(Seq(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cv")) ++ extras.map(col): _*)
+      .select(Seq(col("neighbor_id"),
+        IvfCell(col("cv"), centroids).as("cell"),
+        PqCode(normalized(col("cv")), codebooks).as("codes")) ++
+        extras.map(col): _*)
+  }
+
+  /** The STAGED incremental add to a [[buildIvfCodeIndex]] layout: assign
+    * under the frozen centroids, encode under the frozen codebooks,
+    * write the cell-partitioned delta to `outDir` for the exactly-once
+    * publish ([[graft.streaming.StoreTxn]]).
+    */
+  def stageIvfCodeAppend(newVectors: DataFrame, indexDir: String,
+      outDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readIvfCentroids(spark, indexDir)
+    val codebooks = readCodebooks(spark, indexDir + "/codebooks")
+    encodeIvfCode(newVectors, centroids, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
+
+  /** Threshold CANDIDATES from a [[buildIvfCodeIndex]] layout: each query
+    * probes its `nprobe` nearest cells, the pruned postings ADC-score
+    * against the query's table (≈ cosine, full-vector codes), and rows
+    * clearing `minAdc` come back with every extra posting column (e.g.
+    * `b`) preserved — the caller exact-verifies them against the raw
+    * corpus, so `minAdc` should sit a quantization-error margin BELOW
+    * the real threshold (an over-tight margin loses recall; a loose one
+    * only costs verify work). Returns (query_id, neighbor_id, cell,
+    * adc, extras…).
+    */
+  def ivfCodeThresholdCandidates(dir: String, queries: DataFrame,
+      minAdc: Double, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, dir)
+    val codebooks = readCodebooks(spark, dir + "/codebooks")
+    val qRows = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    if (qRows.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("neighbor_id"), col("id").cast("int").as("cell"),
+        col("id").cast("double").as("adc"))
+    val np = math.max(1, math.min(nprobe, centroids.length))
+    val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
+    val probes = qRows.flatMap { case (id, v) =>
+      val unit = l2normalize(v.toArray)
+      tables.put(id, PqKernels.adcTable(unit, codebooks))
+      centroids.indices
+        .map(ci => (ci, {
+          var d = 0.0; var j = 0
+          while (j < unit.length) { d += unit(j) * centroids(ci)(j); j += 1 }
+          d
+        }))
+        .sortBy { case (ci, d) => (-d, ci) }
+        .take(np)
+        .map { case (ci, _) => (id, ci) }
+    }
+    val probedCells: Array[Int] = probes.map(_._2).distinct.sorted
+    val coded = spark.read.parquet(dir + "/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val extras = coded.columns
+      .filterNot(Set("neighbor_id", "cell", "codes")).toSeq
+    // PqAdc is a squared-L2 ADC over unit vectors: cos = 1 − d²/2
+    coded.join(broadcast(probes.toSeq.toDF("query_id", "cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(Seq(col("query_id"), col("neighbor_id"), col("cell"),
+        (lit(1.0) - PqAdc(col("query_id"), col("codes"), tables) / 2.0)
+          .as("adc")) ++
+        extras.map(col): _*)
+      .filter(col("adc") >= minAdc)
   }
 
   /** Persisted IVF-PQ index — the full IVFADC layout ([[ivfpqTopK]]'s

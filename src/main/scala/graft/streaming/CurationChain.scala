@@ -39,11 +39,24 @@ import org.apache.spark.sql.functions._
   * storms before anything decodes, the perceptual screen (one linear
   * decode pass, 16 bytes/row after it) kills media recrawls before the
   * shuffle-heavy signature agg runs, and the signature screen kills
-  * light edits before any cosine is computed. Per-trigger work is one
-  * gate pass + one decode pass + key-colocated joins; every store is parquet the
-  * screens re-read per trigger (the exact backstop — q147's Bloom screen
-  * fronts the hash store at scale), compacted on the `compactEvery`
-  * cadence and healed by [[StoreCompact.recover]] after a mid-swap
+  * light edits before any cosine is computed.
+  *
+  * STORE LAYOUT (r13 verdict item 1 — the screens used to re-read and
+  * re-band the FULL store every trigger, O(admitted corpus) per
+  * micro-batch forever): every screen store is laid out on its join key
+  * ([[StoreLayout]]) so a trigger reads candidate buckets only —
+  * `exact` bucketed by content-hash and FRONTED by per-trigger bloom
+  * blobs (`bloom`: batch hashes whose blobs miss never touch the
+  * store); `sigs` persisted PRE-BANDED and bucketed by the (band, bh)
+  * join key with its own front (`sigbloom`: only band keys that collide
+  * with something admitted pull their buckets — for a novel batch that
+  * is none); `phash` pre-banded and bucketed by (band, v); `vecs` cell-
+  * partitioned under frozen trained centroids once past the founding
+  * floor (probe-pruned like the persisted q220 index, retrain-per-
+  * trigger below it). Per-trigger screen cost is then bounded by the
+  * batch and its true duplicates, not by store size. Stores compact per
+  * bucket on the `compactEvery` cadence (blooms rebuild, cells refound
+  * on drift) and heal via [[StoreCompact.recover]] after a mid-swap
   * crash.
   *
   * EXACTLY-ONCE store publication (r12 ADVICE): `foreachBatch` is
@@ -81,24 +94,35 @@ import org.apache.spark.sql.functions._
   */
 object CurationChain {
 
-  /** The store subdirectories the publish step knows how to move. */
-  private val StoreNames = Seq("exact", "phash", "sigs", "vecs", "admitted")
+  /** The store subdirectories recovery and compaction iterate over.
+    * ([[StoreTxn.publish]] itself moves EVERY staged subdir — this list
+    * only scopes the per-trigger recover sweep and the compaction
+    * cadence.)
+    */
+  private val StoreNames =
+    Seq("exact", "phash", "sigs", "vecs", "admitted", "budget")
 
   private def hadoopFs(spark: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }
 
-  private def hasData(spark: SparkSession, dir: String): Boolean = {
-    val (fs, path) = hadoopFs(spark, dir)
-    fs.exists(path) && fs.listStatus(path).exists { st =>
-      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+  private def hasData(spark: SparkSession, dir: String): Boolean =
+    StoreCompact.hasData(spark, dir)
 
   private def readStore(spark: SparkSession, dir: String,
       cols: Seq[String]): Option[DataFrame] =
     if (hasData(spark, dir)) Some(spark.read.parquet(dir).select(cols.map(col): _*))
+    else None
+
+  /** The persisted frozen cell centroids of the `vecs` store (None until
+    * the cell layout founds — see [[maintainVecCells]]). Layout mirrors
+    * the q220 IVF index: `vec_cells/centroids` (cell, centroid).
+    */
+  private def loadVecCentroids(spark: SparkSession,
+      rootDir: String): Option[Array[Array[Double]]] =
+    if (hasData(spark, s"$rootDir/vec_cells/centroids"))
+      Some(graft.llm.Similarity.readIvfCentroids(spark, s"$rootDir/vec_cells"))
     else None
 
   /** Derive the admitted set against the CURRENT store state and stage
@@ -112,15 +136,25 @@ object CurationChain {
     */
   private[streaming] def stageCurated(rootDir: String, threshold: Double,
       offers: DataFrame, batchTombstones: Option[DataFrame],
-      batchId: Long): Unit = {
+      batchId: Long, vecNprobe: Int = 4,
+      budgets: Map[String, Long] = Map.empty,
+      budgetDefault: Long = Long.MaxValue): Unit = {
     val spark = offers.sparkSession
+    val P = StoreLayout.ensureLayout(spark, rootDir, StoreNames)
+    val budgeted = budgets.nonEmpty
+    if (budgeted) require(offers.columns.contains("source"),
+      "budgeted ingest needs a `source` column on the batch")
     val exactDir = s"$rootDir/exact"
     val phashDir = s"$rootDir/phash"
     val sigDir = s"$rootDir/sigs"
     val vecDir = s"$rootDir/vecs"
+    val bloomDir = s"$rootDir/bloom"
+    val sigBloomDir = s"$rootDir/sigbloom"
     def staged(store: String): String = StoreTxn.stagePath(rootDir, batchId, store)
     val semantic = offers.columns.contains("embedding")
     val media = offers.columns.contains("content")
+    val vecCents: Option[Array[Array[Double]]] =
+      if (semantic) loadVecCentroids(spark, rootDir) else None
 
     // effective tombstones: standing (un-applied) ∪ this batch's, one
     // max-asOf row per doc — tiny (bounded by churn since the last
@@ -139,39 +173,79 @@ object CurationChain {
     /** A store's LIVE rows: minus rows retired by a newer tombstone
       * (`b < asOf`; a row written by the retiring batch itself
       * survives — that is how an UPDATE's new version coexists with its
-      * own tombstone).
+      * own tombstone). `prune` restricts the scan to candidate buckets
+      * of the store's partition column — static partition pruning, the
+      * bucketed-layout read path (an empty bucket list means the caller
+      * already knows nothing matches: skip the read entirely).
       */
-    def readLive(dir: String, key: String, cols: Seq[String]): Option[DataFrame] =
-      readStore(spark, dir, (Seq(key) ++ cols :+ "b").distinct).map { df =>
-        tombOpt match {
-          case None => df.select(cols.map(col): _*)
-          case Some(t) =>
-            df.join(t.select(col("doc_id").as(key), col("asOf").as("_asof")),
-                Seq(key), "left")
-              .filter(col("_asof").isNull || col("b") >= col("_asof"))
-              .select(cols.map(col): _*)
-        }
+    def readLive(dir: String, key: String, cols: Seq[String],
+        prune: Option[(String, Seq[Int])] = None): Option[DataFrame] = {
+      if (!hasData(spark, dir)) return None
+      if (prune.exists(_._2.isEmpty)) return None
+      val base = prune match {
+        case Some((pc, vals)) => StoreLayout.prunedRead(spark, dir, pc, vals)
+        case None => spark.read.parquet(dir)
       }
+      val df = base.select((Seq(key) ++ cols :+ "b").distinct.map(col): _*)
+      Some(tombOpt match {
+        case None => df.select(cols.map(col): _*)
+        case Some(t) =>
+          df.join(t.select(col("doc_id").as(key), col("asOf").as("_asof")),
+              Seq(key), "left")
+            .filter(col("_asof").isNull || col("b") >= col("_asof"))
+            .select(cols.map(col): _*)
+      })
+    }
 
-    // stage 1+2a: gate, then first-of-hash within the batch (lowest id
-    // keeps, matching the near-dup screens' greedy rule)
+    // stage 1+2a: gate, then first-of-hash within the batch. Plain
+    // batches tiebreak by lowest id (the near-dup screens' greedy rule);
+    // CDC batches carry `ord` and tiebreak by STREAM ORDER — when two
+    // different docs offer identical text in one batch, the first writer
+    // of that content wins, consistent with last-op-wins elsewhere in
+    // the CDC path (r13 ADVICE: id-order diverged from event order).
+    val cdcOrdered = offers.columns.contains("ord")
+    val hashOrder: Seq[org.apache.spark.sql.Column] =
+      if (cdcOrdered) Seq(col("ord"), col("doc_id")) else Seq(col("doc_id"))
     val wH = org.apache.spark.sql.expressions.Window
-      .partitionBy("content_hash").orderBy("doc_id")
+      .partitionBy("content_hash")
+      .orderBy(hashOrder: _*)
     val gated = CorpusIngest.gateBatch(offers,
-        passThrough = Seq("doc_id") ++ (if (media) Seq("content") else Nil) ++
+        passThrough = Seq("doc_id") ++ (if (cdcOrdered) Seq("ord") else Nil) ++
+          (if (budgeted) Seq("source") else Nil) ++
+          (if (media) Seq("content") else Nil) ++
           (if (semantic) Seq("embedding") else Nil))
       .withColumn("rn", row_number().over(wH))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn", "ord")
     // the gated projection feeds every later stage and foreachBatch
     // re-executes the plan per action — pin it (the q226 lesson)
     val pinned = gated.persist()
     var hashed: Option[DataFrame] = None
     var percDrops: Option[DataFrame] = None
     try {
-      // stage 2b: exact screen against the standing hash store
-      val afterExact = readLive(exactDir, "doc_id", Seq("content_hash"))
-        .map(st => pinned.join(st, Seq("content_hash"), "left_anti"))
-        .getOrElse(pinned)
+      // stage 2b: exact screen against the standing hash store, bloom
+      // front first: batch hashes whose bucket's blobs all miss are
+      // DEFINITELY absent (one-sided: the blobs cover every published
+      // hash), so typically only true dups + ε·|batch| false positives
+      // pull their candidate buckets — the anti-join reads those buckets
+      // only instead of scanning the whole store per trigger.
+      val afterExact =
+        if (!hasData(spark, exactDir)) pinned
+        else {
+          val batchKeys = pinned.select("content_hash").distinct()
+            .withColumn("__h", StoreLayout.keyHash(col("content_hash")))
+            .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+          val maybe = readStore(spark, bloomDir, Seq("pb", "bloom")) match {
+            case Some(bl) => StoreLayout.bloomMaybe(batchKeys, bl)
+              .select("content_hash", "pb").distinct()
+            case None => batchKeys.select("content_hash", "pb")
+          }
+          // candidate buckets: a driver-side collect bounded by the
+          // layout's bucket count (the probed-cell contract)
+          readLive(exactDir, "doc_id", Seq("content_hash"),
+              Some(("pb", StoreLayout.bucketsPresent(maybe))))
+            .map(st => pinned.join(st, Seq("content_hash"), "left_anti"))
+            .getOrElse(pinned)
+        }
 
       // stage 3: perceptual media screen (in-batch + shared band store).
       // The decode is the expensive kernel and feeds BOTH the screen and
@@ -192,19 +266,37 @@ object CurationChain {
           // stage cost is its ~8 fixed jobs — the guard exists for
           // decode-heavy media (video, large images) where one reader
           // partition would serialize the whole trigger.
-          val src = afterExact.filter(col("content").isNotNull)
+          val spread = afterExact.filter(col("content").isNotNull)
             .select(col("doc_id").as("media_id"), col("content"))
-          val par = spark.sparkContext.defaultParallelism
-          val spread =
-            if (src.rdd.getNumPartitions >= par) src else src.repartition(par)
+            .repartition(spark.sparkContext.defaultParallelism)
           val h = spread
             .select(col("media_id"), ph(col("content")).as("h"))
             .filter(col("h").isNotNull)
             .persist()
           hashed = Some(h)
-          val okIds = ImageDedupStream
-            .admitBatch(h, readLive(phashDir, "media_id", Seq("media_id", "h"))
-              .getOrElse(spark.emptyDataFrame))
+          // in-batch screen, then the standing BANDED store pruned to the
+          // batch's (band, v) buckets ((band, v) has only 2048 values, so
+          // no bloom front: a populated store saturates every key and the
+          // pruning itself is what bounds the read — effective while the
+          // batch's band-key set is small against the bucket count)
+          val inDropsM = graft.multimodal.MultimodalQueries
+            .hammingNearDupPairs(h)
+            .select(col("db").as("media_id")).distinct()
+          val survM = h.join(inDropsM, Seq("media_id"), "left_anti")
+          val bandKeys = graft.multimodal.MultimodalQueries
+            .bandExplode(survM, "new_id")
+            .select(col("b").as("band"), col("v")).distinct()
+            .withColumn("pb", StoreLayout.bucketOf(
+              StoreLayout.keyHash(col("band"), col("v")), P))
+          val okIds = readLive(phashDir, "media_id",
+              Seq("media_id", "h", "band", "v"),
+              Some(("pb", StoreLayout.bucketsPresent(bandKeys))))
+            .map { st =>
+              val dup = ImageDedupStream.hammingPairsAgainstBands(survM, st)
+                .select(col("new_id").as("media_id")).distinct()
+              survM.join(dup, Seq("media_id"), "left_anti")
+            }
+            .getOrElse(survM)
             .select(col("media_id").as("doc_id"))
           // pin the drop DECISION, not just the hashes: every downstream
           // action (sig isEmpty probe, semantic counts, checkpoint, five
@@ -223,28 +315,140 @@ object CurationChain {
       // pipeline (shingle explode + k-minima agg + band joins) is the
       // most expensive stage and feeds BOTH the admitted set and the
       // store append — pin it, or keepSigs below re-runs it end to end.
-      // (admitBatch's isEmpty probe alone re-runs the full k-minima agg
-      // when its input is unpinned — an agg can't short-circuit to one
-      // row)
+      // The store side is PRE-BANDED and bucketed by (band, bh), fronted
+      // by its own bloom: a batch band key whose blobs miss has no store
+      // partner by construction (only near-dups collide on a band hash),
+      // so a novel batch skips the store read entirely and a dup-bearing
+      // one reads its candidates' buckets only.
       val sigs = TextDedupStream.signatures(afterPerc).persist()
-      val afterSig = TextDedupStream
-        .admitBatch(sigs, readLive(sigDir, "doc_id", Seq("doc_id", "sig"))
-          .getOrElse(spark.emptyDataFrame))
-        .select("doc_id", "sig")
-        .persist()
+      val inDropsS = TextDedupStream.sigSelfPairs(sigs)
+        .select(col("db").as("doc_id")).distinct()
+      val survS = sigs.join(inDropsS, Seq("doc_id"), "left_anti")
+      val afterSig = {
+        val screened =
+          if (!hasData(spark, sigDir)) survS
+          else {
+            val nBands = TextDedupStream.bandRows(survS, "new_id")
+              .withColumn("__h", StoreLayout.keyHash(col("band"), col("bh")))
+              .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+            val maybe = readStore(spark, sigBloomDir, Seq("pb", "bloom")) match {
+              case Some(bl) => StoreLayout.bloomMaybe(nBands, bl)
+                .dropDuplicates("new_id", "band", "bh")
+              case None => nBands
+            }
+            readLive(sigDir, "doc_id", Seq("doc_id", "sig", "band", "bh"),
+                Some(("pb", StoreLayout.bucketsPresent(maybe))))
+              .map { st =>
+                val dup = TextDedupStream.sigPairsAgainstBands(maybe, st)
+                  .select(col("new_id").as("doc_id")).distinct()
+                survS.join(dup, Seq("doc_id"), "left_anti")
+              }
+              .getOrElse(survS)
+          }
+        screened.select("doc_id", "sig").persist()
+      }
       val survivedSig = afterPerc.join(afterSig, Seq("doc_id"), "left_semi")
 
-      // stage 5: semantic screen (in-batch + store), when embeddings ride
+      // stage 5: semantic screen (in-batch + store), when embeddings
+      // ride. Once the cell layout has founded (frozen centroids under
+      // vec_cells — [[maintainVecCells]]), the store side probes like
+      // the persisted q220 index: batch vectors probe their nprobe
+      // nearest cells, ONLY those cell partitions are read, exact cosine
+      // verifies. Pre-founding (store below the floor) keeps the
+      // retrain-per-trigger screen — cheap at that size and
+      // semantics-identical to the gated batch operator.
       val admitted =
         if (!semantic) survivedSig
         else {
           val vecs = survivedSig
             .select(col("doc_id").as("vec_id"), col("embedding"))
-          val ok = SemDedupStream
-            .admitBatch(vecs, readLive(vecDir, "vec_id", Seq("vec_id", "embedding"))
-              .getOrElse(spark.emptyDataFrame), threshold)
-            .select(col("vec_id").as("doc_id"))
-          survivedSig.join(ok, Seq("doc_id"), "left_semi")
+          val ok = vecCents match {
+            case Some(cents) if hasData(spark, vecDir) =>
+              val survV = SemDedupStream
+                .admitBatch(vecs, spark.emptyDataFrame, threshold)
+              val q = survV.select(col("vec_id"),
+                  col("embedding").cast("array<double>").as("qv"))
+                .withColumn("cell", explode(graft.llm.IvfProbe(col("qv"),
+                  cents, math.min(vecNprobe, cents.length))))
+              val cells = q.select(col("cell").as("pb"))
+              readLive(vecDir, "vec_id", Seq("vec_id", "embedding", "cell"),
+                  Some(("cell", StoreLayout.bucketsPresent(cells))))
+                .map { st =>
+                  val dup = q.join(st.select(col("cell"),
+                        col("vec_id").as("neighbor_id"),
+                        col("embedding").cast("array<double>").as("cv")),
+                      Seq("cell"))
+                    .filter(graft.llm.Similarity
+                      .cosine(col("qv"), col("cv")) >= threshold)
+                    .select("vec_id").distinct()
+                  survV.join(dup, Seq("vec_id"), "left_anti")
+                }
+                .getOrElse(survV)
+            case _ => SemDedupStream
+              .admitBatch(vecs,
+                readLive(vecDir, "vec_id", Seq("vec_id", "embedding"))
+                  .getOrElse(spark.emptyDataFrame), threshold)
+          }
+          survivedSig.join(ok.select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+        }
+
+      // stage 6 (optional): per-source TOKEN BUDGET — the step between
+      // "curation" and "corpus construction" (r13 verdict item 6;
+      // [[BudgetAdmit]]'s semantics on the chain's exactly-once spine):
+      // per source, docs apply in doc_id order and admit iff the
+      // source's admitted-token total still fits — first-come-first-
+      // served WITH SKIP (a rejected doc consumes nothing, so a later
+      // smaller doc that fits is still admitted). Spent totals persist
+      // in the `budget` store through the same staged publish; a
+      // budget-rejected doc reaches no store at all (the no-residue
+      // contract extends to this stage). Retirement never refunds —
+      // admitted tokens are spent even if the doc later tombstones (the
+      // conservative corpus-construction reading).
+      val admittedB =
+        if (!budgeted) admitted
+        else {
+          val sess = spark
+          import sess.implicits._
+          val used = readStore(spark, s"$rootDir/budget",
+              Seq("source", "toks"))
+            .map(_.groupBy("source").agg(sum("toks").as("used")))
+            .getOrElse(Seq.empty[(String, Long)].toDF("source", "used"))
+          val budgetDf = budgets.toSeq.toDF("source", "budget")
+          val folded = admitted
+            .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+            .groupBy("source")
+            .agg(collect_list(struct(col("doc_id"), col("ntok"))).as("docs"))
+            .join(used, Seq("source"), "left")
+            .join(broadcast(budgetDf), Seq("source"), "left")
+            .withColumn("used", coalesce(col("used"), lit(0L)))
+            .withColumn("budget", coalesce(col("budget"), lit(budgetDefault)))
+            .withColumn("adm", aggregate(
+              array_sort(col("docs")),
+              struct(col("used").as("u"),
+                array().cast("array<bigint>").as("ids")),
+              (acc, d) => {
+                val fits = acc.getField("u") + d.getField("ntok") <= col("budget")
+                struct(
+                  when(fits, acc.getField("u") + d.getField("ntok"))
+                    .otherwise(acc.getField("u")).as("u"),
+                  when(fits, concat(acc.getField("ids"),
+                      array(d.getField("doc_id"))))
+                    .otherwise(acc.getField("ids")).as("ids"))
+              }))
+            .select(col("source"), col("adm.ids").as("ids"),
+              (col("adm.u") - col("used")).as("spent"))
+            .persist()
+          // the spent delta stages with the other stores (exactly-once)
+          folded.filter(col("spent") > 0)
+            .select(col("source"), col("spent").as("toks"))
+            .withColumn("b", lit(batchId))
+            .write.mode("overwrite").parquet(staged("budget"))
+          val okIds = folded.select(explode(col("ids")).as("doc_id"))
+          val out = admitted.join(okIds, Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+          folded.unpersist()
+          out
         }
 
       // The admitted plan READS the very stores the publish step will
@@ -254,27 +458,62 @@ object CurationChain {
       // back into the plan.
       // (media bytes never reach a store or the checkpoint — the stores
       // hold hashes, not pixels)
-      val keep = admitted.drop("content").localCheckpoint()
+      val keep = admittedB.drop("content", "source").localCheckpoint()
       val keepSigs = afterSig
         .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .localCheckpoint()
       sigs.unpersist(); afterSig.unpersist()
       // every store row carries its admit batch: the tombstone exclusion
-      // and the physical apply are both keyed on (id, b < asOf)
+      // and the physical apply are both keyed on (id, b < asOf). Screen
+      // stores stage PARTITIONED by their join-key bucket (the pruned
+      // read unit); the repartition by the bucket column lands each
+      // bucket wholly in one task, so a trigger adds at most one file
+      // per bucket. The bloom deltas stage through the SAME publish —
+      // the front can only ever lag the store by rows that were never
+      // published, i.e. never.
+      val admittedN = keep.count() // keep is checkpointed — footer count
       keep.select("doc_id", "content_hash").withColumn("b", lit(batchId))
-        .write.mode("overwrite").parquet(staged("exact"))
+        .withColumn("pb", StoreLayout.bucketOf(
+          StoreLayout.keyHash(col("content_hash")), P))
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(staged("exact"))
+      StoreLayout.bloomDelta(
+          keep.select(StoreLayout.keyHash(col("content_hash")).as("__h"))
+            .withColumn("pb", StoreLayout.bucketOf(col("__h"), P)),
+          math.max(1L, admittedN))
+        .coalesce(1).write.mode("overwrite").parquet(staged("bloom"))
       hashed.foreach { h =>
-        h.join(keep.select(col("doc_id").as("media_id")),
-            Seq("media_id"), "left_semi")
+        graft.multimodal.MultimodalQueries.bandExplode(
+            h.join(keep.select(col("doc_id").as("media_id")),
+              Seq("media_id"), "left_semi"), "media_id")
+          .select(col("media_id"), col("h"), col("b").as("band"), col("v"))
           .withColumn("b", lit(batchId))
-          .write.mode("overwrite").parquet(staged("phash"))
+          .withColumn("pb", StoreLayout.bucketOf(
+            StoreLayout.keyHash(col("band"), col("v")), P))
+          .repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb").parquet(staged("phash"))
       }
-      keepSigs.withColumn("b", lit(batchId))
-        .write.mode("overwrite").parquet(staged("sigs"))
+      val keptBands = TextDedupStream.bandRows(keepSigs, "doc_id")
+        .withColumn("b", lit(batchId))
+        .withColumn("pb", StoreLayout.bucketOf(
+          StoreLayout.keyHash(col("band"), col("bh")), P))
+      keptBands.repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(staged("sigs"))
+      StoreLayout.bloomDelta(
+          keptBands.select(
+            StoreLayout.keyHash(col("band"), col("bh")).as("__h"), col("pb")),
+          math.max(1L, 8L * admittedN))
+        .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
       if (semantic)
         keep.select(col("doc_id").as("vec_id"), col("embedding"))
           .withColumn("b", lit(batchId))
-          .write.mode("overwrite").parquet(staged("vecs"))
+          .withColumn("cell", vecCents match {
+            case Some(cents) => graft.llm.IvfCell(
+              col("embedding").cast("array<double>"), cents)
+            case None => lit(0)
+          })
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(staged("vecs"))
       keep.select("doc_id", "text", "content_hash")
         .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(staged("admitted"))
@@ -289,9 +528,108 @@ object CurationChain {
     }
   }
 
-  private[streaming] def stageBatch(rootDir: String, threshold: Double)(
+  private[streaming] def stageBatch(rootDir: String, threshold: Double,
+      vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
+      budgetDefault: Long = Long.MaxValue)(
       batch: DataFrame, batchId: Long): Unit =
-    stageCurated(rootDir, threshold, batch, None, batchId)
+    stageCurated(rootDir, threshold, batch, None, batchId, vecNprobe,
+      budgets, budgetDefault)
+
+  /** Derived state the recover sweep also heals (their cadence rebuilds
+    * go through the same rename swap as compaction).
+    */
+  private val DerivedNames = Seq("bloom", "sigbloom")
+
+  /** Rebuild the bloom fronts from the CURRENT store rows — the cadence
+    * maintenance that collapses the per-trigger delta blobs into one
+    * blob per bucket and drops tombstone-retired keys (the deltas are a
+    * safe superset until then). Runs after the stores compact, in the
+    * same between-triggers slot.
+    */
+  private def rebuildBlooms(spark: SparkSession, rootDir: String): Unit = {
+    val P = StoreLayout.ensureLayout(spark, rootDir, StoreNames)
+    def rebuild(storeDir: String, bloomDir: String,
+        keys: DataFrame => DataFrame): Unit =
+      if (hasData(spark, storeDir)) {
+        val keyed = keys(spark.read.parquet(storeDir))
+          .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+        val blobs = StoreLayout.bloomDelta(keyed, math.max(1L, keyed.count()))
+        if (hasData(spark, bloomDir))
+          StoreCompact.rewrite(spark, bloomDir, _ => blobs, targetFiles = 1)
+        else blobs.coalesce(1).write.mode("overwrite").parquet(bloomDir)
+      }
+    rebuild(s"$rootDir/exact", s"$rootDir/bloom",
+      _.select(StoreLayout.keyHash(col("content_hash")).as("__h")))
+    rebuild(s"$rootDir/sigs", s"$rootDir/sigbloom",
+      _.select(StoreLayout.keyHash(col("band"), col("bh")).as("__h")))
+  }
+
+  /** Default founding floor of the `vecs` cell layout: below it the
+    * retrain-per-trigger screen is cheaper than maintaining a quantizer
+    * (and the trained cells would be noise anyway).
+    */
+  val VecCellFloorDefault: Int = 1024
+
+  /** FOUND or RE-FOUND the vecs store's frozen cell layout (cadence
+    * maintenance, derived state only): once the store clears `floor`,
+    * train centroids (nlist ~ √n — the standard IVF sizing), rewrite the
+    * store partitioned by cell, and publish the centroids LAST via a
+    * directory rename — every crash window leaves either no centroids
+    * (screens fall back to the full-store read: correct, just unpruned)
+    * or a centroid set that matches the store's cell assignment. On
+    * later cadences a hottest-cell drift past 4× fair share (appends
+    * land under frozen centroids) triggers the same retrain — the
+    * [[graft.llm.Similarity.ivfNeedsRebuild]] policy on the chain's own
+    * store.
+    */
+  private def maintainVecCells(spark: SparkSession, rootDir: String,
+      floor: Int): Unit = {
+    val vecDir = s"$rootDir/vecs"
+    val cellsDir = s"$rootDir/vec_cells"
+    val (fs, cellsPath) = hadoopFs(spark, cellsDir)
+    // stale residue from a crashed (re)founding: the store is the truth
+    // and absent centroids only cost pruning, so residue just deletes
+    fs.delete(new org.apache.hadoop.fs.Path(cellsDir + "_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(cellsDir + "_old"), true)
+    if (!hasData(spark, vecDir)) return
+    val cents = loadVecCentroids(spark, rootDir)
+    val needs = cents match {
+      case None =>
+        spark.read.parquet(vecDir).count() >= floor
+      case Some(c) =>
+        val counts = spark.read.parquet(vecDir).groupBy("cell")
+          .agg(count(lit(1)).as("n"))
+          .agg(max("n").as("hot"), sum("n").as("total")).head
+        !counts.isNullAt(0) &&
+          counts.getLong(0).toDouble * c.length > 4.0 * counts.getLong(1)
+    }
+    if (!needs) return
+    val n = spark.read.parquet(vecDir).count()
+    val nlist = math.max(2, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val newCents = graft.llm.Similarity.trainCentroids(
+      spark.read.parquet(vecDir).select("vec_id", "embedding"), nlist)
+    // retire the OLD centroids before touching the store: a crash
+    // anywhere past this point reads as "no centroids" → full-scan
+    // fallback, never a centroid/assignment mismatch
+    if (fs.exists(cellsPath))
+      require(fs.rename(cellsPath,
+        new org.apache.hadoop.fs.Path(cellsDir + "_old")),
+        s"vec_cells: could not retire $cellsDir")
+    StoreCompact.rewrite(spark, vecDir, df =>
+      df.drop("cell").withColumn("cell", graft.llm.IvfCell(
+        col("embedding").cast("array<double>"), newCents)),
+      repartitionTo = Some(Seq("cell")))
+    val spark2 = spark
+    import spark2.implicits._
+    newCents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(cellsDir + "_tmp/centroids")
+    require(fs.rename(new org.apache.hadoop.fs.Path(cellsDir + "_tmp"),
+      cellsPath), s"vec_cells: could not publish $cellsDir")
+    fs.delete(new org.apache.hadoop.fs.Path(cellsDir + "_old"), true)
+    ()
+  }
 
   /** The full trigger body. `rootDir` holds the stores (`exact`,
     * `phash`, `sigs`, `vecs`, `admitted` — `phash`/`vecs` only when
@@ -301,13 +639,19 @@ object CurationChain {
     * object doc.
     */
   def ingestInto(rootDir: String, threshold: Double = 0.92,
-      compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+      compactEvery: Int = 0, vecCellFloor: Int = VecCellFloorDefault,
+      vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
+      budgetDefault: Long = Long.MaxValue)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    StoreNames.map(s => s"$rootDir/$s").foreach(StoreCompact.recover(spark, _))
+    StoreTxn.guardMonotone(spark, rootDir, batchId)
+    (StoreNames ++ DerivedNames).map(s => s"$rootDir/$s")
+      .foreach(StoreCompact.recover(spark, _))
     if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
       if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
         StoreTxn.clearForeignStaged(spark, rootDir, batchId)
-        stageBatch(rootDir, threshold)(batch, batchId)
+        stageBatch(rootDir, threshold, vecNprobe, budgets, budgetDefault)(
+          batch, batchId)
       }
       // a sealed staged copy (this call's, or a mid-publish crash's)
       // publishes WITHOUT recompute — the stores may already hold some of
@@ -318,6 +662,8 @@ object CurationChain {
       StoreNames.map(s => s"$rootDir/$s")
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))
+      rebuildBlooms(spark, rootDir)
+      maintainVecCells(spark, rootDir, vecCellFloor)
     }
   }
 
@@ -385,9 +731,14 @@ object CurationChain {
     * `compactEvery` cadence, before compaction.
     */
   def ingestCdcInto(rootDir: String, threshold: Double = 0.92,
-      compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
+      compactEvery: Int = 0, vecCellFloor: Int = VecCellFloorDefault,
+      vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
+      budgetDefault: Long = Long.MaxValue)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    StoreNames.map(s => s"$rootDir/$s").foreach(StoreCompact.recover(spark, _))
+    StoreTxn.guardMonotone(spark, rootDir, batchId)
+    (StoreNames ++ DerivedNames).map(s => s"$rootDir/$s")
+      .foreach(StoreCompact.recover(spark, _))
     if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
       if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
         StoreTxn.clearForeignStaged(spark, rootDir, batchId)
@@ -400,9 +751,12 @@ object CurationChain {
         try {
           val tombIds = last
             .filter(col("op").isin("UPDATE", "DELETE")).select("doc_id")
+          // `ord` rides into stageCurated so the in-batch first-of-hash
+          // tiebreak follows stream order for CDC batches
           val offers = last
-            .filter(col("op").isin("INSERT", "UPDATE")).drop("op", "ord")
-          stageCurated(rootDir, threshold, offers, Some(tombIds), batchId)
+            .filter(col("op").isin("INSERT", "UPDATE")).drop("op")
+          stageCurated(rootDir, threshold, offers, Some(tombIds), batchId,
+            vecNprobe, budgets, budgetDefault)
         } finally { last.unpersist(); () }
       }
       StoreTxn.publish(spark, rootDir, batchId)
@@ -412,6 +766,10 @@ object CurationChain {
       StoreNames.map(s => s"$rootDir/$s")
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))
+      // bloom rebuild AFTER the tombstone apply: the fronts shed the
+      // retired keys here (they were a safe superset until now)
+      rebuildBlooms(spark, rootDir)
+      maintainVecCells(spark, rootDir, vecCellFloor)
     }
   }
 }

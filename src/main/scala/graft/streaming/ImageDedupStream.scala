@@ -35,18 +35,34 @@ object ImageDedupStream {
     * side. Returns (new_id, store_id, hamming).
     */
   def hammingPairsAgainst(newH: DataFrame, storeH: DataFrame,
-      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
+      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame =
     // the 8-band layout is losslessness-critical and has ONE definition
     // (r11 verdict item 5) — shared with the batch pair join
-    def bands(df: DataFrame, idAs: String): DataFrame =
-      MultimodalQueries.bandExplode(df, idAs)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "v")
-    val storeB = bands(storeH, "store_id")
+    hammingPairsAgainstBands(newH,
+      MultimodalQueries.bandExplode(storeH, "media_id")
+        .select(col("media_id"), col("h"), col("b").as("band"), col("v")),
+      maxHamming, maxBucket)
+
+  /** [[hammingPairsAgainst]] when the store side is ALREADY band rows
+    * (media_id, h, band, v) — the bucketed store layout persists the
+    * phash store pre-banded and bucketed by the (band, v) join key, so a
+    * trigger's screen reads candidate buckets instead of re-exploding
+    * the whole store. Store side is restricted to the batch's exact band
+    * keys (a group-key filter, so the hot-bucket cap still counts whole
+    * buckets), capped, then verified by exact hamming.
+    */
+  def hammingPairsAgainstBands(newH: DataFrame, storeBands: DataFrame,
+      maxHamming: Int = 7, maxBucket: Int = 1024): DataFrame = {
+    val nB = MultimodalQueries.bandExplode(newH, "new_id")
+      .select(col("new_id"), col("h").as("hn"), col("b").as("band"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "v")
+    val storeB = storeBands
+      .select(col("media_id").as("store_id"), col("h").as("hs"),
+        col("band"), col("v"))
+      .join(nB.select("band", "v").distinct(), Seq("band", "v"), "left_semi")
       .withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= maxBucket).drop("bsz")
-      .withColumnRenamed("h", "hs")
-    bands(newH, "new_id").withColumnRenamed("h", "hn")
-      .join(storeB, Seq("b", "v"))
+    nB.join(storeB, Seq("band", "v"))
       .select(col("new_id"), col("store_id"), col("hn"), col("hs"))
       .distinct()
       .select(col("new_id"), col("store_id"),
@@ -89,14 +105,9 @@ object ImageDedupStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreCompact.recover(spark, storeDir) // heal an interrupted compaction
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasData: Boolean = fs.exists(path) &&
-      fs.listStatus(path).exists { st =>
-        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-      }
     val store =
-      if (hasData) spark.read.parquet(storeDir).select("media_id", "h")
+      if (StoreCompact.hasData(spark, storeDir))
+        spark.read.parquet(storeDir).select("media_id", "h")
       else spark.emptyDataFrame
     val dh = udf((b: Array[Byte]) => ImageCodec.dHashOf(b))
     // the decode is the expensive kernel and foreachBatch re-executes the

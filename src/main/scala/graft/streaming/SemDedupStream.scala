@@ -80,14 +80,9 @@ object SemDedupStream {
     // not by matching the AnalysisException message text — error phrasing
     // varies across Spark versions/locales and a mismatch would crash the
     // first trigger instead of bootstrapping.
-    val path = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasData: Boolean = fs.exists(path) &&
-      fs.listStatus(path).exists { st =>
-        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-      }
     val corpus =
-      if (hasData) spark.read.parquet(corpusDir).select("vec_id", "embedding")
+      if (StoreCompact.hasData(spark, corpusDir))
+        spark.read.parquet(corpusDir).select("vec_id", "embedding")
       else spark.emptyDataFrame
     // foreachBatch re-executes the batch plan per action (two here:
     // the screen's pair jobs and the append) — persist, the soak lesson
@@ -109,29 +104,59 @@ object SemDedupStream {
   private def indexFloor(nlist: Int): Long = 4L * nlist
 
   private def dirHasData(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).exists { st =>
-      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-    }
+      dir: String): Boolean = StoreCompact.hasData(spark, dir)
+
+  /** The LIVE corpus rows (vec_id, embedding, b): minus rows retired by
+    * a newer tombstone — the CDC-extended indexed root keeps the same
+    * (id, b < asOf) convention as [[CurationChain]].
+    */
+  private def liveCorpus(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): Option[DataFrame] = {
+    val corpusDir = s"$rootDir/corpus"
+    if (!dirHasData(spark, corpusDir)) return None
+    val raw = spark.read.parquet(corpusDir)
+    // an externally seeded corpus (bench bootstrap) may predate the
+    // batch-stamp column — batch 0 is the correct reading for such rows
+    val df = (if (raw.columns.contains("b")) raw
+      else raw.withColumn("b", lit(0L))).select("vec_id", "embedding", "b")
+    Some(tombstonesOf(spark, rootDir) match {
+      case None => df
+      case Some(t) =>
+        df.join(t.withColumnRenamed("asOf", "_asof"), Seq("vec_id"), "left")
+          .filter(col("_asof").isNull || col("b") >= col("_asof"))
+          .drop("_asof")
+    })
   }
 
-  /** Retrain the index from the corpus and swap it in with the
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): Option[DataFrame] = {
+    val dir = s"$rootDir/tombstones"
+    if (!dirHasData(spark, dir)) None
+    else Some(spark.read.parquet(dir)
+      .groupBy("vec_id").agg(max("asOf").as("asOf")))
+  }
+
+  /** Retrain the index from the LIVE corpus rows and swap it in with the
     * [[StoreCompact]] rename discipline (retire → publish → drop), so a
     * crash inside the swap window is healed by the `recover` call at the
-    * top of the next trigger instead of reading half an index.
+    * top of the next trigger instead of reading half an index. The
+    * layout is [[Similarity.buildIvfCodeIndex]] (r13 verdict item 2):
+    * coarse cells prune, FULL-VECTOR PQ codes score — postings are
+    * N·(8+m+8) bytes instead of N·dim·8, the 64×-class read reduction
+    * the screen pays per trigger.
     */
   private def rebuildIndex(spark: org.apache.spark.sql.SparkSession,
-      corpusDir: String, indexDir: String, nlist: Int): Unit = {
+      rootDir: String, indexDir: String, nlist: Int, m: Int,
+      ksub: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(indexDir + "_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(indexDir + "_compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    Similarity.buildIvfIndex(
-      spark.read.parquet(corpusDir).select("vec_id", "embedding"),
-      tmp.toString, nlist)
+    Similarity.buildIvfCodeIndex(
+      liveCorpus(spark, rootDir).getOrElse(
+        throw new IllegalStateException(s"rebuild with no corpus at $rootDir")),
+      tmp.toString, nlist, m, ksub)
     val live = new org.apache.hadoop.fs.Path(indexDir)
     if (fs.exists(live))
       require(fs.rename(live, old), s"rebuild: could not retire $indexDir")
@@ -140,24 +165,33 @@ object SemDedupStream {
     ()
   }
 
-  /** The INDEXED trigger body — [[ingestInto]] with the persisted-IVF
+
+  /** The INDEXED trigger body — [[ingestInto]] with the persisted-index
     * lifecycle composed in (r12 verdict item 2). Layout under `rootDir`:
-    * `corpus` (vec_id, embedding — the source of truth) and `ivf`
-    * (centroids + cell-partitioned postings — derived). Per trigger:
+    * `corpus` (vec_id, embedding, b — the source of truth) and `ivf`
+    * (centroids + PQ codebooks + cell-partitioned m-byte CODE postings —
+    * derived; [[Similarity.buildIvfCodeIndex]], r13 verdict item 2: the
+    * old raw-vector postings made every screening trigger read
+    * ~dim·8 bytes/vector of its probed cells — the code layout reads
+    * 8+m, the 64×-class reduction at dim 64, and most triggers touch
+    * the raw corpus not at all). Per trigger:
     *
     *  1. screen — in-batch greedy drop, then the corpus side through the
-    *     STANDING index ([[Similarity.ivfThresholdPairs]]: frozen
-    *     centroids, partition-pruned postings, exact cosine verify)
-    *     instead of retraining a cell map per trigger (before the index
+    *     STANDING index: probe nprobe cells, ADC-score the pruned code
+    *     postings (≈ cosine, full-vector codes), and exact-verify only
+    *     the candidates clearing `threshold - adcMargin` against the raw
+    *     corpus (id-pushdown fetch; an all-novel batch produces ZERO
+    *     candidates and never opens a corpus file). Before the index
     *     exists — corpus below [[indexFloor]] — the per-trigger
     *     [[admitBatch]] path screens, so bootstrap semantics are the
-    *     gated operator's);
+    *     gated operator's;
     *  2. publish — admitted rows stage to BOTH the corpus and the
-    *     index's postings (frozen-centroid assignment, no posting
-    *     rewrite) and land through [[StoreTxn]]'s exactly-once protocol:
-    *     with TWO stores a replay after a crash between appends would
-    *     otherwise re-admit (index stale → duplicate corpus rows) or
-    *     lose rows (index ahead → rejected before the corpus append);
+    *     index's postings (frozen-centroid assignment + frozen-codebook
+    *     encode, no posting rewrite) and land through [[StoreTxn]]'s
+    *     exactly-once protocol: with TWO stores a replay after a crash
+    *     between appends would otherwise re-admit (index stale →
+    *     duplicate corpus rows) or lose rows (index ahead → rejected
+    *     before the corpus append);
     *  3. maintain — once the corpus clears the floor the index is
     *     founded; every `rebuildCheckEvery` triggers
     *     [[Similarity.ivfNeedsRebuild]] runs (appends land under frozen
@@ -170,56 +204,198 @@ object SemDedupStream {
     */
   def ingestIntoIndexed(rootDir: String, threshold: Double,
       nlist: Int = 16, nprobe: Int = 4, probes: Int = 4,
-      rebuildCheckEvery: Int = 4, rebuildFactor: Double = 4.0)(
+      rebuildCheckEvery: Int = 4, rebuildFactor: Double = 4.0,
+      m: Int = 8, ksub: Int = 256, adcMargin: Double = 0.08)(
+      batch: DataFrame, batchId: Long): Unit =
+    ingestIndexedImpl(rootDir, threshold, nlist, nprobe, probes,
+      rebuildCheckEvery, rebuildFactor, m, ksub, adcMargin,
+      compactEvery = 0, cdc = false)(batch, batchId)
+
+  /** The CDC form of [[ingestIntoIndexed]] (r13 verdict item 7 — the
+    * mutable corpus previously had no index path, so an UPDATEd/DELETEd
+    * doc's vector stayed probeable forever): batches of
+    * (op, ord, vec_id, embedding), last op per id wins, UPDATE/DELETE
+    * tombstone the id's standing corpus row AND index posting (the same
+    * (id, b < asOf) exclusion, applied to candidates before the verify
+    * and to the corpus read inside it), INSERT/UPDATE vectors re-offer
+    * through the screen against the corpus MINUS the retired rows —
+    * one staged publish. `compactEvery` applies tombstones physically
+    * (corpus + postings rewrite, then the tombstone store clears).
+    */
+  def ingestCdcIntoIndexed(rootDir: String, threshold: Double,
+      nlist: Int = 16, nprobe: Int = 4, probes: Int = 4,
+      rebuildCheckEvery: Int = 4, rebuildFactor: Double = 4.0,
+      m: Int = 8, ksub: Int = 256, adcMargin: Double = 0.08,
+      compactEvery: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit =
+    ingestIndexedImpl(rootDir, threshold, nlist, nprobe, probes,
+      rebuildCheckEvery, rebuildFactor, m, ksub, adcMargin,
+      compactEvery, cdc = true)(batch, batchId)
+
+  private def ingestIndexedImpl(rootDir: String, threshold: Double,
+      nlist: Int, nprobe: Int, probes: Int,
+      rebuildCheckEvery: Int, rebuildFactor: Double,
+      m: Int, ksub: Int, adcMargin: Double,
+      compactEvery: Int, cdc: Boolean)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val corpusDir = s"$rootDir/corpus"
     val indexDir = s"$rootDir/ivf"
+    StoreTxn.guardMonotone(spark, rootDir, batchId)
     StoreCompact.recover(spark, corpusDir)
     StoreCompact.recover(spark, indexDir) // heal an interrupted rebuild swap
     val indexed = dirHasData(spark, s"$indexDir/centroids")
     if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
       if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
         StoreTxn.clearForeignStaged(spark, rootDir, batchId)
-        val pinned = batch.persist()
+        // CDC: the LAST op per id wins; UPDATE/DELETE retire as of this
+        // batch; INSERT/UPDATE vectors re-offer
+        val (offers0, tombIds) =
+          if (!cdc) (batch, None: Option[DataFrame])
+          else {
+            val wOrd = org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(col("ord").desc)
+            val last = batch.withColumn("rn", row_number().over(wOrd))
+              .filter(col("rn") === 1).drop("rn")
+            (last.filter(col("op").isin("INSERT", "UPDATE"))
+              .select("vec_id", "embedding"),
+              Some(last.filter(col("op").isin("UPDATE", "DELETE"))
+                .select("vec_id")))
+          }
+        val pinned = offers0.persist()
+        // effective retirement for THIS trigger's screens: standing
+        // tombstones ∪ this batch's (so an UPDATE screens against the
+        // corpus minus its own old vector, in the same trigger)
+        val freshTomb = tombIds.map(_.distinct()
+          .withColumn("asOf", lit(batchId)).persist())
+        val standing = tombstonesOf(spark, rootDir)
+        val tombAll: Option[DataFrame] = (standing, freshTomb) match {
+          case (None, None) => None
+          case (a, b) => Some((a.toSeq ++ b.toSeq).reduce(_ unionByName _)
+            .groupBy("vec_id").agg(max("asOf").as("asOf")))
+        }
+        def liveOf(df: DataFrame): DataFrame = tombAll match {
+          case None => df
+          case Some(t) =>
+            df.join(t.select(col("vec_id"), col("asOf").as("_asof")),
+                Seq("vec_id"), "left")
+              .filter(col("_asof").isNull || col("b") >= col("_asof"))
+              .drop("_asof")
+        }
         try {
           val admitted =
             if (indexed) {
               val surv = admitBatch(pinned, spark.emptyDataFrame,
                 threshold, probes) // in-batch screen only
-              val dupIds = Similarity
-                .ivfThresholdPairs(indexDir, surv, threshold, nprobe)
-                .select(col("query_id").as("vec_id")).distinct()
+              // ADC candidates (postings pruned to the probed cells, m
+              // bytes/vector), retired postings excluded by (id, b),
+              // then the candidate-bounded exact verify
+              val cand = liveOf(Similarity.ivfCodeThresholdCandidates(
+                  indexDir, surv, threshold - adcMargin, nprobe)
+                .withColumnRenamed("neighbor_id", "vec_id"))
+                .withColumnRenamed("vec_id", "neighbor_id")
+              val dupIds = verifyCandidatesLive(spark, rootDir, surv, cand,
+                threshold, tombAll)
               surv.join(dupIds, Seq("vec_id"), "left_anti")
             } else {
-              val corpus =
-                if (dirHasData(spark, corpusDir))
-                  spark.read.parquet(corpusDir).select("vec_id", "embedding")
-                else spark.emptyDataFrame
+              val corpus = liveCorpus(spark, rootDir)
+                .map(liveOf).map(_.select("vec_id", "embedding"))
+                .getOrElse(spark.emptyDataFrame)
               admitBatch(pinned, corpus, threshold, probes)
             }
           // the staged writes must not re-read the stores the publish
           // below grows — truncate the lineage to the computed rows
-          val keep = admitted.select("vec_id", "embedding").localCheckpoint()
+          val keep = admitted.select("vec_id", "embedding")
+            .withColumn("b", lit(batchId)).localCheckpoint()
           keep.write.mode("overwrite")
             .parquet(StoreTxn.stagePath(rootDir, batchId, "corpus"))
           if (indexed)
-            Similarity.stageIvfAppend(keep, indexDir,
+            Similarity.stageIvfCodeAppend(keep, indexDir,
               StoreTxn.stagePath(rootDir, batchId, "ivf") + "/postings")
+          freshTomb.foreach {
+            _.write.mode("overwrite")
+              .parquet(StoreTxn.stagePath(rootDir, batchId, "tombstones"))
+          }
           StoreTxn.seal(spark, rootDir, batchId)
-        } finally { pinned.unpersist(); () }
+        } finally {
+          pinned.unpersist(); freshTomb.foreach(_.unpersist()); ()
+        }
       }
       StoreTxn.publish(spark, rootDir, batchId)
     }
     // maintenance — derived state only, after commit
+    if (cdc && compactEvery > 0 && batchId > 0 &&
+        batchId % compactEvery == 0) {
+      applyIndexedTombstones(spark, rootDir)
+    }
     if (!indexed) {
-      if (dirHasData(spark, corpusDir) &&
-          spark.read.parquet(corpusDir).count() >= indexFloor(nlist))
-        rebuildIndex(spark, corpusDir, indexDir, nlist)
+      if (liveCorpus(spark, rootDir).exists(_.count() >= indexFloor(nlist)))
+        rebuildIndex(spark, rootDir, indexDir, nlist, m, ksub)
     } else if (rebuildCheckEvery > 0 && batchId > 0 &&
         batchId % rebuildCheckEvery == 0 &&
         Similarity.ivfNeedsRebuild(spark, indexDir, rebuildFactor)) {
-      rebuildIndex(spark, corpusDir, indexDir, nlist)
+      rebuildIndex(spark, rootDir, indexDir, nlist, m, ksub)
     }
+  }
+
+  /** [[verifyCandidates]] with the trigger's effective tombstones (the
+    * standing store alone misses THIS batch's retirements).
+    */
+  private def verifyCandidatesLive(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String, queries: DataFrame, cand: DataFrame,
+      threshold: Double, tombAll: Option[DataFrame]): DataFrame = {
+    val pairs = cand.select("query_id", "neighbor_id").distinct()
+    val idRows = pairs.select("neighbor_id").distinct().limit(10001).collect()
+    val corpus0 = liveCorpus(spark, rootDir).getOrElse(
+      return pairs.select(col("query_id").as("vec_id")).limit(0))
+    val corpus = tombAll match {
+      case None => corpus0
+      case Some(t) =>
+        corpus0.join(t.select(col("vec_id"), col("asOf").as("_asof")),
+            Seq("vec_id"), "left")
+          .filter(col("_asof").isNull || col("b") >= col("_asof"))
+          .drop("_asof")
+    }
+    val fetched =
+      if (idRows.length <= 10000)
+        corpus.filter(col("vec_id").isin(
+          idRows.map(r => java.lang.Long.valueOf(r.getLong(0))).toSeq: _*))
+      else
+        corpus.join(pairs.select(col("neighbor_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_semi")
+    pairs
+      .join(fetched.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv")), Seq("neighbor_id"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")), Seq("query_id"))
+      .filter(Similarity.cosine(col("qv"), col("cv")) >= threshold)
+      .select(col("query_id").as("vec_id")).distinct()
+  }
+
+  /** Physically drop tombstone-retired rows from the corpus AND the
+    * index postings (both carry `b`; a row retires when a tombstone with
+    * `asOf > b` exists for its id), then clear the tombstone store —
+    * the indexed root's [[CurationChain.applyTombstones]].
+    */
+  def applyIndexedTombstones(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String): Unit = {
+    val tombDir = s"$rootDir/tombstones"
+    if (!dirHasData(spark, tombDir)) return
+    val t = spark.read.parquet(tombDir)
+      .groupBy("vec_id").agg(max("asOf").as("_asof"))
+      .localCheckpoint()
+    Seq(s"$rootDir/corpus" -> "vec_id",
+        s"$rootDir/ivf/postings" -> "neighbor_id").foreach {
+      case (dir, key) =>
+        if (dirHasData(spark, dir))
+          StoreCompact.rewrite(spark, dir, df =>
+            df.join(t.select(col("vec_id").as(key), col("_asof")),
+                Seq(key), "left")
+              .filter(col("_asof").isNull || col("b") >= col("_asof"))
+              .drop("_asof"))
+    }
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 }

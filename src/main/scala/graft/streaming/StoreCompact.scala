@@ -24,6 +24,18 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreCompact {
 
+  /** True iff `dir` exists and holds at least one data entry (not a
+    * `_`/`.`-prefixed marker) — the ONE bootstrap test every store-backed
+    * trigger body runs before reading (previously four inline copies).
+    */
+  def hasData(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Recover from a compaction interrupted between the two renames: in
     * that window the store path does not exist but the retired copy at
     * `dir + "_compact_old"` holds every row — without this check the next
@@ -42,12 +54,60 @@ object StoreCompact {
     if (!fs.exists(path) && fs.exists(old)) {
       require(fs.rename(old, path), s"recover: could not restore $old")
       true
-    } else false
+    } else {
+      // a retired copy ALONGSIDE a live store is the other crash residue
+      // (died after publishing the replacement but before dropping the
+      // old copy — e.g. SemDedupStream's index rebuild swap): the live
+      // dir is the truth and the residue is a full stale copy that would
+      // otherwise sit on disk until the next rewrite (r13 ADVICE)
+      if (fs.exists(path) && fs.exists(old)) fs.delete(old, true)
+      false
+    }
   }
 
-  /** Row-identical rewrite of `dir` into at most `targetFiles` files.
-    * Returns (filesBefore, filesAfter). No-op (returns counts) when the
-    * store is already at or under the target.
+  /** The store's hive-partition keys, detected from `key=value` first
+    * (or deeper) level directory names — the bucketed screen stores
+    * ([[StoreLayout]]) carry one (`pb=`/`cell=`); flat stores none. The
+    * compaction rewrites below must PRESERVE the layout or every pruned
+    * read after the first compaction would scan the whole store again.
+    */
+  private def partitionKeysOf(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName.takeWhile(_ != '='))
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .distinct
+
+  /** Recursive data-file count (partitioned stores keep their files one
+    * level down in the `key=value` dirs).
+    */
+  private def leafFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Int =
+    fs.listStatus(p).map { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) 0
+      else if (st.isDirectory) leafFiles(fs, st.getPath)
+      else 1
+    }.sum
+
+  private def writeCompacted(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], targetFiles: Int, dest: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (keys.isEmpty)
+      df.coalesce(targetFiles).write.mode("overwrite").parquet(dest)
+    else
+      // hash-repartition by the partition keys: each bucket lands wholly
+      // in one task, so the rewrite leaves ONE file per bucket (the
+      // pruned-read unit) instead of targetFiles fragments of every bucket
+      df.repartition(targetFiles, keys.map(col): _*)
+        .write.mode("overwrite").partitionBy(keys: _*).parquet(dest)
+  }
+
+  /** Row-identical rewrite of `dir` into at most `targetFiles` files
+    * (partitioned stores: one file per bucket). Returns
+    * (filesBefore, filesAfter). No-op (returns counts) when the store is
+    * already at or under the target.
     */
   def compact(spark: SparkSession, dir: String,
       targetFiles: Int = 8): (Int, Int) = {
@@ -55,19 +115,17 @@ object StoreCompact {
     recover(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(p).count { st =>
-        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-      }
-    val before = dataFiles(path)
-    if (before <= targetFiles) return (before, before)
+    val keys = partitionKeysOf(fs, path)
+    val before = leafFiles(fs, path)
+    val target =
+      if (keys.isEmpty) targetFiles
+      else math.max(targetFiles, fs.listStatus(path).count(_.isDirectory))
+    if (before <= target) return (before, before)
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(dir)
-      .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val after = dataFiles(tmp)
+    writeCompacted(spark.read.parquet(dir), keys, targetFiles, tmp.toString)
+    val after = leafFiles(fs, tmp)
     require(fs.rename(path, old), s"compact: could not retire $dir")
     require(fs.rename(tmp, path), s"compact: could not publish $tmp")
     fs.delete(old, true)
@@ -79,20 +137,22 @@ object StoreCompact {
     * physical-removal primitive behind tombstone application
     * ([[CurationChain.applyTombstones]]): logical deletes filter reads
     * until a cadence pass rewrites the store without the retired rows.
+    * Partition layout is preserved; pass `repartitionTo` to CHANGE the
+    * partition scheme (e.g. founding the vec-cell layout), where the
+    * new partition columns come from `f`'s output.
     */
   def rewrite(spark: SparkSession, dir: String,
       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      targetFiles: Int = 8): Unit = {
+      targetFiles: Int = 8, repartitionTo: Option[Seq[String]] = None): Unit = {
     require(targetFiles >= 1, s"targetFiles $targetFiles")
     recover(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = repartitionTo.getOrElse(partitionKeysOf(fs, path))
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    f(spark.read.parquet(dir))
-      .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    writeCompacted(f(spark.read.parquet(dir)), keys, targetFiles, tmp.toString)
     require(fs.rename(path, old), s"rewrite: could not retire $dir")
     require(fs.rename(tmp, path), s"rewrite: could not publish $tmp")
     fs.delete(old, true)

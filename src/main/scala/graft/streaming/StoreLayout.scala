@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.llm.{Bloom, BloomAgg, BloomContains, BloomKernels}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The streaming screen stores' ON-DISK layout: every store a screen
+  * re-reads per trigger is hive-partitioned by a BUCKET of its join key,
+  * so a trigger reads candidate buckets instead of scanning the whole
+  * store (r13 verdict item 1 — the one remaining O(corpus)-per-trigger
+  * regime in the composed chain):
+  *
+  *  - `exact`   — bucket of the content hash; fronted by `bloom`
+  *  - `sigs`    — PRE-BANDED rows, bucket of the (band, bh) join key;
+  *                fronted by `sigbloom` over the same band keys
+  *  - `phash`   — PRE-BANDED rows, bucket of the (band, v) byte-band key
+  *  - `vecs`    — IVF cell under frozen trained centroids (the q220
+  *                postings layout), probe-pruned like the persisted index
+  *
+  * The BLOOM FRONT is what makes the per-trigger cost sublinear in store
+  * size rather than merely divided by the bucket count: each trigger's
+  * admitted keys stage one (bucket, blob) delta row through the same
+  * [[StoreTxn]] publish as the store rows themselves (so the front can
+  * never miss a published key — a false NEGATIVE would re-admit a
+  * duplicate, while the front's false positives only fall through to the
+  * exact anti-join, which stays correct). A batch key whose blobs all
+  * miss is DEFINITELY novel and its bucket is never read; only 'maybe'
+  * keys (true dups + the designed ε of false positives) pull their
+  * buckets. Tombstoned rows stay in the blobs until the compaction
+  * cadence rebuilds them from the live store — a superset, safe by the
+  * same one-sidedness.
+  *
+  * Bucket count is fixed per store root at creation (`_layout` marker):
+  * bucket assignment is a pure function of the key and the count, so
+  * changing the count under existing stores would silently read the
+  * wrong buckets — a root written under a different count fails loudly
+  * instead. 64 buckets give a 64× read bound even before the bloom
+  * front; at 100 TB raise [[DefaultBuckets]] for new roots (the pruning
+  * saturates once a trigger's key count approaches the bucket count —
+  * past that the bloom front carries the sublinearity).
+  */
+object StoreLayout {
+
+  /** Buckets for NEW store roots; existing roots read their marker. */
+  val DefaultBuckets: Int = 64
+
+  /** Designed false-positive rate of the bloom front. */
+  val BloomFp: Double = 0.01
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** Read the root's bucket count, creating the `_layout` marker on a
+    * fresh root. A root that already holds store data but no marker
+    * predates the bucketed layout — fail loudly (silently bucketing new
+    * rows over flat old rows would make the pruned reads miss them).
+    */
+  def ensureLayout(spark: SparkSession, rootDir: String,
+      stores: Seq[String]): Int = {
+    val (fs, p) = fsOf(spark, s"$rootDir/_layout")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+    } else {
+      if (stores.exists(s => StoreCompact.hasData(spark, s"$rootDir/$s")))
+        throw new IllegalStateException(
+          s"store root $rootDir holds data but no _layout marker — it " +
+            "predates the bucketed store layout. Re-ingest into a fresh " +
+            "root (or write a _layout marker after manually rewriting " +
+            "every store partitioned by its bucket column).")
+      val out = fs.create(p, true)
+      try out.write(s"$DefaultBuckets\n".getBytes("UTF-8")) finally out.close()
+      DefaultBuckets
+    }
+  }
+
+  /** The 64-bit join-key hash — feeds BOTH the bucket (high 32 bits) and
+    * the bloom bit positions (full hash), so the two stay independent
+    * (the [[Bloom]] shard trick: a bucket constraint on the same bits
+    * the blob probes would concentrate the probes on 1/buckets of the
+    * bit array and inflate ε).
+    */
+  def keyHash(keys: Column*): Column = xxhash64(keys: _*)
+
+  /** Bucket of a [[keyHash]] value. */
+  def bucketOf(h: Column, buckets: Int): Column =
+    pmod(shiftrightunsigned(h, 32), lit(buckets.toLong)).cast("int")
+
+  /** The distinct bucket values present in `df.pb` — a driver-side
+    * collect BOUNDED by the root's bucket count (the same contract as
+    * the IVF probed-cell collect).
+    */
+  def bucketsPresent(df: DataFrame): Seq[Int] =
+    df.select("pb").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Read only `parts` of a `partCol`-partitioned store — static
+    * partition pruning keeps unlisted buckets' files unopened.
+    */
+  def prunedRead(spark: SparkSession, dir: String, partCol: String,
+      parts: Seq[Int]): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col(partCol).isin(parts.map(Integer.valueOf): _*))
+
+  /** One sealed bloom blob per bucket over `keyed`'s (`__h`, `pb`) rows.
+    * `n` sizes the blobs — pass the DELTA's key count (a per-group
+    * over-estimate only lowers ε; an under-estimate raises it but can
+    * never produce a false negative).
+    */
+  def bloomDelta(keyed: DataFrame, n: Long): DataFrame = {
+    val (mBits, k) = BloomKernels.params(math.max(64L, n), BloomFp)
+    val agg = udaf(new BloomAgg(mBits, k))
+    keyed.groupBy("pb").agg(agg(col("__h")).as("bloom"))
+  }
+
+  /** The subset of `batchKeys` (carrying `__h` and `pb`) that SOME blob
+    * in their bucket reports present — everything else is definitely
+    * novel and need not touch the store. May emit duplicate key rows
+    * when several blobs hit; callers distinct on their key columns.
+    */
+  def bloomMaybe(batchKeys: DataFrame, blooms: DataFrame): DataFrame =
+    batchKeys.join(blooms, Seq("pb"))
+      .filter(BloomContains(col("__h"), col("bloom")))
+      .drop("bloom")
+}

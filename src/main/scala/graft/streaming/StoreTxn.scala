@@ -54,6 +54,41 @@ object StoreTxn {
     fs.exists(p)
   }
 
+  /** The highest batchId ever committed to `rootDir` (None before the
+    * first commit). [[publish]] prunes all but the latest marker, so this
+    * is one directory listing.
+    */
+  def maxCommitted(spark: SparkSession, rootDir: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, s"$rootDir/_commits")
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("b") => n.drop(1).toLong }
+      .maxOption
+  }
+
+  /** Fail LOUDLY when a trigger arrives with a batchId BELOW the store's
+    * latest commit. The whole protocol assumes batchIds are monotone over
+    * the store's lifetime: live-row filters exclude rows with
+    * `b < asOf`, and publish prunes all but the newest marker — so if the
+    * streaming checkpoint is reset/relocated while `rootDir` is kept (a
+    * common ops mistake), batchIds restart at 0, replayed ids read as
+    * uncommitted, and newly admitted rows land with small `b` that
+    * standing tombstones from the old run silently retire: data loss with
+    * no error. A batchId EQUAL to the max is the legitimate at-least-once
+    * replay (the commit marker no-ops it); anything lower is a reset.
+    */
+  def guardMonotone(spark: SparkSession, rootDir: String,
+      batchId: Long): Unit =
+    maxCommitted(spark, rootDir).foreach { m =>
+      if (batchId < m) throw new IllegalStateException(
+        s"batchId $batchId arrived below the store's latest commit b$m " +
+          s"at $rootDir — the streaming checkpoint was reset or relocated " +
+          "while the store was kept. Reprocessing would let standing " +
+          "tombstones silently retire the re-admitted rows; restore the " +
+          "checkpoint or start a fresh store root.")
+    }
+
   /** True iff `batchId` is sealed (fully staged) but possibly not yet
     * fully published — the replay-without-recompute window.
     */

@@ -48,7 +48,17 @@ object TextDedupStream {
     * ([[Dedup.bandStructs]] — r12 verdict item 3: the batch and
     * streaming paths screen the same corpus, so the recall-critical
     * minima→band grouping must have a single source of truth).
+    * Public as the STORE row shape: [[graft.streaming.CurationChain]]
+    * persists the signature store pre-banded and bucketed by the
+    * (band, bh) join key, so a trigger's screen reads candidate buckets
+    * instead of re-exploding (and re-scanning) the whole store.
     */
+  def bandRows(sigs: DataFrame, idAs: String, bands: Int = 8,
+      k: Int = 32): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    bandize(sigs, idAs, bands, k / bands)
+  }
+
   private def bandize(sigs: DataFrame, idAs: String, bands: Int,
       rows: Int): DataFrame = {
     val bandCols =
@@ -77,14 +87,33 @@ object TextDedupStream {
       bands: Int = 8, k: Int = 32, num: Int = 7, den: Int = 10,
       maxBucket: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
+    sigPairsAgainstBands(bandize(newSigs, "new_id", bands, k / bands),
+      bandize(storeSigs, "store_id", bands, k / bands)
+        .select(col("store_id").as("doc_id"), col("sig"), col("band"), col("bh")),
+      k, num, den, maxBucket)
+  }
+
+  /** [[sigPairsAgainst]] when the store side is ALREADY band rows
+    * (doc_id, sig, band, bh) — the bucketed store layout persists them
+    * that way, pruned to the batch's candidate buckets before this call.
+    * The store side is first restricted to the batch's exact (band, bh)
+    * keys (a filter ON the group key, so the hot-bucket cap still counts
+    * whole buckets), then capped, then verified by the signature
+    * estimate. Returns (new_id, store_id, matches).
+    */
+  def sigPairsAgainstBands(newBands: DataFrame, storeBands: DataFrame,
+      k: Int = 32, num: Int = 7, den: Int = 10,
+      maxBucket: Int = 10000): DataFrame = {
+    val nB = newBands.select(col("new_id"),
+      col("sig").as("sig_n"), col("band"), col("bh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val storeB = bandize(storeSigs, "store_id", bands, rows)
+    val storeB = storeBands
+      .select(col("doc_id").as("store_id"), col("sig").as("sig_s"),
+        col("band"), col("bh"))
+      .join(nB.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
       .withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") <= maxBucket).drop("bsz")
-      .withColumnRenamed("sig", "sig_s")
-    bandize(newSigs, "new_id", bands, rows).withColumnRenamed("sig", "sig_n")
-      .join(storeB, Seq("band", "bh"))
+    nB.join(storeB, Seq("band", "bh"))
       .select("new_id", "store_id", "sig_n", "sig_s").distinct()
       .select(col("new_id"), col("store_id"),
         sigMatches(col("sig_n"), col("sig_s")).as("matches"))
@@ -148,14 +177,9 @@ object TextDedupStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreCompact.recover(spark, storeDir) // heal an interrupted compaction
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasData: Boolean = fs.exists(path) &&
-      fs.listStatus(path).exists { st =>
-        val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
-      }
     val store =
-      if (hasData) spark.read.parquet(storeDir).select("doc_id", "sig")
+      if (StoreCompact.hasData(spark, storeDir))
+        spark.read.parquet(storeDir).select("doc_id", "sig")
       else spark.emptyDataFrame
     // the signature agg is the expensive stage and foreachBatch re-executes
     // the plan per action (screen jobs + append) — sign once, persist the

@@ -48,9 +48,11 @@ object SemIngestBench {
     val seed = spark.range(corpusN)
       .select(col("id").as("vec_id"), embOf(col("id")).as("embedding"))
     seed.write.parquet(plainDir)
-    seed.write.parquet(s"$idxRoot/corpus")
+    seed.withColumn("b", lit(0L)).write.parquet(s"$idxRoot/corpus")
     val t0 = System.nanoTime()
-    Similarity.buildIvfIndex(
+    // the r14 screen layout: cells prune, full-vector PQ codes score —
+    // the postings read is (8+m) bytes/vector instead of dim·8
+    Similarity.buildIvfCodeIndex(
       spark.read.parquet(s"$idxRoot/corpus"), s"$idxRoot/ivf", nlist)
     val buildS = (System.nanoTime() - t0) / 1e9
 

@@ -133,6 +133,180 @@ class CdcCorpusChainSpec extends SparkSpec {
       "the live corpus must carry doc 1's post-UPDATE text")
   }
 
+  test("media rides the wire: a planted image near-dup arriving AS " +
+      "binlog BLOB bytes is rejected by the phash store, and a media " +
+      "UPDATE retires the doc's own phash row and re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+    import graft.multimodal.ImageCodec
+
+    val mediaColumns = Seq("doc_id" -> "bigint", "text" -> "varchar(2048)",
+      "img" -> "blob")
+    val mediaSchema = BinlogSchema.fromMysqlTypes(mediaColumns)
+
+    //  t0: INSERT docs 1-2, each with its own image
+    //  t1: INSERT 10 — NOVEL text but a re-encode (patch) of doc 1's
+    //      image: only the phash store can reject it; INSERT 11 novel
+    //  t2: UPDATE doc 1 — novel text AND a re-encode of its OWN image:
+    //      the tombstone must retire doc 1's standing phash row so the
+    //      update re-admits instead of being blocked by its own past
+    val trancheEvents: Seq[Seq[Array[Byte]]] = Seq(
+      Seq(encodeEvent(WriteV2, encodeRows(WriteV2, mediaSchema, Seq(
+        Seq[Any](1L, doc(1), ImageCodec.formulaPng2(1)),
+        Seq[Any](2L, doc(2), ImageCodec.formulaPng2(2)))))),
+      Seq(encodeEvent(WriteV2, encodeRows(WriteV2, mediaSchema, Seq(
+        Seq[Any](10L, doc(10), ImageCodec.formulaPng2(1, patch = true)),
+        Seq[Any](11L, doc(11), ImageCodec.formulaPng2(11)))))),
+      Seq(encodeEvent(UpdateV2, encodeRows(UpdateV2, mediaSchema, Seq(
+        Seq[Any](1L, doc(1), ImageCodec.formulaPng2(1)),
+        Seq[Any](1L, doc(100), ImageCodec.formulaPng2(1, patch = true)))))))
+
+    val seed = (1 to 20).map(_.toByte).toArray
+    val ok = hx("00" + "00" + "00" + "0200" + "0000")
+    val eof = hx("fe" + "0000" + "0200")
+    val bringup: Seq[Array[Byte]] = Seq(
+      handshakeV10(seed),
+      (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte,
+      ok, ok, Array(2.toByte), hx("deadbeef"), hx("deadbeef"), eof,
+      lenencStr("bin.000001") ++ lenencStr("4"), eof)
+    var pktSeq = 0
+    var chunkOrd = 0L
+    val trancheChunks: Seq[Seq[ByteChunk]] = trancheEvents.zipWithIndex.map {
+      case (evs, ti) =>
+        val payloads =
+          (if (ti == 0) bringup else Seq.empty) ++ evs.map(0.toByte +: _)
+        val bytes = payloads.toArray.flatMap { p =>
+          val out = MysqlProtocolCodec.writePacket(pktSeq % 256, p)
+          pktSeq += 1; out
+        }
+        bytes.grouped(700).map { bs =>
+          val c = ByteChunk(1L, chunkOrd, bs); chunkOrd += 1; c
+        }.toSeq
+    }
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_capstone_media").toFile.getAbsolutePath
+    val root = s"$base/wire"
+    val in = MemoryStream[ByteChunk]
+    val q = CdcCorpusChain.startCdc(in.toDS(),
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      mediaColumns, root, s"$base/ckpt", contentCol = Some("img"))
+    try {
+      trancheChunks.foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val live = CurationChain.readAdmitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(live.map(_._1) == Seq(1L, 2L, 11L),
+      s"10 must be rejected by the phash store (image near-dup over " +
+        s"novel text), the UPDATE of 1 must re-admit: $live")
+    assert(live.find(_._1 == 1L).get._2 == doc(100),
+      "doc 1 must carry its post-UPDATE text")
+    // the phash store holds the CURRENT image hash of doc 1 (the update
+    // retired the original's row), plus 2 and 11
+    val ph = spark.read.parquet(s"$root/phash")
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+    val t = spark.read.parquet(s"$root/tombstones")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ph -- t) == Set(1L, 2L, 11L) || ph == Set(1L, 2L, 11L),
+      s"phash must track admitted media only: ph=$ph tombstoned=$t")
+  }
+
+  test("multi-table stream: TABLE_MAP-paired routing curates each table " +
+      "into its own root, binding survives across triggers, per-root " +
+      "screens stay independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+
+    val postCols = Seq("doc_id" -> "bigint", "text" -> "varchar(2048)")
+    val comCols = Seq("cid" -> "bigint", "body" -> "varchar(2048)")
+    val postSchema = BinlogSchema.fromMysqlTypes(postCols)
+    val comSchema = BinlogSchema.fromMysqlTypes(comCols)
+    val tmPosts = encodeEvent(19,
+      encodeTableMap(5L, "app", "posts", postSchema))
+    val tmComments = encodeEvent(19,
+      encodeTableMap(7L, "app", "comments", comSchema))
+
+    //  t0: both TABLE_MAPs, posts 1-2, comments 100
+    //  t1: NO TABLE_MAP (binding must come from state): posts UPDATE 1,
+    //      comments 101 novel + 102 = exact dup of comment 100 (the
+    //      COMMENTS root's exact store must reject it), and a new post 3
+    //      whose text equals comment 100's body — roots are independent,
+    //      so the POSTS root must admit it
+    val com = (id: Long) => doc(1000 + id)
+    val trancheEvents: Seq[Seq[Array[Byte]]] = Seq(
+      Seq(tmPosts, tmComments,
+        encodeEvent(WriteV2, encodeRows(WriteV2, postSchema, Seq(
+          Seq[Any](1L, doc(1)), Seq[Any](2L, doc(2))), tableId = 5L)),
+        encodeEvent(WriteV2, encodeRows(WriteV2, comSchema, Seq(
+          Seq[Any](100L, com(100))), tableId = 7L))),
+      Seq(
+        encodeEvent(UpdateV2, encodeRows(UpdateV2, postSchema, Seq(
+          Seq[Any](1L, doc(1)), Seq[Any](1L, doc(1, edit = true))),
+          tableId = 5L)),
+        encodeEvent(WriteV2, encodeRows(WriteV2, comSchema, Seq(
+          Seq[Any](101L, com(101)), Seq[Any](102L, com(100))),
+          tableId = 7L)),
+        encodeEvent(WriteV2, encodeRows(WriteV2, postSchema, Seq(
+          Seq[Any](3L, com(100))), tableId = 5L))))
+
+    val seed = (1 to 20).map(_.toByte).toArray
+    val ok = hx("00" + "00" + "00" + "0200" + "0000")
+    val eof = hx("fe" + "0000" + "0200")
+    val bringup: Seq[Array[Byte]] = Seq(
+      handshakeV10(seed),
+      (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte,
+      ok, ok, Array(2.toByte), hx("deadbeef"), hx("deadbeef"), eof,
+      lenencStr("bin.000001") ++ lenencStr("4"), eof)
+    var pktSeq = 0
+    var chunkOrd = 0L
+    val trancheChunks: Seq[Seq[ByteChunk]] = trancheEvents.zipWithIndex.map {
+      case (evs, ti) =>
+        val payloads =
+          (if (ti == 0) bringup else Seq.empty) ++ evs.map(0.toByte +: _)
+        val bytes = payloads.toArray.flatMap { p =>
+          val out = MysqlProtocolCodec.writePacket(pktSeq % 256, p)
+          pktSeq += 1; out
+        }
+        bytes.grouped(700).map { bs =>
+          val c = ByteChunk(1L, chunkOrd, bs); chunkOrd += 1; c
+        }.toSeq
+    }
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_capstone_multi").toFile.getAbsolutePath
+    val in = MemoryStream[ByteChunk]
+    val q = CdcCorpusChain.startCdcMulti(in.toDS(),
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      Seq(
+        CdcCorpusChain.TableCorpus("app", "posts", postCols, s"$base/posts"),
+        CdcCorpusChain.TableCorpus("app", "comments", comCols,
+          s"$base/comments", idCol = "cid", textCol = "body")),
+      s"$base/ckpt")
+    try {
+      trancheChunks.foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def live(root: String) = CurationChain.readAdmitted(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val posts = live(s"$base/posts")
+    val comments = live(s"$base/comments")
+    assert(posts.map(_._1) == Seq(1L, 2L, 3L),
+      s"posts routed + UPDATE applied + cross-root text admitted: $posts")
+    assert(posts.find(_._1 == 1L).get._2 == doc(1, edit = true),
+      "the posts root must carry post 1's updated text")
+    assert(comments.map(_._1) == Seq(100L, 101L),
+      s"comment 102 is an exact dup WITHIN the comments root: $comments")
+    assert(posts.find(_._1 == 3L).get._2 == comments.find(_._1 == 100L).get._2,
+      "the same text lives in both roots — screens are per-root")
+  }
+
   test("binlog bytes → wire fold → decode → curation equals the batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -63,13 +63,18 @@ class CurationChainSpec extends SparkSpec {
 
     // store consistency: every store grew by exactly the admitted rows —
     // the semantically-rejected doc 12 left no hash/signature residue
+    // (the sig store is PRE-BANDED: 8 band rows per admitted doc)
     assert(spark.read.parquet(s"$root/exact").count() == 3)
     val sigIds = spark.read.parquet(s"$root/sigs")
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(sigIds == Seq(2L, 4L, 13L))
+    assert(spark.read.parquet(s"$root/sigs").count() == 3 * 8)
     val vecIds = spark.read.parquet(s"$root/vecs")
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(vecIds == Seq(2L, 4L, 13L))
+    // the bloom fronts staged through the same publish as the stores
+    assert(spark.read.parquet(s"$root/bloom").count() >= 1)
+    assert(spark.read.parquet(s"$root/sigbloom").count() >= 1)
 
     // no-residue consequence: doc 12's text is still judged against
     // ADMITTED content only — an exact copy of it two triggers later is
@@ -136,20 +141,32 @@ class CurationChainSpec extends SparkSpec {
       s"leaked dups: ${(got -- expected).toSeq.sorted.take(10)}; " +
         s"lost novels: ${(expected -- got).toSeq.sorted.take(10)}")
     // stores mutually consistent with the admitted set — including the
-    // perceptual band store: rejected docs' (novel) images left no residue
+    // perceptual band store: rejected docs' (novel) images left no
+    // residue (phash and sigs are PRE-BANDED: 8 rows per admitted doc)
     assert(spark.read.parquet(s"$root/exact").count() == expected.size)
-    assert(spark.read.parquet(s"$root/phash").count() == expected.size)
-    assert(spark.read.parquet(s"$root/sigs").count() == expected.size)
+    assert(spark.read.parquet(s"$root/phash")
+      .select("media_id").distinct().count() == expected.size)
+    assert(spark.read.parquet(s"$root/phash").count() == 8L * expected.size)
+    assert(spark.read.parquet(s"$root/sigs")
+      .select("doc_id").distinct().count() == expected.size)
     assert(spark.read.parquet(s"$root/vecs").count() == expected.size)
-    // compaction held: each trigger appends up to 3 non-empty part files
-    // per store (4 shuffle partitions, 2-3 rows), so 18 uncompacted
-    // triggers would leave up to ~54 and at least 18 files; the last
-    // compaction fired at trigger 12, leaving <= 5 appends x 3 files on
-    // top of the 8-file target
-    def files(d: String) = new java.io.File(d).listFiles()
-      .map(_.getName).count(n => !n.startsWith("_") && !n.startsWith("."))
+    // compaction held on the BUCKETED layout: each trigger appends at
+    // most one file per bucket its ~2 admitted docs touch (≤ 2 buckets
+    // for exact/vecs, ≤ 16 band buckets for sigs/phash), so 18
+    // uncompacted triggers would leave sigs/phash with up to ~288 leaf
+    // files; the compaction at trigger 12 rewrote every store to ≤ 1
+    // file per materialized bucket, leaving ≤ 64 + 5 post-compaction
+    // appends × 16
+    def files(d: String): Int = {
+      def leaves(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles()
+          .filter(x => !x.getName.startsWith("_") && !x.getName.startsWith("."))
+          .map(leaves).sum
+        else 1
+      leaves(new java.io.File(d))
+    }
     Seq("exact", "phash", "sigs", "vecs", "admitted").foreach { st =>
-      assert(files(s"$root/$st") <= 8 + 5 * 3,
+      assert(files(s"$root/$st") <= 64 + 5 * 16,
         s"$st fragmented: ${files(s"$root/$st")}")
     }
   }
@@ -177,10 +194,10 @@ class CurationChainSpec extends SparkSpec {
     def admitted() = spark.read.parquet(s"$root/admitted")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L))
-    // the shared store holds one hash per admitted DECODABLE doc only —
-    // the rejected in-batch dup left no residue
+    // the shared store holds one hash (8 band rows) per admitted
+    // DECODABLE doc only — the rejected in-batch dup left no residue
     val ph0 = spark.read.parquet(s"$root/phash")
-      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+      .select("media_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(ph0 == Seq(1L, 2L, 3L))
 
     // trigger 1: a media-less interleaved batch exercises the skip path
@@ -200,7 +217,7 @@ class CurationChainSpec extends SparkSpec {
     assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L, 7L, 13L),
       "a re-encode of admitted media must be rejected at lag 2, any modality")
     val ph2 = spark.read.parquet(s"$root/phash")
-      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+      .select("media_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(ph2 == Seq(1L, 2L, 3L, 13L))
   }
 
@@ -241,13 +258,27 @@ class CurationChainSpec extends SparkSpec {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val stagedExact = new org.apache.hadoop.fs.Path(s"$root/_staged/1/exact")
-    val moved = fs.listStatus(stagedExact).map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-    assert(moved.nonEmpty, "staging must have produced exact-store files")
-    moved.foreach { p =>
-      require(fs.rename(p,
-        new org.apache.hadoop.fs.Path(s"$root/exact", s"b1-${p.getName}")))
+    // mimic StoreTxn.moveInto exactly: data files move under their
+    // pb=N partition subdir with the b1- prefix (the staged exact store
+    // is bucketed, so the crash residue keeps the layout)
+    def moveLeaves(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Int = {
+      fs.mkdirs(dst)
+      fs.listStatus(src).map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0
+        else if (st.isDirectory)
+          moveLeaves(st.getPath, new org.apache.hadoop.fs.Path(dst, n))
+        else {
+          require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dst, s"b1-$n")))
+          1
+        }
+      }.sum
     }
+    val moved = moveLeaves(stagedExact,
+      new org.apache.hadoop.fs.Path(s"$root/exact"))
+    assert(moved > 0, "staging must have produced exact-store files")
     CurationChain.ingestInto(root)(b1, 1L) // the replay
     CurationChain.ingestInto(clean)(b1, 1L)
     assert(admittedIds(root) == admittedIds(clean),
@@ -255,7 +286,8 @@ class CurationChainSpec extends SparkSpec {
     assert(admittedIds(root) == Seq(1L, 2L, 13L))
     // no half-applied residue: every store grew by exactly the admitted rows
     assert(spark.read.parquet(s"$root/exact").count() == 3)
-    assert(spark.read.parquet(s"$root/sigs").count() == 3)
+    assert(spark.read.parquet(s"$root/sigs")
+      .select("doc_id").distinct().count() == 3)
     assert(spark.read.parquet(s"$root/vecs").count() == 3)
 
     // committed replay — the engine re-delivers an already-applied batch:
@@ -336,13 +368,70 @@ class CurationChainSpec extends SparkSpec {
     assert(raw == Seq(1L, 3L, 10L, 20L, 30L),
       s"physical apply must drop retired rows from the raw store: $raw")
     assert(spark.read.parquet(s"$root/exact").count() == 5)
-    assert(spark.read.parquet(s"$root/sigs").count() == 5)
+    assert(spark.read.parquet(s"$root/sigs")
+      .select("doc_id").distinct().count() == 5)
 
     // post-apply consistency: the re-admitted content (id 10) is the
     // standing memory now — its text re-offered again is an exact dup
     CurationChain.ingestCdcInto(root)(ops(Seq(
       ("INSERT", 1L, 40L, doc(2)))), 4L)
     assert(live().map(_._1) == Seq(1L, 3L, 10L, 20L, 30L))
+  }
+
+  test("CDC media ops: a re-encoded image UPDATE retires the doc's own " +
+      "phash row and re-admits, DELETE clears perceptual memory, and " +
+      "the cadence applies tombstones to the band store physically") {
+    import graft.multimodal.ImageCodec
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_cdc_media").toFile.getAbsolutePath + "/c"
+    def ops(rows: Seq[(String, Long, Long, String, Array[Byte])]) =
+      rows.toDF("op", "ord", "doc_id", "text", "content")
+    def liveIds() = CurationChain.readAdmitted(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    // batch 0: two docs, each with its own image
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("INSERT", 1L, 1L, doc(1), ImageCodec.formulaPng2(1)),
+      ("INSERT", 2L, 2L, doc(2), ImageCodec.formulaPng2(2)))), 0L)
+    assert(liveIds() == Seq(1L, 2L))
+
+    // batch 1: UPDATE doc 1 — novel text AND a re-encode of its OWN
+    // image: without phash retirement the doc is forever rejected as a
+    // near-dup of its own past; INSERT 10 re-encoding doc 2's STANDING
+    // image under novel text must still reject
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("UPDATE", 1L, 1L, doc(100), ImageCodec.formulaPng2(1, patch = true)),
+      ("INSERT", 2L, 10L, doc(10), ImageCodec.formulaPng2(2, patch = true)))), 1L)
+    assert(liveIds() == Seq(1L, 2L),
+      "the media UPDATE must re-admit through its own retirement; " +
+        "10 must reject against standing media")
+
+    // batch 2: DELETE doc 2 clears its perceptual memory — a re-encode
+    // of its image under a fresh id is novel again
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("DELETE", 1L, 2L, doc(2), null.asInstanceOf[Array[Byte]]),
+      ("INSERT", 2L, 11L, doc(11), ImageCodec.formulaPng2(2, patch = true)))), 2L)
+    assert(liveIds() == Seq(1L, 11L),
+      "deleted media must not ghost-block its re-encode")
+
+    // batch 3 hits the cadence: the phash store physically drops doc 1's
+    // retired original row and doc 2's rows
+    CurationChain.ingestCdcInto(root, compactEvery = 3)(ops(Seq(
+      ("INSERT", 1L, 30L, doc(30), ImageCodec.formulaPng2(30)))), 3L)
+    val ph = spark.read.parquet(s"$root/phash")
+    val phIds = ph.select("media_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(phIds == Seq(1L, 11L, 30L), s"physical apply: $phIds")
+    assert(ph.count() == 3 * 8,
+      "one banded hash (8 rows) per live media doc — retired rows gone")
+
+    // post-apply: the re-admitted image (11) is the standing memory —
+    // another re-encode of it rejects
+    CurationChain.ingestCdcInto(root)(ops(Seq(
+      ("INSERT", 1L, 40L, doc(40), ImageCodec.formulaPng2(2)))), 4L)
+    assert(liveIds() == Seq(1L, 11L, 30L))
   }
 
   test("20-trigger mutable soak: random INSERT/UPDATE/DELETE stream " +
@@ -428,6 +517,120 @@ class CurationChainSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/tombstones").exists() ||
       spark.read.parquet(s"$root/tombstones").count() <= 15,
       "tombstones must drain on the cadence")
+  }
+
+  test("vec cell layout: founds past the floor on the cadence, the " +
+      "screen probes pruned cell partitions, semantic dups still reject " +
+      "at lag, and a drift re-found keeps decisions unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_cells").toFile.getAbsolutePath + "/c"
+    def axisVec(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+    val body = CurationChain.ingestInto(root, compactEvery = 2,
+      vecCellFloor = 8, vecNprobe = 2) _
+    def admitted() = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // triggers 0-1: 12 novels on distinct axes — store passes the floor
+    body(df((0 until 6).map(i => (i.toLong, doc(i), axisVec(i)))), 0L)
+    body(df((6 until 12).map(i => (i.toLong, doc(i), axisVec(i)))), 1L)
+    assert(!new java.io.File(s"$root/vec_cells").exists(),
+      "founding waits for the compaction cadence")
+
+    // trigger 2 hits the cadence: cells found, store repartitioned
+    body(df(Seq((12L, doc(12), axisVec(12)))), 2L)
+    assert(new java.io.File(s"$root/vec_cells/centroids").exists())
+    val cellDirs = new java.io.File(s"$root/vecs").listFiles()
+      .map(_.getName).filter(_.startsWith("cell=")).toSeq
+    assert(cellDirs.size >= 2,
+      s"the founded store must be cell-partitioned: $cellDirs")
+
+    // trigger 3: a semantic dup of a doc admitted BEFORE founding (novel
+    // text, same axis) must reject through the pruned probe path; a
+    // novel axis admits
+    body(df(Seq(
+      (100L, doc(100), axisVec(3)),
+      (101L, doc(101), axisVec(40)))), 3L)
+    assert(admitted() == ((0L until 13L) :+ 101L),
+      s"dup of axis 3 must reject through the founded screen: ${admitted()}")
+
+    // trigger 4 (cadence): maintenance re-runs without drift — a no-op
+    // re-check — then a post-founding dup (of the doc admitted THROUGH
+    // the founded screen) still rejects and a novel still admits
+    body(df(Seq(
+      (102L, doc(102), axisVec(40)),
+      (103L, doc(103), axisVec(50)))), 4L)
+    assert(admitted() == ((0L until 13L) :+ 101L :+ 103L))
+  }
+
+  test("a checkpoint reset (batchId below the latest commit) fails " +
+      "loudly instead of silently retiring re-admitted rows") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_guard").toFile.getAbsolutePath + "/c"
+    CurationChain.ingestInto(root)(
+      Seq((1L, doc(1))).toDF("doc_id", "text"), 5L)
+    val e = intercept[IllegalStateException] {
+      CurationChain.ingestInto(root)(
+        Seq((2L, doc(2))).toDF("doc_id", "text"), 0L)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    // the replay of the COMMITTED id stays a legitimate no-op
+    CurationChain.ingestInto(root)(
+      Seq((1L, doc(1))).toDF("doc_id", "text"), 5L)
+    assert(spark.read.parquet(s"$root/admitted").count() == 1)
+  }
+
+  test("budget stage: per-source token budgets exhaust across triggers, " +
+      "skip semantics admit a later smaller doc, and a budget-rejected " +
+      "doc leaves no store residue") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_budget").toFile.getAbsolutePath + "/c"
+    // doc() is 80 words; docN makes an n-word doc on the same namespace
+    def docN(id: Long, n: Int): String =
+      (0 until n).map(j => s"w${id}x$j").mkString(" ")
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    val body = CurationChain.ingestInto(root,
+      budgets = Map("web" -> 200L, "books" -> 1000L)) _
+    def admitted() = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // trigger 0: web docs 1-3 at 80 tokens each — 3 breaks the 200
+    // budget (80+80+80); books doc 4 rides its own budget
+    body(df(Seq(
+      (1L, doc(1), "web"), (2L, doc(2), "web"), (3L, doc(3), "web"),
+      (4L, doc(4), "books"))), 0L)
+    assert(admitted() == Seq(1L, 2L, 4L))
+    // NO residue for the budget-rejected doc 3: the stores are the
+    // corpus's memory, and doc 3 never joined the corpus
+    assert(spark.read.parquet(s"$root/exact").count() == 3)
+    assert(spark.read.parquet(s"$root/sigs")
+      .select("doc_id").distinct().count() == 3)
+
+    // trigger 1: the web budget carries ACROSS triggers (160 used):
+    // doc 5 (80w) no longer fits, but doc 7 (40w) still does — the
+    // first-come-first-served-with-skip contract; and doc 3's text
+    // re-offers under books, proving no ghost blocked it
+    body(df(Seq(
+      (5L, doc(5), "web"),
+      (6L, doc(6), "books"),
+      (7L, docN(7, 40), "web"),
+      (8L, doc(3), "books"))), 1L)
+    assert(admitted() == Seq(1L, 2L, 4L, 6L, 7L, 8L),
+      s"5 over budget, 7 fits by skip, 8 re-admits rejected content: ${admitted()}")
+    // the budget store carries the spent totals exactly
+    val spent = spark.read.parquet(s"$root/budget")
+      .groupBy("source").sum("toks")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(spent == Map("web" -> 200L, "books" -> 240L), spent.toString)
   }
 
   test("text-only batches skip the semantic stage") {

@@ -165,6 +165,94 @@ class SemDedupStreamSpec extends SparkSpec {
       "one corpus row per admitted id — no replay double-append")
   }
 
+  test("CDC × indexed lifecycle: DELETE tombstones the index posting so " +
+      "a deleted doc's paraphrase re-admits through the indexed screen, " +
+      "an UPDATE retires its own vector, and the cadence applies " +
+      "tombstones to corpus AND postings physically") {
+    import spark.implicits._
+    def rv(region: Int, k: Int): Seq[Float] = {
+      val th = math.toRadians(30.0 * k)
+      Seq.tabulate(8) { j =>
+        if (j == region) 0.6f
+        else if (j == 4) (0.8 * math.cos(th)).toFloat
+        else if (j == 5) (0.8 * math.sin(th)).toFloat
+        else 0.0f
+      }
+    }
+    def dupOf(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
+    def ops(rows: Seq[(String, Long, Long, Seq[Float])]) =
+      rows.toDF("op", "ord", "vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("semdedup_cdc_idx")
+      .resolve("root").toString
+    val body = SemDedupStream.ingestCdcIntoIndexed(root, threshold = 0.95,
+      nlist = 4, nprobe = 2, rebuildCheckEvery = 0, compactEvery = 4) _
+    def liveIds() = {
+      val c = spark.read.parquet(s"$root/corpus")
+      val t = new java.io.File(s"$root/tombstones")
+      val live = if (!t.exists()) c else {
+        val tt = spark.read.parquet(s"$root/tombstones")
+          .groupBy("vec_id").agg(org.apache.spark.sql.functions.max("asOf").as("asOf"))
+        c.join(tt, Seq("vec_id"), "left")
+          .filter(org.apache.spark.sql.functions.col("asOf").isNull ||
+            org.apache.spark.sql.functions.col("b") >=
+              org.apache.spark.sql.functions.col("asOf"))
+      }
+      live.select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+
+    // triggers 0-1: 16 INSERTs found the index
+    body(ops((0 until 4).flatMap(r => Seq(0, 1).map(k =>
+      ("INSERT", (r * 2 + k).toLong, r * 100L + k, rv(r, k))))), 0L)
+    body(ops((0 until 4).flatMap(r => Seq(2, 3).map(k =>
+      ("INSERT", (r * 2 + k).toLong, r * 100L + k, rv(r, k))))), 1L)
+    assert(new java.io.File(s"$root/ivf/centroids").exists(),
+      "index founds past the floor")
+
+    // trigger 2: DELETE vec 0 (rv(0,0)); an UPDATE of vec 101 with a
+    // paraphrase of ITSELF (must re-admit through its own retirement);
+    // a dup of the still-standing vec 100 must keep rejecting
+    body(ops(Seq(
+      ("DELETE", 1L, 0L, rv(0, 0)),
+      ("UPDATE", 2L, 101L, dupOf(rv(1, 1))),
+      ("INSERT", 3L, 900L, dupOf(rv(1, 0))))), 2L)
+    val l2 = liveIds()
+    assert(!l2.contains(0L), "DELETE must retire vec 0")
+    assert(l2.contains(101L), "an UPDATE's paraphrase of itself must re-admit")
+    assert(!l2.contains(900L), "a dup of standing vec 100 must reject")
+
+    // trigger 3: the DELETED vector's paraphrase re-offers under a fresh
+    // id — the index posting for vec 0 is tombstoned, so it must ADMIT
+    // (r13 verdict item 7: without the exclusion it stays probeable
+    // forever); a dup of a standing vector still rejects
+    body(ops(Seq(
+      ("INSERT", 1L, 901L, dupOf(rv(0, 0))),
+      ("INSERT", 2L, 902L, dupOf(rv(2, 2))))), 3L)
+    val l3 = liveIds()
+    assert(l3.contains(901L),
+      "a deleted doc's paraphrase must re-admit through the indexed screen")
+    assert(!l3.contains(902L), "standing vectors still screen")
+
+    // trigger 4 hits the cadence: tombstones apply physically to corpus
+    // AND postings, then clear
+    body(ops(Seq(("INSERT", 1L, 903L, rv(3, 6)))), 4L)
+    assert(!new java.io.File(s"$root/tombstones").exists(),
+      "applied tombstones must clear")
+    val corpusIds = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(!corpusIds.contains(0L), "vec 0 must be physically gone")
+    assert(corpusIds.count(_ == 101L) == 1,
+      "the UPDATE's retired old row must be physically gone")
+    val postIds = spark.read.parquet(s"$root/ivf/postings")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(!postIds.contains(0L), "vec 0's posting must be physically gone")
+    assert(postIds.count(_ == 101L) == 1)
+    // and the re-admitted paraphrase is the standing memory now
+    body(ops(Seq(("INSERT", 1L, 904L, dupOf(rv(0, 0))))), 5L)
+    assert(!liveIds().contains(904L),
+      "the re-admitted content is the corpus memory after the apply")
+  }
+
   test("60-trigger soak: dup lags from 1 to 30 triggers all rejected, " +
       "corpus is exactly the planted novels", SoakTest) {
     implicit val sqlCtx = spark.sqlContext
