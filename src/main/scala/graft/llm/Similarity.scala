@@ -1332,6 +1332,10 @@ object Similarity {
         IvfCell(col("cv"), centroids).as("cell"),
         PqCode(normalized(col("cv")), codebooks).as("codes")) ++
         extras.map(col): _*)
+      // each cell lands wholly in one task → ONE file per cell per write
+      // (partitionBy over the unshuffled plan writes tasks×cells files —
+      // ~10k tiny postings files per streaming trigger at nlist ≈ √N)
+      .repartition(col("cell"))
   }
 
   /** The STAGED incremental add to a [[buildIvfCodeIndex]] layout: assign

@@ -102,6 +102,31 @@ object CurationChain {
   private val StoreNames =
     Seq("exact", "phash", "sigs", "vecs", "admitted", "budget")
 
+  /** The bucketed screen stores and their partition columns — each has a
+    * flat `_tail` sibling holding the deltas since the last merge.
+    */
+  private val BucketedStores = Seq("exact" -> Seq("pb"),
+    "phash" -> Seq("pb"), "sigs" -> Seq("pb"), "vecs" -> Seq("cell"))
+  private val FlatStores = Seq("admitted", "budget")
+
+  /** Every directory the per-trigger recover sweep heals. */
+  private def recoverDirs(rootDir: String): Seq[String] =
+    (StoreNames ++ StoreNames.map(_ + "_tail") ++ DerivedNames)
+      .map(s => s"$rootDir/$s")
+
+  /** ALL rows of a screen store: the bucketed main plus the un-merged
+    * flat tail — what a consumer (or a spec) reads; the screens
+    * themselves read the main pruned to candidate buckets plus the
+    * whole (cadence-bounded) tail.
+    */
+  def storeRows(spark: SparkSession, rootDir: String,
+      store: String): DataFrame = {
+    val parts = Seq(s"$rootDir/$store", s"$rootDir/${store}_tail")
+      .filter(hasData(spark, _)).map(spark.read.parquet(_))
+    require(parts.nonEmpty, s"store $store has no data under $rootDir")
+    if (parts.size == 1) parts.head else parts.head.unionByName(parts.last)
+  }
+
   private def hadoopFs(spark: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
@@ -180,13 +205,24 @@ object CurationChain {
       */
     def readLive(dir: String, key: String, cols: Seq[String],
         prune: Option[(String, Seq[Int])] = None): Option[DataFrame] = {
-      if (!hasData(spark, dir)) return None
+      val tailDir = dir + "_tail"
+      val hasMain = hasData(spark, dir)
+      val hasTail = hasData(spark, tailDir)
+      if (!hasMain && !hasTail) return None
       if (prune.exists(_._2.isEmpty)) return None
-      val base = prune match {
-        case Some((pc, vals)) => StoreLayout.prunedRead(spark, dir, pc, vals)
-        case None => spark.read.parquet(dir)
-      }
-      val df = base.select((Seq(key) ++ cols :+ "b").distinct.map(col): _*)
+      val need = (Seq(key) ++ cols :+ "b").distinct
+      // the bucketed main reads candidate buckets only (static partition
+      // pruning); the FLAT tail — this cadence interval's few small
+      // delta files — reads whole (bounded by the merge cadence)
+      val parts = Seq(
+        if (hasMain) Some((prune match {
+          case Some((pc, vals)) => StoreLayout.prunedRead(spark, dir, pc, vals)
+          case None => spark.read.parquet(dir)
+        }).select(need.map(col): _*)) else None,
+        if (hasTail)
+          Some(spark.read.parquet(tailDir).select(need.map(col): _*))
+        else None).flatten
+      val df = parts.reduce(_ unionByName _)
       Some(tombOpt match {
         case None => df.select(cols.map(col): _*)
         case Some(t) =>
@@ -196,6 +232,8 @@ object CurationChain {
             .select(cols.map(col): _*)
       })
     }
+    def storePresent(dir: String): Boolean =
+      hasData(spark, dir) || hasData(spark, dir + "_tail")
 
     // stage 1+2a: gate, then first-of-hash within the batch. Plain
     // batches tiebreak by lowest id (the near-dup screens' greedy rule);
@@ -229,7 +267,7 @@ object CurationChain {
       // pull their candidate buckets — the anti-join reads those buckets
       // only instead of scanning the whole store per trigger.
       val afterExact =
-        if (!hasData(spark, exactDir)) pinned
+        if (!storePresent(exactDir)) pinned
         else {
           val batchKeys = pinned.select("content_hash").distinct()
             .withColumn("__h", StoreLayout.keyHash(col("content_hash")))
@@ -326,7 +364,7 @@ object CurationChain {
       val survS = sigs.join(inDropsS, Seq("doc_id"), "left_anti")
       val afterSig = {
         val screened =
-          if (!hasData(spark, sigDir)) survS
+          if (!storePresent(sigDir)) survS
           else {
             val nBands = TextDedupStream.bandRows(survS, "new_id")
               .withColumn("__h", StoreLayout.keyHash(col("band"), col("bh")))
@@ -363,7 +401,7 @@ object CurationChain {
           val vecs = survivedSig
             .select(col("doc_id").as("vec_id"), col("embedding"))
           val ok = vecCents match {
-            case Some(cents) if hasData(spark, vecDir) =>
+            case Some(cents) if storePresent(vecDir) =>
               val survV = SemDedupStream
                 .admitBatch(vecs, spark.emptyDataFrame, threshold)
               val q = survV.select(col("vec_id"),
@@ -465,22 +503,25 @@ object CurationChain {
       sigs.unpersist(); afterSig.unpersist()
       // every store row carries its admit batch: the tombstone exclusion
       // and the physical apply are both keyed on (id, b < asOf). Screen
-      // stores stage PARTITIONED by their join-key bucket (the pruned
-      // read unit); the repartition by the bucket column lands each
-      // bucket wholly in one task, so a trigger adds at most one file
-      // per bucket. The bloom deltas stage through the SAME publish —
-      // the front can only ever lag the store by rows that were never
-      // published, i.e. never.
+      // store deltas stage FLAT into the store's `_tail` sibling with
+      // the bucket value as a data column — a handful of files per
+      // trigger instead of one per `key=value` dir (measured ~2× whole-
+      // trigger cost when every micro-batch fanned across the bucket
+      // dirs); [[StoreCompact.mergeTail]] folds tails into the bucketed
+      // mains on the compaction cadence, which bounds what the pruned
+      // reads pay for the un-merged tail. The bloom deltas stage through
+      // the SAME publish — the front can only ever lag the store by rows
+      // that were never published, i.e. never.
       val admittedN = keep.count() // keep is checkpointed — footer count
       keep.select("doc_id", "content_hash").withColumn("b", lit(batchId))
         .withColumn("pb", StoreLayout.bucketOf(
           StoreLayout.keyHash(col("content_hash")), P))
         .repartition(col("pb"))
-        .write.mode("overwrite").partitionBy("pb").parquet(staged("exact"))
+        .write.mode("overwrite").parquet(staged("exact_tail"))
       StoreLayout.bloomDelta(
           keep.select(StoreLayout.keyHash(col("content_hash")).as("__h"))
             .withColumn("pb", StoreLayout.bucketOf(col("__h"), P)),
-          math.max(1L, admittedN))
+          math.max(1L, admittedN), P)
         .coalesce(1).write.mode("overwrite").parquet(staged("bloom"))
       hashed.foreach { h =>
         graft.multimodal.MultimodalQueries.bandExplode(
@@ -491,18 +532,18 @@ object CurationChain {
           .withColumn("pb", StoreLayout.bucketOf(
             StoreLayout.keyHash(col("band"), col("v")), P))
           .repartition(col("pb"))
-          .write.mode("overwrite").partitionBy("pb").parquet(staged("phash"))
+          .write.mode("overwrite").parquet(staged("phash_tail"))
       }
       val keptBands = TextDedupStream.bandRows(keepSigs, "doc_id")
         .withColumn("b", lit(batchId))
         .withColumn("pb", StoreLayout.bucketOf(
           StoreLayout.keyHash(col("band"), col("bh")), P))
       keptBands.repartition(col("pb"))
-        .write.mode("overwrite").partitionBy("pb").parquet(staged("sigs"))
+        .write.mode("overwrite").parquet(staged("sigs_tail"))
       StoreLayout.bloomDelta(
           keptBands.select(
             StoreLayout.keyHash(col("band"), col("bh")).as("__h"), col("pb")),
-          math.max(1L, 8L * admittedN))
+          math.max(1L, 8L * admittedN), P)
         .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
       if (semantic)
         keep.select(col("doc_id").as("vec_id"), col("embedding"))
@@ -513,7 +554,7 @@ object CurationChain {
             case None => lit(0)
           })
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(staged("vecs"))
+          .write.mode("overwrite").parquet(staged("vecs_tail"))
       keep.select("doc_id", "text", "content_hash")
         .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(staged("admitted"))
@@ -553,7 +594,8 @@ object CurationChain {
       if (hasData(spark, storeDir)) {
         val keyed = keys(spark.read.parquet(storeDir))
           .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
-        val blobs = StoreLayout.bloomDelta(keyed, math.max(1L, keyed.count()))
+        val blobs = StoreLayout.bloomDelta(keyed,
+          math.max(1L, keyed.count()), P)
         if (hasData(spark, bloomDir))
           StoreCompact.rewrite(spark, bloomDir, _ => blobs, targetFiles = 1)
         else blobs.coalesce(1).write.mode("overwrite").parquet(bloomDir)
@@ -645,8 +687,7 @@ object CurationChain {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreTxn.guardMonotone(spark, rootDir, batchId)
-    (StoreNames ++ DerivedNames).map(s => s"$rootDir/$s")
-      .foreach(StoreCompact.recover(spark, _))
+    recoverDirs(rootDir).foreach(StoreCompact.recover(spark, _))
     if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
       if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
         StoreTxn.clearForeignStaged(spark, rootDir, batchId)
@@ -659,7 +700,10 @@ object CurationChain {
       StoreTxn.publish(spark, rootDir, batchId)
     }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      StoreNames.map(s => s"$rootDir/$s")
+      BucketedStores.foreach { case (s, pc) =>
+        StoreCompact.mergeTail(spark, s"$rootDir/$s", pc)
+      }
+      FlatStores.map(s => s"$rootDir/$s")
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))
       rebuildBlooms(spark, rootDir)
@@ -705,12 +749,14 @@ object CurationChain {
       .groupBy("doc_id").agg(max("asOf").as("_asof"))
       .localCheckpoint() // the rewrites below retire the dirs this reads
     StoreKeys.foreach { case (store, key) =>
-      val dir = s"$rootDir/$store"
-      if (hasData(spark, dir))
-        StoreCompact.rewrite(spark, dir, df =>
-          df.join(t.select(col("doc_id").as(key), col("_asof")), Seq(key), "left")
-            .filter(col("_asof").isNull || col("b") >= col("_asof"))
-            .drop("_asof"))
+      // the bucketed main AND its un-merged flat tail both hold live rows
+      Seq(s"$rootDir/$store", s"$rootDir/${store}_tail").foreach { dir =>
+        if (hasData(spark, dir))
+          StoreCompact.rewrite(spark, dir, df =>
+            df.join(t.select(col("doc_id").as(key), col("_asof")), Seq(key), "left")
+              .filter(col("_asof").isNull || col("b") >= col("_asof"))
+              .drop("_asof"))
+      }
     }
     val (fs, p) = hadoopFs(spark, tombDir)
     fs.delete(p, true)
@@ -737,8 +783,7 @@ object CurationChain {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreTxn.guardMonotone(spark, rootDir, batchId)
-    (StoreNames ++ DerivedNames).map(s => s"$rootDir/$s")
-      .foreach(StoreCompact.recover(spark, _))
+    recoverDirs(rootDir).foreach(StoreCompact.recover(spark, _))
     if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
       if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
         StoreTxn.clearForeignStaged(spark, rootDir, batchId)
@@ -763,11 +808,15 @@ object CurationChain {
     }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       applyTombstones(spark, rootDir)
-      StoreNames.map(s => s"$rootDir/$s")
+      BucketedStores.foreach { case (s, pc) =>
+        StoreCompact.mergeTail(spark, s"$rootDir/$s", pc)
+      }
+      FlatStores.map(s => s"$rootDir/$s")
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))
-      // bloom rebuild AFTER the tombstone apply: the fronts shed the
-      // retired keys here (they were a safe superset until now)
+      // bloom rebuild AFTER the tombstone apply + merge: the fronts shed
+      // the retired keys here (they were a safe superset until now) and
+      // the rebuilt blobs cover the merged mains completely
       rebuildBlooms(spark, rootDir)
       maintainVecCells(spark, rootDir, vecCellFloor)
     }

@@ -132,6 +132,59 @@ object StoreCompact {
     (before, after)
   }
 
+  /** Merge a store's FLAT tail into its bucketed main — the LSM step of
+    * the [[StoreLayout]] design: triggers append small flat deltas to
+    * `dir + "_tail"` (a handful of files each, with the bucket value as
+    * a data column) instead of fanning every micro-batch across all the
+    * `key=value` partition dirs (measured ~2× whole-trigger cost from
+    * the ~600 files + renames per trigger that caused); the cadence
+    * folds the tail into the partitioned main here, so pruned reads
+    * stay pruned and the per-trigger read of the un-merged tail is
+    * bounded by the cadence. `distinct()` makes a crash between the
+    * main swap and the tail delete idempotent — the duplicated rows
+    * collapse on the next merge, and between merges duplicates are
+    * harmless to the screens (anti-joins and distinct'd candidates).
+    */
+  def mergeTail(spark: SparkSession, dir: String, partCols: Seq[String],
+      targetFiles: Int = 8, partitionFloor: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tailDir = dir + "_tail"
+    recover(spark, dir); recover(spark, tailDir)
+    if (!hasData(spark, tailDir)) {
+      if (hasData(spark, dir)) { compact(spark, dir, targetFiles); () }
+      return
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Seq(dir, tailDir).filter(hasData(spark, _))
+      .map(spark.read.parquet(_))
+    val merged = parts.reduce(_ unionByName _).distinct().persist()
+    try {
+      // ADAPTIVE layout: below the floor the main stays FLAT (the bucket
+      // value filters as a data column — same plan, no dir pruning; a
+      // small store's read cost is footers, and `buckets` tiny files per
+      // bucket-dir would dominate it), above it the `key=value` dirs
+      // materialize and pruned reads skip unlisted buckets' files
+      val n = merged.count()
+      val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(dir + "_compact_old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      if (n >= partitionFloor)
+        merged.repartition(targetFiles, partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*)
+          .parquet(tmp.toString)
+      else
+        merged.coalesce(targetFiles).write.mode("overwrite")
+          .parquet(tmp.toString)
+      if (fs.exists(path))
+        require(fs.rename(path, old), s"mergeTail: could not retire $dir")
+      require(fs.rename(tmp, path), s"mergeTail: could not publish $tmp")
+      fs.delete(old, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tailDir), true)
+    } finally { merged.unpersist(); () }
+    ()
+  }
+
   /** Rewrite `dir` as `f(current rows)` under the same temp-dir + rename
     * swap (and so the same [[recover]] healing) as [[compact]] — the
     * physical-removal primitive behind tombstone application

@@ -34,18 +34,31 @@ import org.apache.spark.sql.functions._
   * bucket assignment is a pure function of the key and the count, so
   * changing the count under existing stores would silently read the
   * wrong buckets — a root written under a different count fails loudly
-  * instead. 64 buckets give a 64× read bound even before the bloom
-  * front; at 100 TB raise [[DefaultBuckets]] for new roots (the pruning
-  * saturates once a trigger's key count approaches the bucket count —
-  * past that the bloom front carries the sublinearity).
+  * instead. The division of labor: the BLOOM front makes the all-novel
+  * trigger free (zero buckets read at the designed ε), and the BUCKET
+  * count bounds what a dup-bearing trigger pays (each true duplicate
+  * key reads its bucket = 1/buckets of the store); at 100 TB raise
+  * [[DefaultBuckets]] for new roots to keep that per-dup slice small.
   */
 object StoreLayout {
 
-  /** Buckets for NEW store roots; existing roots read their marker. */
-  val DefaultBuckets: Int = 64
+  /** Buckets for NEW store roots; existing roots read their marker.
+    * Sized against the DUP-bearing trigger: a batch carrying d true
+    * duplicates pulls ~8d signature buckets, and the read is that
+    * fraction of the store — 256 buckets keep a few-dup trigger at a few
+    * percent of the store where 64 would read half of it.
+    */
+  val DefaultBuckets: Int = 256
 
-  /** Designed false-positive rate of the bloom front. */
-  val BloomFp: Double = 0.01
+  /** Designed false-positive rate of the bloom fronts. Deliberately
+    * tight: a trigger tests ~8·|batch| band keys, and at 1e-4 the
+    * expected false-positive count stays below one — so an all-novel
+    * batch reads ZERO store buckets and the per-trigger cost is bounded
+    * by true duplicates, not store size. The price is ~19 bits per
+    * admitted key (vs ~10 at 1%), still a small fraction of the store
+    * rows the blobs front.
+    */
+  val BloomFp: Double = 1e-4
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -104,12 +117,15 @@ object StoreLayout {
       .filter(col(partCol).isin(parts.map(Integer.valueOf): _*))
 
   /** One sealed bloom blob per bucket over `keyed`'s (`__h`, `pb`) rows.
-    * `n` sizes the blobs — pass the DELTA's key count (a per-group
-    * over-estimate only lowers ε; an under-estimate raises it but can
-    * never produce a false negative).
+    * `n` is the delta's TOTAL key count and `buckets` the root's bucket
+    * count — each blob is sized for its expected per-bucket share
+    * (sizing every blob for the whole delta would make the blobs — and
+    * the aggregation buffers — `buckets`× too large; a mis-estimate only
+    * moves ε, never creates a false negative).
     */
-  def bloomDelta(keyed: DataFrame, n: Long): DataFrame = {
-    val (mBits, k) = BloomKernels.params(math.max(64L, n), BloomFp)
+  def bloomDelta(keyed: DataFrame, n: Long, buckets: Int): DataFrame = {
+    val (mBits, k) = BloomKernels.params(
+      math.max(64L, n / math.max(1, buckets)), BloomFp)
     val agg = udaf(new BloomAgg(mBits, k))
     keyed.groupBy("pb").agg(agg(col("__h")).as("bloom"))
   }

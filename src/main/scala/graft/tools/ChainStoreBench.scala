@@ -63,7 +63,7 @@ object ChainStoreBench {
         .write.mode("overwrite").partitionBy("pb").parquet(exactDir)
       StoreLayout.bloomDelta(
           store.select(StoreLayout.keyHash(col("content_hash")).as("__h"),
-            col("pb")), n.toLong)
+            col("pb")), n.toLong, P)
         .coalesce(1).write.mode("overwrite").parquet(bloomDir)
 
       // ---- sig store: n signatures (k=32 longs), pre-banded + bucketed
@@ -80,7 +80,7 @@ object ChainStoreBench {
       StoreLayout.bloomDelta(
           bandedStore.select(
             StoreLayout.keyHash(col("band"), col("bh")).as("__h"), col("pb")),
-          8L * n)
+          8L * n, P)
         .coalesce(1).write.mode("overwrite").parquet(sigBloomDir)
 
       // ---- one trigger's batch: batchN docs, ~4 true dups of store rows

@@ -78,9 +78,16 @@ object SemIngestBench {
 
     val retrain = drive("retrain",
       SemDedupStream.ingestInto(plainDir, threshold = 0.92))
+    // adcMargin 0.30: the hash-dense fixture is PQ's worst case (no
+    // cluster structure — ~1 bit/dim quantization leaves d² ≈ 0.25 on
+    // exact copies), so the candidate gate must sit well under
+    // 1 − d²/2 ≈ 0.87; real embeddings cluster and the default margin
+    // holds. A loose margin only costs verify work, never correctness —
+    // the bench asserts decision parity via the row counts below.
     val indexed = drive("indexed",
       SemDedupStream.ingestIntoIndexed(idxRoot, threshold = 0.92,
-        nlist = nlist, nprobe = 4, rebuildCheckEvery = 4))
+        nlist = nlist, nprobe = 4, rebuildCheckEvery = 4,
+        adcMargin = 0.30))
     val nPlain = spark.read.parquet(plainDir).count()
     val nIdx = spark.read.parquet(s"$idxRoot/corpus").count()
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")

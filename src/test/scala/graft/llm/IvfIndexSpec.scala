@@ -104,6 +104,141 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  /** Hash-dense synthetic corpus with PLANTED near-dups: independent ids
+    * are ~orthogonal (|cos| ~ 1/√dim), id 10000+k carries id k's exact
+    * embedding — so a 0.9 threshold catches exactly the plants.
+    */
+  private def synthWithDups(n: Int) = {
+    val emb = (src: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(src, i), lit(2000)).cast("double") / 1000.0)
+          - lit(1.0))
+    spark.range(n.toLong)
+      .select(col("id").as("vec_id"), emb(col("id")).as("embedding"))
+      .unionByName(spark.range(10)
+        .select((col("id") + 10000L).as("vec_id"), emb(col("id")).as("embedding")))
+  }
+
+  test("ivfThresholdPairs at full probe equals the exact threshold pairs") {
+    val e = synthWithDups(500)
+    Similarity.buildIvfIndex(e, idx, nlist = 8)
+    val q = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfThresholdPairs(idx, q, threshold = 0.9, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: every cross pair scoring >= threshold
+    val want = q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(Similarity.cosine(col("qv"), col("cv")) >= 0.9)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"threshold screen diverged: ±${(got diff want).size}/${(want diff got).size}")
+    assert((0 until 10).forall(k => got.contains((k.toLong, 10000L + k))),
+      s"every planted dup must surface: $got")
+  }
+
+  test("stageIvfAppend's staged delta published into the postings " +
+      "equals the in-place append") {
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val idxStg = idx + "_stg"
+    val idxRef2 = idx + "_ref2"
+    Similarity.buildIvfIndex(a, idxStg, nlist = 8)
+    Similarity.buildIvfIndex(a, idxRef2, nlist = 8)
+    Similarity.appendToIvfIndex(b, idxRef2)
+    // stage the delta aside, then move its files in (what StoreTxn does)
+    val staged = idx + "_stg_delta"
+    Similarity.stageIvfAppend(b, idxStg, staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def move(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory)
+            move(st.getPath, new org.apache.hadoop.fs.Path(dst, n))
+          else require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dst, s"b1-$n")))
+        }
+      }
+    }
+    move(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(idxStg + "/postings"))
+    val q = e.filter(col("vec_id") < 10)
+    def probe(d: String) = Similarity.probeIvfIndex(d, q, k = 5, nprobe = 8)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(probe(idxStg) == probe(idxRef2))
+  }
+
+  test("the IVF-pruned PQ-code index: candidates at a margin cover every " +
+      "exact threshold pair, extras ride through, the scan prunes") {
+    val e = synthWithDups(500)
+    val withB = e.withColumn("b", lit(7L))
+    val cidx = idx + "_code"
+    Similarity.buildIvfCodeIndex(withB, cidx, nlist = 8)
+    val q = e.filter(col("vec_id") < 20)
+    val cand = Similarity.ivfCodeThresholdCandidates(cidx, q,
+      minAdc = 0.9 - 0.15, nprobe = 8)
+    val candPairs = cand.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = q.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(Similarity.cosine(col("qv"), col("cv")) >= 0.9)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(want.subsetOf(candPairs),
+      s"ADC margin lost true pairs: ${(want diff candPairs).take(5)}")
+    // the extra column (the admit batch) rides through the postings
+    assert(cand.columns.contains("b"))
+    assert(cand.select("b").distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // and the postings scan is partition-pruned to the probed cells
+    val plan = Similarity.ivfCodeThresholdCandidates(cidx,
+        e.filter(col("vec_id") === 0), minAdc = 0.35, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters").lift(1).exists(_.contains("cell")),
+      plan.take(4000))
+  }
+
+  test("stageIvfCodeAppend ≡ one-shot encode under frozen centroids " +
+      "and codebooks") {
+    val e = synthWithDups(500)
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val one = idx + "_code_one"
+    val app = idx + "_code_app"
+    Similarity.buildIvfCodeIndex(a.unionByName(b), one, nlist = 8)
+    // the appended variant trains on A ∪ B too (frozen artifacts equal),
+    // but encodes B through the staged-append path
+    Similarity.buildIvfCodeIndex(a.unionByName(b), app, nlist = 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(app + "/postings"), true)
+    Similarity.stageIvfCodeAppend(a, app, app + "/postings_a")
+    Similarity.stageIvfCodeAppend(b, app, app + "/postings_b")
+    spark.read.parquet(app + "/postings_a")
+      .unionByName(spark.read.parquet(app + "/postings_b"))
+      .write.partitionBy("cell").parquet(app + "/postings")
+    val q = e.filter(col("vec_id") < 10)
+    def cands(d: String) = Similarity
+      .ivfCodeThresholdCandidates(d, q, minAdc = 0.4, nprobe = 8)
+      .select("query_id", "neighbor_id", "adc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cands(app) == cands(one))
+    assert(cands(one).nonEmpty)
+  }
+
   test("rebuild replaces the previous generation completely") {
     val e = Tables(spark, dir, "embeddings")
     // Generation 1: only even vectors. A probe can never return an odd id.

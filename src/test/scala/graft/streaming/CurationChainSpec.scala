@@ -64,12 +64,12 @@ class CurationChainSpec extends SparkSpec {
     // store consistency: every store grew by exactly the admitted rows —
     // the semantically-rejected doc 12 left no hash/signature residue
     // (the sig store is PRE-BANDED: 8 band rows per admitted doc)
-    assert(spark.read.parquet(s"$root/exact").count() == 3)
-    val sigIds = spark.read.parquet(s"$root/sigs")
+    assert(CurationChain.storeRows(spark, root, "exact").count() == 3)
+    val sigIds = CurationChain.storeRows(spark, root, "sigs")
       .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(sigIds == Seq(2L, 4L, 13L))
-    assert(spark.read.parquet(s"$root/sigs").count() == 3 * 8)
-    val vecIds = spark.read.parquet(s"$root/vecs")
+    assert(CurationChain.storeRows(spark, root, "sigs").count() == 3 * 8)
+    val vecIds = CurationChain.storeRows(spark, root, "vecs")
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(vecIds == Seq(2L, 4L, 13L))
     // the bloom fronts staged through the same publish as the stores
@@ -143,19 +143,20 @@ class CurationChainSpec extends SparkSpec {
     // stores mutually consistent with the admitted set — including the
     // perceptual band store: rejected docs' (novel) images left no
     // residue (phash and sigs are PRE-BANDED: 8 rows per admitted doc)
-    assert(spark.read.parquet(s"$root/exact").count() == expected.size)
-    assert(spark.read.parquet(s"$root/phash")
+    assert(CurationChain.storeRows(spark, root, "exact").count() == expected.size)
+    assert(CurationChain.storeRows(spark, root, "phash")
       .select("media_id").distinct().count() == expected.size)
-    assert(spark.read.parquet(s"$root/phash").count() == 8L * expected.size)
-    assert(spark.read.parquet(s"$root/sigs")
+    assert(CurationChain.storeRows(spark, root, "phash").count() == 8L * expected.size)
+    assert(CurationChain.storeRows(spark, root, "sigs")
       .select("doc_id").distinct().count() == expected.size)
-    assert(spark.read.parquet(s"$root/vecs").count() == expected.size)
+    assert(CurationChain.storeRows(spark, root, "vecs").count() == expected.size)
     // compaction held on the BUCKETED layout: each trigger appends at
     // most one file per bucket its ~2 admitted docs touch (≤ 2 buckets
-    // for exact/vecs, ≤ 16 band buckets for sigs/phash), so 18
-    // uncompacted triggers would leave sigs/phash with up to ~288 leaf
+    // for exact/vecs, ≤ 16-24 band buckets for sigs/phash), so 18
+    // uncompacted triggers would leave sigs/phash with up to ~430 leaf
     // files; the compaction at trigger 12 rewrote every store to ≤ 1
-    // file per materialized bucket, leaving ≤ 64 + 5 post-compaction
+    // file per MATERIALIZED bucket (the 36 admitted docs' ~280 band
+    // keys land in ≤ 256 buckets), leaving that plus 5 post-compaction
     // appends × 16
     def files(d: String): Int = {
       def leaves(f: java.io.File): Int =
@@ -165,9 +166,12 @@ class CurationChainSpec extends SparkSpec {
         else 1
       leaves(new java.io.File(d))
     }
+    def storeFiles(st: String): Int =
+      files(s"$root/$st") + (if (new java.io.File(s"$root/${st}_tail").exists())
+        files(s"$root/${st}_tail") else 0)
     Seq("exact", "phash", "sigs", "vecs", "admitted").foreach { st =>
-      assert(files(s"$root/$st") <= 64 + 5 * 16,
-        s"$st fragmented: ${files(s"$root/$st")}")
+      assert(storeFiles(st) <= 256 + 5 * 16,
+        s"$st fragmented: ${storeFiles(st)}")
     }
   }
 
@@ -196,7 +200,7 @@ class CurationChainSpec extends SparkSpec {
     assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L))
     // the shared store holds one hash (8 band rows) per admitted
     // DECODABLE doc only — the rejected in-batch dup left no residue
-    val ph0 = spark.read.parquet(s"$root/phash")
+    val ph0 = CurationChain.storeRows(spark, root, "phash")
       .select("media_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(ph0 == Seq(1L, 2L, 3L))
 
@@ -216,7 +220,7 @@ class CurationChainSpec extends SparkSpec {
     CurationChain.ingestInto(root)(b2, 2L)
     assert(admitted() == Seq(1L, 2L, 3L, 5L, 6L, 7L, 13L),
       "a re-encode of admitted media must be rejected at lag 2, any modality")
-    val ph2 = spark.read.parquet(s"$root/phash")
+    val ph2 = CurationChain.storeRows(spark, root, "phash")
       .select("media_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(ph2 == Seq(1L, 2L, 3L, 13L))
   }
@@ -229,7 +233,8 @@ class CurationChainSpec extends SparkSpec {
     CurationChain.ingestInto(root)(
       Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), 0L)
     assert(spark.read.parquet(s"$root/admitted").count() == 2)
-    assert(!new java.io.File(s"$root/phash").exists())
+    assert(!new java.io.File(s"$root/phash").exists() &&
+      !new java.io.File(s"$root/phash_tail").exists())
   }
 
   test("at-least-once replay: crash windows heal, committed batches no-op") {
@@ -257,7 +262,7 @@ class CurationChainSpec extends SparkSpec {
     CurationChain.stageBatch(root, 0.92)(b1, 1L)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val stagedExact = new org.apache.hadoop.fs.Path(s"$root/_staged/1/exact")
+    val stagedExact = new org.apache.hadoop.fs.Path(s"$root/_staged/1/exact_tail")
     // mimic StoreTxn.moveInto exactly: data files move under their
     // pb=N partition subdir with the b1- prefix (the staged exact store
     // is bucketed, so the crash residue keeps the layout)
@@ -277,7 +282,7 @@ class CurationChainSpec extends SparkSpec {
       }.sum
     }
     val moved = moveLeaves(stagedExact,
-      new org.apache.hadoop.fs.Path(s"$root/exact"))
+      new org.apache.hadoop.fs.Path(s"$root/exact_tail"))
     assert(moved > 0, "staging must have produced exact-store files")
     CurationChain.ingestInto(root)(b1, 1L) // the replay
     CurationChain.ingestInto(clean)(b1, 1L)
@@ -285,15 +290,15 @@ class CurationChainSpec extends SparkSpec {
       "mid-publish replay must equal the uncrashed run")
     assert(admittedIds(root) == Seq(1L, 2L, 13L))
     // no half-applied residue: every store grew by exactly the admitted rows
-    assert(spark.read.parquet(s"$root/exact").count() == 3)
-    assert(spark.read.parquet(s"$root/sigs")
+    assert(CurationChain.storeRows(spark, root, "exact").count() == 3)
+    assert(CurationChain.storeRows(spark, root, "sigs")
       .select("doc_id").distinct().count() == 3)
-    assert(spark.read.parquet(s"$root/vecs").count() == 3)
+    assert(CurationChain.storeRows(spark, root, "vecs").count() == 3)
 
     // committed replay — the engine re-delivers an already-applied batch:
     // must be a pure no-op (no double append, no store churn)
     CurationChain.ingestInto(root)(b1, 1L)
-    assert(spark.read.parquet(s"$root/exact").count() == 3)
+    assert(CurationChain.storeRows(spark, root, "exact").count() == 3)
     assert(admittedIds(root) == Seq(1L, 2L, 13L))
 
     // crash window 2 — mid-STAGING: an unsealed staged dir (no _STAGED
@@ -367,8 +372,8 @@ class CurationChainSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(raw == Seq(1L, 3L, 10L, 20L, 30L),
       s"physical apply must drop retired rows from the raw store: $raw")
-    assert(spark.read.parquet(s"$root/exact").count() == 5)
-    assert(spark.read.parquet(s"$root/sigs")
+    assert(CurationChain.storeRows(spark, root, "exact").count() == 5)
+    assert(CurationChain.storeRows(spark, root, "sigs")
       .select("doc_id").distinct().count() == 5)
 
     // post-apply consistency: the re-admitted content (id 10) is the
@@ -420,7 +425,7 @@ class CurationChainSpec extends SparkSpec {
     // retired original row and doc 2's rows
     CurationChain.ingestCdcInto(root, compactEvery = 3)(ops(Seq(
       ("INSERT", 1L, 30L, doc(30), ImageCodec.formulaPng2(30)))), 3L)
-    val ph = spark.read.parquet(s"$root/phash")
+    val ph = CurationChain.storeRows(spark, root, "phash")
     val phIds = ph.select("media_id").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(phIds == Seq(1L, 11L, 30L), s"physical apply: $phIds")
@@ -611,8 +616,8 @@ class CurationChainSpec extends SparkSpec {
     assert(admitted() == Seq(1L, 2L, 4L))
     // NO residue for the budget-rejected doc 3: the stores are the
     // corpus's memory, and doc 3 never joined the corpus
-    assert(spark.read.parquet(s"$root/exact").count() == 3)
-    assert(spark.read.parquet(s"$root/sigs")
+    assert(CurationChain.storeRows(spark, root, "exact").count() == 3)
+    assert(CurationChain.storeRows(spark, root, "sigs")
       .select("doc_id").distinct().count() == 3)
 
     // trigger 1: the web budget carries ACROSS triggers (160 used):
@@ -645,6 +650,7 @@ class CurationChainSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$root/admitted")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 4L)) // 3 rejected by the signature screen
-    assert(!new java.io.File(s"$root/vecs").exists())
+    assert(!new java.io.File(s"$root/vecs").exists() &&
+      !new java.io.File(s"$root/vecs_tail").exists())
   }
 }
