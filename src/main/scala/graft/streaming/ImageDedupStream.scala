@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * non-discriminative and alone would put |bucket|·|batch| candidates on
   * one reducer; a true pair keeps its 7 other bands), exact
   * bit_count(xor) ≤ maxHamming verify. Per-trigger work is one decode
-  * pass over the batch + a band-key equi join against the store — at
-  * 100 TB the store is partitioned by band and the join is key-colocated;
-  * the per-trigger store re-read here is the exact backstop, same as
-  * SemDedupStream's corpus re-read.
+  * pass over the batch + a band-key equi join against the store. This
+  * standalone body keeps the SIMPLE flat store; the scale path is the
+  * composed [[CurationChain]], whose phash store is persisted
+  * pre-banded and bucketed by (band, v) ([[StoreLayout]]) so a trigger
+  * reads candidate buckets instead of re-banding the whole store.
   */
 object ImageDedupStream {
 

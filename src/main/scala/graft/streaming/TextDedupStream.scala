@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * State is BOUNDED by admitted content: one (doc_id, sig) row —
   * k longs + id, ~260 bytes at k = 32 — per admitted doc, never text.
-  * At 100 TB the store partitions by band and the join is key-colocated;
-  * the per-trigger store re-read here is the exact backstop, same as the
-  * embedding and image screens.
+  * This standalone body keeps the SIMPLE flat store (single screen,
+  * single store, replay-convergent); the scale path is the composed
+  * [[CurationChain]], whose signature store is persisted pre-banded,
+  * bucketed by the (band, bh) join key and bloom-fronted
+  * ([[StoreLayout]]) so a trigger reads candidate buckets instead of
+  * re-banding the whole store.
   */
 object TextDedupStream {
 
