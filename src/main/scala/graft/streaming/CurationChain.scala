@@ -625,7 +625,7 @@ object CurationChain {
     * store.
     */
   private def maintainVecCells(spark: SparkSession, rootDir: String,
-      floor: Int): Unit = {
+      floor: Int, rebuildFactor: Double = 4.0): Unit = {
     val vecDir = s"$rootDir/vecs"
     val cellsDir = s"$rootDir/vec_cells"
     val (fs, cellsPath) = hadoopFs(spark, cellsDir)
@@ -643,7 +643,8 @@ object CurationChain {
           .agg(count(lit(1)).as("n"))
           .agg(max("n").as("hot"), sum("n").as("total")).head
         !counts.isNullAt(0) &&
-          counts.getLong(0).toDouble * c.length > 4.0 * counts.getLong(1)
+          counts.getLong(0).toDouble * c.length >
+            rebuildFactor * counts.getLong(1)
     }
     if (!needs) return
     val n = spark.read.parquet(vecDir).count()
@@ -683,7 +684,8 @@ object CurationChain {
   def ingestInto(rootDir: String, threshold: Double = 0.92,
       compactEvery: Int = 0, vecCellFloor: Int = VecCellFloorDefault,
       vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
-      budgetDefault: Long = Long.MaxValue)(
+      budgetDefault: Long = Long.MaxValue,
+      vecRebuildFactor: Double = 4.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreTxn.guardMonotone(spark, rootDir, batchId)
@@ -707,7 +709,7 @@ object CurationChain {
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))
       rebuildBlooms(spark, rootDir)
-      maintainVecCells(spark, rootDir, vecCellFloor)
+      maintainVecCells(spark, rootDir, vecCellFloor, vecRebuildFactor)
     }
   }
 
@@ -779,7 +781,8 @@ object CurationChain {
   def ingestCdcInto(rootDir: String, threshold: Double = 0.92,
       compactEvery: Int = 0, vecCellFloor: Int = VecCellFloorDefault,
       vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
-      budgetDefault: Long = Long.MaxValue)(
+      budgetDefault: Long = Long.MaxValue,
+      vecRebuildFactor: Double = 4.0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreTxn.guardMonotone(spark, rootDir, batchId)
@@ -818,7 +821,7 @@ object CurationChain {
       // the retired keys here (they were a safe superset until now) and
       // the rebuilt blobs cover the merged mains completely
       rebuildBlooms(spark, rootDir)
-      maintainVecCells(spark, rootDir, vecCellFloor)
+      maintainVecCells(spark, rootDir, vecCellFloor, vecRebuildFactor)
     }
   }
 }

@@ -572,6 +572,62 @@ class CurationChainSpec extends SparkSpec {
     assert(admitted() == ((0L until 13L) :+ 101L :+ 103L))
   }
 
+  test("vec cell drift: a hot append family trips the re-found, the OLD " +
+      "centroids retire cleanly, and admit decisions are unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_refound").toFile.getAbsolutePath + "/c"
+    def axisVec(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+    val body = CurationChain.ingestInto(root, compactEvery = 2,
+      vecCellFloor = 8, vecNprobe = 2, vecRebuildFactor = 1.5) _
+    def centroidCount(): Int = graft.llm.Similarity
+      .readIvfCentroids(spark, s"$root/vec_cells").length
+
+    // triggers 0-2: 13 novels on axes 0-12 — founding at the trigger-2
+    // cadence (nlist = ceil(√13) = 4)
+    body(df((0 until 6).map(i => (i.toLong, doc(i), axisVec(i)))), 0L)
+    body(df((6 until 12).map(i => (i.toLong, doc(i), axisVec(i)))), 1L)
+    body(df(Seq((12L, doc(12), axisVec(12)))), 2L)
+    val nlist0 = centroidCount()
+    assert(nlist0 >= 2)
+
+    // trigger 3: a HOT family on axes the founding quantizer never saw —
+    // every vector's dot with every centroid ties at ~0, so the frozen
+    // assignment lands them all in ONE cell; with 10 of 24 rows there,
+    // the hottest share (≥ 41%) clears 1.5× fair (37.5% at nlist=4)
+    body(df((0 until 10).map(i =>
+      (100L + i, doc(100 + i), axisVec(40 + i)))), 3L)
+
+    // trigger 4 hits the cadence: the drift check fires and the
+    // re-found RETIRES the old centroids (the rename branch founding
+    // never exercises), retrains over all 23 docs, and rewrites cells
+    body(df(Seq((200L, doc(200), axisVec(60)))), 4L)
+    assert(new java.io.File(s"$root/vec_cells/centroids").exists(),
+      "the re-found must publish fresh centroids")
+    assert(!new java.io.File(s"$root/vec_cells_old").exists() &&
+      !new java.io.File(s"$root/vec_cells_tmp").exists(),
+      "the re-found must leave no retired/tmp residue")
+
+    // decisions unchanged across the re-found: dups of docs admitted in
+    // every phase (pre-founding, hot family, post-re-found) reject
+    // through the refreshed screen; a novel axis admits
+    body(df(Seq(
+      (300L, doc(300), axisVec(3)),    // dup of pre-founding doc 3
+      (301L, doc(301), axisVec(45)),   // dup of hot-family doc 105
+      (302L, doc(302), axisVec(60)),   // dup of post-re-found doc 200
+      (303L, doc(303), axisVec(63)))), 5L)
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(!admitted.contains(300L) && !admitted.contains(301L) &&
+      !admitted.contains(302L),
+      s"semantic dups must reject across the re-found: $admitted")
+    assert(admitted.contains(303L))
+  }
+
   test("a checkpoint reset (batchId below the latest commit) fails " +
       "loudly instead of silently retiring re-admitted rows") {
     val s = spark
