@@ -198,6 +198,43 @@ object Bpe {
     * ANY batch (the encoder replays ranks in order, exactly how the
     * trainer applied them); the default batch=1 is byte-exact classic BPE.
     */
+  /** Corpus-wide encode statistics via the DISTINCT-WORD table (r14
+    * verdict item 6): the ranked-merge kernel is the expensive per-row
+    * work and a Zipf corpus repeats its words constantly, so encoding
+    * every OCCURRENCE re-pays the kernel ~word-frequency times. Encode
+    * each distinct word ONCE, then join the (word → token count) map
+    * back through the doc word list and re-aggregate — the production
+    * shape: the kernel cost is vocab-scale (Heaps' law), the per-
+    * occurrence work collapses to a join + sum, and AQE broadcasts the
+    * vocab side when it is small. Output identical to the
+    * per-occurrence `transform` form because the kernel is a pure
+    * function of the word (BpeSpec gates the equivalence):
+    * (idCol, n_words, n_bpe_tokens, tokens_per_word,
+    * first_word_symbols).
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val vocab = words.select("w").distinct()
+      .select(col("w"), encodeCol(col("w"), merges).as("toks"))
+      .select(col("w"), size(col("toks")).cast(LongType).as("ntok"),
+        col("toks"))
+    words.join(vocab, Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_bpe_tokens"),
+        // exactly one row per doc carries pos = 0, so `first` over the
+        // non-null projection is deterministic despite the shuffle
+        first(when(col("pos") === 0, col("toks")), ignoreNulls = true)
+          .as("first_toks"))
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("tokens_per_word"),
+        array_join(col("first_toks"), " ").as("first_word_symbols"))
+  }
+
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L, batch: Int = 1): Seq[(Int, String, String, Long)] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")

@@ -1564,30 +1564,22 @@ object LlmQueries {
       None),
 
     // BPE ENCODE applied corpus-wide: train the merge table (bounded
-    // vocab-scale argmax, as q138), then tokenize every document with the
-    // codegen'd ranked-merge kernel — the real token-budget counter a
-    // training pipeline runs before packing. One per-row pass (transform
-    // over the word array), no shuffle but the output sort. Rows-only:
-    // ranked-merge encoding is iterative (no SQL oracle); gated by
-    // BpeSpec's encode≡train invariant plus the corpus-level
-    // concatenation-restores-every-word property.
+    // vocab-scale argmax, as q138), then count every document's tokens —
+    // the real token-budget counter a training pipeline runs before
+    // packing. r15 shape (r14 verdict item 6): the ranked-merge kernel
+    // runs once per DISTINCT word (Bpe.encodeStats — Zipf repeats words,
+    // so the per-occurrence transform re-paid the kernel ~frequency
+    // times), joined back and re-aggregated; string scalars only (the
+    // driver's pandas harness can't hash array columns — r8's red row).
+    // Rows-only: ranked-merge encoding is iterative (no SQL oracle);
+    // gated by BpeSpec's encode≡train invariant, the corpus-level
+    // concatenation-restores-every-word property, and the
+    // by-word ≡ per-occurrence equivalence.
     Q("q154_bpe_encode", { (s, dir) =>
         val d = t(s, dir, "documents")
         val merges = Bpe.trainMerges(d, "text", nMerges = 20)
           .map(m => (m._2, m._3))
-        val words = split(col("text"), " ")
-        val enc = transform(words, w => Bpe.encodeCol(w, merges))
-        val nBpe = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
-        d.select(col("doc_id"),
-            size(words).cast(LongType).as("n_words"),
-            nBpe.as("n_bpe_tokens"),
-            (nBpe.cast(DoubleType) / size(words).cast(DoubleType))
-              .as("tokens_per_word"),
-            // Joined to a scalar: the driver's pandas harness sorts and
-            // hashes every output column, and array columns are unhashable
-            // there (r8's only red row). CorpusSpec guards the shape.
-            array_join(element_at(enc, 1), " ").as("first_word_symbols"))
-          .orderBy("doc_id")
+        Bpe.encodeStats(d, "doc_id", "text", merges).orderBy("doc_id")
       },
       None),
 

@@ -1317,8 +1317,74 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
     writeCodebooks(spark, codebooks, dir + "/codebooks")
+    writeAdcCalibration(candidates, codebooks, dir + "/calib")
     encodeIvfCode(candidates, centroids, codebooks)
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+  }
+
+  /** Measure the PQ quantization residual ‖decode(v) − v‖ over a sample
+    * of the build corpus and persist its quantiles next to the codebooks.
+    * For unit vectors the per-PAIR ADC cosine error is
+    * |q·(decode(n) − n)| ≤ ‖decode(n) − n‖ (Cauchy–Schwarz), so the p99
+    * residual norm is a data-measured safe margin for a threshold screen —
+    * the r14 ADVICE: a fixed 0.08 default silently under-margins corpora
+    * whose quantization error is larger (SemIngestBench's fixture needed
+    * 0.30), and an under-margined dup is admitted forever.
+    */
+  private def writeAdcCalibration(candidates: DataFrame,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val sample = candidates
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(2048)
+      .select("v").as[Seq[Double]].collect()
+    val dsub = codebooks(0)(0).length
+    val norms = sample.map { v =>
+      val a = v.toArray
+      var s2 = 0.0; var i = 0
+      while (i < a.length) { s2 += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s2)
+      val unit = if (n == 0) a else a.map(_ / n)
+      var d2 = 0.0
+      var s = 0
+      while (s < codebooks.length) {
+        val book = codebooks(s)
+        val off = s * dsub
+        var best = Double.PositiveInfinity
+        var c = 0
+        while (c < book.length) {
+          val cen = book(c)
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val diff = unit(off + j) - cen(j); d += diff * diff; j += 1
+          }
+          if (d < best) best = d
+          c += 1
+        }
+        d2 += best
+        s += 1
+      }
+      math.sqrt(d2)
+    }.sorted
+    def q(p: Double): Double =
+      if (norms.isEmpty) 0.0
+      else norms(math.min(norms.length - 1, (p * norms.length).toInt))
+    Seq((norms.length.toLong, q(0.5), q(0.95), q(0.99),
+        if (norms.isEmpty) 0.0 else norms.last))
+      .toDF("n", "p50", "p95", "p99", "max")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The calibrated ADC margin persisted by [[buildIvfCodeIndex]] (p99
+    * residual norm); None for indexes built before calibration existed.
+    */
+  def adcCalibratedMargin(spark: SparkSession, dir: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(dir + "/calib")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("p99").head.getDouble(0))
   }
 
   private def encodeIvfCode(vectors: DataFrame,
@@ -1370,10 +1436,19 @@ object Similarity {
     val codebooks = readCodebooks(spark, dir + "/codebooks")
     val qRows = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .orderBy("vec_id").as[(Long, Seq[Double])].collect()
-    if (qRows.isEmpty)
-      return spark.range(0).select(col("id").as("query_id"),
+    if (qRows.isEmpty) {
+      // the empty frame must still carry the postings' extra columns
+      // (e.g. the batch-stamp `b`) — callers filter on them, and a
+      // pure-tombstone CDC trigger reaches here with zero offers
+      val extraFields = spark.read.parquet(dir + "/postings").schema
+        .filterNot(f => Set("neighbor_id", "cell", "codes")(f.name))
+      val base = spark.range(0).select(col("id").as("query_id"),
         col("id").as("neighbor_id"), col("id").cast("int").as("cell"),
         col("id").cast("double").as("adc"))
+      return extraFields.foldLeft(base) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    }
     val np = math.max(1, math.min(nprobe, centroids.length))
     val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
     val probes = qRows.flatMap { case (id, v) =>

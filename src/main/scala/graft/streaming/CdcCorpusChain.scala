@@ -96,11 +96,7 @@ object CdcCorpusChain {
       idCol: String = "doc_id", textCol: String = "text",
       contentCol: Option[String] = None,
       embeddingCol: Option[String] = None): DataFrame = {
-    import BinlogRowCodec._
     val schema = BinlogSchema.fromMysqlTypes(columns)
-    val deletes = Seq(DeleteV1, DeleteV2)
-    val updates = Seq(UpdateV1, UpdateV2)
-    val writes = Seq(WriteV1, WriteV2)
     opsFromEvents(ReplicaStream.fromChunks(chunks, config).toDF(),
       schema, idCol, textCol, contentCol, embeddingCol)
   }
@@ -168,11 +164,25 @@ object CdcCorpusChain {
   /** One table's place in a multi-table CDC→corpus stream: its declared
     * schema, its corpus root, and which columns carry the id / text /
     * media / vector.
+    *
+    * `indexedSemantic = true` (requires `embeddingCol`) routes the table
+    * to [[SemDedupStream.ingestCdcIntoIndexed]] instead of the full
+    * curation chain (r14 verdict item 4): the root becomes a PURE
+    * semantic corpus screened through the persisted frozen-cell PQ index
+    * — per-trigger cost corpus-size-FLAT, the right shape for a
+    * vector-heavy table whose text is incidental — with full-DML
+    * tombstone semantics (UPDATE/DELETE retire the standing vector and
+    * its index posting). The chain's text/media screens do NOT run for
+    * such a table; declare it un-indexed to keep them.
     */
   final case class TableCorpus(database: String, table: String,
       columns: Seq[(String, String)], rootDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      contentCol: Option[String] = None, embeddingCol: Option[String] = None)
+      contentCol: Option[String] = None, embeddingCol: Option[String] = None,
+      indexedSemantic: Boolean = false) {
+    require(!indexedSemantic || embeddingCol.isDefined,
+      s"table $database.$table: indexedSemantic needs an embeddingCol")
+  }
 
   /** MULTI-TABLE [[startCdc]] (r13 verdict item 4 — previously prose):
     * one binlog stream carrying several tables' DML routes each table
@@ -219,8 +229,18 @@ object CdcCorpusChain {
             pinned.filter(col("db") === t.database && col("table") === t.table),
             BinlogSchema.fromMysqlTypes(t.columns),
             t.idCol, t.textCol, t.contentCol, t.embeddingCol)
-          CurationChain.ingestCdcInto(t.rootDir, threshold, compactEvery)(
-            ops, batchId)
+          if (t.indexedSemantic)
+            // the PQ-indexed semantic root: (op, ord, vec_id, embedding)
+            // ops, DELETE rows needing only their id (the decoded old
+            // image's vector is unused — tombstones key on the id)
+            SemDedupStream.ingestCdcIntoIndexed(t.rootDir, threshold,
+                compactEvery = compactEvery)(
+              ops.select(col("op"), col("ord"),
+                col("doc_id").as("vec_id"), col("embedding")),
+              batchId)
+          else
+            CurationChain.ingestCdcInto(t.rootDir, threshold, compactEvery)(
+              ops, batchId)
         } finally { pinned.unpersist(); () }
       }
       .start()

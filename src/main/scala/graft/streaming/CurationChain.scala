@@ -272,9 +272,13 @@ object CurationChain {
           val batchKeys = pinned.select("content_hash").distinct()
             .withColumn("__h", StoreLayout.keyHash(col("content_hash")))
             .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
-          val maybe = readStore(spark, bloomDir, Seq("pb", "bloom")) match {
-            case Some(bl) => StoreLayout.bloomMaybe(batchKeys, bl)
-              .select("content_hash", "pb").distinct()
+          // the front probes through the DRIVER-CACHED blobs (one filter
+          // inside the batch plan — r14 verdict item 2: the read+join
+          // probe was two fixed jobs per trigger; the blobs only change
+          // when this body publishes or the cadence rebuilds, which the
+          // cache's listing fingerprint catches)
+          val maybe = StoreLayout.bloomScreen(spark, bloomDir, batchKeys) match {
+            case Some(filtered) => filtered.select("content_hash", "pb").distinct()
             case None => batchKeys.select("content_hash", "pb")
           }
           // candidate buckets: a driver-side collect bounded by the
@@ -304,9 +308,17 @@ object CurationChain {
           // stage cost is its ~8 fixed jobs — the guard exists for
           // decode-heavy media (video, large images) where one reader
           // partition would serialize the whole trigger.
-          val spread = afterExact.filter(col("content").isNotNull)
+          val media = afterExact.filter(col("content").isNotNull)
             .select(col("doc_id").as("media_id"), col("content"))
-            .repartition(spark.sparkContext.defaultParallelism)
+          // only spread when the batch is under-partitioned: an already
+          // well-partitioned large media batch must not pay a full byte
+          // shuffle per trigger (r14 ADVICE low). getNumPartitions plans
+          // the physical RDD but runs no job — cheap next to the shuffle
+          // it guards.
+          val par = spark.sparkContext.defaultParallelism
+          val spread =
+            if (media.rdd.getNumPartitions >= par) media
+            else media.repartition(par)
           val h = spread
             .select(col("media_id"), ph(col("content")).as("h"))
             .filter(col("h").isNotNull)
@@ -369,11 +381,9 @@ object CurationChain {
             val nBands = TextDedupStream.bandRows(survS, "new_id")
               .withColumn("__h", StoreLayout.keyHash(col("band"), col("bh")))
               .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
-            val maybe = readStore(spark, sigBloomDir, Seq("pb", "bloom")) match {
-              case Some(bl) => StoreLayout.bloomMaybe(nBands, bl)
-                .dropDuplicates("new_id", "band", "bh")
-              case None => nBands
-            }
+            val maybe = StoreLayout.bloomScreen(spark, sigBloomDir, nBands)
+              .map(_.dropDuplicates("new_id", "band", "bh"))
+              .getOrElse(nBands)
             readLive(sigDir, "doc_id", Seq("doc_id", "sig", "band", "bh"),
                 Some(("pb", StoreLayout.bucketsPresent(maybe))))
               .map { st =>
@@ -454,7 +464,9 @@ object CurationChain {
             .getOrElse(Seq.empty[(String, Long)].toDF("source", "used"))
           val budgetDf = budgets.toSeq.toDF("source", "budget")
           val folded = admitted
-            .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+            // one source of truth for the token definition — budgets are
+            // denominated in the same tokens the packer counts
+            .withColumn("ntok", graft.llm.Packing.tokenCount(col("text")))
             .groupBy("source")
             .agg(collect_list(struct(col("doc_id"), col("ntok"))).as("docs"))
             .join(used, Seq("source"), "left")

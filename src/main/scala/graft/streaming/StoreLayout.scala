@@ -139,4 +139,92 @@ object StoreLayout {
     batchKeys.join(blooms, Seq("pb"))
       .filter(BloomContains(col("__h"), col("bloom")))
       .drop("bloom")
+
+  /** Ceiling for the driver-side front cache: a front whose blob files
+    * exceed this falls back to the distributed join probe
+    * ([[bloomMaybe]]). ~19 bits/key at the designed ε means the cap
+    * covers fronts up to the ~10⁸-key class; past that the blobs stop
+    * being driver metadata and the join is the right shape.
+    */
+  val FrontCacheMaxBytes: Long = 64L << 20
+
+  // dir → (fingerprint, broadcast blobs-by-bucket). The fingerprint is
+  // the blob directory's file listing (name:length:mtime), so any delta
+  // append, cadence rebuild, or recover invalidates without reading data.
+  private val frontCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (String, org.apache.spark.broadcast.Broadcast[
+      Map[Int, Array[Array[Byte]]]])]()
+
+  private def frontFingerprint(spark: SparkSession,
+      dir: String): Option[(String, Long)] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return None
+    val entries = fs.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    if (entries.isEmpty) None
+    else Some((
+      spark.sparkContext.applicationId + "|" + entries
+        .map(st => s"${st.getPath.getName}:${st.getLen}:" +
+          s"${st.getModificationTime}")
+        .mkString(","),
+      entries.map(_.getLen).sum))
+  }
+
+  /** The front's blobs grouped by bucket, DRIVER-CACHED across triggers
+    * (r14 verdict item 2: the per-trigger front reads were two fixed
+    * Spark jobs per screen — the blobs are KB-to-MB-scale metadata that
+    * only changes when THIS body appends a delta or the cadence
+    * rebuilds, both of which change the directory listing and so the
+    * fingerprint). None when the front is absent/empty or larger than
+    * [[FrontCacheMaxBytes]] (caller falls back to [[bloomMaybe]]).
+    */
+  def cachedFront(spark: SparkSession, dir: String): Option[
+      org.apache.spark.broadcast.Broadcast[Map[Int, Array[Array[Byte]]]]] =
+    frontFingerprint(spark, dir).flatMap { case (fp, bytes) =>
+      if (bytes > FrontCacheMaxBytes) None
+      else {
+        val hit = frontCache.get(dir)
+        if (hit != null && hit._1 == fp) Some(hit._2)
+        else {
+          val rows = spark.read.parquet(dir).select("pb", "bloom").collect()
+            .groupBy(_.getInt(0))
+            .map { case (pb, rs) =>
+              pb -> rs.map(_.getAs[Array[Byte]](1))
+            }
+          val bc = spark.sparkContext.broadcast(rows)
+          val old = frontCache.put(dir, (fp, bc))
+          // the displaced entry may belong to a stopped SparkContext
+          // (fingerprints carry the app id, so it can never be REUSED
+          // across contexts — but unpersist on a dead one throws)
+          if (old != null)
+            try old._2.unpersist(false) catch { case _: Exception => () }
+          Some(bc)
+        }
+      }
+    }
+
+  /** ONE probe job instead of read+join+collect: filter `batchKeys`
+    * through the driver-cached front (broadcast lookup inside the
+    * batch's own plan — no blob scan job, no join). Falls back to the
+    * distributed [[bloomMaybe]] when the front outgrew the cache cap.
+    * Returns None when no front exists (caller keeps all keys).
+    */
+  def bloomScreen(spark: SparkSession, dir: String,
+      batchKeys: DataFrame): Option[DataFrame] = {
+    if (frontFingerprint(spark, dir).isEmpty) return None
+    Some(cachedFront(spark, dir) match {
+      case Some(bc) =>
+        val hit = udf((h: Long, pb: Int) => bc.value.get(pb)
+          .exists(_.exists(b => BloomKernels.contains(b, h))))
+        batchKeys.filter(hit(col("__h"), col("pb")))
+      case None =>
+        bloomMaybe(batchKeys,
+          spark.read.parquet(dir).select("pb", "bloom"))
+    })
+  }
 }

@@ -26,14 +26,13 @@ import org.apache.spark.sql.functions._
   * and are admitted — near-dup screening is undefined on them, and the
   * exact screen upstream already holds.
   *
-  * State is BOUNDED by admitted content: one (doc_id, sig) row —
-  * k longs + id, ~260 bytes at k = 32 — per admitted doc, never text.
-  * This standalone body keeps the SIMPLE flat store (single screen,
-  * single store, replay-convergent); the scale path is the composed
-  * [[CurationChain]], whose signature store is persisted pre-banded,
-  * bucketed by the (band, bh) join key and bloom-fronted
-  * ([[StoreLayout]]) so a trigger reads candidate buckets instead of
-  * re-banding the whole store.
+  * State is BOUNDED by admitted content: one logical (doc_id, sig) row —
+  * k longs + id — per admitted doc, never text, persisted PRE-BANDED
+  * (8 band rows each) under the same [[StoreLayout]] as the composed
+  * [[CurationChain]]'s signature store: bucketed by the (band, bh) join
+  * key and bloom-fronted, so a trigger reads candidate buckets instead
+  * of re-banding the whole store (r14 verdict item 1 — the standalone
+  * body previously kept a flat store and paid O(corpus) per trigger).
   */
 object TextDedupStream {
 
@@ -165,13 +164,55 @@ object TextDedupStream {
     }
   }
 
-  /** The full trigger body for a parquet-backed signature store: sign the
-    * batch's (doc_id, text) rows, screen against `storeDir`
-    * (missing/empty = bootstrap), append the admitted (doc_id, sig) rows.
-    * Wire as `stream.writeStream.foreachBatch(TextDedupStream
-    * .ingestInto(dir) _)` — downstream of [[CorpusIngest]]'s quality +
-    * exact-hash gate when composing the full curation ingest.
-    * `compactEvery` > 0 runs [[StoreCompact]] after every that-many
+  /** The admitted signatures a consumer (or a spec) reads: one
+    * (doc_id, sig) row per admitted doc, reconstructed from the banded
+    * store (main + un-merged tail). The band rows are the store's
+    * physical layout; this is its logical content.
+    */
+  def storeRows(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val parts = Seq(s"$storeDir/sigs", s"$storeDir/sigs_tail")
+      .filter(StoreCompact.hasData(spark, _)).map(spark.read.parquet(_))
+    require(parts.nonEmpty, s"signature store has no data under $storeDir")
+    parts.map(_.select("doc_id", "sig")).reduce(_ unionByName _).distinct()
+  }
+
+  private def storePresent(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Boolean =
+    StoreCompact.hasData(spark, s"$storeDir/sigs") ||
+      StoreCompact.hasData(spark, s"$storeDir/sigs_tail")
+
+  /** The full trigger body for a parquet-backed signature store root:
+    * sign the batch's (doc_id, text) rows, screen against the standing
+    * store (missing/empty = bootstrap), admit the novel docs. Wire as
+    * `stream.writeStream.foreachBatch(TextDedupStream.ingestInto(dir) _)`
+    * — downstream of [[CorpusIngest]]'s quality + exact-hash gate when
+    * composing the full curation ingest.
+    *
+    * LAYOUT-BACKED (r14 verdict item 1 — this body used to re-read and
+    * re-band a FLAT (doc_id, sig) store per trigger, the exact
+    * O(admitted-corpus)/trigger regime the composed [[CurationChain]]
+    * escaped): `storeDir` is a [[StoreLayout]] root — `sigs` holds
+    * PRE-BANDED rows (doc_id, sig, band, bh) bucketed by the (band, bh)
+    * join key, `sigs_tail` the flat deltas since the last merge, and
+    * `sigbloom` the bloom front. A trigger probes the front (a batch
+    * band key whose blobs miss has no store partner — only near-dups
+    * collide on a band hash, so a novel batch reads ZERO main buckets),
+    * reads the candidates' buckets plus the cadence-bounded tail, and
+    * screens via [[sigPairsAgainstBands]] — per-trigger cost is bounded
+    * by the batch and its true duplicates, not store size
+    * (StandaloneStoreBench measures the curve).
+    *
+    * CONVERGENCE without a txn (the single-store argument extended to
+    * the front): the bloom delta appends BEFORE the band rows, so every
+    * crash window leaves the front a safe SUPERSET of the store — a
+    * false positive only costs a bucket read; the reverse order could
+    * leave published rows uncovered and re-admit their duplicates. A
+    * replayed batch re-screens against the grown store and its rows
+    * reject as their own duplicates, so nothing double-appends.
+    *
+    * `compactEvery` > 0 folds the tail into the bucketed main
+    * ([[StoreCompact.mergeTail]]) and rebuilds the front every that-many
     * triggers (keyed on batchId so restarts keep the cadence).
     */
   def ingestInto(storeDir: String, bands: Int = 8, k: Int = 32,
@@ -179,22 +220,88 @@ object TextDedupStream {
       compactEvery: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    StoreCompact.recover(spark, storeDir) // heal an interrupted compaction
-    val store =
-      if (StoreCompact.hasData(spark, storeDir))
-        spark.read.parquet(storeDir).select("doc_id", "sig")
-      else spark.emptyDataFrame
+    val sigDir = s"$storeDir/sigs"
+    val bloomDir = s"$storeDir/sigbloom"
+    Seq(sigDir, s"${sigDir}_tail", bloomDir)
+      .foreach(StoreCompact.recover(spark, _))
+    val P = StoreLayout.ensureLayout(spark, storeDir, Seq("sigs"))
     // the signature agg is the expensive stage and foreachBatch re-executes
     // the plan per action (screen jobs + append) — sign once, persist the
     // k-long/row projection (the q226/SemDedupStream lesson)
     val signed = signatures(batch, k).persist()
     try {
-      admitBatch(signed, store, bands, k, num, den, maxBucket)
-        .select("doc_id", "sig")
-        .write.mode("append").parquet(storeDir)
+      if (!signed.isEmpty) {
+        val inDrops = sigSelfPairs(signed, bands, k, num, den, maxBucket)
+          .select(col("db").as("doc_id")).distinct()
+        val survivors = signed.join(inDrops, Seq("doc_id"), "left_anti")
+        val admitted =
+          if (!storePresent(spark, storeDir)) survivors
+          else {
+            val nBands = bandize(survivors, "new_id", bands, k / bands)
+              .withColumn("__h", StoreLayout.keyHash(col("band"), col("bh")))
+              .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+            // driver-cached front probe — one filter in the batch plan,
+            // no per-trigger blob read job (StoreLayout.bloomScreen)
+            val maybe = StoreLayout.bloomScreen(spark, bloomDir, nBands)
+              .map(_.dropDuplicates("new_id", "band", "bh"))
+              .getOrElse(nBands)
+            val storeB = {
+              val tailDir = sigDir + "_tail"
+              // an empty candidate-bucket list means every batch key
+              // definitely missed the front — skip the main read entirely
+              val pbs = StoreLayout.bucketsPresent(maybe)
+              val parts = Seq(
+                if (pbs.nonEmpty && StoreCompact.hasData(spark, sigDir))
+                  Some(StoreLayout.prunedRead(spark, sigDir, "pb", pbs))
+                else None,
+                if (StoreCompact.hasData(spark, tailDir))
+                  Some(spark.read.parquet(tailDir))
+                else None).flatten
+              if (parts.isEmpty) None
+              else Some(parts.map(_.select("doc_id", "sig", "band", "bh"))
+                .reduce(_ unionByName _))
+            }
+            storeB match {
+              case None => survivors
+              case Some(st) =>
+                val dups = sigPairsAgainstBands(maybe, st, k, num, den,
+                    maxBucket)
+                  .select(col("new_id").as("doc_id")).distinct()
+                survivors.join(dups, Seq("doc_id"), "left_anti")
+            }
+          }
+        // the appends read nothing they grow, but the admitted plan DOES
+        // read the store — truncate the lineage before writing
+        val keepBands = bandize(admitted, "doc_id", bands, k / bands)
+          .withColumn("pb", StoreLayout.bucketOf(
+            StoreLayout.keyHash(col("band"), col("bh")), P))
+          .localCheckpoint()
+        // bloom FIRST (superset-safe — see the object doc), then rows
+        StoreLayout.bloomDelta(
+            keepBands.select(
+              StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
+              col("pb")),
+            math.max(1L, keepBands.count()), P)
+          .coalesce(1).write.mode("append").parquet(bloomDir)
+        keepBands.repartition(col("pb"))
+          .write.mode("append").parquet(sigDir + "_tail")
+      }
     } finally { signed.unpersist(); () }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      StoreCompact.compact(spark, storeDir); ()
+      StoreCompact.mergeTail(spark, sigDir, Seq("pb"))
+      if (storePresent(spark, storeDir)) {
+        val rows = Seq(sigDir, sigDir + "_tail")
+          .filter(StoreCompact.hasData(spark, _))
+          .map(spark.read.parquet(_).select("band", "bh"))
+          .reduce(_ unionByName _)
+          .withColumn("__h", StoreLayout.keyHash(col("band"), col("bh")))
+          .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+        val blobs = StoreLayout.bloomDelta(rows,
+          math.max(1L, rows.count()), P)
+        if (StoreCompact.hasData(spark, bloomDir))
+          StoreCompact.rewrite(spark, bloomDir, _ => blobs, targetFiles = 1)
+        else blobs.coalesce(1).write.mode("overwrite").parquet(bloomDir)
+      }
     }
   }
 }

@@ -24,8 +24,11 @@ object SemIngestBench {
     val batchN = if (args.length > 1) args(1).toInt else 1000
     val nTriggers = if (args.length > 2) args(2).toInt else 4
     val dim = if (args.length > 3) args(3).toInt else 64
-    val nlist = if (args.length > 4) args(4).toInt else
-      math.max(16, math.sqrt(corpusN.toDouble).toInt)
+    // default under the r15 streaming policy (ceil(√(n/10)), clamped):
+    // slower than the batch √N because streaming triggers pay per-cell
+    // maintenance — the 1M measurement preferred 316 cells over 1000
+    val nlist = if (args.length > 4) args(4).toInt
+      else SemDedupStream.nlistFor(corpusN)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,22 +80,26 @@ object SemIngestBench {
       }
 
     val retrain = drive("retrain",
-      SemDedupStream.ingestInto(plainDir, threshold = 0.92))
-    // adcMargin 0.30: the hash-dense fixture is PQ's worst case (no
-    // cluster structure — ~1 bit/dim quantization leaves d² ≈ 0.25 on
-    // exact copies), so the candidate gate must sit well under
-    // 1 − d²/2 ≈ 0.87; real embeddings cluster and the default margin
-    // holds. A loose margin only costs verify work, never correctness —
-    // the bench asserts decision parity via the row counts below.
+      SemDedupStream.ingestInto(plainDir, threshold = 0.92): @annotation.nowarn(
+        "cat=deprecation"))
+    // AUTO margin (the r15 default): the index build CALIBRATED the ADC
+    // error on this corpus (p99 residual norm persisted in ivf/calib) —
+    // the hash-dense fixture is PQ's worst case (no cluster structure,
+    // ~1 bit/dim quantization), where the r14 bench had to hand-widen
+    // the margin to 0.30; the calibrated default now covers it without
+    // operator knowledge. A wide margin only costs verify work, never
+    // correctness — the bench asserts decision parity via the row
+    // counts below.
     val indexed = drive("indexed",
       SemDedupStream.ingestIntoIndexed(idxRoot, threshold = 0.92,
-        nlist = nlist, nprobe = 4, rebuildCheckEvery = 4,
-        adcMargin = 0.30))
+        nlist = nlist, nprobe = 4, rebuildCheckEvery = 4))
+    val calib = Similarity.adcCalibratedMargin(spark, s"$idxRoot/ivf")
     val nPlain = spark.read.parquet(plainDir).count()
     val nIdx = spark.read.parquet(s"$idxRoot/corpus").count()
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(f"""{"corpus_n":$corpusN,"batch_n":$batchN,"dim":$dim,""" +
-      f""""nlist":$nlist,"index_build_s":$buildS%.1f,""" +
+      f""""nlist":$nlist,"adc_margin_p99":${calib.getOrElse(-1.0)}%.3f,""" +
+      f""""index_build_s":$buildS%.1f,""" +
       f""""retrain_trigger_s":${fmt(retrain)},""" +
       f""""indexed_trigger_s":${fmt(indexed)},""" +
       f""""retrain_total_s":${retrain.sum}%.1f,""" +

@@ -168,4 +168,24 @@ class BpeSpec extends SparkSpec {
     val viol = q.filter(col("n_bpe_tokens") < col("n_words")).count()
     assert(viol == 0)
   }
+
+  test("encodeStats (distinct-word shape) equals the per-occurrence " +
+      "transform exactly — the kernel is a pure function of the word") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.trainMerges(d, "text", nMerges = 20).map(m => (m._2, m._3))
+    val byWord = Bpe.encodeStats(d, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    val words = split(col("text"), " ")
+    val enc = transform(words, w => Bpe.encodeCol(w, merges))
+    val nBpe = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
+    val perOcc = d.select(col("doc_id"),
+        size(words).cast("long").as("n_words"), nBpe.as("n_bpe_tokens"),
+        array_join(element_at(enc, 1), " ").as("first_word_symbols"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(byWord.length == perOcc.length && byWord.length > 0)
+    assert(byWord.toSeq == perOcc.toSeq,
+      "distinct-word encode must be row-identical to per-occurrence")
+  }
 }

@@ -239,6 +239,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(cands(one).nonEmpty)
   }
 
+  test("ADC calibration: the build persists the measured residual-norm " +
+      "quantiles, the margin bounds the observed per-pair ADC error on " +
+      "the build corpus, and an empty-query probe carries the postings' " +
+      "extra columns") {
+    val e = synthWithDups(500)
+    val withB = e.withColumn("b", lit(7L))
+    val cidx = idx + "_calib"
+    Similarity.buildIvfCodeIndex(withB, cidx, nlist = 8)
+    val margin = Similarity.adcCalibratedMargin(spark, cidx)
+    assert(margin.isDefined, "build must persist a calibration")
+    assert(margin.get > 0 && margin.get < 2.0, s"degenerate margin $margin")
+    // the calibrated margin covers the ADC error actually observed on
+    // threshold-class pairs of the build corpus (Cauchy–Schwarz: the
+    // p99 residual norm bounds |exact − adc| for ≥99% of neighbors)
+    val q = e.filter(col("vec_id") < 20)
+    val errs = Similarity.ivfCodeThresholdCandidates(cidx, q,
+        minAdc = 0.0, nprobe = 8)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv")), Seq("neighbor_id"))
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")), Seq("query_id"))
+      .select((Similarity.cosine(col("qv"), col("cv")) - col("adc")).as("err"))
+      .collect().map(_.getDouble(0).abs).sorted
+    assert(errs.nonEmpty)
+    val p99 = errs(math.min(errs.length - 1, (0.99 * errs.length).toInt))
+    assert(p99 <= margin.get + 1e-9,
+      s"observed p99 ADC error $p99 exceeds calibrated margin ${margin.get}")
+    // empty-query probe: the frame still carries the extras (a
+    // pure-tombstone CDC trigger reaches this path — r14 ADVICE high)
+    val empty = Similarity.ivfCodeThresholdCandidates(cidx,
+      q.limit(0), minAdc = 0.5, nprobe = 2)
+    assert(empty.columns.contains("b"))
+    assert(empty.filter(col("b").isNull || col("b") >= 0).count() == 0L)
+  }
+
   test("rebuild replaces the previous generation completely") {
     val e = Tables(spark, dir, "embeddings")
     // Generation 1: only even vectors. A probe can never return an odd id.

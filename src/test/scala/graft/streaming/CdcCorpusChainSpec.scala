@@ -393,4 +393,142 @@ class CdcCorpusChainSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sigs == Set(1L, 2L, 3L, 12L, 21L))
   }
+
+  test("multi-table routing with an INDEXED semantic root (r14 verdict " +
+      "item 4): a table declaring a vector column opts into the PQ-index " +
+      "screen — a planted paraphrase rejects through the index, DELETE " +
+      "tombstones its posting so the paraphrase re-admits, and the " +
+      "text table routes through the chain unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import BinlogRowCodec._
+
+    // 8 regions × 8 angle slots in dim 16: within-region pair cosine
+    // = 0.36 + 0.64·cos(30°·Δk) ≤ 0.914, cross-region ≤ 0.64 — 64
+    // mutually distinct vectors under the 0.95 gate (enough to clear the
+    // auto-nlist founding floor of 4·16), while a coord-nudged dup stays
+    // ≈ 0.9999 above it
+    def vec(region: Int, k: Int): Seq[Double] = {
+      val th = math.toRadians(30.0 * k)
+      Seq.tabulate(16) { j =>
+        if (j == region) 0.6
+        else if (j == 8) 0.8 * math.cos(th)
+        else if (j == 9) 0.8 * math.sin(th)
+        else 0.0
+      }
+    }
+    def dupOf(v: Seq[Double]): Seq[Double] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == 10) 0.01 else 0.0) }
+    def js(v: Seq[Double]): String = v.mkString("[", ",", "]")
+
+    val postCols = Seq("doc_id" -> "bigint", "text" -> "varchar(2048)")
+    val vecCols = Seq("vec_id" -> "bigint", "text" -> "varchar(2048)",
+      "emb" -> "varchar(4096)")
+    val postSchema = BinlogSchema.fromMysqlTypes(postCols)
+    val vecSchema = BinlogSchema.fromMysqlTypes(vecCols)
+    val tmPosts = encodeEvent(19,
+      encodeTableMap(5L, "app", "posts", postSchema))
+    val tmVecs = encodeEvent(19,
+      encodeTableMap(7L, "app", "vectors", vecSchema))
+
+    def vrow(id: Long, v: Seq[Double]): Seq[Any] =
+      Seq[Any](id, s"t$id", js(v))
+    //  t0: both TABLE_MAPs; post 1; 64 founding vectors (ids 0-63 =
+    //      region·8 + slot) — the index founds in t0's maintenance slot
+    //  t1: vec 900 = paraphrase of vec 0 (must reject THROUGH the
+    //      index), 901 novel (region 0 slot 9), DELETE vec 5; post 2
+    //  t2: vec 902 = paraphrase of the DELETED vec 5 (tombstoned
+    //      posting → re-admits), 903 = paraphrase of standing vec 8
+    //      (still rejects)
+    val trancheEvents: Seq[Seq[Array[Byte]]] = Seq(
+      Seq(tmPosts, tmVecs,
+        encodeEvent(WriteV2, encodeRows(WriteV2, postSchema, Seq(
+          Seq[Any](1L, doc(1))), tableId = 5L))) ++
+        (0 until 8).map { r =>
+          encodeEvent(WriteV2, encodeRows(WriteV2, vecSchema,
+            (0 until 8).map(k => vrow(r * 8L + k, vec(r, k))),
+            tableId = 7L))
+        },
+      Seq(
+        encodeEvent(WriteV2, encodeRows(WriteV2, vecSchema, Seq(
+          vrow(900L, dupOf(vec(0, 0))), vrow(901L, vec(0, 9))),
+          tableId = 7L)),
+        encodeEvent(DeleteV2, encodeRows(DeleteV2, vecSchema, Seq(
+          vrow(5L, vec(0, 5))), tableId = 7L)),
+        encodeEvent(WriteV2, encodeRows(WriteV2, postSchema, Seq(
+          Seq[Any](2L, doc(2))), tableId = 5L))),
+      Seq(
+        encodeEvent(WriteV2, encodeRows(WriteV2, vecSchema, Seq(
+          vrow(902L, dupOf(vec(0, 5))), vrow(903L, dupOf(vec(1, 0)))),
+          tableId = 7L))))
+
+    val seed = (1 to 20).map(_.toByte).toArray
+    val ok = hx("00" + "00" + "00" + "0200" + "0000")
+    val eof = hx("fe" + "0000" + "0200")
+    val bringup: Seq[Array[Byte]] = Seq(
+      handshakeV10(seed),
+      (0xfe.toByte +: ("mysql_native_password".getBytes :+ 0.toByte)) ++ seed :+ 0.toByte,
+      ok, ok, Array(2.toByte), hx("deadbeef"), hx("deadbeef"), eof,
+      lenencStr("bin.000001") ++ lenencStr("4"), eof)
+    var pktSeq = 0
+    var chunkOrd = 0L
+    val trancheChunks: Seq[Seq[ByteChunk]] = trancheEvents.zipWithIndex.map {
+      case (evs, ti) =>
+        val payloads =
+          (if (ti == 0) bringup else Seq.empty) ++ evs.map(0.toByte +: _)
+        val bytes = payloads.toArray.flatMap { p =>
+          val out = MysqlProtocolCodec.writePacket(pktSeq % 256, p)
+          pktSeq += 1; out
+        }
+        bytes.grouped(700).map { bs =>
+          val c = ByteChunk(1L, chunkOrd, bs); chunkOrd += 1; c
+        }.toSeq
+    }
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_capstone_vec").toFile.getAbsolutePath
+    val vecRoot = s"$base/vecs"
+    val in = MemoryStream[ByteChunk]
+    val q = CdcCorpusChain.startCdcMulti(in.toDS(),
+      MysqlReplicaSession.Config("repl", "secret", serverId = 100L),
+      Seq(
+        CdcCorpusChain.TableCorpus("app", "posts", postCols, s"$base/posts"),
+        CdcCorpusChain.TableCorpus("app", "vectors", vecCols, vecRoot,
+          idCol = "vec_id", embeddingCol = Some("emb"),
+          indexedSemantic = true)),
+      s"$base/ckpt", threshold = 0.95)
+    try {
+      in.addData(trancheChunks.head); q.processAllAvailable()
+      assert(new java.io.File(s"$vecRoot/ivf/centroids").exists(),
+        "the founding trigger must build the PQ index — the later " +
+          "screens run through it, not the retrain path")
+      trancheChunks.tail.foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // live = corpus minus newer tombstones (vec 5's DELETE applied
+    // logically; no compaction cadence ran)
+    val corpus = spark.read.parquet(s"$vecRoot/corpus")
+    val tomb = spark.read.parquet(s"$vecRoot/tombstones")
+      .groupBy("vec_id").agg(org.apache.spark.sql.functions.max("asOf").as("asOf"))
+    val liveIds = corpus.join(tomb, Seq("vec_id"), "left")
+      .filter(org.apache.spark.sql.functions.col("asOf").isNull ||
+        org.apache.spark.sql.functions.col("b") >=
+          org.apache.spark.sql.functions.col("asOf"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!liveIds.contains(900L),
+      "the standing vector's paraphrase must reject through the PQ index")
+    assert(liveIds.contains(901L), "the novel vector must admit")
+    assert(!liveIds.contains(5L), "the DELETE must retire vec 5")
+    assert(liveIds.contains(902L),
+      "the deleted vector's paraphrase must re-admit (tombstoned posting)")
+    assert(!liveIds.contains(903L), "standing vectors still screen")
+    assert((0L until 64L).filter(_ != 5L).forall(liveIds.contains),
+      "the founding vectors stay live")
+    // the text table routed through the full chain unaffected
+    val posts = CurationChain.readAdmitted(spark, s"$base/posts")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(posts == Seq(1L, 2L))
+  }
 }

@@ -694,6 +694,64 @@ class CurationChainSpec extends SparkSpec {
     assert(spent == Map("web" -> 200L, "books" -> 240L), spent.toString)
   }
 
+  test("budget × mutable corpus: retirement never refunds — a self-edit " +
+      "UPDATE charges its source twice and a DELETE releases nothing " +
+      "(the conservative corpus-construction contract, proven not prose)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_budcdc").toFile.getAbsolutePath + "/c"
+    def docN(id: Long, n: Int): String =
+      (0 until n).map(j => s"w${id}x$j").mkString(" ")
+    def ops(rows: Seq[(String, Long, Long, String, String)]) =
+      rows.toDF("op", "ord", "doc_id", "text", "source")
+    val body = CurationChain.ingestCdcInto(root,
+      budgets = Map("web" -> 200L)) _
+    def spent() = spark.read.parquet(s"$root/budget")
+      .groupBy("source").sum("toks")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def liveIds() = CurationChain.readAdmitted(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // t0: doc 1 (80w) + doc 2 (40w) — web spends 120 of 200
+    body(ops(Seq(
+      ("INSERT", 1L, 1L, doc(1), "web"),
+      ("INSERT", 2L, 2L, docN(2, 40), "web"))), 0L)
+    assert(liveIds() == Seq(1L, 2L))
+    assert(spent() == Map("web" -> 120L), spent().toString)
+
+    // t1: doc 1 SELF-EDITS (80w again). The tombstone retires its old
+    // rows, the new text re-offers and re-admits — and the budget
+    // charges AGAIN: retirement never refunds, so web is now at 200
+    body(ops(Seq(
+      ("UPDATE", 1L, 1L, doc(1, edit = true), "web"))), 1L)
+    assert(liveIds() == Seq(1L, 2L),
+      "the self-edit must re-admit through its own retirement")
+    assert(CurationChain.readAdmitted(spark, root)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select("text").head.getString(0) == doc(1, edit = true),
+      "the live text is the UPDATE's version")
+    assert(spent() == Map("web" -> 200L),
+      s"the self-edit double-charges its source (no refund): ${spent()}")
+
+    // t2: the double-charge is REAL budget pressure — a 40-word doc that
+    // would fit under refund semantics (old 80 returned → 80 free) is
+    // rejected because the budget is exhausted at 200/200
+    body(ops(Seq(("INSERT", 1L, 3L, docN(3, 40), "web"))), 2L)
+    assert(liveIds() == Seq(1L, 2L),
+      "doc 3 must reject — the retired version's tokens stay spent")
+    assert(spent() == Map("web" -> 200L))
+
+    // t3: DELETE releases nothing either — doc 2's 40 tokens stay spent
+    // and the next 40-word offer still rejects
+    body(ops(Seq(
+      ("DELETE", 1L, 2L, docN(2, 40), "web"),
+      ("INSERT", 2L, 4L, docN(4, 40), "web"))), 3L)
+    assert(liveIds() == Seq(1L),
+      "doc 2 deleted; doc 4 rejected — DELETE refunds nothing")
+    assert(spent() == Map("web" -> 200L), spent().toString)
+  }
+
   test("text-only batches skip the semantic stage") {
     val s = spark
     import s.implicits._

@@ -49,8 +49,8 @@ class ImageDedupStreamSpec extends SparkSpec {
       .foreachBatch(ImageDedupStream.ingestInto(dir) _)
       .start()
     try {
-      def storeIds() = spark.read.parquet(dir).select("media_id")
-        .collect().map(_.getLong(0)).toSet
+      def storeIds() = ImageDedupStream.storeRows(spark, dir)
+        .select("media_id").collect().map(_.getLong(0)).toSet
       // trigger 1 (bootstrap): 103 is an in-batch near-dup of 1; junk
       // bytes are data (dropped), never a crash
       in.addData((1L, png(1)), (2L, png(2)), (103L, png(1, patch = true)),
@@ -67,14 +67,16 @@ class ImageDedupStreamSpec extends SparkSpec {
         (7L, png(7)))
       query.processAllAvailable()
       assert(storeIds() == Set(1L, 2L, 4L, 7L))
-      // the store is BOUNDED: one 16-byte (media_id, h) row per admitted
-      // image — never pixels, never a re-appended id
-      val rows = spark.read.parquet(dir)
+      // the store is BOUNDED: one logical (media_id, h) row per admitted
+      // image — never pixels, never a re-appended id. Physically the
+      // banded layout holds exactly 8 byte-band rows per image.
+      val rows = ImageDedupStream.storeRows(spark, dir)
       assert(rows.columns.toSet == Set("media_id", "h"))
-      val counts = rows.groupBy("media_id").count()
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(counts.values.forall(_ == 1L), counts)
       assert(rows.count() == 4L)
+      val raw = spark.read.parquet(s"$dir/phash_tail")
+      val counts = raw.groupBy("media_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(counts.values.forall(_ == 8L), counts)
     } finally query.stop()
   }
 
@@ -88,9 +90,12 @@ class ImageDedupStreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("imgdedup_soak")
       .resolve("store").toString
     val in = MemoryStream[(Long, Array[Byte])]
+    // compactEvery exercises the layout's merge cadence mid-soak: tails
+    // fold into the bucketed main and later triggers screen against
+    // BOTH main and fresh tail
     val query = in.toDS().toDF("media_id", "content")
       .writeStream
-      .foreachBatch(ImageDedupStream.ingestInto(dir) _)
+      .foreachBatch(ImageDedupStream.ingestInto(dir, compactEvery = 8) _)
       .start()
     try {
       for (t <- 0 until 60) {
@@ -106,7 +111,7 @@ class ImageDedupStreamSpec extends SparkSpec {
         in.addData(rows.result(): _*)
         query.processAllAvailable()
       }
-      val ids = spark.read.parquet(dir).select("media_id")
+      val ids = ImageDedupStream.storeRows(spark, dir).select("media_id")
         .collect().map(_.getLong(0)).toSeq
       assert(ids.toSet == (0 until 60).map(novelId).toSet,
         s"store must be exactly the 60 planted novels, got ${ids.sorted.take(70)}")

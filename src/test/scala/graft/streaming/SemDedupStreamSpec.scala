@@ -253,6 +253,51 @@ class SemDedupStreamSpec extends SparkSpec {
       "the re-admitted content is the corpus memory after the apply")
   }
 
+  test("CDC × indexed: a PURE-DELETE batch publishes its tombstones " +
+      "without crashing (r14 ADVICE high — zero offers must skip the " +
+      "candidate/verify jobs, not die in the tombstone filter)") {
+    import spark.implicits._
+    def rv(region: Int, k: Int): Seq[Float] = {
+      val th = math.toRadians(30.0 * k)
+      Seq.tabulate(8) { j =>
+        if (j == region) 0.6f
+        else if (j == 4) (0.8 * math.cos(th)).toFloat
+        else if (j == 5) (0.8 * math.sin(th)).toFloat
+        else 0.0f
+      }
+    }
+    def dupOf(v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
+    def ops(rows: Seq[(String, Long, Long, Seq[Float])]) =
+      rows.toDF("op", "ord", "vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("semdedup_cdc_del")
+      .resolve("root").toString
+    val body = SemDedupStream.ingestCdcIntoIndexed(root, threshold = 0.95,
+      nlist = 4, nprobe = 2, rebuildCheckEvery = 0) _
+    // found the index with 16 INSERTs
+    body(ops((0 until 4).flatMap(r => (0 until 4).map(k =>
+      ("INSERT", (r * 4 + k).toLong, r * 100L + k, rv(r, k))))), 0L)
+    assert(new java.io.File(s"$root/ivf/centroids").exists())
+    // trigger 1 is DELETEs ONLY: no offers at all
+    body(ops(Seq(
+      ("DELETE", 1L, 0L, rv(0, 0)), ("DELETE", 2L, 100L, rv(1, 0)))), 1L)
+    val tombIds = spark.read.parquet(s"$root/tombstones")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tombIds == Set(0L, 100L),
+      s"the pure-DELETE batch's tombstones must publish: $tombIds")
+    // and they are effective: the deleted vectors' paraphrases re-admit,
+    // a standing vector's dup still rejects
+    body(ops(Seq(
+      ("INSERT", 1L, 900L, dupOf(rv(0, 0))),
+      ("INSERT", 2L, 901L, dupOf(rv(2, 0))))), 2L)
+    val corpus = spark.read.parquet(s"$root/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(corpus.contains(900L), "deleted vec 0's paraphrase must re-admit")
+    assert(!corpus.contains(901L), "standing vec 200's dup must reject")
+    // a replayed-empty batch (zero rows entirely) is also a no-op commit
+    body(ops(Seq.empty[(String, Long, Long, Seq[Float])]), 3L)
+  }
+
   test("60-trigger soak: dup lags from 1 to 30 triggers all rejected, " +
       "corpus is exactly the planted novels", SoakTest) {
     implicit val sqlCtx = spark.sqlContext

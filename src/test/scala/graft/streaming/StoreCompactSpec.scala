@@ -65,6 +65,16 @@ class StoreCompactSpec extends SparkSpec {
     }
   }
 
+  private def leafDataFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (!f.exists()) 0
+      else if (f.isFile) {
+        val n = f.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0 else 1
+      } else f.listFiles().map(walk).sum
+    walk(new java.io.File(dir))
+  }
+
   test("ingestInto(compactEvery) keeps the store's file count bounded " +
       "without changing what was admitted") {
     val s = spark
@@ -74,7 +84,8 @@ class StoreCompactSpec extends SparkSpec {
     val compacted = base + "/compacted"
     // 9 triggers of 3 novel docs each (id-namespaced vocab: zero shared
     // 3-shingles across ids, so every doc is admitted) through both a
-    // compaction-free ingest and one compacting every 3 triggers.
+    // merge-free ingest (tail files accumulate per trigger) and one
+    // folding the tail into the bucketed main every 3 triggers.
     def doc(id: Long): String = (0 until 40).map(j => s"w${id}x$j").mkString(" ")
     (0L until 9L).foreach { trig =>
       val batch = (0 until 3)
@@ -82,41 +93,52 @@ class StoreCompactSpec extends SparkSpec {
       TextDedupStream.ingestInto(plain)(batch, trig)
       TextDedupStream.ingestInto(compacted, compactEvery = 3)(batch, trig)
     }
-    val plainRows = spark.read.parquet(plain)
+    val plainRows = TextDedupStream.storeRows(spark, plain)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    val compactedRows = spark.read.parquet(compacted)
+    val compactedRows = TextDedupStream.storeRows(spark, compacted)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(plainRows == (0L until 27L)) // all novel docs admitted
-    assert(compactedRows == plainRows) // compaction never changes content
-    // last compaction fired at trigger 6; triggers 7, 8 appended after it
-    assert(listDataFiles(compacted).size < listDataFiles(plain).size)
-    assert(listDataFiles(compacted).size <= 8 + 2)
+    assert(compactedRows == plainRows) // the merge never changes content
+    // last merge fired at trigger 6; triggers 7, 8 appended to the tail
+    // after it — the merged layout stays bounded, the merge-free one
+    // accumulates per-trigger tail files
+    val plainFiles = leafDataFiles(s"$plain/sigs_tail")
+    val mergedFiles = leafDataFiles(s"$compacted/sigs") +
+      leafDataFiles(s"$compacted/sigs_tail")
+    assert(mergedFiles < plainFiles,
+      s"merged $mergedFiles vs plain $plainFiles")
+    assert(leafDataFiles(s"$compacted/sigs_tail") <= 2 * 2,
+      "tail holds only the post-merge triggers' deltas")
   }
 
-  test("a compaction crash between the renames is healed, not read as " +
+  test("a merge crash between the renames is healed, not read as " +
       "bootstrap") {
     val s = spark
     import s.implicits._
     val base = tmpDir("graft_compact_crash")
     val dir = base + "/store"
     def doc(id: Long): String = (0 until 40).map(j => s"w${id}x$j").mkString(" ")
-    // trigger 0 admits docs 0..2
+    // trigger 0 admits docs 0..2; trigger 1 merges the tail into the
+    // bucketed main (compactEvery = 1 fires at batchId 1)
     val b0 = (0L until 3L).map(i => (i, doc(i))).toDF("doc_id", "text")
-    TextDedupStream.ingestInto(dir)(b0, 0L)
-    // simulate dying between compact's two renames: store retired to
-    // _compact_old, replacement never published
-    val f = new java.io.File(dir)
-    assert(f.renameTo(new java.io.File(dir + "_compact_old")))
+    TextDedupStream.ingestInto(dir, compactEvery = 1)(b0, 0L)
+    val b1 = Seq((3L, doc(3))).toDF("doc_id", "text")
+    TextDedupStream.ingestInto(dir, compactEvery = 1)(b1, 1L)
+    assert(new java.io.File(s"$dir/sigs").exists(), "merge built the main")
+    // simulate dying between mergeTail's two renames: the main retired
+    // to _compact_old, replacement never published
+    val f = new java.io.File(s"$dir/sigs")
+    assert(f.renameTo(new java.io.File(s"$dir/sigs_compact_old")))
     assert(!f.exists())
     // next trigger re-offers doc 1 (an exact re-crawl) plus a novel doc —
-    // without recovery the missing store reads as bootstrap and doc 1 is
+    // without recovery the missing main reads as bootstrap and doc 1 is
     // re-admitted
-    val b1 = Seq((10L, doc(1)), (11L, doc(11))).toDF("doc_id", "text")
-    TextDedupStream.ingestInto(dir)(b1, 1L)
-    val ids = spark.read.parquet(dir).select("doc_id")
+    val b2 = Seq((10L, doc(1)), (11L, doc(11))).toDF("doc_id", "text")
+    TextDedupStream.ingestInto(dir)(b2, 2L)
+    val ids = TextDedupStream.storeRows(spark, dir).select("doc_id")
       .as[Long].collect().sorted.toSeq
-    assert(ids == Seq(0L, 1L, 2L, 11L)) // 10 rejected against the healed store
-    assert(!new java.io.File(dir + "_compact_old").exists())
+    assert(ids == Seq(0L, 1L, 2L, 3L, 11L)) // 10 rejected against the healed store
+    assert(!new java.io.File(s"$dir/sigs_compact_old").exists())
   }
 
   test("the dedup screen reads the compacted store unchanged") {

@@ -74,8 +74,8 @@ class TextDedupStreamSpec extends SparkSpec {
       .foreachBatch(TextDedupStream.ingestInto(dir) _)
       .start()
     try {
-      def storeIds() = spark.read.parquet(dir).select("doc_id")
-        .collect().map(_.getLong(0)).toSet
+      def storeIds() = TextDedupStream.storeRows(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
       // trigger 1 (bootstrap): 103 is an in-batch edit of 1
       in.addData((1L, doc(1)), (2L, doc(2)), (103L, doc(1, edit = true)))
       query.processAllAvailable()
@@ -90,14 +90,16 @@ class TextDedupStreamSpec extends SparkSpec {
         (7L, doc(7)))
       query.processAllAvailable()
       assert(storeIds() == Set(1L, 2L, 4L, 7L))
-      // the store is BOUNDED: one (doc_id, sig) row per admitted doc —
-      // k minima + id, never text, never a re-appended id
-      val rows = spark.read.parquet(dir)
+      // the store is BOUNDED: one logical (doc_id, sig) row per admitted
+      // doc — k minima + id, never text, never a re-appended id.
+      // Physically the banded layout holds exactly 8 band rows per doc.
+      val rows = TextDedupStream.storeRows(spark, dir)
       assert(rows.columns.toSet == Set("doc_id", "sig"))
       assert(rows.count() == 4L)
-      val counts = rows.groupBy("doc_id").count()
+      val counts = spark.read.parquet(s"$dir/sigs_tail")
+        .groupBy("doc_id").count()
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(counts.values.forall(_ == 1L), counts)
+      assert(counts.values.forall(_ == 8L), counts)
       // a doc too short to shingle carries no signature: admitted-by-
       // -absence (the exact screen upstream owns it), never a crash
       in.addData((900L, "only two"))
@@ -115,9 +117,12 @@ class TextDedupStreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("textdedup_soak")
       .resolve("store").toString
     val in = MemoryStream[(Long, String)]
+    // compactEvery exercises the layout's merge cadence mid-soak: tails
+    // fold into the bucketed main, the bloom front rebuilds, and later
+    // triggers screen against BOTH main and fresh tail
     val query = in.toDS().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch(TextDedupStream.ingestInto(dir) _)
+      .foreachBatch(TextDedupStream.ingestInto(dir, compactEvery = 8) _)
       .start()
     try {
       for (t <- 0 until 60) {
@@ -133,7 +138,7 @@ class TextDedupStreamSpec extends SparkSpec {
         in.addData(rows.result(): _*)
         query.processAllAvailable()
       }
-      val ids = spark.read.parquet(dir).select("doc_id")
+      val ids = TextDedupStream.storeRows(spark, dir).select("doc_id")
         .collect().map(_.getLong(0)).toSeq
       assert(ids.toSet == (0 until 60).map(novelId).toSet,
         s"store must be exactly the 60 planted novels, got ${ids.sorted.take(70)}")
@@ -161,8 +166,8 @@ class TextDedupStreamSpec extends SparkSpec {
       .foreachBatch(TextDedupStream.ingestInto(dir) _)
       .start()
     try {
-      def storeIds() = spark.read.parquet(dir).select("doc_id")
-        .collect().map(_.getLong(0)).toSet
+      def storeIds() = TextDedupStream.storeRows(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
       // trigger 1: 1 is novel; 50 is an EXACT dup of 1 (curate's
       // in-stream hash dedup owns it); 60 carries a blocklisted phrase
       // (the gate owns it) — neither reaches the signature store
