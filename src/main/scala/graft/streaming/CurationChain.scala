@@ -524,16 +524,28 @@ object CurationChain {
       // reads pay for the un-merged tail. The bloom deltas stage through
       // the SAME publish — the front can only ever lag the store by rows
       // that were never published, i.e. never.
-      val admittedN = keep.count() // keep is checkpointed — footer count
+      // the admitted keys' hashes collect to the driver (batch-scale —
+      // KB of longs per trigger) so the delta BLOBS build locally
+      // (StoreLayout.bloomDeltaLocal — no distributed agg job, and the
+      // agg's cost was store-INDEPENDENT anyway) and, crucially, can
+      // merge into the DRIVER-CACHED front after the publish: without
+      // that merge the cache can never hit, because every trigger's
+      // publish changes the blob directory listing (r14 verdict item 2)
+      val sess2 = spark
+      import sess2.implicits._
+      val exactKeys = keep
+        .select(StoreLayout.keyHash(col("content_hash")).as("__h"))
+        .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val admittedN = exactKeys.length.toLong
       keep.select("doc_id", "content_hash").withColumn("b", lit(batchId))
         .withColumn("pb", StoreLayout.bucketOf(
           StoreLayout.keyHash(col("content_hash")), P))
         .repartition(col("pb"))
         .write.mode("overwrite").parquet(staged("exact_tail"))
-      StoreLayout.bloomDelta(
-          keep.select(StoreLayout.keyHash(col("content_hash")).as("__h"))
-            .withColumn("pb", StoreLayout.bucketOf(col("__h"), P)),
-          math.max(1L, admittedN), P)
+      val exactBlobs = StoreLayout.bloomDeltaLocal(exactKeys,
+        math.max(1L, admittedN), P)
+      exactBlobs.toDF("pb", "bloom")
         .coalesce(1).write.mode("overwrite").parquet(staged("bloom"))
       hashed.foreach { h =>
         graft.multimodal.MultimodalQueries.bandExplode(
@@ -552,11 +564,16 @@ object CurationChain {
           StoreLayout.keyHash(col("band"), col("bh")), P))
       keptBands.repartition(col("pb"))
         .write.mode("overwrite").parquet(staged("sigs_tail"))
-      StoreLayout.bloomDelta(
-          keptBands.select(
-            StoreLayout.keyHash(col("band"), col("bh")).as("__h"), col("pb")),
-          math.max(1L, 8L * admittedN), P)
+      val sigKeys = keptBands
+        .select(StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
+          col("pb"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val sigBlobs = StoreLayout.bloomDeltaLocal(sigKeys,
+        math.max(1L, sigKeys.length.toLong), P)
+      sigBlobs.toDF("pb", "bloom")
         .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
+      pendingFronts.put((rootDir, batchId),
+        Seq(bloomDir -> exactBlobs, sigBloomDir -> sigBlobs))
       if (semantic)
         keep.select(col("doc_id").as("vec_id"), col("embedding"))
           .withColumn("b", lit(batchId))
@@ -592,6 +609,21 @@ object CurationChain {
     * go through the same rename swap as compaction).
     */
   private val DerivedNames = Seq("bloom", "sigbloom")
+
+  /** Blob deltas staged by [[stageCurated]], waiting for their publish
+    * to land so they can merge into the driver-cached fronts
+    * ([[StoreLayout.noteFrontDelta]]). A replay that skips staging never
+    * creates an entry — the cache then re-reads on its fingerprint
+    * mismatch, which is the safe fallback.
+    */
+  private val pendingFronts = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(String, Seq[(Int, Array[Byte])])]]()
+
+  private def mergePendingFronts(spark: SparkSession, rootDir: String,
+      batchId: Long): Unit =
+    Option(pendingFronts.remove((rootDir, batchId))).foreach(_.foreach {
+      case (dir, blobs) => StoreLayout.noteFrontDelta(spark, dir, blobs)
+    })
 
   /** Rebuild the bloom fronts from the CURRENT store rows — the cadence
     * maintenance that collapses the per-trigger delta blobs into one
@@ -712,6 +744,7 @@ object CurationChain {
       // publishes WITHOUT recompute — the stores may already hold some of
       // its files, and recomputing against them is the replay bug
       StoreTxn.publish(spark, rootDir, batchId)
+      mergePendingFronts(spark, rootDir, batchId)
     }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       BucketedStores.foreach { case (s, pc) =>
@@ -820,6 +853,7 @@ object CurationChain {
         } finally { last.unpersist(); () }
       }
       StoreTxn.publish(spark, rootDir, batchId)
+      mergePendingFronts(spark, rootDir, batchId)
     }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       applyTombstones(spark, rootDir)

@@ -73,17 +73,21 @@ object SemDedupStream {
 
   def admitBatch(batch: DataFrame, corpus: DataFrame, threshold: Double,
       probes: Int = 4): DataFrame = {
-    if (batch.isEmpty) return batch // an idle trigger has nothing to train on
+    // one count serves both the idle-trigger gate and the exact-screen
+    // sizing (isEmpty + count was two jobs on the same tiny frame)
+    val batchN = batch.count()
+    if (batchN == 0) return batch // an idle trigger has nothing to train on
     val inBatchDrops = {
-      val exact = batch.count() <= ExactScreenCeiling
+      val exact = batchN <= ExactScreenCeiling
       Similarity.semDedupPairs(batch, threshold,
           nlist = if (exact) 1 else 0, probes = if (exact) 1 else probes)
         .select(col("db").as("vec_id")).distinct()
     }
     val survivors = batch.join(inBatchDrops, Seq("vec_id"), "left_anti")
-    if (corpus.isEmpty) survivors
+    val corpusN = if (corpus.columns.isEmpty) 0L else corpus.count()
+    if (corpusN == 0) survivors
     else {
-      val exact = corpus.count() <= ExactScreenCeiling
+      val exact = corpusN <= ExactScreenCeiling
       val dupIds = Similarity
         .semDedupPairsAgainst(survivors, corpus, threshold,
           nlist = if (exact) 1 else 0, probes = if (exact) 1 else probes)

@@ -227,4 +227,55 @@ object StoreLayout {
           spark.read.parquet(dir).select("pb", "bloom"))
     })
   }
+
+  /** Driver-side build of a trigger delta's per-bucket blobs — the
+    * batch-scale form of [[bloomDelta]] for bodies that already hold the
+    * admitted keys' (hash, bucket) pairs on the driver (a trigger's
+    * delta is KB–MB of longs, so the distributed agg's job is pure
+    * overhead against it). Seal format identical
+    * ([[BloomKernels]].params/add/seal), so [[bloomMaybe]] and the
+    * cached probe read both forms interchangeably.
+    */
+  def bloomDeltaLocal(hashes: Array[(Long, Int)], n: Long,
+      buckets: Int): Seq[(Int, Array[Byte])] = {
+    val (mBits, k) = BloomKernels.params(
+      math.max(64L, n / math.max(1, buckets)), BloomFp)
+    hashes.groupBy(_._2).toSeq.map { case (pb, hs) =>
+      val bits = new Array[Byte](((mBits + 7) >>> 3).toInt)
+      hs.foreach { case (h, _) => BloomKernels.add(bits, mBits, k, h) }
+      (pb, BloomKernels.seal(bits, mBits, k))
+    }.sortBy(_._1)
+  }
+
+  /** Merge a just-PUBLISHED delta's blobs into the cached front and
+    * re-stamp the fingerprint, so the next trigger's probe stays
+    * driver-cached even though the publish changed the blob directory's
+    * listing (without this the cache can never hit — every trigger
+    * publishes a delta). Correctness is the fingerprint's: it is
+    * computed from the listing AFTER the publish landed, so any
+    * out-of-band change (crash replay, recover, cadence rebuild,
+    * another writer) mismatches at the next probe and falls back to a
+    * full re-read — the cache can go stale-and-dropped, never
+    * silently wrong. No-op (entry dropped) when no prior cached state
+    * exists or the front outgrew the cap.
+    */
+  def noteFrontDelta(spark: SparkSession, dir: String,
+      delta: Seq[(Int, Array[Byte])]): Unit = {
+    val prior = frontCache.get(dir)
+    if (prior == null) return
+    frontFingerprint(spark, dir) match {
+      case Some((fp, bytes)) if bytes <= FrontCacheMaxBytes =>
+        val merged = delta.foldLeft(prior._2.value) {
+          case (m, (pb, blob)) => m.updated(pb, m.getOrElse(pb,
+            Array.empty[Array[Byte]]) :+ blob)
+        }
+        val bc = spark.sparkContext.broadcast(merged)
+        frontCache.put(dir, (fp, bc))
+        try prior._2.unpersist(false) catch { case _: Exception => () }
+      case _ =>
+        frontCache.remove(dir)
+        try prior._2.unpersist(false) catch { case _: Exception => () }
+    }
+    ()
+  }
 }

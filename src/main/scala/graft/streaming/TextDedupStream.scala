@@ -276,13 +276,22 @@ object TextDedupStream {
           .withColumn("pb", StoreLayout.bucketOf(
             StoreLayout.keyHash(col("band"), col("bh")), P))
           .localCheckpoint()
-        // bloom FIRST (superset-safe — see the object doc), then rows
-        StoreLayout.bloomDelta(
-            keepBands.select(
-              StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
-              col("pb")),
-            math.max(1L, keepBands.count()), P)
+        // the delta's keys collect to the driver (batch-scale) so the
+        // blobs build locally and merge into the cached front after the
+        // append — the next trigger's probe then runs without a blob
+        // read job. Bloom FIRST (superset-safe — see the object doc),
+        // then rows.
+        val keys = keepBands
+          .select(StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
+            col("pb"))
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        val blobs = StoreLayout.bloomDeltaLocal(keys,
+          math.max(1L, keys.length.toLong), P)
+        val sess = spark
+        import sess.implicits._
+        blobs.toDF("pb", "bloom")
           .coalesce(1).write.mode("append").parquet(bloomDir)
+        StoreLayout.noteFrontDelta(spark, bloomDir, blobs)
         keepBands.repartition(col("pb"))
           .write.mode("append").parquet(sigDir + "_tail")
       }
