@@ -92,4 +92,22 @@ class LiveEndpointSpec extends SparkSpec {
       .select(Envelope.parse(col("raw")).as("e")).select("e.*").collect().head
     assert(parsed.getAs[String]("type") == "INSERT")
   }
+
+  test("live Redis: RPUSH through the real client round-trips LRANGE") {
+    val host = sys.env.get("REDIS_HOST")
+    assume(host.isDefined,
+      "set REDIS_HOST (and optionally REDIS_PORT/REDIS_PASSWORD/" +
+        "REDIS_DB) to run the live Redis smoke test")
+    val port = sys.env.getOrElse("REDIS_PORT", "6379").toInt
+    val auth = sys.env.get("REDIS_PASSWORD").filter(_.nonEmpty)
+    val db = sys.env.getOrElse("REDIS_DB", "0").toInt
+    val key = s"graft_smoke_${System.currentTimeMillis()}"
+    val c = new RedisSink.RedisClient(host.get, port, auth, db)
+    try {
+      assert(c.rpush(key, Seq("one", "two", "three")) == 3L)
+      assert(c.lrange(key, 0, -1) == Seq("one", "two", "three"))
+      c.command("DEL", key)
+      ()
+    } finally c.close()
+  }
 }
