@@ -247,6 +247,14 @@ object CurationChain {
     val wH = org.apache.spark.sql.expressions.Window
       .partitionBy("content_hash")
       .orderBy(hashOrder: _*)
+    // stamp each stage's eagerly-running jobs (bucket collects,
+    // checkpoints, staged writes) with a stage label, so the Spark UI
+    // and ChainTriggerProfile attribute the trigger's ~dozen actions to
+    // stages instead of anonymous callsites
+    def labeled[T](stage: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(s"graft.chain $stage")
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
     val gated = CorpusIngest.gateBatch(offers,
         passThrough = Seq("doc_id") ++ (if (cdcOrdered) Seq("ord") else Nil) ++
           (if (budgeted) Seq("source") else Nil) ++
@@ -266,7 +274,7 @@ object CurationChain {
       // hash), so typically only true dups + ε·|batch| false positives
       // pull their candidate buckets — the anti-join reads those buckets
       // only instead of scanning the whole store per trigger.
-      val afterExact =
+      val afterExact = labeled("exact-screen") {
         if (!storePresent(exactDir)) pinned
         else {
           val batchKeys = pinned.select("content_hash").distinct()
@@ -288,13 +296,14 @@ object CurationChain {
             .map(st => pinned.join(st, Seq("content_hash"), "left_anti"))
             .getOrElse(pinned)
         }
+      }
 
       // stage 3: perceptual media screen (in-batch + shared band store).
       // The decode is the expensive kernel and feeds BOTH the screen and
       // the staged phash append — hash once, persist the 16-byte/row
       // projection (the q226/ImageDedupStream lesson). Docs carrying no
       // decodable media pass unscreened.
-      val afterPerc =
+      val afterPerc = labeled("perceptual-screen") {
         if (!media) afterExact
         else {
           val ph = udf((b: Array[Byte]) =>
@@ -360,6 +369,7 @@ object CurationChain {
           percDrops = Some(dropIds)
           afterExact.join(dropIds, Seq("doc_id"), "left_anti")
         }
+      }
 
       // stage 4: near-dup signature screen (in-batch + store). The sig
       // pipeline (shingle explode + k-minima agg + band joins) is the
@@ -374,7 +384,7 @@ object CurationChain {
       val inDropsS = TextDedupStream.sigSelfPairs(sigs)
         .select(col("db").as("doc_id")).distinct()
       val survS = sigs.join(inDropsS, Seq("doc_id"), "left_anti")
-      val afterSig = {
+      val afterSig = labeled("sig-screen") {
         val screened =
           if (!storePresent(sigDir)) survS
           else {
@@ -405,7 +415,7 @@ object CurationChain {
       // verifies. Pre-founding (store below the floor) keeps the
       // retrain-per-trigger screen — cheap at that size and
       // semantics-identical to the gated batch operator.
-      val admitted =
+      val admitted = labeled("semantic-screen") {
         if (!semantic) survivedSig
         else {
           val vecs = survivedSig
@@ -440,6 +450,7 @@ object CurationChain {
           survivedSig.join(ok.select(col("vec_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
         }
+      }
 
       // stage 6 (optional): per-source TOKEN BUDGET — the step between
       // "curation" and "corpus construction" (r13 verdict item 6;
@@ -453,7 +464,7 @@ object CurationChain {
       // contract extends to this stage). Retirement never refunds —
       // admitted tokens are spent even if the doc later tombstones (the
       // conservative corpus-construction reading).
-      val admittedB =
+      val admittedB = labeled("budget") {
         if (!budgeted) admitted
         else {
           val sess = spark
@@ -500,6 +511,7 @@ object CurationChain {
           folded.unpersist()
           out
         }
+      }
 
       // The admitted plan READS the very stores the publish step will
       // grow, and a later read invalidation would silently recompute
@@ -508,7 +520,9 @@ object CurationChain {
       // back into the plan.
       // (media bytes never reach a store or the checkpoint — the stores
       // hold hashes, not pixels)
-      val keep = admittedB.drop("content", "source").localCheckpoint()
+      val keep = labeled("admit-checkpoint") {
+        admittedB.drop("content", "source").localCheckpoint()
+      }
       val keepSigs = afterSig
         .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .localCheckpoint()

@@ -30,8 +30,12 @@ object ChainTriggerProfile {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = Option(j.properties)
-          .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+        // the chain stamps its stages via setJobDescription; fall back
+        // to the callsite for unlabeled jobs (staged writes, publish)
+        val site = Option(j.properties).map { p =>
+          Option(p.getProperty("spark.job.description"))
+            .getOrElse(p.getProperty("callSite.short", "?"))
+        }.getOrElse("?")
         jobs.put(j.jobId, (site, System.nanoTime()))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
