@@ -76,4 +76,28 @@ class BloomSpec extends SparkSpec {
     assert(m >= 9585 && m <= 9600, s"m=$m")
     assert(k == 7, s"k=$k")
   }
+
+  test("the driver-side delta blob build is BIT-IDENTICAL to the " +
+      "distributed BloomAgg blobs — the fronts' correctness rides on it") {
+    import graft.streaming.StoreLayout
+    val s = spark
+    import s.implicits._
+    val P = 16
+    val keyed = spark.range(5000)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("id")).as("__h"))
+      .withColumn("pb", StoreLayout.bucketOf(
+        org.apache.spark.sql.functions.col("__h"), P))
+    val distributed = StoreLayout.bloomDelta(keyed, 5000L, P)
+      .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toMap
+    val local = StoreLayout.bloomDeltaLocal(
+      keyed.collect().map(r => (r.getLong(0), r.getInt(1))), 5000L, P).toMap
+    assert(distributed.keySet == local.keySet)
+    // merge order cannot matter (OR is commutative/idempotent), so the
+    // sealed blobs must match byte for byte — any divergence would let
+    // the cached-front probe and the on-disk blobs disagree
+    distributed.foreach { case (pb, blob) =>
+      assert(java.util.Arrays.equals(blob, local(pb)), s"bucket $pb differs")
+    }
+  }
 }
