@@ -221,7 +221,7 @@ object Bpe {
       .select(col("w"), encodeCol(col("w"), merges).as("toks"))
       .select(col("w"), size(col("toks")).cast(LongType).as("ntok"),
         col("toks"))
-    words.join(vocab, Seq("w"))
+    val stats = words.join(vocab, Seq("w"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("ntok")).as("n_bpe_tokens"),
@@ -229,6 +229,11 @@ object Bpe {
         // non-null projection is deterministic despite the shuffle
         first(when(col("pos") === 0, col("toks")), ignoreNulls = true)
           .as("first_toks"))
+    // rebase on the full doc set: a NULL-text doc explodes to zero word
+    // rows and would vanish from the aggregate — the per-occurrence
+    // form keeps it (with null stats), and "identical output" means
+    // identical row sets, not just matched rows
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
       .select(col(idCol), col("n_words"), col("n_bpe_tokens"),
         (col("n_bpe_tokens").cast(DoubleType) /
           col("n_words").cast(DoubleType)).as("tokens_per_word"),

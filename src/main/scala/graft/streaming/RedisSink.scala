@@ -95,11 +95,16 @@ object RedisSink {
     */
   final class RedisClient(host: String, port: Int,
       auth: Option[String] = None, db: Int = 0,
-      connectTimeoutMs: Int = 10000) extends AutoCloseable {
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000) extends AutoCloseable {
     val PipelineChunk = 512
 
     private val sock = new Socket()
     sock.setTcpNoDelay(true)
+    // a stalled or half-open server must FAIL the task, not wedge the
+    // streaming trigger forever on a blocking read (the SocketTransport
+    // lesson: connect timeout alone does not cover post-connect stalls)
+    sock.setSoTimeout(readTimeoutMs)
     sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     private val in = new DataInputStream(
       new BufferedInputStream(sock.getInputStream))

@@ -57,9 +57,33 @@ object SemDedupStream {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  // calib parquet memo: the one-row file only changes when a rebuild
+  // swaps the index dir, so per-trigger re-reads are a fixed job for a
+  // constant (the r14-item-2 overhead class). Keyed by the calib file's
+  // (mtime, len) — one metadata call per trigger instead of a read job.
+  private val calibCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[Double])]()
+
+  private def calibratedMargin(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/calib")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val stamp = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val hit = calibCache.get(indexDir)
+    if (hit != null && hit._1 == stamp) hit._2
+    else {
+      val v = Similarity.adcCalibratedMargin(spark, indexDir)
+      calibCache.put(indexDir, (stamp, v))
+      v
+    }
+  }
+
   private def resolveMargin(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, requested: Double): Double = {
-    val calib = Similarity.adcCalibratedMargin(spark, indexDir)
+    val calib = calibratedMargin(spark, indexDir)
     if (requested < 0) calib.getOrElse(DefaultMargin)
     else {
       calib.filter(_ > requested).foreach { p99 =>

@@ -77,7 +77,20 @@ object StoreLayout {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
     } else {
-      if (stores.exists(s => StoreCompact.hasData(spark, s"$rootDir/$s")))
+      // pre-layout data in the declared store SUBDIRS (the chain's old
+      // shape), or any plain data FILE at the root itself (the
+      // standalone bodies' old shape: parquet parts written directly
+      // under storeDir) — both mean an existing store that the bucketed
+      // reads would silently treat as bootstrap, re-admitting
+      // everything it ever rejected
+      val rootPath = new org.apache.hadoop.fs.Path(rootDir)
+      val legacyRootFiles = fs.exists(rootPath) &&
+        fs.listStatus(rootPath).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      if (legacyRootFiles ||
+          stores.exists(s => StoreCompact.hasData(spark, s"$rootDir/$s")))
         throw new IllegalStateException(
           s"store root $rootDir holds data but no _layout marker — it " +
             "predates the bucketed store layout. Re-ingest into a fresh " +
@@ -185,28 +198,33 @@ object StoreLayout {
     */
   def cachedFront(spark: SparkSession, dir: String): Option[
       org.apache.spark.broadcast.Broadcast[Map[Int, Array[Array[Byte]]]]] =
-    frontFingerprint(spark, dir).flatMap { case (fp, bytes) =>
-      if (bytes > FrontCacheMaxBytes) None
+    frontFingerprint(spark, dir).flatMap(cachedFrontAt(spark, dir, _))
+
+  private def cachedFrontAt(spark: SparkSession, dir: String,
+      fpAndBytes: (String, Long)): Option[
+      org.apache.spark.broadcast.Broadcast[Map[Int, Array[Array[Byte]]]]] = {
+    val (fp, bytes) = fpAndBytes
+    if (bytes > FrontCacheMaxBytes) None
+    else {
+      val hit = frontCache.get(dir)
+      if (hit != null && hit._1 == fp) Some(hit._2)
       else {
-        val hit = frontCache.get(dir)
-        if (hit != null && hit._1 == fp) Some(hit._2)
-        else {
-          val rows = spark.read.parquet(dir).select("pb", "bloom").collect()
-            .groupBy(_.getInt(0))
-            .map { case (pb, rs) =>
-              pb -> rs.map(_.getAs[Array[Byte]](1))
-            }
-          val bc = spark.sparkContext.broadcast(rows)
-          val old = frontCache.put(dir, (fp, bc))
-          // the displaced entry may belong to a stopped SparkContext
-          // (fingerprints carry the app id, so it can never be REUSED
-          // across contexts — but unpersist on a dead one throws)
-          if (old != null)
-            try old._2.unpersist(false) catch { case _: Exception => () }
-          Some(bc)
-        }
+        val rows = spark.read.parquet(dir).select("pb", "bloom").collect()
+          .groupBy(_.getInt(0))
+          .map { case (pb, rs) =>
+            pb -> rs.map(_.getAs[Array[Byte]](1))
+          }
+        val bc = spark.sparkContext.broadcast(rows)
+        val old = frontCache.put(dir, (fp, bc))
+        // the displaced entry may belong to a stopped SparkContext
+        // (fingerprints carry the app id, so it can never be REUSED
+        // across contexts — but unpersist on a dead one throws)
+        if (old != null)
+          try old._2.unpersist(false) catch { case _: Exception => () }
+        Some(bc)
       }
     }
+  }
 
   /** ONE probe job instead of read+join+collect: filter `batchKeys`
     * through the driver-cached front (broadcast lookup inside the
@@ -216,8 +234,10 @@ object StoreLayout {
     */
   def bloomScreen(spark: SparkSession, dir: String,
       batchKeys: DataFrame): Option[DataFrame] = {
-    if (frontFingerprint(spark, dir).isEmpty) return None
-    Some(cachedFront(spark, dir) match {
+    // one listing serves both the existence test and the cache check
+    val fp = frontFingerprint(spark, dir)
+    if (fp.isEmpty) return None
+    Some(cachedFrontAt(spark, dir, fp.get) match {
       case Some(bc) =>
         val hit = udf((h: Long, pb: Int) => bc.value.get(pb)
           .exists(_.exists(b => BloomKernels.contains(b, h))))
@@ -263,8 +283,20 @@ object StoreLayout {
       delta: Seq[(Int, Array[Byte])]): Unit = {
     val prior = frontCache.get(dir)
     if (prior == null) return
+    def entriesOf(fp: String): Set[String] =
+      fp.dropWhile(_ != '|').drop(1).split(',').filter(_.nonEmpty).toSet
     frontFingerprint(spark, dir) match {
-      case Some((fp, bytes)) if bytes <= FrontCacheMaxBytes =>
+      case Some((fp, bytes)) if bytes <= FrontCacheMaxBytes &&
+          // the merge is only sound if the listing changed by EXACTLY
+          // our one appended blob file since the cached fingerprint —
+          // a foreign file landing inside the probe→publish window
+          // (two writers on one root, the ops mistake guardMonotone
+          // exists for elsewhere) would otherwise be stamped into the
+          // fingerprint while its keys are missing from the cache, a
+          // silent false-negative front. Any other shape drops the
+          // entry and the next probe re-reads.
+          entriesOf(fp).size == entriesOf(prior._1).size + 1 &&
+          entriesOf(prior._1).subsetOf(entriesOf(fp)) =>
         val merged = delta.foldLeft(prior._2.value) {
           case (m, (pb, blob)) => m.updated(pb, m.getOrElse(pb,
             Array.empty[Array[Byte]]) :+ blob)

@@ -66,6 +66,12 @@ object ChainTriggerProfile {
       val t0 = System.nanoTime()
       CurationChain.ingestInto(root)(batch(t), t.toLong)
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener events arrive on an async bus — drain before reading,
+      // or the trailing jobs (staged writes, publish) go uncounted
+      var waitedMs = 0
+      while (!jobs.isEmpty && waitedMs < 3000) {
+        Thread.sleep(50); waitedMs += 50
+      }
       if (t == nTriggers - 1) {
         println(f"== trigger $t: $wall%.2f s wall, ${done.size} jobs ==")
         val rows = done.toArray(Array.empty[(Int, String, Double)])

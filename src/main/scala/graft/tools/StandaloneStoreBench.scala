@@ -35,12 +35,11 @@ object StandaloneStoreBench {
   private def doc(id: Long): String =
     (0 until 40).map(j => s"w${id}x$j").mkString(" ")
 
-  private def writeLayoutMarker(spark: SparkSession, root: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/_layout")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"${StoreLayout.DefaultBuckets}\n".getBytes("UTF-8"))
-    finally out.close()
+  // one canonical marker writer: ensureLayout on the still-empty root
+  // (hand-writing the format here would drift from the shipped code)
+  private def writeLayoutMarker(spark: SparkSession, root: String,
+      store: String): Unit = {
+    StoreLayout.ensureLayout(spark, root, Seq(store)); ()
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,6 +71,8 @@ object StandaloneStoreBench {
         .createTempDirectory("graft_ssb_img").toFile.getAbsolutePath
 
       // ---- text store: n synthetic sigs + the 64 real ones, pre-banded
+      // (marker first: ensureLayout fails loudly on data-before-marker)
+      writeLayoutMarker(spark, textRoot, "sigs")
       val sigOf = (0 until 32).map(i => xxhash64(col("doc_id") * 37 + lit(i)))
       val sigStore = spark.range(n.toLong)
         .select(col("id").as("doc_id"), array(sigOf: _*).as("sig"))
@@ -86,9 +87,9 @@ object StandaloneStoreBench {
             StoreLayout.keyHash(col("band"), col("bh")).as("__h"), col("pb")),
           8L * (n + 64L), P)
         .coalesce(1).write.mode("overwrite").parquet(s"$textRoot/sigbloom")
-      writeLayoutMarker(spark, textRoot)
 
       // ---- image store: n synthetic hashes + 64 real PNG hashes
+      writeLayoutMarker(spark, imgRoot, "phash")
       val knownPngs = knownIds.map(id =>
         (id, graft.multimodal.ImageCodec.formulaPng2(id, patch = false)))
       val knownHashes = knownPngs.map { case (id, b) =>
@@ -105,7 +106,6 @@ object StandaloneStoreBench {
           StoreLayout.keyHash(col("band"), col("v")), P))
       hBanded.repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb").parquet(s"$imgRoot/phash")
-      writeLayoutMarker(spark, imgRoot)
 
       // ---- trigger batches: all-novel, and ~4 true dups of known rows
       def novelBatch(off: Long) = (0 until batchN)

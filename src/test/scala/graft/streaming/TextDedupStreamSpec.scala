@@ -185,6 +185,25 @@ class TextDedupStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a PRE-LAYOUT standalone store (flat parquet at the root) fails " +
+      "loudly instead of silently bootstrapping over it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textdedup_legacy")
+      .resolve("store").toString
+    // the r14-and-earlier standalone layout: (doc_id, sig) parts written
+    // DIRECTLY under storeDir
+    Seq((1L, Seq(1L, 2L, 3L))).toDF("doc_id", "sig")
+      .write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      TextDedupStream.ingestInto(dir)(
+        Seq((2L, doc(2))).toDF("doc_id", "text"), 0L)
+    }
+    assert(e.getMessage.contains("_layout"),
+      s"migration must fail loudly, got: ${e.getMessage}")
+    // the legacy rows are untouched — nothing bootstrapped over them
+    assert(spark.read.parquet(dir).count() == 1L)
+  }
+
   test("hot-bucket cap: an over-cap store band drops from candidates; " +
       "a true pair survives on its other bands") {
     import spark.implicits._
