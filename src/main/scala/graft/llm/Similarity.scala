@@ -1175,7 +1175,7 @@ object Similarity {
 
   // ---- persisted COMPRESSED indexes (the q220 lifecycle for PQ/IVF-PQ) --
 
-  private def writeCodebooks(spark: SparkSession,
+  private[graft] def writeCodebooks(spark: SparkSession,
       codebooks: Array[Array[Array[Double]]], path: String): Unit = {
     import spark.implicits._
     (for (s <- codebooks.indices; c <- codebooks(s).indices)
@@ -1183,7 +1183,7 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  private def readCodebooks(spark: SparkSession,
+  private[graft] def readCodebooks(spark: SparkSession,
       path: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(path)
       .select("sub", "code", "centroid").collect()
@@ -1331,7 +1331,7 @@ object Similarity {
     * whose quantization error is larger (SemIngestBench's fixture needed
     * 0.30), and an under-margined dup is admitted forever.
     */
-  private def writeAdcCalibration(candidates: DataFrame,
+  private[graft] def writeAdcCalibration(candidates: DataFrame,
       codebooks: Array[Array[Array[Double]]], path: String): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
@@ -1387,17 +1387,26 @@ object Similarity {
     else Some(spark.read.parquet(p.toString).select("p99").head.getDouble(0))
   }
 
-  private def encodeIvfCode(vectors: DataFrame,
+  private[graft] def encodeIvfCode(vectors: DataFrame,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      withMargin: Boolean = false): DataFrame = {
     val extras = vectors.columns.filterNot(Set("vec_id", "embedding")).toSeq
-    vectors
+    val coded = vectors
       .select(Seq(col("vec_id").as("neighbor_id"),
         asDouble(col("embedding")).as("cv")) ++ extras.map(col): _*)
-      .select(Seq(col("neighbor_id"),
+      .select(Seq(col("neighbor_id"), col("cv"),
         IvfCell(col("cv"), centroids).as("cell"),
         PqCode(normalized(col("cv")), codebooks).as("codes")) ++
         extras.map(col): _*)
+    // `mrg` is the posting's EXACT ADC error bound ([[PqAdcMargin]]):
+    // screens that keep `adc ≥ threshold − mrg` never drop a true pair,
+    // with no calibration statistics in the loop
+    val out =
+      if (withMargin) coded.withColumn("mrg",
+        PqAdcMargin(normalized(col("cv")), col("codes"), codebooks))
+      else coded
+    out.drop("cv")
       // each cell lands wholly in one task → ONE file per cell per write
       // (partitionBy over the unshuffled plan writes tasks×cells files —
       // ~10k tiny postings files per streaming trigger at nlist ≈ √N)
@@ -1449,6 +1458,40 @@ object Similarity {
         d.withColumn(f.name, lit(null).cast(f.dataType))
       }
     }
+    val pr = adcProbesOf(qRows, centroids, codebooks, nprobe)
+    val coded = spark.read.parquet(dir + "/postings")
+      .filter(col("cell").isin(pr.probedCells.map(Integer.valueOf): _*))
+    adcScoreCandidates(coded, pr, minAdc)
+  }
+
+  /** The driver-side probe set of a query batch against a frozen
+    * (centroids, codebooks) pair: each query's ADC lookup table plus its
+    * `nprobe` nearest cells — |Q|·m·ksub doubles of bounded metadata,
+    * the reusable front half of [[ivfCodeThresholdCandidates]] (the
+    * [[graft.streaming.CurationChain]] screen probes its own bucketed
+    * postings store through this).
+    */
+  private[graft] final case class AdcProbes(
+      tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]],
+      probes: Array[(Long, Int)]) {
+    def probedCells: Array[Int] = probes.map(_._2).distinct.sorted
+  }
+
+  private[graft] def adcProbes(queries: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int): Option[AdcProbes] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    if (qRows.isEmpty) None
+    else Some(adcProbesOf(qRows, centroids, codebooks, nprobe))
+  }
+
+  private def adcProbesOf(qRows: Array[(Long, Seq[Double])],
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int): AdcProbes = {
     val np = math.max(1, math.min(nprobe, centroids.length))
     val tables = new java.util.HashMap[java.lang.Long, Array[Array[Double]]]()
     val probes = qRows.flatMap { case (id, v) =>
@@ -1460,20 +1503,32 @@ object Similarity {
           while (j < unit.length) { d += unit(j) * centroids(ci)(j); j += 1 }
           d
         }))
+        // lowest cell wins dot ties — the same first-max rule as
+        // [[IvfKernels.cell]], so a stored vector's assigned cell is
+        // always its identical query's FIRST probe
         .sortBy { case (ci, d) => (-d, ci) }
         .take(np)
         .map { case (ci, _) => (id, ci) }
     }
-    val probedCells: Array[Int] = probes.map(_._2).distinct.sorted
-    val coded = spark.read.parquet(dir + "/postings")
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    AdcProbes(tables, probes)
+  }
+
+  /** ADC-score a (neighbor_id, cell, codes, extras…) postings frame
+    * against a probe set and keep rows clearing `minAdc` — the back half
+    * of [[ivfCodeThresholdCandidates]], shared with callers that read
+    * their postings through their own pruned/tombstone-filtered path.
+    */
+  private[graft] def adcScoreCandidates(coded: DataFrame, pr: AdcProbes,
+      minAdc: Double): DataFrame = {
+    val spark = coded.sparkSession
+    import spark.implicits._
     val extras = coded.columns
       .filterNot(Set("neighbor_id", "cell", "codes")).toSeq
     // PqAdc is a squared-L2 ADC over unit vectors: cos = 1 − d²/2
-    coded.join(broadcast(probes.toSeq.toDF("query_id", "cell")), "cell")
+    coded.join(broadcast(pr.probes.toSeq.toDF("query_id", "cell")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(Seq(col("query_id"), col("neighbor_id"), col("cell"),
-        (lit(1.0) - PqAdc(col("query_id"), col("codes"), tables) / 2.0)
+        (lit(1.0) - PqAdc(col("query_id"), col("codes"), pr.tables) / 2.0)
           .as("adc")) ++
         extras.map(col): _*)
       .filter(col("adc") >= minAdc)

@@ -454,6 +454,31 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** The [[PqAdcMargin]] kernel: decode the codes (direct lookup, no
+    * search) and return ‖n − dec‖ + max(0, (‖dec‖² − 1)/2).
+    */
+  def adcMargin(v: ArrayData, codes: ArrayData,
+      codebooks: Array[Array[Array[Double]]]): Double = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    var r2 = 0.0
+    var dec2 = 0.0
+    var s = 0
+    while (s < m) {
+      val cen = codebooks(s)(codes.getInt(s))
+      val off = s * dsub
+      var i = 0
+      while (i < dsub) {
+        val d = v.getDouble(off + i) - cen(i)
+        r2 += d * d
+        dec2 += cen(i) * cen(i)
+        i += 1
+      }
+      s += 1
+    }
+    math.sqrt(r2) + math.max(0.0, (dec2 - 1.0) / 2.0)
+  }
+
   /** Per-query ADC table: tab[s][c] = ||q_sub(s) - codebook[s][c]||². */
   def adcTable(q: Array[Double], codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
     val m = codebooks.length
@@ -557,6 +582,51 @@ object PqAdc {
       tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]]): Column =
     ColumnBridge.column(
       PqAdc(ColumnBridge.expression(queryId), ColumnBridge.expression(codes), tables))
+}
+
+/** Codegen'd EXACT per-posting ADC error bound, computed at encode time
+  * from the unit vector `n` and its own codes: for any unit query `q`,
+  * with `dec` the codes' decode and `adc = 1 − ‖q − dec‖²/2`,
+  *
+  *   cos(q, n) − adc = q·(n − dec) + (‖dec‖² − 1)/2
+  *                   ≤ ‖n − dec‖ + max(0, (‖dec‖² − 1)/2)
+  *
+  * (Cauchy–Schwarz on the first term; both right-hand quantities depend
+  * only on the posting). A threshold screen that keeps candidates with
+  * `adc ≥ threshold − mrg(posting)` therefore NEVER drops a true pair —
+  * recall safety by construction rather than by a p99 calibration, and
+  * an out-of-distribution row (large residual) simply degrades to
+  * always-verify instead of silently under-margining (the r14 ADVICE
+  * hazard).
+  */
+case class PqAdcMargin(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"PqAdcMargin expects (ARRAY<DOUBLE>, ARRAY<INT>) inputs, got ${l.sql}, ${r.sql}")
+  }
+  override protected def nullSafeEval(v: Any, codes: Any): Any =
+    PqKernels.adcMargin(v.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, (v, c) => s"graft.llm.PqKernels.adcMargin($v, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcMargin =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcMargin {
+  def apply(unitVec: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcMargin(ColumnBridge.expression(unitVec),
+      ColumnBridge.expression(codes), codebooks))
 }
 
 /** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein

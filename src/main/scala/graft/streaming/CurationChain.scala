@@ -100,13 +100,14 @@ object CurationChain {
     * cadence.)
     */
   private val StoreNames =
-    Seq("exact", "phash", "sigs", "vecs", "admitted", "budget")
+    Seq("exact", "phash", "sigs", "vecs", "vecpq", "admitted", "budget")
 
   /** The bucketed screen stores and their partition columns — each has a
     * flat `_tail` sibling holding the deltas since the last merge.
     */
   private val BucketedStores = Seq("exact" -> Seq("pb"),
-    "phash" -> Seq("pb"), "sigs" -> Seq("pb"), "vecs" -> Seq("cell"))
+    "phash" -> Seq("pb"), "sigs" -> Seq("pb"), "vecs" -> Seq("cell"),
+    "vecpq" -> Seq("cell"))
   private val FlatStores = Seq("admitted", "budget")
 
   /** Every directory the per-trigger recover sweep heals. */
@@ -140,15 +141,54 @@ object CurationChain {
     if (hasData(spark, dir)) Some(spark.read.parquet(dir).select(cols.map(col): _*))
     else None
 
-  /** The persisted frozen cell centroids of the `vecs` store (None until
-    * the cell layout founds — see [[maintainVecCells]]). Layout mirrors
-    * the q220 IVF index: `vec_cells/centroids` (cell, centroid).
+  /** The frozen semantic quantizer of the `vecs`/`vecpq` stores (None
+    * until the cell layout founds — see [[maintainVecCells]]): coarse
+    * centroids plus PQ sub-codebooks. Layout mirrors the streaming index
+    * ([[graft.llm.Similarity.buildIvfCodeIndex]]): `vec_cells/centroids`,
+    * `vec_cells/codebooks`, `vec_cells/calib` (the calib quantiles are
+    * quality telemetry here — the screen's recall bound is the
+    * per-posting `mrg`, not a calibrated global margin). `codebooks` is
+    * None on a root founded before the coded layout existed — the next
+    * cadence upgrades it.
     */
-  private def loadVecCentroids(spark: SparkSession,
-      rootDir: String): Option[Array[Array[Double]]] =
-    if (hasData(spark, s"$rootDir/vec_cells/centroids"))
-      Some(graft.llm.Similarity.readIvfCentroids(spark, s"$rootDir/vec_cells"))
-    else None
+  private final case class VecQuantizer(cents: Array[Array[Double]],
+      codebooks: Option[Array[Array[Array[Double]]]])
+
+  /** Driver memo of the quantizer: the arrays only change when a
+    * (re)found swaps `vec_cells`, so the per-trigger centroid/codebook/
+    * calib reads are fixed jobs for constants (the r14-item-2 overhead
+    * class). Keyed by the cells dir's recursive file listing — one
+    * metadata sweep per trigger instead of three read jobs.
+    */
+  private val quantCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, VecQuantizer)]()
+
+  private def loadVecQuantizer(spark: SparkSession,
+      rootDir: String): Option[VecQuantizer] = {
+    val cellsDir = s"$rootDir/vec_cells"
+    if (!hasData(spark, s"$cellsDir/centroids")) return None
+    val (fs, p) = hadoopFs(spark, cellsDir)
+    val stamp = new StringBuilder()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      stamp.append(st.getPath.getName).append(':').append(st.getLen)
+        .append(':').append(st.getModificationTime).append(',')
+    }
+    val key = stamp.toString()
+    val hit = quantCache.get(cellsDir)
+    if (hit != null && hit._1 == key) Some(hit._2)
+    else {
+      val cents = graft.llm.Similarity.readIvfCentroids(spark, cellsDir)
+      val cbs =
+        if (hasData(spark, s"$cellsDir/codebooks"))
+          Some(graft.llm.Similarity.readCodebooks(spark, s"$cellsDir/codebooks"))
+        else None
+      val q = VecQuantizer(cents, cbs)
+      quantCache.put(cellsDir, (key, q))
+      Some(q)
+    }
+  }
 
   /** Derive the admitted set against the CURRENT store state and stage
     * all outputs under `_staged/<batchId>/`, sealing with `_STAGED`.
@@ -163,7 +203,7 @@ object CurationChain {
       offers: DataFrame, batchTombstones: Option[DataFrame],
       batchId: Long, vecNprobe: Int = 4,
       budgets: Map[String, Long] = Map.empty,
-      budgetDefault: Long = Long.MaxValue): Unit = {
+      budgetDefault: Long = Long.MaxValue, vecPq: Boolean = true): Unit = {
     val spark = offers.sparkSession
     val P = StoreLayout.ensureLayout(spark, rootDir, StoreNames)
     val budgeted = budgets.nonEmpty
@@ -173,13 +213,15 @@ object CurationChain {
     val phashDir = s"$rootDir/phash"
     val sigDir = s"$rootDir/sigs"
     val vecDir = s"$rootDir/vecs"
+    val vecpqDir = s"$rootDir/vecpq"
     val bloomDir = s"$rootDir/bloom"
     val sigBloomDir = s"$rootDir/sigbloom"
     def staged(store: String): String = StoreTxn.stagePath(rootDir, batchId, store)
     val semantic = offers.columns.contains("embedding")
     val media = offers.columns.contains("content")
-    val vecCents: Option[Array[Array[Double]]] =
-      if (semantic) loadVecCentroids(spark, rootDir) else None
+    val vecQuant: Option[VecQuantizer] =
+      if (semantic) loadVecQuantizer(spark, rootDir) else None
+    val vecCents: Option[Array[Array[Double]]] = vecQuant.map(_.cents)
 
     // effective tombstones: standing (un-applied) ∪ this batch's, one
     // max-asOf row per doc — tiny (bounded by churn since the last
@@ -267,6 +309,7 @@ object CurationChain {
     val pinned = gated.persist()
     var hashed: Option[DataFrame] = None
     var percDrops: Option[DataFrame] = None
+    var pqCand: Option[DataFrame] = None
     try {
       // stage 2b: exact screen against the standing hash store, bloom
       // front first: batch hashes whose bucket's blobs all miss are
@@ -420,19 +463,87 @@ object CurationChain {
         else {
           val vecs = survivedSig
             .select(col("doc_id").as("vec_id"), col("embedding"))
-          val ok = vecCents match {
-            case Some(cents) if storePresent(vecDir) =>
+          val ok = vecQuant match {
+            // coded probe (the founded default): the store side reads
+            // the PQ POSTINGS of the probed cells — 8+m+8 bytes/vector
+            // instead of dim·8 — ADC-scores them at a calibrated margin
+            // below the threshold, and exact-verifies ONLY the
+            // candidates against the raw store by id pushdown. An
+            // all-novel batch reads code postings and zero raw vectors.
+            case Some(q) if vecPq && q.codebooks.isDefined &&
+                storePresent(vecpqDir) =>
               val survV = SemDedupStream
                 .admitBatch(vecs, spark.emptyDataFrame, threshold)
-              val q = survV.select(col("vec_id"),
+              graft.llm.Similarity.adcProbes(
+                  survV.select("vec_id", "embedding"), q.cents,
+                  q.codebooks.get, vecNprobe) match {
+                case None => survV // zero offers survived the batch screen
+                case Some(pr) =>
+                  readLive(vecpqDir, "vec_id",
+                      Seq("vec_id", "cell", "codes", "mrg"),
+                      Some(("cell", pr.probedCells.toSeq)))
+                    .map { st =>
+                      // each posting carries its EXACT ADC error bound
+                      // `mrg` ([[graft.llm.PqAdcMargin]]) — the filter
+                      // can never drop a true pair, and a posting the
+                      // codebooks quantize badly just verifies exactly
+                      val cand = graft.llm.Similarity.adcScoreCandidates(
+                          st.withColumnRenamed("vec_id", "neighbor_id"), pr,
+                          Double.MinValue)
+                        .filter(col("adc") >= lit(threshold) - col("mrg"))
+                        .select("query_id", "neighbor_id", "cell").persist()
+                      pqCand = Some(cand)
+                      // id-pushdown fetch: candidate rows only, pruned to
+                      // their cells (the SemDedupStream verify contract —
+                      // past 10k candidates fall back to a semi-join)
+                      val idRows = cand.select("neighbor_id", "cell")
+                        .distinct().limit(10001).collect()
+                      val fetched =
+                        if (idRows.isEmpty) None
+                        else if (idRows.length <= 10000)
+                          readLive(vecDir, "vec_id", Seq("vec_id", "embedding"),
+                              Some(("cell",
+                                idRows.map(_.getInt(1)).distinct.sorted.toSeq)))
+                            .map(_.filter(col("vec_id").isin(idRows.map(r =>
+                              java.lang.Long.valueOf(r.getLong(0))).toSeq: _*)))
+                        else
+                          readLive(vecDir, "vec_id", Seq("vec_id", "embedding"),
+                              Some(("cell", pr.probedCells.toSeq)))
+                            .map(_.join(
+                              cand.select(col("neighbor_id").as("vec_id"))
+                                .distinct(), Seq("vec_id"), "left_semi"))
+                      fetched.map { f =>
+                        val dup = cand.select("query_id", "neighbor_id")
+                          .distinct()
+                          .join(f.select(col("vec_id").as("neighbor_id"),
+                            col("embedding").cast("array<double>").as("cv")),
+                            Seq("neighbor_id"))
+                          .join(survV.select(col("vec_id").as("query_id"),
+                            col("embedding").cast("array<double>").as("qv")),
+                            Seq("query_id"))
+                          .filter(graft.llm.Similarity
+                            .cosine(col("qv"), col("cv")) >= threshold)
+                          .select(col("query_id").as("vec_id")).distinct()
+                        survV.join(dup, Seq("vec_id"), "left_anti")
+                      }.getOrElse(survV)
+                    }
+                    .getOrElse(survV)
+              }
+            // raw cell probe: a founded root whose coded postings have
+            // not (re)built yet — correct, just dim·8 bytes per probed row
+            case Some(q) if storePresent(vecDir) =>
+              val cents = q.cents
+              val survV = SemDedupStream
+                .admitBatch(vecs, spark.emptyDataFrame, threshold)
+              val qv = survV.select(col("vec_id"),
                   col("embedding").cast("array<double>").as("qv"))
                 .withColumn("cell", explode(graft.llm.IvfProbe(col("qv"),
                   cents, math.min(vecNprobe, cents.length))))
-              val cells = q.select(col("cell").as("pb"))
+              val cells = qv.select(col("cell").as("pb"))
               readLive(vecDir, "vec_id", Seq("vec_id", "embedding", "cell"),
                   Some(("cell", StoreLayout.bucketsPresent(cells))))
                 .map { st =>
-                  val dup = q.join(st.select(col("cell"),
+                  val dup = qv.join(st.select(col("cell"),
                         col("vec_id").as("neighbor_id"),
                         col("embedding").cast("array<double>").as("cv")),
                       Seq("cell"))
@@ -588,7 +699,7 @@ object CurationChain {
         .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
       pendingFronts.put((rootDir, batchId),
         Seq(bloomDir -> exactBlobs, sigBloomDir -> sigBlobs))
-      if (semantic)
+      if (semantic) {
         keep.select(col("doc_id").as("vec_id"), col("embedding"))
           .withColumn("b", lit(batchId))
           .withColumn("cell", vecCents match {
@@ -598,6 +709,18 @@ object CurationChain {
           })
           .repartition(col("cell"))
           .write.mode("overwrite").parquet(staged("vecs_tail"))
+        // the coded postings delta: the SAME admitted rows, frozen-
+        // centroid cell + frozen-codebook encode, through the SAME
+        // staged publish — the postings can never lag the raw store
+        if (vecPq) vecQuant.filter(_.codebooks.isDefined).foreach { q =>
+          graft.llm.Similarity.encodeIvfCode(
+              keep.select(col("doc_id").as("vec_id"), col("embedding"))
+                .withColumn("b", lit(batchId)),
+              q.cents, q.codebooks.get, withMargin = true)
+            .withColumnRenamed("neighbor_id", "vec_id")
+            .write.mode("overwrite").parquet(staged("vecpq_tail"))
+        }
+      }
       keep.select("doc_id", "text", "content_hash")
         .withColumn("b", lit(batchId))
         .write.mode("overwrite").parquet(staged("admitted"))
@@ -608,16 +731,17 @@ object CurationChain {
       StoreTxn.seal(spark, rootDir, batchId)
     } finally {
       pinned.unpersist(); hashed.foreach(_.unpersist())
-      percDrops.foreach(_.unpersist()); tombOpt.foreach(_.unpersist()); ()
+      percDrops.foreach(_.unpersist()); tombOpt.foreach(_.unpersist())
+      pqCand.foreach(_.unpersist()); ()
     }
   }
 
   private[streaming] def stageBatch(rootDir: String, threshold: Double,
       vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
-      budgetDefault: Long = Long.MaxValue)(
+      budgetDefault: Long = Long.MaxValue, vecPq: Boolean = true)(
       batch: DataFrame, batchId: Long): Unit =
     stageCurated(rootDir, threshold, batch, None, batchId, vecNprobe,
-      budgets, budgetDefault)
+      budgets, budgetDefault, vecPq)
 
   /** Derived state the recover sweep also heals (their cadence rebuilds
     * go through the same rename swap as compaction).
@@ -683,8 +807,10 @@ object CurationChain {
     * store.
     */
   private def maintainVecCells(spark: SparkSession, rootDir: String,
-      floor: Int, rebuildFactor: Double = 4.0): Unit = {
+      floor: Int, rebuildFactor: Double = 4.0,
+      vecPq: Boolean = true): Unit = {
     val vecDir = s"$rootDir/vecs"
+    val vecpqDir = s"$rootDir/vecpq"
     val cellsDir = s"$rootDir/vec_cells"
     val (fs, cellsPath) = hadoopFs(spark, cellsDir)
     // stale residue from a crashed (re)founding: the store is the truth
@@ -692,24 +818,52 @@ object CurationChain {
     fs.delete(new org.apache.hadoop.fs.Path(cellsDir + "_tmp"), true)
     fs.delete(new org.apache.hadoop.fs.Path(cellsDir + "_old"), true)
     if (!hasData(spark, vecDir)) return
-    val cents = loadVecCentroids(spark, rootDir)
-    val needs = cents match {
+    val quant = loadVecQuantizer(spark, rootDir)
+    val needs = quant match {
       case None =>
         spark.read.parquet(vecDir).count() >= floor
-      case Some(c) =>
+      case Some(q) if vecPq && q.codebooks.isEmpty =>
+        true // founded before the coded layout existed — upgrade refound
+      case Some(q) =>
         val counts = spark.read.parquet(vecDir).groupBy("cell")
           .agg(count(lit(1)).as("n"))
           .agg(max("n").as("hot"), sum("n").as("total")).head
         !counts.isNullAt(0) &&
-          counts.getLong(0).toDouble * c.length >
+          counts.getLong(0).toDouble * q.cents.length >
             rebuildFactor * counts.getLong(1)
     }
     if (!needs) return
-    val n = spark.read.parquet(vecDir).count()
+    // EVERY read of the pre-rewrite store happens here, before the
+    // swaps below delete the files those plans listed
+    val src = spark.read.parquet(vecDir).select("vec_id", "embedding")
+    val n = src.count()
     val nlist = math.max(2, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
-    val newCents = graft.llm.Similarity.trainCentroids(
-      spark.read.parquet(vecDir).select("vec_id", "embedding"), nlist)
-    // retire the OLD centroids before touching the store: a crash
+    val newCents = graft.llm.Similarity.trainCentroids(src, nlist)
+    val newCbs: Option[Array[Array[Array[Double]]]] =
+      if (!vecPq) None
+      else src.filter(col("embedding").isNotNull)
+        .select(size(col("embedding")).as("d")).limit(1).collect()
+        .headOption.map { r =>
+          // the largest subspace count ≤ 8 that divides the dim (PQ
+          // needs equal sub-vectors; m = 1 degrades to plain VQ)
+          val m = Seq(8, 4, 2, 1).find(r.getInt(0) % _ == 0).get
+          graft.llm.Similarity.trainPqCodebooks(src, m)
+        }
+    // the new quantizer stages wholly under _tmp first (crash residue
+    // deletes at the top of the next cadence)
+    val spark2 = spark
+    import spark2.implicits._
+    newCents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(cellsDir + "_tmp/centroids")
+    newCbs.foreach { cbs =>
+      graft.llm.Similarity.writeCodebooks(spark, cbs,
+        cellsDir + "_tmp/codebooks")
+      graft.llm.Similarity.writeAdcCalibration(src, cbs,
+        cellsDir + "_tmp/calib")
+    }
+    // retire the OLD quantizer before touching the stores: a crash
     // anywhere past this point reads as "no centroids" → full-scan
     // fallback, never a centroid/assignment mismatch
     if (fs.exists(cellsPath))
@@ -720,12 +874,21 @@ object CurationChain {
       df.drop("cell").withColumn("cell", graft.llm.IvfCell(
         col("embedding").cast("array<double>"), newCents)),
       repartitionTo = Some(Seq("cell")))
-    val spark2 = spark
-    import spark2.implicits._
-    newCents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(cellsDir + "_tmp/centroids")
+    // wholesale re-encode of the coded postings under the new quantizer
+    // (swap-healed; sequenced BEFORE the quantizer publish, so published
+    // centroids always imply complete postings)
+    newCbs.foreach { cbs =>
+      def encoded(ignored: DataFrame): DataFrame =
+        graft.llm.Similarity.encodeIvfCode(
+            spark.read.parquet(vecDir).select("vec_id", "embedding", "b"),
+            newCents, cbs, withMargin = true)
+          .withColumnRenamed("neighbor_id", "vec_id")
+      if (hasData(spark, vecpqDir))
+        StoreCompact.rewrite(spark, vecpqDir, encoded,
+          repartitionTo = Some(Seq("cell")))
+      else encoded(spark.emptyDataFrame).write.mode("overwrite")
+        .partitionBy("cell").parquet(vecpqDir)
+    }
     require(fs.rename(new org.apache.hadoop.fs.Path(cellsDir + "_tmp"),
       cellsPath), s"vec_cells: could not publish $cellsDir")
     fs.delete(new org.apache.hadoop.fs.Path(cellsDir + "_old"), true)
@@ -743,7 +906,7 @@ object CurationChain {
       compactEvery: Int = 0, vecCellFloor: Int = VecCellFloorDefault,
       vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
       budgetDefault: Long = Long.MaxValue,
-      vecRebuildFactor: Double = 4.0)(
+      vecRebuildFactor: Double = 4.0, vecPq: Boolean = true)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreTxn.guardMonotone(spark, rootDir, batchId)
@@ -751,8 +914,8 @@ object CurationChain {
     if (!StoreTxn.isCommitted(spark, rootDir, batchId)) {
       if (!StoreTxn.isStaged(spark, rootDir, batchId)) {
         StoreTxn.clearForeignStaged(spark, rootDir, batchId)
-        stageBatch(rootDir, threshold, vecNprobe, budgets, budgetDefault)(
-          batch, batchId)
+        stageBatch(rootDir, threshold, vecNprobe, budgets, budgetDefault,
+          vecPq)(batch, batchId)
       }
       // a sealed staged copy (this call's, or a mid-publish crash's)
       // publishes WITHOUT recompute — the stores may already hold some of
@@ -768,7 +931,7 @@ object CurationChain {
         .filter(hasData(spark, _))
         .foreach(StoreCompact.compact(spark, _))
       rebuildBlooms(spark, rootDir)
-      maintainVecCells(spark, rootDir, vecCellFloor, vecRebuildFactor)
+      maintainVecCells(spark, rootDir, vecCellFloor, vecRebuildFactor, vecPq)
     }
   }
 
@@ -792,7 +955,8 @@ object CurationChain {
 
   /** Which id column retires a store's rows when its doc tombstones. */
   private val StoreKeys = Seq("exact" -> "doc_id", "phash" -> "media_id",
-    "sigs" -> "doc_id", "vecs" -> "vec_id", "admitted" -> "doc_id")
+    "sigs" -> "doc_id", "vecs" -> "vec_id", "vecpq" -> "vec_id",
+    "admitted" -> "doc_id")
 
   /** Physically remove tombstoned rows (a row retires when a tombstone
     * with `asOf > b` exists for its doc) from every store, then clear
@@ -841,7 +1005,7 @@ object CurationChain {
       compactEvery: Int = 0, vecCellFloor: Int = VecCellFloorDefault,
       vecNprobe: Int = 4, budgets: Map[String, Long] = Map.empty,
       budgetDefault: Long = Long.MaxValue,
-      vecRebuildFactor: Double = 4.0)(
+      vecRebuildFactor: Double = 4.0, vecPq: Boolean = true)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     StoreTxn.guardMonotone(spark, rootDir, batchId)
@@ -863,7 +1027,7 @@ object CurationChain {
           val offers = last
             .filter(col("op").isin("INSERT", "UPDATE")).drop("op")
           stageCurated(rootDir, threshold, offers, Some(tombIds), batchId,
-            vecNprobe, budgets, budgetDefault)
+            vecNprobe, budgets, budgetDefault, vecPq)
         } finally { last.unpersist(); () }
       }
       StoreTxn.publish(spark, rootDir, batchId)
@@ -881,7 +1045,7 @@ object CurationChain {
       // the retired keys here (they were a safe superset until now) and
       // the rebuilt blobs cover the merged mains completely
       rebuildBlooms(spark, rootDir)
-      maintainVecCells(spark, rootDir, vecCellFloor, vecRebuildFactor)
+      maintainVecCells(spark, rootDir, vecCellFloor, vecRebuildFactor, vecPq)
     }
   }
 }

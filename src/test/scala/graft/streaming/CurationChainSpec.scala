@@ -767,4 +767,108 @@ class CurationChainSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/vecs").exists() &&
       !new java.io.File(s"$root/vecs_tail").exists())
   }
+
+  test("coded semantic screen: founding publishes codebooks + coded " +
+      "postings, an OUT-OF-DISTRIBUTION dup rejects via the per-posting " +
+      "margin, and vecPq=false (raw probe) reaches identical decisions") {
+    val s = spark
+    import s.implicits._
+    def axisVec(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+    def run(vecPq: Boolean): (String, Seq[Long]) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_chain_pq").toFile.getAbsolutePath + "/c"
+      val body = CurationChain.ingestInto(root, compactEvery = 2,
+        vecCellFloor = 8, vecNprobe = 2, vecPq = vecPq) _
+      body(df((0 until 6).map(i => (i.toLong, doc(i), axisVec(i)))), 0L)
+      body(df((6 until 12).map(i => (i.toLong, doc(i), axisVec(i)))), 1L)
+      body(df(Seq((12L, doc(12), axisVec(12)))), 2L) // cadence: founds
+      // axis 40 is OUTSIDE the founding distribution (its subspace was
+      // all-zero in training, so its posting decodes to ~0 there, ADC
+      // error ~1): a calibrated GLOBAL margin measured on the founding
+      // corpus would read ~0 and silently admit 102 below
+      body(df(Seq(
+        (100L, doc(100), axisVec(3)),      // dup of pre-founding doc 3
+        (101L, doc(101), axisVec(40)))), 3L) // novel OOD — admits
+      body(df(Seq(
+        (102L, doc(102), axisVec(40)),     // dup of the OOD tail posting
+        (103L, doc(103), axisVec(50)))), 4L) // novel — exact verify clears
+      (root, spark.read.parquet(s"$root/admitted").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    val (pqRoot, pqAdmitted) = run(vecPq = true)
+    assert(new java.io.File(s"$pqRoot/vec_cells/codebooks").exists(),
+      "founding must publish the PQ codebooks with the centroids")
+    assert(new java.io.File(s"$pqRoot/vec_cells/calib").exists())
+    assert(pqAdmitted == ((0L until 13L) :+ 101L :+ 103L),
+      s"OOD dup must reject through the per-posting margin: $pqAdmitted")
+    // the coded postings cover the raw store row-for-row
+    val vecIds = CurationChain.storeRows(spark, pqRoot, "vecs")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val pq = CurationChain.storeRows(spark, pqRoot, "vecpq")
+    val pqIds = pq.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vecIds == pqIds,
+      s"coded postings must cover the raw store: $vecIds vs $pqIds")
+    // the margin IS the quantization-error bound: ~0 for rows the
+    // codebooks were trained on, large for the out-of-distribution rows
+    val mrgByAxis = pq.select("vec_id", "mrg").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(mrgByAxis(3L) < 0.1, s"in-distribution mrg: ${mrgByAxis(3L)}")
+    assert(mrgByAxis(101L) > 0.5, s"OOD mrg must be large: ${mrgByAxis(101L)}")
+    val (_, rawAdmitted) = run(vecPq = false)
+    assert(rawAdmitted == pqAdmitted,
+      s"raw and coded screens must agree: $rawAdmitted vs $pqAdmitted")
+  }
+
+  test("coded semantic screen x CDC: UPDATE/DELETE retire postings " +
+      "in-trigger, retired vectors unblock re-offers, and the cadence " +
+      "drops retired postings physically") {
+    val s = spark
+    import s.implicits._
+    def axisVec(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    def ops(rows: Seq[(String, Long, Long, String, Array[Float])]) =
+      rows.toDF("op", "ord", "doc_id", "text", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_pq_cdc").toFile.getAbsolutePath + "/c"
+    val body = CurationChain.ingestCdcInto(root, compactEvery = 2,
+      vecCellFloor = 8, vecNprobe = 2) _
+    def live() = CurationChain.readAdmitted(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    body(ops((0 until 6).map(i =>
+      ("INSERT", i.toLong, i.toLong, doc(i), axisVec(i)))), 0L)
+    body(ops((6 until 12).map(i =>
+      ("INSERT", i.toLong, i.toLong, doc(i), axisVec(i)))), 1L)
+    body(ops(Seq(("INSERT", 1L, 12L, doc(12), axisVec(12)))), 2L) // founds
+    assert(new java.io.File(s"$root/vec_cells/codebooks").exists())
+
+    // one trigger, three retirement semantics: UPDATE 5 re-admits on a
+    // novel axis THROUGH its own posting's retirement; INSERT 200
+    // re-offers the retired axis-5 vector and admits; DELETE 3
+    body(ops(Seq(
+      ("UPDATE", 1L, 5L, doc(105), axisVec(55)),
+      ("INSERT", 2L, 200L, doc(200), axisVec(5)),
+      ("DELETE", 3L, 3L, doc(3), null.asInstanceOf[Array[Float]]))), 3L)
+    assert(live() == (Seq(0L, 1L, 2L, 4L, 5L) ++ (6L to 12L) :+ 200L),
+      s"in-trigger retirement: ${live()}")
+
+    // cadence trigger: the DELETEd axis-3 vector no longer ghosts (300
+    // admits), a standing axis still screens (400 rejects), and the
+    // tombstone apply drops retired postings physically
+    body(ops(Seq(
+      ("INSERT", 1L, 300L, doc(300), axisVec(3)),
+      ("INSERT", 2L, 400L, doc(400), axisVec(7)))), 4L)
+    assert(live() == (Seq(0L, 1L, 2L, 4L, 5L) ++ (6L to 12L) ++
+      Seq(200L, 300L)), s"post-apply decisions: ${live()}")
+    val pqIds = CurationChain.storeRows(spark, root, "vecpq")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pqIds == live(), s"retired postings must drop physically: $pqIds")
+    // exactly one posting per live doc — the UPDATEd doc's old vector
+    // is gone, not shadowed
+    assert(CurationChain.storeRows(spark, root, "vecpq").count() ==
+      live().size.toLong)
+  }
 }
