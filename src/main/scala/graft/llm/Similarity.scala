@@ -1318,7 +1318,7 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
     writeCodebooks(spark, codebooks, dir + "/codebooks")
     writeAdcCalibration(candidates, codebooks, dir + "/calib")
-    encodeIvfCode(candidates, centroids, codebooks)
+    encodeIvfCode(candidates, centroids, codebooks, withMargin = true)
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
   }
 
@@ -1423,8 +1423,20 @@ object Similarity {
     val spark = newVectors.sparkSession
     val centroids = readIvfCentroids(spark, indexDir)
     val codebooks = readCodebooks(spark, indexDir + "/codebooks")
-    encodeIvfCode(newVectors, centroids, codebooks)
+    // match the standing postings' shape: append `mrg` iff the standing
+    // generation carries it (an append into a pre-margin index must not
+    // fork the schema mid-generation; absent postings read as the
+    // current build convention, which writes the margin)
+    encodeIvfCode(newVectors, centroids, codebooks,
+        withMargin = postingsHaveMargin(spark, indexDir))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
+
+  private def postingsHaveMargin(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir + "/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) ||
+      spark.read.parquet(p.toString).schema.exists(_.name == "mrg")
   }
 
   /** Threshold CANDIDATES from a [[buildIvfCodeIndex]] layout: each query
@@ -1462,6 +1474,28 @@ object Similarity {
     val coded = spark.read.parquet(dir + "/postings")
       .filter(col("cell").isin(pr.probedCells.map(Integer.valueOf): _*))
     adcScoreCandidates(coded, pr, minAdc)
+  }
+
+  /** Threshold candidates with the EXACT per-posting margin: where the
+    * postings carry `mrg` (every index [[buildIvfCodeIndex]] writes —
+    * [[PqAdcMargin]], the posting's own ADC error bound), keep
+    * `adc ≥ threshold − mrg` — recall-safe for ANY query by
+    * Cauchy–Schwarz, so no calibration statistics stand between a true
+    * pair and its verify; a posting the frozen codebooks quantize badly
+    * (corpus drift) degrades to always-verify instead of silently
+    * slipping under a global margin. Legacy postings without `mrg` fall
+    * back to the global `threshold − fallbackMargin` filter.
+    */
+  def ivfCodeThresholdCandidatesExact(dir: String, queries: DataFrame,
+      threshold: Double, nprobe: Int = 4,
+      fallbackMargin: Double = 0.15): DataFrame = {
+    val spark = queries.sparkSession
+    if (!postingsHaveMargin(spark, dir))
+      ivfCodeThresholdCandidates(dir, queries, threshold - fallbackMargin,
+        nprobe)
+    else
+      ivfCodeThresholdCandidates(dir, queries, Double.MinValue, nprobe)
+        .filter(col("adc") >= lit(threshold) - col("mrg"))
   }
 
   /** The driver-side probe set of a query batch against a frozen

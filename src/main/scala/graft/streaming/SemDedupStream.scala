@@ -262,8 +262,12 @@ object SemDedupStream {
     *  1. screen — in-batch greedy drop, then the corpus side through the
     *     STANDING index: probe nprobe cells, ADC-score the pruned code
     *     postings (≈ cosine, full-vector codes), and exact-verify only
-    *     the candidates clearing `threshold - adcMargin` against the raw
-    *     corpus (id-pushdown fetch; an all-novel batch produces ZERO
+    *     the candidates clearing `threshold - mrg` — each posting's OWN
+    *     exact ADC error bound, written at encode time
+    *     ([[graft.llm.PqAdcMargin]]; recall-safe for any query by
+    *     Cauchy–Schwarz, with `adcMargin` surviving only as the global
+    *     fallback for pre-margin indexes) — against the raw corpus
+    *     (id-pushdown fetch; an all-novel batch produces ZERO
     *     candidates and never opens a corpus file). Before the index
     *     exists — corpus below [[indexFloor]] — the per-trigger
     *     [[admitBatch]] path screens, so bootstrap semantics are the
@@ -377,12 +381,16 @@ object SemDedupStream {
               // in liveOf on the candidate frame and lost the DELETEs)
               if (surv.isEmpty) surv
               else {
-                val margin = resolveMargin(spark, indexDir, adcMargin)
                 // ADC candidates (postings pruned to the probed cells, m
-                // bytes/vector), retired postings excluded by (id, b),
-                // then the candidate-bounded exact verify
-                val cand = liveOf(Similarity.ivfCodeThresholdCandidates(
-                    indexDir, surv, threshold - margin, nprobe)
+                // bytes/vector), each kept at `adc ≥ threshold − mrg` —
+                // the posting's own exact error bound, so recall never
+                // depends on the calibrated global margin (that margin
+                // survives only as the fallback for indexes built
+                // before `mrg` existed); retired postings excluded by
+                // (id, b), then the candidate-bounded exact verify
+                val cand = liveOf(Similarity.ivfCodeThresholdCandidatesExact(
+                    indexDir, surv, threshold, nprobe,
+                    resolveMargin(spark, indexDir, adcMargin))
                   .withColumnRenamed("neighbor_id", "vec_id"))
                   .withColumnRenamed("vec_id", "neighbor_id")
                 val dupIds = verifyCandidatesLive(spark, rootDir, surv, cand,

@@ -274,6 +274,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(empty.filter(col("b").isNull || col("b") >= 0).count() == 0L)
   }
 
+  test("per-posting exact margin: an out-of-distribution append's exact " +
+      "dup is a candidate at the raw threshold where the calibrated " +
+      "global margin provably misses it") {
+    val s2 = spark
+    import s2.implicits._
+    def axisVec(axis: Int): Seq[Double] =
+      Seq.tabulate(64)(i => if (i == axis) 1.0 else 0.0)
+    // low-residual founding corpus: 16 one-hot axes — each distinct
+    // sub-vector becomes its own codebook centroid, so the calibrated
+    // p99 margin reads ~0
+    val corpus = (0 until 16).map(i => (i.toLong, axisVec(i)))
+      .toDF("vec_id", "embedding")
+    val cidx = idx + "_mrg"
+    Similarity.buildIvfCodeIndex(corpus, cidx, nlist = 4)
+    val calib = Similarity.adcCalibratedMargin(spark, cidx).get
+    assert(calib < 0.05, s"fixture needs a tight calibration, got $calib")
+    // OOD append: axis 40 — its subspace was all-zero in training, so
+    // its codes decode to ~0 and the ADC of its own EXACT dup reads ~0.5
+    val ood = Seq((100L, axisVec(40))).toDF("vec_id", "embedding")
+    Similarity.stageIvfCodeAppend(ood, cidx, cidx + "/postings_app")
+    spark.read.parquet(cidx + "/postings_app")
+      .write.mode("append").partitionBy("cell").parquet(cidx + "/postings")
+    val q = Seq((200L, axisVec(40))).toDF("vec_id", "embedding")
+    val exact = Similarity
+      .ivfCodeThresholdCandidatesExact(cidx, q, threshold = 0.92, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(exact.contains(100L),
+      s"the per-posting margin must keep the OOD dup a candidate: $exact")
+    val global = Similarity
+      .ivfCodeThresholdCandidates(cidx, q, minAdc = 0.92 - calib, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!global.contains(100L),
+      "fixture mismatch: the calibrated global margin should miss the " +
+        "OOD dup — otherwise this test proves nothing")
+    // in-distribution: a dup of a founding axis is a candidate on the
+    // exact path too (tight mrg does not over-prune)
+    val q3 = Seq((300L, axisVec(3))).toDF("vec_id", "embedding")
+    val inDist = Similarity
+      .ivfCodeThresholdCandidatesExact(cidx, q3, threshold = 0.92, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(inDist.contains(3L), s"in-distribution dup lost: $inDist")
+  }
+
   test("rebuild replaces the previous generation completely") {
     val e = Tables(spark, dir, "embeddings")
     // Generation 1: only even vectors. A probe can never return an odd id.
