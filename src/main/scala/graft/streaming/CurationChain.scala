@@ -52,8 +52,15 @@ import org.apache.spark.sql.functions._
   * with something admitted pull their buckets — for a novel batch that
   * is none); `phash` pre-banded and bucketed by (band, v); `vecs` cell-
   * partitioned under frozen trained centroids once past the founding
-  * floor (probe-pruned like the persisted q220 index, retrain-per-
-  * trigger below it). Per-trigger screen cost is then bounded by the
+  * floor (retrain-per-trigger below it) with `vecpq`, its PQ-CODED
+  * posting twin (r15): the founding/drift cadence also trains
+  * sub-codebooks, and the screen ADC-scores the probed cells' postings
+  * — 8+m+8 bytes/vector instead of dim·8 — keeping candidates at
+  * `adc ≥ threshold − mrg`, each posting's own exact error bound
+  * ([[graft.llm.PqAdcMargin]]), then exact-verifies ONLY candidates
+  * against the raw store by id pushdown (an all-novel trigger reads
+  * zero raw vectors; `vecPq = false` keeps the raw probe). Per-trigger
+  * screen cost is then bounded by the
   * batch and its true duplicates, not by store size. Stores compact per
   * bucket on the `compactEvery` cadence (blooms rebuild, cells refound
   * on drift) and heal via [[StoreCompact.recover]] after a mid-swap
@@ -310,6 +317,7 @@ object CurationChain {
     var hashed: Option[DataFrame] = None
     var percDrops: Option[DataFrame] = None
     var pqCand: Option[DataFrame] = None
+    var pqSurv: Option[DataFrame] = None
     try {
       // stage 2b: exact screen against the standing hash store, bloom
       // front first: batch hashes whose bucket's blobs all miss are
@@ -472,8 +480,13 @@ object CurationChain {
             // all-novel batch reads code postings and zero raw vectors.
             case Some(q) if vecPq && q.codebooks.isDefined &&
                 storePresent(vecpqDir) =>
+              // the in-batch screen result feeds THREE actions on this
+              // path (the probe collect, the candidate materialization,
+              // and the final anti-join) — pin it, or each re-runs the
+              // whole upstream screen subplan (the q226 lesson)
               val survV = SemDedupStream
-                .admitBatch(vecs, spark.emptyDataFrame, threshold)
+                .admitBatch(vecs, spark.emptyDataFrame, threshold).persist()
+              pqSurv = Some(survV)
               graft.llm.Similarity.adcProbes(
                   survV.select("vec_id", "embedding"), q.cents,
                   q.codebooks.get, vecNprobe) match {
@@ -732,7 +745,7 @@ object CurationChain {
     } finally {
       pinned.unpersist(); hashed.foreach(_.unpersist())
       percDrops.foreach(_.unpersist()); tombOpt.foreach(_.unpersist())
-      pqCand.foreach(_.unpersist()); ()
+      pqCand.foreach(_.unpersist()); pqSurv.foreach(_.unpersist()); ()
     }
   }
 

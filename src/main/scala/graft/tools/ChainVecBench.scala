@@ -31,29 +31,32 @@ object ChainVecBench {
     }.min
   }
 
-  /** Scan bytes actually read across a block's jobs — the metric that
-    * survives the local page cache (wall time here hides the I/O the
-    * coded postings remove; at cluster scale the bytes ARE the cost).
+  /** The screen's store-side scan bytes for one trigger, computed
+    * EXACTLY from the layout: the file bytes of the probed cells'
+    * partition dirs plus the whole flat tail — what a partition-pruned
+    * scan fetches at cluster scale. Wall time on this host hides the
+    * difference (the stores sit in the page cache and Spark 4's local
+    * parquet reader bypasses every byte counter we tried — task
+    * inputMetrics AND Hadoop FS statistics both report ~0 for a
+    * measured 170 MB scan), so the bench reports the byte term from
+    * first principles instead of from a broken counter.
     */
-  private final class BytesListener
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    override def onTaskEnd(
-        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (e.taskMetrics != null) {
-        bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead); ()
-      }
-  }
-
-  private def bytesOf(spark: SparkSession, triggers: Int)(
-      f: => Unit): Double = {
-    val l = new BytesListener
-    spark.sparkContext.addSparkListener(l)
-    try {
-      f
-      Thread.sleep(1000) // the listener bus is async — drain before reading
-      l.bytes.get.toDouble / triggers
-    } finally spark.sparkContext.removeSparkListener(l)
+  private def screenScanBytes(storeDir: String, cells: Set[Int]): Long = {
+    def filesUnder(d: java.io.File): Long =
+      if (!d.exists()) 0L
+      else d.listFiles().map { f =>
+        if (f.isDirectory) filesUnder(f)
+        else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+        else f.length()
+      }.sum
+    val main = new java.io.File(storeDir)
+    val mainBytes =
+      if (!main.exists()) 0L
+      else main.listFiles().collect {
+        case d if d.isDirectory && d.getName.startsWith("cell=") &&
+            cells.contains(d.getName.drop(5).toInt) => filesUnder(d)
+      }.sum
+    mainBytes + filesUnder(new java.io.File(storeDir + "_tail"))
   }
 
   /** Deterministic pseudo-random embedding: Dim hash-derived uniforms in
@@ -127,16 +130,10 @@ object ChainVecBench {
       def nextTrig(): Long = { trig += 1; trig }
       def admitted(): Long = spark.read.parquet(s"$root/admitted").count()
 
-      def arm(vecPq: Boolean): (Double, Double, Double, Double) = {
+      def arm(vecPq: Boolean): (Double, Double) = {
         val novel = timeIt(iters) {
           CurationChain.ingestInto(root, vecPq = vecPq)(
             novelBatch(trig * 10000), nextTrig())
-        }
-        val novelB = bytesOf(spark, 2) {
-          (1 to 2).foreach { _ =>
-            CurationChain.ingestInto(root, vecPq = vecPq)(
-              novelBatch(trig * 10000), nextTrig())
-          }
         }
         val before = admitted()
         val dup = timeIt(iters) {
@@ -146,21 +143,22 @@ object ChainVecBench {
         val perTrigger = (admitted() - before) / (iters + 1)
         require(perTrigger == batchN - 4,
           s"dup triggers must admit batch-4 rows, got $perTrigger/trigger")
-        val dupB = bytesOf(spark, 2) {
-          (1 to 2).foreach { _ =>
-            CurationChain.ingestInto(root, vecPq = vecPq)(
-              dupBatch(trig * 10000), nextTrig())
-          }
-        }
-        (novel, dup, novelB, dupB)
+        (novel, dup)
       }
-      val (pqNovel, pqDup, pqNB, pqDB) = arm(vecPq = true)
-      val (rawNovel, rawDup, rawNB, rawDB) = arm(vecPq = false)
+      val (pqNovel, pqDup) = arm(vecPq = true)
+      val (rawNovel, rawDup) = arm(vecPq = false)
+      // the probed-cell set of a representative batch (the probe logic
+      // the screen itself runs) → exact post-pruning scan bytes per arm
+      val probed = Similarity.adcProbes(
+        novelBatch(777777L).select(col("doc_id").as("vec_id"),
+          col("embedding")), cents, cbs, 4).get.probedCells.toSet
+      val pqNB = screenScanBytes(s"$root/vecpq", probed).toDouble
+      val rawNB = screenScanBytes(s"$root/vecs", probed).toDouble
       println(f"""{"store_rows":$n,"batch":$batchN,"nlist":$nlist,""" +
+        f""""probed_cells":${probed.size},""" +
         f""""pq_novel_s":$pqNovel%.3f,"pq_dup_s":$pqDup%.3f,""" +
         f""""raw_novel_s":$rawNovel%.3f,"raw_dup_s":$rawDup%.3f,""" +
-        f""""pq_novel_mb":${pqNB / 1e6}%.1f,"pq_dup_mb":${pqDB / 1e6}%.1f,""" +
-        f""""raw_novel_mb":${rawNB / 1e6}%.1f,"raw_dup_mb":${rawDB / 1e6}%.1f}""")
+        f""""pq_scan_mb":${pqNB / 1e6}%.1f,"raw_scan_mb":${rawNB / 1e6}%.1f}""")
       (n, pqNovel, pqDup, rawNovel, rawDup, pqNB, rawNB)
     }
     val (n0, pn0, pd0, rn0, rd0, pb0, rb0) = results.head
