@@ -369,11 +369,16 @@ object SemDedupStream {
               .filter(col("_asof").isNull || col("b") >= col("_asof"))
               .drop("_asof")
         }
+        var surv0: Option[DataFrame] = None
         try {
           val admitted =
             if (indexed) {
+              // the in-batch screen result feeds the isEmpty probe, the
+              // candidate probe collect, the verify join, and the staged
+              // write — pin it, or each action re-runs the screen subplan
               val surv = admitBatch(pinned, spark.emptyDataFrame,
-                threshold, probes) // in-batch screen only
+                threshold, probes).persist() // in-batch screen only
+              surv0 = Some(surv)
               // A pure-DELETE (or replayed-empty) CDC batch has zero
               // offers — skip the candidate/verify jobs entirely and
               // fall through to staging, so the batch's TOMBSTONES
@@ -418,7 +423,8 @@ object SemDedupStream {
           }
           StoreTxn.seal(spark, rootDir, batchId)
         } finally {
-          pinned.unpersist(); freshTomb.foreach(_.unpersist()); ()
+          pinned.unpersist(); freshTomb.foreach(_.unpersist())
+          surv0.foreach(_.unpersist()); ()
         }
       }
       StoreTxn.publish(spark, rootDir, batchId)
