@@ -213,32 +213,12 @@ object Bpe {
     * first_word_symbols).
     */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val words = docs
-      .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-    val vocab = words.select("w").distinct()
-      .select(col("w"), encodeCol(col("w"), merges).as("toks"))
-      .select(col("w"), size(col("toks")).cast(LongType).as("ntok"),
-        col("toks"))
-    val stats = words.join(vocab, Seq("w"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("ntok")).as("n_bpe_tokens"),
-        // exactly one row per doc carries pos = 0, so `first` over the
-        // non-null projection is deterministic despite the shuffle
-        first(when(col("pos") === 0, col("toks")), ignoreNulls = true)
-          .as("first_toks"))
-    // rebase on the full doc set: a NULL-text doc explodes to zero word
-    // rows and would vanish from the aggregate — the per-occurrence
-    // form keeps it (with null stats), and "identical output" means
-    // identical row sets, not just matched rows
-    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"), col("n_bpe_tokens"),
-        (col("n_bpe_tokens").cast(DoubleType) /
-          col("n_words").cast(DoubleType)).as("tokens_per_word"),
+      merges: Seq[(String, String)]): DataFrame =
+    EncodeStats.over(docs, idCol, split(col(textCol), " "),
+        w => encodeCol(w, merges), unkToken = None)
+      .select(col(idCol), col("n_words"),
+        col("n_tokens").as("n_bpe_tokens"), col("tokens_per_word"),
         array_join(col("first_toks"), " ").as("first_word_symbols"))
-  }
 
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L, batch: Int = 1): Seq[(Int, String, String, Long)] = {

@@ -3589,27 +3589,18 @@ object LlmQueries {
 
     // Unigram ENCODE applied corpus-wide (the q154 shape for the second
     // tokenizer): train the vocabulary (bounded driver EM, as q201), then
-    // segment every document with the codegen'd Viterbi kernel — one
-    // per-row pass (transform over the word array), no shuffle but the
-    // output sort. Rows-only: iterative EM upstream; gated by
-    // UnigramSpec's distributed≡driver-kernel equivalence plus the
-    // concatenation-restores-every-word DP property.
+    // segment each DISTINCT word once with the codegen'd Viterbi kernel
+    // and join back (Unigram.encodeStats — the r15 distinct-word shape
+    // shared with q154/q212; Zipf makes the per-occurrence transform
+    // re-pay the kernel ~frequency times). Rows-only: iterative EM
+    // upstream; gated by UnigramSpec's distributed≡driver-kernel
+    // equivalence, the concatenation-restores-every-word DP property,
+    // and the by-word ≡ per-occurrence equivalence.
     Q("q202_unigram_encode", { (s, dir) =>
         val d = t(s, dir, "documents")
         val vocab = Unigram.train(d, "text", targetMulti = 48,
           seedSize = 400, maxPieceLen = 6).logProbs
-        val words = split(lower(col("text")), " ") // q154's exact word split
-        val enc = transform(words, w => Unigram.segmentCol(w, vocab, 6))
-        val nTok = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
-        d.select(col("doc_id"),
-            size(words).cast(LongType).as("n_words"),
-            nTok.as("n_unigram_tokens"),
-            (nTok.cast(DoubleType) / size(words).cast(DoubleType))
-              .as("tokens_per_word"),
-            // scalar column, not an array: the driver harness hashes
-            // every output column (same constraint as q154)
-            array_join(element_at(enc, 1), " ").as("first_word_pieces"))
-          .orderBy("doc_id")
+        Unigram.encodeStats(d, "doc_id", "text", vocab, 6).orderBy("doc_id")
       },
       None),
 
@@ -3634,32 +3625,20 @@ object LlmQueries {
       None),
 
     // WordPiece ENCODE applied corpus-wide (the q154 shape for the third
-    // tokenizer): train the vocabulary, then tokenize every document
-    // with the codegen'd GREEDY LONGEST-MATCH kernel — WordPiece
-    // inference never replays merge ranks, it is one longest-prefix
-    // hash-set pass per word (why BERT tokenization is fast). Also
+    // tokenizer): train the vocabulary, then tokenize each DISTINCT word
+    // once with the codegen'd GREEDY LONGEST-MATCH kernel and join back
+    // (WordPiece.encodeStats — the r15 distinct-word shape shared with
+    // q154/q202; WordPiece inference never replays merge ranks, it is
+    // one longest-prefix hash-set pass per word, and Zipf makes the
+    // per-occurrence transform re-pay even that ~frequency times). Also
     // surfaces unk_words, the coverage metric a pipeline watches when a
     // vocabulary meets a new corpus. Rows-only; gated by WordPieceSpec
     // (BERT-style piece goldens, every-token-in-vocab + concatenation
-    // round-trip, [UNK] whole-word rule).
+    // round-trip, [UNK] whole-word rule, by-word ≡ per-occurrence).
     Q("q212_wordpiece_encode", { (s, dir) =>
         val d = t(s, dir, "documents")
         val (vocab, _) = WordPiece.trainVocab(d, "text", nMerges = 20)
-        val words = split(lower(col("text")), " ") // q154's exact word split
-        val enc = transform(words, w => WordPiece.encodeCol(w, vocab))
-        val nTok = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
-        val nUnk = aggregate(enc, lit(0L), (acc, a) =>
-          acc + when(a === array(lit(WordPieceCodec.Unk)), 1L).otherwise(0L))
-        d.select(col("doc_id"),
-            size(words).cast(LongType).as("n_words"),
-            nTok.as("n_wp_tokens"),
-            nUnk.as("unk_words"),
-            (nTok.cast(DoubleType) / size(words).cast(DoubleType))
-              .as("tokens_per_word"),
-            // scalar column, not an array: the driver harness hashes
-            // every output column (same constraint as q154)
-            array_join(element_at(enc, 1), " ").as("first_word_pieces"))
-          .orderBy("doc_id")
+        WordPiece.encodeStats(d, "doc_id", "text", vocab).orderBy("doc_id")
       },
       None),
 

@@ -139,6 +139,22 @@ object Unigram {
     ColumnBridge.column(UnigramSegmentWord(
       ColumnBridge.expression(word), vocab, maxLen))
 
+  /** Corpus-wide encode statistics via the DISTINCT-WORD table (the q154
+    * shape applied to the Viterbi kernel — see [[EncodeStats.over]]):
+    * segmentation is pure in the word, so each distinct word is segmented
+    * once and joined back. Output identical to the per-occurrence
+    * `transform` form (UnigramSpec gates the equivalence):
+    * (idCol, n_words, n_unigram_tokens, tokens_per_word,
+    * first_word_pieces).
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Double)], maxLen: Int): DataFrame =
+    EncodeStats.over(docs, idCol, split(lower(col(textCol)), " "),
+        w => segmentCol(w, vocab, maxLen), unkToken = None)
+      .select(col(idCol), col("n_words"),
+        col("n_tokens").as("n_unigram_tokens"), col("tokens_per_word"),
+        array_join(col("first_toks"), " ").as("first_word_pieces"))
+
   /** All substrings (code-point semantics) of length 1..maxLen of every
     * histogram word, weighted by word count — the seed candidate table.
     * Vocab-scale input, ≤ len·maxLen rows per word out.

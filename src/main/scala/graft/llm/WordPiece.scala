@@ -246,6 +246,23 @@ object WordPiece {
     out.result()
   }
 
+  /** Corpus-wide encode statistics via the DISTINCT-WORD table (the q154
+    * shape applied to WordPiece — see [[EncodeStats.over]]): greedy
+    * longest-match is pure in the word, so each distinct word is encoded
+    * once and joined back. Output identical to the per-occurrence
+    * `transform` form (WordPieceSpec gates the equivalence):
+    * (idCol, n_words, n_wp_tokens, unk_words, tokens_per_word,
+    * first_word_pieces).
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame =
+    EncodeStats.over(docs, idCol, split(lower(col(textCol)), " "),
+        w => encodeCol(w, vocab), unkToken = Some(WordPieceCodec.Unk))
+      .select(col(idCol), col("n_words"),
+        col("n_tokens").as("n_wp_tokens"), col("n_unk").as("unk_words"),
+        col("tokens_per_word"),
+        array_join(col("first_toks"), " ").as("first_word_pieces"))
+
   /** Train and return the full inference vocabulary: the corpus's initial
     * alphabet (every single-code-point piece, '##' forms included —
     * charset-scale) plus every merged token, in deterministic order

@@ -141,4 +141,25 @@ class UnigramSpec extends SparkSpec {
       }
     assert(seg.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
   }
+
+  test("encodeStats (distinct-word shape) equals the per-occurrence " +
+      "transform exactly — the Viterbi kernel is a pure function of the word") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = Unigram.train(d, "text", targetMulti = 24,
+      seedSize = 200, maxPieceLen = 6).logProbs
+    val byWord = Unigram.encodeStats(d, "doc_id", "text", vocab, 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    val words = split(lower(col("text")), " ")
+    val enc = transform(words, w => Unigram.segmentCol(w, vocab, 6))
+    val nTok = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
+    val perOcc = d.select(col("doc_id"),
+        size(words).cast("long").as("n_words"), nTok.as("n_unigram_tokens"),
+        array_join(element_at(enc, 1), " ").as("first_word_pieces"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(byWord.length == perOcc.length && byWord.length > 0)
+    assert(byWord.toSeq == perOcc.toSeq,
+      "distinct-word segment must be row-identical to per-occurrence")
+  }
 }

@@ -126,4 +126,29 @@ class WordPieceSpec extends SparkSpec {
     val docs = Seq("aa bb").toDF("text") // every pair occurs once
     assert(WordPiece.trainMerges(docs, "text", nMerges = 5, minCount = 2).isEmpty)
   }
+
+  test("encodeStats (distinct-word shape) equals the per-occurrence " +
+      "transform exactly — greedy longest-match is a pure function of the word") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (vocab, _) = WordPiece.trainVocab(d, "text", nMerges = 20)
+    val byWord = WordPiece.encodeStats(d, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5)))
+    val words = split(lower(col("text")), " ")
+    val enc = transform(words, w => WordPiece.encodeCol(w, vocab))
+    val nTok = aggregate(enc, lit(0L), (acc, a) => acc + size(a))
+    val nUnk = aggregate(enc, lit(0L), (acc, a) =>
+      acc + when(a === array(lit(WordPieceCodec.Unk)), 1L).otherwise(0L))
+    val perOcc = d.select(col("doc_id"),
+        size(words).cast("long").as("n_words"), nTok.as("n_wp_tokens"),
+        nUnk.as("unk_words"),
+        array_join(element_at(enc, 1), " ").as("first_word_pieces"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(byWord.length == perOcc.length && byWord.length > 0)
+    assert(byWord.toSeq == perOcc.toSeq,
+      "distinct-word encode must be row-identical to per-occurrence")
+  }
 }
