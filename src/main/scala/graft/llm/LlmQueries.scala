@@ -493,12 +493,17 @@ object LlmQueries {
         val gated = d.filter(nWords >= 8 && uniqRatio >= 0.3)
         val wH = org.apache.spark.sql.expressions.Window
           .partitionBy("h").orderBy(col("len").desc, col("doc_id"))
+        // persist: the survivor frame feeds the containment stage's four
+        // shingle/length derivations plus the anti-join, each of which
+        // would otherwise replay the gate + keep-longest window from the
+        // scan (guide §3.3 — materialize the shared intermediate).
         val canon = gated
           .withColumn("h", md5(col("text")))
           .withColumn("len", length(col("text")).cast(LongType))
           .withColumn("rn", row_number().over(wH))
           .filter(col("rn") === 1)
           .select("doc_id", "text")
+          .persist()
         val kept = canon.join(
           curationContainmentDrops(canon), Seq("doc_id"), "left_anti")
         val key = md5(concat(lit("v3:"), col("doc_id").cast(StringType)))
@@ -1884,10 +1889,17 @@ object LlmQueries {
         val train = docs.filter(col("doc_id") % 10 =!= 7)
         // stage 1: repetition quality gate (the SAME expression as q91)
         val quality = train.filter(TextOps.repetitionGate(col("text")))
-        // stage 2: exact-dup canonicals
+        // stage 2: exact-dup canonicals. The survivor frame feeds THREE
+        // consumers (the near-dup join's shingle derivations, the
+        // anti-join, decontamination), each of which would otherwise
+        // re-run stages 1–2 from the scan (the initial plan carried 58
+        // parquet scans); persist it once — guide §3.3, materialize the
+        // shared intermediate. clearCache() between bench queries and
+        // the one-shot Verify bound its lifetime.
         val canon = Dedup.exactGroups(quality, "text", "doc_id")
           .select(col("canonical_id").as("doc_id"))
           .join(quality, "doc_id")
+          .persist()
         // stage 3: near-dup drop (higher id of each pair)
         val drops = Dedup.jaccardPairs(canon, "text", "doc_id")
           .select(col("db").as("doc_id")).distinct()
@@ -3358,8 +3370,12 @@ object LlmQueries {
     // training-order assignment for the curated sample.
     Q("q182_pipeline_curation_v2", { (s, dir) =>
         val d = t(s, dir, "documents")
+        // persist: the Aho–Corasick screen otherwise runs twice over the
+        // corpus (fingerprint derivation + the survivor anti-join) —
+        // guide §3.3, materialize the shared intermediate.
         val clean = d.filter(
           size(WordPhraseHits(col("text"), Blocklist.phrases)) === 0)
+          .persist()
         val fp = clean.select(col("doc_id"),
             explode(WinnowFingerprint(TextOps.tokens(col("text")), 3, 4)).as("fp"))
           .select(col("doc_id"), col("fp.hash").as("h")).distinct()
