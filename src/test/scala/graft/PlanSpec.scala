@@ -493,11 +493,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q202 unigram encode is per-row kernel work: no join, one output sort") {
+  test("q202 unigram encode: distinct-word kernel joined back, never cartesian") {
+    // r15 shape: the Viterbi kernel runs once per DISTINCT word (the
+    // q154 distinct-word table), so the plan now carries the vocab-scale
+    // distinct aggregation and the join back onto the word rows —
+    // UnigramSpec pins row-identity with the per-occurrence form.
     val p = plan("q202_unigram_encode")
-    assert(!p.contains("Join"), "encode must not join\n" + p)
-    val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 1, s"only the output-sort exchange allowed, saw $exchanges\n" + p)
+    assert(p.contains("posexplode"), "word rows come from one explode\n" + p)
+    // the kernel side is the distinct-word aggregate, not the occurrences
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "distinct-word table must aggregate\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q205 zipf top-100 plans WindowGroupLimit over the vocab, not a full per-lang sort") {
