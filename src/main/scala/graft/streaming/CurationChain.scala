@@ -275,7 +275,11 @@ object CurationChain {
       Some(tombOpt match {
         case None => df.select(cols.map(col): _*)
         case Some(t) =>
-          df.join(t.select(col("doc_id").as(key), col("asOf").as("_asof")),
+          // tombstones are churn-since-last-cadence-bounded metadata —
+          // broadcast keeps the store side from shuffling just to
+          // subtract them (guide §3.1)
+          df.join(broadcast(
+              t.select(col("doc_id").as(key), col("asOf").as("_asof"))),
               Seq(key), "left")
             .filter(col("_asof").isNull || col("b") >= col("_asof"))
             .select(cols.map(col): _*)
@@ -389,10 +393,19 @@ object CurationChain {
           // no bloom front: a populated store saturates every key and the
           // pruning itself is what bounds the read — effective while the
           // batch's band-key set is small against the bucket count)
+          // every semi/anti right side in this body that derives from the
+          // BATCH (drop ids, survivor ids, admitted keys) is
+          // trigger-batch-bounded, never store-bounded — broadcast them
+          // explicitly (guide §3.1): the sizes are unknowable to the
+          // planner (plans over fresh parquet/cached frames), so without
+          // the hint each ~500-row semi-join plans as a two-Exchange SMJ
+          // and AQE only converts it AFTER paying the shuffle. The
+          // store-side joins (exact/sig/vec candidates) keep their shuffle
+          // plans — those sides grow with the corpus.
           val inDropsM = graft.multimodal.MultimodalQueries
             .hammingNearDupPairs(h)
             .select(col("db").as("media_id")).distinct()
-          val survM = h.join(inDropsM, Seq("media_id"), "left_anti")
+          val survM = h.join(broadcast(inDropsM), Seq("media_id"), "left_anti")
           val bandKeys = graft.multimodal.MultimodalQueries
             .bandExplode(survM, "new_id")
             .select(col("b").as("band"), col("v")).distinct()
@@ -404,7 +417,7 @@ object CurationChain {
             .map { st =>
               val dup = ImageDedupStream.hammingPairsAgainstBands(survM, st)
                 .select(col("new_id").as("media_id")).distinct()
-              survM.join(dup, Seq("media_id"), "left_anti")
+              survM.join(broadcast(dup), Seq("media_id"), "left_anti")
             }
             .getOrElse(survM)
             .select(col("media_id").as("doc_id"))
@@ -415,10 +428,10 @@ object CurationChain {
           // measured 3× the whole trigger time (the q226/sigs lesson
           // applied one stage earlier)
           val dropIds = h.select(col("media_id").as("doc_id"))
-            .join(okIds, Seq("doc_id"), "left_anti")
+            .join(broadcast(okIds), Seq("doc_id"), "left_anti")
             .persist()
           percDrops = Some(dropIds)
-          afterExact.join(dropIds, Seq("doc_id"), "left_anti")
+          afterExact.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
         }
       }
 
@@ -434,7 +447,7 @@ object CurationChain {
       val sigs = TextDedupStream.signatures(afterPerc).persist()
       val inDropsS = TextDedupStream.sigSelfPairs(sigs)
         .select(col("db").as("doc_id")).distinct()
-      val survS = sigs.join(inDropsS, Seq("doc_id"), "left_anti")
+      val survS = sigs.join(broadcast(inDropsS), Seq("doc_id"), "left_anti")
       val afterSig = labeled("sig-screen") {
         val screened =
           if (!storePresent(sigDir)) survS
@@ -450,13 +463,14 @@ object CurationChain {
               .map { st =>
                 val dup = TextDedupStream.sigPairsAgainstBands(maybe, st)
                   .select(col("new_id").as("doc_id")).distinct()
-                survS.join(dup, Seq("doc_id"), "left_anti")
+                survS.join(broadcast(dup), Seq("doc_id"), "left_anti")
               }
               .getOrElse(survS)
           }
         screened.select("doc_id", "sig").persist()
       }
-      val survivedSig = afterPerc.join(afterSig, Seq("doc_id"), "left_semi")
+      val survivedSig = afterPerc.join(broadcast(afterSig),
+        Seq("doc_id"), "left_semi")
 
       // stage 5: semantic screen (in-batch + store), when embeddings
       // ride. Once the cell layout has founded (frozen centroids under
@@ -537,7 +551,7 @@ object CurationChain {
                           .filter(graft.llm.Similarity
                             .cosine(col("qv"), col("cv")) >= threshold)
                           .select(col("query_id").as("vec_id")).distinct()
-                        survV.join(dup, Seq("vec_id"), "left_anti")
+                        survV.join(broadcast(dup), Seq("vec_id"), "left_anti")
                       }.getOrElse(survV)
                     }
                     .getOrElse(survV)
@@ -563,7 +577,7 @@ object CurationChain {
                     .filter(graft.llm.Similarity
                       .cosine(col("qv"), col("cv")) >= threshold)
                     .select("vec_id").distinct()
-                  survV.join(dup, Seq("vec_id"), "left_anti")
+                  survV.join(broadcast(dup), Seq("vec_id"), "left_anti")
                 }
                 .getOrElse(survV)
             case _ => SemDedupStream
@@ -571,7 +585,7 @@ object CurationChain {
                 readLive(vecDir, "vec_id", Seq("vec_id", "embedding"))
                   .getOrElse(spark.emptyDataFrame), threshold)
           }
-          survivedSig.join(ok.select(col("vec_id").as("doc_id")),
+          survivedSig.join(broadcast(ok.select(col("vec_id").as("doc_id"))),
             Seq("doc_id"), "left_semi")
         }
       }
@@ -630,7 +644,7 @@ object CurationChain {
             .withColumn("b", lit(batchId))
             .write.mode("overwrite").parquet(staged("budget"))
           val okIds = folded.select(explode(col("ids")).as("doc_id"))
-          val out = admitted.join(okIds, Seq("doc_id"), "left_semi")
+          val out = admitted.join(broadcast(okIds), Seq("doc_id"), "left_semi")
             .localCheckpoint()
           folded.unpersist()
           out
@@ -648,7 +662,7 @@ object CurationChain {
         admittedB.drop("content", "source").localCheckpoint()
       }
       val keepSigs = afterSig
-        .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(broadcast(keep.select("doc_id")), Seq("doc_id"), "left_semi")
         .localCheckpoint()
       sigs.unpersist(); afterSig.unpersist()
       // every store row carries its admit batch: the tombstone exclusion
@@ -669,77 +683,141 @@ object CurationChain {
       // merge into the DRIVER-CACHED front after the publish: without
       // that merge the cache can never hit, because every trigger's
       // publish changes the blob directory listing (r14 verdict item 2)
+      // After the two checkpoints above every staged delta below reads
+      // only MATERIALIZED rows (`keep`, `keepSigs`, the persisted
+      // `hashed` projection), so the staged writes and the two
+      // driver-side blob builds are mutually independent — they are
+      // submitted CONCURRENTLY from a small pool (guide §2.6: overlap
+      // independent jobs). The trigger's fixed cost is its action CHAIN,
+      // not any single job (ChainTriggerProfile: ~14 sub-second actions
+      // back to back), and overlapping lets each small job's tail
+      // back-fill the executors with the next job's tasks. The protocol
+      // is untouched: seal happens only after EVERY future has finished,
+      // and a failure in any future fails the trigger BEFORE seal (the
+      // crash-mid-staging path: unsealed residue is discarded and the
+      // batch recomputed on replay) — but only after the others have
+      // drained, so a foreachBatch retry never races a still-writing
+      // task from the failed attempt.
       val sess2 = spark
       import sess2.implicits._
-      val exactKeys = keep
-        .select(StoreLayout.keyHash(col("content_hash")).as("__h"))
-        .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
-        .collect().map(r => (r.getLong(0), r.getInt(1)))
-      val admittedN = exactKeys.length.toLong
-      keep.select("doc_id", "content_hash").withColumn("b", lit(batchId))
-        .withColumn("pb", StoreLayout.bucketOf(
-          StoreLayout.keyHash(col("content_hash")), P))
-        .repartition(col("pb"))
-        .write.mode("overwrite").parquet(staged("exact_tail"))
-      val exactBlobs = StoreLayout.bloomDeltaLocal(exactKeys,
-        math.max(1L, admittedN), P)
-      exactBlobs.toDF("pb", "bloom")
-        .coalesce(1).write.mode("overwrite").parquet(staged("bloom"))
-      hashed.foreach { h =>
-        graft.multimodal.MultimodalQueries.bandExplode(
-            h.join(keep.select(col("doc_id").as("media_id")),
-              Seq("media_id"), "left_semi"), "media_id")
-          .select(col("media_id"), col("h"), col("b").as("band"), col("v"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val stagingEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def staging[T](stage: String)(f: => T): scala.concurrent.Future[T] =
+        scala.concurrent.Future { labeled(stage)(f) }
+      try {
+        // the admitted keys' hashes collect to the driver (batch-scale —
+        // KB of longs per trigger) so the delta BLOBS build locally
+        // (StoreLayout.bloomDeltaLocal — no distributed agg job) and can
+        // merge into the DRIVER-CACHED front after the publish (without
+        // that merge the cache could never hit, since every publish
+        // changes the blob listing — r14 verdict item 2)
+        val fExactFront = staging("stage-exact-front") {
+          val exactKeys = keep
+            .select(StoreLayout.keyHash(col("content_hash")).as("__h"))
+            .withColumn("pb", StoreLayout.bucketOf(col("__h"), P))
+            .collect().map(r => (r.getLong(0), r.getInt(1)))
+          val exactBlobs = StoreLayout.bloomDeltaLocal(exactKeys,
+            math.max(1L, exactKeys.length.toLong), P)
+          exactBlobs.toDF("pb", "bloom")
+            .coalesce(1).write.mode("overwrite").parquet(staged("bloom"))
+          exactBlobs
+        }
+        val fExactTail = staging("stage-exact-tail") {
+          keep.select("doc_id", "content_hash").withColumn("b", lit(batchId))
+            .withColumn("pb", StoreLayout.bucketOf(
+              StoreLayout.keyHash(col("content_hash")), P))
+            .repartition(col("pb"))
+            .write.mode("overwrite").parquet(staged("exact_tail"))
+        }
+        val fPhash = hashed.map { h =>
+          staging("stage-phash-tail") {
+            graft.multimodal.MultimodalQueries.bandExplode(
+                h.join(broadcast(keep.select(col("doc_id").as("media_id"))),
+                  Seq("media_id"), "left_semi"), "media_id")
+              .select(col("media_id"), col("h"), col("b").as("band"), col("v"))
+              .withColumn("b", lit(batchId))
+              .withColumn("pb", StoreLayout.bucketOf(
+                StoreLayout.keyHash(col("band"), col("v")), P))
+              .repartition(col("pb"))
+              .write.mode("overwrite").parquet(staged("phash_tail"))
+          }
+        }
+        val keptBands = TextDedupStream.bandRows(keepSigs, "doc_id")
           .withColumn("b", lit(batchId))
           .withColumn("pb", StoreLayout.bucketOf(
-            StoreLayout.keyHash(col("band"), col("v")), P))
-          .repartition(col("pb"))
-          .write.mode("overwrite").parquet(staged("phash_tail"))
-      }
-      val keptBands = TextDedupStream.bandRows(keepSigs, "doc_id")
-        .withColumn("b", lit(batchId))
-        .withColumn("pb", StoreLayout.bucketOf(
-          StoreLayout.keyHash(col("band"), col("bh")), P))
-      keptBands.repartition(col("pb"))
-        .write.mode("overwrite").parquet(staged("sigs_tail"))
-      val sigKeys = keptBands
-        .select(StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
-          col("pb"))
-        .collect().map(r => (r.getLong(0), r.getInt(1)))
-      val sigBlobs = StoreLayout.bloomDeltaLocal(sigKeys,
-        math.max(1L, sigKeys.length.toLong), P)
-      sigBlobs.toDF("pb", "bloom")
-        .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
-      pendingFronts.put((rootDir, batchId),
-        Seq(bloomDir -> exactBlobs, sigBloomDir -> sigBlobs))
-      if (semantic) {
-        keep.select(col("doc_id").as("vec_id"), col("embedding"))
-          .withColumn("b", lit(batchId))
-          .withColumn("cell", vecCents match {
-            case Some(cents) => graft.llm.IvfCell(
-              col("embedding").cast("array<double>"), cents)
-            case None => lit(0)
+            StoreLayout.keyHash(col("band"), col("bh")), P))
+        val fSigsTail = staging("stage-sigs-tail") {
+          keptBands.repartition(col("pb"))
+            .write.mode("overwrite").parquet(staged("sigs_tail"))
+        }
+        val fSigFront = staging("stage-sig-front") {
+          val sigKeys = keptBands
+            .select(StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
+              col("pb"))
+            .collect().map(r => (r.getLong(0), r.getInt(1)))
+          val sigBlobs = StoreLayout.bloomDeltaLocal(sigKeys,
+            math.max(1L, sigKeys.length.toLong), P)
+          sigBlobs.toDF("pb", "bloom")
+            .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
+          sigBlobs
+        }
+        val fVecs =
+          if (!semantic) None
+          else Some(staging("stage-vecs-tail") {
+            keep.select(col("doc_id").as("vec_id"), col("embedding"))
+              .withColumn("b", lit(batchId))
+              .withColumn("cell", vecCents match {
+                case Some(cents) => graft.llm.IvfCell(
+                  col("embedding").cast("array<double>"), cents)
+                case None => lit(0)
+              })
+              .repartition(col("cell"))
+              .write.mode("overwrite").parquet(staged("vecs_tail"))
           })
-          .repartition(col("cell"))
-          .write.mode("overwrite").parquet(staged("vecs_tail"))
         // the coded postings delta: the SAME admitted rows, frozen-
         // centroid cell + frozen-codebook encode, through the SAME
         // staged publish — the postings can never lag the raw store
-        if (vecPq) vecQuant.filter(_.codebooks.isDefined).foreach { q =>
-          graft.llm.Similarity.encodeIvfCode(
-              keep.select(col("doc_id").as("vec_id"), col("embedding"))
-                .withColumn("b", lit(batchId)),
-              q.cents, q.codebooks.get, withMargin = true)
-            .withColumnRenamed("neighbor_id", "vec_id")
-            .write.mode("overwrite").parquet(staged("vecpq_tail"))
+        val fVecPq =
+          if (!semantic || !vecPq) None
+          else vecQuant.filter(_.codebooks.isDefined).map { q =>
+            staging("stage-vecpq-tail") {
+              graft.llm.Similarity.encodeIvfCode(
+                  keep.select(col("doc_id").as("vec_id"), col("embedding"))
+                    .withColumn("b", lit(batchId)),
+                  q.cents, q.codebooks.get, withMargin = true)
+                .withColumnRenamed("neighbor_id", "vec_id")
+                .write.mode("overwrite").parquet(staged("vecpq_tail"))
+            }
+          }
+        val fAdmitted = staging("stage-admitted") {
+          keep.select("doc_id", "text", "content_hash")
+            .withColumn("b", lit(batchId))
+            .write.mode("overwrite").parquet(staged("admitted"))
         }
-      }
-      keep.select("doc_id", "text", "content_hash")
-        .withColumn("b", lit(batchId))
-        .write.mode("overwrite").parquet(staged("admitted"))
-      batchTombstones.foreach { t =>
-        t.select(col("doc_id")).distinct().withColumn("asOf", lit(batchId))
-          .write.mode("overwrite").parquet(staged("tombstones"))
+        val fTomb = batchTombstones.map { t =>
+          staging("stage-tombstones") {
+            t.select(col("doc_id")).distinct().withColumn("asOf", lit(batchId))
+              .write.mode("overwrite").parquet(staged("tombstones"))
+          }
+        }
+        val all: Seq[scala.concurrent.Future[Any]] =
+          Seq(fExactFront, fExactTail, fSigsTail, fSigFront, fAdmitted) ++
+            fPhash ++ fVecs ++ fVecPq ++ fTomb
+        val outcomes = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            all.map(_.transform(scala.util.Success(_)))),
+          scala.concurrent.duration.Duration.Inf)
+        outcomes.collectFirst { case scala.util.Failure(e) => e }
+          .foreach(e => throw e)
+        pendingFronts.put((rootDir, batchId),
+          Seq(bloomDir -> scala.concurrent.Await.result(fExactFront,
+              scala.concurrent.duration.Duration.Inf),
+            sigBloomDir -> scala.concurrent.Await.result(fSigFront,
+              scala.concurrent.duration.Duration.Inf)))
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES); ()
       }
       StoreTxn.seal(spark, rootDir, batchId)
     } finally {
@@ -960,7 +1038,8 @@ object CurationChain {
         case None => adm.select("doc_id", "text", "content_hash")
         case Some(t0) =>
           val t = t0.groupBy("doc_id").agg(max("asOf").as("_asof"))
-          adm.join(t, Seq("doc_id"), "left")
+          // churn-bounded tombstone metadata vs the corpus-scale store
+          adm.join(broadcast(t), Seq("doc_id"), "left")
             .filter(col("_asof").isNull || col("b") >= col("_asof"))
             .select("doc_id", "text", "content_hash")
       }
@@ -991,7 +1070,9 @@ object CurationChain {
       Seq(s"$rootDir/$store", s"$rootDir/${store}_tail").foreach { dir =>
         if (hasData(spark, dir))
           StoreCompact.rewrite(spark, dir, df =>
-            df.join(t.select(col("doc_id").as(key), col("_asof")), Seq(key), "left")
+            // churn-bounded metadata vs a store-scale rewrite: broadcast
+            df.join(broadcast(t.select(col("doc_id").as(key), col("_asof"))),
+                Seq(key), "left")
               .filter(col("_asof").isNull || col("b") >= col("_asof"))
               .drop("_asof"))
       }
