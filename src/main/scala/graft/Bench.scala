@@ -58,7 +58,17 @@ object Bench {
     // A failing query must be loud: it records -1 in `queries`, lands in
     // `errors` with its message, and bumps `failures` — the headline total
     // alone can never silently improve because a query started crashing.
-    val results: Seq[(String, Double, Double, Option[String])] = SparkEntry.corpus.map { q =>
+    val benchT0 = System.nanoTime()
+    val results: Seq[(String, Double, Double, Option[String])] = SparkEntry.corpus.zipWithIndex.map { case (q, qi) =>
+      // Timestamped progress line BEFORE each query's passes (r15: the
+      // driver's 32-core bench died at a 60-minute timeout having printed
+      // nothing, so the stall was undiagnosable from the artifact). stderr,
+      // not stdout: the driver json-parses stdout's tail. These lines
+      // cannot pollute the summary because the summary prints to stdout
+      // after spark.stop().
+      System.err.println(f"[bench] ${(System.nanoTime() - benchT0) / 1e9}%.1fs q${qi + 1}/${SparkEntry.corpus.size} ${q.name}")
+      System.err.flush()
+      spark.sparkContext.setJobDescription(s"bench: ${q.name}")
       // drop cached plans between QUERIES: the persisted hash/IVF
       // projections are keyed by canonicalized plan, so without this a
       // query sharing a subtree with an earlier one reads the earlier
@@ -94,6 +104,8 @@ object Bench {
     // best-of-3: the end-of-bench JVM is warm but fragmented and the
     // single-shot meter swung 255-383k across r10 captures while the
     // dedicated min-of-3 meters read 1.28-1.5M — report the steady state
+    System.err.println(f"[bench] ${(System.nanoTime() - benchT0) / 1e9}%.1fs cdc_meter")
+    System.err.flush()
     val cdcRate = try (1 to 3).map(_ => cdcThroughput(spark, sfDir)).max
       catch { case _: Throwable => -1.0 }
     // Stamp the git SHA so every bench artifact names the code it measured

@@ -221,11 +221,23 @@ object Bpe {
         array_join(col("first_toks"), " ").as("first_word_symbols"))
 
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L, batch: Int = 1): Seq[(Int, String, String, Long)] = {
+      minCount: Long = 2L, batch: Int = 1,
+      ckptEvery: Int = 5): Seq[(Int, String, String, Long)] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var words = wordHistogram(docs, textCol)
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
+    // Checkpoint CADENCE (r15 verdict item 3): an eager localCheckpoint
+    // every round doubled the per-round job count, and the checkpoint is
+    // pure lineage hygiene — the stacked mergePairCol projections compose
+    // lazily and apply in the recorded order, so materializing every
+    // ckptEvery-th round is output-identical (BpeSpec goldens gate it).
+    // The last materialized frame stays alive until the NEXT checkpoint
+    // lands: a localCheckpoint is unreliable (truncated lineage), so its
+    // blocks must outlive every lazy plan built on top of them.
+    var base = wordHistogram(docs, textCol)
       .select(initWordCol(col("w")).as("syms"), col("n"))
       .localCheckpoint()
+    var words = base
+    var sinceCkpt = 0
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -260,12 +272,17 @@ object Bpe {
         val merged = taken.foldLeft(col("syms")) { case (c, (a, b, _)) =>
           mergePairCol(c, a, b)
         }
-        val next = words.select(merged.as("syms"), col("n")).localCheckpoint()
-        words.unpersist()
-        words = next
+        val next = words.select(merged.as("syms"), col("n"))
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery) {
+          words = next.localCheckpoint()
+          base.unpersist()
+          base = words
+          sinceCkpt = 0
+        } else words = next
       }
     }
-    words.unpersist()
+    base.unpersist()
     out.result()
   }
 }

@@ -199,10 +199,21 @@ object WordPiece {
     * Stops early when no pair reaches `minCount`.
     */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[(Int, String, String, String, Long)] = {
-    var words = Bpe.wordHistogram(docs, textCol)
+      minCount: Long = 2L,
+      ckptEvery: Int = 5): Seq[(Int, String, String, String, Long)] = {
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
+    // Checkpoint CADENCE (r15 verdict item 3, same as Bpe.trainMerges):
+    // materialize the vocab-scale symbol table every ckptEvery-th round
+    // only; in between, the mergePairCol projections compose lazily in
+    // the recorded order — output-identical (WordPieceSpec goldens gate
+    // it). The last checkpoint stays alive until the next one lands
+    // (localCheckpoint lineage is truncated, blocks must outlive every
+    // lazy plan built on them).
+    var base = Bpe.wordHistogram(docs, textCol)
       .select(initWordCol(col("w")).as("syms"), col("n"))
       .localCheckpoint()
+    var words = base
+    var sinceCkpt = 0
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -238,11 +249,15 @@ object WordPiece {
         out += ((rank, a, b, WordPieceCodec.mergedSymbol(a, b), cnt))
         rank += 1
         val next = words.select(mergePairCol(col("syms"), a, b).as("syms"), col("n"))
-          .localCheckpoint()
-        words.unpersist()
-        words = next
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery) {
+          words = next.localCheckpoint()
+          base.unpersist()
+          base = words
+          sinceCkpt = 0
+        } else words = next
       }
-    } finally { words.unpersist(); () }
+    } finally { base.unpersist(); () }
     out.result()
   }
 

@@ -148,6 +148,36 @@ object CurationChain {
     if (hasData(spark, dir)) Some(spark.read.parquet(dir).select(cols.map(col): _*))
     else None
 
+  /** Broadcast-hint guard for the tombstone join side (r15 verdict item 4
+    * / ADVICE): tombstones are bounded by churn since the last
+    * COMPACTION, not by the trigger batch — `compactEvery` defaults to 0,
+    * so under sustained CDC churn the store can grow without bound and a
+    * mandatory broadcast() would eventually fail on driver memory or
+    * Spark's 8 GB broadcast cap, where the unhinted join falls back to a
+    * shuffle. Cheap driver-side file-bytes check (a listing, no job):
+    * under the threshold the hint applies; past it the tombstone joins go
+    * unhinted and the planner/AQE picks the strategy. The default 64 MB
+    * of parquet-encoded (doc_id, asOf) longs is tens of millions of rows
+    * — far above any healthy churn window, comfortably below the cap
+    * after in-memory expansion. Conf-keyed so deployments (and the
+    * oversized-tombstone spec) can move it.
+    */
+  private[streaming] val TombBroadcastMaxBytesKey = "spark.graft.tombBroadcastMaxBytes"
+  private[streaming] val TombBroadcastMaxBytesDefault: Long = 64L << 20
+  private def tombstonesBroadcastable(spark: SparkSession, rootDir: String): Boolean = {
+    val dir = s"$rootDir/tombstones"
+    val maxBytes = spark.conf.get(TombBroadcastMaxBytesKey,
+      TombBroadcastMaxBytesDefault.toString).toLong
+    if (!hasData(spark, dir)) true
+    else {
+      val (fs, p) = hadoopFs(spark, dir)
+      var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (bytes <= maxBytes && it.hasNext) bytes += it.next().getLen
+      bytes <= maxBytes
+    }
+  }
+
   /** The frozen semantic quantizer of the `vecs`/`vecpq` stores (None
     * until the cell layout founds — see [[maintainVecCells]]): coarse
     * centroids plus PQ sub-codebooks. Layout mirrors the streaming index
@@ -244,6 +274,10 @@ object CurationChain {
           .groupBy("doc_id").agg(max("asOf").as("asOf")).persist())
       }
     }
+    // hint only while the standing store is provably small (see
+    // tombstonesBroadcastable); past the threshold the join goes unhinted
+    val tombHint: DataFrame => DataFrame =
+      if (tombstonesBroadcastable(spark, rootDir)) broadcast else identity
     /** A store's LIVE rows: minus rows retired by a newer tombstone
       * (`b < asOf`; a row written by the retiring batch itself
       * survives — that is how an UPDATE's new version coexists with its
@@ -275,10 +309,10 @@ object CurationChain {
       Some(tombOpt match {
         case None => df.select(cols.map(col): _*)
         case Some(t) =>
-          // tombstones are churn-since-last-cadence-bounded metadata —
-          // broadcast keeps the store side from shuffling just to
-          // subtract them (guide §3.1)
-          df.join(broadcast(
+          // tombstones are churn-since-last-COMPACTION-bounded metadata —
+          // the broadcast hint keeps the store side from shuffling just
+          // to subtract them (guide §3.1), size-guarded above
+          df.join(tombHint(
               t.select(col("doc_id").as(key), col("asOf").as("_asof"))),
               Seq(key), "left")
             .filter(col("_asof").isNull || col("b") >= col("_asof"))
@@ -817,7 +851,27 @@ object CurationChain {
               scala.concurrent.duration.Duration.Inf)))
       } finally {
         pool.shutdown()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES); ()
+        // r15 ADVICE: a false return means a staged write is STILL
+        // RUNNING past the wait — returning anyway would let a
+        // foreachBatch retry race the in-flight task in _staged, the
+        // exact race the protocol forbids. Keep draining (with a loud
+        // stderr stamp), then fail the trigger outright; if the body was
+        // already failing, this trades the root error for the hang only
+        // after 30 more minutes of drain attempts — a hung write is the
+        // bigger bug either way.
+        var drained = pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        var waited = 1
+        while (!drained && waited < 3) {
+          System.err.println(
+            s"[graft.chain] staged-write pool still draining after ${waited * 10} min")
+          drained = pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          waited += 1
+        }
+        if (!drained)
+          throw new IllegalStateException(
+            "staged writes did not drain within 30 minutes; failing the " +
+            "trigger so a foreachBatch retry cannot race an in-flight " +
+            "write in _staged")
       }
       StoreTxn.seal(spark, rootDir, batchId)
     } finally {
@@ -1038,8 +1092,12 @@ object CurationChain {
         case None => adm.select("doc_id", "text", "content_hash")
         case Some(t0) =>
           val t = t0.groupBy("doc_id").agg(max("asOf").as("_asof"))
-          // churn-bounded tombstone metadata vs the corpus-scale store
-          adm.join(broadcast(t), Seq("doc_id"), "left")
+          // churn-bounded tombstone metadata vs the corpus-scale store;
+          // hint size-guarded (tombstonesBroadcastable — unbounded when
+          // no compaction cadence ever applies them)
+          val hint: DataFrame => DataFrame =
+            if (tombstonesBroadcastable(spark, rootDir)) broadcast else identity
+          adm.join(hint(t), Seq("doc_id"), "left")
             .filter(col("_asof").isNull || col("b") >= col("_asof"))
             .select("doc_id", "text", "content_hash")
       }
@@ -1062,6 +1120,10 @@ object CurationChain {
   def applyTombstones(spark: SparkSession, rootDir: String): Unit = {
     val tombDir = s"$rootDir/tombstones"
     if (!hasData(spark, tombDir)) return
+    // size-guard BEFORE the checkpoint reads the store (the guard is a
+    // driver-side listing of the same dir)
+    val hint: DataFrame => DataFrame =
+      if (tombstonesBroadcastable(spark, rootDir)) broadcast else identity
     val t = spark.read.parquet(tombDir)
       .groupBy("doc_id").agg(max("asOf").as("_asof"))
       .localCheckpoint() // the rewrites below retire the dirs this reads
@@ -1070,8 +1132,9 @@ object CurationChain {
       Seq(s"$rootDir/$store", s"$rootDir/${store}_tail").foreach { dir =>
         if (hasData(spark, dir))
           StoreCompact.rewrite(spark, dir, df =>
-            // churn-bounded metadata vs a store-scale rewrite: broadcast
-            df.join(broadcast(t.select(col("doc_id").as(key), col("_asof"))),
+            // churn-bounded metadata vs a store-scale rewrite: hint
+            // size-guarded above
+            df.join(hint(t.select(col("doc_id").as(key), col("_asof"))),
                 Seq(key), "left")
               .filter(col("_asof").isNull || col("b") >= col("_asof"))
               .drop("_asof"))

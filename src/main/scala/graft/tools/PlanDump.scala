@@ -27,11 +27,37 @@ object PlanDump {
     val names =
       if (args.drop(2).sameElements(Array("all"))) graft.SparkEntry.corpus.map(_.name)
       else args.drop(2).toSeq
+    // GRAFT_PLANDUMP_EXEC=1: execute the query through the noop sink
+    // FIRST, so the captured plan is the FINAL adaptive plan
+    // (isFinalPlan=true) with runtime artifacts visible — AQE stage reuse
+    // (ReusedQueryStage/ReusedExchange) and coalesced AQEShuffleReads do
+    // not exist in the static explain, so a reuse claim is only provable
+    // from this mode's capture.
+    val exec = sys.env.get("GRAFT_PLANDUMP_EXEC").contains("1")
+    // the noop write runs under its own QueryExecution (the command's, not
+    // the DataFrame's), so the executed adaptive plan is only reachable
+    // through the listener
+    @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+    if (exec) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          lastQe = qe
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
     names.foreach { name =>
       val q = graft.SparkEntry.corpus.find(_.name == name).getOrElse(
         sys.error(s"unknown query $name"))
       val df = q.fn(spark, sfDir)
-      val txt = df.queryExecution.explainString(
+      val txt = if (exec) {
+        lastQe = null
+        df.write.format("noop").mode("overwrite").save()
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (lastQe == null && System.nanoTime() < deadline) Thread.sleep(50)
+        require(lastQe != null, s"listener never delivered the executed plan for $name")
+        lastQe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      } else df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(outDir.resolve(s"${name}_$tag.txt"),
         txt.getBytes("UTF-8"))

@@ -90,7 +90,7 @@ class CurationChainSpec extends SparkSpec {
   }
 
   test("18-trigger soak: planted dups of every kind rejected at any lag, " +
-      "novels admitted, stores compacted and consistent") {
+      "novels admitted, stores compacted and consistent", SoakTest) {
     val root = java.nio.file.Files
       .createTempDirectory("graft_chain_soak").toFile.getAbsolutePath + "/c"
     val rnd = new scala.util.Random(42)
@@ -383,6 +383,46 @@ class CurationChainSpec extends SparkSpec {
     assert(live().map(_._1) == Seq(1L, 3L, 10L, 20L, 30L))
   }
 
+  test("oversized tombstone store: the broadcast-hint guard trips, the " +
+      "joins go unhinted, and the chain completes identically (r15 " +
+      "verdict item 4)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_tombguard").toFile.getAbsolutePath + "/c"
+    def ops(rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("op", "ord", "doc_id", "text")
+    def live() = CurationChain.readAdmitted(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // a 1-byte threshold makes ANY standing tombstone store "oversized",
+    // so from trigger 1 on every tombstone join must take the unhinted
+    // (shuffle-capable) path — the small-churn default keeps the hint
+    spark.conf.set("spark.graft.tombBroadcastMaxBytes", "1")
+    try {
+      CurationChain.ingestCdcInto(root)(ops(Seq(
+        ("INSERT", 1L, 1L, doc(1)), ("INSERT", 2L, 2L, doc(2)))), 0L)
+      // DELETE doc 1 → a standing tombstone store exists from here on
+      CurationChain.ingestCdcInto(root)(ops(Seq(
+        ("DELETE", 1L, 1L, doc(1)))), 1L)
+      assert(live() == Seq(2L))
+      // a fresh trigger screens through the oversized store: novel text
+      // admits, a standing doc's exact text still rejects, the deleted
+      // doc's text re-offers as novel — all through unhinted joins
+      CurationChain.ingestCdcInto(root)(ops(Seq(
+        ("INSERT", 1L, 3L, doc(3)), ("INSERT", 2L, 4L, doc(2)),
+        ("INSERT", 3L, 5L, doc(1)))), 2L)
+      assert(live() == Seq(2L, 3L, 5L),
+        "screens must behave identically with the hint guard tripped")
+      // the physical apply (store rewrites join the same tombstone set)
+      // also completes unhinted
+      CurationChain.applyTombstones(spark, root)
+      assert(!new java.io.File(s"$root/tombstones").exists())
+      val raw = spark.read.parquet(s"$root/admitted")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(raw == Seq(2L, 3L, 5L), s"physical apply diverged: $raw")
+    } finally spark.conf.unset("spark.graft.tombBroadcastMaxBytes")
+  }
+
   test("CDC media ops: a re-encoded image UPDATE retires the doc's own " +
       "phash row and re-admits, DELETE clears perceptual memory, and " +
       "the cadence applies tombstones to the band store physically") {
@@ -441,7 +481,7 @@ class CurationChainSpec extends SparkSpec {
 
   test("20-trigger mutable soak: random INSERT/UPDATE/DELETE stream " +
       "tracks an oracle model exactly, including updates that fail " +
-      "curation and remove their doc") {
+      "curation and remove their doc", SoakTest) {
     val s = spark
     import s.implicits._
     val root = java.nio.file.Files
