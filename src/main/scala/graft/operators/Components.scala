@@ -58,6 +58,11 @@ object Components {
       .distinct()
 
     // large-star: connect every neighbor v > u to m = min(N(u) ∪ {u}).
+    // No intermediate distinct (r16): duplicate (v, m) edges are
+    // min-agg-invariant inside small-star and small-star's own final
+    // distinct dedups the round's output, so the extra exchange bought
+    // nothing — dup multiplicity is bounded by a node's degree, which on
+    // near-dup graphs is the (tiny) component size.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
@@ -66,7 +71,6 @@ object Components {
       sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: direct each edge large→small, connect every smaller
@@ -84,8 +88,24 @@ object Components {
       body.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
 
-    var cur = init.localCheckpoint(true)
-    var curCount = cur.count()
+    // Materialize one round's edge set with truncated lineage AND return
+    // its count in ONE job (r16): `localCheckpoint(true)` runs a
+    // count-shaped materialization job internally and throws the number
+    // away, so the separate `.count()` per round was a second pass over
+    // the same blocks. Marking the InternalRow RDD for local checkpoint
+    // and counting IT does both at once; the frame is rebuilt over the
+    // truncated-lineage RDD. The previous round's blocks unpersist
+    // explicitly once the new round is materialized (they are
+    // unreachable — the loop only ever reads the latest round).
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      val n = rdd.count()
+      (org.apache.spark.sql.graft.ColumnBridge.internalDataFrame(
+        spark, rdd, df.schema), rdd, n)
+    }
+    var (cur, curRdd, curCount) = materialize(init)
     var converged = curCount == 0
     var it = 0
     while (!converged) {
@@ -93,16 +113,17 @@ object Components {
       require(it <= maxIter,
         s"connectedComponents did not converge in $maxIter rounds — " +
           "pathological graph or a bug; raise maxIter only with evidence")
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (next, nextRdd, nextCount) = materialize(smallStar(largeStar(cur)))
       // Exact fixpoint test: small-star emits canonical (big, small) pairs,
       // so set equality is count-equality + empty anti-join. The count is
-      // carried across rounds and the anti-join short-circuits at the
-      // first novel edge (limit 1), so the test costs one job + one
-      // early-out probe per round instead of re-scanning both sides.
-      val nextCount = next.count()
+      // a by-product of the materialization job and the anti-join
+      // short-circuits at the first novel edge (limit 1), so the test
+      // costs one early-out probe per round beyond the round's own job.
       converged = nextCount == curCount &&
         next.join(cur, Seq("u", "v"), "left_anti").limit(1).isEmpty
+      curRdd.unpersist(false)
       cur = next
+      curRdd = nextRdd
       curCount = nextCount
     }
     // Converged edges are stars (x, m): every member points at the

@@ -356,6 +356,11 @@ object CurationChain {
     var percDrops: Option[DataFrame] = None
     var pqCand: Option[DataFrame] = None
     var pqSurv: Option[DataFrame] = None
+    // the persisted sig frames unpersist in the outer finally (not right
+    // after the admit checkpoint as before r16): the pooled
+    // admit-checkpoint-sigs future reads them until the staging await
+    var sigsP: Option[DataFrame] = None
+    var afterSigP: Option[DataFrame] = None
     try {
       // stage 2b: exact screen against the standing hash store, bloom
       // front first: batch hashes whose bucket's blobs all miss are
@@ -479,6 +484,7 @@ object CurationChain {
       // so a novel batch skips the store read entirely and a dup-bearing
       // one reads its candidates' buckets only.
       val sigs = TextDedupStream.signatures(afterPerc).persist()
+      sigsP = Some(sigs)
       val inDropsS = TextDedupStream.sigSelfPairs(sigs)
         .select(col("db").as("doc_id")).distinct()
       val survS = sigs.join(broadcast(inDropsS), Seq("doc_id"), "left_anti")
@@ -503,6 +509,7 @@ object CurationChain {
           }
         screened.select("doc_id", "sig").persist()
       }
+      afterSigP = Some(afterSig)
       val survivedSig = afterPerc.join(broadcast(afterSig),
         Seq("doc_id"), "left_semi")
 
@@ -695,10 +702,6 @@ object CurationChain {
       val keep = labeled("admit-checkpoint") {
         admittedB.drop("content", "source").localCheckpoint()
       }
-      val keepSigs = afterSig
-        .join(broadcast(keep.select("doc_id")), Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-      sigs.unpersist(); afterSig.unpersist()
       // every store row carries its admit batch: the tombstone exclusion
       // and the physical apply are both keyed on (id, b < asOf). Screen
       // store deltas stage FLAT into the store's `_tail` sibling with
@@ -777,25 +780,42 @@ object CurationChain {
               .write.mode("overwrite").parquet(staged("phash_tail"))
           }
         }
-        val keptBands = TextDedupStream.bandRows(keepSigs, "doc_id")
-          .withColumn("b", lit(batchId))
-          .withColumn("pb", StoreLayout.bucketOf(
-            StoreLayout.keyHash(col("band"), col("bh")), P))
-        val fSigsTail = staging("stage-sigs-tail") {
-          keptBands.repartition(col("pb"))
-            .write.mode("overwrite").parquet(staged("sigs_tail"))
+        // the sig-survivor checkpoint rides the pool too (r15 verdict
+        // item 5: it sat on the SEQUENTIAL path between the admit
+        // checkpoint and the staged writes, while only the two sig-store
+        // deltas consume it). Its inputs are already materialized — the
+        // persisted `afterSig` and the checkpointed `keep` — so it is
+        // independent of every other staged write and overlaps them; the
+        // two sig deltas CHAIN on it (flatMap, no thread blocks waiting)
+        // and are still awaited before seal. `afterSig`/`sigs` unpersist
+        // in the outer finally, after the await, because this future
+        // reads them.
+        val fKeptBands = staging("admit-checkpoint-sigs") {
+          val keepSigs = afterSig
+            .join(broadcast(keep.select("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint()
+          TextDedupStream.bandRows(keepSigs, "doc_id")
+            .withColumn("b", lit(batchId))
+            .withColumn("pb", StoreLayout.bucketOf(
+              StoreLayout.keyHash(col("band"), col("bh")), P))
         }
-        val fSigFront = staging("stage-sig-front") {
-          val sigKeys = keptBands
-            .select(StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
-              col("pb"))
-            .collect().map(r => (r.getLong(0), r.getInt(1)))
-          val sigBlobs = StoreLayout.bloomDeltaLocal(sigKeys,
-            math.max(1L, sigKeys.length.toLong), P)
-          sigBlobs.toDF("pb", "bloom")
-            .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
-          sigBlobs
-        }
+        val fSigsTail = fKeptBands.flatMap(keptBands =>
+          staging("stage-sigs-tail") {
+            keptBands.repartition(col("pb"))
+              .write.mode("overwrite").parquet(staged("sigs_tail"))
+          })
+        val fSigFront = fKeptBands.flatMap(keptBands =>
+          staging("stage-sig-front") {
+            val sigKeys = keptBands
+              .select(StoreLayout.keyHash(col("band"), col("bh")).as("__h"),
+                col("pb"))
+              .collect().map(r => (r.getLong(0), r.getInt(1)))
+            val sigBlobs = StoreLayout.bloomDeltaLocal(sigKeys,
+              math.max(1L, sigKeys.length.toLong), P)
+            sigBlobs.toDF("pb", "bloom")
+              .coalesce(1).write.mode("overwrite").parquet(staged("sigbloom"))
+            sigBlobs
+          })
         val fVecs =
           if (!semantic) None
           else Some(staging("stage-vecs-tail") {
@@ -877,7 +897,8 @@ object CurationChain {
     } finally {
       pinned.unpersist(); hashed.foreach(_.unpersist())
       percDrops.foreach(_.unpersist()); tombOpt.foreach(_.unpersist())
-      pqCand.foreach(_.unpersist()); pqSurv.foreach(_.unpersist()); ()
+      pqCand.foreach(_.unpersist()); pqSurv.foreach(_.unpersist())
+      sigsP.foreach(_.unpersist()); afterSigP.foreach(_.unpersist()); ()
     }
   }
 

@@ -24,4 +24,16 @@ object ColumnBridge {
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder)
+
+  /** Rebuild a DataFrame over an InternalRow RDD (`private[sql]`
+    * `internalCreateDataFrame`) — lets an iterative loop materialize a
+    * round's RDD with `localCheckpoint()+count()` in ONE job (the count
+    * both triggers the checkpoint and returns the size) where
+    * `Dataset.localCheckpoint(eager)` followed by `.count()` costs two.
+    */
+  def internalDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -64,6 +64,25 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(edges).values.toSet == Set(0L))
   }
 
+  test("superseded iteration checkpoints unpersist: at most the final " +
+      "round's blocks remain (r16 loop internals)") {
+    import spark.implicits._
+    // settle any pending cleanup from earlier tests before snapshotting
+    spark.sparkContext.getPersistentRDDs // force store init
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a long path needs several large/small-star rounds, so the loop
+    // materializes several generations — every superseded one must be
+    // unpersisted by the time the result returns (the pre-r16 loop left
+    // one persisted RDD per round behind)
+    val chain = (1L to 33L).map(i => (i, i + 1))
+    val got = Components.connectedComponents(chain.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 34L).map(_ -> 1L).toMap)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"iteration checkpoints leaked past the loop: rdd ids $leaked")
+  }
+
   test("non-convergence guard trips rather than looping forever") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
